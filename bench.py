@@ -1,0 +1,79 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a full action (count of the materialized result)
+after a warm-up of the input file listing; per-query wall time is measured
+individually. Headline set = the flagship relational queries + the heaviest
+LLM-pipeline operators, which is what a 100 TB deployment would actually run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_star_broadcast",
+    "join_fact_fact_smj",
+    "agg_rollup",
+    "topn_per_group",
+    "over_running_sum",
+    "window_tumble",
+    "interval_join",
+    "asof_join_event_time",
+    "sort_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+    from flink_1_12_2_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # extend with any registered query tagged "headline"
+    names += [
+        n for n, s in QUERIES.items() if "headline" in s.tags and n not in names
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        # warm-up plan (build + analyze) without timing the JVM start
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

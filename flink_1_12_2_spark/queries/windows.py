@@ -1,0 +1,310 @@
+"""Over (analytic) windows, group windows (tumble/hop/session), interval join,
+temporal as-of join — batch-verifiable forms.
+
+Flink parity (SURVEY.md §2.5, §2.6, §2.3):
+  - BufferDataOverWindowOperator + frames RT/over/frame/* → Window.rowsBetween/
+    rangeBetween/lead/lag (native Catalyst WindowExec).
+  - WindowOperator.java:93 (TUMBLE/HOP/SESSION group windows) → F.window /
+    F.session_window expressions (batch form; streaming form in streaming/).
+  - TimeIntervalJoin.java:53 → time-range-conditioned self join.
+  - TemporalRowTimeJoinOperator.java:77 (FOR SYSTEM_TIME AS OF) → as-of join
+    composed from join + max-per-key (batch), streaming variant in streaming/.
+
+Scale notes: over-windows partition by key → one shuffle on the partition key;
+frames evaluate within partitions (no extra shuffle). The interval join keys on
+user_id first (equi shuffle) with the time predicate as residual — at 100 TB
+the equi key bounds the join state, and AQE splits skewed users.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_1_12_2_spark.operators.asof import asof_join
+from flink_1_12_2_spark.registry import load, query
+
+
+@query(
+    "over_running_sum",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(SUM(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_bal,
+           CAST(COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cnt
+    FROM supplier ORDER BY s_nationkey, s_suppkey
+    """,
+    tags=("batch", "over"),
+)
+def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS UNBOUNDED PRECEDING frame (RowUnboundedPrecedingOverFrame parity)."""
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.sum("s_acctbal").over(w).alias("running_bal"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+@query(
+    "over_sliding_rows",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(AVG(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS avg3
+    FROM supplier ORDER BY s_nationkey, s_suppkey
+    """,
+    tags=("batch", "over"),
+)
+def over_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (RowSlidingOverFrame parity)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey").rowsBetween(-2, 0)
+    return s.select(
+        "s_suppkey", "s_nationkey", F.avg("s_acctbal").over(w).alias("avg3")
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+@query(
+    "over_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS near_cheaper_orders
+    FROM orders ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("batch", "over"),
+)
+def over_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with numeric bound (RangeSlidingOverFrame parity)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("near_cheaper_orders"),
+    ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@query(
+    "over_lead_lag",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT user_id, event_id,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)  AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0)
+             AS delta
+    FROM ev ORDER BY user_id, event_id
+    """,
+    tags=("batch", "over"),
+)
+def over_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG (OffsetOverFrame parity)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "over_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    ORDER BY c_mktsegment, rnk, c_custkey LIMIT 500
+    """,
+    tags=("batch", "over", "rank"),
+)
+def over_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK/NTILE window functions (Flink aggfunctions Rank/DenseRank)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+        .limit(500)
+    )
+
+
+@query(
+    "over_first_last_value",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           FIRST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+           LAST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM supplier ORDER BY s_nationkey, s_suppkey
+    """,
+    tags=("batch", "over"),
+)
+def over_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over full-partition frame (FirstValue/LastValue aggs)."""
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.last("s_name").over(w).alias("poorest"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Group windows (TUMBLE / HOP / SESSION) — batch-verifiable forms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumble",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("batch", "window", "tumble"),
+)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE group window (TumblingWindowAssigner.java:34 parity) via F.window."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "cnt", "total_value"
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "window_hop",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    buckets AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM ev),
+    wins AS (
+      SELECT b AS win_start, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '30 minutes' AS win_start, value FROM buckets)
+    SELECT win_start, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM wins GROUP BY win_start ORDER BY win_start
+    """,
+    tags=("batch", "window", "hop"),
+)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP (sliding) window, size 1h slide 30m (SlidingWindowAssigner.java:40).
+    Each row lands in size/slide = 2 windows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "cnt", "total_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "interval_join",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT a.event_type AS left_type, b.event_type AS right_type,
+           CAST(COUNT(*) AS BIGINT) AS pairs
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("batch", "join", "interval"),
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (TimeIntervalJoin.java:53): equi key + time-range residual."""
+    a = load(spark, sf_dir, "events").alias("a")
+    b = load(spark, sf_dir, "events").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("left_type"),
+            F.col("b.event_type").alias("right_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("left_type", "right_type")
+    )
+
+
+@query(
+    "asof_join_event_time",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT p.event_id, p.user_id, p.value AS purchase_value,
+           (SELECT MAX(c.ts) FROM ev c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS last_click_ts
+    FROM ev p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    tags=("batch", "join", "temporal", "asof"),
+)
+def asof_join_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time as-of join (TemporalRowTimeJoinOperator.java:77 parity):
+    each purchase joined to the latest click at-or-before its timestamp."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_key="user_id",
+        right_key="c_user_id",
+        left_time="ts",
+        right_time="c_ts",
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_value", F.col("c_ts").alias("last_click_ts")
+    ).orderBy("event_id")

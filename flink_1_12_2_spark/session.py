@@ -1,0 +1,154 @@
+"""Engine session: SparkSession factory + table registry with time metadata.
+
+Flink parity: ``TableEnvironment`` (reference:
+flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/internal/TableEnvironmentImpl.java:639)
+— create tables, register watermarks (``WATERMARK FOR c AS c - INTERVAL ...``,
+reference: flink-table/flink-sql-parser/.../ddl/SqlWatermark.java), run SQL.
+
+Spark-first design notes (100 TB scale):
+- AQE on by default: runtime join-strategy switch, skew-join splitting, and
+  partition coalescing replace Flink's static broadcast-threshold + two-stage
+  agg rules.
+- ``spark.sql.shuffle.partitions`` is a session-level knob; on a real cluster
+  AQE coalescing makes the initial value mostly a ceiling.
+- Tables are registered as temp views over ``spark.read.parquet`` so every
+  query gets DataSource V2 predicate pushdown + column pruning + partition
+  pruning for free (Flink's SupportsFilterPushDown/SupportsProjectionPushDown
+  contracts, reference: flink-table/flink-table-common/.../connector/source/abilities/).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_DEFAULT_CONF = {
+    # AQE: runtime re-planning (replaces Flink's static join-strategy rules,
+    # SplitAggregateRule skew handling, and broadcast-threshold tuning).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for the duckdb oracle comparisons.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold — Flink's table.optimizer.join.broadcast-threshold
+    # (reference: flink-table/flink-table-api-java/.../config/OptimizerConfigOptions.java:53).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "flink_1_12_2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+@dataclass
+class TableMeta:
+    """Registry metadata for one table.
+
+    ``event_time_col``/``watermark_delay`` mirror Flink's WATERMARK DDL clause;
+    the engine applies ``df.withWatermark(event_time_col, watermark_delay)``
+    when the table is read as a stream (Flink applies WatermarkAssignerOperator,
+    reference: flink-table/flink-table-runtime-blink/.../wmassigners/WatermarkAssignerOperator.java:41).
+    ``primary_key`` drives changelog-normalize / upsert sink semantics.
+    """
+
+    path: str
+    fmt: str = "parquet"
+    event_time_col: str | None = None
+    watermark_delay: str | None = None  # e.g. "10 minutes"
+    primary_key: tuple[str, ...] = ()
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class EngineSession:
+    """SparkSession wrapper + table registry (the engine's TableEnvironment)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._tables: dict[str, TableMeta] = {}
+
+    # -- registry -----------------------------------------------------------
+    def register_table(self, name: str, meta: TableMeta) -> None:
+        self._tables[name] = meta
+        reader = self.spark.read.format(meta.fmt)
+        for k, v in meta.options.items():
+            reader = reader.option(k, v)
+        reader.load(meta.path).createOrReplaceTempView(name)
+
+    def register_testdata(self, sf_dir: str) -> None:
+        """Register the driver's synthetic tables (TESTDATA.md) as temp views."""
+        for t in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                meta = TableMeta(path=path)
+                if t == "events":
+                    meta.event_time_col = "ts"
+                    meta.watermark_delay = "10 minutes"
+                    meta.primary_key = ("event_id",)
+                self.register_table(t, meta)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def meta(self, name: str) -> TableMeta | None:
+        return self._tables.get(name)
+
+    # -- streaming scan with watermark from registry metadata ---------------
+    def stream_table(self, name: str) -> DataFrame:
+        """Read a registered table as a stream, applying its watermark.
+
+        Flink parity: StreamExecTableSourceScan + WatermarkAssigner
+        (reference: flink-table/flink-table-planner-blink/.../physical/stream/StreamExecTableSourceScan.scala).
+        """
+        meta = self._tables[name]
+        df = (
+            self.spark.readStream.format(meta.fmt)
+            .schema(self.spark.table(name).schema)
+            .load(meta.path)
+        )
+        if meta.event_time_col and meta.watermark_delay:
+            df = df.withWatermark(meta.event_time_col, meta.watermark_delay)
+        return df
+
+    # -- SQL front door ------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL after the Flink→Spark rewrite pass (see sql/rewriter.py)."""
+        from flink_1_12_2_spark.sql.rewriter import rewrite
+
+        return self.spark.sql(rewrite(query))

@@ -1,0 +1,80 @@
+"""Flink-SQL → Spark-SQL rewrite pass (the engine's "SQL front door").
+
+Flink parity: the Blink planner's parse/validate pipeline accepts Flink SQL
+dialect (reference: flink-table/flink-table-planner-blink/.../delegation/ParserImpl.java:70
+and functions in flink-table/flink-table-planner-blink/.../functions/sql/FlinkSqlOperatorTable.java).
+Spark's ANTLR parser covers ~95% of that surface; this module is a light,
+regex-based source rewrite for the Flink-only idioms, so Flink-dialect queries
+run verbatim through ``spark.sql``:
+
+- group windows:  ``GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)`` →
+  ``GROUP BY window(ts, '1 hour')`` (same for HOP → sliding window,
+  SESSION → session_window).  Window auxiliary functions ``TUMBLE_START/END``
+  → ``window.start`` / ``window.end``.
+- function renames that Spark lacks under the Flink name (SPLIT_INDEX,
+  RAND_INTEGER, TO_BASE64/FROM_BASE64 …) are handled by registering SQL
+  functions in :mod:`flink_1_12_2_spark.functions.registry` rather than text
+  rewriting, so only syntax-level constructs are rewritten here.
+- ``PROCTIME()`` → ``current_timestamp()``; ``x.rowtime`` is the event-time
+  column itself (no-op).
+
+The rewriter is deliberately conservative: strings it does not recognize pass
+through unchanged (Spark SQL is the base dialect).
+"""
+
+from __future__ import annotations
+
+import re
+
+_INTERVAL_UNITS = {
+    "SECOND": "seconds",
+    "MINUTE": "minutes",
+    "HOUR": "hours",
+    "DAY": "days",
+}
+
+
+def _interval_to_duration(txt: str) -> str:
+    """``INTERVAL '10' MINUTE`` → ``'10 minutes'`` (Spark window duration)."""
+    m = re.match(
+        r"(?is)\s*INTERVAL\s+'([\d.]+)'\s+(SECOND|MINUTE|HOUR|DAY)S?\s*",
+        txt,
+    )
+    if not m:
+        return txt.strip()
+    return f"'{m.group(1)} {_INTERVAL_UNITS[m.group(2).upper()]}'"
+
+
+_TUMBLE = re.compile(r"(?is)\bTUMBLE\s*\(\s*([^,]+?)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)")
+_HOP = re.compile(
+    r"(?is)\bHOP\s*\(\s*([^,]+?)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)"
+)
+_SESSION = re.compile(r"(?is)\bSESSION\s*\(\s*([^,]+?)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)")
+
+
+def rewrite(query: str) -> str:
+    """Rewrite Flink SQL idioms into Spark SQL. Pass-through otherwise."""
+    q = query
+
+    # Window auxiliary functions first (they mention TUMBLE_/HOP_/SESSION_).
+    q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_START\s*\([^)]*\)", "window.start", q)
+    q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_END\s*\([^)]*\)", "window.end", q)
+    q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_ROWTIME\s*\([^)]*\)", "window.end", q)
+
+    # Group windows. HOP(ts, slide, size) → window(ts, size, slide).
+    q = _HOP.sub(
+        lambda m: f"window({m.group(1)}, {_interval_to_duration(m.group(3))}, "
+        f"{_interval_to_duration(m.group(2))})",
+        q,
+    )
+    q = _TUMBLE.sub(
+        lambda m: f"window({m.group(1)}, {_interval_to_duration(m.group(2))})", q
+    )
+    q = _SESSION.sub(
+        lambda m: f"session_window({m.group(1)}, {_interval_to_duration(m.group(2))})", q
+    )
+
+    # Time attributes.
+    q = re.sub(r"(?is)\bPROCTIME\s*\(\s*\)", "current_timestamp()", q)
+
+    return q
