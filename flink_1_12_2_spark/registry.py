@@ -60,7 +60,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # NTZ, built by microsecond offset from epoch — identical wall-clock
+            # values to DuckDB's naive TIMESTAMP regardless of session timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

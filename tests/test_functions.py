@@ -1,0 +1,100 @@
+"""Unit tests for the Flink function registry — the functions DuckDB can't
+replicate (checked by hand-verified expectations instead), plus the SQL-UDF
+registration path for Flink-only names."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_12_2_spark.functions.registry import (
+    FLINK_FUNCTIONS as FN,
+    register_flink_sql_functions,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_initcap(spark):
+    assert _one(spark, FN["INITCAP"](F.lit("hello world"))) == "Hello World"
+
+
+def test_str_to_map(spark):
+    got = _one(spark, FN["STR_TO_MAP"](F.lit("a=1,b=2"), F.lit(","), F.lit("=")))
+    assert got == {"a": "1", "b": "2"}
+
+
+def test_parse_url(spark):
+    assert (
+        _one(spark, FN["PARSE_URL"](F.lit("https://x.com/p?q=1"), F.lit("HOST")))
+        == "x.com"
+    )
+
+
+def test_split_index_out_of_range(spark):
+    assert _one(spark, FN["SPLIT_INDEX"](F.lit("a,b"), F.lit(","), F.lit(5))) is None
+    assert _one(spark, FN["SPLIT_INDEX"](F.lit("a,b"), F.lit(","), F.lit(1))) == "b"
+
+
+def test_truncate_negative(spark):
+    assert _one(spark, FN["TRUNCATE"](F.lit(-1.269), F.lit(2))) == pytest.approx(-1.26)
+    assert _one(spark, FN["TRUNCATE"](F.lit(1.269), F.lit(2))) == pytest.approx(1.26)
+
+
+def test_overlaps(spark):
+    import datetime as dt
+
+    t = lambda h: F.lit(dt.datetime(2024, 1, 1, h)).cast("timestamp")  # noqa: E731
+    assert _one(spark, FN["OVERLAPS"](t(1), t(3), t(2), t(4))) is True
+    assert _one(spark, FN["OVERLAPS"](t(1), t(2), t(3), t(4))) is False
+
+
+def test_sum0_empty_group(spark):
+    df = spark.range(5).filter("id > 99")  # empty
+    got = df.agg(FN["SUM0"](F.col("id")).alias("s")).collect()[0].s
+    assert got == 0
+
+
+def test_similar_to(spark):
+    assert _one(spark, FN["SIMILAR_TO"](F.lit("abcde"), "ab%")) is True
+    assert _one(spark, FN["SIMILAR_TO"](F.lit("abcde"), "ab_")) is False
+
+
+def test_nullif_ifnull(spark):
+    assert _one(spark, FN["NULLIF"](F.lit(5), F.lit(5))) is None
+    assert _one(spark, FN["IFNULL"](F.lit(None).cast("int"), F.lit(7))) == 7
+
+
+def test_hash_code_stable(spark):
+    a = _one(spark, FN["HASH_CODE"](F.lit("flink")))
+    b = _one(spark, FN["HASH_CODE"](F.lit("flink")))
+    assert a == b and isinstance(a, int)
+
+
+def test_sql_udf_registration(spark):
+    register_flink_sql_functions(spark)
+    row = spark.sql(
+        "SELECT SPLIT_INDEX('a,b,c', ',', 1) AS si, IS_DECIMAL('3.14') AS d, "
+        "IS_ALPHA('abc') AS al, SHA224('x') AS sh, cot(1.0) AS ct"
+    ).collect()[0]
+    assert row.si == "b"
+    assert row.d is True and row.al is True
+    assert len(row.sh) == 56
+    assert abs(row.ct - 0.6420926) < 1e-6
+
+
+def test_sql_rewriter_tumble(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_rw")
+    q = rewrite(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, COUNT(*) AS c "
+        "FROM ev_rw GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hours')" in q
+    out = spark.sql(q)
+    assert out.count() > 0
+    assert set(out.columns) == {"ws", "c"}
