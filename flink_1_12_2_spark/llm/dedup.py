@@ -1,0 +1,282 @@
+"""Deduplication operator family for training-data pipelines:
+exact (hash), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Every operator is expressed as DataFrame transformations with deterministic
+md5-based hashing (see :mod:`flink_1_12_2_spark.llm.hashing`) so the DuckDB
+oracle can replicate results bit-for-bit.
+
+Scale design (100 TB):
+- MinHash signatures: ONE narrow shuffle — explode distinct shingles, then
+  ``groupBy(doc).agg(min(h_0)..min(h_K))`` computes all K permutations in a
+  single partial-aggregated pass (no K× row explosion, map-side combine).
+- LSH candidates: band hashes explode K/r rows per doc; the self-join on
+  (band_idx, band_hash) shuffles only (doc_id, band) pairs, never text.
+- n-gram Jaccard: inverted-index join (docs sharing ≥1 shingle) — never a
+  cross join; count-common → Jaccard arithmetic from per-doc shingle counts.
+- SimHash: banded Hamming join via the pigeonhole principle (dist ≤ d with
+  d+1 bands ⇒ ≥1 band equal) — exact recall without O(n²) pairs.
+- Embedding near-dup: normalized vectors + (block) join; the ANN/LSH variant
+  for the truly large case lives in :mod:`flink_1_12_2_spark.llm.similarity`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_12_2_spark.llm.hashing import md5int60, seeded_hash
+from flink_1_12_2_spark.llm.text import tokens
+
+NUM_PERM = 16  # minhash permutations
+LSH_ROWS = 2  # rows per band  → 8 bands
+NUM_BANDS = NUM_PERM // LSH_ROWS
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ 3 ⇒ one 8-bit band equal
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per md5(text). Returns keeper rows
+    with ``n_copies``. Flink parity: Deduplicate keep-first
+    (RowTimeDeduplicateFunction.java:31), key = content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_perm`` columns ``mh0..mh{K-1}``.
+
+    Single shuffle: explode distinct shingles → groupBy(doc) with K min-aggs
+    (each a seeded md5) — partial aggregation happens map-side.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [
+        F.min(seeded_hash(F.col("sh"), k)).alias(f"mh{k}") for k in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = NUM_PERM,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs
+    (id_1 < id_2, distinct)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5int60(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(num_perm // rows_per_band)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Attach exact n-gram Jaccard to candidate pairs (id_1, id_2)."""
+    sets_ = df.select(
+        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), n).alias("__sh")
+    )
+    out = (
+        candidates.join(sets_, candidates.id_1 == sets_.__id)
+        .withColumnRenamed("__sh", "__sh1")
+        .drop("__id")
+        .join(sets_, candidates.id_2 == sets_.__id)
+        .withColumnRenamed("__sh", "__sh2")
+        .drop("__id")
+    )
+    inter = F.size(F.array_intersect("__sh1", "__sh2"))
+    union = F.size(F.array_union("__sh1", "__sh2"))
+    return out.select(
+        "id_1",
+        "id_2",
+        (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join (full
+    recall; only docs sharing ≥1 shingle are ever paired — no cross join)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("__id").alias("id_1"), F.col("n_sh").alias("n1"))
+    cb = counts.select(F.col("__id").alias("id_2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(ca, "id_1")
+        .join(cb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over (non-distinct) tokens, md5-based bit votes."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: md5int60(t))
+
+    def _vote(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bit_sums = [
+        F.aggregate(th, F.lit(0), _vote(b)) for b in range(SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("bigint")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_distance via banded join.
+
+    Pigeonhole: with ``SIMHASH_BANDS`` = max_distance + 1 bands, any pair
+    within distance ≤ max_distance agrees on ≥1 full band — exact recall
+    without O(n²).
+    """
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    with_sh = df.select(
+        F.col(id_col).alias("__id"), simhash32(F.col(text_col)).alias("simhash")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = with_sh.select("__id", "simhash", F.explode(bands).alias("b")).select(
+        "__id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_1"),
+            F.col("b.__id").alias("id_2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    ).filter(F.col("hamming") <= max_distance).select("id_1", "id_2", "hamming")
+
+
+def normalize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """L2-normalize an array<float> column into array<double> ``vec_n``."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm).alias("vec_n"),
+    )
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_1 < id_2, cosine ≥ threshold).
+
+    Brute-force block join on normalized vectors — correct baseline; swap in
+    llm.similarity.ann_lsh_topk buckets to prune at extreme scale.
+    """
+    n = normalize_embeddings(df, id_col, vec_col)
+    a = n.select(F.col(id_col).alias("id_1"), F.col("vec_n").alias("v1"))
+    b = n.select(F.col(id_col).alias("id_2"), F.col("vec_n").alias("v2"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and random-hyperplane LSH bucketing (the scale path).
+
+Scale design (100 TB):
+- Brute-force: normalized corpus broadcast against queries (queries are the
+  small side) — exact, O(|Q|·|C|) but fully JVM-side arithmetic; correct
+  baseline and the recall reference for ANN variants.
+- LSH: hyperplane signs → bucket id; join queries to corpus per bucket.
+  Planes are *deterministic* (md5-derived coefficients, computed driver-side
+  once and inlined as literals) so the DuckDB oracle reproduces buckets
+  exactly; at scale the bucket join replaces the cross product, shuffling on
+  bucket id. An IVF variant would swap bucket id for nearest-centroid id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from flink_1_12_2_spark.llm.dedup import normalize_embeddings
+
+NUM_PLANES = 8
+DIM = 64
+
+
+def _md5int60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def lsh_planes(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: coef(p,d) ∈ [-1, 1] derived
+    from md5(p || '/' || d) — identical in any engine/language."""
+    return [
+        [((_md5int60_py(f"{p}/{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _dot_lit(vec_col: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(vec_col, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]] | None = None) -> Column:
+    """Bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+    planes = planes or lsh_planes()
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        out = out + F.when(_dot_lit(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def ann_bruteforce_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: queries (small, broadcast) × corpus."""
+    n = normalize_embeddings(df, id_col, vec_col)
+    q = n.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec_n").alias("qv")
+    )
+    c = n.select(F.col(id_col).alias("neighbor_id"), F.col("vec_n").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    May return < k rows per query (bucket miss) — that's the documented
+    approximation, and the oracle reproduces it exactly."""
+    planes = planes or lsh_planes()
+    n = normalize_embeddings(df, id_col, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("vec_n"), planes)
+    )
+    q = n.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec_n").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = n.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_n").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

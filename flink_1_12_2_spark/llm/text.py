@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+All operators are pure Catalyst column expressions (no Python at row time) —
+at 100 TB these run inside whole-stage codegen on the scan, shuffle-free.
+Every function has a DuckDB-expressible twin so results are oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from flink_1_12_2_spark.llm.hashing import FINGERPRINT_MOD, md5int60
+
+# Tiny built-in stopword profiles for the n-gram/marker-word language-ID
+# heuristic. Deliberately small and deterministic: the point is the *operator
+# shape* (per-language scoring → argmax), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """BPE-ish token estimate: alphanumeric runs + punctuation singletons
+    (a cheap, deterministic proxy for subword count). Uses plain character
+    classes (no lookarounds) so DuckDB's RE2 oracle computes the same value."""
+    runs = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
+    puncts = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return runs + puncts
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-whitespace character ratio (explicit class — same
+    meaning in Java regex and RE2, unlike \\pP)."""
+    n = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return n.cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^0-9]", "")).cast(
+        "double"
+    ) / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs, moderate
+    mean word length, low punctuation/digit noise, some stopwords.
+    Deterministic arithmetic — DuckDB twin in the oracle."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    mwl = mean_token_length(text)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_score = F.greatest(F.lit(1.0) - noise * 2.0, F.lit(0.0))
+    sw_score = F.least(
+        stopword_ratio(text, LANG_MARKERS["en"]) * 5.0, F.lit(1.0)
+    )
+    return F.round(
+        len_score * 0.3 + word_score * 0.25 + noise_score * 0.25 + sw_score * 0.2, 4
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word score per language (fraction of tokens matching)."""
+    return {
+        lang: stopword_ratio(text, markers) for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker-word score; 'und' (undetermined) when all 0.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p.score > 0))
+    return F.coalesce(best.lang, F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling (polynomial) hash over tokens, mod 2^31-1.
+
+    fp = fold(tokens, 0, acc -> (acc*31 + md5int60(tok) % M) % M)
+    Deterministic and identical in DuckDB via list_reduce (see oracle).
+    """
+    tok_hashes = F.transform(tokens(text), lambda t: md5int60(t) % FINGERPRINT_MOD)
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )

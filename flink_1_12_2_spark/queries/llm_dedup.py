@@ -1,1 +1,187 @@
-"""Filled in incrementally."""
+"""Deduplication pipeline queries over ``documents``/``embeddings`` — exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine (BASELINE.json
+north-star operators).
+
+The DuckDB oracles replicate the *full algorithm* (same md5-based hashes,
+same banding) — so they verify the implementation, including LSH's sampling
+behavior, not an idealized answer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.llm import dedup as D
+from flink_1_12_2_spark.llm.hashing import md5int60_sql, seeded_hash_sql
+from flink_1_12_2_spark.registry import load, query
+
+JACCARD_T = 0.5
+COSINE_T = 0.35
+
+# ---- shared DuckDB CTE fragments (lockstep with llm/dedup.py) --------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, "
+    r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t "
+    "FROM documents)"
+)
+_SH_CTE = (
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [] END AS s FROM toks)"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_removed
+    FROM documents
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup summary: docs kept vs removed."""
+    d = load(spark, sf_dir, "documents")
+    groups = D.exact_dedup(d, "text", "doc_id")
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_removed"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SH_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / GREATEST(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_1, id_2, jaccard FROM pairs
+    WHERE jaccard >= {JACCARD_T} ORDER BY id_1, id_2
+    """,
+    tags=("llm", "dedup", "jaccard", "headline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join (full
+    recall, no cross join — the oracle brute-forces the same answer)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=JACCARD_T)
+    return pairs.select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_1", "id_2")
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"list_min(list_transform(s, x -> {seeded_hash_sql('x', str(k))})) AS mh{k}"
+        for k in range(D.NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + md5int60_sql(
+            " || ',' || ".join(
+                f"CAST(mh{b * D.LSH_ROWS + r} AS VARCHAR)" for r in range(D.LSH_ROWS)
+            )
+        )
+        + " AS bh FROM mh"
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""
+    WITH {_TOKS_CTE}, {_SH_CTE},
+    mh AS (SELECT doc_id, {mh_cols} FROM sh WHERE len(s) > 0),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.id_1, c.id_2,
+             ROUND(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+                   / GREATEST(len(list_distinct(s1.s || s2.s)), 1), 6) AS jaccard
+      FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id
+                  JOIN sh s2 ON c.id_2 = s2.doc_id)
+    SELECT id_1, id_2, jaccard FROM ver
+    WHERE jaccard >= {JACCARD_T} ORDER BY id_1, id_2
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm", "dedup", "minhash", "headline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) → LSH(8 bands × 2 rows) candidates → exact-Jaccard
+    verify. The oracle replicates signatures + banding, so recall behavior is
+    verified too — not just the final pair set."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id")
+    ver = D.jaccard_verify(cand, d, "doc_id", "text")
+    return (
+        ver.filter(F.col("jaccard") >= JACCARD_T)
+        .select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+def _simhash_oracle() -> str:
+    h = md5int60_sql("x")
+    bit_sums = ", ".join(
+        f"CASE WHEN len(t) = 0 THEN 0 ELSE list_reduce(list_transform(t, "
+        f"x -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END), "
+        f"(p, q) -> p + q) END AS bs{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sh_expr = " + ".join(
+        f"CASE WHEN bs{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    bits AS (SELECT doc_id, {bit_sums} FROM toks),
+    sh AS (SELECT doc_id, CAST({sh_expr} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_1, id_2
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, Hamming ≤ 3, via pigeonhole-banded
+    join (4 × 8-bit bands ⇒ exact recall; oracle brute-forces all pairs)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(d, "doc_id", "text", max_distance=3)
+    return pairs.select(
+        "id_1", "id_2", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_1", "id_2")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {COSINE_T}
+    ORDER BY id_1, id_2
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (normalized dot ≥ τ)."""
+    e = load(spark, sf_dir, "embeddings")
+    return D.cosine_pairs(e, "vec_id", "embedding", COSINE_T).orderBy("id_1", "id_2")

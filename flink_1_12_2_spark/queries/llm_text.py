@@ -1,1 +1,163 @@
-"""Filled in incrementally."""
+"""Text-analysis pipeline queries over ``documents`` — token stats, quality
+scoring, language ID, fingerprinting (BASELINE.json north-star operators).
+
+Oracle SQL is generated from the same constants (marker-word lists, modulus)
+as the Spark implementation in :mod:`flink_1_12_2_spark.llm.text`, so the
+DuckDB twin exercises the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.llm import text as T
+from flink_1_12_2_spark.llm.hashing import FINGERPRINT_MOD
+from flink_1_12_2_spark.registry import load, query
+
+# ---- shared DuckDB fragments (kept in lockstep with llm/text.py) -----------
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_TOKS_LOWER = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+
+def _sw_ratio_sql(words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter({_TOKS_LOWER}, t -> list_contains({lst}, t))) AS DOUBLE)"
+        f" / GREATEST(len({_TOKS}), 1)"
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+              + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_pieces,
+           CAST(length(text) AS INT) AS n_chars_m,
+           CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                ELSE CAST(list_reduce(list_transform({_TOKS}, t -> length(t)),
+                          (a, b) -> a + b) AS DOUBLE) / len({_TOKS})
+           END AS mean_tok_len
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text", "tokens", "headline"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_piece_count(t).alias("n_pieces"),
+        T.char_count(t).alias("n_chars_m"),
+        T.mean_token_length(t).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(list_reduce(list_transform({_TOKS}, t -> length(t)),
+                            (a, b) -> a + b) AS DOUBLE) / len({_TOKS}) END AS mwl,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS punct_r,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS digit_r,
+             {_sw_ratio_sql(T.LANG_MARKERS["en"])} AS sw_r
+      FROM documents)
+    SELECT doc_id, punct_r AS punct_ratio, digit_r AS digit_ratio,
+           sw_r AS stopword_ratio_en,
+           ROUND(LEAST(n_tok / 20.0, 1.0) * 0.3
+                 + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25
+                 + GREATEST(1.0 - (punct_r + digit_r) * 2.0, 0.0) * 0.25
+                 + LEAST(sw_r * 5.0, 1.0) * 0.2, 4) AS quality
+    FROM f ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/stopword composite in [0,1]."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.digit_ratio(t).alias("digit_ratio"),
+        T.stopword_ratio(t, T.LANG_MARKERS["en"]).alias("stopword_ratio_en"),
+        T.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    """CASE replicating array_max-over-struct tie semantics: greatest score
+    wins; ties go to the lexicographically largest language code."""
+    score_cols = {lang: f"s_{lang}" for lang in sorted(T.LANG_MARKERS)}
+    g = "GREATEST(" + ", ".join(score_cols.values()) + ")"
+    branches = "".join(
+        f" WHEN {score_cols[lang]} = g THEN '{lang}'"
+        for lang in sorted(T.LANG_MARKERS, reverse=True)
+    )
+    return f"CASE WHEN g = 0.0 THEN 'und'{branches} END", g
+
+
+@query(
+    "text_lang_id",
+    oracle=(
+        lambda: f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_sw_ratio_sql(T.LANG_MARKERS["de"])} AS s_de,
+             {_sw_ratio_sql(T.LANG_MARKERS["en"])} AS s_en,
+             {_sw_ratio_sql(T.LANG_MARKERS["es"])} AS s_es,
+             {_sw_ratio_sql(T.LANG_MARKERS["fr"])} AS s_fr
+      FROM documents),
+    g AS (SELECT doc_id, lang, GREATEST(s_de, s_en, s_es, s_fr) AS g,
+                 s_de, s_en, s_es, s_fr FROM s)
+    SELECT lang AS labeled_lang, {_lang_case_sql()[0]} AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS docs
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    )(),
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) vs. the labeled lang."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             CASE WHEN len({_TOKS}) = 0 THEN 0
+                  ELSE list_reduce(
+                         list_transform({_TOKS},
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {FINGERPRINT_MOD}),
+                         (a, b) -> (a * 31 + b) % {FINGERPRINT_MOD})
+             END AS fingerprint
+      FROM documents)
+    SELECT doc_id, fingerprint FROM fp ORDER BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod 2^31-1)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")

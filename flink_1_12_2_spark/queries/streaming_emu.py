@@ -1,1 +1,199 @@
-"""Filled in incrementally."""
+"""Streaming operators executed through the REAL Structured Streaming engine
+(file stream → watermark → stateful op → AvailableNow → memory sink), then
+compared to batch oracles — Flink's stream⇄table duality as a test strategy.
+
+Each query here runs a genuine streaming job inside the (spark, sf_dir) →
+DataFrame contract; the returned DataFrame is the materialized sink table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.registry import query
+from flink_1_12_2_spark.streaming.cep import Pattern, cep_pattern_matches
+from flink_1_12_2_spark.streaming.core import ltz_to_ntz_utc, run_to_memory, stream_events
+from flink_1_12_2_spark.streaming.stateful import (
+    streaming_dedup_keep_last,
+    streaming_topn,
+)
+
+_EV_CTE = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+@query(
+    "stream_tumble_agg",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "tumble"),
+)
+def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window agg on a real stream (complete mode ⇒ all
+    windows present at end-of-stream; append mode would hold back unclosed
+    windows — Flink fires them at final watermark, SS at query end)."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value")
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        ltz_to_ntz_utc(F.col("win.start")).alias("win_start"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    {_EV_CTE},
+    o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user on a real stream
+    (SessionWindowAssigner.java:36 parity; oracle = gaps-and-islands SQL)."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        ltz_to_ntz_utc(F.col("win.start")).alias("session_start"),
+        ltz_to_ntz_utc(F.col("win.end")).alias("session_end"),
+        "cnt",
+        "total_value",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_interval_join",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.event_type AS left_type, b.event_type AS right_type
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+    ORDER BY left_id, right_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (TimeIntervalJoin.java:53): two watermarked
+    streams, time-bounded condition — SS native, append mode."""
+    a = stream_events(spark, sf_dir, watermark=None).select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("l_uid"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("left_type"),
+    ).withWatermark("l_ts", "10 minutes")
+    b = stream_events(spark, sf_dir, watermark=None).select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("right_type"),
+    ).withWatermark("r_ts", "10 minutes")
+    j = a.join(
+        b,
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("left_id", "right_id", "left_type", "right_type")
+    return run_to_memory(j, output_mode="append").orderBy("left_id", "right_id")
+
+
+@query(
+    "stream_topn",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM ev) WHERE rn <= 3 ORDER BY user_id, rn
+    """,
+    tags=("streaming", "rank", "topn", "stateful"),
+)
+def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Top-3 per user by value — keyed bounded-heap state in
+    ``applyInPandasWithState`` (AbstractTopNFunction.java:48 parity)."""
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(streaming_topn(ev, n=3), output_mode="update")
+    return out.orderBy("user_id", "rn")
+
+
+@query(
+    "stream_dedup_keep_last",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev) WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-last dedup per key (event-time; SS native path only
+    supports keep-first) — single-row keyed state."""
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(streaming_dedup_keep_last(ev), output_mode="update")
+    return out.orderBy("user_id")
+
+
+@query(
+    "stream_dedup_keep_first_native",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS uniq_events
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keep_first_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SS dropDuplicates (keep-first by arrival) chained into a
+    streaming agg — dedup on the unique key makes the result order-free."""
+    ev = stream_events(spark, sf_dir)
+    dd = ev.dropDuplicates(["event_id"])
+    # rows are unique by event_id after the stateful dedup → plain count
+    # (streaming DISTINCT aggregates are unsupported, and unnecessary here)
+    agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("uniq_events"))
+    return run_to_memory(agg, output_mode="complete").orderBy("event_type")
+
+
+@query("stream_cep_click_purchase", tags=("streaming", "cep", "stateful"))
+def stream_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP: click →(within 6 h)→ purchase per user, greedy non-overlapping
+    (MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW). Non-SQL-expressible
+    (iterative consumption) → rows-only driver check + unit tests."""
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(6 * 3600 * 1_000_000)
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id")

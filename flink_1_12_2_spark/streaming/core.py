@@ -1,0 +1,85 @@
+"""Structured-Streaming core: watermarked stream scans and a run-to-memory
+harness for verifying streaming operators against batch oracles.
+
+Flink parity: the stream side of every SURVEY §2 operator — scans
+(StreamExecTableSourceScan), watermark assignment
+(WatermarkAssignerOperator.java:41), windowed aggregation
+(WindowOperator.java:93), stream-stream joins. Spark's micro-batch engine
+replaces Flink's per-record pipeline; `Trigger.AvailableNow` bounds a run for
+deterministic verification (the driver's oracle is batch SQL over the same
+rows, which is exactly Flink's stream⇄table duality argument).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ltz_to_ntz_utc(col) -> F.Column:
+    """TIMESTAMP (LTZ) → TIMESTAMP_NTZ holding the UTC wall clock, independent
+    of the session timezone (for oracle-comparable output columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_add("MICROSECOND", F.unix_micros(c), epoch_ntz)
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Read the events table as a file-source stream with event-time watermark.
+
+    The nanos→micros conversion mirrors ``registry.load`` (parquet
+    TIMESTAMP(NANOS) is unrepresentable in Spark). ``ts`` is TIMESTAMP (LTZ,
+    the instant at the stored micros — watermarks require LTZ); ``ts_us`` is
+    the timezone-independent microsecond value for stateful pandas operators.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    # the file stream source requires a directory: stream the sf_dir with a
+    # glob selecting just the events file
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    else:
+        sdf = sdf.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    if watermark:
+        sdf = sdf.withWatermark("ts", watermark)
+    return sdf
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the batch DataFrame of results."""
+    spark = sdf.sparkSession
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

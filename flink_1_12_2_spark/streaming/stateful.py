@@ -1,0 +1,153 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` — the
+Flink operators Structured Streaming lacks as primitives.
+
+Flink parity:
+- streaming Top-N       → AbstractTopNFunction.java:48 / AppendOnlyTopNFunction
+  (keyed heap state, emit per change; here: keyed heap, emit per micro-batch)
+- keep-last dedup       → ProcTimeDeduplicateKeepLastRowFunction.java:29
+- keyed process fn      → KeyedProcessOperator.java:35 + ValueState/Timers →
+  GroupState (timeouts ≈ timers, TTL via GroupStateTimeout)
+
+Design: state is a compact pandas-serializable structure per key (never the
+full input); each micro-batch folds new rows into state and emits the current
+result — Flink's "emit on change" collapses to "emit per micro-batch", which
+is the documented latency model difference (SURVEY §2.4 MiniBatch note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TOPN_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rn", LongType()),
+    ]
+)
+TOPN_STATE = StructType(
+    [
+        StructField("event_ids", StringType()),  # csv heap snapshot
+        StructField("values", StringType()),
+    ]
+)
+
+
+def _topn_fn(n: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (ids_csv, vals_csv) = state.get
+            ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
+            vals = [float(x) for x in vals_csv.split(",")] if vals_csv else []
+        else:
+            ids, vals = [], []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["event_id"])
+            vals.extend(float(x) for x in pdf["value"])
+        # keep only the top-n in state (bounded state, Flink TopNBuffer parity)
+        order = sorted(
+            range(len(ids)), key=lambda i: (-vals[i], ids[i])
+        )[:n]
+        ids = [ids[i] for i in order]
+        vals = [vals[i] for i in order]
+        state.update(
+            (",".join(str(x) for x in ids), ",".join(repr(x) for x in vals))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ids),
+                "event_id": ids,
+                "value": vals,
+                "rn": list(range(1, len(ids) + 1)),
+            }
+        )
+
+    return fn
+
+
+def streaming_topn(events: DataFrame, n: int = 3) -> DataFrame:
+    """Per-key streaming Top-N by value (desc, event_id tie-break).
+
+    State = the current top-n per key only (bounded); each micro-batch emits
+    the refreshed ranking for keys that changed.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _topn_fn(n),
+        outputStructType=TOPN_OUTPUT,
+        stateStructType=TOPN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KEEPLAST_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+KEEPLAST_STATE = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _keep_last_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    best = state.get if state.exists else None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            # ts_us column is attached by stream_events (timezone-independent)
+            cand = (int(row.event_id), int(row.ts_us), row.event_type, float(row.value))
+            # keep-LAST by event time; tie → larger event_id (matches the
+            # batch row_number(ORDER BY ts DESC, event_id DESC) oracle)
+            if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_id": [best[0]],
+            "ts_us": [best[1]],
+            "event_type": [best[2]],
+            "value": [best[3]],
+        }
+    )
+
+
+def streaming_dedup_keep_last(events: DataFrame) -> DataFrame:
+    """Keep-last-row-per-key dedup by event time (Flink
+    RowTime Deduplicate keep-last; SS only has keep-first natively)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _keep_last_fn,
+        outputStructType=KEEPLAST_OUTPUT,
+        stateStructType=KEEPLAST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

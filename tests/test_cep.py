@@ -1,0 +1,98 @@
+"""Hand-verified NFA semantics tests for the CEP operator (batch harness on
+the match function itself + end-to-end through applyInPandasWithState)."""
+
+from __future__ import annotations
+
+from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+
+def _rows(seq):
+    """seq: list of (event_id, ts_us, event_type)"""
+    return [
+        {"event_id": e, "ts_us": t, "event_type": y} for (e, t, y) in seq
+    ]
+
+
+def _pat(within=None):
+    p = Pattern.begin("a", lambda r: r["event_type"] == "A").followed_by(
+        "b", lambda r: r["event_type"] == "B"
+    )
+    if within:
+        p = p.within(within)
+    return p
+
+
+def test_simple_match():
+    m, partial = _match_events(_rows([(1, 10, "A"), (2, 20, "B")]), _pat(), [])
+    assert m == [(1, 2, 10, 20)]
+    assert partial == []
+
+
+def test_relaxed_contiguity():
+    # noise between steps is skipped (followedBy, not next)
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "B")]), _pat(), []
+    )
+    assert m == [(1, 3, 10, 20)]
+
+
+def test_skip_past_last_row():
+    # greedy non-overlap: A1 B1 A2 B2 → two matches, not A1-B2
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "B")]), _pat(), []
+    )
+    assert m == [(1, 2, 10, 20), (3, 4, 30, 40)]
+
+
+def test_within_expiry():
+    # B arrives too late → prefix dropped; later full pair matches
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 1000, "B"), (3, 1100, "A"), (4, 1150, "B")]),
+        _pat(within=100),
+        [],
+    )
+    assert m == [(3, 4, 1100, 1150)]
+
+
+def test_within_expiry_retry_as_start():
+    # expired prefix: the expiring row itself can restart the pattern
+    m, partial = _match_events(
+        _rows([(1, 10, "A"), (2, 1000, "A"), (3, 1050, "B")]),
+        _pat(within=100),
+        [],
+    )
+    assert m == [(2, 3, 1000, 1050)]
+    assert partial == []
+
+
+def test_partial_state_carries_across_batches():
+    m1, partial = _match_events(_rows([(1, 10, "A")]), _pat(), [])
+    assert m1 == [] and len(partial) == 1
+    m2, partial2 = _match_events(_rows([(2, 20, "B")]), _pat(), partial)
+    assert m2 == [(1, 2, 10, 20)] and partial2 == []
+
+
+def test_first_a_wins_no_restart_midpattern():
+    # while waiting for B, later A's are ignored (no A-reanchor in this NFA)
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")]), _pat(), []
+    )
+    assert m == [(1, 3, 10, 30)]
+
+
+def test_end_to_end_streaming(spark, sf_dir):
+    from flink_1_12_2_spark.streaming.cep import cep_pattern_matches
+    from flink_1_12_2_spark.streaming.core import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .followed_by("p", lambda r: r["event_type"] == "purchase")
+        .within(6 * 3600 * 1_000_000)
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.last_ts_us - r.first_ts_us <= 6 * 3600 * 1_000_000
+        assert r.first_ts_us <= r.last_ts_us
