@@ -32,6 +32,10 @@ HEADLINE = [
     "interval_join",
     "asof_join_event_time",
     "sort_limit",
+    "text_token_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 
@@ -43,7 +47,10 @@ def main() -> None:
     from flink_1_12_2_spark.session import get_spark
 
     load_all_query_modules()
-    spark = get_spark(app_name="bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle partitions sized to the core count — Spark's default of 200
+    # just makes tiny tasks at bench scale; AQE coalesces further at runtime
+    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -52,10 +59,15 @@ def main() -> None:
         n for n, s in QUERIES.items() if "headline" in s.tags and n not in names
     ]
 
+    # warm-up: pay JVM/codegen/scan-listing startup cost outside the timings
+    from flink_1_12_2_spark.registry import load
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        # warm-up plan (build + analyze) without timing the JVM start
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

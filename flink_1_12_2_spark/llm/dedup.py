@@ -27,6 +27,21 @@ from pyspark.sql import Column, DataFrame
 from flink_1_12_2_spark.llm.hashing import md5int60, seeded_hash
 from flink_1_12_2_spark.llm.text import tokens
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use all cores.
+
+    Small inputs (one parquet file → one partition) would otherwise run
+    expensive expression trees (shingling, 16× seeded hashing, simhash bit
+    votes) single-threaded. Repartition only when the scan has fewer
+    partitions than the cluster's parallelism — at real scale inputs already
+    have thousands of partitions and this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 NUM_PERM = 16  # minhash permutations
 LSH_ROWS = 2  # rows per band  → 8 bands
 NUM_BANDS = NUM_PERM // LSH_ROWS
@@ -69,7 +84,7 @@ def minhash_signatures(
     Single shuffle: explode distinct shingles → groupBy(doc) with K min-aggs
     (each a seeded md5) — partial aggregation happens map-side.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     aggs = [
@@ -126,7 +141,7 @@ def jaccard_verify(
     candidates: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Attach exact n-gram Jaccard to candidate pairs (id_1, id_2)."""
-    sets_ = df.select(
+    sets_ = fan_out(df).select(
         F.col(id_col).alias("__id"), word_shingles(F.col(text_col), n).alias("__sh")
     )
     out = (
@@ -152,10 +167,16 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join (full
-    recall; only docs sharing ≥1 shingle are ever paired — no cross join)."""
-    sh = df.select(
+    recall; only docs sharing ≥1 shingle are ever paired — no cross join).
+
+    Shingles are 60-bit-hashed before the join so the shuffle moves fixed-width
+    ints, not strings (collision odds ~n²/2^61 — negligible even at 100 TB
+    shingle counts per partition)."""
+    sh = fan_out(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), n), md5int60)
+        ).alias("sh"),
     )
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -212,7 +233,7 @@ def simhash_pairs(
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
-    with_sh = df.select(
+    with_sh = fan_out(df).select(
         F.col(id_col).alias("__id"), simhash32(F.col(text_col)).alias("simhash")
     )
     bands = F.array(
@@ -254,7 +275,7 @@ def normalize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """L2-normalize an array<float> column into array<double> ``vec_n``."""
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.transform(v, lambda x: x / norm).alias("vec_n"),
     )

@@ -1,0 +1,163 @@
+"""Multimodal binary-column plumbing + lookup-join queries.
+
+The multimodal decode path is *stubbed at the codec* (no image libs in this
+container) but everything Spark-side — binary columns, Arrow batching through
+``mapInPandas``, metadata-based pruning — is real, and the fake format is
+deterministic enough that DuckDB reproduces the full pipeline (header fields
+and payload md5) for a strong oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.llm.multimodal import (
+    attach_fake_images,
+    decode_images,
+    resize_images,
+)
+from flink_1_12_2_spark.operators.lookup import (
+    lookup_join_dataframe,
+    lookup_join_mapinpandas,
+)
+from flink_1_12_2_spark.registry import load, query
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           3 AS channels,
+           16 AS payload_len,
+           md5(md5(CAST(doc_id AS VARCHAR))) AS payload_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column → decode/feature-extract via Arrow-batched
+    mapInPandas (codec stubbed; header+payload fully verified)."""
+    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    out = decode_images(d, "doc_id")
+    return out.withColumn("channels", F.col("channels").cast("int")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(doc_id % 64 + 16 AS INT) AS w,
+             CAST(doc_id % 48 + 16 AS INT) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(FLOOR(w * (32.0 / GREATEST(w, h)) + 0.5) AS INT) AS out_width,
+           CAST(FLOOR(h * (32.0 / GREATEST(w, h)) + 0.5) AS INT) AS out_height,
+           32.0 / GREATEST(w, h) AS scale
+    FROM g ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry over mapInPandas (codec stubbed)."""
+    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    return resize_images(d, target=32, id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "multimodal_filter_before_decode",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS decoded,
+           CAST(SUM(doc_id % 64 + 16) AS BIGINT) AS width_sum
+    FROM documents WHERE doc_id % 64 + 16 >= 48
+    """,
+    tags=("llm", "multimodal", "pruning"),
+)
+def multimodal_filter_before_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pruning: the width filter applies to the metadata column
+    BEFORE the decode UDF runs — only qualifying binaries cross into Python."""
+    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    pruned = d.filter(F.col("meta_width") >= 48)
+    out = decode_images(pruned, "doc_id")
+    return out.agg(
+        F.count(F.lit(1)).alias("decoded"),
+        F.sum("width").alias("width_sum"),
+    )
+
+
+@query(
+    "lookup_join_static",
+    oracle="""
+    SELECT n.n_name AS nation_name, CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(c.c_acctbal) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("batch", "join", "lookup"),
+)
+def lookup_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join tier 1: dimension readable as DataFrame → broadcast
+    stream-static join (LookupJoinRunner.java:34 parity, Catalyst-native)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = lookup_join_dataframe(c, n, "c_nationkey", "n_nationkey", how="inner")
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "lookup_join_external",
+    oracle="""
+    SELECT n.n_name AS nation_name, CAST(COUNT(*) AS BIGINT) AS suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("batch", "join", "lookup", "external"),
+)
+def lookup_join_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join tier 2: per-partition client + per-Arrow-batch batched
+    lookups via mapInPandas (AsyncLookupJoinRunner parity). The 'external
+    store' is simulated by a client that loads the nation table inside the
+    partition — exercising the real batching/pooling path."""
+    s = load(spark, sf_dir, "supplier")
+    nation_path = os.path.join(sf_dir, "nation.parquet")
+
+    def client_factory():
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(nation_path).to_pydict()
+        store = {
+            int(k): {"nation_name": v}
+            for k, v in zip(tbl["n_nationkey"], tbl["n_name"])
+        }
+
+        def lookup(keys: list) -> dict:
+            return {k: store.get(int(k)) for k in keys}
+
+        return lookup
+
+    enriched = lookup_join_mapinpandas(
+        s.select("s_suppkey", "s_nationkey"),
+        "s_nationkey",
+        client_factory,
+        "s_suppkey bigint, s_nationkey int, nation_name string",
+        ["nation_name"],
+    )
+    return (
+        enriched.groupBy("nation_name")
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+        .orderBy("nation_name")
+    )

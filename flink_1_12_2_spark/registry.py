@@ -90,3 +90,5 @@ def load_all_query_modules() -> None:
     import flink_1_12_2_spark.queries.llm_dedup  # noqa: F401
     import flink_1_12_2_spark.queries.llm_similarity  # noqa: F401
     import flink_1_12_2_spark.queries.streaming_emu  # noqa: F401
+    import flink_1_12_2_spark.queries.multimodal_lookup  # noqa: F401
+    import flink_1_12_2_spark.queries.relational2  # noqa: F401
