@@ -1,0 +1,107 @@
+"""Advanced relational/stream operators: coGroup, table aggregate
+(flatAggregate), cumulative windows, iterations.
+
+Flink parity:
+- coGroup            → CoGroupedStreams.java / DataSet.coGroup — Spark:
+  ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` (one Arrow batch
+  per key-pair, both sides grouped — never a join explosion).
+- flatAggregate      → GroupTableAggFunction.java (155 J): aggregate emitting
+  MULTIPLE rows per group — Spark: ``applyInPandas`` one-to-many.
+- CUMULATE window    → CumulativeWindowAssigner.java:37 — no Spark primitive
+  (SURVEY §2.5): each row lands in every window [start, start+step·i) that
+  contains it → expressed as explode over the window-end sequence, then a
+  plain groupBy. One shuffle, no state.
+- iterations         → DataSet.iterate/iterateDelta (DataSet.java:1234) —
+  driver-side loop over cached DataFrames with a convergence check
+  (Spark's idiomatic replacement for Flink's iteration operator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def cogroup_apply(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    fn: Callable,
+    output_schema: str,
+) -> DataFrame:
+    """coGroup: ``fn(key, left_pdf, right_pdf) -> pdf`` per key pair."""
+    return (
+        left.groupBy(*left_keys)
+        .cogroup(right.groupBy(*right_keys))
+        .applyInPandas(fn, output_schema)
+    )
+
+
+def flat_aggregate(
+    df: DataFrame, keys: list[str], fn: Callable, output_schema: str
+) -> DataFrame:
+    """Table aggregate: one group in → many rows out (flatAggregate)."""
+    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+
+
+def cumulate_window(
+    df: DataFrame,
+    time_col: str,
+    step_seconds: int,
+    size_seconds: int,
+) -> DataFrame:
+    """CUMULATE window assignment (Flink CumulativeWindowAssigner.java:37).
+
+    Emits one row per (row, window) pair with ``win_start``/``win_end``
+    columns: windows share a start aligned to ``max_size`` and grow by
+    ``step`` until ``max_size``. Downstream: plain ``groupBy(win_start,
+    win_end, ...)`` — so the whole operator is explode + hash agg, one
+    shuffle, no custom state (vs. Flink's stateful assigner).
+    """
+    # epoch-seconds via NTZ diff — independent of the session timezone
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    step_s = F.lit(step_seconds).cast("bigint")
+    size_s = F.lit(size_seconds).cast("bigint")
+    ts_s = F.timestamp_diff(
+        "SECOND", epoch_ntz, F.col(time_col).cast("timestamp_ntz")
+    )
+    win_start_s = (ts_s - (ts_s % size_s)).cast("bigint")
+    # window ends: start+step, start+2*step, ..., start+size — row belongs to
+    # every window whose end is strictly after its timestamp
+    ends = F.sequence(win_start_s + step_s, win_start_s + size_s, step_s)
+    valid_ends = F.filter(ends, lambda e: e > ts_s)
+    out = df.withColumn("__ws", win_start_s).withColumn("__we", F.explode(valid_ends))
+    to_ntz = lambda c: F.timestamp_add("SECOND", c, epoch_ntz)  # noqa: E731
+    return (
+        out.withColumn("win_start", to_ntz(F.col("__ws")))
+        .withColumn("win_end", to_ntz(F.col("__we")))
+        .drop("__ws", "__we")
+    )
+
+
+def iterate(
+    initial: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 20,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+) -> DataFrame:
+    """Bulk iteration: apply ``step`` until convergence or max_iterations.
+
+    Caches each iterate and materializes it (count) so lineage stays bounded
+    — the driver-loop analogue of Flink's iterate operator. ``converged``
+    receives (previous, current); default stops only at max_iterations.
+    """
+    current = initial.cache()
+    current.count()
+    for _ in range(max_iterations):
+        nxt = step(current).cache()
+        nxt.count()
+        if converged is not None and converged(current, nxt):
+            current.unpersist()
+            return nxt
+        current.unpersist()
+        current = nxt
+    return current

@@ -1,0 +1,114 @@
+"""Changelog / RowKind handling — Flink's retraction model on Spark.
+
+Flink parity: ``RowKind`` (+I/-U/+U/-D, flink-core/.../types/RowKind.java:25-52)
+travels on every ``RowData``; operators negotiate changelog modes via
+FlinkChangelogModeInferenceProgram.scala:39. Spark has no per-row kind —
+per SURVEY §1.1 the engine models it as an explicit ``_row_kind`` string
+column plus these operators:
+
+- ``changelog_normalize``  → StreamExecChangelogNormalize.scala:46 — collapse
+  an upsert/changelog stream to current state by primary key (keep the last
+  change per key; a trailing ``-D`` deletes the key).
+- ``drop_update_before``   → DropUpdateBeforeFunction.java (37 J).
+- ``snapshot_diff``        → produce a changelog from two table snapshots
+  (the ``foreachBatch`` incremental-merge building block for upsert sinks).
+- ``upsert_foreach_batch`` → upsert-kafka-style sink: per micro-batch MERGE
+  of the batch's last-change-per-key into a keyed state table
+  (UpsertKafkaDynamicTableFactory.java:68 semantics).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+ROW_KIND = "_row_kind"
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
+
+
+def drop_update_before(df: DataFrame) -> DataFrame:
+    """Filter out -U rows (sinks that key by PK don't need them)."""
+    return df.filter(F.col(ROW_KIND) != UPDATE_BEFORE)
+
+
+def changelog_normalize(
+    df: DataFrame, pks: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Collapse a changelog to current state: last change per PK wins;
+    keys whose last change is -D disappear. Deterministic given
+    ``order_cols`` totally order changes within a key."""
+    w = Window.partitionBy(*pks).orderBy(*[F.col(c).desc() for c in order_cols])
+    last = (
+        drop_update_before(df)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return last.filter(F.col(ROW_KIND) != DELETE).drop(ROW_KIND)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, pks: list[str]) -> DataFrame:
+    """Diff two snapshots into a changelog (+I / -U,+U pairs / -D)."""
+    val_cols = [c for c in new.columns if c not in pks]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in pks]
+    joined = o.join(n, cond, "full_outer")
+    o_pk = F.col(f"o.{pks[0]}")
+    n_pk = F.col(f"n.{pks[0]}")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+
+    inserts = joined.filter(o_pk.isNull()).select(
+        F.lit(INSERT).alias(ROW_KIND), *[F.col(f"n.{c}").alias(c) for c in new.columns]
+    )
+    deletes = joined.filter(n_pk.isNull()).select(
+        F.lit(DELETE).alias(ROW_KIND), *[F.col(f"o.{c}").alias(c) for c in new.columns]
+    )
+    updated = joined.filter(o_pk.isNotNull() & n_pk.isNotNull() & changed)
+    upd_before = updated.select(
+        F.lit(UPDATE_BEFORE).alias(ROW_KIND),
+        *[F.col(f"o.{c}").alias(c) for c in new.columns],
+    )
+    upd_after = updated.select(
+        F.lit(UPDATE_AFTER).alias(ROW_KIND),
+        *[F.col(f"n.{c}").alias(c) for c in new.columns],
+    )
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+def upsert_foreach_batch(state_dir: str, pks: list[str], order_cols: list[str]):
+    """Build a ``foreachBatch`` function maintaining a keyed state table at
+    ``state_dir`` (parquet): per batch, last-change-per-key is MERGEd in.
+    This is the upsert-sink pattern for engines without MERGE INTO."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # last change per key INCLUDING -D (a delete must evict existing state)
+        w = Window.partitionBy(*pks).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        last = (
+            drop_update_before(batch_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        touched_keys = last.select(*pks)
+        survivors = last.filter(F.col(ROW_KIND) != DELETE).drop(ROW_KIND)
+        try:
+            existing = spark.read.parquet(state_dir)
+        except Exception:  # first batch — no state yet
+            existing = None
+        if existing is not None:
+            untouched = existing.join(touched_keys, pks, "left_anti")
+            merged = untouched.unionByName(survivors)
+        else:
+            merged = survivors
+        merged.coalesce(8).write.mode("overwrite").parquet(state_dir + "_tmp")
+        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return apply

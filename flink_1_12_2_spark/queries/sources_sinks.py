@@ -1,0 +1,155 @@
+"""Source/sink queries: format round-trips, partitioned writes with pruning,
+datagen, and the streaming file sink (rolling + checkpoint commit)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.registry import load, query
+from flink_1_12_2_spark.sources.filesystem import datagen, read_table, write_table
+
+
+def _tmp(prefix: str) -> str:
+    return os.path.join(tempfile.gettempdir(), prefix + uuid.uuid4().hex[:10])
+
+
+@query(
+    "sink_roundtrip_csv",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS price
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("batch", "sink", "csv"),
+)
+def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (filesystem connector, csv format): values
+    must survive the text round-trip exactly."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    path = _tmp("csv_rt_")
+    write_table(li, path, fmt="csv")
+    back = read_table(spark, path, fmt="csv", schema=li.schema)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_extendedprice").alias("price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sink_roundtrip_json",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("batch", "sink", "json"),
+)
+def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink+source round-trip (filesystem connector, json format)."""
+    ev = load(spark, sf_dir, "events")
+    path = _tmp("json_rt_")
+    write_table(ev, path, fmt="json")
+    back = read_table(spark, path, fmt="json", schema=ev.schema)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("batch", "sink", "partitioned"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED BY write + partition-pruned read (SupportsPartitioning /
+    PushPartitionIntoTableSourceScanRule parity): the filter on the partition
+    column prunes directories, not rows."""
+    o = load(spark, sf_dir, "orders")
+    path = _tmp("part_pq_")
+    write_table(o, path, fmt="parquet", partition_by=["o_orderpriority"])
+    back = read_table(spark, path, fmt="parquet").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("total")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "source_datagen",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(range * 37 % 1000) AS BIGINT) AS num_sum,
+           CAST(COUNT(DISTINCT 'user_' || CAST(range % 100 AS VARCHAR)) AS BIGINT)
+             AS distinct_names
+    FROM range(10000)
+    """,
+    tags=("batch", "source", "datagen"),
+)
+def source_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datagen dev source (DataGenTableSourceFactory.java:48 parity) —
+    deterministic sequence generator."""
+    g = datagen(spark, 10000, partitions=8)
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("num").alias("num_sum"),
+        F.countDistinct("name").alias("distinct_names"),
+    )
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "file"),
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file sink with checkpoint commit (Flink StreamingFileSink
+    rolling+commit parity): stream events → parquet files → read committed
+    output back."""
+    from flink_1_12_2_spark.streaming.core import stream_events
+
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out_dir = _tmp("fsink_")
+    ckpt = tempfile.mkdtemp(prefix="fsink_ckpt_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,82 @@
+"""Filesystem connector — Flink's ``filesystem`` table factory on Spark.
+
+Flink parity: FileSystemTableFactory.java:57 (IDENTIFIER="filesystem") with
+FileSystemTableSource/Sink — formats csv/json/avro/parquet/orc, PARTITIONED
+BY, overwrite (SupportsOverwrite), and the streaming file sink with rolling
+files + checkpoint-commit. Spark equivalents are all first-class:
+
+- batch read/write    → ``spark.read/write.format(fmt)`` (predicate pushdown,
+  partition pruning, column pruning from DataSource V2 for free)
+- PARTITIONED BY      → ``.partitionBy(cols)`` (hive-style dirs, pruned scans)
+- INSERT OVERWRITE    → ``.mode("overwrite")`` (+ dynamic partition overwrite
+  via ``spark.sql.sources.partitionOverwriteMode=dynamic``)
+- streaming sink      → ``writeStream.format("parquet")`` with checkpoint
+  (exactly-once commit = Flink's StreamingFileSink rolling+commit protocol)
+- dev connectors      → datagen → ``spark.range`` / ``format("rate")``;
+  print → ``format("console")``; blackhole → ``format("noop")``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    overwrite: bool = True,
+    options: dict[str, str] | None = None,
+) -> None:
+    writer = df.write.format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite" if overwrite else "append").save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    reader = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def datagen(
+    spark: SparkSession, n_rows: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic datagen source (DataGenTableSourceFactory.java:48 parity,
+    with sequence semantics rather than random so results are verifiable)."""
+    rng = (
+        spark.range(0, n_rows, 1, partitions)
+        if partitions
+        else spark.range(n_rows)
+    )
+    return rng.select(
+        F.col("id"),
+        (F.col("id") * 37 % 1000).alias("num"),
+        F.concat(F.lit("user_"), (F.col("id") % 100).cast("string")).alias("name"),
+    )
+
+
+def blackhole(df: DataFrame) -> None:
+    """Blackhole sink (BlackHoleTableSinkFactory parity) — full materialization,
+    zero output; what bench.py uses for timing."""
+    df.write.format("noop").mode("overwrite").save()
