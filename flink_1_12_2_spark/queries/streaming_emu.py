@@ -16,6 +16,7 @@ from flink_1_12_2_spark.streaming.cep import Pattern, cep_pattern_matches
 from flink_1_12_2_spark.streaming.core import ltz_to_ntz_utc, run_to_memory, stream_events
 from flink_1_12_2_spark.streaming.stateful import (
     streaming_dedup_keep_last,
+    streaming_over_agg,
     streaming_topn,
 )
 
@@ -182,6 +183,28 @@ def stream_dedup_keep_first_native(spark: SparkSession, sf_dir: str) -> DataFram
     # (streaming DISTINCT aggregates are unsupported, and unnecessary here)
     agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("uniq_events"))
     return run_to_memory(agg, output_mode="complete").orderBy("event_type")
+
+
+@query(
+    "stream_over_agg",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, value,
+           CAST(SUM(value) OVER w AS DOUBLE) AS running_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_cnt
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("streaming", "over", "stateful"),
+)
+def stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over-aggregate (running sum/count per key, event-time order)
+    — RowTimeUnboundedPrecedingOver parity via GroupState accumulator."""
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(streaming_over_agg(ev), output_mode="append")
+    return out.orderBy("user_id", "event_id")
 
 
 @query("stream_cep_click_purchase", tags=("streaming", "cep", "stateful"))

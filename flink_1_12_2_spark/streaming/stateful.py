@@ -141,6 +141,62 @@ def _keep_last_fn(
     )
 
 
+OVERAGG_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("running_sum", DoubleType()),
+        StructField("running_cnt", LongType()),
+    ]
+)
+OVERAGG_STATE = StructType(
+    [StructField("acc_sum", DoubleType()), StructField("acc_cnt", LongType())]
+)
+
+
+def _over_agg_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    acc_sum, acc_cnt = state.get if state.exists else (0.0, 0)
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            rows.append((int(r.ts_us), int(r.event_id), float(r.value)))
+    rows.sort()  # event-time order within the batch (ts_us, event_id)
+    out = []
+    for _, eid, val in rows:
+        acc_sum += val
+        acc_cnt += 1
+        out.append((key[0], eid, val, acc_sum, acc_cnt))
+    state.update((acc_sum, acc_cnt))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "value", "running_sum", "running_cnt"]
+    )
+
+
+def streaming_over_agg(events: DataFrame) -> DataFrame:
+    """Streaming over-aggregate: per-key running SUM/COUNT ordered by event
+    time, one output row per input row.
+
+    Flink parity: RowTimeRowsBoundedPrecedingFunction.java:56 /
+    AbstractRowTimeUnboundedPrecedingOver.java:286 — SS has no window
+    functions on streams (SURVEY §2.6), so the accumulator lives in
+    GroupState. Rows are event-time-sorted within each micro-batch; with a
+    watermark-driven trigger, cross-batch order follows arrival batches
+    (Flink buffers until the watermark — same guarantee per batch here).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _over_agg_fn,
+        outputStructType=OVERAGG_OUTPUT,
+        stateStructType=OVERAGG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup_keep_last(events: DataFrame) -> DataFrame:
     """Keep-last-row-per-key dedup by event time (Flink
     RowTime Deduplicate keep-last; SS only has keep-first natively)."""
