@@ -62,10 +62,14 @@ def stream_events(
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 120
+    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 300
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the batch DataFrame of results."""
+    memory sink; return the batch DataFrame of results.
+
+    Raises on timeout rather than returning a partially-filled sink — a
+    partial table would silently fail the correctness gate downstream.
+    """
     spark = sdf.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
@@ -78,8 +82,12 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_sec}s"
+        )
     return spark.table(name)
