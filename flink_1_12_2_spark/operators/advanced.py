@@ -82,6 +82,54 @@ def cumulate_window(
     )
 
 
+def count_window(
+    df: DataFrame, key_cols: list[str], order_cols: list[str], size: int
+) -> DataFrame:
+    """Tumbling COUNT window (Flink DataStream countWindow /
+    PurgingTrigger(CountTrigger) — SURVEY §2.5 'no SS equivalent' row).
+
+    Deterministic form: windows are assigned in ``order_cols`` order (Flink
+    assigns by arrival; a replayable order column models that). Adds
+    ``win_id`` (0-based per key) and ``pos_in_win``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    rn = F.row_number().over(w) - 1
+    return df.withColumn("win_id", (rn - rn % size) / size).withColumn(
+        "win_id", F.col("win_id").cast("bigint")
+    ).withColumn("pos_in_win", (rn % size).cast("int"))
+
+
+def tag_late_rows(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    delay_seconds: int,
+) -> DataFrame:
+    """Late-data side output (WindowedStream.sideOutputLateData,
+    WindowedStream.java:124 — SS silently drops late rows, SURVEY §2.5 gap).
+
+    Deterministic replay model: the watermark is the running max of event
+    time in ``arrival_col`` order minus ``delay_seconds``; a row is late iff
+    its event time is below the watermark established *before* it arrived.
+    Adds a boolean ``is_late`` — filter on it for the main/side outputs.
+    """
+    from pyspark.sql import Window
+
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ts_s = F.timestamp_diff("SECOND", epoch_ntz, F.col(ts_col).cast("timestamp_ntz"))
+    w = (
+        Window.orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(ts_s).over(w)
+    return df.withColumn(
+        "is_late",
+        F.coalesce(ts_s < prev_max - F.lit(delay_seconds), F.lit(False)),
+    )
+
+
 def iterate(
     initial: DataFrame,
     step: Callable[[DataFrame], DataFrame],

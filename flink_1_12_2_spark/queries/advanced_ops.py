@@ -358,3 +358,69 @@ def iterate_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         F.col("vid").alias("nationkey"), "component"
     ).orderBy("nationkey")
+
+
+@query(
+    "window_count_tumbling",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS rn
+      FROM ev)
+    SELECT user_id, CAST(rn // 5 AS BIGINT) AS win_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM r GROUP BY user_id, rn // 5 ORDER BY user_id, win_id
+    """,
+    tags=("batch", "window", "count"),
+)
+def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT window: tumbling windows of 5 events per user in event-time
+    order (DataStream countWindow parity — no SS equivalent)."""
+    from flink_1_12_2_spark.operators.advanced import count_window
+
+    ev = load(spark, sf_dir, "events")
+    w = count_window(ev, ["user_id"], ["ts", "event_id"], size=5)
+    return (
+        w.groupBy("user_id", "win_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .orderBy("user_id", "win_id")
+    )
+
+
+@query(
+    "late_data_side_output",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    t AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+             MAX(epoch_us(ts) // 1000000) OVER (
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM ev)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts_s < prev_max - 600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_rows,
+           CAST(COUNT(*) AS BIGINT) AS total_rows
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("batch", "streaming", "lateness"),
+)
+def late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side output (sideOutputLateData parity): rows below the
+    running watermark (10-min delay, arrival = event_id order) are tagged and
+    counted per type — the side-output stream Flink exposes and SS drops."""
+    from flink_1_12_2_spark.operators.advanced import tag_late_rows
+
+    ev = load(spark, sf_dir, "events")
+    tagged = tag_late_rows(ev, "ts", "event_id", delay_seconds=600)
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.sum(F.col("is_late").cast("int")).cast("bigint").alias("late_rows"),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,83 @@
+"""Golden-plan assertions — the engine's analogue of the reference's optimizer
+plan snapshot tests (183 XML files under flink-table-planner-blink/src/test/
+resources/.../plan/). Instead of brittle full-plan snapshots we assert the
+load-bearing physical-plan properties: filter pushdown, column pruning,
+broadcast strategy, partial aggregation, top-k selection.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+load_all_query_modules()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # predicate reaches the parquet scan
+    assert "PushedFilters:" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns never read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # partial aggregation (map-side combine) before the shuffle
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_star_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle for dims
+
+
+def test_semi_anti_join_strategy(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "join_semi")
+    anti = _plan(spark, sf_dir, "join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_sort_limit_is_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit")
+    # two-phase top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_uses_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_rollup")
+    assert "Expand" in plan
+
+
+def test_topn_filter_pushed_into_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topn_per_group")
+    # rank-limit pushdown: Spark turns rn <= 3 into a WindowGroupLimit
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_interval_join_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "interval_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_no_cross_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "join_star_broadcast", "over_running_sum"]
+)
+def test_whole_stage_codegen_active(spark, sf_dir, name):
+    # AQE finalizes the physical plan at runtime — execute first, then check
+    # the executed plan for whole-stage-codegen stages ("*(n)" markers)
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in executed or "*(" in executed
