@@ -394,10 +394,12 @@ def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_data_side_output",
     oracle="""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    -- deterministic disordered replay: arrival order = md5(event_id)
     t AS (
       SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
              MAX(epoch_us(ts) // 1000000) OVER (
-               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_max
       FROM ev)
     SELECT event_type,
@@ -410,12 +412,17 @@ def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data side output (sideOutputLateData parity): rows below the
-    running watermark (10-min delay, arrival = event_id order) are tagged and
-    counted per type — the side-output stream Flink exposes and SS drops."""
+    running watermark (10-min delay) are tagged and counted per type — the
+    side-output stream Flink exposes and SS drops. Arrival order is a
+    deterministic shuffle (md5 of event_id) so the replay genuinely contains
+    late rows; the generated events are otherwise time-ordered."""
     from flink_1_12_2_spark.operators.advanced import tag_late_rows
 
-    ev = load(spark, sf_dir, "events")
-    tagged = tag_late_rows(ev, "ts", "event_id", delay_seconds=600)
+    ev = load(spark, sf_dir, "events").withColumn(
+        "arrival", F.concat(F.md5(F.col("event_id").cast("string")),
+                            F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    )
+    tagged = tag_late_rows(ev, "ts", "arrival", delay_seconds=600)
     return (
         tagged.groupBy("event_type")
         .agg(

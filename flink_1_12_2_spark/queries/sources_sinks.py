@@ -153,3 +153,30 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "sink_roundtrip_orc",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(p_retailprice) AS DOUBLE) AS total_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("batch", "sink", "orc"),
+)
+def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (filesystem connector, orc format).
+    Avro is NOT registered here: this Spark distribution ships without the
+    spark-avro module jar — gated, not silently skipped."""
+    p = load(spark, sf_dir, "part")
+    path = _tmp("orc_rt_")
+    write_table(p, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("p_retailprice").alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
