@@ -259,3 +259,33 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", explode_rows(split_words(F.col("text"))).alias("r"))
         .select("doc_id", "r.word", "r.wlen")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT l_returnflag AS rf FROM lineitem)
+    SELECT d.rf, CAST(COUNT(*) AS BIGINT) AS rows_joined,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS qty
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.rf
+    GROUP BY d.rf ORDER BY d.rf
+    """,
+    tags=("batch", "join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on an extremely skewed key (3 distinct values over the
+    whole fact table): big side salted 8 ways, small side replicated 8x —
+    row-identical to the plain join, verified by the unsalted oracle."""
+    from flink_1_12_2_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = li.select(F.col("l_returnflag").alias("rf")).distinct()
+    j = salted_join(li, dim, "l_returnflag", "rf", num_salts=8)
+    return (
+        j.groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).alias("rows_joined"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .orderBy("rf")
+    )

@@ -220,3 +220,33 @@ def stream_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
     return out.orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_static_broadcast_join",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(e.value) AS DOUBLE) AS total_value
+    FROM ev e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("streaming", "join", "broadcast-state"),
+)
+def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (broadcast-state) join: the static dimension is
+    broadcast and re-evaluated every micro-batch — Flink's broadcast state
+    pattern (BroadcastConnectedStream) and the proc-time temporal join
+    (TemporalProcessTimeJoinOperator.java) in one: each batch sees the
+    dimension's current snapshot."""
+    from flink_1_12_2_spark.registry import load as _load
+
+    ev = stream_events(spark, sf_dir)
+    dim = _load(spark, sf_dir, "nation")
+    j = ev.join(
+        F.broadcast(dim), ev.user_id % 25 == dim.n_nationkey
+    )
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("events"), F.sum("value").alias("total_value")
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("n_name")
