@@ -236,3 +236,56 @@ def fn_temporal_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_collection_gauntlet",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS arr
+      FROM documents WHERE doc_id <= 100)
+    SELECT doc_id,
+           CAST(len(arr) AS INT)                          AS f_cardinality,
+           arr[1]                                         AS f_element_first,
+           arr[-1]                                        AS f_element_last,
+           CAST(list_contains(arr, 'the') AS BOOLEAN)     AS f_contains,
+           CAST(len(list_distinct(arr)) AS INT)           AS f_distinct_n,
+           list_sort(list_distinct(arr))[1]               AS f_sorted_first,
+           array_to_string(list_slice(arr, 1, 3), '|')    AS f_slice_join,
+           CAST(list_position(arr, 'data') AS INT)        AS f_position,
+           list_reverse(arr)[1]                           AS f_reverse_first,
+           CAST(len(list_filter(arr, x -> length(x) > 4)) AS INT) AS f_long_tokens,
+           list_transform(arr, x -> upper(x))[1]          AS f_transform_first,
+           CAST(list_reduce(list_transform(arr, x -> length(x)), (a,b) -> a + b) AS BIGINT)
+             AS f_total_len
+    FROM t ORDER BY doc_id
+    """,
+    tags=("batch", "functions", "collection"),
+)
+def fn_collection_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection/constructor functions (FlinkSqlOperatorTable ARRAY/MAP/ITEM/
+    CARDINALITY/ELEMENT block + higher-order functions) via the registry."""
+    from flink_1_12_2_spark.llm.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    arr = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        FN["CARDINALITY"](arr).alias("f_cardinality"),
+        FN["ELEMENT"](arr).alias("f_element_first"),
+        FN["AT"](arr, -1).alias("f_element_last"),
+        F.array_contains(arr, "the").alias("f_contains"),
+        F.size(F.array_distinct(arr)).alias("f_distinct_n"),
+        F.element_at(F.array_sort(F.array_distinct(arr)), 1).alias("f_sorted_first"),
+        F.array_join(F.slice(arr, 1, 3), "|").alias("f_slice_join"),
+        F.array_position(arr, "data").cast("int").alias("f_position"),
+        F.element_at(F.reverse(arr), 1).alias("f_reverse_first"),
+        F.size(F.filter(arr, lambda x: F.length(x) > 4)).alias("f_long_tokens"),
+        F.element_at(F.transform(arr, F.upper), 1).alias("f_transform_first"),
+        F.aggregate(
+            F.transform(arr, F.length),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).cast("bigint").alias("f_total_len"),
+    ).orderBy("doc_id")

@@ -289,3 +289,45 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rf")
     )
+
+
+@query(
+    "datastream_api_pipeline",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value * 2.0) AS DOUBLE) AS doubled_total
+    FROM ev WHERE value > 10.0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("batch", "datastream", "api"),
+)
+def datastream_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataStream fluent surface end-to-end:
+    env.from_table → filter → map → key_by → window(Tumble) → aggregate
+    (DataStream.java map/keyBy/window/aggregate parity)."""
+    from flink_1_12_2_spark.datastream import (
+        StreamExecutionEnvironment,
+        Tumble,
+    )
+
+    env = StreamExecutionEnvironment(spark)
+    ds = (
+        env.from_table(load(spark, sf_dir, "events"))
+        .filter(F.col("value") > 10.0)
+        .map(doubled=F.col("value") * 2.0)
+        .key_by("event_type")
+        .window(Tumble("1 hour"), time_col="ts")
+        .aggregate(cnt=F.count(F.lit(1)), doubled_total=F.sum("doubled"))
+    )
+    return (
+        ds.to_table()
+        .select(
+            F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "cnt",
+            "doubled_total",
+        )
+        .orderBy("win_start", "event_type")
+    )

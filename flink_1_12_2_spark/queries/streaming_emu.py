@@ -250,3 +250,25 @@ def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events"), F.sum("value").alias("total_value")
     )
     return run_to_memory(agg, output_mode="complete").orderBy("n_name")
+
+
+@query("match_recognize_sql", tags=("batch", "cep", "sql"))
+def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE SQL front door (StreamExecMatch parity): the Flink
+    CEP SQL dialect parsed onto the same NFA as the streaming operator.
+    Greedy non-overlapping consumption is not SQL-expressible → rows-only
+    check here; cross-implementation equality with the streaming CEP operator
+    is asserted in tests/test_cep.py."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (A B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")

@@ -1,0 +1,77 @@
+"""MATCH_RECOGNIZE front door — Flink's SQL CEP surface on the engine's NFA.
+
+Flink parity: StreamExecMatch.scala:68 (SQL MATCH_RECOGNIZE → CEP operator).
+Supported subset (mirrors streaming/cep.py's NFA scope):
+
+    SELECT * FROM <table> MATCH_RECOGNIZE (
+      PARTITION BY <col>
+      ORDER BY <col>
+      MEASURES FIRST_ID() AS <alias1>, LAST_ID() AS <alias2>   -- fixed set
+      PATTERN (A B [C ...])          -- linear, relaxed contiguity
+      WITHIN INTERVAL '<n>' <unit>   -- optional
+      DEFINE A AS <col> = '<lit>', B AS <col> = '<lit>' [, ...]
+    )
+
+Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
+contiguity between steps (followedBy). Parsing is a regex grammar over the
+restricted form — enough for Flink-dialect CEP SQL to run verbatim; richer
+predicates belong in the Python Pattern API.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from flink_1_12_2_spark.streaming.cep import Pattern, cep_match_batch
+
+_UNIT_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60 * 1_000_000,
+    "HOUR": 3600 * 1_000_000,
+    "DAY": 86400 * 1_000_000,
+}
+
+_MR = re.compile(
+    r"(?is)MATCH_RECOGNIZE\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<part>\w+)\s+"
+    r"ORDER\s+BY\s+(?P<order>\w+)\s+"
+    r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
+    r"PATTERN\s*\(\s*(?P<pattern>[\w\s]+?)\s*\)\s+"
+    r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
+    r"DEFINE\s+(?P<define>.*?)\s*\)"
+)
+
+_DEF = re.compile(r"(?is)(\w+)\s+AS\s+(\w+)\s*=\s*'([^']*)'")
+
+
+def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
+    """Parse the restricted MATCH_RECOGNIZE block →
+    (partition_col, order_col, Pattern)."""
+    m = _MR.search(sql)
+    if not m:
+        raise ValueError("unsupported MATCH_RECOGNIZE syntax (see module doc)")
+    defines = {
+        name.upper(): (col, lit) for name, col, lit in _DEF.findall(m.group("define"))
+    }
+    steps = m.group("pattern").split()
+    pat: Pattern | None = None
+    for step in steps:
+        col, lit = defines[step.upper()]
+
+        def pred(row, col=col, lit=lit):
+            return row.get(col) == lit
+
+        pat = Pattern.begin(step, pred) if pat is None else pat.followed_by(step, pred)
+    if m.group("n"):
+        pat = pat.within(int(m.group("n")) * _UNIT_US[m.group("unit").upper()])
+    return m.group("part"), m.group("order"), pat
+
+
+def match_recognize(df: DataFrame, sql: str) -> DataFrame:
+    """Execute a restricted MATCH_RECOGNIZE statement against ``df`` (batch).
+    Returns (user_id, first_event_id, last_event_id, first_ts_us, last_ts_us)
+    per match — one row per completed match, skip-past-last-row."""
+    part, order, pat = parse_match_recognize(sql)
+    return cep_match_batch(df, pat, key_col=part, time_col=order)

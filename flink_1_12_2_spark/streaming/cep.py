@@ -100,6 +100,41 @@ def _match_events(
     return matches, cur
 
 
+def cep_match_batch(
+    events: DataFrame,
+    pattern: Pattern,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Batch CEP (MATCH_RECOGNIZE over a bounded table): same NFA, executed
+    per key via ``applyInPandas`` on event-time-sorted rows. Output schema
+    matches the streaming operator."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            d = r._asdict()
+            if "ts_us" not in d or d["ts_us"] is None:
+                d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
+            d["ts_us"] = int(d["ts_us"])
+            rows.append(d)
+        rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
+        matches, _ = _match_events(rows, pattern, [])
+        key_val = rows[0][key_col] if rows else None
+        return pd.DataFrame(
+            {
+                "user_id": [key_val] * len(matches),
+                "first_event_id": [m[0] for m in matches],
+                "last_event_id": [m[1] for m in matches],
+                "first_ts_us": [m[2] for m in matches],
+                "last_ts_us": [m[3] for m in matches],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(fn, CEP_OUTPUT)
+
+
 def cep_pattern_matches(
     events: DataFrame,
     pattern: Pattern,

@@ -96,3 +96,24 @@ def test_end_to_end_streaming(spark, sf_dir):
     for r in rows:
         assert r.last_ts_us - r.first_ts_us <= 6 * 3600 * 1_000_000
         assert r.first_ts_us <= r.last_ts_us
+
+
+def test_match_recognize_sql_equals_streaming_cep(spark, sf_dir):
+    """The SQL front door (batch NFA) and the streaming CEP operator must
+    produce identical matches on the same data."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    batch = QUERIES["match_recognize_sql"].fn(spark, sf_dir).collect()
+    stream = QUERIES["stream_cep_click_purchase"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
+
+
+def test_match_recognize_parser_rejects_unknown():
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    with _pytest.raises(ValueError):
+        parse_match_recognize("SELECT * FROM t")
