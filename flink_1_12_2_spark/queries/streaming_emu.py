@@ -143,7 +143,7 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` (AbstractTopNFunction.java:48 parity)."""
     ev = stream_events(spark, sf_dir)
     out = run_to_memory(streaming_topn(ev, n=3), output_mode="update")
-    return out.orderBy("user_id", "rn")
+    return out.drop("seq").orderBy("user_id", "rn")
 
 
 @query(
@@ -272,3 +272,35 @@ def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
     )"""
     return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_topn_multibatch",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM ev) WHERE rn <= 3 ORDER BY user_id, rn
+    """,
+    tags=("streaming", "rank", "topn", "stateful", "multibatch"),
+)
+def stream_topn_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Top-3 with REAL cross-batch state: the table is split into 4
+    time-ordered files streamed one per micro-batch (maxFilesPerTrigger=1),
+    so each key's heap state evolves over 4 updates; the final state (max
+    seq per key) must equal the batch row_number oracle."""
+    from pyspark.sql import Window as W
+
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    out = run_to_memory(streaming_topn(ev, n=3), output_mode="update")
+    w = W.partitionBy("user_id")
+    final = (
+        out.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .drop("seq", "max_seq")
+    )
+    return final.orderBy("user_id", "rn")

@@ -148,7 +148,19 @@ class EngineSession:
 
     # -- SQL front door ------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        """Run SQL after the Flink→Spark rewrite pass (see sql/rewriter.py)."""
+        """Run SQL after the Flink→Spark rewrite pass (see sql/rewriter.py).
+
+        MATCH_RECOGNIZE statements route to the CEP NFA
+        (sql/match_recognize.py) — Spark SQL has no MATCH_RECOGNIZE."""
+        import re
+
+        if re.search(r"(?i)\bMATCH_RECOGNIZE\b", query):
+            from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+            m = re.search(r"(?is)FROM\s+(\w+)\s+MATCH_RECOGNIZE", query)
+            if not m:
+                raise ValueError("MATCH_RECOGNIZE requires 'FROM <table>'")
+            return match_recognize(self.spark.table(m.group(1)), query)
         from flink_1_12_2_spark.sql.rewriter import rewrite
 
         return self.spark.sql(rewrite(query))

@@ -61,6 +61,57 @@ def stream_events(
     return sdf
 
 
+def stream_events_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Events as a MULTI-micro-batch stream: the table is split into
+    ``n_files`` time-ordered parquet files in a temp dir and streamed with
+    ``maxFilesPerTrigger=1`` — so stateful operators genuinely carry state
+    across micro-batches (the single-file source yields one batch, which
+    can't distinguish per-batch from cross-batch correctness)."""
+    import glob
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F2
+
+    # materialize the static table with ts converted, split in time order
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(static.dtypes).get("ts") == "bigint":
+        static = static.withColumn("ts_us", F2.expr("ts div 1000")).withColumn(
+            "ts", F2.timestamp_micros(F2.col("ts_us"))
+        )
+    else:
+        static = static.withColumn(
+            "ts_us", F2.unix_micros(F2.col("ts").cast("timestamp"))
+        )
+    key = _hl.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    split_dir = os.path.join(tempfile.gettempdir(), f"events_split_{key}_{n_files}")
+    if not glob.glob(os.path.join(split_dir, "part_*")):
+        rows = static.count()
+        per = (rows + n_files - 1) // n_files
+        ordered = static.orderBy("ts_us", "event_id").collect()
+        os.makedirs(split_dir, exist_ok=True)
+        for i in range(n_files):
+            chunk = ordered[i * per : (i + 1) * per]
+            if chunk:
+                spark.createDataFrame(chunk, static.schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(split_dir, f"part_{i}"))
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    if watermark:
+        sdf = sdf.withWatermark("ts", watermark)
+    return sdf
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 300
 ) -> DataFrame:

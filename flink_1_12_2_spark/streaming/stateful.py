@@ -35,12 +35,14 @@ TOPN_OUTPUT = StructType(
         StructField("event_id", LongType()),
         StructField("value", DoubleType()),
         StructField("rn", LongType()),
+        StructField("seq", LongType()),  # per-key update sequence (batch #)
     ]
 )
 TOPN_STATE = StructType(
     [
         StructField("event_ids", StringType()),  # csv heap snapshot
         StructField("values", StringType()),
+        StructField("seq", LongType()),
     ]
 )
 
@@ -52,11 +54,11 @@ def _topn_fn(n: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (ids_csv, vals_csv) = state.get
+            (ids_csv, vals_csv, seq) = state.get
             ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
             vals = [float(x) for x in vals_csv.split(",")] if vals_csv else []
         else:
-            ids, vals = [], []
+            ids, vals, seq = [], [], 0
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["event_id"])
             vals.extend(float(x) for x in pdf["value"])
@@ -66,8 +68,13 @@ def _topn_fn(n: int):
         )[:n]
         ids = [ids[i] for i in order]
         vals = [vals[i] for i in order]
+        seq = int(seq) + 1
         state.update(
-            (",".join(str(x) for x in ids), ",".join(repr(x) for x in vals))
+            (
+                ",".join(str(x) for x in ids),
+                ",".join(repr(x) for x in vals),
+                seq,
+            )
         )
         yield pd.DataFrame(
             {
@@ -75,6 +82,7 @@ def _topn_fn(n: int):
                 "event_id": ids,
                 "value": vals,
                 "rn": list(range(1, len(ids) + 1)),
+                "seq": [seq] * len(ids),
             }
         )
 

@@ -117,3 +117,18 @@ def test_match_recognize_parser_rejects_unknown():
 
     with _pytest.raises(ValueError):
         parse_match_recognize("SELECT * FROM t")
+
+
+def test_engine_session_sql_match_recognize(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.session import EngineSession
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    eng = EngineSession(spark)
+    out = eng.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts PATTERN (A B)
+             WITHIN INTERVAL '6' HOUR
+             DEFINE A AS event_type = 'click', B AS event_type = 'purchase')"""
+    ).collect()
+    assert len(out) > 0
