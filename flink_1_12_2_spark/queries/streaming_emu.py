@@ -304,3 +304,81 @@ def stream_topn_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("seq", "max_seq")
     )
     return final.orderBy("user_id", "rn")
+
+
+@query(
+    "stream_over_agg_multibatch",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, value,
+           CAST(SUM(value) OVER w AS DOUBLE) AS running_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_cnt
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("streaming", "over", "stateful", "multibatch"),
+)
+def stream_over_agg_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over-agg across 4 real micro-batches: accumulators carry
+    across batches and the time-split files preserve global event-time order,
+    so the full output equals the batch window-frame oracle."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    out = run_to_memory(streaming_over_agg(ev), output_mode="append")
+    return out.orderBy("user_id", "event_id")
+
+
+@query(
+    "stream_dedup_keep_last_multibatch",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev) WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("streaming", "dedup", "stateful", "multibatch"),
+)
+def stream_dedup_keep_last_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-last dedup across 4 micro-batches: single-row keyed state updated
+    per batch; final update-mode emission per key equals the batch oracle."""
+    from pyspark.sql import Window as W
+
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    out = run_to_memory(streaming_dedup_keep_last(ev), output_mode="update")
+    # update-mode memory sink appends one row per key per batch → keep the
+    # final (largest ts_us, event_id) emission per key
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
+
+
+@query("stream_cep_multibatch", tags=("streaming", "cep", "stateful", "multibatch"))
+def stream_cep_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP across 4 micro-batches: partial matches (e.g. a click whose
+    purchase arrives in a later batch) carry in state. Equality with the
+    batch NFA is asserted in tests/test_cep.py."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(6 * 3600 * 1_000_000)
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id")

@@ -132,3 +132,14 @@ def test_engine_session_sql_match_recognize(spark, sf_dir):
              DEFINE A AS event_type = 'click', B AS event_type = 'purchase')"""
     ).collect()
     assert len(out) > 0
+
+
+def test_cep_multibatch_equals_batch_nfa(spark, sf_dir):
+    """Partial-match state must survive micro-batch boundaries: the 4-batch
+    streaming run equals the single-pass batch NFA."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    multi = QUERIES["stream_cep_multibatch"].fn(spark, sf_dir).collect()
+    batch = QUERIES["match_recognize_sql"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, multi)) == sorted(map(tuple, batch))
