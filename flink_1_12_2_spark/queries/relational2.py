@@ -331,3 +331,70 @@ def datastream_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@query(
+    "table_api_pipeline",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer WHERE c_acctbal > 0.0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("batch", "tableapi"),
+)
+def table_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table API fluent surface (TableImpl.select/filter/groupBy parity):
+    Table(df).filter(...).group_by(...).select(aggregates)."""
+    from flink_1_12_2_spark.table_api import Table
+
+    t = Table(load(spark, sf_dir, "customer"))
+    out = (
+        t.filter(F.col("c_acctbal") > 0.0)
+        .group_by("c_mktsegment")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_acctbal").alias("total_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .order_by("c_mktsegment")
+    )
+    return out.to_data_frame()
+
+
+@query(
+    "ddl_front_door",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("batch", "sql", "ddl"),
+)
+def ddl_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CREATE TABLE DDL (WITH connector options + WATERMARK clause) →
+    engine registry → query through the registered views
+    (SqlCreateTable.java:55 / SqlWatermark.java parity)."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        f"""CREATE TABLE supplier_ddl (
+              s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE
+            ) WITH ('connector'='filesystem',
+                    'path'='{sf_dir}/supplier.parquet', 'format'='parquet')"""
+    )
+    eng.sql(
+        f"""CREATE TABLE nation_ddl (
+              n_nationkey INT, n_name STRING, n_regionkey INT
+            ) WITH ('connector'='filesystem',
+                    'path'='{sf_dir}/nation.parquet', 'format'='parquet')"""
+    )
+    return eng.sql(
+        """SELECT n_name, COUNT(*) AS suppliers
+           FROM supplier_ddl s JOIN nation_ddl n
+             ON s.s_nationkey = n.n_nationkey
+           GROUP BY n_name ORDER BY n_name"""
+    )

@@ -154,6 +154,10 @@ class EngineSession:
         (sql/match_recognize.py) — Spark SQL has no MATCH_RECOGNIZE."""
         import re
 
+        if re.match(r"(?is)\s*CREATE\s+TABLE\b", query):
+            from flink_1_12_2_spark.sql.ddl import execute_ddl
+
+            return execute_ddl(self, query)
         if re.search(r"(?i)\bMATCH_RECOGNIZE\b", query):
             from flink_1_12_2_spark.sql.match_recognize import match_recognize
 

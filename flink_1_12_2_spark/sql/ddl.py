@@ -1,0 +1,164 @@
+"""DDL front door — Flink's CREATE TABLE dialect on the engine's registry.
+
+Flink parity: SqlCreateTable.java:55 (physical columns, WATERMARK clause at
+:70/:282 via SqlWatermark.java, PARTITIONED BY, WITH options) and the
+catalog statements in flink-sql-parser/.../ddl + dql (SHOW/DESCRIBE).
+
+Supported subset:
+
+    CREATE TABLE <name> (
+        col1 TYPE, col2 TYPE, ...,
+        WATERMARK FOR <col> AS <col> - INTERVAL '<n>' <unit>
+    ) [PARTITIONED BY (col, ...)]
+    WITH ('connector'='filesystem', 'path'='...', 'format'='parquet', ...)
+
+The declared schema is applied on read; the WATERMARK clause becomes
+``TableMeta.event_time_col/watermark_delay`` which ``EngineSession
+.stream_table`` turns into ``withWatermark`` — exactly Flink's split between
+DDL-declared watermarks and runtime assignment (WatermarkAssignerOperator).
+"""
+
+from __future__ import annotations
+
+import re
+
+from flink_1_12_2_spark.session import EngineSession, TableMeta
+
+_TYPE_MAP = {
+    "STRING": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",  # Flink TIMESTAMP = without time zone
+    "TIMESTAMP_LTZ": "timestamp",
+    "BYTES": "binary",
+    "VARBINARY": "binary",
+    "BINARY": "binary",
+}
+
+_UNITS = {"SECOND": "seconds", "MINUTE": "minutes", "HOUR": "hours", "DAY": "days"}
+
+_CREATE_HEAD = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*\("
+)
+_PARTITIONED = re.compile(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)")
+_WITH = re.compile(r"(?is)WITH\s*\((.*)\)\s*$")
+_WATERMARK = re.compile(
+    r"(?is)WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
+    r"INTERVAL\s+'(?P<n>[\d.]+)'\s+(?P<unit>\w+)"
+)
+_OPT = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+
+
+def parse_create_table(
+    ddl: str,
+) -> tuple[str, str | None, TableMeta, tuple[str, ...]]:
+    """Parse the DDL → (name, spark_schema_ddl|None, TableMeta, partition_cols)."""
+    text = ddl.strip().rstrip(";")
+    head = _CREATE_HEAD.search(text)
+    if not head:
+        raise ValueError("unsupported CREATE TABLE syntax (see sql/ddl.py doc)")
+    # scan to the matching close paren of the column block
+    depth, i = 1, head.end()
+    start = i
+    while i < len(text) and depth:
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in CREATE TABLE")
+    cols_raw, tail = text[start : i - 1], text[i:]
+    wm_with = _WITH.search(tail)
+    if not wm_with:
+        raise ValueError("CREATE TABLE requires a WITH (...) options clause")
+    part_m = _PARTITIONED.search(tail)
+    opts = dict(_OPT.findall(wm_with.group(1)))
+    connector = opts.pop("connector", "filesystem")
+    if connector != "filesystem":
+        raise ValueError(
+            f"connector {connector!r} not available in this environment "
+            "(filesystem only; kafka/jdbc need live services)"
+        )
+    path = opts.pop("path")
+    fmt = opts.pop("format", "parquet")
+
+    cols_block = cols_raw
+    wm = _WATERMARK.search(cols_block)
+    event_time_col = delay = None
+    if wm:
+        event_time_col = wm.group("col")
+        delay = f"{wm.group('n')} {_UNITS[wm.group('unit').upper()]}"
+        cols_block = _WATERMARK.sub("", cols_block)
+
+    def _split_top_level(s: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return out
+
+    fields = []
+    for part in _split_top_level(cols_block):
+        part = part.strip().rstrip(",")
+        if not part:
+            continue
+        cm = re.match(r"(?is)^(\w+)\s+(\w+)(?:\((\d+(?:,\s*\d+)?)\))?$", part)
+        if not cm:
+            raise ValueError(f"unsupported column definition: {part!r}")
+        cname, ctype, carg = cm.group(1), cm.group(2).upper(), cm.group(3)
+        if ctype == "DECIMAL":
+            spark_t = f"decimal({carg})" if carg else "decimal(10,0)"
+        else:
+            if ctype not in _TYPE_MAP:
+                raise ValueError(f"unsupported type {ctype!r} in {part!r}")
+            spark_t = _TYPE_MAP[ctype]
+        fields.append(f"{cname} {spark_t}")
+    schema = ", ".join(fields) if fields else None
+
+    partition_cols = tuple(
+        c.strip()
+        for c in (part_m.group(1) if part_m else "").split(",")
+        if c.strip()
+    )
+    meta = TableMeta(
+        path=path,
+        fmt=fmt,
+        event_time_col=event_time_col,
+        watermark_delay=delay,
+        options=opts,
+    )
+    return head.group("name"), schema, meta, partition_cols
+
+
+def execute_ddl(engine: EngineSession, ddl: str):
+    """Execute a CREATE TABLE statement against the engine's registry."""
+    name, schema, meta, _part = parse_create_table(ddl)
+    reader = engine.spark.read.format(meta.fmt)
+    for k, v in meta.options.items():
+        reader = reader.option(k, v)
+    if meta.fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.load(meta.path)
+    df.createOrReplaceTempView(name)
+    engine._tables[name] = meta
+    return df

@@ -1,0 +1,139 @@
+"""Table API facade — Flink's fluent relational surface.
+
+Flink parity: TableImpl (flink-table/flink-table-api-java/.../internal/
+TableImpl.java:120,189 — select/filter/group_by/join/order_by building a
+QueryOperation tree) and pyflink.table.Table. Every call lowers immediately
+to DataFrame operations (Catalyst's logical plan IS the QueryOperation tree),
+so the facade is zero-cost.
+
+    t = Table(df)
+    (t.filter(col("value") > 10)
+      .group_by("event_type")
+      .select(col("event_type"), col("value").sum.alias("total")))
+
+Column expressions are plain ``pyspark.sql.Column`` — pyflink 1.12's
+expression DSL maps 1:1 (col/lit, arithmetic, ``.alias``); the handful of
+property-style aggregates (``.sum``/``.max``…) exist on pyflink expressions
+and are provided here via the ``agg`` helpers in
+:mod:`flink_1_12_2_spark.functions.registry`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys: list):
+        self._df = df
+        self._keys = keys
+
+    def select(self, *exprs: Column) -> "Table":
+        """Aggregate select: non-key expressions must be aggregates."""
+        return Table(self._df.groupBy(*self._keys).agg(*exprs))
+
+    def aggregate(self, *aggs: Column) -> "Table":
+        return self.select(*aggs)
+
+    def flat_aggregate(self, fn, output_schema: str) -> "Table":
+        """Table aggregate (emits multiple rows per group)."""
+        keys = [c if isinstance(c, str) else c._jc.toString() for c in self._keys]
+        return Table(self._df.groupBy(*keys).applyInPandas(fn, output_schema))
+
+
+class WindowedTable:
+    def __init__(self, df: DataFrame, window_col: Column, keys: list):
+        self._df = df
+        self._win = window_col
+        self._keys = keys
+
+    def select(self, *aggs: Column) -> "Table":
+        out = self._df.groupBy(self._win.alias("w"), *self._keys).agg(*aggs)
+        return Table(
+            out.withColumn("window_start", F.col("w.start"))
+            .withColumn("window_end", F.col("w.end"))
+            .drop("w")
+        )
+
+
+class Table:
+    """Fluent relational table (Flink Table / pyflink.table.Table parity)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- projection / filtering --------------------------------------------
+    def select(self, *exprs) -> "Table":
+        return Table(self._df.select(*exprs))
+
+    def filter(self, predicate: Column) -> "Table":
+        return Table(self._df.filter(predicate))
+
+    where = filter
+
+    def add_columns(self, **exprs: Column) -> "Table":
+        out = self._df
+        for name, c in exprs.items():
+            out = out.withColumn(name, c)
+        return Table(out)
+
+    def rename_columns(self, **renames: str) -> "Table":
+        out = self._df
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return Table(out)
+
+    def drop_columns(self, *cols: str) -> "Table":
+        return Table(self._df.drop(*cols))
+
+    # -- grouping / windows --------------------------------------------------
+    def group_by(self, *keys) -> GroupedTable:
+        return GroupedTable(self._df, list(keys))
+
+    def window_tumble(self, time_col: str, size: str, *keys) -> WindowedTable:
+        return WindowedTable(self._df, F.window(time_col, size), list(keys))
+
+    def window_hop(
+        self, time_col: str, slide: str, size: str, *keys
+    ) -> WindowedTable:
+        return WindowedTable(self._df, F.window(time_col, size, slide), list(keys))
+
+    def window_session(self, time_col: str, gap: str, *keys) -> WindowedTable:
+        return WindowedTable(self._df, F.session_window(time_col, gap), list(keys))
+
+    # -- joins / set ops -----------------------------------------------------
+    def join(self, other: "Table", on: Column, how: str = "inner") -> "Table":
+        return Table(self._df.join(other._df, on, how))
+
+    def left_outer_join(self, other: "Table", on: Column) -> "Table":
+        return self.join(other, on, "left")
+
+    def full_outer_join(self, other: "Table", on: Column) -> "Table":
+        return self.join(other, on, "full")
+
+    def union(self, other: "Table") -> "Table":
+        return Table(self._df.union(other._df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self._df.union(other._df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df).distinct())
+
+    # -- ordering / limits ---------------------------------------------------
+    def order_by(self, *cols) -> "Table":
+        return Table(self._df.orderBy(*cols))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self._df.limit(n))
+
+    def distinct(self) -> "Table":
+        return Table(self._df.distinct())
+
+    # -- sink ----------------------------------------------------------------
+    def to_data_frame(self) -> DataFrame:
+        return self._df
