@@ -382,3 +382,37 @@ def stream_cep_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
     return out.orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_topn_changelog",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM ev) WHERE rn <= 3 ORDER BY user_id, event_id
+    """,
+    tags=("streaming", "rank", "topn", "changelog", "multibatch"),
+)
+def stream_topn_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable streaming Top-N (RetractableTopNFunction.java:53 parity):
+    the operator emits +I/-D changes across 4 micro-batches; applying the
+    changelog (inserts minus deletions) reconstructs exactly the batch top-3
+    — verifying the retraction protocol end-to-end."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+    from flink_1_12_2_spark.streaming.stateful import streaming_topn_changelog
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    changes = run_to_memory(streaming_topn_changelog(ev, n=3), output_mode="update")
+    # apply the changelog: a row is live iff its latest change is +I
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_id").orderBy(F.col("seq").desc())
+    live = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("_row_kind") == "+I"))
+        .select("user_id", "event_id", "value")
+    )
+    return live.orderBy("user_id", "event_id")

@@ -89,6 +89,70 @@ def _topn_fn(n: int):
     return fn
 
 
+TOPN_CHANGELOG_OUTPUT = StructType(
+    [
+        StructField("_row_kind", StringType()),
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _topn_changelog_fn(n: int):
+    """Top-N emitting a CHANGELOG: +I for entries entering the top-n, -D for
+    entries leaving it (Flink RetractableTopNFunction.java:53 semantics,
+    collapsed to per-micro-batch diffs)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (ids_csv, vals_csv, seq) = state.get
+            ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
+            vals = [float(x) for x in vals_csv.split(",")] if vals_csv else []
+        else:
+            ids, vals, seq = [], [], 0
+        prev = dict(zip(ids, vals))
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["event_id"])
+            vals.extend(float(x) for x in pdf["value"])
+        order = sorted(range(len(ids)), key=lambda i: (-vals[i], ids[i]))[:n]
+        ids = [ids[i] for i in order]
+        vals = [vals[i] for i in order]
+        cur = dict(zip(ids, vals))
+        seq = int(seq) + 1
+        state.update(
+            (
+                ",".join(str(x) for x in ids),
+                ",".join(repr(x) for x in vals),
+                seq,
+            )
+        )
+        changes = [
+            ("-D", key[0], eid, prev[eid], seq) for eid in prev if eid not in cur
+        ] + [("+I", key[0], eid, cur[eid], seq) for eid in cur if eid not in prev]
+        yield pd.DataFrame(
+            changes, columns=["_row_kind", "user_id", "event_id", "value", "seq"]
+        )
+
+    return fn
+
+
+def streaming_topn_changelog(events: DataFrame, n: int = 3) -> DataFrame:
+    """Streaming Top-N as a retraction stream (+I/-D per micro-batch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _topn_changelog_fn(n),
+        outputStructType=TOPN_CHANGELOG_OUTPUT,
+        stateStructType=TOPN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_topn(events: DataFrame, n: int = 3) -> DataFrame:
     """Per-key streaming Top-N by value (desc, event_id tie-break).
 
