@@ -416,3 +416,82 @@ def stream_topn_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value")
     )
     return live.orderBy("user_id", "event_id")
+
+
+@query(
+    "stream_event_time_sort",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS emit_idx
+    FROM ev ORDER BY user_id, emit_idx
+    """,
+    tags=("streaming", "sort", "multibatch"),
+)
+def stream_event_time_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sort (RowTimeSortOperator.java:43 parity): rows buffer in
+    keyed state and are released strictly in (ts, event_id) order as the
+    watermark passes them, across 4 micro-batches + 2 sentinel flush batches.
+    Hash-matching emit_idx against the batch row_number oracle proves the
+    emission ORDER, not just the row set."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+    from flink_1_12_2_spark.streaming.stateful import streaming_event_time_sort
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4, flush_sentinels=True)
+    out = run_to_memory(streaming_event_time_sort(ev), output_mode="append")
+    return out.select("user_id", "event_id", "emit_idx").orderBy(
+        "user_id", "emit_idx"
+    )
+
+
+@query(
+    "stream_join_outer_changelog",
+    oracle=f"""
+    {_EV_CTE},
+    l AS (SELECT user_id, event_id AS l_event_id FROM ev
+          WHERE event_type = 'click'),
+    r AS (SELECT user_id, event_id AS r_event_id FROM ev
+          WHERE event_type = 'purchase' AND value > 180)
+    SELECT l.user_id, l.l_event_id, r.r_event_id
+    FROM l LEFT JOIN r ON l.user_id = r.user_id
+    ORDER BY 1, 2, 3
+    """,
+    tags=("streaming", "join", "changelog", "multibatch"),
+)
+def stream_join_outer_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unbounded LEFT OUTER join emitting +I/-D retractions
+    (StreamingJoinOperator.java:36, retraction protocol :133-178): clicks
+    join rare high-value purchases per user across 4 micro-batches; unmatched
+    clicks emit null-padded rows that are retracted when the first purchase
+    arrives. Applying the changelog (net +I minus -D) reconstructs exactly
+    the batch LEFT JOIN — verifying the protocol end-to-end."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+    from flink_1_12_2_spark.streaming.stateful import (
+        streaming_outer_join_changelog,
+    )
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.lit("L").alias("side"), "user_id", "event_id"
+    )
+    right = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 180)
+    ).select(F.lit("R").alias("side"), "user_id", "event_id")
+    changes = run_to_memory(
+        streaming_outer_join_changelog(left.unionByName(right)),
+        output_mode="update",
+    )
+    # apply the changelog: net count per (l, r) pair; pairs are unique so the
+    # net is 1 (live) or 0 (inserted then retracted)
+    net = (
+        changes.groupBy("user_id", "l_event_id", "r_event_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_row_kind") == "+I", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") == 1)
+        .select("user_id", "l_event_id", "r_event_id")
+    )
+    return net.orderBy("user_id", "l_event_id", "r_event_id")

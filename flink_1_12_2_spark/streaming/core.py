@@ -61,17 +61,30 @@ def stream_events(
     return sdf
 
 
+# Far-future event time used by sentinel flush batches (2030-01-01 UTC, µs).
+SENTINEL_TS_US = 1_893_456_000_000_000
+
+
 def stream_events_multibatch(
     spark: SparkSession,
     sf_dir: str,
     n_files: int = 4,
     watermark: str | None = "10 minutes",
+    flush_sentinels: bool = False,
 ) -> DataFrame:
     """Events as a MULTI-micro-batch stream: the table is split into
     ``n_files`` time-ordered parquet files in a temp dir and streamed with
     ``maxFilesPerTrigger=1`` — so stateful operators genuinely carry state
     across micro-batches (the single-file source yields one batch, which
-    can't distinguish per-batch from cross-batch correctness)."""
+    can't distinguish per-batch from cross-batch correctness).
+
+    ``flush_sentinels=True`` appends two trailing files holding one
+    far-future row per user (``event_id = -1``, filtered out by operators):
+    the first raises the watermark past every real row, the second delivers a
+    batch to every key under that watermark — the bounded-input analogue of
+    Flink emitting ``MAX_WATERMARK`` at end of input so event-time timers
+    flush (StreamSourceContexts / Watermark.MAX_WATERMARK semantics).
+    """
     import glob
     import hashlib as _hl
 
@@ -88,7 +101,7 @@ def stream_events_multibatch(
         static = static.withColumn(
             "ts_us", F2.unix_micros(F2.col("ts").cast("timestamp"))
         )
-    key = _hl.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    key = _hl.md5(f"{sf_dir}|{n_files}|{flush_sentinels}".encode()).hexdigest()[:8]
     split_dir = os.path.join(tempfile.gettempdir(), f"events_split_{key}_{n_files}")
     if not glob.glob(os.path.join(split_dir, "part_*")):
         rows = static.count()
@@ -101,6 +114,19 @@ def stream_events_multibatch(
                 spark.createDataFrame(chunk, static.schema).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(split_dir, f"part_{i}"))
+        if flush_sentinels:
+            other = [c for c in static.columns if c not in ("event_id", "ts", "user_id", "ts_us")]
+            sent = static.select("user_id").distinct().select(
+                F2.lit(-1).alias("event_id"),
+                F2.timestamp_micros(F2.lit(SENTINEL_TS_US)).alias("ts"),
+                "user_id",
+                *[F2.lit(None).cast(dict(static.dtypes)[c]).alias(c) for c in other],
+                F2.lit(SENTINEL_TS_US).alias("ts_us"),
+            ).select(*static.columns)
+            for j in range(2):
+                sent.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(split_dir, f"part_{n_files + j}_sentinel")
+                )
     sdf = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", "1")

@@ -279,3 +279,172 @@ def streaming_dedup_keep_last(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SORT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("emit_idx", LongType()),
+    ]
+)
+SORT_STATE = StructType(
+    [
+        StructField("event_ids", StringType()),  # csv buffer of pending rows
+        StructField("ts_uss", StringType()),
+        StructField("emitted", LongType()),
+    ]
+)
+
+
+def _event_time_sort_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ids_csv, ts_csv, emitted = state.get
+        ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
+        tss = [int(x) for x in ts_csv.split(",")] if ts_csv else []
+    else:
+        ids, tss, emitted = [], [], 0
+    for pdf in pdfs:
+        real = pdf[pdf["event_id"] >= 0]  # drop flush sentinels
+        ids.extend(int(x) for x in real["event_id"])
+        tss.extend(int(x) for x in real["ts_us"])
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    pend = sorted(zip(tss, ids))
+    ready = [(t, i) for (t, i) in pend if t <= wm_us]
+    hold = [(t, i) for (t, i) in pend if t > wm_us]
+    out = [
+        (key[0], i, t, emitted + k + 1) for k, (t, i) in enumerate(ready)
+    ]
+    emitted += len(ready)
+    state.update(
+        (
+            ",".join(str(i) for (_, i) in hold),
+            ",".join(str(t) for (t, _) in hold),
+            emitted,
+        )
+    )
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts_us", "emit_idx"])
+
+
+def streaming_event_time_sort(events: DataFrame) -> DataFrame:
+    """Per-key event-time-ordered emit: buffer rows in state, release them
+    in (ts, event_id) order only once the watermark has passed their event
+    time — Flink's RowTimeSortOperator.java:43 (StreamExecTemporalSort).
+
+    ``emit_idx`` is the per-key emission sequence; hash-matching it against a
+    batch ``row_number() OVER (ORDER BY ts, event_id)`` oracle proves the
+    cross-batch ordering, not just the row set. State holds only rows inside
+    the watermark delay (bounded by lateness × per-key rate at scale); the
+    source must append flush sentinels so the final watermark releases the
+    tail (Flink's end-of-input MAX_WATERMARK).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _event_time_sort_fn,
+        outputStructType=SORT_OUTPUT,
+        stateStructType=SORT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+JOIN_CHANGELOG_OUTPUT = StructType(
+    [
+        StructField("_row_kind", StringType()),
+        StructField("user_id", LongType()),
+        StructField("l_event_id", LongType()),
+        StructField("r_event_id", LongType()),  # null = outer padding
+        StructField("seq", LongType()),
+    ]
+)
+JOIN_CHANGELOG_STATE = StructType(
+    [
+        StructField("left_ids", StringType()),  # csv, all left rows seen
+        StructField("padded", StringType()),  # csv subset currently null-padded
+        StructField("right_ids", StringType()),  # csv, all right rows seen
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _outer_join_changelog_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    def _csv(s: str) -> list[int]:
+        return [int(x) for x in s.split(",")] if s else []
+
+    if state.exists:
+        l_csv, pad_csv, r_csv, seq = state.get
+        lefts, padded, rights = _csv(l_csv), set(_csv(pad_csv)), _csv(r_csv)
+    else:
+        lefts, padded, rights, seq = [], set(), [], 0
+    new_l: list[int] = []
+    new_r: list[int] = []
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            (new_l if row.side == "L" else new_r).append(int(row.event_id))
+    seq = int(seq) + 1
+    uid = key[0]
+    changes: list[tuple] = []
+    # right arrivals first: retract null-padded outer rows, then emit the
+    # new matches against ALL known left rows (old + new handled below)
+    if new_r:
+        for l in sorted(padded):
+            changes.append(("-D", uid, l, None, seq))
+        padded.clear()
+        for l in lefts:
+            for r in new_r:
+                changes.append(("+I", uid, l, r, seq))
+    all_r = rights + new_r
+    for l in new_l:
+        if all_r:
+            for r in all_r:
+                changes.append(("+I", uid, l, r, seq))
+        else:
+            changes.append(("+I", uid, l, None, seq))
+            padded.add(l)
+    lefts += new_l
+    rights = all_r
+    state.update(
+        (
+            ",".join(str(x) for x in lefts),
+            ",".join(str(x) for x in sorted(padded)),
+            ",".join(str(x) for x in rights),
+            seq,
+        )
+    )
+    df = pd.DataFrame(
+        changes, columns=["_row_kind", "user_id", "l_event_id", "r_event_id", "seq"]
+    )
+    df["r_event_id"] = df["r_event_id"].astype("Int64")
+    yield df
+
+
+def streaming_outer_join_changelog(tagged: DataFrame) -> DataFrame:
+    """Unbounded streaming LEFT OUTER equi-join emitting a retraction stream.
+
+    Flink parity: StreamingJoinOperator.java:36 with the retraction protocol
+    documented at :133-178 + OuterJoinRecordStateViews.java:335 — a left row
+    with no match emits ``+I (l, NULL)``; when the first right match later
+    arrives, the operator retracts the padding (``-D (l, NULL)``) and emits
+    the real pairs. Input is the two sides unioned with a ``side`` tag
+    ('L'/'R') and keyed by the join key, which is exactly Flink's two-input
+    keyed operator wiring (both inputs hash-partitioned on the key).
+
+    Scale: state per key = both sides' rows seen so far — the same unbounded
+    state Flink keeps; bound it operationally with watermark TTL (idle-state
+    retention) when keys expire.
+    """
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _outer_join_changelog_fn,
+        outputStructType=JOIN_CHANGELOG_OUTPUT,
+        stateStructType=JOIN_CHANGELOG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
