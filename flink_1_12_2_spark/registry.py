@@ -96,3 +96,4 @@ def load_all_query_modules() -> None:
     import flink_1_12_2_spark.queries.sources_sinks  # noqa: F401
     import flink_1_12_2_spark.queries.tpch_like  # noqa: F401
     import flink_1_12_2_spark.queries.tpch_like2  # noqa: F401
+    import flink_1_12_2_spark.queries.tpch_like3  # noqa: F401
