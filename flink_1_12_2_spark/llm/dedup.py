@@ -76,6 +76,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc distinct shingle array ``(id_col, sh_arr)``, **persisted**.
+
+    Shingling (tokenize → slice → concat per n-gram) is the CPU-heaviest
+    subtree of every text-dedup pipeline; MinHash+LSH needs it in three
+    places (signatures, verify side 1, verify side 2). Materializing it once
+    keeps the plan from re-running the expression tree per consumer. At real
+    scale the same role is played by checkpointing signatures to the object
+    store between pipeline stages — memory-and-disk persist is the
+    single-job equivalent.
+    """
+    out = fan_out(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh_arr")
+    )
+    return out.persist()
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM, n: int = 3
 ) -> DataFrame:
@@ -87,6 +106,18 @@ def minhash_signatures(
     sh = fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
+    aggs = [
+        F.min(seeded_hash(F.col("sh"), k)).alias(f"mh{k}") for k in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_sets(
+    sets_: DataFrame, id_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """:func:`minhash_signatures` over a precomputed :func:`shingle_sets`
+    frame — explode the persisted arrays instead of re-shingling the text."""
+    sh = sets_.select(F.col(id_col), F.explode("sh_arr").alias("sh"))
     aggs = [
         F.min(seeded_hash(F.col("sh"), k)).alias(f"mh{k}") for k in range(num_perm)
     ]
@@ -138,12 +169,26 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    candidates: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Attach exact n-gram Jaccard to candidate pairs (id_1, id_2)."""
-    sets_ = fan_out(df).select(
-        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), n).alias("__sh")
-    )
+    """Attach exact n-gram Jaccard to candidate pairs (id_1, id_2).
+
+    Pass ``sets_df`` (a :func:`shingle_sets` frame) to reuse already-computed
+    shingle arrays instead of re-shingling ``df`` on both join sides."""
+    if sets_df is not None:
+        sets_ = sets_df.select(
+            F.col(id_col).alias("__id"), F.col("sh_arr").alias("__sh")
+        )
+    else:
+        sets_ = fan_out(df).select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), n).alias("__sh"),
+        )
     out = (
         candidates.join(sets_, candidates.id_1 == sets_.__id)
         .withColumnRenamed("__sh", "__sh1")
@@ -171,25 +216,34 @@ def ngram_jaccard_pairs(
 
     Shingles are 60-bit-hashed before the join so the shuffle moves fixed-width
     ints, not strings (collision odds ~n²/2^61 — negligible even at 100 TB
-    shingle counts per partition)."""
-    sh = fan_out(df).select(
+    shingle counts per partition). The per-doc shingle count rides along each
+    exploded row (computed from the array before exploding), so Jaccard
+    arithmetic needs no separate counts branch and no re-join: one shingling
+    pass, one exchange on the shingle hash (reused for both self-join sides),
+    one pair-aggregation exchange.
+
+    The hashed array is **persisted**: without the cache boundary Catalyst
+    infers a non-empty filter from the explode and pushes the whole shingle
+    expression below the exchange, then re-evaluates it on both self-join
+    sides — 4 evaluations of the heaviest subtree. With it, shingling runs
+    once and both sides read the columnar cache (at real scale: checkpoint
+    the shingle table between stages — same shape)."""
+    docs = fan_out(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(word_shingles(F.col(text_col), n), md5int60)
-        ).alias("sh"),
+        F.transform(word_shingles(F.col(text_col), n), md5int60).alias("sh_arr"),
+    ).persist()
+    sh = docs.select(
+        "__id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("sh")
     )
-    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    ca = counts.select(F.col("__id").alias("id_1"), F.col("n_sh").alias("n1"))
-    cb = counts.select(F.col("__id").alias("id_2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(ca, "id_1")
-        .join(cb, "id_2")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min(F.col("a.n_sh")).alias("n1"),
+            F.min(F.col("b.n_sh")).alias("n2"),
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -233,9 +287,11 @@ def simhash_pairs(
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
+    # persist: simhash32 is 32 bit-vote aggregates per row — compute once,
+    # not once per self-join side (tiny cache: id + one bigint per doc)
     with_sh = fan_out(df).select(
         F.col(id_col).alias("__id"), simhash32(F.col(text_col)).alias("simhash")
-    )
+    ).persist()
     bands = F.array(
         *[
             F.struct(

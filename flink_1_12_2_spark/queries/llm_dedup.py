@@ -119,9 +119,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. The oracle replicates signatures + banding, so recall behavior is
     verified too — not just the final pair set."""
     d = load(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(d, "doc_id", "text")
+    sets_ = D.shingle_sets(d, "doc_id", "text")
+    # sigs persisted too: the LSH banding self-join otherwise recomputes the
+    # signature aggregation for its broadcast/build side (tiny: K ints/doc)
+    sigs = D.minhash_signatures_from_sets(sets_, "doc_id").persist()
     cand = D.lsh_candidate_pairs(sigs, "doc_id")
-    ver = D.jaccard_verify(cand, d, "doc_id", "text")
+    ver = D.jaccard_verify(cand, d, "doc_id", "text", sets_df=sets_)
     return (
         ver.filter(F.col("jaccard") >= JACCARD_T)
         .select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
