@@ -87,6 +87,89 @@ def ann_bruteforce_topk(
     )
 
 
+NUM_CENTROIDS = 16
+NPROBE = 2
+
+
+def ivf_cells(
+    n: DataFrame, id_col: str, num_centroids: int = NUM_CENTROIDS
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: (centroids, cell assignment) over normalized vectors.
+
+    Centroids are the normalized vectors of the ``num_centroids`` lowest ids —
+    a deterministic stand-in for k-means|| init (the partition/probe machinery
+    is identical; only centroid quality differs). Assignment is a broadcast
+    join of the corpus against the tiny centroid set (never a shuffle of the
+    corpus), then argmax-by-dot per vector: ``row_number`` over a
+    per-vector-id partition. At 100 TB the corpus stays put; only
+    ``num_centroids`` × dim doubles move.
+    """
+    cents = n.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("vec_n").alias("cvec")
+    )
+    scored = F.broadcast(cents).crossJoin(n.select(id_col, "vec_n")).withColumn(
+        "cdot", F.round(cosine_col(F.col("vec_n"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cdot").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= 1)
+        .select(id_col, F.col("cent_id").alias("cell"), "vec_n")
+    )
+    return cents, cells
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest centroid
+    cells; candidates are only the vectors assigned to those cells.
+
+    The inverted-file join replaces the cross product with a shuffle on cell
+    id (≈ corpus/num_centroids selectivity per query). May return < k rows
+    per query (cell miss) — the documented approximation, reproduced exactly
+    by the oracle."""
+    n = normalize_embeddings(df, id_col, vec_col)
+    cents, cells = ivf_cells(n, id_col, num_centroids)
+    q = n.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec_n").alias("qv")
+    )
+    qscored = F.broadcast(q).crossJoin(cents).withColumn(
+        "cdot", F.round(cosine_col(F.col("qv"), F.col("cvec")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    probes = (
+        qscored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell"), F.col("vec_n").alias("cv")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -82,3 +82,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", out["rank"].cast("int")).orderBy(
         "query_id", "rank"
     )
+
+
+_IVF_ORACLE = f"""
+    WITH {_NORM_CTE},
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cvec FROM n
+      WHERE vec_id < {S.NUM_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT n.vec_id, c.cent_id AS cell, n.v,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, c.cvec), 6) DESC,
+                          c.cent_id) AS crank
+        FROM n CROSS JOIN cents c)
+      WHERE crank = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, c.cvec), 6) DESC,
+                          c.cent_id) AS crank
+        FROM n q CROSS JOIN cents c
+        WHERE q.vec_id <= {max(QUERY_IDS)})
+      WHERE crank <= {S.NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv, a.v), 6) AS cosine
+      FROM probes p JOIN assigned a
+        ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("llm", "similarity", "ann", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: nearest-centroid cell assignment (deterministic
+    lowest-id centroids standing in for k-means|| init), queries probe their
+    2 nearest cells. The inverted-file join replaces the cross product —
+    shuffle on cell id only; oracle reproduces assignment + probing exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    out = S.ann_ivf_topk(e, "vec_id", "embedding", QUERY_IDS, K)
+    return out.withColumn("rank", out["rank"].cast("int")).orderBy(
+        "query_id", "rank"
+    )
