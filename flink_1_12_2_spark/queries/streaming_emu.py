@@ -495,3 +495,26 @@ def stream_join_outer_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_event_id", "r_event_id")
     )
     return net.orderBy("user_id", "l_event_id", "r_event_id")
+
+
+@query(
+    "stream_cep_quantified",
+    tags=("streaming", "cep", "stateful", "quantifier"),
+)
+def stream_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP (Pattern.java oneOrMore:350/greedy:365/notFollowedBy):
+    one-or-more clicks (greedy), then — with no intervening error — a
+    purchase, within 6 h per user. Non-SQL-expressible (iterative greedy
+    consumption) → rows-only driver check; batch==streaming equality and the
+    per-quantifier semantics are pinned in tests/test_cep.py."""
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("clicks", lambda r: r["event_type"] == "click")
+        .one_or_more()
+        .greedy()
+        .not_followed_by("err", lambda r: r["event_type"] == "error")
+        .followed_by("buy", lambda r: r["event_type"] == "purchase")
+        .within(6 * 3600 * 1_000_000)
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id")

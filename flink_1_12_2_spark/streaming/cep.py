@@ -6,10 +6,31 @@ MATCH_RECOGNIZE operator (StreamExecMatch.scala:68). Spark has no CEP
 primitive (SURVEY §2.10) → implemented as a keyed NFA inside
 ``applyInPandasWithState``.
 
-Scope (round 1): linear patterns of named steps with per-step predicates,
+Scope: linear patterns of named steps with per-step predicates,
 ``followedBy`` (relaxed contiguity: unrelated events may sit between steps),
-``within`` (max span from first to last step), and AFTER MATCH SKIP PAST LAST
-ROW (greedy, non-overlapping — Flink's default for MATCH_RECOGNIZE).
+``within`` (max span from first to last step), AFTER MATCH SKIP PAST LAST
+ROW (non-overlapping — Flink's default for MATCH_RECOGNIZE), and the
+quantifier surface of the reference Pattern API (Pattern.java —
+``notNext``:273, ``oneOrMore``:350, ``greedy``:365, ``times``:379, plus
+``optional``, ``consecutive``, ``notFollowedBy``):
+
+- ``times(n)`` / ``one_or_more()`` / ``optional()`` — looping / skippable
+  steps with (min, max) occurrence bounds;
+- ``greedy()`` — on predicate overlap between a loop and its successor,
+  prefer extending the loop (default is Flink's reluctant behavior: prefer
+  advancing once ``min`` occurrences are matched);
+- ``consecutive()`` — strict contiguity inside a loop (a non-matching row
+  closes the loop instead of being skipped);
+- ``not_next`` / ``not_followed_by`` — negative steps: strict (the
+  immediately-next row) / relaxed (any row before the next positive step
+  matches) pattern kill.
+
+Determinization note: Flink's NFA explores branches simultaneously; this
+operator runs **one** partial match per key (single-run determinization,
+no backtracking). With mutually exclusive step predicates — the typical
+event_type-dispatch patterns — the output is identical to Flink's. The last
+step must be a definite consuming step (no trailing loop/optional/negative),
+so match completion is decidable at the row that closes it.
 
 Ordering: rows are sorted by (ts, event_id) inside each micro-batch; the NFA
 state (partial matches) carries across batches. Late rows older than an
@@ -32,22 +53,95 @@ Predicate = Callable[[dict], bool]
 
 
 @dataclass
-class Pattern:
-    """Linear CEP pattern: ordered steps, each a named predicate."""
+class Step:
+    """One pattern step: predicate + occurrence quantifier.
 
-    steps: list[tuple[str, Predicate]] = field(default_factory=list)
+    ``min_times``/``max_times`` bound occurrences (``max_times=None`` →
+    unbounded, ``min_times=0`` → optional); ``negative`` steps consume no
+    rows and kill the partial match when their predicate fires
+    (``strict_negative`` → only the immediately-next row is tested)."""
+
+    name: str
+    pred: Predicate
+    min_times: int = 1
+    max_times: int | None = 1
+    greedy: bool = False
+    consecutive: bool = False
+    negative: bool = False
+    strict_negative: bool = False
+
+    @property
+    def is_loop(self) -> bool:
+        return self.max_times is None or self.max_times > 1
+
+
+@dataclass
+class Pattern:
+    """Linear CEP pattern: ordered steps, each a named predicate with an
+    optional quantifier. Quantifier methods apply to the last step added,
+    mirroring the fluent reference API (Pattern.java:350-379)."""
+
+    steps: list[Step] = field(default_factory=list)
     within_us: int | None = None
 
     @staticmethod
     def begin(name: str, pred: Predicate) -> "Pattern":
-        return Pattern(steps=[(name, pred)])
+        return Pattern(steps=[Step(name, pred)])
 
     def followed_by(self, name: str, pred: Predicate) -> "Pattern":
-        self.steps.append((name, pred))
+        self.steps.append(Step(name, pred))
+        return self
+
+    def not_next(self, name: str, pred: Predicate) -> "Pattern":
+        """The immediately-next row must not match (Pattern.java:273)."""
+        self.steps.append(
+            Step(name, pred, negative=True, strict_negative=True)
+        )
+        return self
+
+    def not_followed_by(self, name: str, pred: Predicate) -> "Pattern":
+        """No matching row may occur before the next step matches."""
+        self.steps.append(Step(name, pred, negative=True))
+        return self
+
+    def times(self, n: int, n_max: int | None = None) -> "Pattern":
+        """Exactly n (or n..n_max) occurrences (Pattern.java:379)."""
+        self.steps[-1].min_times = n
+        self.steps[-1].max_times = n if n_max is None else n_max
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        """≥1 occurrences, reluctant unless .greedy() (Pattern.java:350)."""
+        self.steps[-1].min_times = 1
+        self.steps[-1].max_times = None
+        return self
+
+    def optional(self) -> "Pattern":
+        self.steps[-1].min_times = 0
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Prefer extending the loop on predicate overlap (Pattern.java:365)."""
+        self.steps[-1].greedy = True
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Strict contiguity inside the loop: a non-matching row closes it."""
+        self.steps[-1].consecutive = True
         return self
 
     def within(self, duration_us: int) -> "Pattern":
         self.within_us = duration_us
+        return self
+
+    def validate(self) -> "Pattern":
+        last = self.steps[-1]
+        if last.negative or last.min_times != 1 or last.max_times != 1:
+            raise ValueError(
+                "pattern must end with a definite consuming step "
+                "(no trailing loop/optional/negative) so completion is "
+                "decidable per row"
+            )
         return self
 
 
@@ -63,40 +157,130 @@ CEP_OUTPUT = StructType(
 CEP_STATE = StructType([StructField("partial_json", StringType())])
 
 
-def _match_events(
-    rows: list[dict], pattern: Pattern, partial: list[dict]
-) -> tuple[list[tuple], list[dict]]:
-    """Run the NFA over ordered rows. Returns (matches, new_partial_state).
+def _empty_state() -> dict:
+    return {"rows": [], "step_idx": 0, "loop_count": 0}
 
-    Greedy skip-past-last-row: one in-flight partial match at a time; on
-    completion, scanning resumes after the match's last row.
+
+def _match_events(
+    rows: list[dict], pattern: Pattern, state: dict | None
+) -> tuple[list[tuple], dict]:
+    """Run the determinized NFA over ordered rows.
+
+    Returns (matches, new_state). State: ``rows`` = consumed prefix,
+    ``step_idx`` = cursor step, ``loop_count`` = occurrences consumed at the
+    cursor when it is a loop. Skip past last row: one in-flight partial per
+    key; on completion scanning resumes after the match's last row. A killed
+    partial (negative step fired / within expired / broken consecutive loop)
+    resets, and the killing row gets one fresh retry as a new step-0 row.
     """
-    matches: list[tuple] = []
     steps = pattern.steps
-    cur: list[dict] = list(partial)  # matched prefix rows
+    matches: list[tuple] = []
+    cur = state if state and "rows" in state else _empty_state()
+
+    def reset() -> None:
+        cur["rows"], cur["step_idx"], cur["loop_count"] = [], 0, 0
+
+    def consume(j: int, row: dict) -> None:
+        step = steps[j]
+        cur["rows"].append(row)
+        if step.is_loop:
+            cur["loop_count"] = (
+                cur["loop_count"] + 1 if j == cur["step_idx"] else 1
+            )
+            cur["step_idx"] = j
+            if step.max_times is not None and cur["loop_count"] >= step.max_times:
+                cur["step_idx"], cur["loop_count"] = j + 1, 0
+        else:
+            cur["step_idx"], cur["loop_count"] = j + 1, 0
+        if cur["step_idx"] >= len(steps):
+            m = cur["rows"]
+            matches.append(
+                (m[0]["event_id"], m[-1]["event_id"], m[0]["ts_us"], m[-1]["ts_us"])
+            )
+            reset()
+
     for row in rows:
-        step_idx = len(cur)
-        if step_idx > 0 and pattern.within_us is not None:
-            if row["ts_us"] - cur[0]["ts_us"] > pattern.within_us:
-                # span exceeded → drop the stale prefix, retry row as step 0
-                cur = []
-                step_idx = 0
-        name, pred = steps[step_idx]
-        if pred(row):
-            cur.append(row)
-            if len(cur) == len(steps):
-                matches.append(
-                    (
-                        cur[0]["event_id"],
-                        cur[-1]["event_id"],
-                        cur[0]["ts_us"],
-                        cur[-1]["ts_us"],
-                    )
-                )
-                cur = []  # skip past last row
-        elif step_idx == 0:
-            continue
-        # relaxed contiguity: non-matching rows between steps are skipped
+        for _attempt in range(2):  # second pass only after a kill/reset
+            if (
+                cur["rows"]
+                and pattern.within_us is not None
+                and row["ts_us"] - cur["rows"][0]["ts_us"] > pattern.within_us
+            ):
+                reset()  # stale prefix; row retried fresh below
+            killed = False
+            # strict negatives AT the cursor: tested exactly once, on the
+            # row immediately following the previous consume
+            while cur["step_idx"] < len(steps):
+                s = steps[cur["step_idx"]]
+                if s.negative and s.strict_negative:
+                    if s.pred(row):
+                        killed = True
+                        break
+                    cur["step_idx"] += 1  # satisfied permanently
+                else:
+                    break
+            consumed = False
+            loop_extend: int | None = None
+            if not killed:
+                # frontier walk from the cursor: collect armed negative
+                # predicates (kill checks) and consumable candidate steps;
+                # stop at the first step that cannot be passed over.
+                # In-walk strict negatives are treated as relaxed — exact
+                # one-row semantics apply only when the cursor reaches them.
+                kill_preds: list[Predicate] = []
+                candidates: list[int] = []
+                j = cur["step_idx"]
+                while j < len(steps):
+                    s = steps[j]
+                    if s.negative:
+                        kill_preds.append(s.pred)
+                        j += 1
+                        continue
+                    if j == cur["step_idx"] and s.is_loop:
+                        if s.max_times is None or cur["loop_count"] < s.max_times:
+                            loop_extend = j
+                        if cur["loop_count"] >= s.min_times:
+                            j += 1  # enough occurrences → later steps reachable
+                            continue
+                        break
+                    candidates.append(j)
+                    if s.min_times == 0:  # optional, not yet entered
+                        j += 1
+                        continue
+                    break
+                if any(p(row) for p in kill_preds):
+                    killed = True
+                else:
+                    # reluctant (default): advance candidates first, loop
+                    # extension last; greedy: extension first (Pattern.java:365)
+                    order = list(candidates)
+                    if loop_extend is not None:
+                        if steps[loop_extend].greedy:
+                            order.insert(0, loop_extend)
+                        else:
+                            order.append(loop_extend)
+                    for k in order:
+                        if steps[k].pred(row):
+                            consume(k, row)
+                            consumed = True
+                            break
+                    if not consumed and loop_extend is not None:
+                        s0 = steps[cur["step_idx"]]
+                        if s0.consecutive and cur["loop_count"] > 0:
+                            # strict contiguity: a non-matching row closes
+                            # the loop (or kills the partial under min)
+                            if cur["loop_count"] >= s0.min_times:
+                                cur["step_idx"] += 1
+                                cur["loop_count"] = 0
+                            else:
+                                killed = True
+            if killed:
+                had_prefix = bool(cur["rows"]) or cur["step_idx"] > 0
+                reset()
+                if had_prefix:
+                    continue  # retry the killing row as a fresh step-0 row
+            break
+        # relaxed contiguity: rows matching nothing are skipped silently
     return matches, cur
 
 
@@ -111,6 +295,8 @@ def cep_match_batch(
     matches the streaming operator."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
+    pattern.validate()
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
@@ -120,7 +306,7 @@ def cep_match_batch(
             d["ts_us"] = int(d["ts_us"])
             rows.append(d)
         rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
-        matches, _ = _match_events(rows, pattern, [])
+        matches, _ = _match_events(rows, pattern, None)
         key_val = rows[0][key_col] if rows else None
         return pd.DataFrame(
             {
@@ -142,15 +328,17 @@ def cep_pattern_matches(
     time_col: str = "ts",
 ) -> DataFrame:
     """Keyed CEP matching; emits one row per completed match."""
+    pattern.validate()
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        partial = (
-            json.loads(state.get[0]) if state.exists and state.get[0] else []
-        )
+        raw = json.loads(state.get[0]) if state.exists and state.get[0] else None
+        if isinstance(raw, list):  # pre-quantifier state format
+            raw = {"rows": raw, "step_idx": len(raw), "loop_count": 0}
+        partial = raw
         rows: list[dict] = []
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
@@ -160,9 +348,23 @@ def cep_pattern_matches(
                 d["ts_us"] = int(d["ts_us"])
                 rows.append(d)
         rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
-        matches, new_partial = _match_events(rows, pattern, partial)
+        matches, new_state = _match_events(rows, pattern, partial)
         state.update(
-            (json.dumps([{k: p[k] for k in ("event_id", "ts_us", "event_type")} for p in new_partial]),)
+            (
+                json.dumps(
+                    {
+                        "rows": [
+                            {
+                                k: p.get(k)
+                                for k in ("event_id", "ts_us", "event_type")
+                            }
+                            for p in new_state["rows"]
+                        ],
+                        "step_idx": new_state["step_idx"],
+                        "loop_count": new_state["loop_count"],
+                    }
+                ),
+            )
         )
         yield pd.DataFrame(
             {

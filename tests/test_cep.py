@@ -23,15 +23,15 @@ def _pat(within=None):
 
 
 def test_simple_match():
-    m, partial = _match_events(_rows([(1, 10, "A"), (2, 20, "B")]), _pat(), [])
+    m, partial = _match_events(_rows([(1, 10, "A"), (2, 20, "B")]), _pat(), None)
     assert m == [(1, 2, 10, 20)]
-    assert partial == []
+    assert partial["rows"] == [] and partial["step_idx"] == 0
 
 
 def test_relaxed_contiguity():
     # noise between steps is skipped (followedBy, not next)
     m, _ = _match_events(
-        _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "B")]), _pat(), []
+        _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "B")]), _pat(), None
     )
     assert m == [(1, 3, 10, 20)]
 
@@ -39,7 +39,7 @@ def test_relaxed_contiguity():
 def test_skip_past_last_row():
     # greedy non-overlap: A1 B1 A2 B2 → two matches, not A1-B2
     m, _ = _match_events(
-        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "B")]), _pat(), []
+        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "B")]), _pat(), None
     )
     assert m == [(1, 2, 10, 20), (3, 4, 30, 40)]
 
@@ -49,7 +49,7 @@ def test_within_expiry():
     m, _ = _match_events(
         _rows([(1, 10, "A"), (2, 1000, "B"), (3, 1100, "A"), (4, 1150, "B")]),
         _pat(within=100),
-        [],
+        None,
     )
     assert m == [(3, 4, 1100, 1150)]
 
@@ -59,23 +59,23 @@ def test_within_expiry_retry_as_start():
     m, partial = _match_events(
         _rows([(1, 10, "A"), (2, 1000, "A"), (3, 1050, "B")]),
         _pat(within=100),
-        [],
+        None,
     )
     assert m == [(2, 3, 1000, 1050)]
-    assert partial == []
+    assert partial["rows"] == []
 
 
 def test_partial_state_carries_across_batches():
-    m1, partial = _match_events(_rows([(1, 10, "A")]), _pat(), [])
-    assert m1 == [] and len(partial) == 1
+    m1, partial = _match_events(_rows([(1, 10, "A")]), _pat(), None)
+    assert m1 == [] and len(partial["rows"]) == 1
     m2, partial2 = _match_events(_rows([(2, 20, "B")]), _pat(), partial)
-    assert m2 == [(1, 2, 10, 20)] and partial2 == []
+    assert m2 == [(1, 2, 10, 20)] and partial2["rows"] == []
 
 
 def test_first_a_wins_no_restart_midpattern():
     # while waiting for B, later A's are ignored (no A-reanchor in this NFA)
     m, _ = _match_events(
-        _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")]), _pat(), []
+        _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")]), _pat(), None
     )
     assert m == [(1, 3, 10, 30)]
 
@@ -143,3 +143,155 @@ def test_cep_multibatch_equals_batch_nfa(spark, sf_dir):
     multi = QUERIES["stream_cep_multibatch"].fn(spark, sf_dir).collect()
     batch = QUERIES["match_recognize_sql"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, multi)) == sorted(map(tuple, batch))
+
+
+# ---- quantifier surface (Pattern.java notNext:273 oneOrMore:350 ----------
+# ---- greedy:365 times:379, plus optional/consecutive/notFollowedBy) ------
+
+
+def _is(t):
+    return lambda r: r["event_type"] == t
+
+
+def test_times_exact():
+    # A{2} B: two A's (gaps allowed) then B
+    p = Pattern.begin("a", _is("A")).times(2).followed_by("b", _is("B"))
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "A"), (4, 30, "B")]), p, None
+    )
+    assert m == [(1, 4, 10, 30)]
+    # only one A → no match
+    m2, _ = _match_events(_rows([(1, 10, "A"), (2, 30, "B")]), p, None)
+    assert m2 == []
+
+
+def test_times_range():
+    # A{2,3} B reluctant: advances to B at the first opportunity once min met
+    p = Pattern.begin("a", _is("A")).times(2, 3).followed_by("b", _is("B"))
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "A"), (4, 40, "B")]), p, None
+    )
+    # three A's consumed is allowed up to max; B closes the match
+    assert m == [(1, 4, 10, 40)]
+
+
+def test_one_or_more_reluctant_vs_greedy():
+    rows = _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "C"), (4, 40, "B")])
+    # overlap: C matches both the loop ("A or C") and the next step ("C or B")
+    loop = lambda r: r["event_type"] in ("A", "C")
+    nxt = lambda r: r["event_type"] in ("C", "B")
+    reluctant = Pattern.begin("a", loop).one_or_more().followed_by("b", nxt)
+    m, _ = _match_events(rows, reluctant, None)
+    assert m == [(1, 3, 10, 30)]  # C taken as the closing step asap
+    greedy = (
+        Pattern.begin("a", loop).one_or_more().greedy().followed_by("b", nxt)
+    )
+    mg, _ = _match_events(rows, greedy, None)
+    assert mg == [(1, 4, 10, 40)]  # C absorbed into the loop; B closes
+
+
+def test_optional_step():
+    # A B? C: matches with and without the middle step
+    p = (
+        Pattern.begin("a", _is("A"))
+        .followed_by("b", _is("B"))
+        .optional()
+        .followed_by("c", _is("C"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "C"),
+               (4, 40, "A"), (5, 50, "C")]), p, None
+    )
+    assert m == [(1, 3, 10, 30), (4, 5, 40, 50)]
+
+
+def test_not_next_strict():
+    # A notNext(X) B: X immediately after A kills; other rows don't
+    p = Pattern.begin("a", _is("A")).not_next("nx", _is("X")).followed_by(
+        "b", _is("B")
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "X"), (3, 30, "B"),
+               (4, 40, "A"), (5, 50, "Y"), (6, 60, "B")]), p, None
+    )
+    assert m == [(4, 6, 40, 60)]
+
+
+def test_not_followed_by_relaxed():
+    # A notFollowedBy(X) B: any X before B kills the partial
+    p = Pattern.begin("a", _is("A")).not_followed_by("nf", _is("X")).followed_by(
+        "b", _is("B")
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "Y"), (3, 25, "X"), (4, 30, "B"),
+               (5, 40, "A"), (6, 50, "B")]), p, None
+    )
+    assert m == [(5, 6, 40, 50)]
+
+
+def test_consecutive_loop_broken_by_gap():
+    # A{2}.consecutive() B: a non-A between the A's kills the partial
+    p = (
+        Pattern.begin("a", _is("A"))
+        .times(2)
+        .consecutive()
+        .followed_by("b", _is("B"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "A"), (4, 25, "A"),
+               (5, 30, "B")]), p, None
+    )
+    # first A killed by X; A3+A4 consecutive, B closes
+    assert m == [(3, 5, 20, 30)]
+
+
+def test_killed_row_restarts_pattern():
+    # the X that kills (notFollowedBy) could itself start a new match
+    p = Pattern.begin("a", _is("A")).not_followed_by("nf", _is("A")).followed_by(
+        "b", _is("B")
+    )
+    # A1 then A2: A2 kills A1's partial, then restarts as its own step 0
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")]), p, None
+    )
+    assert m == [(2, 3, 20, 30)]
+
+
+def test_trailing_loop_rejected():
+    import pytest as _pytest
+
+    p = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).one_or_more()
+    with _pytest.raises(ValueError):
+        p.validate()
+
+
+def test_quantified_state_across_batches():
+    # A{2} B with the two A's in different batches
+    p = Pattern.begin("a", _is("A")).times(2).followed_by("b", _is("B"))
+    m1, st = _match_events(_rows([(1, 10, "A")]), p, None)
+    assert m1 == [] and st["loop_count"] == 1
+    m2, st2 = _match_events(_rows([(2, 20, "A"), (3, 30, "B")]), p, st)
+    assert m2 == [(1, 3, 10, 30)] and st2["rows"] == []
+
+
+def test_quantified_batch_equals_streaming(spark, sf_dir):
+    """The quantified pattern must produce identical matches through the
+    batch NFA (applyInPandas) and the streaming operator."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+    from flink_1_12_2_spark.streaming.cep import cep_match_batch
+    from flink_1_12_2_spark.registry import load
+
+    load_all_query_modules()
+    stream = QUERIES["stream_cep_quantified"].fn(spark, sf_dir).collect()
+    pat = (
+        Pattern.begin("clicks", _is("click"))
+        .one_or_more()
+        .greedy()
+        .not_followed_by("err", _is("error"))
+        .followed_by("buy", _is("purchase"))
+        .within(6 * 3600 * 1_000_000)
+    )
+    ev = load(spark, sf_dir, "events")
+    batch = cep_match_batch(ev, pat).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
