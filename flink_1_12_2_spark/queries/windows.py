@@ -255,8 +255,14 @@ def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("batch", "join", "interval"),
 )
 def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join (TimeIntervalJoin.java:53): equi key + time-range residual."""
-    a = load(spark, sf_dir, "events").alias("a")
+    """Interval join (TimeIntervalJoin.java:53): equi key + time-range residual.
+
+    The probe side fans out across cores: the per-row range probe is the
+    CPU-heavy stage here, and the driver testdata is one row group (an
+    unsplittable scan). No-op at real scale (multi-file inputs)."""
+    from flink_1_12_2_spark.llm.dedup import fan_out
+
+    a = fan_out(load(spark, sf_dir, "events")).alias("a")
     b = load(spark, sf_dir, "events").alias("b")
     return (
         a.join(

@@ -158,6 +158,16 @@ class EngineSession:
             from flink_1_12_2_spark.sql.ddl import execute_ddl
 
             return execute_ddl(self, query)
+        if re.match(
+            r"(?is)\s*(SHOW\s+TABLES|DESCRIBE|DROP\s+(TABLE|VIEW)|"
+            r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW)\b",
+            query,
+        ):
+            from flink_1_12_2_spark.sql.ddl import execute_statement
+
+            out = execute_statement(self, query)
+            if out is not None:
+                return out
         if re.search(r"(?i)\bMATCH_RECOGNIZE\b", query):
             from flink_1_12_2_spark.sql.match_recognize import match_recognize
 

@@ -8,9 +8,15 @@ Supported subset:
 
     CREATE TABLE <name> (
         col1 TYPE, col2 TYPE, ...,
+        computed AS <expr>,                  -- SqlCreateTable.java:248
         WATERMARK FOR <col> AS <col> - INTERVAL '<n>' <unit>
     ) [PARTITIONED BY (col, ...)]
     WITH ('connector'='filesystem', 'path'='...', 'format'='parquet', ...)
+
+Catalog statements (flink-sql-parser ddl/dql inventory): SHOW TABLES ·
+DESCRIBE [TABLE] t · DROP TABLE [IF EXISTS] t · ALTER TABLE t RENAME TO u ·
+CREATE [TEMPORARY] VIEW v AS <query> · DROP VIEW [IF EXISTS] v — dispatched
+by :func:`execute_statement`.
 
 The declared schema is applied on read; the WATERMARK clause becomes
 ``TableMeta.event_time_col/watermark_delay`` which ``EngineSession
@@ -60,8 +66,9 @@ _OPT = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 
 def parse_create_table(
     ddl: str,
-) -> tuple[str, str | None, TableMeta, tuple[str, ...]]:
-    """Parse the DDL → (name, spark_schema_ddl|None, TableMeta, partition_cols)."""
+) -> tuple[str, str | None, TableMeta, tuple[str, ...], list[tuple[str, str]]]:
+    """Parse the DDL → (name, spark_schema_ddl|None, TableMeta,
+    partition_cols, computed_columns)."""
     text = ddl.strip().rstrip(";")
     head = _CREATE_HEAD.search(text)
     if not head:
@@ -116,9 +123,16 @@ def parse_create_table(
         return out
 
     fields = []
+    computed: list[tuple[str, str]] = []
     for part in _split_top_level(cols_block):
         part = part.strip().rstrip(",")
         if not part:
+            continue
+        # computed column: `name AS <expr>` (SqlCreateTable.java:248);
+        # applied as withColumn at view-definition time (SURVEY §1.4)
+        comp = re.match(r"(?is)^(\w+)\s+AS\s+(.+)$", part)
+        if comp:
+            computed.append((comp.group(1), comp.group(2).strip()))
             continue
         cm = re.match(r"(?is)^(\w+)\s+(\w+)(?:\((\d+(?:,\s*\d+)?)\))?$", part)
         if not cm:
@@ -145,12 +159,14 @@ def parse_create_table(
         watermark_delay=delay,
         options=opts,
     )
-    return head.group("name"), schema, meta, partition_cols
+    return head.group("name"), schema, meta, partition_cols, computed
 
 
 def execute_ddl(engine: EngineSession, ddl: str):
     """Execute a CREATE TABLE statement against the engine's registry."""
-    name, schema, meta, _part = parse_create_table(ddl)
+    from pyspark.sql import functions as F
+
+    name, schema, meta, _part, computed = parse_create_table(ddl)
     reader = engine.spark.read.format(meta.fmt)
     for k, v in meta.options.items():
         reader = reader.option(k, v)
@@ -159,6 +175,72 @@ def execute_ddl(engine: EngineSession, ddl: str):
     if schema:
         reader = reader.schema(schema)
     df = reader.load(meta.path)
+    for cname, cexpr in computed:
+        # PROCTIME() is the canonical Flink computed column; route any other
+        # Flink-name expression through the engine's rewrite pass
+        from flink_1_12_2_spark.sql.rewriter import rewrite_expr
+
+        df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
     df.createOrReplaceTempView(name)
     engine._tables[name] = meta
     return df
+
+
+# ---- catalog statements (ddl/dql inventory) --------------------------------
+
+_SHOW_TABLES = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
+_DESCRIBE = re.compile(r"(?is)^\s*DESCRIBE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$")
+_DROP_TABLE = re.compile(
+    r"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$"
+)
+_ALTER_RENAME = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*$"
+)
+_CREATE_VIEW = re.compile(
+    r"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(\w+)\s+AS\s+(.*)$"
+)
+_DROP_VIEW = re.compile(r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$")
+
+
+def execute_statement(engine: EngineSession, stmt: str):
+    """Dispatch a catalog statement; returns a result DataFrame (Flink's
+    ``TableResult`` shape: SHOW/DESCRIBE return rows, mutations return OK).
+    Returns None when the statement is not a catalog statement."""
+    spark = engine.spark
+
+    def _ok() -> "DataFrame":
+        return spark.createDataFrame([("OK",)], "result string")
+
+    if _SHOW_TABLES.match(stmt):
+        names = sorted(
+            set(engine._tables)
+            | {v.name for v in spark.catalog.listTables() if v.isTemporary}
+        )
+        return spark.createDataFrame([(n,) for n in names], "table_name string")
+    m = _DESCRIBE.match(stmt)
+    if m:
+        return spark.sql(f"DESCRIBE {m.group(1)}")
+    m = _DROP_TABLE.match(stmt)
+    if m:
+        spark.catalog.dropTempView(m.group(1))
+        engine._tables.pop(m.group(1), None)
+        return _ok()
+    m = _ALTER_RENAME.match(stmt)
+    if m:
+        old, new = m.group(1), m.group(2)
+        df = spark.table(old)
+        df.createOrReplaceTempView(new)
+        spark.catalog.dropTempView(old)
+        if old in engine._tables:
+            engine._tables[new] = engine._tables.pop(old)
+        return _ok()
+    m = _CREATE_VIEW.match(stmt)
+    if m:
+        engine.sql(m.group(2)).createOrReplaceTempView(m.group(1))
+        return _ok()
+    m = _DROP_VIEW.match(stmt)
+    if m:
+        spark.catalog.dropTempView(m.group(1))
+        return _ok()
+    return None

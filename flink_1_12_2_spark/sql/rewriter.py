@@ -78,3 +78,9 @@ def rewrite(query: str) -> str:
     q = re.sub(r"(?is)\bPROCTIME\s*\(\s*\)", "current_timestamp()", q)
 
     return q
+
+
+def rewrite_expr(expr: str) -> str:
+    """Rewrite a bare Flink expression (e.g. a DDL computed column) — the
+    same textual pass as :func:`rewrite`, which is expression-safe."""
+    return rewrite(expr)

@@ -11,7 +11,7 @@ from flink_1_12_2_spark.table_api import Table
 
 
 def test_parse_create_table_with_watermark():
-    name, schema, meta, part = parse_create_table(
+    name, schema, meta, part, _comp = parse_create_table(
         """CREATE TABLE ev (
              event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT, value DOUBLE,
              WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
@@ -27,7 +27,7 @@ def test_parse_create_table_with_watermark():
 
 
 def test_parse_create_table_decimal_and_errors():
-    _, schema, _, _ = parse_create_table(
+    _, schema, _, _, _ = parse_create_table(
         "CREATE TABLE t (a DECIMAL(12,2), b STRING) "
         "WITH ('connector'='filesystem','path'='/x')"
     )
@@ -90,3 +90,51 @@ def test_table_api_window(spark, sf_dir):
     )
     assert {"window_start", "window_end", "event_type", "cnt"} <= set(out.columns)
     assert out.count() > 0
+
+
+def test_ddl_computed_column(spark, sf_dir):
+    """Computed columns (SqlCreateTable.java:248): applied at view-definition
+    time, PROCTIME() included."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    df = eng.sql(
+        f"""CREATE TABLE ev_comp (
+                event_id BIGINT, user_id BIGINT, value DOUBLE,
+                value_cents AS value * 100,
+                proc AS PROCTIME()
+            ) WITH ('connector'='filesystem',
+                    'path'='{sf_dir}/events.parquet', 'format'='parquet')"""
+    )
+    assert "value_cents" in df.columns and "proc" in df.columns
+    row = spark.sql(
+        "SELECT value, value_cents FROM ev_comp WHERE value IS NOT NULL LIMIT 1"
+    ).collect()[0]
+    assert abs(row.value * 100 - row.value_cents) < 1e-9
+    assert dict(df.dtypes)["proc"].startswith("timestamp")
+
+
+def test_catalog_statements(spark, sf_dir):
+    """SHOW TABLES / DESCRIBE / ALTER RENAME / DROP (ddl+dql inventory)."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        f"""CREATE TABLE cat_t (event_id BIGINT, value DOUBLE)
+            WITH ('connector'='filesystem',
+                  'path'='{sf_dir}/events.parquet', 'format'='parquet')"""
+    )
+    names = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+    assert "cat_t" in names
+    desc = eng.sql("DESCRIBE cat_t").collect()
+    assert {r.col_name for r in desc} >= {"event_id", "value"}
+    eng.sql("ALTER TABLE cat_t RENAME TO cat_u")
+    names2 = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+    assert "cat_u" in names2 and "cat_t" not in names2
+    assert eng.meta("cat_u") is not None
+    eng.sql("CREATE VIEW cat_v AS SELECT event_id FROM cat_u LIMIT 10")
+    assert eng.sql("SELECT COUNT(*) AS c FROM cat_v").collect()[0].c == 10
+    eng.sql("DROP VIEW cat_v")
+    eng.sql("DROP TABLE cat_u")
+    names3 = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+    assert "cat_u" not in names3
