@@ -22,6 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
+# avro (flink-formats/flink-avro) maps to Spark's external spark-avro module
+# (org.apache.spark:spark-avro); it is format("avro") once that jar is on the
+# classpath — not bundled in this environment, so we fail fast with guidance.
+_GATED_FORMATS = {
+    "avro": "add org.apache.spark:spark-avro to spark.jars.packages",
+    "sequencefile": "use spark.sparkContext.sequenceFile (RDD API)",
+}
+
+
+def _check_format(fmt: str) -> None:
+    if fmt in _GATED_FORMATS:
+        raise NotImplementedError(
+            f"format {fmt!r} needs extra deployment in this environment: "
+            f"{_GATED_FORMATS[fmt]}"
+        )
 
 
 def write_table(
@@ -32,6 +47,7 @@ def write_table(
     overwrite: bool = True,
     options: dict[str, str] | None = None,
 ) -> None:
+    _check_format(fmt)
     writer = df.write.format(fmt)
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
@@ -49,6 +65,7 @@ def read_table(
     schema=None,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
+    _check_format(fmt)
     reader = spark.read.format(fmt)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
