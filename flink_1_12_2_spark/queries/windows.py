@@ -314,3 +314,62 @@ def asof_join_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "purchase_value", F.col("c_ts").alias("last_click_ts")
     ).orderBy("event_id")
+
+
+@query(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM ev),
+    m AS (
+      SELECT *, MAX(ts + gap) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + gap) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+    tags=("batch", "window", "session", "dynamic-gap"),
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window with per-row dynamic gap (DataStream
+    SessionWindowTimeGapExtractor parity — SURVEY §2.5 'Session + dynamic
+    gap'): clicks keep the session alive 10 min, everything else 30 min.
+    Pure ``F.session_window`` with a Column gap — the merge runs inside
+    Spark's session aggregation (one shuffle on user_id); the oracle derives
+    the same sessions via gaps-and-islands (running max of ts+gap)."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+    return out

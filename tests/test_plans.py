@@ -81,3 +81,25 @@ def test_whole_stage_codegen_active(spark, sf_dir, name):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "WholeStageCodegen" in executed or "*(" in executed
+
+
+def test_ann_ivf_no_corpus_shuffle_for_assignment(spark, sf_dir):
+    """IVF index build must broadcast centroids (never shuffle the corpus);
+    the candidate join must be a hash join on cell id, not a cross product."""
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    # centroid assignment + query probing: broadcast nested-loop over the
+    # tiny centroid set is fine; an un-broadcast cartesian is not
+    assert "CartesianProduct" not in plan
+    # candidate join shuffles/broadcasts on cell — hash join, not NL
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_session_dynamic_gap_single_shuffle(spark, sf_dir):
+    """Dynamic-gap session agg: one exchange on the grouping key before the
+    session merge (plus the final presentation sort)."""
+    plan = _plan(spark, sf_dir, "window_session_dynamic_gap")
+    assert "session_window" in plan.lower() or "SessionWindow" in plan
+    # exactly one hash-partition exchange (user_id) + one range (orderBy);
+    # formatted mode lists exchange args as "hashpartitioning(...)" details
+    hashex = plan.count("hashpartitioning(")
+    assert hashex == 1, f"expected 1 hash exchange, plan has {hashex}"
