@@ -431,3 +431,74 @@ def late_data_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _pagerank_oracle(num_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank in DuckDB SQL (recursive CTEs can't
+    aggregate in the recursive term, so each superstep is its own CTE —
+    generated, like the minhash oracle)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, num_iter + 1):
+        steps.append(
+            f"""r{i} AS (
+              SELECT n.node,
+                     (1.0 - {damping})/(SELECT n FROM nn)
+                     + {damping} * COALESCE(s.s, 0.0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.rank / d.deg) AS s
+                FROM edges e
+                JOIN {prev} p ON e.src = p.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+        prev = f"r{i}"
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+      SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+    {body}
+    SELECT node, CAST(ROUND(rank * 1000000, 0) AS BIGINT) AS rank_ppm
+    FROM {prev} ORDER BY node
+    """
+
+
+@query(
+    "iterate_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("batch", "iteration", "graph", "pagerank"),
+)
+def iterate_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 supersteps, d=0.85) over the customer→nation,
+    supplier→nation, nation→region entity graph — bulk-iteration parity
+    (DataSet.iterate / Gelly). Ranks quantized to integer ppm so the
+    cross-engine hash is float-noise-proof."""
+    from flink_1_12_2_spark.operators.advanced import pagerank
+
+    c = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+    )
+    nt = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+    )
+    ranks = pagerank(c.union(s).union(nt), num_iterations=10, damping=0.85)
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * 1_000_000, 0).cast("bigint").alias("rank_ppm"),
+    ).orderBy("node")
