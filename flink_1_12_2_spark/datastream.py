@@ -76,6 +76,49 @@ class DataStream:
             out = out.unionByName(o.df)
         return DataStream(out)
 
+    def side_output(self, cond: Column) -> tuple["DataStream", "DataStream"]:
+        """Split into (main, side) by predicate — OutputTag/side-output
+        parity (ProcessFunction side outputs). Two filtered views of one
+        lineage; Catalyst shares the scan."""
+        return DataStream(self.df.filter(~cond)), DataStream(self.df.filter(cond))
+
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """Two-input stream pairing (ConnectedStreams / CoMapFunction)."""
+        return ConnectedStreams(self, other)
+
+    # -- physical partitioning (DataStream.java:455-520) --------------------
+    def rebalance(self) -> "DataStream":
+        """Round-robin redistribution (DataStream.rebalance)."""
+        sc = self.df.sparkSession.sparkContext
+        return DataStream(self.df.repartition(sc.defaultParallelism))
+
+    def shuffle(self) -> "DataStream":
+        """Random redistribution — same physical op as rebalance in Spark
+        (round-robin exchange)."""
+        return self.rebalance()
+
+    def rescale(self, n: int) -> "DataStream":
+        """Scale partition count without a full shuffle where possible
+        (coalesce when shrinking, repartition when growing)."""
+        cur = self.df.rdd.getNumPartitions()
+        return DataStream(
+            self.df.coalesce(n) if n < cur else self.df.repartition(n)
+        )
+
+    def partition_custom(self, *cols: str) -> "DataStream":
+        """Hash-partition by columns (DataStream.partitionCustom)."""
+        return DataStream(self.df.repartition(*[F.col(c) for c in cols]))
+
+    def broadcast(self) -> "DataStream":
+        """Mark this (small) stream for broadcast in subsequent joins —
+        Flink's broadcast partitioning maps to Spark's broadcast hint."""
+        return DataStream(F.broadcast(self.df))
+
+    def forward(self) -> "DataStream":
+        """Chained forward pass-through — a no-op: Spark pipelines
+        narrow stages within a task automatically."""
+        return self
+
     # -- keying -------------------------------------------------------------
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
@@ -88,6 +131,34 @@ class DataStream:
     # -- sinks / escape hatch ----------------------------------------------
     def to_table(self) -> DataFrame:
         return self.df
+
+
+class ConnectedStreams:
+    """Two-input streams sharing downstream operators (ConnectedStreams,
+    flink-streaming-java/.../datastream/ConnectedStreams.java). The Spark
+    lowering is a tagged union: ``co_map`` applies one expression set per
+    input then unions by name — the dataflow equivalent of CoMapFunction's
+    map1/map2."""
+
+    def __init__(self, first: DataStream, second: DataStream):
+        self.first = first
+        self.second = second
+
+    def co_map(
+        self,
+        map1: dict[str, Column],
+        map2: dict[str, Column],
+        output_cols: list[str],
+    ) -> DataStream:
+        a = self.first.df
+        for name, col in map1.items():
+            a = a.withColumn(name, col)
+        b = self.second.df
+        for name, col in map2.items():
+            b = b.withColumn(name, col)
+        return DataStream(
+            a.select(*output_cols).unionByName(b.select(*output_cols))
+        )
 
 
 class KeyedStream:
@@ -112,6 +183,64 @@ class KeyedStream:
         Python reduce would be the slow path; use process() instead)."""
         agg = getattr(F, fn)(col_name).alias(col_name)
         return DataStream(self.df.groupBy(*self.keys).agg(agg))
+
+    def _rolling(self, col_name: str, fn: str, order_by: list[str]) -> DataStream:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = self.df.withColumn(
+            f"{fn}_{col_name}", getattr(F, fn)(col_name).over(w)
+        )
+        return DataStream(out)
+
+    def sum(self, col_name: str, order_by: list[str] | None = None) -> DataStream:
+        """Per-record rolling sum (KeyedStream.sum emits a running aggregate
+        per input record; the batch-verifiable form is the cumulative
+        over-window in event order)."""
+        return self._rolling(col_name, "sum", order_by or ["ts", "event_id"])
+
+    def min(self, col_name: str, order_by: list[str] | None = None) -> DataStream:
+        return self._rolling(col_name, "min", order_by or ["ts", "event_id"])
+
+    def max(self, col_name: str, order_by: list[str] | None = None) -> DataStream:
+        return self._rolling(col_name, "max", order_by or ["ts", "event_id"])
+
+    def min_by(
+        self, col_name: str, order_by: list[str] | None = None
+    ) -> DataStream:
+        """Running argmin row id (KeyedStream.minBy keeps the record that
+        attains the minimum so far)."""
+        return self._argminmax(col_name, asc=True, order_by=order_by)
+
+    def max_by(
+        self, col_name: str, order_by: list[str] | None = None
+    ) -> DataStream:
+        return self._argminmax(col_name, asc=False, order_by=order_by)
+
+    def _argminmax(
+        self, col_name: str, asc: bool, order_by: list[str] | None
+    ) -> DataStream:
+        from pyspark.sql import Window
+
+        ob = order_by or ["ts", "event_id"]
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(*ob)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        val = F.col(col_name) if asc else -F.col(col_name)
+        # struct ordering: (value, tie-break order cols) → min_by semantics
+        packed = F.struct(val.alias("v"), *[F.col(c) for c in ob])
+        best = F.min(packed).over(w)
+        out = self.df.withColumn(
+            f"{'min' if asc else 'max'}_by_{col_name}",
+            best[ob[-1]],
+        )
+        return DataStream(out)
 
     def process(
         self, fn: Callable, output_schema: str, state_schema, output_mode="update"

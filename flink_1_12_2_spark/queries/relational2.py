@@ -398,3 +398,45 @@ def ddl_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
              ON s.s_nationkey = n.n_nationkey
            GROUP BY n_name ORDER BY n_name"""
     )
+
+
+@query(
+    "datastream_rolling_aggs",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(value) OVER w AS DOUBLE)  AS sum_value,
+           CAST(MIN(value) OVER w AS DOUBLE)  AS min_value,
+           CAST(MAX(value) OVER w AS DOUBLE)  AS max_value
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    tags=("batch", "datastream", "api", "rolling"),
+)
+def datastream_rolling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyedStream rolling aggregates (KeyedStream.sum/min/max emit a
+    running value per record): cumulative over-window in event order."""
+    from flink_1_12_2_spark.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    ds = (
+        env.from_table(load(spark, sf_dir, "events"))
+        .key_by("user_id")
+        .sum("value")
+    )
+    ks = ds.key_by("user_id")
+    ds = ks.min("value")
+    ds = ds.key_by("user_id").max("value")
+    return (
+        ds.to_table()
+        .select(
+            "user_id",
+            "event_id",
+            F.col("sum_value").alias("sum_value"),
+            F.col("min_value").alias("min_value"),
+            F.col("max_value").alias("max_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
