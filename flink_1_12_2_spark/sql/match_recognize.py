@@ -12,6 +12,11 @@ Supported subset (mirrors streaming/cep.py's NFA scope):
       DEFINE A AS <col> = '<lit>', B AS <col> = '<lit>' [, ...]
     )
 
+Pattern quantifiers (SQL MATCH_RECOGNIZE regex syntax → the NFA's
+quantifier steps): ``A+`` (one-or-more, reluctant ``A+?``), ``A*``
+(zero-or-more), ``A?`` (optional), ``A{n}`` / ``A{n,m}`` (times). The last
+pattern variable must be unquantified (the NFA's decidable-completion rule).
+
 Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
 contiguity between steps (followedBy). Parsing is a regex grammar over the
 restricted form — enough for Flink-dialect CEP SQL to run verbatim; richer
@@ -38,12 +43,35 @@ _MR = re.compile(
     r"PARTITION\s+BY\s+(?P<part>\w+)\s+"
     r"ORDER\s+BY\s+(?P<order>\w+)\s+"
     r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[\w\s]+?)\s*\)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>[\w\s+*?{},]+?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*?)\s*\)"
 )
 
 _DEF = re.compile(r"(?is)(\w+)\s+AS\s+(\w+)\s*=\s*'([^']*)'")
+
+_STEP = re.compile(
+    r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
+)
+
+
+def _apply_quantifier(pat: Pattern, quant: str | None) -> Pattern:
+    if not quant:
+        return pat
+    if quant.startswith("+"):
+        pat = pat.one_or_more()
+    elif quant.startswith("*"):
+        pat = pat.one_or_more().optional()
+    elif quant == "?":
+        pat = pat.optional()
+    else:  # {n} / {n,m}
+        nums = [int(x) for x in re.findall(r"\d+", quant)]
+        pat = pat.times(nums[0], nums[1] if len(nums) > 1 else None)
+    # SQL regex quantifiers are greedy by default; +? / *? are reluctant —
+    # the NFA default is reluctant, so greedy is the explicit flag
+    if quant in ("+", "*") or quant.startswith("{"):
+        pat = pat.greedy()
+    return pat
 
 
 def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
@@ -58,15 +86,24 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     steps = m.group("pattern").split()
     pat: Pattern | None = None
     for step in steps:
-        col, lit = defines[step.upper()]
+        sm = _STEP.match(step)
+        if not sm:
+            raise ValueError(f"unsupported pattern element: {step!r}")
+        name = sm.group("name")
+        col, lit = defines[name.upper()]
 
         def pred(row, col=col, lit=lit):
             return row.get(col) == lit
 
-        pat = Pattern.begin(step, pred) if pat is None else pat.followed_by(step, pred)
+        pat = (
+            Pattern.begin(name, pred)
+            if pat is None
+            else pat.followed_by(name, pred)
+        )
+        pat = _apply_quantifier(pat, sm.group("quant"))
     if m.group("n"):
         pat = pat.within(int(m.group("n")) * _UNIT_US[m.group("unit").upper()])
-    return m.group("part"), m.group("order"), pat
+    return m.group("part"), m.group("order"), pat.validate()
 
 
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:

@@ -295,3 +295,59 @@ def test_quantified_batch_equals_streaming(spark, sf_dir):
     batch = cep_match_batch(ev, pat).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
     assert len(batch) > 0
+
+
+def test_match_recognize_quantified_pattern(spark, sf_dir):
+    """PATTERN (A+ B) through the SQL front door equals the Python Pattern
+    API with one_or_more().greedy()."""
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.streaming.cep import cep_match_batch
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    eng = EngineSession(spark)
+    sql_out = eng.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts PATTERN (A+ B)
+             WITHIN INTERVAL '6' HOUR
+             DEFINE A AS event_type = 'click', B AS event_type = 'purchase')"""
+    ).collect()
+    pat = (
+        Pattern.begin("A", _is("click"))
+        .one_or_more()
+        .greedy()
+        .followed_by("B", _is("purchase"))
+        .within(6 * 3600 * 1_000_000)
+    )
+    api_out = cep_match_batch(
+        load(spark, sf_dir, "events"), pat
+    ).collect()
+    assert sorted(map(tuple, sql_out)) == sorted(map(tuple, api_out))
+    assert len(sql_out) > 0
+
+
+def test_match_recognize_times_and_optional_parse():
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    _, _, pat = parse_match_recognize(
+        """SELECT * FROM t MATCH_RECOGNIZE (
+             PARTITION BY u ORDER BY ts PATTERN (A{2,3} B? C)
+             DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')"""
+    )
+    a, b, c = pat.steps
+    assert (a.min_times, a.max_times, a.greedy) == (2, 3, True)
+    assert (b.min_times, b.max_times) == (0, 1)
+    assert (c.min_times, c.max_times) == (1, 1)
+
+
+def test_match_recognize_trailing_quantifier_rejected():
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    with _pytest.raises(ValueError):
+        parse_match_recognize(
+            """SELECT * FROM t MATCH_RECOGNIZE (
+                 PARTITION BY u ORDER BY ts PATTERN (A B+)
+                 DEFINE A AS t = 'a', B AS t = 'b')"""
+        )

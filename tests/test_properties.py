@@ -153,3 +153,99 @@ def test_streaming_topn_state_fold_matches_sort(spark, rows):
         assert [(int(e), float(v)) for e, v in got] == [
             (int(e), float(v)) for e, v in expected
         ]
+
+
+# ---- CEP NFA quantifier laws (pure-function, no Spark) --------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+
+def _seq_rows(types):
+    return [
+        {"event_id": i, "ts_us": i * 10, "event_type": t}
+        for i, t in enumerate(types)
+    ]
+
+
+_types = st.lists(st.sampled_from(["A", "B", "X"]), min_size=0, max_size=30)
+
+
+def _is_t(t):
+    return lambda r: r["event_type"] == t
+
+
+@given(_types)
+@settings(max_examples=200, deadline=None)
+def test_times_one_equals_plain_step(types):
+    rows = _seq_rows(types)
+    plain = Pattern.begin("a", _is_t("A")).followed_by("b", _is_t("B"))
+    timed = Pattern.begin("a", _is_t("A")).times(1).followed_by("b", _is_t("B"))
+    m1, _ = _match_events(rows, plain, None)
+    m2, _ = _match_events(rows, timed, None)
+    assert m1 == m2
+
+
+@given(_types)
+@settings(max_examples=200, deadline=None)
+def test_optional_never_matching_is_identity(types):
+    rows = _seq_rows(types)
+    base = Pattern.begin("a", _is_t("A")).followed_by("b", _is_t("B"))
+    with_opt = (
+        Pattern.begin("a", _is_t("A"))
+        .followed_by("never", lambda r: False)
+        .optional()
+        .followed_by("b", _is_t("B"))
+    )
+    m1, _ = _match_events(rows, base, None)
+    m2, _ = _match_events(rows, with_opt, None)
+    assert m1 == m2
+
+
+@given(_types)
+@settings(max_examples=200, deadline=None)
+def test_batch_split_equals_single_pass(types):
+    """State carried across arbitrary batch splits == one-shot matching
+    (micro-batch boundary invariance), quantified pattern included."""
+    rows = _seq_rows(types)
+    pat = lambda: (
+        Pattern.begin("a", _is_t("A"))
+        .one_or_more()
+        .greedy()
+        .followed_by("b", _is_t("B"))
+    )
+    single, _ = _match_events(rows, pat(), None)
+    for cut in (0, len(rows) // 3, len(rows) // 2, len(rows)):
+        m1, stt = _match_events(rows[:cut], pat(), None)
+        m2, _ = _match_events(rows[cut:], pat(), stt)
+        assert m1 + m2 == single, f"cut={cut}"
+
+
+@given(_types)
+@settings(max_examples=200, deadline=None)
+def test_greedy_oneormore_disjoint_equals_regex(types):
+    """With disjoint predicates, greedy A+ B == the regex A+[^B]*?B
+    non-overlapping leftmost scan (Python re.finditer reference)."""
+    import re as _re
+
+    rows = _seq_rows(types)
+    pat = (
+        Pattern.begin("a", _is_t("A"))
+        .one_or_more()
+        .greedy()
+        .followed_by("b", _is_t("B"))
+    )
+    got, _ = _match_events(rows, pat, None)
+    s = "".join(types)
+    expected = []
+    # determinized single-run semantics: first A anchors; A's absorb into
+    # the loop (relaxed: X's skipped), first B closes. Regex equivalent on
+    # the type string: A then any mix of A/X then B — with the match's
+    # last-consumed A being the final A before B.
+    expected = [
+        (m.start(), m.end() - 1)
+        for m in _re.finditer(r"A[AX]*?B", s)
+    ]
+    assert [(a, b) for (a, b, *_ts) in got] == expected
