@@ -518,3 +518,53 @@ def stream_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
     return out.orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM ev),
+    m AS (
+      SELECT *, MAX(ts + gap) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + gap) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session", "dynamic-gap"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows on a real stream (DataStream
+    SessionWindowTimeGapExtractor parity): per-row gap Column inside
+    Structured Streaming's session merge; same gaps-and-islands oracle as
+    the batch form."""
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = ev.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        ltz_to_ntz_utc(F.col("win.start")).alias("session_start"),
+        ltz_to_ntz_utc(F.col("win.end")).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")

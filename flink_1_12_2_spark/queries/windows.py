@@ -373,3 +373,45 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "session_start")
     )
     return out
+
+
+@query(
+    "temporal_join_sql_front_door",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT p.event_id, p.user_id, p.value AS purchase_value,
+           (SELECT MAX(c.ts) FROM ev c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts) AS last_click_ts
+    FROM ev p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    tags=("batch", "temporal", "sql", "front-door"),
+)
+def temporal_join_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF through the SQL front door
+    (StreamExecTemporalJoin.scala:56 SQL surface): the versioned dim's time
+    attribute comes from the registry's WATERMARK metadata, the lowering is
+    the union+window as-of operator (same plan as asof_join_event_time)."""
+    from flink_1_12_2_spark.session import EngineSession, TableMeta
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "purchases_tj"
+    )
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("version_ts")
+    ).createOrReplaceTempView("clicks_tj")
+    eng = EngineSession(spark)
+    eng.register_view_meta(
+        "clicks_tj",
+        TableMeta(path="(view)", fmt="parquet", event_time_col="version_ts"),
+    )
+    return eng.sql(
+        """SELECT f.event_id, f.user_id, f.value AS purchase_value,
+                  d.version_ts AS last_click_ts
+           FROM purchases_tj f
+           JOIN clicks_tj FOR SYSTEM_TIME AS OF f.ts AS d
+           ON f.user_id = d.user_id
+           ORDER BY f.event_id"""
+    )

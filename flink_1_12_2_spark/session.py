@@ -111,6 +111,12 @@ class EngineSession:
             reader = reader.option(k, v)
         reader.load(meta.path).createOrReplaceTempView(name)
 
+    def register_view_meta(self, name: str, meta: TableMeta) -> None:
+        """Attach registry metadata (event time / watermark / PK) to an
+        already-registered temp view without re-reading any path — e.g. a
+        versioned view used as the dim side of FOR SYSTEM_TIME AS OF."""
+        self._tables[name] = meta
+
     def register_testdata(self, sf_dir: str) -> None:
         """Register the driver's synthetic tables (TESTDATA.md) as temp views."""
         for t in TESTDATA_TABLES:
@@ -168,6 +174,10 @@ class EngineSession:
             out = execute_statement(self, query)
             if out is not None:
                 return out
+        if re.search(r"(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", query):
+            from flink_1_12_2_spark.sql.temporal import temporal_join_sql
+
+            return temporal_join_sql(self, query)
         if re.search(r"(?i)\bMATCH_RECOGNIZE\b", query):
             from flink_1_12_2_spark.sql.match_recognize import match_recognize
 
