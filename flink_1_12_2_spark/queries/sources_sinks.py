@@ -180,3 +180,62 @@ def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "statement_set_multi_sink",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(value) AS DOUBLE) AS total
+          FROM ev GROUP BY 1, 2)
+    SELECT 'hi' AS bucket, user_id, day, cnt, total FROM d WHERE cnt >= 3
+    UNION ALL
+    SELECT 'lo' AS bucket, user_id, day, cnt, total FROM d WHERE cnt < 3
+    ORDER BY bucket, user_id, day
+    """,
+    tags=("batch", "sink", "statement-set", "multi-sink"),
+)
+def statement_set_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatementSet multi-sink execution (StatementSetImpl /
+    StreamCommonSubGraphBasedOptimizer.doOptimize common-subgraph reuse):
+    one shared CREATE VIEW aggregation feeds two INSERT INTO filesystem
+    sinks; the shared view is persisted once (computed 1×, written 2×).
+    Verified by reading both sinks back and hash-matching the union."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_ss")
+    eng.sql(
+        """CREATE VIEW user_daily_ss AS
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  COUNT(*) AS cnt, SUM(value) AS total
+           FROM events_ss GROUP BY user_id, CAST(ts AS DATE)"""
+    )
+    hi_path, lo_path = _tmp("ss_hi_"), _tmp("ss_lo_")
+    eng.sql(
+        f"""CREATE TABLE sink_hi_ss (user_id BIGINT, day DATE, cnt BIGINT,
+            total DOUBLE) WITH ('connector'='filesystem',
+            'path'='{hi_path}', 'format'='parquet')"""
+    )
+    eng.sql(
+        f"""CREATE TABLE sink_lo_ss (user_id BIGINT, day DATE, cnt BIGINT,
+            total DOUBLE) WITH ('connector'='filesystem',
+            'path'='{lo_path}', 'format'='parquet')"""
+    )
+    ss = eng.create_statement_set()
+    ss.add_insert_sql(
+        "INSERT INTO sink_hi_ss SELECT user_id, day, cnt, total"
+        " FROM user_daily_ss WHERE cnt >= 3"
+    )
+    ss.add_insert_sql(
+        "INSERT INTO sink_lo_ss SELECT user_id, day, cnt, total"
+        " FROM user_daily_ss WHERE cnt < 3"
+    )
+    ss.execute()
+    hi = spark.read.parquet(hi_path).withColumn("bucket", F.lit("hi"))
+    lo = spark.read.parquet(lo_path).withColumn("bucket", F.lit("lo"))
+    return hi.unionByName(lo).select(
+        "bucket", "user_id", "day", "cnt", "total"
+    ).orderBy("bucket", "user_id", "day")

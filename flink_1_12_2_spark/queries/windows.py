@@ -415,3 +415,139 @@ def temporal_join_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
            ON f.user_id = d.user_id
            ORDER BY f.event_id"""
     )
+
+
+@query(
+    "window_count_evictor",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    b AS (SELECT *, time_bucket(INTERVAL '1 hour', ts) AS win_start FROM ev),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, win_start
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM b)
+    SELECT user_id, win_start,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM r WHERE rn <= 3
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("batch", "window", "evictor"),
+)
+def window_count_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountEvictor.of(3) on a tumbling 1h window (CountEvictor.java,
+    evictBefore): only the last 3 buffered elements per (user, window) reach
+    the aggregate. Pure window-function plan — one shuffle, no state."""
+    from flink_1_12_2_spark.operators.evictors import count_evictor
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("win", F.window("ts", "1 hour")).withColumn(
+        "win_start", F.col("win.start")
+    ).drop("win")
+    kept = count_evictor(
+        ev, ["user_id", "win_start"], ["ts", "event_id"], keep=3
+    )
+    return (
+        kept.groupBy("user_id", "win_start")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .orderBy("user_id", "win_start")
+    )
+
+
+@query(
+    "window_time_evictor",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    m AS (SELECT *, MAX(ts) OVER (PARTITION BY user_id) AS max_ts FROM ev)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kept_cnt,
+           CAST(SUM(value) AS DOUBLE) AS kept_sum
+    FROM m WHERE ts >= max_ts - INTERVAL 6 HOUR
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("batch", "window", "evictor"),
+)
+def window_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeEvictor.of(Time.hours(6)) on a per-user global window
+    (TimeEvictor.java): keep only elements within 6h of the newest buffered
+    element, then aggregate."""
+    from flink_1_12_2_spark.operators.evictors import time_evictor
+
+    ev = load(spark, sf_dir, "events")
+    kept = time_evictor(ev, ["user_id"], "ts", keep_seconds=6 * 3600)
+    return (
+        kept.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("kept_cnt"), F.sum("value").alias("kept_sum"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_delta_evictor",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    l AS (SELECT *, FIRST_VALUE(value) OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS last_val
+          FROM ev)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kept_cnt,
+           CAST(AVG(value) AS DOUBLE) AS kept_avg
+    FROM l WHERE ABS(value - last_val) < 25.0
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("batch", "window", "evictor"),
+)
+def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaEvictor.of(25.0, absDelta) on a per-user global window
+    (DeltaEvictor.java): evict elements whose delta vs the LAST buffered
+    element is >= threshold, then aggregate the survivors."""
+    from flink_1_12_2_spark.operators.evictors import delta_evictor
+
+    ev = load(spark, sf_dir, "events")
+    kept = delta_evictor(
+        ev, ["user_id"], ["ts", "event_id"], "value", threshold=25.0
+    )
+    return (
+        kept.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("kept_cnt"), F.avg("value").alias("kept_avg"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_delta_trigger",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    o AS (SELECT user_id, event_id, value, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM ev),
+    scan AS (
+      SELECT user_id, rn, value AS anchor, FALSE AS fired, event_id, value
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CASE WHEN ABS(o.value - s.anchor) > 40.0
+                  THEN o.value ELSE s.anchor END AS anchor,
+             ABS(o.value - s.anchor) > 40.0 AS fired,
+             o.event_id, o.value
+      FROM scan s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value
+    FROM scan WHERE fired ORDER BY user_id, event_id
+    """,
+    tags=("batch", "trigger", "stateful"),
+)
+def window_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaTrigger.onElement FIRE points (DeltaTrigger.java): anchor-reset
+    scan per user — fires when |value - last_fired_value| > 40, the firing
+    element becomes the new anchor. Sequential per key, so Arrow-batched
+    applyInPandas; the DuckDB oracle replays the same scan as a recursive
+    CTE."""
+    from flink_1_12_2_spark.operators.evictors import delta_trigger_fires
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    fired = delta_trigger_fires(
+        ev, ["user_id"], ["ts", "event_id"], "value", threshold=40.0
+    )
+    return fired.select("user_id", "event_id", "value").orderBy(
+        "user_id", "event_id"
+    )

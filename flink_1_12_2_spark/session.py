@@ -129,6 +129,18 @@ class EngineSession:
                     meta.primary_key = ("event_id",)
                 self.register_table(t, meta)
 
+    def register_sink(self, name: str, meta: TableMeta) -> None:
+        """Register a path-backed sink table without reading it (the path may
+        not exist yet — Flink's CREATE TABLE for a filesystem sink)."""
+        self._tables[name] = meta
+
+    def create_statement_set(self):
+        """Flink TableEnvironment.createStatementSet() — buffer N INSERTs,
+        execute as one unit with shared-view reuse (sql/statement_set.py)."""
+        from flink_1_12_2_spark.sql.statement_set import StatementSet
+
+        return StatementSet(self)
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
@@ -174,6 +186,9 @@ class EngineSession:
             out = execute_statement(self, query)
             if out is not None:
                 return out
+        if re.match(r"(?is)\s*INSERT\s+(INTO|OVERWRITE)\b", query):
+            # single-statement INSERT (Flink executeSql) = 1-element StatementSet
+            return self.create_statement_set().add_insert_sql(query).execute()
         if re.search(r"(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", query):
             from flink_1_12_2_spark.sql.temporal import temporal_join_sql
 

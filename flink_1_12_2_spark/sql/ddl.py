@@ -26,6 +26,7 @@ DDL-declared watermarks and runtime assignment (WatermarkAssignerOperator).
 
 from __future__ import annotations
 
+import os
 import re
 
 from flink_1_12_2_spark.session import EngineSession, TableMeta
@@ -167,6 +168,11 @@ def execute_ddl(engine: EngineSession, ddl: str):
     from pyspark.sql import functions as F
 
     name, schema, meta, _part, computed = parse_create_table(ddl)
+    if not os.path.exists(meta.path):
+        # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
+        # filesystem sink) — register metadata only, INSERT will create it
+        engine.register_sink(name, meta)
+        return engine.spark.createDataFrame([("OK",)], "result string")
     reader = engine.spark.read.format(meta.fmt)
     for k, v in meta.options.items():
         reader = reader.option(k, v)
