@@ -155,6 +155,54 @@ def iterate(
     return current
 
 
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    key_cols: list[str],
+    step: Callable[[DataFrame, DataFrame], tuple[DataFrame, DataFrame]],
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Delta iteration (DataSet.iterateDelta — DataSet.java:1234): the
+    workset/solution-set iteration behind Flink's ConnectedComponents
+    example (flink-examples-batch .../graph/ConnectedComponents.java).
+
+    Per superstep ``step(solution, workset) -> (delta, next_workset)``;
+    ``delta`` is key-merged into the solution (delta rows replace same-key
+    solution rows) and the loop ends when the workset is empty. The
+    ``next_workset.count()`` doubles as the materialization barrier, so a
+    superstep is one Spark job.
+
+    Scale notes: every superstep ``localCheckpoint``s its outputs — unlike
+    ``cache()`` this truncates the *logical plan* to a leaf, which is
+    mandatory here: the solution merge references the previous solution on
+    three paths, so an un-truncated plan grows ~3^N and the driver OOMs
+    just printing it around superstep 8. The merge is an anti-join on the
+    key (one shuffle, key-partitioned both sides so AQE can pick a
+    shuffled hash join). Worksets shrink monotonically, so late supersteps
+    cost ~nothing — the delta-iteration advantage over bulk ``iterate``.
+    On a real cluster swap ``localCheckpoint`` for reliable ``checkpoint``
+    if executor loss matters mid-iteration.
+    """
+    sol = solution.localCheckpoint(eager=True)
+    ws = workset.localCheckpoint(eager=True)
+    n_ws = ws.count()
+    for _ in range(max_iterations):
+        if n_ws == 0:
+            break
+        delta, nxt_ws = step(sol, ws)
+        delta = delta.localCheckpoint(eager=True)
+        nxt_ws = nxt_ws.localCheckpoint(eager=True)
+        n_ws = nxt_ws.count()
+        if delta.count() > 0:
+            sol = (
+                sol.join(delta.select(*key_cols), key_cols, "left_anti")
+                .unionByName(delta)
+                .localCheckpoint(eager=True)
+            )
+        ws = nxt_ws
+    return sol
+
+
 def pagerank(
     edges: DataFrame,
     num_iterations: int = 10,
