@@ -1,0 +1,154 @@
+"""Gelly-style graph facade — Graph<K,VV,EV> over two DataFrames.
+
+Flink parity: flink-libraries/flink-gelly/src/main/java/org/apache/flink/
+graph/Graph.java:85 (fromDataSet, getDegrees, reverse, getUndirected,
+subgraph, mapVertices/mapEdges, filterOnVertices, run(GraphAlgorithm));
+library algorithms under flink-gelly/.../library/ (ConnectedComponents,
+SingleSourceShortestPaths — both delta iterations — and PageRank).
+
+The GraphFrames pattern: vertices(id, ...) + edges(src, dst, ...) as plain
+DataFrames; every transformation is a DataFrame op, every algorithm is a
+driver-side (delta) iteration with localCheckpoint lineage truncation
+(operators/advanced.iterate / iterate_delta). At 100 TB: edges are the big
+table — pre-bucket them by src (sources/filesystem.write_bucketed) and every
+superstep's workset-join shuffles only the (small, shrinking) workset.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_12_2_spark.operators.advanced import iterate_delta, pagerank
+
+
+class Graph:
+    """vertices: (id, ...); edges: (src, dst[, weight])."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self.vertices = vertices
+        self.edges = edges
+
+    @staticmethod
+    def from_edges(edges: DataFrame) -> "Graph":
+        """fromDataSet parity — vertex set derived from edge endpoints."""
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return Graph(verts, edges)
+
+    # -- structure ----------------------------------------------------------
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        """getDegrees — in+out per vertex (0-degree vertices included)."""
+        both = self.edges.select(F.col("src").alias("id")).union(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return (
+            self.vertices.select("id")
+            .join(both.groupBy("id").agg(F.count(F.lit(1)).alias("degree")),
+                  "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+
+    def reverse(self) -> "Graph":
+        swapped = self.edges.withColumnRenamed("src", "__t").withColumnRenamed(
+            "dst", "src"
+        ).withColumnRenamed("__t", "dst")
+        return Graph(self.vertices, swapped.select(self.edges.columns))
+
+    def get_undirected(self) -> "Graph":
+        return Graph(
+            self.vertices, self.edges.unionByName(self.reverse().edges)
+        )
+
+    def subgraph(self, vertex_filter: Column, edge_filter: Column) -> "Graph":
+        """subgraph parity: keep vertices passing vertex_filter and edges
+        passing edge_filter whose BOTH endpoints survive."""
+        verts = self.vertices.filter(vertex_filter)
+        ids = verts.select("id")
+        edges = (
+            self.edges.filter(edge_filter)
+            .join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select(self.edges.columns)
+        )
+        return Graph(verts, edges)
+
+    def filter_on_vertices(self, cond: Column) -> "Graph":
+        return self.subgraph(cond, F.lit(True))
+
+    def map_vertices(self, **exprs: Column) -> "Graph":
+        v = self.vertices
+        for name, col in exprs.items():
+            v = v.withColumn(name, col)
+        return Graph(v, self.edges)
+
+    def map_edges(self, **exprs: Column) -> "Graph":
+        e = self.edges
+        for name, col in exprs.items():
+            e = e.withColumn(name, col)
+        return Graph(self.vertices, e)
+
+    # -- library algorithms (Gelly .../library/ parity) ---------------------
+    def run_pagerank(self, num_iterations: int = 10, damping: float = 0.85) -> DataFrame:
+        return pagerank(self.edges, num_iterations, damping)
+
+    def run_connected_components(self, max_iterations: int = 30) -> DataFrame:
+        """library/ConnectedComponents.java — delta iteration, min-id
+        label propagation over the undirected graph."""
+        edges = self.get_undirected().edges
+        verts = self.vertices.select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+
+        def step(solution: DataFrame, workset: DataFrame):
+            cand = (
+                edges.join(workset.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("cand"))
+            )
+            delta = (
+                solution.join(cand, "node")
+                .filter(F.col("cand") < F.col("component"))
+                .select("node", F.col("cand").alias("component"))
+            )
+            return delta, delta
+
+        return iterate_delta(verts, verts, ["node"], step, max_iterations)
+
+    def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
+        """library/SingleSourceShortestPaths.java — delta-iteration
+        relaxation; edges need a ``weight`` column. Unreachable vertices
+        are absent from the result (Gelly reports +inf; filter parity)."""
+        init = self.vertices.select(F.col("id").alias("node")).filter(
+            F.col("node") == source
+        ).select("node", F.lit(0.0).alias("dist"))
+
+        edges = self.edges
+
+        def step(solution: DataFrame, workset: DataFrame):
+            cand = (
+                edges.join(workset.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            )
+            improved = (
+                cand.join(solution, "node", "left")
+                .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                .select("node", F.col("cand").alias("dist"))
+            )
+            return improved, improved
+
+        return iterate_delta(init, init, ["node"], step, max_iterations)

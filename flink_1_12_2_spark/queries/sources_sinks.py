@@ -239,3 +239,55 @@ def statement_set_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.unionByName(lo).select(
         "bucket", "user_id", "day", "cnt", "total"
     ).orderBy("bucket", "user_id", "day")
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_custkey AS custkey, c_acctbal AS acctbal,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_acctbal
+    ORDER BY custkey
+    """,
+    tags=("batch", "sink", "bucketing", "scale"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: orders and customer are written bucketed
+    by the join key (8 buckets each), so the sort-merge join and the
+    following same-key aggregate run with NO Exchange on either big side
+    (the only shuffle left in the plan is the final ORDER BY). This is the
+    design for repeated 100 TB fact-dim joins: pay the bucketing shuffle
+    once at ingest. Plan asserted shuffle-free in tests/test_bucketed.py."""
+    from flink_1_12_2_spark.sources.filesystem import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ot, ct = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        ot, 8, ["o_custkey"], sorted_by=["o_custkey"],
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+        ),
+        ct, 8, ["o_custkey"], sorted_by=["o_custkey"],
+    )
+    orders_b, cust_b = spark.table(ot), spark.table(ct)
+    return (
+        orders_b.hint("merge")
+        .join(cust_b, "o_custkey")
+        .groupBy("o_custkey", "c_acctbal")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            "order_cnt",
+            "total",
+        )
+        .orderBy("custkey")
+    )

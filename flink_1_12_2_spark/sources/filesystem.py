@@ -58,6 +58,28 @@ def write_table(
     writer.mode("overwrite" if overwrite else "append").save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key_cols: list[str],
+    sorted_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (hash-partitioned files + metastore metadata).
+
+    The 100 TB co-location path: two tables bucketed the same way on the
+    join key sort-merge-join with ZERO Exchange on either side — the
+    shuffle is paid once at write time and amortized over every later
+    join/aggregate on that key. Flink's equivalent knob is the planner
+    reusing an existing hash distribution across stages (Exchange reuse);
+    Spark persists the distribution in the table itself.
+    """
+    writer = df.write.format("parquet").bucketBy(buckets, *key_cols)
+    if sorted_by:
+        writer = writer.sortBy(*sorted_by)
+    writer.mode("overwrite").saveAsTable(table)
+
+
 def read_table(
     spark: SparkSession,
     path: str,
