@@ -222,6 +222,15 @@ FLINK_FUNCTIONS: dict[str, object] = {
     "FLOOR_TO": lambda ts, unit: F.date_trunc(unit, _c(ts)),
     "CURRENT_DATE": F.current_date, "CURRENT_TIMESTAMP": F.current_timestamp,
     "LOCALTIMESTAMP": F.localtimestamp, "NOW": F.current_timestamp,
+    # Flink TIME → millis-of-day int (§1.2: Spark has no TIME type)
+    "CURRENT_TIME": lambda: (
+        (F.unix_micros(F.current_timestamp())
+         - F.unix_micros(F.date_trunc("DAY", F.current_timestamp()))) / 1000
+    ).cast("int"),
+    "LOCALTIME": lambda: (
+        (F.unix_micros(F.localtimestamp().cast("timestamp"))
+         - F.unix_micros(F.date_trunc("DAY", F.localtimestamp().cast("timestamp")))) / 1000
+    ).cast("int"),
     "UNIX_TIMESTAMP": F.unix_timestamp, "FROM_UNIXTIME": from_unixtime,
     "TO_DATE": F.to_date, "TO_TIMESTAMP": F.to_timestamp, "DATE_FORMAT": F.date_format,
     "CONVERT_TZ": F.convert_timezone if hasattr(F, "convert_timezone") else None,

@@ -102,6 +102,15 @@ class EngineSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._tables: dict[str, TableMeta] = {}
+        # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
+        # of the front-door dialect — register once per session (idempotent,
+        # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
+        # time). TableEnvironment does the same via its function catalog.
+        from flink_1_12_2_spark.functions.registry import (
+            register_flink_sql_functions,
+        )
+
+        register_flink_sql_functions(self.spark)
 
     # -- registry -----------------------------------------------------------
     def register_table(self, name: str, meta: TableMeta) -> None:
@@ -189,6 +198,10 @@ class EngineSession:
         if re.match(r"(?is)\s*INSERT\s+(INTO|OVERWRITE)\b", query):
             # single-statement INSERT (Flink executeSql) = 1-element StatementSet
             return self.create_statement_set().add_insert_sql(query).execute()
+        if re.match(r"(?is)\s*EXPLAIN\b", query):
+            return self.explain_sql(
+                re.sub(r"(?is)^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?", "", query)
+            )
         if re.search(r"(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", query):
             from flink_1_12_2_spark.sql.temporal import temporal_join_sql
 
@@ -203,3 +216,19 @@ class EngineSession:
         from flink_1_12_2_spark.sql.rewriter import rewrite
 
         return self.spark.sql(rewrite(query))
+
+    def explain_sql(self, query: str) -> DataFrame:
+        """EXPLAIN [PLAN FOR] — TableEnvironment.explainSql parity
+        (TableEnvironmentImpl.java; Flink returns one row holding the
+        abstract-syntax + optimized + physical plan text). We return the
+        Catalyst parsed/analyzed/optimized/physical rendering, which is
+        the same three-section story."""
+        from flink_1_12_2_spark.sql.rewriter import rewrite
+
+        df = self.spark.sql(rewrite(query))
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        return self.spark.createDataFrame([(plan,)], "plan string")

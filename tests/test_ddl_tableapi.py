@@ -138,3 +138,28 @@ def test_catalog_statements(spark, sf_dir):
     eng.sql("DROP TABLE cat_u")
     names3 = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
     assert "cat_u" not in names3
+
+
+def test_explain_statement(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_ex")
+    out = eng.sql(
+        "EXPLAIN PLAN FOR SELECT n_regionkey, COUNT(*) AS c "
+        "FROM nation_ex GROUP BY n_regionkey"
+    )
+    txt = out.collect()[0]["plan"]
+    for section in (
+        "Parsed Logical Plan",
+        "Analyzed Logical Plan",
+        "Optimized Logical Plan",
+        "Physical Plan",
+    ):
+        assert section in txt
+    # the rewrite pass must apply before explaining (Flink-dialect input)
+    txt2 = eng.sql(
+        "EXPLAIN SELECT SPLIT_INDEX(n_name, 'A', 0) AS p FROM nation_ex"
+    ).collect()[0]["plan"]
+    assert "Physical Plan" in txt2
