@@ -568,3 +568,155 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ltz_to_ntz_utc(F.col("win.end")).alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_interval_join_left_outer",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.event_type AS left_type, b.event_type AS right_type
+    FROM ev a LEFT JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '2 minutes'
+    ORDER BY left_id, right_id
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join on two streams (TimeIntervalJoin.java:53
+    outer emission / StreamExecIntervalJoin): unmatched left rows emit
+    once the watermark proves no in-range right row can arrive. Sentinel
+    end-of-input batches raise the watermark past every real row (Flink's
+    MAX_WATERMARK at end of bounded input), else the tail stays withheld
+    in state forever on a drained source."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    a = stream_events_multibatch(
+        spark, sf_dir, n_files=2, watermark=None, flush_sentinels=True
+    ).select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("l_uid"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("left_type"),
+    ).withWatermark("l_ts", "10 minutes")
+    b = stream_events_multibatch(
+        spark, sf_dir, n_files=2, watermark=None, flush_sentinels=True
+    ).select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("right_type"),
+    ).withWatermark("r_ts", "10 minutes")
+    j = a.join(
+        b,
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "left_outer",
+    ).select("left_id", "right_id", "left_type", "right_type")
+    out = run_to_memory(j, output_mode="append")
+    return (
+        out.filter(F.col("left_id") != -1)
+        .orderBy("left_id", "right_id")
+    )
+
+
+@query(
+    "stream_join_semi",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT a.event_id, a.user_id, a.event_type
+    FROM ev a
+    WHERE EXISTS (SELECT 1 FROM ev b
+                  WHERE a.user_id = b.user_id
+                    AND b.event_type = 'purchase'
+                    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes')
+    ORDER BY event_id
+    """,
+    tags=("streaming", "join", "semi"),
+)
+def stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LEFT SEMI interval join (StreamingSemiAntiJoinOperator.java
+    :217 / IN-EXISTS rewrite): clicks followed by a purchase within 5
+    minutes, each left row emitted at most once — SS-native left_semi
+    stream-stream join with a time-range condition."""
+    a = stream_events(spark, sf_dir, watermark=None).select(
+        "event_id",
+        F.col("user_id").alias("l_uid"),
+        F.col("ts").alias("l_ts"),
+        "event_type",
+    ).withWatermark("l_ts", "10 minutes")
+    b = stream_events(spark, sf_dir, watermark=None).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts")
+    ).withWatermark("r_ts", "10 minutes")
+    j = a.join(
+        b,
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_semi",
+    ).select("event_id", F.col("l_uid").alias("user_id"), "event_type")
+    return run_to_memory(j, output_mode="append").orderBy("event_id")
+
+
+@query(
+    "stream_join_anti",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT a.event_id, a.user_id, a.event_type
+    FROM ev a
+    WHERE a.event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM ev b
+                      WHERE a.user_id = b.user_id
+                        AND b.event_type = 'purchase'
+                        AND b.ts > a.ts
+                        AND b.ts <= a.ts + INTERVAL '2 minutes')
+    ORDER BY event_id
+    """,
+    tags=("streaming", "join", "anti"),
+)
+def stream_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANTI interval join (StreamingSemiAntiJoinOperator.java):
+    clicks NOT followed by a purchase within 2 minutes. SS has no
+    stream-stream left_anti — the engine rewrites it as the watermarked
+    LEFT OUTER interval join filtered to null right (the same rewrite
+    Flink's SEMI_JOIN_RULES apply in reverse), with sentinel end-of-input
+    flush so tail rows get their verdict."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    a = stream_events_multibatch(
+        spark, sf_dir, n_files=2, watermark=None, flush_sentinels=True
+    ).filter(F.col("event_type").isin("click") | (F.col("event_id") == -1)).select(
+        "event_id",
+        F.col("user_id").alias("l_uid"),
+        F.col("ts").alias("l_ts"),
+        "event_type",
+    ).withWatermark("l_ts", "10 minutes")
+    b = stream_events_multibatch(
+        spark, sf_dir, n_files=2, watermark=None, flush_sentinels=True
+    ).filter(
+        # keep the sentinel rows (NULL event_type): dropping them would
+        # freeze the right-side watermark at the last real purchase and
+        # withhold tail anti-verdicts forever
+        (F.col("event_type") == "purchase") | (F.col("event_id") == -1)
+    ).select(
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("right_id"),
+    ).withWatermark("r_ts", "10 minutes")
+    j = a.join(
+        b,
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 2 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_memory(j, output_mode="append")
+    return (
+        out.filter(F.col("right_id").isNull() & (F.col("event_id") != -1))
+        .select("event_id", F.col("l_uid").alias("user_id"), "event_type")
+        .orderBy("event_id")
+    )
