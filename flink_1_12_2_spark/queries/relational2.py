@@ -440,3 +440,33 @@ def datastream_rolling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "sql_front_door_window_tvf",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+             AS window_end,
+           user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev GROUP BY 1, 2, 3 ORDER BY window_start, user_id
+    """,
+    tags=("batch", "sql", "window", "tvf", "rewriter"),
+)
+def sql_front_door_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window TVF syntax (FlinkSqlOperatorTable DESCRIPTOR/TUMBLE
+    polymorphic table function — the 1.12+ replacement for group windows):
+    ``FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE))``
+    rewritten to a derived table with window() projection; window_start/
+    window_end become plain grouping columns, exactly the TVF contract."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_tvf_fd")
+    q = rewrite(
+        "SELECT window_start, window_end, user_id, COUNT(*) AS cnt, "
+        "SUM(`value`) AS total_value "
+        "FROM TABLE(TUMBLE(TABLE events_tvf_fd, DESCRIPTOR(ts), "
+        "INTERVAL '10' MINUTE)) "
+        "GROUP BY window_start, window_end, user_id"
+    )
+    return spark.sql(q).orderBy("window_start", "user_id")

@@ -52,9 +52,51 @@ _HOP = re.compile(
 _SESSION = re.compile(r"(?is)\bSESSION\s*\(\s*([^,]+?)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)")
 
 
+# Window TVFs (FlinkSqlOperatorTable DESCRIPTOR/TUMBLE/HOP polymorphic table
+# functions): TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size)) appends
+# window_start/window_end columns to every row. Spark's window() expression
+# in a projection does exactly this (the TimeWindowing rule expands sliding
+# windows via Expand), so the rewrite is a derived table.
+_TVF_TUMBLE = re.compile(
+    r"(?is)\bTABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)"
+)
+_TVF_HOP = re.compile(
+    r"(?is)\bTABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*,\s*"
+    r"(INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)"
+)
+
+
+def _tvf_subquery(table: str, col: str, size: str, slide: str | None = None) -> str:
+    win = (
+        f"window({col}, {size}, {slide})" if slide is not None else f"window({col}, {size})"
+    )
+    return (
+        f"(SELECT *, w.start AS window_start, w.end AS window_end "
+        f"FROM (SELECT *, {win} AS w FROM {table}))"
+    )
+
+
 def rewrite(query: str) -> str:
     """Rewrite Flink SQL idioms into Spark SQL. Pass-through otherwise."""
     q = query
+
+    # Window TVFs before group windows (their text also matches _TUMBLE/_HOP).
+    q = _TVF_HOP.sub(
+        lambda m: _tvf_subquery(
+            m.group(1), m.group(2),
+            _interval_to_duration(m.group(4)),  # HOP(…, slide, size)
+            _interval_to_duration(m.group(3)),
+        ),
+        q,
+    )
+    q = _TVF_TUMBLE.sub(
+        lambda m: _tvf_subquery(
+            m.group(1), m.group(2), _interval_to_duration(m.group(3))
+        ),
+        q,
+    )
 
     # Window auxiliary functions first (they mention TUMBLE_/HOP_/SESSION_).
     q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_START\s*\([^)]*\)", "window.start", q)
