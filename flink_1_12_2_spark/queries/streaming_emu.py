@@ -720,3 +720,42 @@ def stream_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("l_uid").alias("user_id"), "event_type")
         .orderBy("event_id")
     )
+
+
+@query(
+    "match_recognize_skip_to_next",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT c.user_id, c.event_id AS first_event_id, p.event_id AS last_event_id,
+           epoch_us(c.ts) AS first_ts_us, epoch_us(p.ts) AS last_ts_us
+    FROM ev c, LATERAL (
+      SELECT p2.event_id, p2.ts FROM ev p2
+      WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
+        AND (p2.ts > c.ts OR (p2.ts = c.ts AND p2.event_id > c.event_id))
+      ORDER BY p2.ts, p2.event_id LIMIT 1) p
+    WHERE c.event_type = 'click'
+    ORDER BY user_id, first_event_id
+    """,
+    tags=("batch", "cep", "sql", "skip-strategy"),
+)
+def match_recognize_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (AfterMatchSkipStrategy.skipToNext —
+    flink-libraries/flink-cep .../nfa/aftermatch/): overlapping matches,
+    one per distinct start row. For pattern (click → purchase) this is
+    SQL-expressible as 'each click paired with its first subsequent
+    purchase' (lateral top-1), giving CEP its first hash-verified oracle
+    (the default skip-past-last-row consumes rows disjointly and has no
+    closed form)."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")

@@ -83,10 +83,20 @@ class Pattern:
 
     steps: list[Step] = field(default_factory=list)
     within_us: int | None = None
+    skip: str = "past_last"  # AfterMatchSkipStrategy: past_last | to_next
 
     @staticmethod
     def begin(name: str, pred: Predicate) -> "Pattern":
         return Pattern(steps=[Step(name, pred)])
+
+    def skip_to_next_row(self) -> "Pattern":
+        """AFTER MATCH SKIP TO NEXT ROW (AfterMatchSkipStrategy.skipToNext):
+        after a completed match, scanning resumes at the row AFTER the
+        match's first row — overlapping matches with distinct starts are
+        all reported (vs the skip-past-last-row default's disjoint
+        matches)."""
+        self.skip = "to_next"
+        return self
 
     def followed_by(self, name: str, pred: Predicate) -> "Pattern":
         self.steps.append(Step(name, pred))
@@ -158,7 +168,7 @@ CEP_STATE = StructType([StructField("partial_json", StringType())])
 
 
 def _empty_state() -> dict:
-    return {"rows": [], "step_idx": 0, "loop_count": 0}
+    return {"rows": [], "step_idx": 0, "loop_count": 0, "seen": []}
 
 
 def _match_events(
@@ -173,15 +183,22 @@ def _match_events(
     partial (negative step fired / within expired / broken consecutive loop)
     resets, and the killing row gets one fresh retry as a new step-0 row.
     """
+    from collections import deque
+
     steps = pattern.steps
     matches: list[tuple] = []
     cur = state if state and "rows" in state else _empty_state()
+    cur.setdefault("seen", [])
+    replay: list[dict] = []
 
     def reset() -> None:
         cur["rows"], cur["step_idx"], cur["loop_count"] = [], 0, 0
+        cur["seen"] = []
 
     def consume(j: int, row: dict) -> None:
         step = steps[j]
+        if not cur["seen"] or cur["seen"][-1] is not row:
+            cur["seen"].append(row)
         cur["rows"].append(row)
         if step.is_loop:
             cur["loop_count"] = (
@@ -197,9 +214,16 @@ def _match_events(
             matches.append(
                 (m[0]["event_id"], m[-1]["event_id"], m[0]["ts_us"], m[-1]["ts_us"])
             )
+            if pattern.skip == "to_next":
+                # SKIP TO NEXT ROW: rescan everything after the match's
+                # first row, INCLUDING rows the match skipped over
+                # (relaxed contiguity) — hence "seen", not "rows".
+                replay.extend(cur["seen"][1:])
             reset()
 
-    for row in rows:
+    queue = deque(rows)
+    while queue:
+        row = queue.popleft()
         for _attempt in range(2):  # second pass only after a kill/reset
             if (
                 cur["rows"]
@@ -280,7 +304,13 @@ def _match_events(
                 if had_prefix:
                     continue  # retry the killing row as a fresh step-0 row
             break
-        # relaxed contiguity: rows matching nothing are skipped silently
+        # relaxed contiguity: rows matching nothing are skipped silently —
+        # but an active partial records them ("seen") for SKIP TO NEXT ROW
+        if cur["rows"] and cur["seen"][-1] is not row:
+            cur["seen"].append(row)
+        if replay:
+            queue.extendleft(reversed(replay))
+            replay.clear()
     return matches, cur
 
 
@@ -362,6 +392,15 @@ def cep_pattern_matches(
                         ],
                         "step_idx": new_state["step_idx"],
                         "loop_count": new_state["loop_count"],
+                        # SKIP TO NEXT ROW needs the skipped-over rows of an
+                        # in-flight partial across micro-batch boundaries
+                        "seen": [
+                            {
+                                k: p.get(k)
+                                for k in ("event_id", "ts_us", "event_type")
+                            }
+                            for p in new_state.get("seen", [])
+                        ],
                     }
                 ),
             )

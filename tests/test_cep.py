@@ -351,3 +351,44 @@ def test_match_recognize_trailing_quantifier_rejected():
                  PARTITION BY u ORDER BY ts PATTERN (A B+)
                  DEFINE A AS t = 'a', B AS t = 'b')"""
         )
+
+
+def test_skip_to_next_row_overlapping():
+    # A1 A2 B: past-last yields (A1,B); to-next also yields (A2,B)
+    rows = _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")])
+    m_default, _ = _match_events(rows, _pat(), None)
+    assert m_default == [(1, 3, 10, 30)]
+    m_next, _ = _match_events(rows, _pat().skip_to_next_row(), None)
+    assert m_next == [(1, 3, 10, 30), (2, 3, 20, 30)]
+
+
+def test_skip_to_next_replays_skipped_rows():
+    # the second A is NOT consumed by the first match (relaxed contiguity
+    # skips it at step b) — replay must still see it
+    rows = _rows([(1, 10, "A"), (2, 15, "X"), (3, 20, "A"), (4, 30, "B"),
+                  (5, 40, "A"), (6, 50, "B")])
+    m, _ = _match_events(rows, _pat().skip_to_next_row(), None)
+    assert m == [(1, 4, 10, 30), (3, 4, 20, 30), (5, 6, 40, 50)]
+
+
+def test_skip_to_next_with_quantifier():
+    # A+ B greedy: matches restart at every later A
+    p = (
+        Pattern.begin("a", lambda r: r["event_type"] == "A")
+        .one_or_more()
+        .greedy()
+        .followed_by("b", lambda r: r["event_type"] == "B")
+        .skip_to_next_row()
+    )
+    rows = _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")])
+    m, _ = _match_events(rows, p, None)
+    assert m == [(1, 3, 10, 30), (2, 3, 20, 30)]
+
+
+def test_skip_to_next_state_roundtrip():
+    # split across "micro-batches": partial with a skipped row carries seen
+    p = _pat().skip_to_next_row()
+    m1, st = _match_events(_rows([(1, 10, "A"), (2, 15, "A")]), p, None)
+    assert m1 == []
+    m2, _ = _match_events(_rows([(3, 20, "B")]), p, st)
+    assert m2 == [(1, 3, 10, 20), (2, 3, 15, 20)]
