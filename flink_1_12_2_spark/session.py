@@ -186,8 +186,9 @@ class EngineSession:
 
             return execute_ddl(self, query)
         if re.match(
-            r"(?is)\s*(SHOW\s+TABLES|DESCRIBE|DROP\s+(TABLE|VIEW)|"
-            r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW)\b",
+            r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE)|"
+            r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW|"
+            r"CREATE\s+DATABASE|USE\s+\w+)\s*",
             query,
         ):
             from flink_1_12_2_spark.sql.ddl import execute_statement

@@ -207,6 +207,18 @@ _CREATE_VIEW = re.compile(
     r"(\w+)\s+AS\s+(.*)$"
 )
 _DROP_VIEW = re.compile(r"(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$")
+_SHOW_DATABASES = re.compile(r"(?is)^\s*SHOW\s+DATABASES\s*;?\s*$")
+_SHOW_CURRENT_DB = re.compile(r"(?is)^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$")
+_SHOW_CATALOGS = re.compile(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$")
+_SHOW_VIEWS = re.compile(r"(?is)^\s*SHOW\s+VIEWS\s*;?\s*$")
+_SHOW_FUNCTIONS = re.compile(r"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*;?\s*$")
+_CREATE_DATABASE = re.compile(
+    r"(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$"
+)
+_DROP_DATABASE = re.compile(
+    r"(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)(\s+CASCADE)?\s*;?\s*$"
+)
+_USE_DB = re.compile(r"(?is)^\s*USE\s+(\w+)\s*;?\s*$")
 
 
 def execute_statement(engine: EngineSession, stmt: str):
@@ -248,5 +260,47 @@ def execute_statement(engine: EngineSession, stmt: str):
     m = _DROP_VIEW.match(stmt)
     if m:
         spark.catalog.dropTempView(m.group(1))
+        return _ok()
+    # -- database / catalog statements (SqlCreateDatabase / dql/SqlShow*) ---
+    if _SHOW_DATABASES.match(stmt):
+        return spark.sql("SHOW DATABASES").withColumnRenamed(
+            "namespace", "database_name"
+        )
+    if _SHOW_CURRENT_DB.match(stmt):
+        return spark.createDataFrame(
+            [(spark.catalog.currentDatabase(),)], "database_name string"
+        )
+    if _SHOW_CATALOGS.match(stmt):
+        return spark.sql("SHOW CATALOGS").withColumnRenamed(
+            "catalog", "catalog_name"
+        )
+    if _SHOW_VIEWS.match(stmt):
+        views = sorted(
+            v.name
+            for v in spark.catalog.listTables()
+            if v.isTemporary and v.name not in engine._tables
+        )
+        return spark.createDataFrame(
+            [(v,) for v in views] or [], "view_name string"
+        )
+    if _SHOW_FUNCTIONS.match(stmt):
+        from flink_1_12_2_spark.functions.registry import FLINK_FUNCTIONS
+
+        return spark.createDataFrame(
+            [(n,) for n in sorted(FLINK_FUNCTIONS)], "function_name string"
+        )
+    m = _CREATE_DATABASE.match(stmt)
+    if m:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {m.group(1)}")
+        return _ok()
+    m = _DROP_DATABASE.match(stmt)
+    if m:
+        spark.sql(
+            f"DROP DATABASE IF EXISTS {m.group(1)}{m.group(2) or ''}"
+        )
+        return _ok()
+    m = _USE_DB.match(stmt)
+    if m:
+        spark.sql(f"USE {m.group(1)}")
         return _ok()
     return None

@@ -163,3 +163,29 @@ def test_explain_statement(spark, sf_dir):
         "EXPLAIN SELECT SPLIT_INDEX(n_name, 'A', 0) AS p FROM nation_ex"
     ).collect()[0]["plan"]
     assert "Physical Plan" in txt2
+
+
+def test_database_and_show_statements(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    assert eng.sql("CREATE DATABASE dbx").collect()[0].result == "OK"
+    dbs = {r.database_name for r in eng.sql("SHOW DATABASES").collect()}
+    assert "dbx" in dbs and "default" in dbs
+    assert eng.sql("USE dbx").collect()[0].result == "OK"
+    cur = eng.sql("SHOW CURRENT DATABASE").collect()[0].database_name
+    assert cur == "dbx"
+    eng.sql("USE default")
+    assert eng.sql("DROP DATABASE dbx").collect()[0].result == "OK"
+    cats = {r.catalog_name for r in eng.sql("SHOW CATALOGS").collect()}
+    assert "spark_catalog" in cats
+
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_sv")
+    eng.sql("CREATE VIEW v_sv AS SELECT n_name FROM nation_sv")
+    views = {r.view_name for r in eng.sql("SHOW VIEWS").collect()}
+    assert "v_sv" in views
+    eng.sql("DROP VIEW v_sv")
+
+    fns = {r.function_name for r in eng.sql("SHOW FUNCTIONS").collect()}
+    assert {"SPLIT_INDEX", "SUM0", "LISTAGG"} <= fns
