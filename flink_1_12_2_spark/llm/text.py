@@ -125,3 +125,31 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Training-corpus text normalization: lowercase, collapse whitespace
+    runs, strip leading/trailing space. Pure Catalyst expression chain —
+    JVM-side, codegen'd, no Python in the hot path (the 100 TB
+    requirement for a pass that touches every byte of the corpus)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# PII patterns: deliberately simple, deterministic, RE2-compatible (no
+# lookarounds) so the DuckDB oracle can replicate them exactly.
+PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{3}[-. ]){2}\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace common PII shapes with typed placeholder tokens (the
+    standard pre-training scrub pass). Patterns apply in a fixed order so
+    overlapping shapes resolve deterministically cross-engine."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -161,3 +161,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("batch", "llm", "text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (lowercase + whitespace collapse + trim) —
+    pure JVM expression chain over every document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.normalize_text(F.col("text")).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    inject = (
+        "substr(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR) || "
+        "'@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || ' call 555-123-4567 ssn 123-45-6789'"
+    )
+    expr = inject
+    for pat, repl in T.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents ORDER BY doc_id"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=_pii_oracle(),
+    tags=("batch", "llm", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/SSN/phone/IP → typed placeholders): documents
+    are salted with synthetic PII derived from doc_id (the raw corpus has
+    none), then scrubbed with the shared ``PII_PATTERNS`` — oracle applies
+    the identical patterns in the identical order."""
+    docs = load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" mail u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-123-4567 ssn 123-45-6789"),
+    )
+    return docs.select(
+        "doc_id", T.scrub_pii(injected).alias("scrubbed")
+    ).orderBy("doc_id")
