@@ -759,3 +759,41 @@ def match_recognize_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
       DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
     )"""
     return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
+@query(
+    "match_recognize_measures",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT c.user_id, c.event_id AS first_event_id, p.event_id AS last_event_id,
+           epoch_us(c.ts) AS first_ts_us, epoch_us(p.ts) AS last_ts_us,
+           c.value AS click_value, p.value AS purchase_value
+    FROM ev c, LATERAL (
+      SELECT p2.event_id, p2.ts, p2.value FROM ev p2
+      WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
+        AND (p2.ts > c.ts OR (p2.ts = c.ts AND p2.event_id > c.event_id))
+      ORDER BY p2.ts, p2.event_id LIMIT 1) p
+    WHERE c.event_type = 'click'
+    ORDER BY user_id, first_event_id
+    """,
+    tags=("batch", "cep", "sql", "measures"),
+)
+def match_recognize_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES clause (FIRST(col)/LAST(col) match-level accessors —
+    MatchCodeGenerator measure projection in StreamExecMatch): the matched
+    rows' payload columns surface in the output via key-partitioned joins
+    back to the input."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(value) AS click_value, LAST(value) AS purchase_value
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")

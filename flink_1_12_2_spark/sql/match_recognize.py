@@ -6,7 +6,7 @@ Supported subset (mirrors streaming/cep.py's NFA scope):
     SELECT * FROM <table> MATCH_RECOGNIZE (
       PARTITION BY <col>
       ORDER BY <col>
-      MEASURES FIRST_ID() AS <alias1>, LAST_ID() AS <alias2>   -- fixed set
+      MEASURES FIRST(col) AS a, LAST(col) AS b   -- match-level accessors
       PATTERN (A B [C ...])          -- linear, relaxed contiguity
       WITHIN INTERVAL '<n>' <unit>   -- optional
       DEFINE A AS <col> = '<lit>', B AS <col> = '<lit>' [, ...]
@@ -109,9 +109,36 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     return m.group("part"), m.group("order"), pat.validate()
 
 
+_MEASURE = re.compile(r"(?is)(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)")
+
+
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     """Execute a restricted MATCH_RECOGNIZE statement against ``df`` (batch).
     Returns (user_id, first_event_id, last_event_id, first_ts_us, last_ts_us)
-    per match — one row per completed match, skip-past-last-row."""
+    per match — one row per completed match; AFTER MATCH SKIP PAST LAST ROW
+    (default) or SKIP TO NEXT ROW.
+
+    MEASURES subset: ``FIRST(col) AS alias`` / ``LAST(col) AS alias``
+    project a column of the match's first/last row (match-level, not
+    per-pattern-variable). Implemented as joins from the match summary back
+    to the input on (partition, event_id) — the NFA stays measure-agnostic
+    and the join is key-partitioned on both sides."""
+    import pyspark.sql.functions as F
+
+    m = _MR.search(sql)
     part, order, pat = parse_match_recognize(sql)
-    return cep_match_batch(df, pat, key_col=part, time_col=order)
+    out = cep_match_batch(df, pat, key_col=part, time_col=order)
+    measures = _MEASURE.findall(m.group("measures") or "") if m else []
+    for which, col, alias in measures:
+        anchor = f"{which.lower()}_event_id"
+        side = df.select(
+            F.col(part).alias("__mk"),
+            F.col("event_id").alias("__mid"),
+            F.col(col).alias(alias),
+        )
+        out = out.join(
+            side,
+            (out[part] == side["__mk"]) & (out[anchor] == side["__mid"]),
+            "left",
+        ).drop("__mk", "__mid")
+    return out
