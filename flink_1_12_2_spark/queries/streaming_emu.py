@@ -797,3 +797,43 @@ def match_recognize_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
       DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
     )"""
     return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_cumulate",
+    oracle=f"""
+    {_EV_CTE},
+    base AS (
+      SELECT value, epoch_us(ts) // 1000000 AS ts_s,
+             (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 7200)
+               AS ws
+      FROM ev),
+    expanded AS (
+      SELECT value, ws, we
+      FROM base, unnest(generate_series(ws + 1800, ws + 7200, 1800)) AS u(we)
+      WHERE we > ts_s)
+    SELECT to_timestamp(ws)::TIMESTAMP AS win_start,
+           to_timestamp(we)::TIMESTAMP AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY ws, we ORDER BY win_start, win_end
+    """,
+    tags=("streaming", "window", "cumulate"),
+)
+def stream_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE on a real stream: the assigner is a stateless explode
+    (sequence of window ends), so streaming needs no custom state — the
+    exploded rows feed a normal streaming agg (complete mode). This is the
+    Spark shape of Flink's CumulativeWindowAssigner firing early partials:
+    every step-aligned window end is a separate group."""
+    from flink_1_12_2_spark.operators.advanced import cumulate_window
+
+    ev = stream_events(spark, sf_dir)
+    # LTZ → NTZ-UTC before windowing so bounds are tz-independent
+    ev = ev.withColumn("ts_ntz", ltz_to_ntz_utc(F.col("ts")))
+    w = cumulate_window(ev, "ts_ntz", step_seconds=1800, size_seconds=7200)
+    agg = w.groupBy("win_start", "win_end").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value")
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.orderBy("win_start", "win_end")
