@@ -163,10 +163,57 @@ def parse_create_table(
     return head.group("name"), schema, meta, partition_cols, computed
 
 
+_CREATE_LIKE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:\(\s*\))?\s*"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(\w+)\s*"
+    r"(?:\(\s*(?P<likeopts>[^)]*)\)\s*)?;?\s*$"
+)
+_OPT_PAIR = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+
+
+def _create_table_like(engine: EngineSession, m: "re.Match"):
+    """CREATE TABLE new [WITH (...)] LIKE base (SqlTableLike.java): clone the
+    base table's registry metadata (path/format/watermark/PK), with WITH
+    options overriding — Flink's OVERWRITING OPTIONS merge strategy. The
+    new table is immediately queryable (same view definition)."""
+    import dataclasses
+
+    new, base = m.group(1), m.group(3)
+    base_meta = engine.meta(base)
+    if base_meta is None:
+        raise ValueError(f"LIKE source table {base!r} is not registered")
+    overrides = dict(
+        _OPT_PAIR.findall((m.group("opts") or "") + (m.group("likeopts") or ""))
+    )
+    meta = dataclasses.replace(
+        base_meta,
+        path=overrides.get("path", base_meta.path),
+        fmt=overrides.get("format", base_meta.fmt),
+        options={
+            **base_meta.options,
+            **{
+                k: v
+                for k, v in overrides.items()
+                if k not in ("connector", "path", "format")
+            },
+        },
+    )
+    if os.path.exists(meta.path):
+        engine.register_table(new, meta)
+    else:
+        engine.register_sink(new, meta)
+    return engine.spark.createDataFrame([("OK",)], "result string")
+
+
 def execute_ddl(engine: EngineSession, ddl: str):
     """Execute a CREATE TABLE statement against the engine's registry."""
     from pyspark.sql import functions as F
 
+    like = _CREATE_LIKE.match(ddl)
+    if like:
+        return _create_table_like(engine, like)
     name, schema, meta, _part, computed = parse_create_table(ddl)
     if not os.path.exists(meta.path):
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a

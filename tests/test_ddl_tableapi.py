@@ -189,3 +189,32 @@ def test_database_and_show_statements(spark, sf_dir):
 
     fns = {r.function_name for r in eng.sql("SHOW FUNCTIONS").collect()}
     assert {"SPLIT_INDEX", "SUM0", "LISTAGG"} <= fns
+
+
+def test_create_table_like(spark, sf_dir):
+    """CREATE TABLE ... LIKE (SqlTableLike.java): metadata clone with
+    OVERWRITING OPTIONS merge."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        f"""CREATE TABLE like_base (
+              event_id BIGINT, ts TIMESTAMP_LTZ, user_id BIGINT,
+              event_type STRING, value DOUBLE, props STRING,
+              WATERMARK FOR ts AS ts - INTERVAL '7' MINUTE
+            ) WITH ('connector'='filesystem',
+                    'path'='{sf_dir}/events.parquet', 'format'='parquet')"""
+    )
+    eng.sql("CREATE TABLE like_clone LIKE like_base")
+    meta = eng.meta("like_clone")
+    assert meta.event_time_col == "ts" and meta.watermark_delay == "7 minutes"
+    assert meta.path.endswith("events.parquet")
+    assert spark.table("like_clone").count() == spark.table("like_base").count()
+    # option override: new path that doesn't exist yet → sink registration
+    eng.sql(
+        "CREATE TABLE like_sink WITH ('path'='/tmp/like_sink_nope') "
+        "LIKE like_base"
+    )
+    meta2 = eng.meta("like_sink")
+    assert meta2.path == "/tmp/like_sink_nope"
+    assert meta2.watermark_delay == "7 minutes"
