@@ -94,6 +94,8 @@ class TableMeta:
     watermark_delay: str | None = None  # e.g. "10 minutes"
     primary_key: tuple[str, ...] = ()
     options: dict[str, str] = field(default_factory=dict)
+    # declared physical column names (INSERT maps positionally to these)
+    columns: tuple[str, ...] = ()
 
 
 class EngineSession:

@@ -159,6 +159,7 @@ def parse_create_table(
         event_time_col=event_time_col,
         watermark_delay=delay,
         options=opts,
+        columns=tuple(f.split()[0] for f in fields),
     )
     return head.group("name"), schema, meta, partition_cols, computed
 

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _INSERT = re.compile(
-    r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<sink>\w+)\s+(?P<select>SELECT\b.*)$"
+    r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<sink>\w+)\s+"
+    r"(?P<select>(?:SELECT|VALUES|WITH|TABLE)\b.*)$"
 )
 
 
@@ -109,7 +110,13 @@ class StatementSet:
                     raise ValueError(
                         f"sink {b.sink!r} is not a registered path-backed table"
                     )
-                writer = b.df.write.format(meta.fmt).mode(
+                out_df = b.df
+                if meta.columns and len(meta.columns) == len(out_df.columns):
+                    # positional column mapping to the sink's declared
+                    # schema (Flink INSERT INTO semantics — VALUES rows
+                    # arrive as col1..colN)
+                    out_df = out_df.toDF(*meta.columns)
+                writer = out_df.write.format(meta.fmt).mode(
                     "overwrite" if b.overwrite else "append"
                 )
                 for k, v in meta.options.items():

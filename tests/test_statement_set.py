@@ -99,3 +99,18 @@ def test_insert_into_unknown_sink_raises(eng):
 def test_non_insert_statement_rejected(eng):
     with pytest.raises(ValueError, match="not an INSERT"):
         eng.create_statement_set().add_insert_sql("SELECT 1")
+
+
+def test_insert_values(spark, tmp_path):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "vals_sink")
+    eng.sql(
+        f"""CREATE TABLE vals_sink (k BIGINT, v STRING)
+            WITH ('connector'='filesystem', 'path'='{path}',
+                  'format'='parquet')"""
+    )
+    eng.sql("INSERT INTO vals_sink VALUES (1, 'a'), (2, 'b')")
+    back = spark.read.parquet(path).orderBy("k").collect()
+    assert [(r[0], r[1]) for r in back] == [(1, "a"), (2, "b")]
