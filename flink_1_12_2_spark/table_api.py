@@ -57,6 +57,21 @@ class WindowedTable:
         )
 
 
+class OverWindowedTable:
+    """Result of :meth:`Table.over_window` — aggregates applied over the
+    frame, one output row per input row (Flink over-window semantics)."""
+
+    def __init__(self, df: DataFrame, spec):
+        self._df = df
+        self._spec = spec
+
+    def select(self, **exprs: Column) -> "Table":
+        out = self._df
+        for name, col in exprs.items():
+            out = out.withColumn(name, col.over(self._spec))
+        return Table(out)
+
+
 class Table:
     """Fluent relational table (Flink Table / pyflink.table.Table parity)."""
 
@@ -101,6 +116,34 @@ class Table:
 
     def window_session(self, time_col: str, gap: str, *keys) -> WindowedTable:
         return WindowedTable(self._df, F.session_window(time_col, gap), list(keys))
+
+    def over_window(
+        self,
+        partition_by: list,
+        order_by: list,
+        preceding: int | str = "unbounded",
+        following: int | str = 0,
+        rows: bool = True,
+    ) -> "OverWindowedTable":
+        """Over (analytic) window — Table API ``Over.partitionBy(...)
+        .orderBy(...).preceding(...)`` (flink-table-api ``OverWindow``;
+        BatchExecOverAggregate / Stream over-agg frames). ``preceding``/
+        ``following``: row- or range-offset ints, or "unbounded"."""
+        from pyspark.sql import Window as W
+
+        lo = (
+            W.unboundedPreceding
+            if preceding == "unbounded"
+            else -int(preceding)
+        )
+        hi = (
+            W.unboundedFollowing
+            if following == "unbounded"
+            else int(following)
+        )
+        spec = W.partitionBy(*partition_by).orderBy(*order_by)
+        spec = spec.rowsBetween(lo, hi) if rows else spec.rangeBetween(lo, hi)
+        return OverWindowedTable(self._df, spec)
 
     # -- joins / set ops -----------------------------------------------------
     def join(self, other: "Table", on: Column, how: str = "inner") -> "Table":

@@ -218,3 +218,28 @@ def test_create_table_like(spark, sf_dir):
     meta2 = eng.meta("like_sink")
     assert meta2.path == "/tmp/like_sink_nope"
     assert meta2.watermark_delay == "7 minutes"
+
+
+def test_table_api_over_window(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+
+    t = Table(load(spark, sf_dir, "customer"))
+    out = (
+        t.over_window(
+            partition_by=["c_nationkey"],
+            order_by=["c_custkey"],
+            preceding="unbounded",
+        )
+        .select(run_total=F.sum("c_acctbal"), rn=F.row_number())
+        .to_data_frame()
+    )
+    rows = (
+        out.filter(F.col("c_nationkey") == 0)
+        .orderBy("c_custkey")
+        .select("c_acctbal", "run_total", "rn")
+        .collect()
+    )
+    acc = 0.0
+    for i, r in enumerate(rows, start=1):
+        acc += r.c_acctbal
+        assert abs(r.run_total - acc) < 1e-6 and r.rn == i
