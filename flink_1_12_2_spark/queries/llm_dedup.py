@@ -188,3 +188,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (normalized dot ≥ τ)."""
     e = load(spark, sf_dir, "embeddings")
     return D.cosine_pairs(e, "vec_id", "embedding", COSINE_T).orderBy("id_1", "id_2")
+
+
+def _cluster_oracle() -> str:
+    # minhash-pair CTEs (identical to _minhash_oracle) + recursive min-label
+    # propagation = connected components over the duplicate-pair graph
+    mh_cols = ", ".join(
+        f"list_min(list_transform(s, x -> {seeded_hash_sql('x', str(k))})) AS mh{k}"
+        for k in range(D.NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + md5int60_sql(
+            " || ',' || ".join(
+                f"CAST(mh{b * D.LSH_ROWS + r} AS VARCHAR)" for r in range(D.LSH_ROWS)
+            )
+        )
+        + " AS bh FROM mh"
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE},
+    mh AS (SELECT doc_id, {mh_cols} FROM sh WHERE len(s) > 0),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_1, c.id_2
+      FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id
+                  JOIN sh s2 ON c.id_2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+            / GREATEST(len(list_distinct(s1.s || s2.s)), 1) >= {JACCARD_T}),
+    edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+              UNION ALL SELECT id_2, id_1 FROM pairs),
+    lab(node, comp) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, l.comp FROM lab l JOIN edges e ON e.src = l.node
+      WHERE l.comp < e.dst)
+    SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS canonical_id
+    FROM lab GROUP BY node ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=_cluster_oracle(),
+    tags=("llm", "dedup", "minhash", "cluster", "graph"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash+LSH pairs → connected components over
+    the duplicate graph (delta iteration, graph.Graph) → canonical id =
+    min doc_id per cluster. The end-to-end dedup pipeline shape a training
+    corpus actually needs (drop all non-canonical members); the oracle
+    replicates banding AND the transitive closure (recursive CTE), so
+    cluster boundaries are verified, not just pairs."""
+    d = load(spark, sf_dir, "documents")
+    sets_ = D.shingle_sets(d, "doc_id", "text")
+    sigs = D.minhash_signatures_from_sets(sets_, "doc_id").persist()
+    cand = D.lsh_candidate_pairs(sigs, "doc_id")
+    pairs = D.jaccard_verify(cand, d, "doc_id", "text", sets_df=sets_).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+    from flink_1_12_2_spark.graph import Graph
+
+    g = Graph.from_edges(
+        pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    )
+    comp = g.run_connected_components()
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+    ).orderBy("doc_id")
