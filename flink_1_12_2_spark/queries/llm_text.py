@@ -214,3 +214,87 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.scrub_pii(injected).alias("scrubbed")
     ).orderBy("doc_id")
+
+
+def _corpus_clean_oracle() -> str:
+    lang_case, _g = _lang_case_sql()
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_sw_ratio_sql(T.LANG_MARKERS["de"])} AS s_de,
+             {_sw_ratio_sql(T.LANG_MARKERS["en"])} AS s_en,
+             {_sw_ratio_sql(T.LANG_MARKERS["es"])} AS s_es,
+             {_sw_ratio_sql(T.LANG_MARKERS["fr"])} AS s_fr
+      FROM documents),
+    g AS (SELECT doc_id, text, GREATEST(s_de, s_en, s_es, s_fr) AS g,
+                 s_de, s_en, s_es, s_fr FROM s),
+    langp AS (SELECT doc_id, text, {lang_case} AS predicted_lang FROM g),
+    q AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(list_reduce(list_transform({_TOKS}, t -> length(t)),
+                            (a, b) -> a + b) AS DOUBLE) / len({_TOKS}) END AS mwl,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS punct_r,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS digit_r,
+             {_sw_ratio_sql(T.LANG_MARKERS["en"])} AS sw_r
+      FROM documents),
+    qs AS (
+      SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+             ROUND(LEAST(n_tok / 20.0, 1.0) * 0.3
+               + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25
+               + GREATEST(1.0 - (punct_r + digit_r) * 2.0, 0.0) * 0.25
+               + LEAST(sw_r * 5.0, 1.0) * 0.2, 4) AS quality
+      FROM q),
+    dd AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT l.doc_id, l.predicted_lang, qs.quality, qs.n_tokens
+    FROM langp l JOIN qs USING (doc_id) JOIN dd ON dd.doc_id = l.doc_id
+    WHERE l.predicted_lang = 'en' AND qs.quality >= 0.5
+      AND qs.n_tokens >= 10 AND dd.rn = 1
+    ORDER BY l.doc_id
+    """
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=_corpus_clean_oracle(),
+    tags=("llm", "text", "pipeline", "dedup"),
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline a pre-training run actually
+    ships: language filter (lang_id = en) → quality gate (≥ 0.5) → length
+    gate (≥ 10 tokens) → exact-dup removal (keep min doc_id per md5).
+    Every stage is one of the verified operators; the composition stays a
+    single Catalyst plan (one shuffle for the dedup window, everything
+    else scan-local) — at 100 TB this whole filter chain is pushed into
+    one pass over the corpus."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        T.lang_id(t).alias("predicted_lang"),
+        T.quality_score(t).alias("quality"),
+        T.token_count(t).alias("n_tokens"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("rn") == 1)
+        )
+        .select("doc_id", "predicted_lang", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
