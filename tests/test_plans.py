@@ -103,3 +103,25 @@ def test_session_dynamic_gap_single_shuffle(spark, sf_dir):
     # formatted mode lists exchange args as "hashpartitioning(...)" details
     hashex = plan.count("hashpartitioning(")
     assert hashex == 1, f"expected 1 hash exchange, plan has {hashex}"
+
+
+def test_corpus_clean_single_hash_shuffle(spark, sf_dir):
+    """The composed cleaning pipeline must stay one pass: exactly one
+    hash-partitioning Exchange (the dedup window), everything else
+    scan-local; the final ORDER BY adds only a range exchange."""
+    plan = _plan(spark, sf_dir, "pipeline_corpus_clean")
+    assert plan.count("hashpartitioning") == 1
+    assert "Filter" in plan
+
+
+def test_bucketed_tables_cover_agg_distribution(spark, sf_dir):
+    """graph CC / delta iteration leaves no exponential plan: the final
+    solution is a localCheckpoint leaf (bounded plan text)."""
+    from flink_1_12_2_spark.graph import Graph
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    comp = Graph.from_edges(edges).run_connected_components()
+    assert len(comp._jdf.queryExecution().logical().toString()) < 2000
