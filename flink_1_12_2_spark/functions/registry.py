@@ -243,6 +243,11 @@ FLINK_FUNCTIONS: dict[str, object] = {
     "IS_JSON_VALUE": lambda s: F.try_parse_json(_c(s)).isNotNull() if hasattr(F, "try_parse_json") else None,
     "IS_JSON_OBJECT": lambda s: F.get_json_object(_c(s), "$").isNotNull() & _c(s).rlike(r"^\s*\{"),
     "IS_JSON_ARRAY": lambda s: F.get_json_object(_c(s), "$").isNotNull() & _c(s).rlike(r"^\s*\["),
+    "IS_JSON_SCALAR": lambda s: (
+        (F.try_parse_json(_c(s)).isNotNull() & ~_c(s).rlike(r"^\s*[\[{]"))
+        if hasattr(F, "try_parse_json")
+        else None
+    ),
     # grouping
     "GROUPING": F.grouping, "GROUPING_ID": F.grouping_id, "GROUP_ID": F.grouping_id,
     # aggregates

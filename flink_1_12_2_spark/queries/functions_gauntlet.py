@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_12_2_spark.functions.registry import FLINK_FUNCTIONS as FN
-from flink_1_12_2_spark.registry import load, query
+from flink_1_12_2_spark.registry import EVENTS_US_CTE, load, query
 
 
 @query(
@@ -289,3 +289,50 @@ def fn_collection_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).cast("bigint").alias("f_total_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_json_gauntlet",
+    oracle=EVENTS_US_CTE
+    + """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)       AS f_get_k,
+           CAST(json_extract_string(props, '$.k') AS INT)       AS f_from_json_k,
+           json_valid(props)                                    AS f_is_value_props,
+           json_valid(event_type)                               AS f_is_value_raw,
+           json_valid(props) AND json_type(props) = 'OBJECT'    AS f_is_object,
+           json_valid(props) AND json_type(props) = 'ARRAY'     AS f_is_object_neg,
+           json_valid('[1,2,' || json_extract_string(props, '$.k') || ']')
+             AND json_type('[1,2,' || json_extract_string(props, '$.k') || ']')
+                 = 'ARRAY'                                      AS f_is_array,
+           json_valid(json_extract_string(props, '$.k'))
+             AND json_type(json_extract_string(props, '$.k'))
+                 NOT IN ('OBJECT', 'ARRAY')                     AS f_is_scalar,
+           to_json(struct_pack(event_id := event_id,
+                               event_type := event_type))       AS f_to_json
+    FROM ev WHERE event_id <= 500 ORDER BY event_id
+    """,
+    tags=("batch", "functions", "json"),
+)
+def fn_json_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON predicates + extraction (FlinkSqlOperatorTable IS [NOT] JSON
+    VALUE/OBJECT/ARRAY/SCALAR block, SURVEY §2.9) via the registry shims,
+    over the events.props JSON column. Parse paths exercised: Spark
+    get_json_object (JsonPath), from_json (schema'd struct), try_parse_json
+    (VARIANT validity probe), to_json (struct serialization — byte-equal
+    compact format in both engines)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    k = F.get_json_object("props", "$.k")
+    arr = F.concat(F.lit("[1,2,"), k, F.lit("]"))
+    return ev.select(
+        "event_id",
+        k.cast("int").alias("f_get_k"),
+        F.from_json("props", "k INT").getField("k").alias("f_from_json_k"),
+        FN["IS_JSON_VALUE"](F.col("props")).alias("f_is_value_props"),
+        FN["IS_JSON_VALUE"](F.col("event_type")).alias("f_is_value_raw"),
+        FN["IS_JSON_OBJECT"](F.col("props")).alias("f_is_object"),
+        FN["IS_JSON_ARRAY"](F.col("props")).alias("f_is_object_neg"),
+        FN["IS_JSON_ARRAY"](arr).alias("f_is_array"),
+        FN["IS_JSON_SCALAR"](k).alias("f_is_scalar"),
+        F.to_json(F.struct("event_id", "event_type")).alias("f_to_json"),
+    ).orderBy("event_id")

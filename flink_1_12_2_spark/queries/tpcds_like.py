@@ -1,0 +1,470 @@
+"""TPC-DS-style composite queries (adapted to the driver's star schema).
+
+The reference's end-to-end gate runs 103 TPC-DS queries at sf1
+(flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/, driver
+TpcdsTestProgram.java:48) — the defining plan shapes beyond TPC-H are:
+ROLLUP with rank-within-grouping-level (q36/q67/q86), ratio-over-class via
+windowed aggregate (q12/q98), cumulative-series comparison through a FULL
+OUTER join (q51), period-over-period self-joins (q59), batteries of scalar
+subqueries cross-joined (q88), channel-overlap set analysis (q97), and
+frequent-buyer HAVING ranges (q34/q73). Each query below reproduces one of
+those shapes on the driver tables with a hash-checked DuckDB oracle.
+
+Scale notes: every dimension join is broadcast; rollups multiply rows only
+AFTER partial aggregation (Catalyst Expand); the cumulative/q51 window runs
+over the *aggregated daily* series (≤ a few thousand rows at any scale), not
+the fact table, so the single-partition analytic window is safe.
+
+Floating-point discipline: the gate's canonical hash rounds doubles to 2
+decimals, so plain sums are safe; every value that feeds a RANK or a LIMIT
+is rounded (or integer) first so near-ties cannot order differently across
+engines, and window tiebreakers state NULLS FIRST explicitly (DuckDB
+defaults to NULLS LAST on ASC, Spark to NULLS FIRST).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_1_12_2_spark.registry import EVENTS_US_CTE, load, query
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "ds_q3_brand_year",
+    oracle="""
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS d_year,
+           p.p_brand                        AS brand,
+           CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS sum_agg
+    FROM lineitem l
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY d_year, p.p_brand
+    ORDER BY d_year, brand
+    """,
+    tags=("batch", "tpcds", "join", "agg"),
+)
+def ds_q3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3 shape: fact ⋈ item ⋈ date_dim, year×brand aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("d_year"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum(_rev()).alias("sum_agg"))
+        .orderBy("d_year", "brand")
+    )
+
+
+@query(
+    "ds_q12_ratio_by_class",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand, p.p_type,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS itemrevenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_type)
+    SELECT p_brand, p_type,
+           CAST(itemrevenue AS DOUBLE) AS itemrevenue,
+           CAST(ROUND(itemrevenue * 100.0 /
+                      SUM(itemrevenue) OVER (PARTITION BY p_brand), 4) AS DOUBLE)
+             AS revenueratio
+    FROM g ORDER BY p_brand, p_type
+    """,
+    tags=("batch", "tpcds", "window", "agg"),
+)
+def ds_q12_ratio_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12/q98 shape: revenue share of each item within its class —
+    aggregate then windowed-sum ratio (window runs over the agg output)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(_rev()).alias("itemrevenue"))
+    )
+    w = Window.partitionBy("p_brand")
+    return g.select(
+        "p_brand",
+        "p_type",
+        "itemrevenue",
+        F.round(F.col("itemrevenue") * 100.0 / F.sum("itemrevenue").over(w), 4).alias(
+            "revenueratio"
+        ),
+    ).orderBy("p_brand", "p_type")
+
+
+@query(
+    "ds_q36_margin_rollup_rank",
+    oracle="""
+    WITH g AS (
+      SELECT SUM(l.l_extendedprice * l.l_discount)       AS disc_amt,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS gross,
+             r.r_name, n.n_name,
+             GROUPING(r.r_name) + GROUPING(n.n_name)     AS lochierarchy,
+             GROUPING(n.n_name)                          AS g_n
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name))
+    SELECT CAST(lochierarchy AS INT)        AS lochierarchy,
+           COALESCE(r_name, 'ALL')          AS region_name,
+           COALESCE(n_name, 'ALL')          AS nation_name,
+           CAST(ROUND(disc_amt / gross, 6) AS DOUBLE) AS margin,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_n = 0 THEN r_name END
+             ORDER BY ROUND(disc_amt / gross, 6) DESC,
+                      n_name ASC NULLS FIRST) AS INT) AS rank_within_parent
+    FROM g ORDER BY lochierarchy DESC, region_name, nation_name
+    """,
+    tags=("batch", "tpcds", "groupingsets", "window"),
+)
+def ds_q36_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36/q86 shape: ROLLUP hierarchy + RANK within each grouping
+    level (partition key = CASE over GROUPING()). Margin is rounded before
+    ranking so FP near-ties cannot order differently across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amt"),
+            F.sum(_rev()).alias("gross"),
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+            F.grouping("n_name").alias("g_n"),
+        )
+    )
+    margin = F.round(F.col("disc_amt") / F.col("gross"), 6)
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("g_n") == 0, F.col("r_name"))
+    ).orderBy(margin.desc(), F.col("n_name").asc_nulls_first())
+    return (
+        g.select(
+            F.col("lochierarchy").cast("int").alias("lochierarchy"),
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            margin.alias("margin"),
+            F.rank().over(w).cast("int").alias("rank_within_parent"),
+        )
+        .orderBy(F.col("lochierarchy").desc(), "region_name", "nation_name")
+    )
+
+
+@query(
+    "ds_q51_cumulative_compare",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag, DATE_TRUNC('day', l_shipdate) AS d_day,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY l_returnflag, d_day),
+    r AS (SELECT d_day, SUM(rev_cents) OVER (ORDER BY d_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+          FROM daily WHERE l_returnflag = 'R'),
+    a AS (SELECT d_day, SUM(rev_cents) OVER (ORDER BY d_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a
+          FROM daily WHERE l_returnflag = 'A')
+    SELECT CAST(COALESCE(r.d_day, a.d_day) AS TIMESTAMP) AS d_day,
+           CAST(r.cum_r / 100.0 AS DOUBLE) AS cum_r,
+           CAST(a.cum_a / 100.0 AS DOUBLE) AS cum_a
+    FROM r FULL OUTER JOIN a ON r.d_day = a.d_day
+    WHERE r.cum_r > a.cum_a
+    ORDER BY d_day
+    """,
+    tags=("batch", "tpcds", "window", "join"),
+)
+def ds_q51_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: two cumulative daily series FULL OUTER joined on
+    day, keeping days where one channel's running total leads the other.
+    The analytic window runs over the aggregated daily series (bounded
+    cardinality at any scale factor), never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(
+            "l_returnflag", F.date_trunc("day", "l_shipdate").alias("d_day")
+        )
+        .agg(
+            # quantize to integer cents BEFORE the running sum: a cumulative
+            # double sum drifts past the gate's 2-dp rounding over thousands
+            # of rows, while an integer cumsum is bit-exact in both engines
+            F.round(F.sum(_rev()) * 100, 0)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("d_day").rowsBetween(Window.unboundedPreceding, 0)
+    r = daily.filter(F.col("l_returnflag") == "R").select(
+        "d_day", (F.sum("rev_cents").over(w) / 100.0).alias("cum_r")
+    )
+    a = daily.filter(F.col("l_returnflag") == "A").select(
+        F.col("d_day").alias("a_day"),
+        (F.sum("rev_cents").over(w) / 100.0).alias("cum_a"),
+    )
+    return (
+        r.join(a, r.d_day == a.a_day, "full_outer")
+        .filter(F.col("cum_r") > F.col("cum_a"))
+        .select(
+            F.coalesce("d_day", "a_day").alias("d_day"), "cum_r", "cum_a"
+        )
+        .orderBy("d_day")
+    )
+
+
+@query(
+    "ds_q59_wow_compare",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(YEAR(l_shipdate) AS INT) AS y,
+             CAST(WEEKOFYEAR(l_shipdate) AS INT) AS w,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY y, w)
+    SELECT t.w                      AS week_seq,
+           t.y                      AS year_this,
+           CAST(t.rev AS DOUBLE)    AS rev_this,
+           CAST(nx.rev AS DOUBLE)   AS rev_next,
+           CAST(ROUND(nx.rev / t.rev, 6) AS DOUBLE) AS yoy_ratio
+    FROM wk t JOIN wk nx ON t.w = nx.w AND nx.y = t.y + 1
+    WHERE t.y BETWEEN 1996 AND 1999
+    ORDER BY year_this, week_seq
+    """,
+    tags=("batch", "tpcds", "join", "agg"),
+)
+def ds_q59_wow_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: weekly sales self-joined one period apart
+    (same ISO week, following year) with a growth-ratio column."""
+    li = load(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.weekofyear("l_shipdate").alias("w")
+    ).agg(F.sum(_rev()).alias("rev"))
+    t, nx = wk.alias("t"), wk.alias("nx")
+    return (
+        t.join(nx, (F.col("t.w") == F.col("nx.w")) & (F.col("nx.y") == F.col("t.y") + 1))
+        .filter(F.col("t.y").between(1996, 1999))
+        .select(
+            F.col("t.w").alias("week_seq"),
+            F.col("t.y").alias("year_this"),
+            F.col("t.rev").alias("rev_this"),
+            F.col("nx.rev").alias("rev_next"),
+            F.round(F.col("nx.rev") / F.col("t.rev"), 6).alias("yoy_ratio"),
+        )
+        .orderBy("year_this", "week_seq")
+    )
+
+
+@query(
+    "ds_q67_rollup_topk",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand, p.p_type,
+             GROUPING_ID(p.p_brand, p.p_type) AS gid,
+             ROUND(SUM(l.l_quantity * l.l_extendedprice), 2) AS sumsales
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY ROLLUP (p.p_brand, p.p_type)),
+    rk AS (
+      SELECT COALESCE(p_brand, 'ALL') AS brand_name,
+             COALESCE(p_type, 'ALL')  AS type_name,
+             CAST(sumsales AS DOUBLE) AS sumsales,
+             CAST(RANK() OVER (PARTITION BY gid, p_brand
+                               ORDER BY sumsales DESC,
+                                        p_type ASC NULLS FIRST) AS INT) AS rk
+      FROM g)
+    SELECT * FROM rk WHERE rk <= 3 ORDER BY brand_name, type_name, rk
+    """,
+    tags=("batch", "tpcds", "groupingsets", "window"),
+)
+def ds_q67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: ROLLUP product hierarchy, then top-k rows per
+    hierarchy partition by ranked sales. Sales are rounded before ranking
+    (engine-stable order); ties broken on the item key."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 2
+            ).alias("sumsales"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    w = Window.partitionBy("gid", "p_brand").orderBy(
+        F.col("sumsales").desc(), F.col("p_type").asc_nulls_first()
+    )
+    return (
+        g.select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand_name"),
+            F.coalesce("p_type", F.lit("ALL")).alias("type_name"),
+            "sumsales",
+            F.rank().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("brand_name", "type_name", "rk")
+    )
+
+
+@query(
+    "ds_q88_time_slots",
+    oracle=EVENTS_US_CTE
+    + """
+    SELECT * FROM
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h0_3   FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 0 AND 3)  s1,
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h4_7   FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 4 AND 7)  s2,
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h8_11  FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 8 AND 11) s3,
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h12_15 FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 12 AND 15) s4,
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h16_19 FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 16 AND 19) s5,
+      (SELECT CAST(COUNT(*) AS BIGINT) AS h20_23 FROM ev
+        WHERE event_type = 'click' AND HOUR(ts) BETWEEN 20 AND 23) s6
+    """,
+    tags=("batch", "tpcds", "join"),
+)
+def ds_q88_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: a battery of scalar-aggregate subqueries
+    CROSS JOINed into one row (each side is a 1-row broadcast —
+    BroadcastNestedLoopJoin of singletons, no shuffle)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    slots = [(0, 3), (4, 7), (8, 11), (12, 15), (16, 19), (20, 23)]
+    out = None
+    for lo, hi in slots:
+        cnt = ev.filter(F.hour("ts").between(lo, hi)).agg(
+            F.count(F.lit(1)).alias(f"h{lo}_{hi}")
+        )
+        out = cnt if out is None else out.crossJoin(cnt)
+    return out
+
+
+@query(
+    "ds_q97_channel_overlap",
+    oracle="""
+    WITH ss AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         ws AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT CAST(SUM(CASE WHEN ss.o_custkey IS NOT NULL AND ws.o_custkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+           CAST(SUM(CASE WHEN ss.o_custkey IS NOT NULL AND ws.o_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN ss.o_custkey IS NULL AND ws.o_custkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS web_only
+    FROM ss FULL OUTER JOIN ws ON ss.o_custkey = ws.o_custkey
+    """,
+    tags=("batch", "tpcds", "join", "agg"),
+)
+def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: customer overlap between two channels — distinct
+    key sets FULL OUTER joined, conditional counts of the null pattern."""
+    o = load(spark, sf_dir, "orders")
+    ss = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    ws = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("w_custkey"))
+        .distinct()
+    )
+    j = ss.join(ws, ss.o_custkey == ws.w_custkey, "full_outer")
+    flag = lambda c: F.col(c).isNotNull()  # noqa: E731
+    return j.agg(
+        F.sum(
+            F.when(flag("o_custkey") & flag("w_custkey"), 1).otherwise(0)
+        ).alias("both_channels"),
+        F.sum(
+            F.when(flag("o_custkey") & ~flag("w_custkey"), 1).otherwise(0)
+        ).alias("store_only"),
+        F.sum(
+            F.when(~flag("o_custkey") & flag("w_custkey"), 1).otherwise(0)
+        ).alias("web_only"),
+    )
+
+
+@query(
+    "ds_q89_monthly_deviation",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand, CAST(MONTH(l.l_shipdate) AS INT) AS d_moy,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS sum_sales
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, d_moy)
+    SELECT p_brand, d_moy,
+           CAST(sum_sales AS DOUBLE) AS sum_sales,
+           CAST(avg_monthly_sales AS DOUBLE) AS avg_monthly_sales
+    FROM (SELECT *, AVG(sum_sales) OVER (PARTITION BY p_brand)
+                      AS avg_monthly_sales FROM m) t
+    WHERE ABS(sum_sales - avg_monthly_sales) > 0.1 * avg_monthly_sales
+    ORDER BY p_brand, d_moy
+    """,
+    tags=("batch", "tpcds", "window", "agg"),
+)
+def ds_q89_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape: monthly sales vs the item's average month
+    (windowed AVG over the aggregate), keeping months deviating > 10%."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").alias("d_moy"))
+        .agg(F.sum(_rev()).alias("sum_sales"))
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        m.withColumn("avg_monthly_sales", F.avg("sum_sales").over(w))
+        .filter(
+            F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+            > 0.1 * F.col("avg_monthly_sales")
+        )
+        .select("p_brand", "d_moy", "sum_sales", "avg_monthly_sales")
+        .orderBy("p_brand", "d_moy")
+    )
+
+
+@query(
+    "ds_q34_frequent_buyers",
+    oracle="""
+    SELECT c.c_name, j.o_orderkey, j.cnt
+    FROM (SELECT o.o_orderkey, o.o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_custkey
+          HAVING COUNT(*) BETWEEN 5 AND 7) j
+    JOIN customer c ON j.o_custkey = c.c_custkey
+    ORDER BY c.c_name, j.o_orderkey
+    """,
+    tags=("batch", "tpcds", "join", "agg"),
+)
+def ds_q34_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: per-ticket item-count HAVING range, then the
+    qualifying tickets joined back to customer."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    j = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(5, 7))
+    )
+    return (
+        j.join(c, j.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "cnt")
+        .orderBy("c_name", "o_orderkey")
+    )

@@ -125,3 +125,25 @@ def test_bucketed_tables_cover_agg_distribution(spark, sf_dir):
     )
     comp = Graph.from_edges(edges).run_connected_components()
     assert len(comp._jdf.queryExecution().logical().toString()) < 2000
+
+
+def test_ds_q3_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ds_q3_brand_year")
+    # item dim broadcast + its predicate pushed into the parquet scan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_ds_q67_rollup_then_rank(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ds_q67_rollup_topk")
+    # ROLLUP expands AFTER the broadcast join, rank is a Window over the agg
+    assert "Expand" in plan and "Window" in plan
+
+
+def test_ds_q88_scalar_battery_broadcasts_singletons(spark, sf_dir):
+    # six 1-row aggregates cross-joined: every join must be a broadcast
+    # nested-loop of singletons — never a shuffle join
+    plan = _plan(spark, sf_dir, "ds_q88_time_slots")
+    # formatted explain prints each node in the tree AND the detail section
+    assert plan.count("BroadcastNestedLoopJoin") >= 5
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
