@@ -51,11 +51,12 @@ def stream_events(
         .parquet(sf_dir)
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us"))
-        )
+        sdf = sdf.withColumn("ts_us", F.expr("ts div 1000"))
     else:
+        # NTZ micros: session tz is UTC so NTZ→LTZ keeps the wall clock
         sdf = sdf.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    # watermarks require TIMESTAMP (LTZ) — rebuild ts from the micros value
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     if watermark:
         sdf = sdf.withWatermark("ts", watermark)
     return sdf
@@ -93,15 +94,18 @@ def stream_events_multibatch(
     # materialize the static table with ts converted, split in time order
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(static.dtypes).get("ts") == "bigint":
-        static = static.withColumn("ts_us", F2.expr("ts div 1000")).withColumn(
-            "ts", F2.timestamp_micros(F2.col("ts_us"))
-        )
+    raw_ts_type = dict(static.dtypes).get("ts", "?")
+    if raw_ts_type == "bigint":
+        static = static.withColumn("ts_us", F2.expr("ts div 1000"))
     else:
         static = static.withColumn(
             "ts_us", F2.unix_micros(F2.col("ts").cast("timestamp"))
         )
-    key = _hl.md5(f"{sf_dir}|{n_files}|{flush_sentinels}".encode()).hexdigest()[:8]
+    # watermarks require TIMESTAMP (LTZ) — rebuild ts from the micros value
+    static = static.withColumn("ts", F2.timestamp_micros(F2.col("ts_us")))
+    key = _hl.md5(
+        f"{sf_dir}|{n_files}|{flush_sentinels}|{raw_ts_type}".encode()
+    ).hexdigest()[:8]
     split_dir = os.path.join(tempfile.gettempdir(), f"events_split_{key}_{n_files}")
     if not glob.glob(os.path.join(split_dir, "part_*")):
         rows = static.count()
