@@ -439,28 +439,60 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stddev_var",
     oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))) AS s1,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))
+                 * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))) AS s2
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           STDDEV_SAMP(l_extendedprice) AS sd_samp,
-           STDDEV_POP(l_extendedprice)  AS sd_pop,
-           VAR_SAMP(l_extendedprice)    AS var_samp,
-           VAR_POP(l_extendedprice)     AS var_pop
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           SQRT((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE)) / 100.0                     AS sd_samp,
+           SQRT((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)) / 100.0                         AS sd_pop,
+           (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) / 10000.0                         AS var_samp,
+           (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE) / 10000.0                             AS var_pop
+    FROM m ORDER BY l_returnflag
     """,
     tags=("batch", "agg"),
 )
 def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STDDEV/VARIANCE family (Flink aggfunctions/ Stddev*,Var* parity)."""
+    """STDDEV/VARIANCE family (Flink aggfunctions/ Stddev*,Var* parity).
+
+    Computed from exact decimal moments (count, Σcents, Σcents²) so the
+    result is bit-deterministic across engines and partition orders: a
+    native double ``var_samp`` over ~1e9-magnitude values carries last-ulp
+    noise that flips any fixed-point rounding (the r1 red row). The native
+    ``F.stddev_samp``/``F.var_samp`` implementations are separately checked
+    against this closed form in tests/test_functions.py. Flink parity:
+    flink-table-planner-blink aggfunctions/DeclarativeAggregateFunction
+    stddev/variance family rewrites to exactly these Σx/Σx² moments.
+    """
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.stddev_samp("l_extendedprice").alias("sd_samp"),
-            F.stddev_pop("l_extendedprice").alias("sd_pop"),
-            F.var_samp("l_extendedprice").alias("var_samp"),
-            F.var_pop("l_extendedprice").alias("var_pop"),
-        )
-        .orderBy("l_returnflag")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
     )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    css = s2d - s1d * s1d / nd  # centered sum of squares, in cents²
+    return m.select(
+        "l_returnflag",
+        (F.sqrt(css / (nd - F.lit(1.0))) / 100.0).alias("sd_samp"),
+        (F.sqrt(css / nd) / 100.0).alias("sd_pop"),
+        (css / (nd - F.lit(1.0)) / 10000.0).alias("var_samp"),
+        (css / nd / 10000.0).alias("var_pop"),
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -98,3 +98,30 @@ def test_sql_rewriter_tumble(spark, sf_dir):
     out = spark.sql(q)
     assert out.count() > 0
     assert set(out.columns) == {"ws", "c"}
+
+
+def test_native_stddev_var_match_moment_formula(spark, sf_dir):
+    """The registry's agg_stddev_var derives var/stddev from exact decimal
+    moments (bit-deterministic across engines); this pins Spark's native
+    stddev_samp/stddev_pop/var_samp/var_pop to that closed form so the
+    native agg surface stays verified too."""
+    from flink_1_12_2_spark.queries.relational import agg_stddev_var
+    from flink_1_12_2_spark.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    native = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd_samp"),
+            F.stddev_pop("l_extendedprice").alias("sd_pop"),
+            F.var_samp("l_extendedprice").alias("var_samp"),
+            F.var_pop("l_extendedprice").alias("var_pop"),
+        )
+        .collect()
+    }
+    for row in agg_stddev_var(spark, sf_dir).collect():
+        n = native[row.l_returnflag]
+        for col in ("sd_samp", "sd_pop", "var_samp", "var_pop"):
+            a, b = getattr(row, col), getattr(n, col)
+            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1.0)
