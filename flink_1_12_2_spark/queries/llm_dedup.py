@@ -167,25 +167,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_1", "id_2")
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
+def _cosine_oracle() -> str:
+    from flink_1_12_2_spark.llm.similarity import lsh_planes
+
+    planes = lsh_planes(D.COSINE_BANDS * D.COSINE_ROWS)
+    sign_cols = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{c!r}" for c in plane)
+        + f"]) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        for p, plane in enumerate(planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"s{b * D.COSINE_ROWS + r} * {1 << r}" for r in range(D.COSINE_ROWS)
+        )
+        + " AS bv FROM signs"
+        for b in range(D.COSINE_BANDS)
+    )
+    return f"""
     WITH n AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                               CAST(embedding AS DOUBLE[])))) AS v
-      FROM embeddings)
-    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-           ROUND(list_dot_product(a.v, b.v), 6) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {COSINE_T}
+      FROM embeddings),
+    signs AS (SELECT vec_id, v, {sign_cols} FROM n),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                               AND a.vec_id < b.vec_id)
+    SELECT c.id_1, c.id_2, ROUND(list_dot_product(n1.v, n2.v), 6) AS cosine
+    FROM cand c JOIN n n1 ON c.id_1 = n1.vec_id
+                JOIN n n2 ON c.id_2 = n2.vec_id
+    WHERE ROUND(list_dot_product(n1.v, n2.v), 6) >= {COSINE_T}
     ORDER BY id_1, id_2
-    """,
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_cosine_oracle(),
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (normalized dot ≥ τ)."""
+    """Embedding-cosine near-dup pairs (normalized dot ≥ τ) via banded
+    hyperplane LSH (8 bands × 2 sign bits) + exact in-bucket verify — the
+    oracle replicates planes and banding, so bucket recall is verified, not
+    just the surviving pairs. No corpus×corpus nested-loop join (the r1/r2
+    scale flag); brute force remains behind ``exact=True``."""
     e = load(spark, sf_dir, "embeddings")
     return D.cosine_pairs(e, "vec_id", "embedding", COSINE_T).orderBy("id_1", "id_2")
 

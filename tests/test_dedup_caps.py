@@ -1,0 +1,65 @@
+"""Hot-key guards and candidate-pruning semantics of the dedup family:
+the df-cap drops hot keys from CANDIDATE GENERATION only, verification of
+surviving candidates stays exact, and the capped paths are supersets at
+test scale (cap = 1000 never triggers on the synthetic corpora)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_12_2_spark.llm import dedup as D
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap here at all"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_cap_inert_when_high(spark):
+    d = _docs(spark)
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3).collect()
+    assert {(r.id_1, r.id_2) for r in pairs} == {(1, 2)}
+    # jaccard is exact: docs 1/2 share 6 of 8 distinct 3-gram shingles
+    assert abs(pairs[0].jaccard - 6 / 8) < 1e-12
+
+
+def test_ngram_cap_drops_hot_shingles_from_candidates(spark):
+    # cap=1: every SHARED shingle has df >= 2 > cap, so no candidates can
+    # form — the pair disappears (recall trade), no wrong jaccard is emitted
+    d = _docs(spark)
+    out = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.3, shingle_df_cap=1
+    ).collect()
+    assert out == []
+
+
+def test_lsh_band_cap_prunes_candidates(spark):
+    d = _docs(spark)
+    sigs = D.minhash_signatures(d, "doc_id", "text")
+    with_cap = D.lsh_candidate_pairs(sigs, "doc_id", band_df_cap=1).collect()
+    without = D.lsh_candidate_pairs(sigs, "doc_id").collect()
+    assert with_cap == []  # shared bands have df 2 > 1
+    assert {(r.id_1, r.id_2) for r in without} >= {(1, 2)}
+
+
+def test_cosine_banded_is_subset_of_exact(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(20)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.id_1, r.id_2)
+        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35, exact=True).collect()
+    }
+    banded = {
+        (r.id_1, r.id_2)
+        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35).collect()
+    }
+    assert banded <= exact
+    assert banded  # deterministic vectors: identical rows always collide

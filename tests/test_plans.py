@@ -84,14 +84,25 @@ def test_whole_stage_codegen_active(spark, sf_dir, name):
 
 
 def test_ann_ivf_no_corpus_shuffle_for_assignment(spark, sf_dir):
-    """IVF index build must broadcast centroids (never shuffle the corpus);
-    the candidate join must be a hash join on cell id, not a cross product."""
+    """IVF cell assignment is a literal-centroid projection: the corpus is
+    never expanded k× and never hash-exchanged on its own id. The only hash
+    exchange in the whole query is the final top-k window on query_id."""
     plan = _plan(spark, sf_dir, "ann_ivf_topk")
-    # centroid assignment + query probing: broadcast nested-loop over the
-    # tiny centroid set is fine; an un-broadcast cartesian is not
     assert "CartesianProduct" not in plan
-    # candidate join shuffles/broadcasts on cell — hash join, not NL
+    # candidate join broadcasts the probe set against corpus cells
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    # assignment must not window/exchange per corpus id (the r2 flag)
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_cosine_pairs_no_all_pairs_join(spark, sf_dir):
+    """Embedding near-dup pairs route through the banded-LSH bucket equijoin:
+    no corpus×corpus BroadcastNestedLoopJoin / cartesian survives (the
+    r1/r2 O(n²) flag); the candidate join is a hash join on (band, bv)."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_session_dynamic_gap_single_shuffle(spark, sf_dir):
