@@ -3,10 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a full action (count of the materialized result)
-after a warm-up of the input file listing; per-query wall time is measured
-individually. Headline set = the flagship relational queries + the heaviest
-LLM-pipeline operators, which is what a 100 TB deployment would actually run.
+Each query is timed as the MIN OF TWO full executions (noop sink), with the
+cache cleared between attempts so run 2 re-does real work instead of reading
+run 1's persisted intermediates. The first attempt absorbs JIT/codegen
+warm-up for that query's operator mix; min-of-2 also shrugs off transient
+machine contention (the r2 bench recorded 2.7-3.0x "regressions" in
+unchanged code purely from warm-up landing inside the first timed slots).
+Headline set = the flagship relational queries + the heaviest LLM-pipeline
+operators, which is what a 100 TB deployment would actually run.
 """
 
 from __future__ import annotations
@@ -68,10 +72,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best: float | None = None
+        for _attempt in range(2):
+            # drop persisted intermediates: Spark's cache manager matches by
+            # analyzed-plan equality, so attempt 2 would otherwise read
+            # attempt 1's cache and measure nothing
+            spark.catalog.clearCache()
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -251,14 +251,19 @@ def ngram_jaccard_pairs(
     Shingles are 60-bit-hashed before the join so the shuffle moves
     fixed-width ints, not strings (collision odds ~n²/2^61 — negligible even
     at 100 TB shingle counts per partition). Shingles with doc-frequency >
-    ``shingle_df_cap`` are dropped from CANDIDATE GENERATION (a shingle
-    shared by k docs emits k²/2 join rows — the r1/r2 hot-shingle flag);
-    Jaccard is then computed EXACTLY for every candidate from the persisted
-    full shingle arrays (array_intersect), so the cap costs recall only for
-    pairs whose every common shingle is boilerplate-grade — impossible at
-    Jaccard ≥ 0.5 unless the docs are mostly boilerplate. The df window
-    count partitions on the shingle hash, the same key the self-equijoin
-    shuffles on.
+    ``shingle_df_cap`` are dropped from the self-join (a shingle shared by k
+    docs emits k²/2 join rows — the r1/r2 hot-shingle flag; join volume is
+    thereby ≤ cap·|postings|, linear in corpus size). The df window count
+    partitions on the shingle hash, the same key the self-equijoin shuffles
+    on, so the exchange is shared.
+
+    Capping the join undercounts ``common`` only for pairs involving a doc
+    that CONTAINS a hot shingle — so those pairs (none at test scale, the
+    boilerplate-bearing fraction at 100 TB) are re-verified exactly against
+    the persisted full shingle arrays, while every cold-doc pair keeps the
+    one-pass count-aggregated Jaccard (no array materialization in the hot
+    path). Recall is lost only for pairs whose EVERY common shingle is
+    hot — docs that are pure boilerplate.
 
     The hashed array is **persisted**: without the cache boundary Catalyst
     infers a non-empty filter from the explode and pushes the whole shingle
@@ -270,28 +275,63 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.transform(word_shingles(F.col(text_col), n), md5int60).alias("sh_arr"),
     ).persist()
-    sh = _df_capped(
-        docs.select("__id", F.explode("sh_arr").alias("sh")), ["sh"], shingle_df_cap
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
-        a.join(
-            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id"))
+    sh = docs.select(
+        "__id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("sh")
+    ).withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df")
+    # docs touching ≥1 hot shingle: tiny (boilerplate carriers only)
+    hot_ids = sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct()
+    a, b = cold.alias("a"), cold.alias("b")
+    counted = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min(F.col("a.n_sh")).alias("n1"),
+            F.min(F.col("b.n_sh")).alias("n2"),
         )
-        .select(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
-        .distinct()
+        .join(
+            F.broadcast(hot_ids.select(F.col("__id").alias("id_1"), F.lit(True).alias("__h1"))),
+            "id_1",
+            "left",
+        )
+        .join(
+            F.broadcast(hot_ids.select(F.col("__id").alias("id_2"), F.lit(True).alias("__h2"))),
+            "id_2",
+            "left",
+        )
+        # persisted: both output branches (exact / hot-verify) consume this
+        # candidate-pair frame — without the boundary the self-join + count
+        # aggregation would execute once per branch
+        .persist()
+    )
+    exact_part = counted.filter(F.col("__h1").isNull() & F.col("__h2").isNull()).select(
+        "id_1",
+        "id_2",
+        (
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double")
+        ).alias("jaccard"),
     )
     s1 = docs.select(F.col("__id").alias("id_1"), F.col("sh_arr").alias("__sh1"))
     s2 = docs.select(F.col("__id").alias("id_2"), F.col("sh_arr").alias("__sh2"))
     inter = F.size(F.array_intersect("__sh1", "__sh2"))
     union = F.size("__sh1") + F.size("__sh2") - inter
-    return (
-        cand.join(s1, "id_1")
+    verify_part = (
+        counted.filter(F.col("__h1").isNotNull() | F.col("__h2").isNotNull())
+        .select("id_1", "id_2")
+        .join(s1, "id_1")
         .join(s2, "id_2")
-        .withColumn(
-            "jaccard",
-            inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"),
+        .select(
+            "id_1",
+            "id_2",
+            (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias(
+                "jaccard"
+            ),
         )
+    )
+    return (
+        exact_part.unionByName(verify_part)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )

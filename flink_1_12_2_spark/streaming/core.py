@@ -104,20 +104,30 @@ def stream_events_multibatch(
     # watermarks require TIMESTAMP (LTZ) — rebuild ts from the micros value
     static = static.withColumn("ts", F2.timestamp_micros(F2.col("ts_us")))
     key = _hl.md5(
-        f"{sf_dir}|{n_files}|{flush_sentinels}|{raw_ts_type}".encode()
+        f"{sf_dir}|{n_files}|{flush_sentinels}|{raw_ts_type}|v2".encode()
     ).hexdigest()[:8]
     split_dir = os.path.join(tempfile.gettempdir(), f"events_split_{key}_{n_files}")
     if not glob.glob(os.path.join(split_dir, "part_*")):
-        rows = static.count()
-        per = (rows + n_files - 1) // n_files
-        ordered = static.orderBy("ts_us", "event_id").collect()
+        from pyspark.sql import Window as _W
+
         os.makedirs(split_dir, exist_ok=True)
+        # executor-side ordered split: ntile over the global event-time order
+        # tags each row with its target file — nothing is collected to the
+        # driver (the r2 flag: collect() capped the harness at driver
+        # memory). The unpartitioned window funnels rows through one TASK,
+        # bounded by executor memory; a production-scale splitter would
+        # repartitionByRange instead — ntile is kept here because its
+        # deterministic equal-size chunks pin the per-batch state tests.
+        w = _W.orderBy("ts_us", "event_id")
+        tagged = static.withColumn("__file", F2.ntile(n_files).over(w) - 1).persist()
+        # one write per chunk, in order: the file stream source triggers
+        # files by (modification time, path), so sequential writes keep the
+        # micro-batch order aligned with event time
         for i in range(n_files):
-            chunk = ordered[i * per : (i + 1) * per]
-            if chunk:
-                spark.createDataFrame(chunk, static.schema).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(split_dir, f"part_{i}"))
+            tagged.filter(F2.col("__file") == i).drop("__file").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(split_dir, f"part_{i}"))
+        tagged.unpersist()
         if flush_sentinels:
             other = [c for c in static.columns if c not in ("event_id", "ts", "user_id", "ts_us")]
             sent = static.select("user_id").distinct().select(
