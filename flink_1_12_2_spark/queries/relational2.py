@@ -401,6 +401,37 @@ def ddl_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_create_function",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_words
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("batch", "sql", "ddl", "udf"),
+)
+def ddl_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION DDL front door (SqlCreateFunction.java parity): a
+    dotted-path Python UDF registered via DDL, then invoked from SQL — the
+    first statement a user porting Flink SQL scripts runs after CREATE
+    TABLE. The UDF is an Arrow-vectorized pandas UDF
+    (functions/examples.py), so the SQL-facing registration keeps the
+    engine's no-row-at-a-time-Python rule."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.register_testdata(sf_dir)
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION word_count AS "
+        "'flink_1_12_2_spark.functions.examples.word_count' LANGUAGE PYTHON"
+    )
+    return eng.sql(
+        "SELECT doc_id, word_count(text) AS n_words FROM documents"
+        " ORDER BY doc_id"
+    )
+
+
+@query(
     "datastream_rolling_aggs",
     oracle="""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -109,7 +109,8 @@ GATE_ORDER: tuple[str, ...] = (
     "setop_intersect_all",
     "unnest_tokens",
     "fn_math_gauntlet",
-    "fn_temporal_gauntlet",
+    # DDL-created pandas UDF executing through SQL (SqlCreateFunction parity)
+    "ddl_create_function",
     # over windows
     "over_range_frame",
     "over_rank_dense_ntile",

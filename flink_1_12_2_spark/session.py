@@ -104,6 +104,9 @@ class EngineSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._tables: dict[str, TableMeta] = {}
+        # DDL-registered user functions: name -> dotted import path
+        # (CREATE FUNCTION front door, sql/ddl.py — SqlCreateFunction parity)
+        self._functions: dict[str, str] = {}
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
@@ -190,7 +193,8 @@ class EngineSession:
         if re.match(
             r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE)|"
             r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW|"
-            r"CREATE\s+DATABASE|USE\s+\w+)\s*",
+            r"CREATE\s+DATABASE|USE\s+\w+|"
+            r"(CREATE|DROP|ALTER)\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)\s*",
             query,
         ):
             from flink_1_12_2_spark.sql.ddl import execute_statement

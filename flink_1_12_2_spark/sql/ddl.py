@@ -259,7 +259,50 @@ _SHOW_DATABASES = re.compile(r"(?is)^\s*SHOW\s+DATABASES\s*;?\s*$")
 _SHOW_CURRENT_DB = re.compile(r"(?is)^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$")
 _SHOW_CATALOGS = re.compile(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$")
 _SHOW_VIEWS = re.compile(r"(?is)^\s*SHOW\s+VIEWS\s*;?\s*$")
-_SHOW_FUNCTIONS = re.compile(r"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*;?\s*$")
+_SHOW_FUNCTIONS = re.compile(r"(?is)^\s*SHOW\s+(?P<user>USER\s+)?FUNCTIONS\s*;?\s*$")
+# CREATE [TEMPORARY] [SYSTEM] FUNCTION [IF NOT EXISTS] f AS '<dotted.path>'
+# [LANGUAGE PYTHON] — SqlCreateFunction.java (the JVM dialect points AS at a
+# classpath class; the Python engine's analogue is a module attribute path)
+_CREATE_FUNCTION = re.compile(
+    r"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+"
+    r"'(?P<path>[\w.]+)'\s*(?:LANGUAGE\s+(?P<lang>\w+))?\s*;?\s*$"
+)
+_DROP_FUNCTION = re.compile(
+    r"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+    r"(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$"
+)
+_ALTER_FUNCTION = re.compile(
+    r"(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+    r"(?P<name>\w+)\s+AS\s+'(?P<path>[\w.]+)'\s*"
+    r"(?:LANGUAGE\s+(?P<lang>\w+))?\s*;?\s*$"
+)
+
+
+def _import_function(path: str):
+    """Resolve a dotted ``module.attr`` path to the callable it names."""
+    import importlib
+
+    mod_path, _, attr = path.rpartition(".")
+    if not mod_path:
+        raise ValueError(
+            f"function path {path!r} must be a dotted module.attribute path"
+        )
+    try:
+        mod = importlib.import_module(mod_path)
+    except ImportError as e:
+        raise ValueError(f"cannot import module {mod_path!r}: {e}") from e
+    try:
+        return getattr(mod, attr)
+    except AttributeError as e:
+        raise ValueError(f"module {mod_path!r} has no attribute {attr!r}") from e
+
+
+def _register_function(engine: EngineSession, name: str, path: str) -> None:
+    """Register the callable at ``path`` (typically a ``functions.udf``-
+    decorated pandas UDF) under ``name`` for SQL use."""
+    engine.spark.udf.register(name, _import_function(path))
+    engine._functions[name] = path
 _CREATE_DATABASE = re.compile(
     r"(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$"
 )
@@ -331,12 +374,48 @@ def execute_statement(engine: EngineSession, stmt: str):
         return spark.createDataFrame(
             [(v,) for v in views] or [], "view_name string"
         )
-    if _SHOW_FUNCTIONS.match(stmt):
+    m = _SHOW_FUNCTIONS.match(stmt)
+    if m:
         from flink_1_12_2_spark.functions.registry import FLINK_FUNCTIONS
 
+        names = set(engine._functions)
+        if not m.group("user"):  # SHOW FUNCTIONS = system + user
+            names |= set(FLINK_FUNCTIONS)
         return spark.createDataFrame(
-            [(n,) for n in sorted(FLINK_FUNCTIONS)], "function_name string"
+            [(n,) for n in sorted(names)] or [], "function_name string"
         )
+    m = _CREATE_FUNCTION.match(stmt)
+    if m:
+        name = m.group("name")
+        lang = (m.group("lang") or "PYTHON").upper()
+        if lang != "PYTHON":
+            raise ValueError(
+                f"LANGUAGE {lang} is not available in this engine (PYTHON "
+                "only — JVM classpath functions have no Python analogue)"
+            )
+        if m.group("ine") and name in engine._functions:
+            return _ok()
+        if name in engine._functions:
+            raise ValueError(f"function {name!r} already exists")
+        _register_function(engine, name, m.group("path"))
+        return _ok()
+    m = _ALTER_FUNCTION.match(stmt)
+    if m:
+        name = m.group("name")
+        if name not in engine._functions:
+            raise ValueError(f"function {name!r} does not exist")
+        _register_function(engine, name, m.group("path"))
+        return _ok()
+    m = _DROP_FUNCTION.match(stmt)
+    if m:
+        name = m.group("name")
+        if name not in engine._functions:
+            if m.group("ie"):
+                return _ok()
+            raise ValueError(f"function {name!r} does not exist")
+        engine._functions.pop(name)
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        return _ok()
     m = _CREATE_DATABASE.match(stmt)
     if m:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {m.group(1)}")

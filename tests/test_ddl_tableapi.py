@@ -243,3 +243,53 @@ def test_table_api_over_window(spark, sf_dir):
     for i, r in enumerate(rows, start=1):
         acc += r.c_acctbal
         assert abs(r.run_total - acc) < 1e-6 and r.rn == i
+
+
+def test_create_drop_alter_function(spark, sf_dir):
+    """CREATE/ALTER/DROP FUNCTION DDL (SqlCreateFunction parity): register a
+    dotted-path pandas UDF, call it from SQL, swap its body, drop it."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.register_testdata(sf_dir)
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION wc AS "
+        "'flink_1_12_2_spark.functions.examples.word_count' LANGUAGE PYTHON"
+    )
+    row = eng.sql(
+        "SELECT wc('one two  three') AS n FROM region LIMIT 1"
+    ).collect()[0]
+    assert row.n == 3
+    # IF NOT EXISTS is a no-op; bare re-create raises
+    eng.sql("CREATE FUNCTION IF NOT EXISTS wc AS 'x.y'")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE FUNCTION wc AS 'x.y'")
+    # SHOW USER FUNCTIONS lists only DDL-registered names
+    user_fns = [r.function_name for r in eng.sql("SHOW USER FUNCTIONS").collect()]
+    assert user_fns == ["wc"]
+    # ALTER points the name at a different body
+    eng.sql(
+        "ALTER FUNCTION wc AS "
+        "'flink_1_12_2_spark.functions.examples.signum_scaled'"
+    )
+    row = eng.sql("SELECT wc(-9.0) AS v FROM region LIMIT 1").collect()[0]
+    assert row.v == -3.0
+    eng.sql("DROP FUNCTION wc")
+    assert eng.sql("SHOW USER FUNCTIONS").count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DROP FUNCTION wc")
+    eng.sql("DROP FUNCTION IF EXISTS wc")  # silent
+
+
+def test_create_function_error_paths(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    with pytest.raises(ValueError, match="LANGUAGE JAVA"):
+        eng.sql("CREATE FUNCTION j AS 'com.acme.F' LANGUAGE JAVA")
+    with pytest.raises(ValueError, match="cannot import"):
+        eng.sql("CREATE FUNCTION f AS 'no_such_module.fn'")
+    with pytest.raises(ValueError, match="no attribute"):
+        eng.sql(
+            "CREATE FUNCTION f AS 'flink_1_12_2_spark.functions.examples.nope'"
+        )
