@@ -468,3 +468,200 @@ def ds_q34_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "o_orderkey", "cnt")
         .orderBy("c_name", "o_orderkey")
     )
+
+
+@query(
+    "ds_q74_yoy_channel_union",
+    oracle="""
+    WITH year_total AS (
+      SELECT o.o_custkey AS custkey, YEAR(o.o_orderdate) AS yr,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS total, 's' AS channel
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linenumber <= 3 GROUP BY 1, 2
+      UNION ALL
+      SELECT o.o_custkey, YEAR(o.o_orderdate),
+             SUM(l.l_extendedprice * (1 - l.l_discount)), 'w'
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linenumber > 3 GROUP BY 1, 2)
+    SELECT s1.custkey AS custkey,
+           CAST(ROUND(s2.total / s1.total, 6) AS DOUBLE) AS store_ratio,
+           CAST(ROUND(w2.total / w1.total, 6) AS DOUBLE) AS web_ratio
+    FROM year_total s1 JOIN year_total s2 ON s1.custkey = s2.custkey
+         JOIN year_total w1 ON s1.custkey = w1.custkey
+         JOIN year_total w2 ON s1.custkey = w2.custkey
+    WHERE s1.channel = 's' AND s1.yr = 1996 AND s2.channel = 's' AND s2.yr = 1997
+      AND w1.channel = 'w' AND w1.yr = 1996 AND w2.channel = 'w' AND w2.yr = 1997
+      AND s1.total > 0 AND w1.total > 0
+      AND ROUND(w2.total / w1.total, 6) > ROUND(s2.total / s1.total, 6)
+    ORDER BY custkey
+    """,
+    tags=("batch", "tpcds", "union", "self-join"),
+)
+def ds_q74_yoy_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2/q74 shape: a multi-channel UNION ALL pipeline (per-channel
+    per-year customer totals) materialized once, then self-joined four ways
+    for the year-over-year growth comparison across channels. The union CTE
+    is persisted — Flink/TPC-DS materialize year_total once; without the
+    boundary Catalyst would re-run both channel aggregations per self-join
+    branch. Ratios are rounded to 6dp BEFORE the growth comparison so
+    float summation order cannot flip the predicate across engines."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = o.join(li, li.l_orderkey == o.o_orderkey)
+
+    def channel(pred, label):
+        return (
+            base.filter(pred)
+            .groupBy(
+                F.col("o_custkey").alias("custkey"),
+                F.year("o_orderdate").alias("yr"),
+            )
+            .agg(F.sum(rev).alias("total"))
+            .withColumn("channel", F.lit(label))
+        )
+
+    year_total = channel(F.col("l_linenumber") <= 3, "s").unionByName(
+        channel(F.col("l_linenumber") > 3, "w")
+    ).persist()
+
+    def slice_(ch, yr, prefix):
+        return year_total.filter(
+            (F.col("channel") == ch) & (F.col("yr") == yr)
+        ).select(F.col("custkey").alias(f"{prefix}_ck"), F.col("total").alias(f"{prefix}_total"))
+
+    s1, s2 = slice_("s", 1996, "s1"), slice_("s", 1997, "s2")
+    w1, w2 = slice_("w", 1996, "w1"), slice_("w", 1997, "w2")
+    store_ratio = F.round(F.col("s2_total") / F.col("s1_total"), 6)
+    web_ratio = F.round(F.col("w2_total") / F.col("w1_total"), 6)
+    return (
+        s1.join(s2, s1.s1_ck == s2.s2_ck)
+        .join(w1, s1.s1_ck == w1.w1_ck)
+        .join(w2, s1.s1_ck == w2.w2_ck)
+        .filter((F.col("s1_total") > 0) & (F.col("w1_total") > 0))
+        .filter(web_ratio > store_ratio)
+        .select(
+            F.col("s1_ck").alias("custkey"),
+            store_ratio.alias("store_ratio"),
+            web_ratio.alias("web_ratio"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "ds_q10_exists_battery",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(c.c_acctbal) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND YEAR(o.o_orderdate) = 1997)
+      AND (EXISTS (SELECT 1 FROM orders o
+                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000))
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    tags=("batch", "tpcds", "exists", "semi-join"),
+)
+def ds_q10_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q35 shape: an EXISTS battery — one mandatory EXISTS (a
+    left-semi join) AND an OR of two further EXISTS. The OR cannot be two
+    semi joins (a semi join can't express disjunction), so each branch
+    becomes a distinct-key flag frame left-joined to the customer axis and
+    the OR is a filter on the flags — Spark's ExistenceJoin does the same
+    under SQL; the DataFrame form makes the rewrite explicit."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    in_1997 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    has_return = (
+        o.join(li.filter(F.col("l_returnflag") == "R"),
+               li.l_orderkey == o.o_orderkey)
+        .select("o_custkey").distinct()
+        .withColumn("__has_ret", F.lit(True))
+    )
+    big_spender = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey").distinct()
+        .withColumn("__big", F.lit(True))
+    )
+    return (
+        c.join(in_1997, c.c_custkey == in_1997.o_custkey, "left_semi")
+        .join(has_return, c.c_custkey == has_return.o_custkey, "left")
+        .drop(has_return.o_custkey)
+        .join(big_spender, c.c_custkey == big_spender.o_custkey, "left")
+        .drop(big_spender.o_custkey)
+        .filter(F.col("__has_ret").isNotNull() | F.col("__big").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "ds_q23_frequent_best",
+    oracle="""
+    WITH freq_items AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      HAVING COUNT(DISTINCT l_orderkey) > 30),
+    cust_total AS (
+      SELECT o.o_custkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS total
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey),
+    best_customers AS (
+      SELECT o_custkey FROM cust_total
+      WHERE total > 0.5 * (SELECT MAX(total) FROM cust_total))
+    SELECT CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE)
+             AS total_sales,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE YEAR(o.o_orderdate) = 1998
+      AND l.l_partkey IN (SELECT l_partkey FROM freq_items)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    tags=("batch", "tpcds", "with-chain", "scalar-subquery"),
+)
+def ds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: WITH-chained expensive CTEs — frequent items
+    (COUNT(DISTINCT) HAVING), best customers (spend above 50% of the max
+    customer spend: a scalar subquery over an aggregate), then the final
+    fact scan semi-joined against BOTH qualifying sets. Both IN-lists are
+    key-only frames, broadcast as semi joins against the fact scan."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    freq_items = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") > 30)
+        .select("l_partkey")
+    )
+    cust_total = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("total"))
+        .persist()  # consumed twice: max scalar + threshold filter
+    )
+    max_total = cust_total.agg(F.max("total").alias("__max"))
+    best = (
+        cust_total.crossJoin(F.broadcast(max_total))
+        .filter(F.col("total") > 0.5 * F.col("__max"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(o.filter(F.year("o_orderdate") == 1998),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(freq_items), "l_partkey", "left_semi")
+        .join(F.broadcast(best.withColumnRenamed("o_custkey", "__bc")),
+              F.col("o_custkey") == F.col("__bc"), "left_semi")
+        .agg(
+            F.sum(rev).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
