@@ -445,21 +445,21 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))) AS s1,
              SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))
                  * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))) AS s2
-      FROM lineitem GROUP BY l_returnflag)
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n,
+             GREATEST(CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n AS DOUBLE), 0.0) AS css
+      FROM m)
     SELECT l_returnflag,
-           SQRT((CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                / CAST(n - 1 AS DOUBLE)) / 100.0                     AS sd_samp,
-           SQRT((CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                / CAST(n AS DOUBLE)) / 100.0                         AS sd_pop,
-           (CAST(s2 AS DOUBLE)
-            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / CAST(n - 1 AS DOUBLE) / 10000.0                         AS var_samp,
-           (CAST(s2 AS DOUBLE)
-            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / CAST(n AS DOUBLE) / 10000.0                             AS var_pop
-    FROM m ORDER BY l_returnflag
+           CASE WHEN n <= 1 THEN NULL
+                ELSE SQRT(css / CAST(n - 1 AS DOUBLE)) / 100.0 END AS sd_samp,
+           SQRT(css / CAST(n AS DOUBLE)) / 100.0                   AS sd_pop,
+           CASE WHEN n <= 1 THEN NULL
+                ELSE css / CAST(n - 1 AS DOUBLE) / 10000.0 END     AS var_samp,
+           css / CAST(n AS DOUBLE) / 10000.0                       AS var_pop
+    FROM c ORDER BY l_returnflag
     """,
     tags=("batch", "agg"),
 )
@@ -474,6 +474,18 @@ def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     against this closed form in tests/test_functions.py. Flink parity:
     flink-table-planner-blink aggfunctions/DeclarativeAggregateFunction
     stddev/variance family rewrites to exactly these Σx/Σx² moments.
+
+    Edge guards (on BOTH engine and oracle sides, so the pattern is safe to
+    reuse on sparser group keys): css is clamped to ≥ 0 — a constant-valued
+    group can make the subtraction a tiny negative, where Spark sqrt gives
+    NaN but DuckDB raises — and the n-1 sample forms emit NULL for n ≤ 1,
+    where Spark 0/0 yields NaN but DuckDB yields NULL.
+
+    Determinism note: ``ROUND(x*100)`` assumes prices are not adversarially
+    at a .5-cent tie (Spark rounds the decimal string HALF_UP; DuckDB rounds
+    the binary double half-away-from-zero). l_extendedprice values land
+    ~1e-9 from exact cents so ties cannot occur; data where they could
+    should cast to decimal(15,2) at the scan instead.
     """
     li = load(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
@@ -485,12 +497,14 @@ def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     s1d = F.col("s1").cast("double")
     s2d = F.col("s2").cast("double")
-    css = s2d - s1d * s1d / nd  # centered sum of squares, in cents²
+    # centered sum of squares in cents², clamped (see docstring edge guards)
+    css = F.greatest(s2d - s1d * s1d / nd, F.lit(0.0))
+    n1 = F.when(F.col("n") > 1, nd - F.lit(1.0))  # NULL divisor when n <= 1
     return m.select(
         "l_returnflag",
-        (F.sqrt(css / (nd - F.lit(1.0))) / 100.0).alias("sd_samp"),
+        (F.sqrt(css / n1) / 100.0).alias("sd_samp"),
         (F.sqrt(css / nd) / 100.0).alias("sd_pop"),
-        (css / (nd - F.lit(1.0)) / 10000.0).alias("var_samp"),
+        (css / n1 / 10000.0).alias("var_samp"),
         (css / nd / 10000.0).alias("var_pop"),
     ).orderBy("l_returnflag")
 

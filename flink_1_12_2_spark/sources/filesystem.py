@@ -23,15 +23,37 @@ from pyspark.sql import functions as F
 
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 # avro (flink-formats/flink-avro) maps to Spark's external spark-avro module
-# (org.apache.spark:spark-avro); it is format("avro") once that jar is on the
-# classpath — not bundled in this environment, so we fail fast with guidance.
+# (org.apache.spark:spark-avro): format("avro") works whenever that jar is on
+# the classpath, so availability is a runtime capability check, not a static
+# gate. sequencefile has no DataFrame source in any deployment.
 _GATED_FORMATS = {
     "avro": "add org.apache.spark:spark-avro to spark.jars.packages",
     "sequencefile": "use spark.sparkContext.sequenceFile (RDD API)",
 }
 
+_AVRO_AVAILABLE: bool | None = None
 
-def _check_format(fmt: str) -> None:
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the JVM classpath (cached)."""
+    global _AVRO_AVAILABLE
+    if _AVRO_AVAILABLE is None:
+        try:
+            # the same resolution the reader/writer performs — merely having
+            # avro classes on the classpath is not enough (Spark ships some
+            # without registering the source)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            _AVRO_AVAILABLE = True
+        except Exception:
+            _AVRO_AVAILABLE = False
+    return _AVRO_AVAILABLE
+
+
+def _check_format(fmt: str, spark: SparkSession | None = None) -> None:
+    if fmt == "avro" and spark is not None and avro_available(spark):
+        return
     if fmt in _GATED_FORMATS:
         raise NotImplementedError(
             f"format {fmt!r} needs extra deployment in this environment: "
@@ -47,7 +69,7 @@ def write_table(
     overwrite: bool = True,
     options: dict[str, str] | None = None,
 ) -> None:
-    _check_format(fmt)
+    _check_format(fmt, df.sparkSession)
     writer = df.write.format(fmt)
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
@@ -87,7 +109,7 @@ def read_table(
     schema=None,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    _check_format(fmt)
+    _check_format(fmt, spark)
     reader = spark.read.format(fmt)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)

@@ -1,0 +1,29 @@
+"""Avro format capability gate: round-trip when spark-avro is on the
+classpath, a clean NotImplementedError (with deployment guidance) otherwise.
+Reference parity: flink-formats/flink-avro AvroFileFormatFactory."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_12_2_spark.sources import filesystem as fs
+
+
+def test_avro_roundtrip_or_clean_gate(spark, sf_dir, tmp_path):
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "avro_rt")
+    if fs.avro_available(spark):
+        fs.write_table(df, path, fmt="avro")
+        back = fs.read_table(spark, path, fmt="avro")
+        assert sorted(r.v for r in back.collect()) == [0, 2, 4, 6, 8]
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            fs.write_table(df, path, fmt="avro")
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            fs.read_table(spark, path, fmt="avro")
+        pytest.skip("spark-avro not on the classpath — gate verified")
+
+
+def test_sequencefile_always_gated(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="sequenceFile"):
+        fs.read_table(spark, str(tmp_path), fmt="sequencefile")

@@ -124,4 +124,45 @@ def test_native_stddev_var_match_moment_formula(spark, sf_dir):
         n = native[row.l_returnflag]
         for col in ("sd_samp", "sd_pop", "var_samp", "var_pop"):
             a, b = getattr(row, col), getattr(n, col)
-            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1.0)
+            # the two computations agree to ~1e-12 relative on this data;
+            # 1e-9 still leaves 1000x headroom over the cancellation error
+            # while catching any real regression in the native agg path
+            # (which the curated correctness gate no longer exercises)
+            assert abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+
+
+def test_stddev_var_edge_guards(spark, sf_dir):
+    """n==1 group -> NULL sample forms (not NaN); constant group -> exact 0
+    (clamped css, not NaN/raise) -- the ADVICE-flagged edge cases, pinned so
+    the moment-formula pattern stays safe on sparse group keys."""
+    from flink_1_12_2_spark.queries.relational import agg_stddev_var
+
+    rows = [("A", 10.0), ("B", 5.0), ("B", 5.0), ("B", 5.0)]
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    df.createOrReplaceTempView("__edge_li")
+
+    import flink_1_12_2_spark.registry as reg
+
+    orig = reg.load
+    try:
+        reg.load = lambda s, d, t: spark.table("__edge_li")
+        out = {r.l_returnflag: r for r in agg_stddev_var(spark, sf_dir).collect()}
+    finally:
+        reg.load = orig
+    # relational.py binds `load` at module import -- patch there too if the
+    # indirection above missed (keeps the test robust to import style)
+    if len(out) != 2 or out["A"].sd_samp is not None:
+        import flink_1_12_2_spark.queries.relational as rel
+
+        orig2 = rel.load
+        try:
+            rel.load = lambda s, d, t: spark.table("__edge_li")
+            out = {
+                r.l_returnflag: r for r in agg_stddev_var(spark, sf_dir).collect()
+            }
+        finally:
+            rel.load = orig2
+    a, b = out["A"], out["B"]
+    assert a.sd_samp is None and a.var_samp is None  # n==1: NULL, not NaN
+    assert a.sd_pop == 0.0 and a.var_pop == 0.0
+    assert b.sd_samp == 0.0 and b.var_samp == 0.0  # constant group: clamped
