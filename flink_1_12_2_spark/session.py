@@ -107,6 +107,13 @@ class EngineSession:
         # DDL-registered user functions: name -> dotted import path
         # (CREATE FUNCTION front door, sql/ddl.py — SqlCreateFunction parity)
         self._functions: dict[str, str] = {}
+        # CREATE CATALOG front door (SqlCreateCatalog / GenericInMemoryCatalog
+        # parity): catalog -> set of table names registered while current.
+        # Metadata-level namespacing — Spark keeps one temp-view namespace,
+        # so same-named tables in two catalogs share the physical view slot
+        # (documented; Flink's in-memory catalog is likewise just a map).
+        self._catalogs: dict[str, set[str]] = {"default_catalog": set()}
+        self._current_catalog: str = "default_catalog"
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
@@ -120,6 +127,7 @@ class EngineSession:
     # -- registry -----------------------------------------------------------
     def register_table(self, name: str, meta: TableMeta) -> None:
         self._tables[name] = meta
+        self._catalogs.setdefault(self._current_catalog, set()).add(name)
         reader = self.spark.read.format(meta.fmt)
         for k, v in meta.options.items():
             reader = reader.option(k, v)
@@ -147,6 +155,7 @@ class EngineSession:
         """Register a path-backed sink table without reading it (the path may
         not exist yet — Flink's CREATE TABLE for a filesystem sink)."""
         self._tables[name] = meta
+        self._catalogs.setdefault(self._current_catalog, set()).add(name)
 
     def create_statement_set(self):
         """Flink TableEnvironment.createStatementSet() — buffer N INSERTs,
@@ -191,9 +200,9 @@ class EngineSession:
 
             return execute_ddl(self, query)
         if re.match(
-            r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE)|"
+            r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE|CATALOG)|"
             r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW|"
-            r"CREATE\s+DATABASE|USE\s+\w+|"
+            r"CREATE\s+(DATABASE|CATALOG)|USE\s+\w+|USE\s+CATALOG|"
             r"(CREATE|DROP|ALTER)\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)\s*",
             query,
         ):

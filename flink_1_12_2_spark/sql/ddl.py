@@ -237,6 +237,7 @@ def execute_ddl(engine: EngineSession, ddl: str):
         df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
     df.createOrReplaceTempView(name)
     engine._tables[name] = meta
+    engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
     return df
 
 
@@ -310,6 +311,20 @@ _DROP_DATABASE = re.compile(
     r"(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)(\s+CASCADE)?\s*;?\s*$"
 )
 _USE_DB = re.compile(r"(?is)^\s*USE\s+(\w+)\s*;?\s*$")
+# CREATE CATALOG c WITH ('type'='generic_in_memory') — SqlCreateCatalog.java;
+# only the in-memory catalog type has a live analogue here (hive/jdbc
+# catalogs need external services)
+_CREATE_CATALOG = re.compile(
+    r"(?is)^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:WITH\s*\((?P<opts>.*?)\))?\s*;?\s*$"
+)
+_DROP_CATALOG = re.compile(
+    r"(?is)^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$"
+)
+_USE_CATALOG = re.compile(r"(?is)^\s*USE\s+CATALOG\s+(?P<name>\w+)\s*;?\s*$")
+_SHOW_CURRENT_CATALOG = re.compile(
+    r"(?is)^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$"
+)
 
 
 def execute_statement(engine: EngineSession, stmt: str):
@@ -322,11 +337,17 @@ def execute_statement(engine: EngineSession, stmt: str):
         return spark.createDataFrame([("OK",)], "result string")
 
     if _SHOW_TABLES.match(stmt):
-        names = sorted(
-            set(engine._tables)
-            | {v.name for v in spark.catalog.listTables() if v.isTemporary}
+        if engine._current_catalog != "default_catalog":
+            # non-default catalog: only the tables registered under it
+            names = sorted(engine._catalogs.get(engine._current_catalog, ()))
+        else:
+            names = sorted(
+                set(engine._tables)
+                | {v.name for v in spark.catalog.listTables() if v.isTemporary}
+            )
+        return spark.createDataFrame(
+            [(n,) for n in names] or [], "table_name string"
         )
-        return spark.createDataFrame([(n,) for n in names], "table_name string")
     m = _DESCRIBE.match(stmt)
     if m:
         return spark.sql(f"DESCRIBE {m.group(1)}")
@@ -362,9 +383,47 @@ def execute_statement(engine: EngineSession, stmt: str):
             [(spark.catalog.currentDatabase(),)], "database_name string"
         )
     if _SHOW_CATALOGS.match(stmt):
-        return spark.sql("SHOW CATALOGS").withColumnRenamed(
-            "catalog", "catalog_name"
+        spark_cats = {r[0] for r in spark.sql("SHOW CATALOGS").collect()}
+        names = sorted(spark_cats | set(engine._catalogs))
+        return spark.createDataFrame(
+            [(n,) for n in names], "catalog_name string"
         )
+    if _SHOW_CURRENT_CATALOG.match(stmt):
+        return spark.createDataFrame(
+            [(engine._current_catalog,)], "catalog_name string"
+        )
+    m = _CREATE_CATALOG.match(stmt)
+    if m:
+        opts = dict(_OPT.findall(m.group("opts") or ""))
+        ctype = opts.get("type", "generic_in_memory")
+        if ctype != "generic_in_memory":
+            raise ValueError(
+                f"catalog type {ctype!r} needs external services; only "
+                "'generic_in_memory' (GenericInMemoryCatalog parity) is "
+                "available in this environment"
+            )
+        engine._catalogs.setdefault(m.group("name"), set())
+        return _ok()
+    m = _USE_CATALOG.match(stmt)
+    if m:
+        if m.group("name") not in engine._catalogs:
+            raise ValueError(f"catalog {m.group('name')!r} does not exist")
+        engine._current_catalog = m.group("name")
+        return _ok()
+    m = _DROP_CATALOG.match(stmt)
+    if m:
+        name = m.group("name")
+        if name not in engine._catalogs:
+            if m.group("ie"):
+                return _ok()
+            raise ValueError(f"catalog {name!r} does not exist")
+        if name == engine._current_catalog:
+            # Flink: "Cannot drop a catalog which is currently in use"
+            raise ValueError(f"cannot drop the current catalog {name!r}")
+        for t in engine._catalogs.pop(name):
+            spark.catalog.dropTempView(t)
+            engine._tables.pop(t, None)
+        return _ok()
     if _SHOW_VIEWS.match(stmt):
         views = sorted(
             v.name

@@ -62,6 +62,22 @@ def stream_events(
     return sdf
 
 
+def set_idleness_policy(spark: SparkSession, policy: str = "max") -> None:
+    """Flink ``WatermarkStrategy.withIdleness`` analogue
+    (flink-core .../eventtime/WatermarkStrategy.java:133).
+
+    Flink marks a stalled source idle so it stops holding back the combined
+    watermark (which is otherwise the MIN across inputs). Spark's knob is
+    query-global rather than per-source: with
+    ``spark.sql.streaming.multipleWatermarkPolicy=max`` the combined
+    watermark follows the fastest input, so an idle (empty) source cannot
+    stall event-time progress — the same unblocking effect, at coarser
+    granularity (a genuinely *late* slow source is also overridden, which
+    Flink's per-source idleness would not do; documented trade).
+    ``policy="min"`` restores the default strict behavior."""
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+
+
 # Far-future event time used by sentinel flush batches (2030-01-01 UTC, µs).
 SENTINEL_TS_US = 1_893_456_000_000_000
 

@@ -293,3 +293,39 @@ def test_create_function_error_paths(spark):
         eng.sql(
             "CREATE FUNCTION f AS 'flink_1_12_2_spark.functions.examples.nope'"
         )
+
+
+def test_create_use_drop_catalog(spark, sf_dir):
+    """CREATE/USE/DROP CATALOG (SqlCreateCatalog / GenericInMemoryCatalog
+    parity): tables registered while a catalog is current belong to it;
+    dropping a non-current catalog drops its tables; the current catalog
+    cannot be dropped (Flink raises the same way)."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql("CREATE CATALOG side WITH ('type'='generic_in_memory')")
+    cats = [r.catalog_name for r in eng.sql("SHOW CATALOGS").collect()]
+    assert "side" in cats and "default_catalog" in cats
+    assert (
+        eng.sql("SHOW CURRENT CATALOG").collect()[0].catalog_name
+        == "default_catalog"
+    )
+    eng.sql("USE CATALOG side")
+    eng.sql(
+        f"""CREATE TABLE side_nation (
+              n_nationkey INT, n_name STRING, n_regionkey INT
+            ) WITH ('connector'='filesystem',
+                    'path'='{sf_dir}/nation.parquet', 'format'='parquet')"""
+    )
+    tables = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
+    assert tables == ["side_nation"]
+    with pytest.raises(ValueError, match="current catalog"):
+        eng.sql("DROP CATALOG side")
+    eng.sql("USE CATALOG default_catalog")
+    eng.sql("DROP CATALOG side")
+    assert eng.meta("side_nation") is None
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("USE CATALOG side")
+    with pytest.raises(ValueError, match="external services"):
+        eng.sql("CREATE CATALOG h WITH ('type'='hive')")
+    eng.sql("DROP CATALOG IF EXISTS nope")  # silent

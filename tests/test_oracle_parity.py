@@ -30,6 +30,9 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    # the 160-query sweep shares one JVM: drop the previous query's persisted
+    # frames so cached partitions can't accumulate into a heap OOM
+    spark.catalog.clearCache()
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
