@@ -1,0 +1,157 @@
+"""CDC format queries: debezium-json / canal-json decoders driving the
+changelog pipeline, verified against oracles that derive the same final
+state (or the same changelog rows) straight from the base table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.operators.cdc_formats import (
+    parse_canal_json,
+    parse_debezium_json,
+)
+from flink_1_12_2_spark.operators.changelog import changelog_normalize
+from flink_1_12_2_spark.registry import load, query
+
+_PAYLOAD = "o_orderkey bigint, o_totalprice double"
+
+
+def _orders_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+def _payload(key: F.Column, price: F.Column) -> F.Column:
+    return F.struct(key.alias("o_orderkey"), price.alias("o_totalprice"))
+
+
+@query(
+    "cdc_debezium_json",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
+    """,
+    tags=("batch", "cdc", "changelog", "format"),
+)
+def cdc_debezium_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debezium-json → changelog → normalize, end to end: every order is
+    inserted (op c), every 3rd updated (+10, op u), every 7th deleted
+    (op d); the decoder's +I/-U/+U/-D rows collapse to current state, which
+    the oracle derives directly from the base table. Envelope JSON is built
+    with to_json so the decode path is exercised on real serialized text."""
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    null_p = F.lit(None).cast(f"struct<{_PAYLOAD}>")
+    ins = o.select(
+        F.lit(1).alias("seq"),
+        F.to_json(
+            F.struct(
+                null_p.alias("before"),
+                _payload(key, price).alias("after"),
+                F.lit("c").alias("op"),
+            )
+        ).alias("j"),
+    )
+    upd = o.filter(key % 3 == 0).select(
+        F.lit(2).alias("seq"),
+        F.to_json(
+            F.struct(
+                _payload(key, price).alias("before"),
+                _payload(key, price + 10).alias("after"),
+                F.lit("u").alias("op"),
+            )
+        ).alias("j"),
+    )
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    dele = o.filter(key % 7 == 0).select(
+        F.lit(3).alias("seq"),
+        F.to_json(
+            F.struct(
+                _payload(key, cur).alias("before"),
+                null_p.alias("after"),
+                F.lit("d").alias("op"),
+            )
+        ).alias("j"),
+    )
+    src = ins.unionByName(upd).unionByName(dele)
+    parsed = parse_debezium_json(src, "j", _PAYLOAD)
+    return (
+        changelog_normalize(parsed, ["o_orderkey"], ["seq"])
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "cdc_canal_json",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT * FROM (
+      SELECT '+I' AS _row_kind, o_orderkey, o_totalprice, CAST(1 AS INT) AS seq
+      FROM base
+      UNION ALL
+      SELECT '-U', o_orderkey, o_totalprice, 2 FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT '+U', o_orderkey, o_totalprice + 10, 2 FROM base
+      WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT '-D', o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END, 3
+      FROM base WHERE o_orderkey % 7 = 0)
+    ORDER BY o_orderkey, seq, _row_kind
+    """,
+    tags=("batch", "cdc", "changelog", "format"),
+)
+def cdc_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-json decode verified at the CHANGELOG-ROW level (not just final
+    state): the oracle enumerates the exact +I/-U/+U/-D rows. The UPDATE
+    envelope's ``old`` array carries ONLY the changed column
+    (o_totalprice) — the decoder must overlay it onto the post-image to
+    reconstruct the -U pre-image (CanalJsonDeserializationSchema parity)."""
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    ins = o.select(
+        F.lit(1).alias("seq"),
+        F.to_json(
+            F.struct(
+                F.array(_payload(key, price)).alias("data"),
+                F.lit(None).cast(f"array<struct<{_PAYLOAD}>>").alias("old"),
+                F.lit("INSERT").alias("type"),
+            )
+        ).alias("j"),
+    )
+    # old carries only the changed column: o_orderkey is NULL in the
+    # pre-image struct and must be recovered from data by the overlay
+    old_elem = F.struct(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        price.alias("o_totalprice"),
+    )
+    upd = o.filter(key % 3 == 0).select(
+        F.lit(2).alias("seq"),
+        F.to_json(
+            F.struct(
+                F.array(_payload(key, price + 10)).alias("data"),
+                F.array(old_elem).alias("old"),
+                F.lit("UPDATE").alias("type"),
+            )
+        ).alias("j"),
+    )
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    dele = o.filter(key % 7 == 0).select(
+        F.lit(3).alias("seq"),
+        F.to_json(
+            F.struct(
+                F.array(_payload(key, cur)).alias("data"),
+                F.lit(None).cast(f"array<struct<{_PAYLOAD}>>").alias("old"),
+                F.lit("DELETE").alias("type"),
+            )
+        ).alias("j"),
+    )
+    src = ins.unionByName(upd).unionByName(dele)
+    parsed = parse_canal_json(src, "j", _PAYLOAD)
+    return parsed.select(
+        "_row_kind", "o_orderkey", "o_totalprice", "seq"
+    ).orderBy("o_orderkey", "seq", "_row_kind")

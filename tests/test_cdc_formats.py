@@ -1,0 +1,95 @@
+"""Unit tests for the CDC changelog-format decoders (debezium/canal/maxwell
+JSON) — op mapping, partial-column overlay, unknown-op tolerance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_12_2_spark.operators.cdc_formats import (
+    parse_canal_json,
+    parse_debezium_json,
+    parse_maxwell_json,
+)
+
+SCHEMA = "id bigint, v double"
+
+
+def _src(spark, payloads):
+    return spark.createDataFrame([(i, p) for i, p in enumerate(payloads)], ["seq", "j"])
+
+
+def test_debezium_ops(spark):
+    src = _src(
+        spark,
+        [
+            '{"before": null, "after": {"id": 1, "v": 1.5}, "op": "c"}',
+            '{"before": null, "after": {"id": 2, "v": 2.5}, "op": "r"}',
+            '{"before": {"id": 1, "v": 1.5}, "after": {"id": 1, "v": 9.0}, "op": "u"}',
+            '{"before": {"id": 2, "v": 2.5}, "after": null, "op": "d"}',
+            '{"before": null, "after": null, "op": "??"}',
+        ],
+    )
+    rows = sorted(
+        (r._row_kind, r.id, r.v)
+        for r in parse_debezium_json(src, "j", SCHEMA).collect()
+    )
+    assert rows == [
+        ("+I", 1, 1.5),
+        ("+I", 2, 2.5),
+        ("+U", 1, 9.0),
+        ("-D", 2, 2.5),
+        ("-U", 1, 1.5),
+    ]
+
+
+def test_canal_batched_and_overlay(spark):
+    src = _src(
+        spark,
+        [
+            '{"data": [{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}], "old": null,'
+            ' "type": "INSERT"}',
+            # old carries only v: the -U pre-image must take id from data
+            '{"data": [{"id": 1, "v": 5.0}], "old": [{"v": 1.0}], "type": "UPDATE"}',
+            '{"data": [{"id": 2, "v": 2.0}], "old": null, "type": "DELETE"}',
+        ],
+    )
+    rows = sorted(
+        (r._row_kind, r.id, r.v)
+        for r in parse_canal_json(src, "j", SCHEMA).collect()
+    )
+    assert rows == [
+        ("+I", 1, 1.0),
+        ("+I", 2, 2.0),
+        ("+U", 1, 5.0),
+        ("-D", 2, 2.0),
+        ("-U", 1, 1.0),
+    ]
+
+
+def test_maxwell_single_row(spark):
+    src = _src(
+        spark,
+        [
+            '{"data": {"id": 3, "v": 3.0}, "old": null, "type": "insert"}',
+            '{"data": {"id": 3, "v": 7.0}, "old": {"v": 3.0}, "type": "update"}',
+            '{"data": {"id": 3, "v": 7.0}, "old": null, "type": "delete"}',
+        ],
+    )
+    rows = sorted(
+        (r._row_kind, r.id, r.v)
+        for r in parse_maxwell_json(src, "j", SCHEMA).collect()
+    )
+    assert rows == [
+        ("+I", 3, 3.0),
+        ("+U", 3, 7.0),
+        ("-D", 3, 7.0),
+        ("-U", 3, 3.0),
+    ]
+
+
+def test_passthrough_columns_survive(spark):
+    src = _src(
+        spark, ['{"before": null, "after": {"id": 1, "v": 1.0}, "op": "c"}']
+    )
+    out = parse_debezium_json(src, "j", SCHEMA).collect()
+    assert out[0].seq == 0  # non-JSON columns ride along
