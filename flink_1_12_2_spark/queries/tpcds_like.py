@@ -665,3 +665,112 @@ def ds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "ds_q1_returns_above_avg",
+    oracle="""
+    WITH ctr AS (
+      SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 1000000) AS DECIMAL(18,0))) AS DOUBLE)
+               / 1000000.0 AS total_return
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2)
+    SELECT c.c_name AS c_name, ctr1.total_return AS total_return
+    FROM ctr ctr1 JOIN customer c ON ctr1.custkey = c.c_custkey
+    WHERE ctr1.total_return > 1.2 * (
+        SELECT AVG(ctr2.total_return) FROM ctr ctr2
+        WHERE ctr2.nationkey = ctr1.nationkey)
+    ORDER BY c_name
+    """,
+    tags=("batch", "tpcds", "correlated-subquery"),
+)
+def ds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape: per-customer return totals filtered against 1.2x the
+    per-group (nation=state) average via a CORRELATED scalar subquery. The
+    oracle keeps the correlated form; the engine applies the standard
+    decorrelation every optimizer performs on it -- a window AVG over the
+    group key -- proving the rewrite equivalent. Determinism: per-customer
+    totals are summed as exact micro-unit decimals (the agg_stddev_var
+    pattern) so output values are bit-identical across engines; the 1.2x
+    filter margin then depends only on AVG's own ~1e-12 noise, 10 orders
+    below any observed margin."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    micros = F.round(_rev() * 1000000).cast("decimal(18,0)")
+    ctr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg((F.sum(micros).cast("double") / 1000000.0).alias("total_return"))
+    )
+    w = Window.partitionBy("nationkey")
+    flt = ctr.withColumn("__avg", F.avg("total_return").over(w)).filter(
+        F.col("total_return") > 1.2 * F.col("__avg")
+    )
+    return (
+        flt.join(c, flt.custkey == c.c_custkey)
+        .select("c_name", "total_return")
+        .orderBy("c_name")
+    )
+
+
+@query(
+    "ds_q60_channel_item_union",
+    oracle="""
+    WITH ch1 AS (
+      SELECT p.p_brand, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linenumber <= 2 GROUP BY 1),
+    ch2 AS (
+      SELECT p.p_brand, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linenumber IN (3, 4) GROUP BY 1),
+    ch3 AS (
+      SELECT p.p_brand, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linenumber >= 5 GROUP BY 1)
+    SELECT p_brand, CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(COUNT(*) AS BIGINT) AS n_channels
+    FROM (SELECT * FROM ch1 UNION ALL SELECT * FROM ch2
+          UNION ALL SELECT * FROM ch3)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("batch", "tpcds", "union", "agg"),
+)
+def ds_q60_channel_item_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33/q56/q60 shape: per-channel aggregates UNION ALL'd then
+    RE-aggregated by item. Each channel aggregates before the union, so the
+    union moves one row per (channel, brand) -- not fact rows -- and the
+    final agg is a second partial/final pass over ~3x|brands| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+
+    def ch(pred):
+        return (
+            base.filter(pred)
+            .groupBy("p_brand")
+            .agg(F.sum(_rev()).alias("rev"))
+        )
+
+    u = (
+        ch(F.col("l_linenumber") <= 2)
+        .unionByName(ch(F.col("l_linenumber").isin(3, 4)))
+        .unionByName(ch(F.col("l_linenumber") >= 5))
+    )
+    return (
+        u.groupBy("p_brand")
+        .agg(
+            F.sum("rev").alias("total_rev"),
+            F.count(F.lit(1)).alias("n_channels"),
+        )
+        .orderBy("p_brand")
+    )
