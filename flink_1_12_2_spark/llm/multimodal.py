@@ -113,6 +113,84 @@ def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "image").mapInPandas(fn, DECODE_SCHEMA)
 
 
+# fake video: magic 'FVID' | u16 n_frames | u8 fps | n_frames × 8-byte frames
+# (each frame = first 8 bytes of md5(doc_id ':' frame_idx) — reproducible in
+# SQL, so the oracle verifies the sampled frame CONTENT, not just indices)
+_VMAGIC = b"FVID"
+_VFMT = ">4sHB"
+_VHEADER_SIZE = struct.calcsize(_VFMT)
+_FRAME_BYTES = 8
+
+
+def attach_fake_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fake video column: n_frames = id % 20 + 5, fps 10."""
+    n = (F.col(id_col) % 20 + 5).cast("int")
+    header = F.concat(
+        F.lit(_VMAGIC),
+        F.expr(f"unhex(lpad(hex(CAST({id_col} % 20 + 5 AS INT)), 4, '0'))"),
+        F.lit(bytes([10])),
+    )
+    frame = lambda i: F.substring(  # noqa: E731
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), i.cast("string")
+                )
+            )
+        ),
+        1,
+        _FRAME_BYTES,
+    )
+    frames = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 1), frame),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    return df.withColumn("video", F.concat(header, frames)).withColumn(
+        "meta_frames", n
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, every: int, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling (every k-th frame) over mapInPandas: parse the
+    container header, slice the sampled frames out of the binary payload,
+    emit one row per sampled frame with a content checksum. Real containers
+    (mp4/mkv) would swap the header/frame parsing for pyav inside this same
+    UDF — batch shape, schema and partitioning are the production ones."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, vid in zip(pdf[id_col], pdf["video"]):
+                b = bytes(vid)
+                if len(b) < _VHEADER_SIZE or b[:4] != _VMAGIC:
+                    raise NotImplementedError(
+                        "real video containers (mp4/mkv/...) are stubbed in "
+                        "this environment"
+                    )
+                _, n, _fps = struct.unpack(_VFMT, b[:_VHEADER_SIZE])
+                frames = b[_VHEADER_SIZE:]
+                for idx in range(0, n, every):
+                    fb = frames[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                    rows.append(
+                        (
+                            int(did),
+                            idx,
+                            hashlib.md5(fb.hex().encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "frame_md5"]
+            )
+
+    return df.select(id_col, "video").mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, scale double"
 
 

@@ -161,3 +161,31 @@ def lookup_join_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("suppliers"))
         .orderBy("nation_name")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(doc_id % 20 + 5 AS INT) AS n FROM documents),
+    s AS (SELECT doc_id, unnest(generate_series(0, n - 1, 3)) AS frame_idx
+          FROM f)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(frame_idx AS VARCHAR)), 1, 16)) AS frame_md5
+    FROM s ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 3rd frame) over Arrow-batched
+    mapInPandas: container header parsed, sampled frames sliced from the
+    binary payload, per-frame content checksum emitted -- the oracle
+    recomputes the exact frame bytes, so sampled CONTENT is verified, not
+    just indices (codec stubbed: fake container, real batch plumbing)."""
+    from flink_1_12_2_spark.llm.multimodal import attach_fake_videos, sample_frames
+
+    d = attach_fake_videos(load(spark, sf_dir, "documents"), "doc_id")
+    return sample_frames(d, every=3, id_col="doc_id").orderBy(
+        "doc_id", "frame_idx"
+    )
