@@ -174,13 +174,16 @@ def lsh_candidate_pairs(
             for b in range(num_perm // rows_per_band)
         ]
     )
+    # persisted: both self-join sides consume the capped band table — without
+    # the boundary each side re-runs the explode + df-window exchange+sort
+    # (measured 1.4× on the full query at sf0.1). Tiny cache: (id, band, bh).
     banded = _df_capped(
         sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
             id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
         ),
         ["band", "bh"],
         band_df_cap,
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
