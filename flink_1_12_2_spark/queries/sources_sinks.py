@@ -291,3 +291,46 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "jdbc_roundtrip_partitioned",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS DECIMAL(18,0))) AS DOUBLE)
+             / 100.0 AS total_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    tags=("batch", "jdbc", "source", "sink"),
+)
+def jdbc_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE jdbc sink+source round-trip against the embedded Derby engine
+    (JdbcDynamicTableFactory parity, no external DB needed): write supplier
+    to a Derby table, read it back as a PARTITIONED scan (4 range-disjoint
+    remote queries on s_suppkey -- Flink's scan.partition.* surface),
+    aggregate. Account balances summed as exact cents so the value hash is
+    engine-order-independent."""
+    from flink_1_12_2_spark.sources.jdbc import derby_url, jdbc_read, jdbc_write
+
+    s = load(spark, sf_dir, "supplier")
+    url = derby_url(_tmp("derby_rt_"))
+    jdbc_write(s, url, "supplier_rt")
+    hi = s.agg(F.max("s_suppkey")).collect()[0][0]
+    back = jdbc_read(
+        spark,
+        url,
+        "supplier_rt",
+        partition_column="s_suppkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+    )
+    cents = F.round(F.col("s_acctbal") * 100).cast("decimal(18,0)")
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
