@@ -281,7 +281,10 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "__id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("sh")
     ).withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-    cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df")
+    # persisted: both self-join sides consume the capped posting list —
+    # without the boundary each side re-runs explode + df-window (~11% on
+    # the full query at sf0.1)
+    cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df").persist()
     # docs touching ≥1 hot shingle: tiny (boilerplate carriers only)
     hot_ids = sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct()
     a, b = cold.alias("a"), cold.alias("b")
