@@ -99,11 +99,13 @@ GATE_ORDER: tuple[str, ...] = (
     "join_fact_fact_smj",
     "interval_join",
     "asof_join_event_time",
-    # aggregations: distinct-split, grouping sets, listagg, stddev/var
+    # aggregations: distinct-split, grouping sets, built-in fns (stddev/var
+    # shares the §2.4 built-in-agg row with listagg, which stays local)
     "agg_distinct",
     "agg_rollup",
-    "agg_listagg",
     "agg_stddev_var",
+    # live jdbc connector round-trip (embedded Derby, partitioned scan)
+    "jdbc_roundtrip_partitioned",
     # rank/top-N, set ops, correlate, scalar-fn gauntlets
     "topn_per_group",
     "setop_intersect_all",

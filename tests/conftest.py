@@ -16,7 +16,16 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from flink_1_12_2_spark.session import get_spark
 
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    # one JVM hosts the full suite (169 parity queries + unit tests):
+    # the 1g default heap intermittently OOMs near the end of the sweep
+    # (localCheckpoint blocks from the iteration queries accumulate until
+    # the ContextCleaner catches up) — give it room
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
