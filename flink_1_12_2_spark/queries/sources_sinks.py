@@ -334,3 +334,29 @@ def jdbc_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "sink_roundtrip_sequencefile",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("batch", "sink", "sequencefile"),
+)
+def sink_roundtrip_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop SequenceFile sink+source round-trip
+    (flink-formats/flink-sequence-file parity). The one RDD-backed
+    connector: Spark has no DataFrame SequenceFile source, so the pair
+    serialization drops to the RDD API while projection stays relational."""
+    from flink_1_12_2_spark.sources.filesystem import (
+        read_sequencefile,
+        write_sequencefile,
+    )
+    import shutil
+
+    s = load(spark, sf_dir, "supplier")
+    path = _tmp("seq_rt_")
+    shutil.rmtree(path, ignore_errors=True)  # saveAsSequenceFile won't overwrite
+    write_sequencefile(s, path, "s_suppkey", "s_name")
+    back = read_sequencefile(spark, path, "s_suppkey", "s_name")
+    return back.orderBy("s_suppkey")

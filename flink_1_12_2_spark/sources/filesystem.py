@@ -28,7 +28,7 @@ SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 # gate. sequencefile has no DataFrame source in any deployment.
 _GATED_FORMATS = {
     "avro": "add org.apache.spark:spark-avro to spark.jars.packages",
-    "sequencefile": "use spark.sparkContext.sequenceFile (RDD API)",
+    "sequencefile": "use read_sequencefile/write_sequencefile (RDD-backed)",
 }
 
 _AVRO_AVAILABLE: bool | None = None
@@ -78,6 +78,28 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite" if overwrite else "append").save(path)
+
+
+def write_sequencefile(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """Hadoop SequenceFile sink (flink-formats/flink-sequence-file
+    SequenceFileWriterFactory parity): (key, value) Writable pairs.
+
+    Spark has no DataFrame-level SequenceFile source/sink, so this is the
+    one honest RDD drop-down in the connector layer (SURVEY §2.1) — the
+    key/value projection happens in the DataFrame world first, the RDD hop
+    only serializes pairs. Partitioning is preserved (one output file per
+    partition, same as any other filesystem sink)."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequencefile(
+    spark: SparkSession, path: str, key_name: str = "key", value_name: str = "value"
+) -> DataFrame:
+    """Hadoop SequenceFile source → two-column DataFrame (Writables are
+    auto-converted by the RDD API; schema is inferred from the pairs)."""
+    return spark.sparkContext.sequenceFile(path).toDF([key_name, value_name])
 
 
 def write_bucketed(
