@@ -93,6 +93,12 @@ class Table:
             out = out.withColumn(name, c)
         return Table(out)
 
+    def add_or_replace_columns(self, **exprs: Column) -> "Table":
+        """Flink addOrReplaceColumns — withColumn already replaces on name
+        collision, so the distinction from add_columns is contractual: Flink
+        raises on collision in addColumns, replaces here."""
+        return self.add_columns(**exprs)
+
     def rename_columns(self, **renames: str) -> "Table":
         out = self._df
         for old, new in renames.items():
@@ -101,6 +107,20 @@ class Table:
 
     def drop_columns(self, *cols: str) -> "Table":
         return Table(self._df.drop(*cols))
+
+    def alias(self, *names: str) -> "Table":
+        """Flink ``as("a, b, c")`` — positional column renaming."""
+        return Table(self._df.toDF(*names))
+
+    def map(self, fn, output_schema: str) -> "Table":
+        """Flink Table.map(ScalarFunction): one row in → one row out, Arrow-
+        batched (mapInPandas with a row-wise contract)."""
+        return Table(self._df.mapInPandas(fn, output_schema))
+
+    def flat_map(self, fn, output_schema: str) -> "Table":
+        """Flink Table.flatMap(TableFunction): one row in → N rows out; the
+        pandas iterator contract is naturally one-to-many."""
+        return Table(self._df.mapInPandas(fn, output_schema))
 
     # -- grouping / windows --------------------------------------------------
     def group_by(self, *keys) -> GroupedTable:
@@ -152,8 +172,33 @@ class Table:
     def left_outer_join(self, other: "Table", on: Column) -> "Table":
         return self.join(other, on, "left")
 
+    def right_outer_join(self, other: "Table", on: Column) -> "Table":
+        return self.join(other, on, "right")
+
     def full_outer_join(self, other: "Table", on: Column) -> "Table":
         return self.join(other, on, "full")
+
+    def join_lateral(self, udtf_col: Column, *out_names: str) -> "Table":
+        """Flink joinLateral(TableFunction): correlate each row with the rows
+        its table function yields (Correlate / CROSS APPLY). ``udtf_col`` is
+        an array(-of-struct) column (functions.udf.udtf output); exploded
+        fields surface under ``out_names``."""
+        out = self._df.withColumn("__lat", F.explode(udtf_col))
+        if out_names:
+            for n in out_names:
+                out = out.withColumn(n, F.col(f"__lat.{n}"))
+            out = out.drop("__lat")
+        return Table(out)
+
+    def left_outer_join_lateral(self, udtf_col: Column, *out_names: str) -> "Table":
+        """Flink leftOuterJoinLateral: rows whose table function yields no
+        rows survive with NULLs (explode_outer)."""
+        out = self._df.withColumn("__lat", F.explode_outer(udtf_col))
+        if out_names:
+            for n in out_names:
+                out = out.withColumn(n, F.col(f"__lat.{n}"))
+            out = out.drop("__lat")
+        return Table(out)
 
     def union(self, other: "Table") -> "Table":
         return Table(self._df.union(other._df).distinct())
@@ -164,15 +209,28 @@ class Table:
     def intersect(self, other: "Table") -> "Table":
         return Table(self._df.intersect(other._df))
 
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self._df.intersectAll(other._df))
+
     def minus(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df).distinct())
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df))
 
     # -- ordering / limits ---------------------------------------------------
     def order_by(self, *cols) -> "Table":
         return Table(self._df.orderBy(*cols))
 
+    def offset(self, n: int) -> "Table":
+        """Flink orderBy().offset(n): skip the first n rows of the sorted
+        result; like Flink, only meaningful after order_by."""
+        return Table(self._df.offset(n))
+
     def fetch(self, n: int) -> "Table":
         return Table(self._df.limit(n))
+
+    limit = fetch
 
     def distinct(self) -> "Table":
         return Table(self._df.distinct())

@@ -329,3 +329,64 @@ def test_create_use_drop_catalog(spark, sf_dir):
     with pytest.raises(ValueError, match="external services"):
         eng.sql("CREATE CATALOG h WITH ('type'='hive')")
     eng.sql("DROP CATALOG IF EXISTS nope")  # silent
+
+
+def test_table_api_extended_surface(spark, sf_dir):
+    """Round-3 Table API additions: right/lateral joins, offset/limit,
+    intersect_all/minus_all, alias, map/flat_map (TableImpl.java parity)."""
+    import pandas as pd
+
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.table_api import Table
+
+    n = Table(load(spark, sf_dir, "nation"))
+    r = Table(load(spark, sf_dir, "region"))
+
+    # right outer: every nation row survives from the right side
+    ro = r.right_outer_join(
+        n, F.col("n_regionkey") == F.col("r_regionkey")
+    ).to_data_frame()
+    assert ro.count() == 25
+
+    # offset/limit after order_by
+    got = (
+        n.order_by("n_nationkey").offset(5).limit(3).to_data_frame().collect()
+    )
+    assert [x.n_nationkey for x in got] == [5, 6, 7]
+
+    # set-op _all variants
+    a = Table(spark.createDataFrame([(1,), (1,), (2,)], ["x"]))
+    b = Table(spark.createDataFrame([(1,), (3,)], ["x"]))
+    assert sorted(
+        x.x for x in a.intersect_all(b).to_data_frame().collect()
+    ) == [1]
+    assert sorted(x.x for x in a.minus_all(b).to_data_frame().collect()) == [1, 2]
+
+    # alias (positional as())
+    al = n.alias(*[f"c{i}" for i in range(len(n.to_data_frame().columns))])
+    assert al.to_data_frame().columns[0] == "c0"
+
+    # map / flat_map (Arrow-batched)
+    def double_key(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"k2": pdf["n_nationkey"] * 2})
+
+    assert (
+        Table(load(spark, sf_dir, "nation")).map(double_key, "k2 bigint")
+        .to_data_frame().agg(F.max("k2")).collect()[0][0] == 48
+    )
+
+    # lateral join over a udtf-style array column
+    arr = Table(
+        spark.createDataFrame([(1, ["a", "b"]), (2, [])], ["id", "toks"])
+    )
+    lat = arr.join_lateral(
+        F.transform(F.col("toks"), lambda t: F.struct(t.alias("tok"))), "tok"
+    ).to_data_frame()
+    assert sorted((x.id, x.tok) for x in lat.collect()) == [(1, "a"), (1, "b")]
+    lat_outer = arr.left_outer_join_lateral(
+        F.transform(F.col("toks"), lambda t: F.struct(t.alias("tok"))), "tok"
+    ).to_data_frame()
+    assert sorted((x.id, x.tok) for x in lat_outer.collect()) == [
+        (1, "a"), (1, "b"), (2, None),
+    ]
