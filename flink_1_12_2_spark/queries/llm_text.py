@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_12_2_spark.llm import text as T
+from flink_1_12_2_spark.llm.dedup import fan_out
 from flink_1_12_2_spark.llm.hashing import FINGERPRINT_MOD
 from flink_1_12_2_spark.registry import load, query
 
@@ -47,7 +48,7 @@ def _sw_ratio_sql(words: tuple[str, ...]) -> str:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword estimate."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -85,7 +86,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/digit/stopword composite in [0,1]."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -130,7 +131,7 @@ def _lang_case_sql() -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax) vs. the labeled lang."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return (
         d.select("lang", T.lang_id(F.col("text")).alias("predicted_lang"))
         .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
@@ -157,7 +158,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (mod 2^31-1)."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
@@ -175,7 +176,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization (lowercase + whitespace collapse + trim) —
     pure JVM expression chain over every document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", T.normalize_text(F.col("text")).alias("norm_text")
     ).orderBy("doc_id")
@@ -203,7 +204,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     are salted with synthetic PII derived from doc_id (the raw corpus has
     none), then scrubbed with the shared ``PII_PATTERNS`` — oracle applies
     the identical patterns in the identical order."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     injected = F.concat(
         F.substring(F.col("text"), 1, 40),
         F.lit(" mail u"), F.col("doc_id").cast("string"),
@@ -275,7 +276,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass over the corpus."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     t = F.col("text")
     scored = d.select(
         "doc_id",
