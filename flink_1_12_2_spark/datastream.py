@@ -119,6 +119,16 @@ class DataStream:
         narrow stages within a task automatically."""
         return self
 
+    def global_(self) -> "DataStream":
+        """All rows to one downstream instance (DataStream.global) —
+        coalesce(1); like Flink, a deliberate parallelism-1 bottleneck."""
+        return DataStream(self.df.coalesce(1))
+
+    def project(self, *field_indexes: int) -> "DataStream":
+        """Positional tuple projection (DataStream.project(int...))."""
+        cols = self.df.columns
+        return DataStream(self.df.select(*[cols[i] for i in field_indexes]))
+
     # -- keying -------------------------------------------------------------
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
@@ -160,6 +170,22 @@ class ConnectedStreams:
             a.select(*output_cols).unionByName(b.select(*output_cols))
         )
 
+    def co_flat_map(
+        self,
+        flat1: tuple[Column, str],
+        flat2: tuple[Column, str],
+        output_cols: list[str],
+    ) -> DataStream:
+        """CoFlatMapFunction parity: per-input array expression exploded
+        (flatMap1/flatMap2), outputs unioned by name."""
+        col1, alias1 = flat1
+        col2, alias2 = flat2
+        a = self.first.df.select("*", F.explode(col1).alias(alias1))
+        b = self.second.df.select("*", F.explode(col2).alias(alias2))
+        return DataStream(
+            a.select(*output_cols).unionByName(b.select(*output_cols))
+        )
+
 
 class KeyedStream:
     def __init__(self, df: DataFrame, keys: list[str]):
@@ -168,6 +194,16 @@ class KeyedStream:
 
     def window(self, assigner, time_col: str = "ts") -> "WindowedStream":
         return WindowedStream(self.df, self.keys, assigner, time_col)
+
+    def count_window(
+        self, size: int, order_cols: list[str] | None = None
+    ) -> "CountWindowedStream":
+        """Tumbling count window (DataStream.countWindow): every ``size``
+        rows per key form a window; assignment follows ``order_cols``
+        (deterministic stand-in for arrival order)."""
+        return CountWindowedStream(
+            self.df, self.keys, size, order_cols or self.keys
+        )
 
     def aggregate(self, **aggs: Column) -> DataStream:
         """``.aggregate(total=F.sum('value'))`` — keyed global aggregate."""
@@ -256,6 +292,27 @@ class KeyedStream:
                 stateStructType=state_schema,
                 outputMode=output_mode,
                 timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+
+class CountWindowedStream:
+    """Result of :meth:`KeyedStream.count_window` — aggregate per
+    (key, win_id) chunk of ``size`` rows (operators/advanced.count_window)."""
+
+    def __init__(self, df: DataFrame, keys: list[str], size: int, order: list[str]):
+        self._df = df
+        self._keys = keys
+        self._size = size
+        self._order = order
+
+    def aggregate(self, **aggs: Column) -> DataStream:
+        from flink_1_12_2_spark.operators.advanced import count_window
+
+        tagged = count_window(self._df, self._keys, self._order, self._size)
+        return DataStream(
+            tagged.groupBy(*self._keys, "win_id").agg(
+                *[c.alias(n) for n, c in aggs.items()]
             )
         )
 

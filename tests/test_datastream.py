@@ -85,3 +85,38 @@ def test_rolling_min_by_max_by(spark):
         for r in ks.max_by("value").df.collect()
     }
     assert got_max[(1, 12)] == 12 and got_max[(2, 21)] == 21
+
+
+def test_datastream_extended_surface(spark, sf_dir):
+    """Round-3 additions: global_/project, count_window aggregate,
+    co_flat_map (DataStream.java / ConnectedStreams.java parity)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.datastream import StreamExecutionEnvironment
+    from flink_1_12_2_spark.registry import load
+
+    env = StreamExecutionEnvironment(spark)
+    n = env.from_table(load(spark, sf_dir, "nation"))
+
+    assert n.global_().df.rdd.getNumPartitions() == 1
+    assert n.project(1, 0).df.columns == ["n_name", "n_nationkey"]
+
+    # count_window: 25 nations / windows of 10 -> sizes 10, 10, 5
+    cw = (
+        n.map(grp=F.lit(1))
+        .key_by("grp")
+        .count_window(10, order_cols=["n_nationkey"])
+        .aggregate(cnt=F.count(F.lit(1)))
+        .df.orderBy("win_id")
+        .collect()
+    )
+    assert [r.cnt for r in cw] == [10, 10, 5]
+
+    a = env.from_collection([(1, ["x", "y"])], "id int, toks array<string>")
+    b = env.from_collection([(2, ["z"])], "id int, toks array<string>")
+    out = a.connect(b).co_flat_map(
+        (F.col("toks"), "tok"), (F.col("toks"), "tok"), ["id", "tok"]
+    )
+    assert sorted((r.id, r.tok) for r in out.df.collect()) == [
+        (1, "x"), (1, "y"), (2, "z"),
+    ]
