@@ -158,3 +158,31 @@ def test_ds_q88_scalar_battery_broadcasts_singletons(spark, sf_dir):
     # formatted explain prints each node in the tree AND the detail section
     assert plan.count("BroadcastNestedLoopJoin") >= 5
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ds_q23_broadcast_semi_joins(spark, sf_dir):
+    """Both qualifying IN-lists (frequent items, best customers) must reach
+    the fact scan as BROADCAST left-semi joins -- never a shuffle of the
+    fact table on a filter key."""
+    plan = _plan(spark, sf_dir, "ds_q23_frequent_best")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds_q10_exists_battery_shape(spark, sf_dir):
+    """The mandatory EXISTS lowers to a semi join; the OR-of-EXISTS flag
+    frames must broadcast (distinct custkey sets are tiny)."""
+    plan = _plan(spark, sf_dir, "ds_q10_exists_battery")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_decoder_is_pure_projection(spark, sf_dir):
+    """CDC decode must stay a scan-local generate/project (no exchange
+    before the normalize window): the only hash exchange in the debezium
+    end-to-end query is the normalize's PK window."""
+    plan = _plan(spark, sf_dir, "cdc_debezium_json")
+    assert "Generate" in plan  # explode of per-op struct array
+    assert plan.count("hashpartitioning") == 1
