@@ -489,7 +489,8 @@ def window_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS last_val
           FROM ev)
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS kept_cnt,
-           CAST(AVG(value) AS DOUBLE) AS kept_avg
+           CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(18,0))) AS DOUBLE)
+             / COUNT(*) / 100.0 AS kept_avg
     FROM l WHERE ABS(value - last_val) < 25.0
     GROUP BY user_id ORDER BY user_id
     """,
@@ -498,16 +499,27 @@ def window_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeltaEvictor.of(25.0, absDelta) on a per-user global window
     (DeltaEvictor.java): evict elements whose delta vs the LAST buffered
-    element is >= threshold, then aggregate the survivors."""
+    element is >= threshold, then aggregate the survivors.
+
+    ``kept_avg`` averages via exact cents (events.value is 2dp-quantized):
+    a plain double AVG over ~300 survivors carries enough summation-order
+    noise to straddle a .005 canonical-rounding boundary across engines —
+    observed at sf0.1 (user 1336: 20.295 rounding 20.30 vs 20.29)."""
     from flink_1_12_2_spark.operators.evictors import delta_evictor
 
     ev = load(spark, sf_dir, "events")
     kept = delta_evictor(
         ev, ["user_id"], ["ts", "event_id"], "value", threshold=25.0
     )
+    cents = F.round(F.col("value") * 100).cast("decimal(18,0)")
     return (
         kept.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("kept_cnt"), F.avg("value").alias("kept_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("kept_cnt"),
+            (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0).alias(
+                "kept_avg"
+            ),
+        )
         .orderBy("user_id")
     )
 
