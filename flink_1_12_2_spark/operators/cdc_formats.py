@@ -60,7 +60,7 @@ def parse_debezium_json(
     env = F.from_json(
         F.col(json_col),
         f"before struct<{payload_schema}>, after struct<{payload_schema}>, "
-        "op string",
+        "op string, ts_ms bigint",
     )
     rows = (
         F.when(env["op"].isin("c", "r"), F.array(_kp(INSERT, env["after"])))
@@ -71,7 +71,9 @@ def parse_debezium_json(
         .when(env["op"] == "d", F.array(_kp(DELETE, env["before"])))
         .otherwise(F.array().cast(f"array<struct<k string, p struct<{payload_schema}>>>"))
     )
-    return _emit(df, json_col, rows, fields)
+    # ts_ms: the envelope's source timestamp — surfaces as a column so
+    # downstream normalize can order changes per key (NULL when absent)
+    return _emit(df.withColumn("ts_ms", env["ts_ms"]), json_col, rows, fields)
 
 
 def _overlay(old: Column, data: Column, fields: list[str]) -> Column:

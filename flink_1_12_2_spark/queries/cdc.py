@@ -155,3 +155,64 @@ def cdc_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "_row_kind", "o_orderkey", "o_totalprice", "seq"
     ).orderBy("o_orderkey", "seq", "_row_kind")
+
+
+@query(
+    "kafka_debezium_pipeline",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey
+    """,
+    tags=("streaming", "kafka", "cdc", "changelog"),
+)
+def kafka_debezium_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Flink CDC consumption pipeline, end to end, brokerless:
+    connector=kafka (file-backed topic emulation, sources/kafka_emu.py) +
+    format=debezium-json (operators/cdc_formats.py) -> REAL Structured
+    Streaming consumption (two producer batches, maxFilesPerTrigger=1) ->
+    changelog normalize to current state. The envelope's ts_ms orders
+    changes per key, exactly as a Flink kafka+debezium table would. A real
+    broker swaps only the source format string; every downstream operator
+    is unchanged."""
+    import tempfile
+
+    from flink_1_12_2_spark.sources.kafka_emu import publish, read_topic_stream
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    null_p = F.lit(None).cast(f"struct<{_PAYLOAD}>")
+
+    def env(before, after, op, ts_ms):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                F.lit(ts_ms).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+
+    topic = tempfile.mkdtemp(prefix="topic_orders_cdc_")
+    # producer batch 1: snapshot inserts; batch 2: updates + deletes
+    publish(o.select(env(null_p, _payload(key, price), "c", 1)), topic)
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    upd = o.filter(key % 3 == 0).select(
+        env(_payload(key, price), _payload(key, price + 10), "u", 2)
+    )
+    dele = o.filter(key % 7 == 0).select(
+        env(_payload(key, cur), null_p, "d", 3)
+    )
+    publish(upd.unionByName(dele), topic)
+
+    stream = read_topic_stream(
+        spark, topic, "debezium-json", _PAYLOAD, max_files_per_trigger=1
+    )
+    rows = run_to_memory(stream, output_mode="append")
+    return (
+        changelog_normalize(rows, ["o_orderkey"], ["ts_ms"])
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

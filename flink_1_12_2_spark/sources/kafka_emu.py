@@ -1,0 +1,93 @@
+"""File-backed Kafka topic emulation — the ``connector=kafka`` front door
+without a broker.
+
+Flink parity: flink-connectors/flink-connector-kafka
+(table/KafkaDynamicTableFactory.java:95 — topic + value format; the value
+format is pluggable: json / debezium-json / canal-json / maxwell-json via
+flink-formats/flink-json). No broker exists in this environment, so the
+topic is a DIRECTORY OF JSON-LINES FILES: ``publish`` appends a file (one
+record per line, like a producer batch), ``read_topic_stream`` tails the
+directory through Spark's file stream source — genuine Structured Streaming
+micro-batches, watermarks and stateful operators downstream all behave as
+they would on ``format("kafka")``. Swapping in a real broker changes ONLY
+the source/sink format strings; every downstream operator (CDC decode,
+changelog normalize, upsert) is identical.
+
+Scale note: the file-stream source checkpoints consumed files exactly as the
+kafka source checkpoints offsets; at real scale the directory is an object
+-store prefix and the listing cost is the analogue of partition discovery.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_12_2_spark.operators.cdc_formats import (
+    parse_canal_json,
+    parse_debezium_json,
+    parse_maxwell_json,
+)
+
+_CDC_PARSERS = {
+    "debezium-json": parse_debezium_json,
+    "canal-json": parse_canal_json,
+    "maxwell-json": parse_maxwell_json,
+}
+
+
+def publish(df: DataFrame, topic_dir: str, value_col: str = "value") -> None:
+    """Produce one batch: append the string column as a JSON-lines file."""
+    os.makedirs(topic_dir, exist_ok=True)
+    batch_dir = os.path.join(topic_dir, f"batch_{uuid.uuid4().hex[:12]}")
+    df.select(F.col(value_col).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(batch_dir)
+
+
+def read_topic_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    value_format: str,
+    payload_schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Consume the topic as a Structured Stream and decode the value format.
+
+    ``json`` → one row per record with the payload columns;
+    ``debezium-json``/``canal-json``/``maxwell-json`` → changelog rows with
+    the engine's ``_row_kind`` column (operators/cdc_formats.py)."""
+    reader = spark.readStream.schema("value string").option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.text(topic_dir)
+    if value_format == "json":
+        env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
+        fields = [f.split()[0] for f in payload_schema.split(",")]
+        return raw.select(*[env[f.strip()].alias(f.strip()) for f in fields])
+    if value_format in _CDC_PARSERS:
+        return _CDC_PARSERS[value_format](raw, "value", payload_schema)
+    raise ValueError(
+        f"value format {value_format!r} not supported by the kafka emulation "
+        f"(json, {', '.join(_CDC_PARSERS)})"
+    )
+
+
+def read_topic_batch(
+    spark: SparkSession, topic_dir: str, value_format: str, payload_schema: str
+) -> DataFrame:
+    """Bounded read of the whole topic (Flink's kafka source with
+    ``scan.bounded.mode=latest-offset``)."""
+    raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
+    if value_format == "json":
+        env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
+        fields = [f.split()[0] for f in payload_schema.split(",")]
+        return raw.select(*[env[f.strip()].alias(f.strip()) for f in fields])
+    if value_format in _CDC_PARSERS:
+        return _CDC_PARSERS[value_format](raw, "value", payload_schema)
+    raise ValueError(f"value format {value_format!r} not supported")
