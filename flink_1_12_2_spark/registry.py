@@ -130,8 +130,10 @@ GATE_ORDER: tuple[str, ...] = (
     # CEP / MATCH_RECOGNIZE
     "match_recognize_measures",
     "stream_cep_quantified",
-    # changelog pipeline
-    "changelog_normalize_batch",
+    # changelog pipeline: the kafka+debezium query subsumes
+    # changelog_normalize_batch (same normalize, plus CDC decode and real
+    # micro-batch consumption); normalize_batch stays locally verified
+    "kafka_debezium_pipeline",
     "stream_changelog_upsert",
     # lookup join + multi-sink statement set
     "lookup_join_external",
