@@ -24,6 +24,8 @@ def test_avro_roundtrip_or_clean_gate(spark, sf_dir, tmp_path):
         pytest.skip("spark-avro not on the classpath — gate verified")
 
 
-def test_sequencefile_always_gated(spark, tmp_path):
-    with pytest.raises(NotImplementedError, match="sequenceFile"):
+def test_sequencefile_format_string_redirects(spark, tmp_path):
+    # format="sequencefile" through the generic reader points at the
+    # dedicated RDD-backed functions (which have their own round-trip query)
+    with pytest.raises(NotImplementedError, match="read_sequencefile"):
         fs.read_table(spark, str(tmp_path), fmt="sequencefile")
