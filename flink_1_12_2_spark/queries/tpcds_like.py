@@ -6,9 +6,16 @@ TpcdsTestProgram.java:48) — the defining plan shapes beyond TPC-H are:
 ROLLUP with rank-within-grouping-level (q36/q67/q86), ratio-over-class via
 windowed aggregate (q12/q98), cumulative-series comparison through a FULL
 OUTER join (q51), period-over-period self-joins (q59), batteries of scalar
-subqueries cross-joined (q88), channel-overlap set analysis (q97), and
-frequent-buyer HAVING ranges (q34/q73). Each query below reproduces one of
-those shapes on the driver tables with a hash-checked DuckDB oracle.
+subqueries cross-joined (q88), channel-overlap set analysis (q97),
+frequent-buyer HAVING ranges (q34/q73), multi-channel UNION pipelines with
+YoY self-joins (q2/q74), EXISTS batteries (q10/q35), WITH-chained
+frequent/best sets gated by a scalar-max subquery (q23), correlated
+group-average filters (q1), union-of-aggregates re-aggregation
+(q33/q56/q60), returns-adjusted fact-fact LEFT joins (q93), and
+cross-channel ratio joins with returns excluded (q78). Each query below
+reproduces one of those shapes on the driver tables with a hash-checked
+DuckDB oracle — 17 archetypes covering the recurring plan structures of
+the reference's 103-query gate.
 
 Scale notes: every dimension join is broadcast; rollups multiply rows only
 AFTER partial aggregation (Catalyst Expand); the cumulative/q51 window runs
@@ -773,4 +780,130 @@ def ds_q60_channel_item_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_channels"),
         )
         .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q93_returns_adjusted",
+    oracle="""
+    WITH ret AS (
+      SELECT l_orderkey, l_linenumber, FLOOR(l_quantity / 2) AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R'),
+    net AS (
+      SELECT o.o_custkey,
+             l.l_quantity - COALESCE(r.ret_qty, 0) AS net_qty,
+             CAST(ROUND((l.l_quantity - COALESCE(r.ret_qty, 0))
+                        * l.l_extendedprice / GREATEST(l.l_quantity, 1) * 100)
+                  AS DECIMAL(18,0)) AS net_cents
+      FROM lineitem l
+      LEFT JOIN ret r ON l.l_orderkey = r.l_orderkey
+                     AND l.l_linenumber = r.l_linenumber
+      JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_custkey, CAST(SUM(net_qty) AS DOUBLE) AS total_qty,
+           CAST(SUM(net_cents) AS DOUBLE) / 100.0 AS total_net
+    FROM net GROUP BY o_custkey HAVING SUM(net_qty) > 900
+    ORDER BY o_custkey
+    """,
+    tags=("batch", "tpcds", "fact-fact", "returns"),
+)
+def ds_q93_returns_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: sales adjusted by a returns fact via LEFT outer
+    fact-fact join on the composite line key, conditional quantity
+    arithmetic, then customer rollup with a HAVING floor. Net revenue is
+    quantized to exact cents (same op order both engines) before summation
+    so the value hash is summation-order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"),
+        F.col("l_linenumber").alias("r_ln"),
+        F.floor(F.col("l_quantity") / 2).alias("ret_qty"),
+    )
+    net_qty = F.col("l_quantity") - F.coalesce(F.col("ret_qty"), F.lit(0))
+    net_cents = F.round(
+        net_qty
+        * F.col("l_extendedprice")
+        / F.greatest(F.col("l_quantity"), F.lit(1))
+        * 100
+    ).cast("decimal(18,0)")
+    return (
+        li.join(
+            ret,
+            (li.l_orderkey == ret.r_ok) & (li.l_linenumber == ret.r_ln),
+            "left",
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", net_qty.alias("net_qty"), net_cents.alias("net_cents"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("net_qty").cast("double").alias("total_qty"),
+            (F.sum("net_cents").cast("double") / 100.0).alias("total_net"),
+        )
+        .filter(F.col("total_qty") > 900)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "ds_q78_channel_ratio",
+    oracle="""
+    WITH ch1 AS (
+      SELECT l_partkey, YEAR(l_shipdate) AS yr,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS DECIMAL(18,0))) AS rev_c
+      FROM lineitem WHERE l_linenumber <= 3 AND l_returnflag <> 'R'
+      GROUP BY 1, 2),
+    ch2 AS (
+      SELECT l_partkey, YEAR(l_shipdate) AS yr,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS DECIMAL(18,0))) AS rev_c
+      FROM lineitem WHERE l_linenumber > 3 AND l_returnflag <> 'R'
+      GROUP BY 1, 2)
+    SELECT c1.l_partkey AS partkey, c1.yr AS yr,
+           CAST(c1.rev_c AS DOUBLE) / 100.0 AS store_rev,
+           CAST(c2.rev_c AS DOUBLE) / 100.0 AS web_rev,
+           CAST(ROUND(CAST(c1.rev_c AS DOUBLE) / CAST(c2.rev_c AS DOUBLE), 6)
+                AS DOUBLE) AS ratio
+    FROM ch1 c1 JOIN ch2 c2 ON c1.l_partkey = c2.l_partkey AND c1.yr = c2.yr
+    WHERE c2.rev_c > 0
+    ORDER BY partkey, yr
+    """,
+    tags=("batch", "tpcds", "fact-fact", "channel"),
+)
+def ds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: returns excluded from BOTH channels (anti
+    semantics via predicate), per-channel (item, year) totals, then a
+    fact-fact equijoin comparing channels with a rounded ratio. Exact-cents
+    sums keep the hash bit-stable across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("decimal(18,0)")
+
+    def channel(pred, pk, yr, rev):
+        return (
+            li.filter(pred)
+            .groupBy(
+                F.col("l_partkey").alias(pk),
+                F.year("l_shipdate").alias(yr),
+            )
+            .agg(F.sum(cents).alias(rev))
+        )
+
+    c1 = channel(F.col("l_linenumber") <= 3, "partkey", "yr", "rev1")
+    c2 = channel(F.col("l_linenumber") > 3, "p2", "y2", "rev2")
+    ratio = F.round(
+        F.col("rev1").cast("double") / F.col("rev2").cast("double"), 6
+    )
+    return (
+        c1.join(c2, (c1.partkey == c2.p2) & (c1.yr == c2.y2))
+        .filter(F.col("rev2") > 0)
+        .select(
+            "partkey",
+            "yr",
+            (F.col("rev1").cast("double") / 100.0).alias("store_rev"),
+            (F.col("rev2").cast("double") / 100.0).alias("web_rev"),
+            ratio.alias("ratio"),
+        )
+        .orderBy("partkey", "yr")
     )
