@@ -29,3 +29,19 @@ def test_sequencefile_format_string_redirects(spark, tmp_path):
     # dedicated RDD-backed functions (which have their own round-trip query)
     with pytest.raises(NotImplementedError, match="read_sequencefile"):
         fs.read_table(spark, str(tmp_path), fmt="sequencefile")
+
+
+def test_compressed_csv_roundtrip(spark, tmp_path):
+    """flink-compress parity: compressed filesystem files are a writer
+    option + transparent decode on read in Spark (no separate format)."""
+    import glob
+
+    df = spark.range(20).selectExpr("id", "id * 3 AS v")
+    path = str(tmp_path / "gz_rt")
+    fs.write_table(df, path, fmt="csv", options={"compression": "gzip"})
+    assert glob.glob(path + "/*.csv.gz")  # actually compressed on disk
+    back = fs.read_table(
+        spark, path, fmt="csv", schema="id bigint, v bigint"
+    )
+    assert back.count() == 20
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 3 for i in range(20))
