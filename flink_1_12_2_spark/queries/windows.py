@@ -563,3 +563,34 @@ def window_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fired.select("user_id", "event_id", "value").orderBy(
         "user_id", "event_id"
     )
+
+
+@query(
+    "window_tumble_offset",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes')
+             AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("batch", "window", "tumble", "offset"),
+)
+def window_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE with alignment offset (TumblingEventTimeWindows.of(size,
+    offset) -- the timezone-aligned daily-window use case): Spark's
+    startTime parameter is the identical epoch-relative shift."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "1 hour", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "cnt", "total_value"
+        )
+        .orderBy("win_start", "event_type")
+    )
