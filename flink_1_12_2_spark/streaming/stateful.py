@@ -187,30 +187,57 @@ KEEPLAST_STATE = StructType(
 )
 
 
-def _keep_last_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    best = state.get if state.exists else None
-    for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            # ts_us column is attached by stream_events (timezone-independent)
-            cand = (int(row.event_id), int(row.ts_us), row.event_type, float(row.value))
-            # keep-LAST by event time; tie → larger event_id (matches the
-            # batch row_number(ORDER BY ts DESC, event_id DESC) oracle)
-            if best is None or (cand[1], cand[0]) > (best[1], best[0]):
-                best = cand
-    state.update(best)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "event_id": [best[0]],
-            "ts_us": [best[1]],
-            "event_type": [best[2]],
-            "value": [best[3]],
-        }
-    )
+def _make_keep_last_fn(ttl_us: int | None):
+    """Keep-last state fn, optionally with event-time state TTL
+    (StateTtlConfig / table.exec.state.ttl parity): a key whose state has
+    not been refreshed within ``ttl_us`` of the watermark is evicted — a
+    later row for that key starts FRESH, exactly Flink's
+    OnCreateAndWrite/NeverReturnExpired TTL behavior for the Deduplicate
+    operator. Eviction runs through Spark's event-time timeout, so idle
+    keys are cleaned even when no new data arrives for them."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_us is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "ts_us", "event_type", "value"]
+            )
+            return
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                # ts_us column is attached by stream_events (tz-independent)
+                cand = (
+                    int(row.event_id),
+                    int(row.ts_us),
+                    row.event_type,
+                    float(row.value),
+                )
+                # keep-LAST by event time; tie → larger event_id (matches the
+                # batch row_number(ORDER BY ts DESC, event_id DESC) oracle)
+                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                    best = cand
+        state.update(best)
+        if ttl_us is not None:
+            state.setTimeoutTimestamp((best[1] + ttl_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best[0]],
+                "ts_us": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return fn
+
+
+_keep_last_fn = _make_keep_last_fn(None)
 
 
 OVERAGG_OUTPUT = StructType(
@@ -269,15 +296,33 @@ def streaming_over_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def streaming_dedup_keep_last(events: DataFrame) -> DataFrame:
+def streaming_dedup_keep_last(
+    events: DataFrame, state_ttl_seconds: int | None = None
+) -> DataFrame:
     """Keep-last-row-per-key dedup by event time (Flink
-    RowTime Deduplicate keep-last; SS only has keep-first natively)."""
+    RowTime Deduplicate keep-last; SS only has keep-first natively).
+
+    ``state_ttl_seconds`` bounds per-key state lifetime (Flink's
+    ``table.exec.state.ttl`` — the knob that keeps unbounded-stream dedup
+    state finite at 100 TB key cardinalities): a key whose state is idle
+    past the TTL is evicted via event-time timeout once the watermark
+    passes. Emitted rows are provably unchanged — any row that survives
+    Spark's late-row filter is newer than the watermark and therefore newer
+    than the expired state it would have compared against — so the TTL is
+    purely a state-size bound, like Flink's NeverReturnExpired visibility.
+    Requires a watermark on ``events`` when set."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _keep_last_fn,
+        _make_keep_last_fn(
+            state_ttl_seconds * 1_000_000 if state_ttl_seconds else None
+        ),
         outputStructType=KEEPLAST_OUTPUT,
         stateStructType=KEEPLAST_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_seconds
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

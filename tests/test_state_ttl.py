@@ -1,0 +1,78 @@
+"""State TTL (StateTtlConfig / table.exec.state.ttl parity) on the keep-last
+dedup operator: a key idle past the TTL is EVICTED from the state store once
+the watermark passes (event-time timeout). Emitted rows are provably
+unchanged — any row surviving the late-row filter is newer than the expired
+state — so the assertion targets the state store's row count, which is the
+whole point of a TTL: bounded state on unbounded key spaces.
+
+Three micro-batches (maxFilesPerTrigger=1):
+  b1: key 1 @ t0          -> state {1}
+  b2: key 2 @ t0+3h       -> watermark advances past t0 + ttl(30min)
+  b3: key 3 @ t0+3h+1s    -> timeout fires for key 1 -> state {2, 3}
+Without TTL the final state holds all three keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+
+from flink_1_12_2_spark.streaming.stateful import streaming_dedup_keep_last
+
+T0 = 1_700_000_000_000_000  # µs
+H3 = 3 * 3600 * 1_000_000
+
+
+def _topic(spark):
+    d = tempfile.mkdtemp(prefix="ttl_src_")
+    rows = [
+        [(100, T0, 1, "click", 1.0)],
+        [(200, T0 + H3, 2, "click", 2.0)],
+        [(300, T0 + H3 + 1_000_000, 3, "click", 3.0)],
+    ]
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"b{i}"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+    )
+
+
+def _run_and_count_state(spark, sdf) -> tuple[int, set[int]]:
+    name = "ttl_" + uuid.uuid4().hex[:10]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    keys = {r.user_id for r in spark.table(name).collect()}
+    return state_rows, keys
+
+
+def test_ttl_bounds_state_rows(spark):
+    out = streaming_dedup_keep_last(_topic(spark), state_ttl_seconds=1800)
+    state_rows, keys = _run_and_count_state(spark, out)
+    assert keys == {1, 2, 3}  # emissions unchanged by TTL
+    assert state_rows == 2  # key 1 evicted when the watermark passed t0+ttl
+
+
+def test_no_ttl_retains_all_keys(spark):
+    out = streaming_dedup_keep_last(_topic(spark))
+    state_rows, keys = _run_and_count_state(spark, out)
+    assert keys == {1, 2, 3}
+    assert state_rows == 3
