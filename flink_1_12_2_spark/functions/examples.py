@@ -31,3 +31,17 @@ def signum_scaled(v: pd.Series) -> pd.Series:
     import numpy as np
 
     return np.sign(v) * np.sqrt(v.abs())
+
+
+def geo_mean(v: pd.Series) -> float:
+    """Geometric mean — a registrable AGGREGATE example: CREATE FUNCTION
+    also covers UDAFs (Flink's AggregateFunction via SqlCreateFunction);
+    wrapped as a GROUPED_AGG pandas UDF at registration time."""
+    import numpy as np
+
+    return float(np.exp(np.log(v[v > 0]).mean()))
+
+
+from flink_1_12_2_spark.functions.udf import udaf  # noqa: E402
+
+geo_mean = udaf("double")(geo_mean)

@@ -390,3 +390,34 @@ def test_table_api_extended_surface(spark, sf_dir):
     assert sorted((x.id, x.tok) for x in lat_outer.collect()) == [
         (1, "a"), (1, "b"), (2, None),
     ]
+
+
+def test_create_function_udaf(spark, sf_dir):
+    """CREATE FUNCTION registers AGGREGATE pandas UDFs too (Flink
+    AggregateFunction via SqlCreateFunction): usable inside GROUP BY SQL."""
+    import math
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.register_testdata(sf_dir)
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION geo_mean AS "
+        "'flink_1_12_2_spark.functions.examples.geo_mean' LANGUAGE PYTHON"
+    )
+    rows = eng.sql(
+        "SELECT s_nationkey, geo_mean(s_acctbal) AS g FROM supplier "
+        "WHERE s_acctbal > 0 GROUP BY s_nationkey ORDER BY s_nationkey"
+    ).collect()
+    assert rows and all(r.g > 0 for r in rows)
+    # cross-check one group by hand
+    nk = rows[0].s_nationkey
+    vals = [
+        r.s_acctbal
+        for r in spark.table("supplier")
+        .filter(f"s_nationkey = {nk} AND s_acctbal > 0")
+        .collect()
+    ]
+    expected = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    assert abs(rows[0].g - expected) < 1e-9
+    eng.sql("DROP FUNCTION geo_mean")
