@@ -201,7 +201,7 @@ class EngineSession:
             return execute_ddl(self, query)
         if re.match(
             r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE|CATALOG)|"
-            r"ALTER\s+TABLE|CREATE\s+(TEMPORARY\s+)?VIEW|"
+            r"ALTER\s+(TABLE|VIEW)|CREATE\s+(TEMPORARY\s+)?VIEW|"
             r"CREATE\s+(DATABASE|CATALOG)|USE\s+\w+|USE\s+CATALOG|"
             r"(CREATE|DROP|ALTER)\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)\s*",
             query,

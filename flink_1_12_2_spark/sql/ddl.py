@@ -311,6 +311,24 @@ _DROP_DATABASE = re.compile(
     r"(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)(\s+CASCADE)?\s*;?\s*$"
 )
 _USE_DB = re.compile(r"(?is)^\s*USE\s+(\w+)\s*;?\s*$")
+_SHOW_PARTITIONS = re.compile(
+    r"(?is)^\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*$"
+)
+_DESCRIBE_DATABASE = re.compile(
+    r"(?is)^\s*DESCRIBE\s+DATABASE\s+(?:EXTENDED\s+)?(\w+)\s*;?\s*$"
+)
+_DESCRIBE_CATALOG = re.compile(
+    r"(?is)^\s*DESCRIBE\s+CATALOG\s+(\w+)\s*;?\s*$"
+)
+_ALTER_VIEW_RENAME = re.compile(
+    r"(?is)^\s*ALTER\s+VIEW\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*$"
+)
+_ALTER_VIEW_AS = re.compile(
+    r"(?is)^\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*$"
+)
+_ALTER_TABLE_SET = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*;?\s*$"
+)
 # CREATE CATALOG c WITH ('type'='generic_in_memory') — SqlCreateCatalog.java;
 # only the in-memory catalog type has a live analogue here (hive/jdbc
 # catalogs need external services)
@@ -348,6 +366,36 @@ def execute_statement(engine: EngineSession, stmt: str):
         return spark.createDataFrame(
             [(n,) for n in names] or [], "table_name string"
         )
+    m = _DESCRIBE_DATABASE.match(stmt)
+    if m:
+        return spark.sql(f"DESCRIBE DATABASE {m.group(1)}")
+    m = _DESCRIBE_CATALOG.match(stmt)
+    if m:
+        name = m.group(1)
+        if name not in engine._catalogs:
+            raise ValueError(f"catalog {name!r} does not exist")
+        return spark.createDataFrame(
+            [("name", name), ("type", "generic_in_memory"),
+             ("tables", str(len(engine._catalogs[name])))],
+            "info_name string, info_value string",
+        )
+    m = _SHOW_PARTITIONS.match(stmt)
+    if m:
+        # SqlShowPartitions: list hive-style partition dirs of the table's
+        # path (Spark's SHOW PARTITIONS needs a metastore table; registry
+        # tables are path-backed, so enumerate partition directories)
+        name = m.group(1)
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        parts = sorted(
+            d
+            for d in os.listdir(meta.path)
+            if "=" in d and os.path.isdir(os.path.join(meta.path, d))
+        )
+        return spark.createDataFrame(
+            [(p,) for p in parts] or [], "partition string"
+        )
     m = _DESCRIBE.match(stmt)
     if m:
         return spark.sql(f"DESCRIBE {m.group(1)}")
@@ -355,6 +403,26 @@ def execute_statement(engine: EngineSession, stmt: str):
     if m:
         spark.catalog.dropTempView(m.group(1))
         engine._tables.pop(m.group(1), None)
+        return _ok()
+    m = _ALTER_VIEW_RENAME.match(stmt)
+    if m:
+        old, new = m.group(1), m.group(2)
+        spark.table(old).createOrReplaceTempView(new)
+        spark.catalog.dropTempView(old)
+        return _ok()
+    m = _ALTER_VIEW_AS.match(stmt)
+    if m:
+        engine.sql(m.group(2)).createOrReplaceTempView(m.group(1))
+        return _ok()
+    m = _ALTER_TABLE_SET.match(stmt)
+    if m:
+        # SqlAlterTableProperties: merge WITH-style options into the
+        # registry metadata (applied on the next read/stream of the table)
+        name = m.group(1)
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        meta.options.update(dict(_OPT.findall(m.group(2))))
         return _ok()
     m = _ALTER_RENAME.match(stmt)
     if m:

@@ -421,3 +421,43 @@ def test_create_function_udaf(spark, sf_dir):
     expected = math.exp(sum(math.log(v) for v in vals) / len(vals))
     assert abs(rows[0].g - expected) < 1e-9
     eng.sql("DROP FUNCTION geo_mean")
+
+
+def test_catalog_statement_long_tail(spark, sf_dir, tmp_path):
+    """SHOW PARTITIONS / DESCRIBE DATABASE / DESCRIBE CATALOG / ALTER VIEW /
+    ALTER TABLE SET (the remaining flink-sql-parser ddl+dql inventory)."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    # partitioned table on disk -> SHOW PARTITIONS lists hive-style dirs
+    src = spark.table  # noqa: F841  (readability)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], ["id", "part_col"]
+    )
+    path = str(tmp_path / "part_tbl")
+    df.write.partitionBy("part_col").parquet(path)
+    eng.sql(
+        f"""CREATE TABLE part_tbl (id BIGINT, part_col STRING)
+            WITH ('connector'='filesystem', 'path'='{path}',
+                  'format'='parquet')"""
+    )
+    parts = [r.partition for r in eng.sql("SHOW PARTITIONS part_tbl").collect()]
+    assert parts == ["part_col=a", "part_col=b"]
+
+    assert eng.sql("DESCRIBE DATABASE default").count() >= 1
+    eng.sql("CREATE CATALOG side2 WITH ('type'='generic_in_memory')")
+    info = {
+        r.info_name: r.info_value
+        for r in eng.sql("DESCRIBE CATALOG side2").collect()
+    }
+    assert info["type"] == "generic_in_memory"
+
+    eng.sql("CREATE VIEW v_one AS SELECT 1 AS x")
+    eng.sql("ALTER VIEW v_one RENAME TO v_two")
+    assert spark.table("v_two").collect()[0].x == 1
+    eng.sql("ALTER VIEW v_two AS SELECT 2 AS x")
+    assert spark.table("v_two").collect()[0].x == 2
+
+    eng.sql("ALTER TABLE part_tbl SET ('custom.opt'='42')")
+    assert eng.meta("part_tbl").options["custom.opt"] == "42"
+    eng.sql("DROP CATALOG side2")
