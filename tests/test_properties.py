@@ -249,3 +249,63 @@ def test_greedy_oneormore_disjoint_equals_regex(types):
         for m in _re.finditer(r"A[AX]*?B", s)
     ]
     assert [(a, b) for (a, b, *_ts) in got] == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "purchase", "error", "view"]),
+            st.integers(min_value=0, max_value=20),  # ts gap steps
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cep_nfa_equals_sequential_recursion(events):
+    """The single-run NFA (streaming/cep.py) must equal the sequential
+    pending-click recursion that the recursive-CTE oracles encode
+    (_cep_oracle in queries/streaming_emu.py) — for BOTH oracled patterns,
+    on arbitrary event sequences. This pins the NFA<->oracle equivalence
+    argument beyond the driver testdata."""
+    from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+    W = 6 * 3600 * 1_000_000
+    rows = []
+    ts = 0
+    for i, (et, gap) in enumerate(events):
+        ts += gap * 30 * 60 * 1_000_000  # 0..20 half-hour steps
+        rows.append({"event_id": i, "ts_us": ts, "event_type": et, "user_id": 0})
+
+    def sequential(decide_types):
+        out, pend = [], None
+        for r in rows:
+            if pend is not None and r["ts_us"] - pend[1] > W:
+                pend = None
+            if pend is None:
+                if r["event_type"] == "click":
+                    pend = (r["event_id"], r["ts_us"])
+            elif r["event_type"] == "purchase":
+                out.append((pend[0], r["event_id"], pend[1], r["ts_us"]))
+                pend = None
+            elif r["event_type"] in decide_types:
+                pend = None  # error kill (quantified pattern only)
+        return out
+
+    pat_simple = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(W)
+    )
+    got, _ = _match_events(list(rows), pat_simple, None)
+    assert got == sequential(())
+
+    pat_quant = (
+        Pattern.begin("clicks", lambda r: r["event_type"] == "click")
+        .one_or_more()
+        .greedy()
+        .not_followed_by("err", lambda r: r["event_type"] == "error")
+        .followed_by("buy", lambda r: r["event_type"] == "purchase")
+        .within(W)
+    )
+    got_q, _ = _match_events(list(rows), pat_quant, None)
+    assert got_q == sequential(("error",))
