@@ -47,21 +47,31 @@ TOPN_STATE = StructType(
 )
 
 
-def _topn_fn(n: int):
+def _topn_fn(n: int, ttl_us: int | None = None):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_us is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "value", "rn", "seq"]
+            )
+            return
         if state.exists:
             (ids_csv, vals_csv, seq) = state.get
             ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
             vals = [float(x) for x in vals_csv.split(",")] if vals_csv else []
         else:
             ids, vals, seq = [], [], 0
+        last_ts: int | None = None
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["event_id"])
             vals.extend(float(x) for x in pdf["value"])
+            if ttl_us is not None and "ts_us" in pdf.columns and len(pdf):
+                m = int(pdf["ts_us"].max())
+                last_ts = m if last_ts is None else max(last_ts, m)
         # keep only the top-n in state (bounded state, Flink TopNBuffer parity)
         order = sorted(
             range(len(ids)), key=lambda i: (-vals[i], ids[i])
@@ -76,6 +86,13 @@ def _topn_fn(n: int):
                 seq,
             )
         )
+        if ttl_us is not None and last_ts is not None:
+            # refresh the TTL clock on every write (OnCreateAndWrite), keyed
+            # to the newest EVENT time seen — processing order independent
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, (last_ts + ttl_us) // 1000)
+            )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(ids),
@@ -153,18 +170,28 @@ def streaming_topn_changelog(events: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def streaming_topn(events: DataFrame, n: int = 3) -> DataFrame:
+def streaming_topn(
+    events: DataFrame, n: int = 3, state_ttl_seconds: int | None = None
+) -> DataFrame:
     """Per-key streaming Top-N by value (desc, event_id tie-break).
 
     State = the current top-n per key only (bounded); each micro-batch emits
-    the refreshed ranking for keys that changed.
-    """
+    the refreshed ranking for keys that changed. ``state_ttl_seconds``
+    applies the same watermark-driven idle-key eviction as
+    ``streaming_dedup_keep_last`` (table.exec.state.ttl parity) — at 100 TB
+    key cardinalities the rank state of keys that stopped producing must
+    age out."""
+    ttl_us = state_ttl_seconds * 1_000_000 if state_ttl_seconds else None
     return events.groupBy("user_id").applyInPandasWithState(
-        _topn_fn(n),
+        _topn_fn(n, ttl_us),
         outputStructType=TOPN_OUTPUT,
         stateStructType=TOPN_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_seconds
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

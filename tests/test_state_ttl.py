@@ -76,3 +76,17 @@ def test_no_ttl_retains_all_keys(spark):
     state_rows, keys = _run_and_count_state(spark, out)
     assert keys == {1, 2, 3}
     assert state_rows == 3
+
+
+def test_topn_ttl_bounds_state(spark):
+    from flink_1_12_2_spark.streaming.stateful import streaming_topn
+
+    with_ttl = streaming_topn(_topic(spark), n=3, state_ttl_seconds=1800)
+    state_rows, keys = _run_and_count_state(spark, with_ttl)
+    assert keys == {1, 2, 3}
+    assert state_rows == 2  # key 1's rank state evicted
+
+    without = streaming_topn(_topic(spark), n=3)
+    state_rows, keys = _run_and_count_state(spark, without)
+    assert keys == {1, 2, 3}
+    assert state_rows == 3
