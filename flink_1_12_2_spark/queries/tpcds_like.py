@@ -12,9 +12,10 @@ YoY self-joins (q2/q74), EXISTS batteries (q10/q35), WITH-chained
 frequent/best sets gated by a scalar-max subquery (q23), correlated
 group-average filters (q1), union-of-aggregates re-aggregation
 (q33/q56/q60), returns-adjusted fact-fact LEFT joins (q93), and
-cross-channel ratio joins with returns excluded (q78). Each query below
+cross-channel ratio joins with returns excluded (q78), and semi+anti
+against the same fact (q94/q16). Each query below
 reproduces one of those shapes on the driver tables with a hash-checked
-DuckDB oracle — 17 archetypes covering the recurring plan structures of
+DuckDB oracle — 18 archetypes covering the recurring plan structures of
 the reference's 103-query gate.
 
 Scale notes: every dimension join is broadcast; rollups multiply rows only
@@ -906,4 +907,43 @@ def ds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("ratio"),
         )
         .orderBy("partkey", "yr")
+    )
+
+
+@query(
+    "ds_q94_semi_anti_combo",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS DECIMAL(18,0)))
+                AS DOUBLE) / 100.0 AS total_price
+    FROM orders o
+    WHERE YEAR(o.o_orderdate) = 1997
+      AND EXISTS (SELECT 1 FROM lineitem l1
+                  WHERE l1.l_orderkey = o.o_orderkey
+                    AND l1.l_linenumber > 4)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_returnflag = 'R')
+    """,
+    tags=("batch", "tpcds", "semi-join", "anti-join"),
+)
+def ds_q94_semi_anti_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94/q16 shape: EXISTS and NOT EXISTS against the SAME fact in
+    one query -- a left-semi and a left-anti join chained on the order key
+    (multi-line orders that shipped nothing returned). Totals summed as
+    exact cents."""
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = load(spark, sf_dir, "lineitem")
+    multi = li.filter(F.col("l_linenumber") > 4).select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    return (
+        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == F.col("r_ok"), "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
     )
