@@ -375,12 +375,28 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_distance via banded join.
 
     Pigeonhole: with ``SIMHASH_BANDS`` = max_distance + 1 bands, any pair
-    within distance ≤ max_distance agrees on ≥1 full band — exact recall
-    without O(n²). Band values shared by more than ``band_df_cap`` docs are
-    dropped before the self-join (quadratic hot-band guard).
+    within distance ≤ max_distance agrees on ≥1 full band — **exact recall**
+    without O(n²). Hot (band, value) buckets with df > ``band_df_cap`` are
+    NOT dropped (each 8-bit band has only 256 values, so at >~cap·256 docs
+    the pigeonhole *guarantees* hot buckets — dropping them would silently
+    lose true pairs): they are instead REFINED by a second pigeonhole level —
+    inside a hot bucket all docs already agree on that band's 8 bits, so a
+    qualifying pair's ≤ max_distance differing bits all lie in the
+    complementary 24 bits, and re-banding those into ``max_distance + 1``
+    sub-bands guarantees ≥1 equal sub-band. The hot-bucket join runs on
+    (band, bv, sband, sbv) — expected bucket volume drops 2^6× per level.
+    Exact recall is preserved at every corpus size; the only residual
+    quadratic is a sub-bucket of mutually near-identical hashes, whose
+    OUTPUT is itself quadratic (every pair qualifies), so join volume is
+    output-bound. (Recurse the same refinement once more if a profile ever
+    shows a hot sub-bucket.)
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
+    comp_bits = SIMHASH_BITS - width  # complementary bits inside a hot bucket
+    n_sub = max_distance + 1
+    sub_width = -(-comp_bits // n_sub)  # ceil: 24 bits → 4 × 6-bit sub-bands
+    sub_mask = (1 << sub_width) - 1
     # persist: simhash32 is 32 bit-vote aggregates per row — compute once,
     # not once per self-join side (tiny cache: id + one bigint per doc)
     with_sh = fan_out(df).select(
@@ -397,27 +413,69 @@ def simhash_pairs(
             for b in range(SIMHASH_BANDS)
         ]
     )
-    banded = _df_capped(
-        with_sh.select("__id", "simhash", F.explode(bands).alias("b")).select(
-            "__id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
-        ),
-        ["band", "bv"],
-        band_df_cap,
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+    # one window count on (band, bv) — the same hash partitioning the
+    # downstream self-equijoin needs, so the exchange is shared — then split
+    # into the cold direct join and the hot sub-band-refined join. persist:
+    # both the cold and hot branches (and both self-join sides of each)
+    # consume this frame.
+    banded = (
+        with_sh.select("__id", "simhash", F.explode(bands).alias("b"))
         .select(
+            "__id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+        )
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("band", "bv")))
+        .persist()
+    )
+    cold = banded.filter(F.col("__df") <= band_df_cap).drop("__df")
+    # complementary 24 bits for band b: low 8b bits ∪ bits above (b+1)·8,
+    # packed into one 24-bit value, then re-banded into n_sub sub-bands
+    comp = F.when(F.lit(False), F.lit(0))
+    for b in range(SIMHASH_BANDS):
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (b * width)) - 1))
+        high = F.shiftright(F.col("simhash"), (b + 1) * width)
+        comp = F.when(
+            F.col("band") == b, low + F.shiftleft(high, b * width)
+        ).otherwise(comp)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sband"),
+                F.shiftright(F.col("__comp"), s * sub_width)
+                .bitwiseAND(F.lit(sub_mask))
+                .alias("sbv"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    hot = (
+        banded.filter(F.col("__df") > band_df_cap)
+        .drop("__df")
+        .withColumn("__comp", comp)
+        .select("__id", "simhash", "band", "bv", F.explode(subs).alias("s"))
+        .select(
+            "__id",
+            "simhash",
+            "band",
+            "bv",
+            F.col("s.sband").alias("sband"),
+            F.col("s.sbv").alias("sbv"),
+        )
+    )
+    def _self_join(side: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        cond = F.col("a.__id") < F.col("b.__id")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
             F.col("a.__id").alias("id_1"),
             F.col("b.__id").alias("id_2"),
             F.col("a.simhash").alias("sh1"),
             F.col("b.simhash").alias("sh2"),
         )
+
+    pairs = (
+        _self_join(cold, ["band", "bv"])
+        .unionByName(_self_join(hot, ["band", "bv", "sband", "sbv"]))
         .distinct()
     )
     return pairs.withColumn(
@@ -441,17 +499,32 @@ def normalize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 COSINE_BANDS = 8
 COSINE_ROWS = 2
 
+# Auto mode (exact=None): corpora at or below this size run the exact
+# brute-force block join (recall 1.0, trivially affordable — ≤ ~5·10⁹
+# comparisons of pre-normalized vectors); above it the banded-LSH path with
+# its documented ~97%+ recall takes over. Chosen so the crossover happens
+# long before the all-pairs join could dominate a cluster.
+COSINE_EXACT_MAX_DOCS = 100_000
+
 
 def cosine_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    exact: bool = False,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_1 < id_2, cosine ≥ threshold).
 
-    Default path is banded hyperplane LSH: per-row sign bits against
+    ``exact=None`` (default) auto-selects: exact brute force when the corpus
+    has ≤ ``COSINE_EXACT_MAX_DOCS`` rows (recall 1.0 where it is cheap),
+    banded LSH above (recall is then approximate — ~97% at τ=0.35 with the
+    default R=2/B=8 banding, → 1 as τ → 1). Pass ``exact=False`` to pin the
+    LSH plan shape regardless of size (the registered gate query does, so
+    engine and oracle stay bit-identical), ``exact=True`` to force brute
+    force.
+
+    The LSH path is banded hyperplane LSH: per-row sign bits against
     ``bands × rows_per_band`` deterministic planes (literal coefficients —
     zero shuffle to compute), exploded into bands; the self-equijoin on
     (band, band_value) shuffles only (id, band) pairs, and exact cosine is
@@ -469,6 +542,11 @@ def cosine_pairs(
     reference for small inputs.
     """
     from flink_1_12_2_spark.llm.similarity import _dot_lit, lsh_planes
+
+    if exact is None:
+        # one cheap count job (column-pruned scan) decides the path; at real
+        # scale the catalog row-count statistic answers this without a job
+        exact = df.count() <= COSINE_EXACT_MAX_DOCS
 
     n = normalize_embeddings(df, id_col, vec_col)
     dot = F.aggregate(

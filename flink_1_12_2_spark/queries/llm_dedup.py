@@ -159,7 +159,10 @@ def _simhash_oracle() -> str:
 @query("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs, Hamming ≤ 3, via pigeonhole-banded
-    join (4 × 8-bit bands ⇒ exact recall; oracle brute-forces all pairs)."""
+    join (4 × 8-bit bands ⇒ exact recall; oracle brute-forces all pairs).
+    Hot bands (df > cap) are sub-band-refined, not dropped, so recall stays
+    exact at every corpus size and the brute-force oracle stays valid
+    (llm/dedup.py:simhash_pairs)."""
     d = load(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(d, "doc_id", "text", max_distance=3)
     return pairs.select(
@@ -216,9 +219,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane LSH (8 bands × 2 sign bits) + exact in-bucket verify — the
     oracle replicates planes and banding, so bucket recall is verified, not
     just the surviving pairs. No corpus×corpus nested-loop join (the r1/r2
-    scale flag); brute force remains behind ``exact=True``."""
+    scale flag). APPROXIMATE RECALL (~97% at τ=0.35, → 1 as τ → 1):
+    ``exact=False`` pins the LSH plan so engine and banding-replicating
+    oracle stay bit-identical at any sf; the library default (exact=None)
+    auto-selects brute force below COSINE_EXACT_MAX_DOCS rows."""
     e = load(spark, sf_dir, "embeddings")
-    return D.cosine_pairs(e, "vec_id", "embedding", COSINE_T).orderBy("id_1", "id_2")
+    return D.cosine_pairs(e, "vec_id", "embedding", COSINE_T, exact=False).orderBy(
+        "id_1", "id_2"
+    )
 
 
 def _cluster_oracle() -> str:

@@ -69,6 +69,12 @@ def jdbc_read(
         .option("driver", driver)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "jdbc_read: partition_column requires both lower_bound and "
+                "upper_bound (Spark's JDBC source needs the stride range; "
+                "derive them with a MIN/MAX query if unknown)"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions or 4))

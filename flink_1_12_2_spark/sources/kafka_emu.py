@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_1_12_2_spark.operators.cdc_formats import (
+    _payload_fields,
     parse_canal_json,
     parse_debezium_json,
     parse_maxwell_json,
@@ -68,8 +69,10 @@ def read_topic_stream(
     raw = reader.text(topic_dir)
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
-        fields = [f.split()[0] for f in payload_schema.split(",")]
-        return raw.select(*[env[f.strip()].alias(f.strip()) for f in fields])
+        # real DDL parse (handles nested struct<...>/decimal(p,s)/map<...>
+        # field types that a naive comma split would break on)
+        fields = _payload_fields(payload_schema)
+        return raw.select(*[env[f].alias(f) for f in fields])
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(
@@ -86,8 +89,8 @@ def read_topic_batch(
     raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
-        fields = [f.split()[0] for f in payload_schema.split(",")]
-        return raw.select(*[env[f.strip()].alias(f.strip()) for f in fields])
+        fields = _payload_fields(payload_schema)
+        return raw.select(*[env[f].alias(f) for f in fields])
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(f"value format {value_format!r} not supported")

@@ -250,7 +250,11 @@ def _make_keep_last_fn(ttl_us: int | None):
                     best = cand
         state.update(best)
         if ttl_us is not None:
-            state.setTimeoutTimestamp((best[1] + ttl_us) // 1000)
+            # same watermark clamp as _topn_fn: EventTimeTimeout requires a
+            # timestamp strictly beyond the current watermark, and best may
+            # sit arbitrarily close to it for tiny TTLs
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm_ms + 1, (best[1] + ttl_us) // 1000))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

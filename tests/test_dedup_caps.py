@@ -59,7 +59,52 @@ def test_cosine_banded_is_subset_of_exact(spark):
     }
     banded = {
         (r.id_1, r.id_2)
-        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35).collect()
+        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35, exact=False).collect()
     }
     assert banded <= exact
     assert banded  # deterministic vectors: identical rows always collide
+
+
+def test_cosine_auto_mode_is_exact_below_cutoff(spark):
+    # exact=None (default) brute-forces small corpora: result == exact set
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(20)
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    auto = {
+        (r.id_1, r.id_2)
+        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35).collect()
+    }
+    exact = {
+        (r.id_1, r.id_2)
+        for r in D.cosine_pairs(e, "vec_id", "embedding", 0.35, exact=True).collect()
+    }
+    assert auto == exact
+
+
+def test_simhash_hot_band_refined_not_dropped(spark):
+    """With band_df_cap=1 EVERY band bucket holding a qualifying pair is hot;
+    the sub-band refinement must still recover the full brute-force pair set
+    (the r3 ADVICE divergence: dropping hot bands silently lost true pairs
+    while the oracle brute-forced all pairs)."""
+    rows = [
+        (i, f"token{i % 4} alpha beta gamma delta epsilon zeta eta theta")
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in D.simhash_pairs(
+            d, "doc_id", "text", max_distance=3, band_df_cap=10**9
+        ).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in D.simhash_pairs(
+            d, "doc_id", "text", max_distance=3, band_df_cap=1
+        ).collect()
+    }
+    assert uncapped  # docs sharing 8 of 9 tokens: near-identical simhashes
+    assert capped == uncapped
