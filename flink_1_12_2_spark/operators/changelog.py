@@ -78,6 +78,59 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pks: list[str]) -> DataFrame:
     return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
 
 
+def group_agg_retract(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[tuple[str, str | None, str]],
+) -> DataFrame:
+    """Group aggregate that CONSUMES a retracting changelog input — the
+    downstream half of Flink's changelog-mode inference
+    (FlinkChangelogModeInferenceProgram.scala:39 marks the agg's input
+    ``UPDATE_BEFORE``-bearing; GroupAggFunction.java:43 then routes -U/-D
+    rows through each aggregator's ``retract()``).
+
+    Spark shape: the retract path is a SIGNED aggregation — +I/+U weigh +1,
+    -U/-D weigh −1 — so SUM/COUNT/AVG fold both directions in one
+    map-side-combinable pass (no per-row state). Groups whose net row count
+    reaches 0 vanish, matching Flink's recordCounter.recordCountIsZero()
+    state cleanup (GroupAggFunction.java:150).
+
+    ``aggs``: (kind, column, alias) with kind ∈ {sum, count, avg}. MIN/MAX
+    over a retracting input need a multiset of seen values (Flink's
+    MinWithRetractAggFunction keeps a sorted map state) and are rejected
+    here — use :func:`changelog_normalize` + a plain agg for those.
+
+    Scale: one hash shuffle on ``group_cols`` with partial aggregation;
+    the changelog never needs to be normalized (no per-PK window) first.
+    """
+    for kind, _, _ in aggs:
+        if kind not in ("sum", "count", "avg"):
+            raise ValueError(
+                f"group_agg_retract: {kind!r} cannot consume retractions "
+                "without multiset state (Flink MinWithRetractAggFunction); "
+                "normalize the changelog first"
+            )
+    sign = F.when(
+        F.col(ROW_KIND).isin(INSERT, UPDATE_AFTER), F.lit(1)
+    ).otherwise(F.lit(-1))
+    exprs = [F.sum(sign).alias("__net_rows")]
+    for kind, col, alias in aggs:
+        if kind == "sum":
+            exprs.append(F.sum(sign * F.col(col)).alias(alias))
+        elif kind == "count":
+            exprs.append(F.sum(sign).cast("bigint").alias(alias))
+        else:  # avg = retractable sum / retractable count
+            exprs.append(
+                (F.sum(sign * F.col(col)) / F.sum(sign)).alias(alias)
+            )
+    return (
+        df.groupBy(*group_cols)
+        .agg(*exprs)
+        .filter(F.col("__net_rows") > 0)
+        .drop("__net_rows")
+    )
+
+
 def upsert_foreach_batch(state_dir: str, pks: list[str], order_cols: list[str]):
     """Build a ``foreachBatch`` function maintaining a keyed state table at
     ``state_dir`` (parquet): per batch, last-change-per-key is MERGEd in.

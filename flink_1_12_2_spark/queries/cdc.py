@@ -216,3 +216,82 @@ def kafka_debezium_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "changelog_reagg",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderkey % 10 AS bucket,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM final_state GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("batch", "cdc", "changelog", "retract", "aggregate"),
+)
+def changelog_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-through-aggregate: a RETRACTING stream feeds a downstream
+    SUM/COUNT/AVG group-agg directly — no normalize step — and the signed
+    aggregation (operators/changelog.py:group_agg_retract) consumes the
+    -U/-D rows exactly as Flink's GroupAggFunction.java:43 retract path
+    under FlinkChangelogModeInferenceProgram.scala:39. Source: the same
+    debezium-json envelope battery as cdc_debezium_json (insert all, update
+    every 3rd +10, delete every 7th), decoded to +I/-U/+U/-D; the oracle
+    computes the same aggregate from the FINAL state — hash equality proves
+    inserts, both update halves, and deletes all folded correctly."""
+    from flink_1_12_2_spark.operators.changelog import group_agg_retract
+
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    null_p = F.lit(None).cast(f"struct<{_PAYLOAD}>")
+    ins = o.select(
+        F.to_json(
+            F.struct(
+                null_p.alias("before"),
+                _payload(key, price).alias("after"),
+                F.lit("c").alias("op"),
+            )
+        ).alias("j")
+    )
+    upd = o.filter(key % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload(key, price).alias("before"),
+                _payload(key, price + 10).alias("after"),
+                F.lit("u").alias("op"),
+            )
+        ).alias("j")
+    )
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    dele = o.filter(key % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload(key, cur).alias("before"),
+                null_p.alias("after"),
+                F.lit("d").alias("op"),
+            )
+        ).alias("j")
+    )
+    changelog = parse_debezium_json(
+        ins.unionByName(upd).unionByName(dele), "j", _PAYLOAD
+    )
+    agg = group_agg_retract(
+        changelog.withColumn("bucket", F.col("o_orderkey") % 10),
+        ["bucket"],
+        [
+            ("sum", "o_totalprice", "total_price"),
+            ("count", None, "n_orders"),
+            ("avg", "o_totalprice", "avg_price"),
+        ],
+    )
+    return agg.select(
+        "bucket",
+        F.round("total_price", 2).alias("total_price"),
+        "n_orders",
+        F.round("avg_price", 2).alias("avg_price"),
+    ).orderBy("bucket")

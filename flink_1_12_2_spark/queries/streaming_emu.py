@@ -25,66 +25,67 @@ _EV_CTE = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM event
 _6H_US = 6 * 3600 * 1_000_000
 
 
-def _cep_oracle(decide_types: tuple[str, ...]) -> str:
-    """Recursive-CTE oracle for the single-run NFA with AFTER MATCH SKIP PAST
-    LAST ROW (streaming/cep.py:_match_events).
+def _cep_oracle(error_kill: bool) -> str:
+    """Recursive-CTE oracle for the branch-exploring NFA with AFTER MATCH
+    SKIP PAST LAST ROW (streaming/cep.py:_match_events — Flink NFA.java:86
+    simultaneous-branch semantics).
 
-    The determinized NFA is a per-key sequential scan whose state is just the
-    pending first click. From a pending click ``c`` the next state is decided
-    by the FIRST row after ``c`` that is a resolving type (purchase — plus
-    error for patterns with ``notFollowedBy(error)``) or that crosses the
-    ``within`` boundary ``c.ts + 6h``; intervening clicks/views are absorbed
-    or skipped and cannot change the outcome. That makes the whole match set
-    expressible as a recursion over (pending → deciding row → next pending):
+    Every click starts a live branch; a purchase completes every branch
+    within its 6 h window (for the quantified pattern, branches with an
+    intervening error are killed first). Under SKIP PAST LAST ROW the
+    earliest-started completing branch wins and all live branches are
+    discarded. That makes the match set a recursion over the resume position
+    alone:
 
-      * deciding row is a purchase within the window → emit (c, purchase),
-        next pending = first click after the purchase;
-      * otherwise (error kill or boundary crossing) → no match, next pending
-        = first click at-or-after the deciding row (the deciding row itself
-        when it is a boundary-crossing click).
+      from position ``pos``: the next match's last row is the EARLIEST
+      purchase ``p`` after ``pos`` for which a valid start exists — a click
+      ``c`` with ``pos < c < p``, ``p.ts ≤ c.ts + 6h`` (branch not expired)
+      [and no error strictly between ``c`` and ``p`` — branch not killed];
+      the winner start is the earliest such ``c``; resume at ``p``.
 
-    Validated cell-for-cell against the engine NFA on sf0.01 (187 matches for
-    click→purchase, 176 for the quantified pattern)."""
-    et_list = ",".join(f"'{t}'" for t in decide_types)
+    Validated cell-for-cell against the engine NFA on sf0.01 (197 matches
+    for click→purchase — 10 more than the r1-r3 single-run determinization
+    found, the starts that NFA abandoned; 184 for the quantified pattern)."""
+    err = (
+        """
+        AND NOT EXISTS (
+          SELECT 1 FROM ev e WHERE e.user_id = p.user_id
+            AND e.event_type = 'error'
+            AND (e.ts_us, e.event_id) > (c2.ts_us, c2.event_id)
+            AND (e.ts_us, e.event_id) < (p.ts_us, p.event_id))"""
+        if error_kill
+        else ""
+    )
     return f"""
     WITH RECURSIVE
     ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                   event_type FROM events),
-    seed AS (
-      SELECT user_id, event_id AS c_eid, ts_us AS c_ts FROM (
-        SELECT user_id, event_id, ts_us,
-               ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts_us, event_id) AS rn
-        FROM ev WHERE event_type = 'click') t WHERE rn = 1),
     state AS (
-      SELECT user_id, c_eid, c_ts,
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
              CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
              CAST(NULL AS BIGINT) AS m_first_ts,
              CAST(NULL AS BIGINT) AS m_last_ts
-      FROM seed
+      FROM ev
       UNION ALL
-      SELECT s.user_id, n.eid, n.ts,
-             CASE WHEN x.matched THEN s.c_eid END,
-             CASE WHEN x.matched THEN x.eid END,
-             CASE WHEN x.matched THEN s.c_ts END,
-             CASE WHEN x.matched THEN x.ts END
+      SELECT s.user_id, x.p_ts, x.p_eid,
+             x.c_eid, x.p_eid, x.c_ts, x.p_ts
       FROM state s
       JOIN LATERAL (
-        SELECT e.event_id AS eid, e.ts_us AS ts,
-               (e.event_type = 'purchase'
-                AND e.ts_us <= s.c_ts + {_6H_US}) AS matched
-        FROM ev e
-        WHERE e.user_id = s.user_id
-          AND (e.ts_us, e.event_id) > (s.c_ts, s.c_eid)
-          AND (e.event_type IN ({et_list}) OR e.ts_us > s.c_ts + {_6H_US})
-        ORDER BY e.ts_us, e.event_id LIMIT 1) x ON true
-      LEFT JOIN LATERAL (
-        SELECT c.event_id AS eid, c.ts_us AS ts
-        FROM ev c
-        WHERE c.user_id = s.user_id AND c.event_type = 'click'
-          AND (c.ts_us, c.event_id) >= (x.ts, x.eid)
-        ORDER BY c.ts_us, c.event_id LIMIT 1) n ON true
-      WHERE s.c_eid IS NOT NULL)
+        SELECT p.event_id AS p_eid, p.ts_us AS p_ts, c.event_id AS c_eid,
+               c.ts_us AS c_ts
+        FROM ev p
+        JOIN LATERAL (
+          SELECT c2.event_id AS event_id, c2.ts_us AS ts_us FROM ev c2
+          WHERE c2.user_id = p.user_id AND c2.event_type = 'click'
+            AND (c2.ts_us, c2.event_id) > (s.pos_ts, s.pos_eid)
+            AND (c2.ts_us, c2.event_id) < (p.ts_us, p.event_id)
+            AND p.ts_us <= c2.ts_us + {_6H_US}{err}
+          ORDER BY c2.ts_us, c2.event_id LIMIT 1) c ON true
+        WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+          AND (p.ts_us, p.event_id) > (s.pos_ts, s.pos_eid)
+        ORDER BY p.ts_us, p.event_id LIMIT 1) x ON true)
     SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
            m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
     FROM state WHERE m_first IS NOT NULL
@@ -92,10 +93,10 @@ def _cep_oracle(decide_types: tuple[str, ...]) -> str:
     """
 
 
-# click →(6h)→ purchase, skip past last row: purchase resolves a pending.
-_CEP_CLICK_PURCHASE_ORACLE = _cep_oracle(("purchase",))
-# clicks+ greedy · notFollowedBy(error) · purchase: error also resolves (kill).
-_CEP_QUANTIFIED_ORACLE = _cep_oracle(("purchase", "error"))
+# click →(6h)→ purchase, skip past last row: every click is a live branch.
+_CEP_CLICK_PURCHASE_ORACLE = _cep_oracle(error_kill=False)
+# clicks+ greedy · notFollowedBy(error) · purchase: error kills its branches.
+_CEP_QUANTIFIED_ORACLE = _cep_oracle(error_kill=True)
 
 
 @query(
@@ -605,6 +606,148 @@ def stream_cep_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .not_followed_by("err", lambda r: r["event_type"] == "error")
         .followed_by("buy", lambda r: r["event_type"] == "purchase")
         .within(6 * 3600 * 1_000_000)
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id")
+
+
+_48H_US = 48 * 3600 * 1_000_000
+
+# Branch-NFA oracle for PATTERN (A (B | C) D): per click c the branch
+# consumes the FIRST purchase-or-error after it, then completes at the first
+# view after that; v(c) is monotone in c, so under SKIP PAST LAST ROW the
+# winner from position pos is simply the earliest in-window click — the
+# per-click (mid, view) pair precomputes pos-independently in `clk`.
+_MR_ALTERNATION_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type FROM events),
+    clk AS (
+      SELECT c.user_id, c.event_id AS c_eid, c.ts_us AS c_ts,
+             v.event_id AS v_eid, v.ts_us AS v_ts
+      FROM ev c
+      JOIN LATERAL (
+        SELECT m2.ts_us AS ts_us, m2.event_id AS event_id FROM ev m2
+        WHERE m2.user_id = c.user_id AND m2.event_type IN ('purchase', 'error')
+          AND (m2.ts_us, m2.event_id) > (c.ts_us, c.event_id)
+        ORDER BY m2.ts_us, m2.event_id LIMIT 1) m ON true
+      JOIN LATERAL (
+        SELECT v2.ts_us AS ts_us, v2.event_id AS event_id FROM ev v2
+        WHERE v2.user_id = c.user_id AND v2.event_type = 'view'
+          AND (v2.ts_us, v2.event_id) > (m.ts_us, m.event_id)
+        ORDER BY v2.ts_us, v2.event_id LIMIT 1) v ON true
+      WHERE c.event_type = 'click' AND v.ts_us <= c.ts_us + {_48H_US}),
+    state AS (
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS BIGINT) AS m_first_ts,
+             CAST(NULL AS BIGINT) AS m_last_ts
+      FROM ev
+      UNION ALL
+      SELECT s.user_id, x.v_ts, x.v_eid, x.c_eid, x.v_eid, x.c_ts, x.v_ts
+      FROM state s
+      JOIN LATERAL (
+        SELECT k.c_eid, k.c_ts, k.v_eid, k.v_ts FROM clk k
+        WHERE k.user_id = s.user_id
+          AND (k.c_ts, k.c_eid) > (s.pos_ts, s.pos_eid)
+        ORDER BY k.c_ts, k.c_eid LIMIT 1) x ON true)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+    """
+
+
+@query(
+    "match_recognize_alternation",
+    oracle=_MR_ALTERNATION_ORACLE,
+    tags=("batch", "cep", "sql", "alternation"),
+)
+def match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (A (B | C) D) — MATCH_RECOGNIZE alternation (Calcite
+    SqlMatchRecognize `|`): click, then purchase OR error (each matching
+    alternative forks its own NFA branch with the variable recorded), then
+    view, within 48 h. 481 matches on sf0.01, hash-verified against the
+    recursive-CTE branch-semantics oracle."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (A (B | C) D)
+      WITHIN INTERVAL '48' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase',
+             C AS event_type = 'error', D AS event_type = 'view'
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
+_24H_US = 24 * 3600 * 1_000_000
+
+# Branch-NFA oracle over OVERLAPPING threshold predicates (value > 50 /
+# value > 150 — every high row also matches the first step): same
+# skip-past-last recursion as _cep_oracle, on value instead of event_type.
+_CEP_OVERLAP_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  value FROM events),
+    state AS (
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS BIGINT) AS m_first_ts,
+             CAST(NULL AS BIGINT) AS m_last_ts
+      FROM ev
+      UNION ALL
+      SELECT s.user_id, x.h_ts, x.h_eid, x.m_eid, x.h_eid, x.m_ts, x.h_ts
+      FROM state s
+      JOIN LATERAL (
+        SELECT h.event_id AS h_eid, h.ts_us AS h_ts, m.event_id AS m_eid,
+               m.ts_us AS m_ts
+        FROM ev h
+        JOIN LATERAL (
+          SELECT m2.event_id AS event_id, m2.ts_us AS ts_us FROM ev m2
+          WHERE m2.user_id = h.user_id AND m2.value > 50
+            AND (m2.ts_us, m2.event_id) > (s.pos_ts, s.pos_eid)
+            AND (m2.ts_us, m2.event_id) < (h.ts_us, h.event_id)
+            AND h.ts_us <= m2.ts_us + {_24H_US}
+          ORDER BY m2.ts_us, m2.event_id LIMIT 1) m ON true
+        WHERE h.user_id = s.user_id AND h.value > 150
+          AND (h.ts_us, h.event_id) > (s.pos_ts, s.pos_eid)
+        ORDER BY h.ts_us, h.event_id LIMIT 1) x ON true)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+    """
+
+
+@query(
+    "stream_cep_overlap_threshold",
+    oracle=_CEP_OVERLAP_ORACLE,
+    tags=("streaming", "cep", "stateful", "overlap", "multi-run"),
+)
+def stream_cep_overlap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP with OVERLAPPING step predicates — the multi-run NFA proof query
+    (Flink NFA.java:86 simultaneous branches / SharedBuffer): value > 50
+    followed by value > 150 within 24 h. Every high-value row also matches
+    the first step, and sparse events make `within` expiry common, so the
+    correct answer requires keeping EVERY candidate start alive: a start
+    whose window expires must not hide later starts whose window still
+    covers the closing row. On sf0.01 the branch NFA finds 239 matches; the
+    r1-r3 single-run determinization finds 184 (55 matches abandoned with
+    their pending start — divergence pinned in tests/test_cep.py)."""
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("mid", lambda r: r["value"] > 50)
+        .followed_by("high", lambda r: r["value"] > 150)
+        .within(_24H_US)
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
     return out.orderBy("user_id", "first_event_id")

@@ -99,11 +99,10 @@ GATE_ORDER: tuple[str, ...] = (
     "join_fact_fact_smj",
     "interval_join",
     "asof_join_event_time",
-    # aggregations: distinct-split, grouping sets, built-in fns (stddev/var
-    # shares the §2.4 built-in-agg row with listagg, which stays local)
+    # aggregations: distinct-split, grouping sets (built-in fns
+    # stddev/var/listagg stay locally verified)
     "agg_distinct",
     "agg_rollup",
-    "agg_stddev_var",
     # live jdbc connector round-trip (embedded Derby, partitioned scan)
     "jdbc_roundtrip_partitioned",
     # rank/top-N, set ops, correlate, scalar-fn gauntlets
@@ -113,9 +112,8 @@ GATE_ORDER: tuple[str, ...] = (
     "fn_math_gauntlet",
     # DDL-created pandas UDF executing through SQL (SqlCreateFunction parity)
     "ddl_create_function",
-    # over windows
+    # over windows (rank/dense/ntile battery stays locally verified)
     "over_range_frame",
-    "over_rank_dense_ntile",
     # group windows + evictor family representative
     "window_tumble",
     "window_session_dynamic_gap",
@@ -127,14 +125,21 @@ GATE_ORDER: tuple[str, ...] = (
     "stream_over_agg",
     "stream_event_time_sort",
     "stream_join_outer_changelog",
-    # CEP / MATCH_RECOGNIZE
+    # CEP / MATCH_RECOGNIZE: measures, quantifiers, the multi-run
+    # overlapping-predicate proof query (NFA.java branch semantics), and
+    # PATTERN alternation
     "match_recognize_measures",
     "stream_cep_quantified",
+    "stream_cep_overlap_threshold",
+    "match_recognize_alternation",
     # changelog pipeline: the kafka+debezium query subsumes
     # changelog_normalize_batch (same normalize, plus CDC decode and real
-    # micro-batch consumption); normalize_batch stays locally verified
+    # micro-batch consumption); normalize_batch stays locally verified.
+    # changelog_reagg = retracting stream through a downstream group-agg
+    # (GroupAggFunction retract path)
     "kafka_debezium_pipeline",
     "stream_changelog_upsert",
+    "changelog_reagg",
     # lookup join + multi-sink statement set
     "lookup_join_external",
     "statement_set_multi_sink",
@@ -157,9 +162,8 @@ GATE_ORDER: tuple[str, ...] = (
     "text_pii_scrub",
     "pipeline_corpus_clean",
     "multimodal_filter_before_decode",
-    # TPC-H / TPC-DS composites
+    # TPC-H / TPC-DS composites (q21 semi+anti composite stays local)
     "q18_large_volume_customers",
-    "q21_waiting_suppliers",
     "ds_q51_cumulative_compare",
     "ds_q97_channel_overlap",
 )

@@ -8,6 +8,8 @@ Supported subset (mirrors streaming/cep.py's NFA scope):
       ORDER BY <col>
       MEASURES FIRST(col) AS a, LAST(col) AS b   -- match-level accessors
       PATTERN (A B [C ...])          -- linear, relaxed contiguity
+      PATTERN (A (B | C) D)          -- alternation groups (Calcite
+                                     -- SqlMatchRecognize PATTERN |)
       WITHIN INTERVAL '<n>' <unit>   -- optional
       DEFINE A AS <col> = '<lit>', B AS <col> = '<lit>' [, ...]
     )
@@ -45,7 +47,7 @@ _MR = re.compile(
     r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|"
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[\w\s+*?{},]+?)\s*\)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|\([\w\s|]*\))+?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*?)\s*\)"
 )
@@ -54,6 +56,18 @@ _DEF = re.compile(r"(?is)(\w+)\s+AS\s+(\w+)\s*=\s*'([^']*)'")
 
 _STEP = re.compile(
     r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
+)
+
+# one pattern element: an alternation group `(A | B)` or a variable, either
+# optionally quantified — used to tokenize the PATTERN body
+_ELEMENT = re.compile(
+    r"\(\s*\w+(?:\s*\|\s*\w+)+\s*\)(?:\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?"
+    r"|\w+(?:\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?"
+)
+
+_ALT = re.compile(
+    r"(?s)^\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
+    r"(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
 )
 
 
@@ -85,18 +99,43 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     defines = {
         name.upper(): (col, lit) for name, col, lit in _DEF.findall(m.group("define"))
     }
-    steps = m.group("pattern").split()
-    pat: Pattern | None = None
-    for step in steps:
-        sm = _STEP.match(step)
-        if not sm:
-            raise ValueError(f"unsupported pattern element: {step!r}")
-        name = sm.group("name")
+
+    def mk_pred(name: str):
         col, lit = defines[name.upper()]
 
         def pred(row, col=col, lit=lit):
             return row.get(col) == lit
 
+        return pred
+
+    elements = _ELEMENT.findall(m.group("pattern"))
+    if "".join(elements).replace(" ", "") != re.sub(
+        r"\s", "", m.group("pattern")
+    ):
+        raise ValueError(
+            f"unsupported PATTERN body: {m.group('pattern')!r}"
+        )
+    pat: Pattern | None = None
+    for step in elements:
+        am = _ALT.match(step)
+        if am:  # alternation group (A | B [| C ...]) — Calcite
+            # SqlMatchRecognize PATTERN alternation; each matching
+            # alternative forks its own NFA branch (streaming/cep.py)
+            names = [a.strip() for a in am.group("alts").split("|")]
+            alts = [(n, mk_pred(n)) for n in names]
+            gname = "_or_".join(names)
+            pat = (
+                Pattern.begin_one_of(gname, alts)
+                if pat is None
+                else pat.followed_by_one_of(gname, alts)
+            )
+            pat = _apply_quantifier(pat, am.group("quant"))
+            continue
+        sm = _STEP.match(step)
+        if not sm:
+            raise ValueError(f"unsupported pattern element: {step!r}")
+        name = sm.group("name")
+        pred = mk_pred(name)
         pat = (
             Pattern.begin(name, pred)
             if pat is None

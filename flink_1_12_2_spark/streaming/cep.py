@@ -1,39 +1,65 @@
-"""CEP / MATCH_RECOGNIZE subset — keyed NFA over event-time-ordered streams.
+"""CEP / MATCH_RECOGNIZE — keyed branch-exploring NFA over event-time-ordered
+streams.
 
 Flink parity: flink-libraries/flink-cep Pattern API
-(Pattern.java — ``begin/followedBy/within``, entry CEP.java:38) and the SQL
-MATCH_RECOGNIZE operator (StreamExecMatch.scala:68). Spark has no CEP
-primitive (SURVEY §2.10) → implemented as a keyed NFA inside
+(Pattern.java — ``begin/followedBy/within``, entry CEP.java:38), the NFA
+runtime (NFA.java:86 — simultaneous ComputationState branches over a
+SharedBuffer), and the SQL MATCH_RECOGNIZE operator (StreamExecMatch.scala:68).
+Spark has no CEP primitive (SURVEY §2.10) → implemented as a keyed NFA inside
 ``applyInPandasWithState``.
 
-Scope: linear patterns of named steps with per-step predicates,
-``followedBy`` (relaxed contiguity: unrelated events may sit between steps),
-``within`` (max span from first to last step), AFTER MATCH SKIP PAST LAST
-ROW (non-overlapping — Flink's default for MATCH_RECOGNIZE), and the
-quantifier surface of the reference Pattern API (Pattern.java —
-``notNext``:273, ``oneOrMore``:350, ``greedy``:365, ``times``:379, plus
-``optional``, ``consecutive``, ``notFollowedBy``):
+**Branch exploration (multi-run NFA).** Like Flink's NFA, every row may start
+a new partial match, and every live partial match ("branch") evolves
+independently on each row — there is no commitment to a single start row.
+Where a row matches more than one reachable step (predicate overlap — e.g.
+a loop extension AND its successor), the branch FORKS, exactly like Flink's
+TAKE/PROCEED computation-state split for ``oneOrMore``; ``greedy()``
+suppresses the proceed-fork while the loop extension matches
+(Pattern.java:365). Branches are deduplicated on
+(start row, step index, loop count, variable map) — the compact per-key
+analogue of Flink's SharedBuffer node sharing — so the branch set stays
+bounded by distinct NFA configurations, and ``within`` expiry retires stale
+starts. A hard cap (``MAX_BRANCHES``) guards pathological patterns with no
+``within``; overflow drops newest-start branches (documented degradation —
+Flink has no cap and can equally grow state unboundedly there).
+
+Pattern surface (Pattern.java — ``notNext``:273, ``oneOrMore``:350,
+``greedy``:365, ``times``:379, plus ``optional``, ``consecutive``,
+``notFollowedBy``):
 
 - ``times(n)`` / ``one_or_more()`` / ``optional()`` — looping / skippable
   steps with (min, max) occurrence bounds;
-- ``greedy()`` — on predicate overlap between a loop and its successor,
-  prefer extending the loop (default is Flink's reluctant behavior: prefer
-  advancing once ``min`` occurrences are matched);
+- ``greedy()`` — prefer extending the loop on predicate overlap; the default
+  forks both continuations (Flink's non-greedy oneOrMore);
 - ``consecutive()`` — strict contiguity inside a loop (a non-matching row
-  closes the loop instead of being skipped);
+  closes the loop, or kills the branch when under ``min``);
 - ``not_next`` / ``not_followed_by`` — negative steps: strict (the
   immediately-next row) / relaxed (any row before the next positive step
-  matches) pattern kill.
+  matches) branch kill;
+- ``followed_by_one_of`` — alternation (``PATTERN (A | B)``, Calcite
+  SqlMatchRecognize): a step with several named alternatives; each matching
+  alternative forks its own branch with the variable name recorded for
+  MEASURES / AFTER MATCH SKIP TO var.
 
-Determinization note: Flink's NFA explores branches simultaneously; this
-operator runs **one** partial match per key (single-run determinization,
-no backtracking). With mutually exclusive step predicates — the typical
-event_type-dispatch patterns — the output is identical to Flink's. The last
-step must be a definite consuming step (no trailing loop/optional/negative),
-so match completion is decidable at the row that closes it.
+Match emission per AfterMatchSkipStrategy (nfa/aftermatch/):
+
+- ``past_last`` (default, SQL's AFTER MATCH SKIP PAST LAST ROW): when ≥1
+  branch completes on a row, the earliest-started one wins; every live
+  branch started before the match end (i.e. all of them) is discarded.
+- ``to_next``: one match per distinct start row (its earliest completion);
+  completing starts are retired, other branches continue.
+- ``to_first var`` / ``to_last var``: the winner match is emitted, then
+  branches started before the first/last row mapped to ``var`` are
+  discarded; a skip target equal to the match's own start raises (Flink's
+  AfterMatchSkipStrategy throws the same way).
+- ``no_skip``: every completion is emitted (projected to first/last rows —
+  middle-row assignment multiplicities collapse under this output schema).
+
+The last step must be a definite consuming step (no trailing loop/optional/
+negative), so match completion is decidable at the row that closes it.
 
 Ordering: rows are sorted by (ts, event_id) inside each micro-batch; the NFA
-state (partial matches) carries across batches. Late rows older than an
+state (the branch set) carries across batches. Late rows older than an
 already-consumed position are ignored — the documented difference vs Flink's
 watermark-buffered CEP (which reorders up to the watermark).
 """
@@ -51,6 +77,11 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 Predicate = Callable[[dict], bool]
 
+# Branch-set guard for patterns with no `within`: beyond this many live
+# branches per key the newest starts are dropped (with `within`, expiry
+# bounds the set to starts inside one window and the cap is inert).
+MAX_BRANCHES = 1000
+
 
 @dataclass
 class Step:
@@ -58,8 +89,11 @@ class Step:
 
     ``min_times``/``max_times`` bound occurrences (``max_times=None`` →
     unbounded, ``min_times=0`` → optional); ``negative`` steps consume no
-    rows and kill the partial match when their predicate fires
-    (``strict_negative`` → only the immediately-next row is tested)."""
+    rows and kill the branch when their predicate fires
+    (``strict_negative`` → only the immediately-next row is tested).
+    ``alts`` — alternation: a list of (variable name, predicate); the step
+    matches when any alternative does, and the matching alternative's name
+    is recorded in the branch's variable map."""
 
     name: str
     pred: Predicate
@@ -69,10 +103,17 @@ class Step:
     consecutive: bool = False
     negative: bool = False
     strict_negative: bool = False
+    alts: list[tuple[str, Predicate]] | None = None
 
     @property
     def is_loop(self) -> bool:
         return self.max_times is None or self.max_times > 1
+
+    def matching_alts(self, row: dict) -> list[str]:
+        """Names of matching alternatives (a plain step matches as itself)."""
+        if self.alts is None:
+            return [self.name] if self.pred(row) else []
+        return [n for n, p in self.alts if p(row)]
 
 
 @dataclass
@@ -83,37 +124,55 @@ class Pattern:
 
     steps: list[Step] = field(default_factory=list)
     within_us: int | None = None
-    skip: str = "past_last"  # AfterMatchSkipStrategy: past_last | to_next
+    skip: Any = "past_last"  # AfterMatchSkipStrategy
 
     @staticmethod
     def begin(name: str, pred: Predicate) -> "Pattern":
         return Pattern(steps=[Step(name, pred)])
 
+    def no_skip(self) -> "Pattern":
+        """AFTER MATCH SKIP TO NEXT MATCH / noSkip (the Pattern-API default
+        in Flink): emit every completed match, discard nothing."""
+        self.skip = "no_skip"
+        return self
+
     def skip_to_next_row(self) -> "Pattern":
         """AFTER MATCH SKIP TO NEXT ROW (AfterMatchSkipStrategy.skipToNext):
-        after a completed match, scanning resumes at the row AFTER the
-        match's first row — overlapping matches with distinct starts are
-        all reported (vs the skip-past-last-row default's disjoint
-        matches)."""
+        one match per distinct start row (its earliest completion)."""
         self.skip = "to_next"
         return self
 
     def skip_to_first(self, var: str) -> "Pattern":
-        """AFTER MATCH SKIP TO FIRST <var>: resume at the first row the
-        match mapped to pattern variable ``var``. Like Flink, resuming at
-        the match's own first row would loop forever and raises."""
+        """AFTER MATCH SKIP TO FIRST <var>: discard branches started before
+        the first row the match mapped to ``var``. Like Flink, a skip target
+        at the match's own first row would loop forever and raises."""
         self.skip = ("to_first", var)
         return self
 
     def skip_to_last(self, var: str) -> "Pattern":
-        """AFTER MATCH SKIP TO LAST <var>: resume at the last row the
-        match mapped to ``var`` (AfterMatchSkipStrategy.skipToLast)."""
+        """AFTER MATCH SKIP TO LAST <var> (AfterMatchSkipStrategy.skipToLast)."""
         self.skip = ("to_last", var)
         return self
 
     def followed_by(self, name: str, pred: Predicate) -> "Pattern":
         self.steps.append(Step(name, pred))
         return self
+
+    def followed_by_one_of(
+        self, name: str, alts: list[tuple[str, Predicate]]
+    ) -> "Pattern":
+        """Alternation step — ``PATTERN (A | B)``: matches when any named
+        alternative matches; forks one branch per matching alternative."""
+        self.steps.append(
+            Step(name, lambda r: False, alts=list(alts))
+        )
+        return self
+
+    @staticmethod
+    def begin_one_of(name: str, alts: list[tuple[str, Predicate]]) -> "Pattern":
+        return Pattern(
+            steps=[Step(name, lambda r: False, alts=list(alts))]
+        )
 
     def not_next(self, name: str, pred: Predicate) -> "Pattern":
         """The immediately-next row must not match (Pattern.java:273)."""
@@ -134,7 +193,8 @@ class Pattern:
         return self
 
     def one_or_more(self) -> "Pattern":
-        """≥1 occurrences, reluctant unless .greedy() (Pattern.java:350)."""
+        """≥1 occurrences; forks take/proceed on overlap unless .greedy()
+        (Pattern.java:350)."""
         self.steps[-1].min_times = 1
         self.steps[-1].max_times = None
         return self
@@ -144,7 +204,8 @@ class Pattern:
         return self
 
     def greedy(self) -> "Pattern":
-        """Prefer extending the loop on predicate overlap (Pattern.java:365)."""
+        """Prefer extending the loop on predicate overlap (Pattern.java:365):
+        the proceed-fork is suppressed while the extension matches."""
         self.steps[-1].greedy = True
         return self
 
@@ -180,177 +241,244 @@ CEP_OUTPUT = StructType(
 CEP_STATE = StructType([StructField("partial_json", StringType())])
 
 
-def _empty_state() -> dict:
+def _new_branch(row: dict) -> dict:
+    """A branch about to consume ``row`` as its first row."""
     return {
-        "rows": [], "step_idx": 0, "loop_count": 0, "seen": [], "steps_of": []
+        "first_eid": row["event_id"],
+        "first_ts": row["ts_us"],
+        "step_idx": 0,
+        "loop_count": 0,
+        "vf": {},  # var → [eid, ts] of FIRST row mapped to it
+        "vl": {},  # var → [eid, ts] of LAST row mapped to it
     }
+
+
+def _branch_key(br: dict) -> tuple:
+    return (
+        br["first_eid"],
+        br["step_idx"],
+        br["loop_count"],
+        tuple(sorted((k, tuple(v)) for k, v in br["vf"].items())),
+        tuple(sorted((k, tuple(v)) for k, v in br["vl"].items())),
+    )
+
+
+def _evolve(
+    branch: dict, row: dict, steps: list[Step]
+) -> tuple[list[dict], list[dict], bool]:
+    """Evolve one branch on one row.
+
+    Returns (successors, completions, survived_unchanged):
+    ``successors`` — forked branches that consumed the row (non-final);
+    ``completions`` — branches that consumed the final step (match done);
+    ``survived_unchanged`` — the branch persists as-is (relaxed contiguity)."""
+    # strict negatives AT the cursor: tested exactly once, on the row
+    # immediately following the previous consume
+    step_idx, loop_count = branch["step_idx"], branch["loop_count"]
+    while step_idx < len(steps):
+        s = steps[step_idx]
+        if s.negative and s.strict_negative:
+            if s.pred(row):
+                return [], [], False  # killed
+            step_idx += 1  # satisfied permanently
+        else:
+            break
+    # frontier walk from the cursor: collect armed negative predicates
+    # (kill checks) and consumable candidate steps; stop at the first step
+    # that cannot be passed over. In-walk strict negatives are treated as
+    # relaxed — exact one-row semantics apply only at the cursor.
+    kill_preds: list[Predicate] = []
+    candidates: list[int] = []
+    loop_extend: int | None = None
+    j = step_idx
+    while j < len(steps):
+        s = steps[j]
+        if s.negative:
+            kill_preds.append(s.pred)
+            j += 1
+            continue
+        if j == step_idx and s.is_loop and loop_count > 0:
+            if s.max_times is None or loop_count < s.max_times:
+                loop_extend = j
+            if loop_count >= s.min_times:
+                j += 1  # enough occurrences → later steps reachable
+                continue
+            break
+        candidates.append(j)
+        if s.min_times == 0 and not (s.is_loop and loop_count > 0):
+            j += 1  # optional, not yet entered → later steps reachable
+            continue
+        break
+    if any(p(row) for p in kill_preds):
+        return [], [], False  # killed by a relaxed negative
+    extend_names = (
+        steps[loop_extend].matching_alts(row) if loop_extend is not None else []
+    )
+    # greedy loop extension suppresses the proceed-fork (Pattern.java:365)
+    if loop_extend is not None and extend_names and steps[loop_extend].greedy:
+        candidates = []
+
+    def consumed(j: int, var: str) -> dict:
+        nb = {
+            "first_eid": branch["first_eid"],
+            "first_ts": branch["first_ts"],
+            "step_idx": step_idx,
+            "loop_count": loop_count,
+            "vf": dict(branch["vf"]),
+            "vl": dict(branch["vl"]),
+        }
+        pos = [row["event_id"], row["ts_us"]]
+        nb["vf"].setdefault(var, pos)
+        nb["vl"][var] = pos
+        s = steps[j]
+        if s.is_loop:
+            nb["loop_count"] = nb["loop_count"] + 1 if j == step_idx else 1
+            nb["step_idx"] = j
+            if s.max_times is not None and nb["loop_count"] >= s.max_times:
+                nb["step_idx"], nb["loop_count"] = j + 1, 0
+        else:
+            nb["step_idx"], nb["loop_count"] = j + 1, 0
+        return nb
+
+    successors: list[dict] = []
+    completions: list[dict] = []
+    for j in candidates:
+        names = steps[j].matching_alts(row)
+        for var in names:
+            nb = consumed(j, var)
+            if nb["step_idx"] >= len(steps):
+                nb["last_eid"], nb["last_ts"] = row["event_id"], row["ts_us"]
+                completions.append(nb)
+            else:
+                successors.append(nb)
+        # an unentered greedy loop that matches suppresses forking into the
+        # steps beyond it (same Pattern.java:365 preference as the entered
+        # case handled above)
+        if names and steps[j].is_loop and steps[j].greedy:
+            break
+    for var in extend_names:
+        successors.append(consumed(loop_extend, var))
+    if successors or completions:
+        return successors, completions, False
+    # nothing matched: consecutive loop at the cursor closes (or kills)
+    s0 = steps[step_idx] if step_idx < len(steps) else None
+    if s0 is not None and s0.is_loop and s0.consecutive and loop_count > 0:
+        if loop_count >= s0.min_times:
+            nb = dict(branch)
+            nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+            nb["step_idx"], nb["loop_count"] = step_idx + 1, 0
+            return [nb], [], False
+        return [], [], False  # under min → killed
+    # relaxed contiguity: the row is skipped; persist (with any strict
+    # negatives at the cursor now permanently satisfied)
+    nb = dict(branch)
+    nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+    nb["step_idx"], nb["loop_count"] = step_idx, loop_count
+    return [nb], [], True
 
 
 def _match_events(
     rows: list[dict], pattern: Pattern, state: dict | None
 ) -> tuple[list[tuple], dict]:
-    """Run the determinized NFA over ordered rows.
+    """Run the branch-exploring NFA over ordered rows.
 
-    Returns (matches, new_state). State: ``rows`` = consumed prefix,
-    ``step_idx`` = cursor step, ``loop_count`` = occurrences consumed at the
-    cursor when it is a loop. Skip past last row: one in-flight partial per
-    key; on completion scanning resumes after the match's last row. A killed
-    partial (negative step fired / within expired / broken consecutive loop)
-    resets, and the killing row gets one fresh retry as a new step-0 row.
-    """
-    from collections import deque
-
+    Returns (matches, new_state). State: ``branches`` — the live branch set
+    (Flink ComputationStates). Every row starts a candidate new branch AND
+    evolves every live branch; completions are resolved per the pattern's
+    AfterMatchSkipStrategy (module doc)."""
     steps = pattern.steps
     matches: list[tuple] = []
-    cur = state if state and "rows" in state else _empty_state()
-    cur.setdefault("seen", [])
-    cur.setdefault("steps_of", [])
-    replay: list[dict] = []
+    branches: list[dict] = list(state["branches"]) if state and "branches" in state else []
 
-    def reset() -> None:
-        cur["rows"], cur["step_idx"], cur["loop_count"] = [], 0, 0
-        cur["seen"] = []
-        cur["steps_of"] = []
-
-    def consume(j: int, row: dict) -> None:
-        step = steps[j]
-        if not cur["seen"] or cur["seen"][-1] is not row:
-            cur["seen"].append(row)
-        cur["rows"].append(row)
-        cur["steps_of"].append(step.name)
-        if step.is_loop:
-            cur["loop_count"] = (
-                cur["loop_count"] + 1 if j == cur["step_idx"] else 1
-            )
-            cur["step_idx"] = j
-            if step.max_times is not None and cur["loop_count"] >= step.max_times:
-                cur["step_idx"], cur["loop_count"] = j + 1, 0
-        else:
-            cur["step_idx"], cur["loop_count"] = j + 1, 0
-        if cur["step_idx"] >= len(steps):
-            m = cur["rows"]
-            matches.append(
-                (m[0]["event_id"], m[-1]["event_id"], m[0]["ts_us"], m[-1]["ts_us"])
-            )
-            if pattern.skip == "to_next":
-                # SKIP TO NEXT ROW: rescan everything after the match's
-                # first row, INCLUDING rows the match skipped over
-                # (relaxed contiguity) — hence "seen", not "rows".
-                replay.extend(cur["seen"][1:])
-            elif isinstance(pattern.skip, tuple):
-                mode, var = pattern.skip
-                hits = [
-                    i for i, n in enumerate(cur["steps_of"]) if n == var
-                ]
-                if hits:
-                    tgt = m[hits[0] if mode == "to_first" else hits[-1]]
-                    # event_id match, not identity — restored-from-state
-                    # rows are distinct dict objects
-                    pos = next(
-                        i
-                        for i, r in enumerate(cur["seen"])
-                        if r["event_id"] == tgt["event_id"]
+    for row in rows:
+        # `within` expiry: starts too old to complete are retired
+        if pattern.within_us is not None:
+            branches = [
+                b
+                for b in branches
+                if row["ts_us"] - b["first_ts"] <= pattern.within_us
+            ]
+        next_branches: list[dict] = []
+        completions: list[dict] = []
+        for br in branches:
+            succ, comp, _ = _evolve(br, row, steps)
+            next_branches.extend(succ)
+            completions.extend(comp)
+        # every row is a candidate start (Flink: the NFA's start state is
+        # always live); the empty branch evolves on this row only if it
+        # actually consumes it
+        start = _new_branch(row)
+        succ, comp, unchanged = _evolve(start, row, steps)
+        if not unchanged:  # a start must consume its first row
+            next_branches.extend(succ)
+            completions.extend(comp)
+        # dedup identical NFA configurations (SharedBuffer node sharing)
+        seen_keys: set = set()
+        deduped: list[dict] = []
+        for b in next_branches:
+            k = _branch_key(b)
+            if k not in seen_keys:
+                seen_keys.add(k)
+                deduped.append(b)
+        branches = deduped
+        if len(branches) > MAX_BRANCHES:
+            branches.sort(key=lambda b: (b["first_ts"], b["first_eid"]))
+            branches = branches[:MAX_BRANCHES]
+        if not completions:
+            continue
+        completions.sort(key=lambda b: (b["first_ts"], b["first_eid"]))
+        skip = pattern.skip
+        if skip == "no_skip":
+            emitted = set()
+            for c in completions:
+                out = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+                if out not in emitted:
+                    emitted.add(out)
+                    matches.append(out)
+        elif skip == "to_next":
+            done_starts = set()
+            for c in completions:
+                sk = (c["first_ts"], c["first_eid"])
+                if sk not in done_starts:
+                    done_starts.add(sk)
+                    matches.append(
+                        (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
                     )
-                    if pos == 0:
-                        raise ValueError(
-                            f"AFTER MATCH SKIP TO {var} would resume at the "
-                            "match's own start row (infinite loop) — Flink's "
-                            "AfterMatchSkipStrategy raises the same way"
-                        )
-                    replay.extend(cur["seen"][pos:])
-            reset()
-
-    queue = deque(rows)
-    while queue:
-        row = queue.popleft()
-        for _attempt in range(2):  # second pass only after a kill/reset
-            if (
-                cur["rows"]
-                and pattern.within_us is not None
-                and row["ts_us"] - cur["rows"][0]["ts_us"] > pattern.within_us
-            ):
-                reset()  # stale prefix; row retried fresh below
-            killed = False
-            # strict negatives AT the cursor: tested exactly once, on the
-            # row immediately following the previous consume
-            while cur["step_idx"] < len(steps):
-                s = steps[cur["step_idx"]]
-                if s.negative and s.strict_negative:
-                    if s.pred(row):
-                        killed = True
-                        break
-                    cur["step_idx"] += 1  # satisfied permanently
-                else:
-                    break
-            consumed = False
-            loop_extend: int | None = None
-            if not killed:
-                # frontier walk from the cursor: collect armed negative
-                # predicates (kill checks) and consumable candidate steps;
-                # stop at the first step that cannot be passed over.
-                # In-walk strict negatives are treated as relaxed — exact
-                # one-row semantics apply only when the cursor reaches them.
-                kill_preds: list[Predicate] = []
-                candidates: list[int] = []
-                j = cur["step_idx"]
-                while j < len(steps):
-                    s = steps[j]
-                    if s.negative:
-                        kill_preds.append(s.pred)
-                        j += 1
-                        continue
-                    if j == cur["step_idx"] and s.is_loop:
-                        if s.max_times is None or cur["loop_count"] < s.max_times:
-                            loop_extend = j
-                        if cur["loop_count"] >= s.min_times:
-                            j += 1  # enough occurrences → later steps reachable
-                            continue
-                        break
-                    candidates.append(j)
-                    if s.min_times == 0:  # optional, not yet entered
-                        j += 1
-                        continue
-                    break
-                if any(p(row) for p in kill_preds):
-                    killed = True
-                else:
-                    # reluctant (default): advance candidates first, loop
-                    # extension last; greedy: extension first (Pattern.java:365)
-                    order = list(candidates)
-                    if loop_extend is not None:
-                        if steps[loop_extend].greedy:
-                            order.insert(0, loop_extend)
-                        else:
-                            order.append(loop_extend)
-                    for k in order:
-                        if steps[k].pred(row):
-                            consume(k, row)
-                            consumed = True
-                            break
-                    if not consumed and loop_extend is not None:
-                        s0 = steps[cur["step_idx"]]
-                        if s0.consecutive and cur["loop_count"] > 0:
-                            # strict contiguity: a non-matching row closes
-                            # the loop (or kills the partial under min)
-                            if cur["loop_count"] >= s0.min_times:
-                                cur["step_idx"] += 1
-                                cur["loop_count"] = 0
-                            else:
-                                killed = True
-            if killed:
-                had_prefix = bool(cur["rows"]) or cur["step_idx"] > 0
-                reset()
-                if had_prefix:
-                    continue  # retry the killing row as a fresh step-0 row
-            break
-        # relaxed contiguity: rows matching nothing are skipped silently —
-        # but an active partial records them ("seen") for SKIP TO NEXT ROW
-        if cur["rows"] and cur["seen"][-1] is not row:
-            cur["seen"].append(row)
-        if replay:
-            queue.extendleft(reversed(replay))
-            replay.clear()
-    return matches, cur
+            branches = [
+                b
+                for b in branches
+                if (b["first_ts"], b["first_eid"]) not in done_starts
+            ]
+        elif skip == "past_last":
+            w = completions[0]
+            matches.append(
+                (w["first_eid"], w["last_eid"], w["first_ts"], w["last_ts"])
+            )
+            # every live branch started before the match end → discard all
+            branches = []
+        else:  # ("to_first" | "to_last", var)
+            mode, var = skip
+            w = completions[0]
+            matches.append(
+                (w["first_eid"], w["last_eid"], w["first_ts"], w["last_ts"])
+            )
+            tgt = (w["vf"] if mode == "to_first" else w["vl"]).get(var)
+            if tgt is None:
+                branches = []  # var never matched → degenerate to past-last
+            else:
+                tgt_eid, tgt_ts = tgt[0], tgt[1]
+                if tgt_eid == w["first_eid"]:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {var} would resume at the "
+                        "match's own start row (infinite loop) — Flink's "
+                        "AfterMatchSkipStrategy raises the same way"
+                    )
+                branches = [
+                    b
+                    for b in branches
+                    if (b["first_ts"], b["first_eid"]) >= (tgt_ts, tgt_eid)
+                ]
+    return matches, {"branches": branches}
 
 
 def cep_match_batch(
@@ -404,10 +532,11 @@ def cep_pattern_matches(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        raw = json.loads(state.get[0]) if state.exists and state.get[0] else None
-        if isinstance(raw, list):  # pre-quantifier state format
-            raw = {"rows": raw, "step_idx": len(raw), "loop_count": 0}
-        partial = raw
+        partial = (
+            json.loads(state.get[0]) if state.exists and state.get[0] else None
+        )
+        if not isinstance(partial, dict) or "branches" not in partial:
+            partial = None  # unknown/legacy state → fresh
         rows: list[dict] = []
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
@@ -418,33 +547,7 @@ def cep_pattern_matches(
                 rows.append(d)
         rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
         matches, new_state = _match_events(rows, pattern, partial)
-        state.update(
-            (
-                json.dumps(
-                    {
-                        "rows": [
-                            {
-                                k: p.get(k)
-                                for k in ("event_id", "ts_us", "event_type")
-                            }
-                            for p in new_state["rows"]
-                        ],
-                        "step_idx": new_state["step_idx"],
-                        "loop_count": new_state["loop_count"],
-                        # SKIP TO NEXT ROW needs the skipped-over rows of an
-                        # in-flight partial across micro-batch boundaries
-                        "seen": [
-                            {
-                                k: p.get(k)
-                                for k in ("event_id", "ts_us", "event_type")
-                            }
-                            for p in new_state.get("seen", [])
-                        ],
-                        "steps_of": list(new_state.get("steps_of", [])),
-                    }
-                ),
-            )
-        )
+        state.update((json.dumps(new_state),))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(matches),

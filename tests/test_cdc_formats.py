@@ -93,3 +93,36 @@ def test_passthrough_columns_survive(spark):
     )
     out = parse_debezium_json(src, "j", SCHEMA).collect()
     assert out[0].seq == 0  # non-JSON columns ride along
+
+
+# ---- group_agg_retract: the changelog-consuming aggregate -----------------
+# (GroupAggFunction.java:43 retract path via signed aggregation)
+
+
+def test_group_agg_retract_folds_updates_and_deletes(spark):
+    from flink_1_12_2_spark.operators.changelog import group_agg_retract
+
+    rows = [
+        # key g=1: insert 10, update 10→25 (net 25), insert 5 → sum 30, n 2
+        ("+I", 1, 10.0), ("-U", 1, 10.0), ("+U", 1, 25.0), ("+I", 1, 5.0),
+        # key g=2: insert 7 then delete it → group vanishes
+        ("+I", 2, 7.0), ("-D", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["_row_kind", "g", "v"])
+    out = {
+        r.g: (r.s, r.n, r.a)
+        for r in group_agg_retract(
+            df, ["g"], [("sum", "v", "s"), ("count", None, "n"), ("avg", "v", "a")]
+        ).collect()
+    }
+    assert out == {1: (30.0, 2, 15.0)}  # group 2 reached net 0 and vanished
+
+
+def test_group_agg_retract_rejects_min_max(spark):
+    import pytest
+
+    from flink_1_12_2_spark.operators.changelog import group_agg_retract
+
+    df = spark.createDataFrame([("+I", 1, 1.0)], ["_row_kind", "g", "v"])
+    with pytest.raises(ValueError, match="multiset"):
+        group_agg_retract(df, ["g"], [("min", "v", "m")])

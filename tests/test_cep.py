@@ -25,7 +25,7 @@ def _pat(within=None):
 def test_simple_match():
     m, partial = _match_events(_rows([(1, 10, "A"), (2, 20, "B")]), _pat(), None)
     assert m == [(1, 2, 10, 20)]
-    assert partial["rows"] == [] and partial["step_idx"] == 0
+    assert partial["branches"] == []
 
 
 def test_relaxed_contiguity():
@@ -62,18 +62,19 @@ def test_within_expiry_retry_as_start():
         None,
     )
     assert m == [(2, 3, 1000, 1050)]
-    assert partial["rows"] == []
+    assert partial["branches"] == []
 
 
 def test_partial_state_carries_across_batches():
     m1, partial = _match_events(_rows([(1, 10, "A")]), _pat(), None)
-    assert m1 == [] and len(partial["rows"]) == 1
+    assert m1 == [] and len(partial["branches"]) == 1
     m2, partial2 = _match_events(_rows([(2, 20, "B")]), _pat(), partial)
-    assert m2 == [(1, 2, 10, 20)] and partial2["rows"] == []
+    assert m2 == [(1, 2, 10, 20)] and partial2["branches"] == []
 
 
 def test_first_a_wins_no_restart_midpattern():
-    # while waiting for B, later A's are ignored (no A-reanchor in this NFA)
+    # later A's DO start their own branches (multi-run NFA), but the
+    # earliest-started completion wins under skip-past-last
     m, _ = _match_events(
         _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B")]), _pat(), None
     )
@@ -269,9 +270,9 @@ def test_quantified_state_across_batches():
     # A{2} B with the two A's in different batches
     p = Pattern.begin("a", _is("A")).times(2).followed_by("b", _is("B"))
     m1, st = _match_events(_rows([(1, 10, "A")]), p, None)
-    assert m1 == [] and st["loop_count"] == 1
+    assert m1 == [] and st["branches"][0]["loop_count"] == 1
     m2, st2 = _match_events(_rows([(2, 20, "A"), (3, 30, "B")]), p, st)
-    assert m2 == [(1, 3, 10, 30)] and st2["rows"] == []
+    assert m2 == [(1, 3, 10, 30)] and st2["branches"] == []
 
 
 def test_quantified_batch_equals_streaming(spark, sf_dir):
@@ -440,3 +441,135 @@ def test_skip_to_first_var_mid_pattern():
     # match1 = A1 B2 C4; resume at B2 → rows B2 A3 C4 B5 C6: next match
     # A3 B5 C6
     assert m == [(1, 4, 10, 30), (3, 6, 25, 50)]
+
+
+# ---- multi-run NFA: branch exploration on overlapping predicates ---------
+# (Flink NFA.java:86 simultaneous ComputationStates; the r1-r3 engine ran a
+# single determinized partial per key and provably missed matches)
+
+
+def _single_run_reference(evs, lo, hi, W):
+    """The r1-r3 single-run determinization for (value>lo)→(value>hi) within
+    W: ONE pending start per key; on `within` expiry the pending resets and
+    the expiring row retries as a fresh start. Kept as the divergence foil."""
+    out, pending = [], None
+    for (e, t, v) in evs:
+        for _ in range(2):
+            if pending is not None and t - pending[1] > W:
+                pending = None
+            if pending is None:
+                if v > lo:
+                    pending = (e, t)
+                break
+            if v > hi:
+                out.append((pending[0], e))
+                pending = None
+                break
+            break
+    return out
+
+
+def _overlap_pat(W=100):
+    return (
+        Pattern.begin("mid", lambda r: r["value"] > 50)
+        .followed_by("high", lambda r: r["value"] > 150)
+        .within(W)
+    )
+
+
+def test_overlap_branch_survives_expired_start():
+    """The canonical miss: start m1 expires before the closing row, but a
+    later start m2 is still in-window. The branch NFA keeps m2 alive; the
+    single-run NFA, committed to m1, abandons both."""
+    evs = [(1, 0, 60.0), (2, 50, 70.0), (3, 120, 200.0)]
+    rows = [{"event_id": e, "ts_us": t, "value": v} for e, t, v in evs]
+    m, _ = _match_events(rows, _overlap_pat(W=100), None)
+    assert m == [(2, 3, 50, 120)]  # m2 (ts 50) pairs with the high at 120
+    # the single-run reference provably fails here
+    assert _single_run_reference(evs, 50, 150, 100) == []
+
+
+def test_overlap_engine_matches_branch_semantics_exhaustive():
+    """Brute-force cross-check on all value sequences of length 5 drawn from
+    {low, mid, high}: engine matches == independent branch-semantics
+    reference (earliest-completing, earliest-started, skip past last row),
+    and the count of sequences where the single-run foil disagrees is > 0
+    (the divergence is real, not an artifact of one fixture)."""
+    import itertools
+
+    def branch_reference(evs, lo, hi, W):
+        out, mids = [], []
+        for (e, t, v) in evs:
+            if v > hi and mids:
+                valid = [(tt, ee) for (ee, tt) in mids if t <= tt + W]
+                if valid:
+                    c = min(valid)
+                    out.append((c[1], e))
+                    mids = []
+                    continue
+            if v > lo:
+                mids.append((e, t))
+        return out
+
+    diverged = 0
+    for vals in itertools.product((10.0, 60.0, 200.0), repeat=5):
+        evs = [(i + 1, i * 40, v) for i, v in enumerate(vals)]
+        rows = [{"event_id": e, "ts_us": t, "value": v} for e, t, v in evs]
+        got, _ = _match_events(rows, _overlap_pat(W=100), None)
+        want = [
+            (f, l, (f - 1) * 40, (l - 1) * 40)
+            for f, l in branch_reference(evs, 50, 150, 100)
+        ]
+        assert got == want, f"vals={vals}: engine={got} reference={want}"
+        if branch_reference(evs, 50, 150, 100) != _single_run_reference(
+            evs, 50, 150, 100
+        ):
+            diverged += 1
+    assert diverged > 0
+
+
+def test_alternation_forks_per_matching_alt():
+    """PATTERN (start (A | B) end): a row matching alternative A or B forks
+    with the variable recorded — SKIP TO LAST A resumes at A's row."""
+    p = (
+        Pattern.begin("s", _is("S"))
+        .followed_by_one_of("ab", [("A", _is("A")), ("B", _is("B"))])
+        .followed_by("e", _is("E"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "S"), (2, 20, "B"), (3, 30, "E"),
+               (4, 40, "S"), (5, 50, "A"), (6, 60, "E")]), p, None
+    )
+    assert m == [(1, 3, 10, 30), (4, 6, 40, 60)]
+
+
+def test_alternation_skip_to_var():
+    # SKIP TO LAST B: resume scanning at the B row of the emitted match
+    p = (
+        Pattern.begin("s", _is("S"))
+        .followed_by_one_of("ab", [("A", _is("A")), ("B", _is("B"))])
+        .followed_by("e", _is("E"))
+        .skip_to_last("B")
+    )
+    rows = _rows([(1, 10, "S"), (2, 20, "S"), (3, 30, "B"), (4, 40, "E"),
+                  (5, 50, "A"), (6, 60, "E")])
+    m, _ = _match_events(rows, p, None)
+    # match1 = S1..E4 via B3; resume at B3 → S2's branch (started ts 20 <
+    # B3's ts 30) is discarded; no later S → no second match
+    assert m == [(1, 4, 10, 40)]
+
+
+def test_alternation_both_match_same_row():
+    # overlapping alternatives: the row matches both A and B → forks both;
+    # under past-last the outputs coincide (same first/last) → one match
+    p = (
+        Pattern.begin("s", _is("S"))
+        .followed_by_one_of(
+            "ab", [("A", lambda r: True), ("B", lambda r: True)]
+        )
+        .followed_by("e", _is("E"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "S"), (2, 20, "X"), (3, 30, "E")]), p, None
+    )
+    assert m == [(1, 3, 10, 30)]

@@ -261,12 +261,13 @@ def test_greedy_oneormore_disjoint_equals_regex(types):
     )
 )
 @settings(max_examples=60, deadline=None)
-def test_cep_nfa_equals_sequential_recursion(events):
-    """The single-run NFA (streaming/cep.py) must equal the sequential
-    pending-click recursion that the recursive-CTE oracles encode
-    (_cep_oracle in queries/streaming_emu.py) — for BOTH oracled patterns,
-    on arbitrary event sequences. This pins the NFA<->oracle equivalence
-    argument beyond the driver testdata."""
+def test_cep_nfa_equals_branch_recursion(events):
+    """The branch-exploring NFA (streaming/cep.py, Flink NFA.java:86
+    semantics) must equal the every-click-is-a-live-branch recursion that
+    the recursive-CTE oracles encode (_cep_oracle in
+    queries/streaming_emu.py) — for BOTH oracled patterns, on arbitrary
+    event sequences. This pins the NFA<->oracle equivalence argument beyond
+    the driver testdata."""
     from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
 
     W = 6 * 3600 * 1_000_000
@@ -276,19 +277,25 @@ def test_cep_nfa_equals_sequential_recursion(events):
         ts += gap * 30 * 60 * 1_000_000  # 0..20 half-hour steps
         rows.append({"event_id": i, "ts_us": ts, "event_type": et, "user_id": 0})
 
-    def sequential(decide_types):
-        out, pend = [], None
+    def branch_ref(error_kill):
+        # every click starts a branch; error (quantified) kills live
+        # branches; a purchase completes every in-window branch — earliest
+        # start wins, skip past last row discards the rest
+        out, starts = [], []
         for r in rows:
-            if pend is not None and r["ts_us"] - pend[1] > W:
-                pend = None
-            if pend is None:
-                if r["event_type"] == "click":
-                    pend = (r["event_id"], r["ts_us"])
-            elif r["event_type"] == "purchase":
-                out.append((pend[0], r["event_id"], pend[1], r["ts_us"]))
-                pend = None
-            elif r["event_type"] in decide_types:
-                pend = None  # error kill (quantified pattern only)
+            if r["event_type"] == "purchase":
+                valid = [
+                    (t, e) for (e, t) in starts if r["ts_us"] <= t + W
+                ]
+                if valid:
+                    c = min(valid)
+                    out.append((c[1], r["event_id"], c[0], r["ts_us"]))
+                    starts = []
+                    continue
+            if error_kill and r["event_type"] == "error":
+                starts = []
+            if r["event_type"] == "click":
+                starts.append((r["event_id"], r["ts_us"]))
         return out
 
     pat_simple = (
@@ -297,7 +304,7 @@ def test_cep_nfa_equals_sequential_recursion(events):
         .within(W)
     )
     got, _ = _match_events(list(rows), pat_simple, None)
-    assert got == sequential(())
+    assert got == branch_ref(error_kill=False)
 
     pat_quant = (
         Pattern.begin("clicks", lambda r: r["event_type"] == "click")
@@ -308,4 +315,32 @@ def test_cep_nfa_equals_sequential_recursion(events):
         .within(W)
     )
     got_q, _ = _match_events(list(rows), pat_quant, None)
-    assert got_q == sequential(("error",))
+    assert got_q == branch_ref(error_kill=True)
+
+
+@given(
+    vals=st.lists(st.sampled_from([10.0, 60.0, 200.0]), max_size=30),
+    cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=3),
+)
+@settings(max_examples=100, deadline=None)
+def test_overlap_pattern_batch_split_invariance(vals, cuts):
+    """Branch-set state across arbitrary micro-batch splits == one-shot
+    matching, on the OVERLAPPING-predicate pattern (the branch-heavy case:
+    every high row matches both steps)."""
+    from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+    rows = [
+        {"event_id": i, "ts_us": i * 40, "value": v} for i, v in enumerate(vals)
+    ]
+    pat = lambda: (
+        Pattern.begin("mid", lambda r: r["value"] > 50)
+        .followed_by("high", lambda r: r["value"] > 150)
+        .within(100)
+    )
+    single, _ = _match_events(list(rows), pat(), None)
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    got, state = [], None
+    for lo, hi in zip(bounds, bounds[1:]):
+        m, state = _match_events(rows[lo:hi], pat(), state)
+        got.extend(m)
+    assert got == single
