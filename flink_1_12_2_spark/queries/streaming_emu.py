@@ -303,6 +303,50 @@ def stream_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tumble_early_fire",
+    oracle=f"""
+    {_EV_CTE}
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "tumble", "early-fire", "multibatch"),
+)
+def stream_tumble_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early/late window firing (EventTimeTriggers.java:36-71 —
+    ``afterEndOfWindow().withEarlyFirings(...)``): the tumbling agg runs in
+    UPDATE mode over 4 micro-batches, emitting a partial row every time a
+    batch touches a still-open window (Flink's EARLY records); a window's
+    last emission is the final watermark-close firing (``is_final=true`` —
+    streaming/core.py:tag_final_firings). The registered output is the
+    final rows only, hash-matched against the batch oracle — proving the
+    early partials CONVERGE to the exact final aggregate; the early-row
+    count itself is pinned in tests/test_early_fire.py against the split
+    assignment (a window touched by k batches fires k−1 early records)."""
+    from flink_1_12_2_spark.streaming.core import (
+        run_update_batches,
+        stream_events_multibatch,
+        tag_final_firings,
+    )
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value")
+    )
+    emissions = run_update_batches(agg)
+    final = tag_final_firings(emissions, ["win", "event_type"]).filter(
+        F.col("is_final")
+    )
+    return final.select(
+        ltz_to_ntz_utc(F.col("win.start")).alias("win_start"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
     "stream_static_broadcast_join",
     oracle=f"""
     {_EV_CTE}

@@ -114,10 +114,12 @@ GATE_ORDER: tuple[str, ...] = (
     "ddl_create_function",
     # over windows (rank/dense/ntile battery stays locally verified)
     "over_range_frame",
-    # group windows + evictor family representative
-    "window_tumble",
+    # group windows + evictor family representative (batch window_tumble
+    # stays local — the tumble assigner is gate-covered by stream_tumble_agg
+    # and the early-firing variant below)
     "window_session_dynamic_gap",
     "window_count_evictor",
+    "stream_tumble_early_fire",
     # streaming stateful operators (real Structured Streaming runs)
     "stream_tumble_agg",
     "stream_topn",

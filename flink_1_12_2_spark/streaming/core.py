@@ -168,6 +168,57 @@ def stream_events_multibatch(
     return sdf
 
 
+def run_update_batches(
+    sdf: DataFrame, timeout_sec: int = 300
+) -> DataFrame:
+    """Execute an UPDATE-mode streaming aggregate to completion
+    (AvailableNow), capturing every per-micro-batch emission tagged with its
+    ``__batch_id`` — the harness for early/late-firing semantics
+    (EventTimeTriggers.java:36-71 ``afterEndOfWindow().withEarlyFirings``):
+    each batch's update rows are Flink's EARLY records for still-open
+    windows; a group's LAST emission is the final (watermark-close) firing.
+
+    Uses ``foreachBatch`` appending to a temp parquet dir (the memory sink
+    drops batch identity); empty batches append nothing."""
+    spark = sdf.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="ss_updates_")
+    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        bdf.withColumn("__batch_id", F.lit(int(bid))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(fb)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(f"update-mode query did not finish in {timeout_sec}s")
+    return spark.read.parquet(out_dir)
+
+
+def tag_final_firings(
+    emissions: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Mark each group's LAST emission ``is_final=true`` (the
+    watermark-close firing); earlier rows are the early firings."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*group_cols).orderBy(F.col("__batch_id").desc())
+    return emissions.withColumn(
+        "is_final", F.row_number().over(w) == 1
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 300
 ) -> DataFrame:
