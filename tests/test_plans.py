@@ -186,3 +186,48 @@ def test_cdc_decoder_is_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdc_debezium_json")
     assert "Generate" in plan  # explode of per-op struct array
     assert plan.count("hashpartitioning") == 1
+
+
+def test_ds_q5_union_single_rollup_exchange(spark, sf_dir):
+    """q5 shape: the sales/returns UNION concatenates without a shuffle;
+    the only hash exchange is the rollup's (Expand feeds partial aggs)."""
+    plan = _plan(spark, sf_dir, "ds_q5_channel_rollup")
+    assert "Union" in plan and "Expand" in plan
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_ds_q80_broadcast_dim_then_line_grain_join(spark, sf_dir):
+    """q80 shape: promo part dimension broadcasts; the sales↔returns
+    LEFT join runs at line grain on the composite key (a real shuffle
+    join, not a cartesian)."""
+    plan = _plan(spark, sf_dir, "ds_q80_promo_returns_rollup")
+    assert "BroadcastHashJoin" in plan
+    # the line-grain sales<->returns join is a real equi-join (LeftOuter);
+    # at test SF the returns side broadcasts, at scale AQE shuffles it —
+    # either way no cartesian/NL join may appear
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Expand" in plan  # the rollup
+
+
+def test_ds_q61_q90_singleton_ratio_no_shuffle_join(spark, sf_dir):
+    """q61/q90 shape: both ratio numerator and denominator reduce to ONE
+    row before the cross join — BroadcastNestedLoopJoin of singletons."""
+    for name in ("ds_q61_promo_ratio", "ds_q90_am_pm_ratio"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan
+        # complete aggregates on both sides (partial+final over 1 group)
+        assert "HashAggregate" in plan
+
+
+def test_ds_q66_single_pass_pivot(spark, sf_dir):
+    """q66 shape: the 12-month CASE battery is ONE aggregation pass per
+    carrier half (24 sum exprs in two HashAggregates), not 12 scans."""
+    plan = _plan(spark, sf_dir, "ds_q66_monthly_pivot")
+    # two scans (one per half) + union + re-agg; no join at all
+    assert "Join" not in plan
+    import re as _re
+
+    scans = len(_re.findall(r"Scan parquet\s*\(\d+\)", plan))
+    assert scans == 2, f"expected 2 lineitem scans, plan has {scans}"
