@@ -285,29 +285,53 @@ OVERAGG_STATE = StructType(
 )
 
 
-def _over_agg_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    acc_sum, acc_cnt = state.get if state.exists else (0.0, 0)
-    rows = []
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            rows.append((int(r.ts_us), int(r.event_id), float(r.value)))
-    rows.sort()  # event-time order within the batch (ts_us, event_id)
-    out = []
-    for _, eid, val in rows:
-        acc_sum += val
-        acc_cnt += 1
-        out.append((key[0], eid, val, acc_sum, acc_cnt))
-    state.update((acc_sum, acc_cnt))
-    yield pd.DataFrame(
-        out, columns=["user_id", "event_id", "value", "running_sum", "running_cnt"]
-    )
+def _make_over_agg_fn(ttl_us: int | None = None):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_us is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=[
+                    "user_id", "event_id", "value", "running_sum", "running_cnt"
+                ]
+            )
+            return
+        acc_sum, acc_cnt = state.get if state.exists else (0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ts_us), int(r.event_id), float(r.value)))
+        rows.sort()  # event-time order within the batch (ts_us, event_id)
+        out = []
+        for _, eid, val in rows:
+            acc_sum += val
+            acc_cnt += 1
+            out.append((key[0], eid, val, acc_sum, acc_cnt))
+        state.update((acc_sum, acc_cnt))
+        if ttl_us is not None and rows:
+            # OnCreateAndWrite refresh keyed to the newest event time seen,
+            # clamped strictly beyond the watermark (EventTimeTimeout rule)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, (rows[-1][0] + ttl_us) // 1000)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "value", "running_sum", "running_cnt"],
+        )
+
+    return fn
 
 
-def streaming_over_agg(events: DataFrame) -> DataFrame:
+_over_agg_fn = _make_over_agg_fn(None)
+
+
+def streaming_over_agg(
+    events: DataFrame, state_ttl_seconds: int | None = None
+) -> DataFrame:
     """Streaming over-aggregate: per-key running SUM/COUNT ordered by event
     time, one output row per input row.
 
@@ -317,13 +341,25 @@ def streaming_over_agg(events: DataFrame) -> DataFrame:
     GroupState. Rows are event-time-sorted within each micro-batch; with a
     watermark-driven trigger, cross-batch order follows arrival batches
     (Flink buffers until the watermark — same guarantee per batch here).
-    """
+
+    ``state_ttl_seconds``: ``table.exec.state.ttl`` parity — Flink's
+    unbounded-preceding over-agg registers exactly this per-key state
+    cleanup timer (AbstractRowTimeUnboundedPrecedingOver.java registers a
+    cleanup timer per key). An evicted key's accumulator restarts from zero
+    when it reappears — Flink's expired-state semantics; emissions for keys
+    active within the TTL are unchanged. Requires a watermark when set."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _over_agg_fn,
+        _make_over_agg_fn(
+            state_ttl_seconds * 1_000_000 if state_ttl_seconds else None
+        ),
         outputStructType=OVERAGG_OUTPUT,
         stateStructType=OVERAGG_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_seconds
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -447,14 +483,34 @@ JOIN_CHANGELOG_STATE = StructType(
 )
 
 
+def _make_outer_join_changelog_fn(ttl_us: int | None = None):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _outer_join_changelog_fn(key, pdfs, state, ttl_us)
+
+    return fn
+
+
 def _outer_join_changelog_fn(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_us: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     def _csv(s: str) -> list[int]:
         return [int(x) for x in s.split(",")] if s else []
 
+    if ttl_us is not None and state.hasTimedOut:
+        state.remove()
+        df = pd.DataFrame(
+            columns=["_row_kind", "user_id", "l_event_id", "r_event_id", "seq"]
+        )
+        df["r_event_id"] = df["r_event_id"].astype("Int64")
+        yield df
+        return
     if state.exists:
         l_csv, pad_csv, r_csv, seq = state.get
         lefts, padded, rights = _csv(l_csv), set(_csv(pad_csv)), _csv(r_csv)
@@ -462,9 +518,13 @@ def _outer_join_changelog_fn(
         lefts, padded, rights, seq = [], set(), [], 0
     new_l: list[int] = []
     new_r: list[int] = []
+    last_ts: int | None = None
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             (new_l if row.side == "L" else new_r).append(int(row.event_id))
+        if ttl_us is not None and "ts_us" in pdf.columns and len(pdf):
+            m = int(pdf["ts_us"].max())
+            last_ts = m if last_ts is None else max(last_ts, m)
     seq = int(seq) + 1
     uid = key[0]
     changes: list[tuple] = []
@@ -495,6 +555,11 @@ def _outer_join_changelog_fn(
             seq,
         )
     )
+    if ttl_us is not None and last_ts is not None:
+        # idle-state retention: refresh on write, keyed to the newest event
+        # time, clamped past the watermark (same rule as _topn_fn)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm_ms + 1, (last_ts + ttl_us) // 1000))
     df = pd.DataFrame(
         changes, columns=["_row_kind", "user_id", "l_event_id", "r_event_id", "seq"]
     )
@@ -502,7 +567,9 @@ def _outer_join_changelog_fn(
     yield df
 
 
-def streaming_outer_join_changelog(tagged: DataFrame) -> DataFrame:
+def streaming_outer_join_changelog(
+    tagged: DataFrame, state_ttl_seconds: int | None = None
+) -> DataFrame:
     """Unbounded streaming LEFT OUTER equi-join emitting a retraction stream.
 
     Flink parity: StreamingJoinOperator.java:36 with the retraction protocol
@@ -514,13 +581,24 @@ def streaming_outer_join_changelog(tagged: DataFrame) -> DataFrame:
     keyed operator wiring (both inputs hash-partitioned on the key).
 
     Scale: state per key = both sides' rows seen so far — the same unbounded
-    state Flink keeps; bound it operationally with watermark TTL (idle-state
-    retention) when keys expire.
+    state Flink keeps. ``state_ttl_seconds`` is the ``table.exec.state.ttl``
+    idle-state retention Flink applies to exactly this operator
+    (StreamingJoinOperator's minRetentionTime state cleanup): a key idle
+    past the TTL is evicted once the watermark passes; rows arriving after
+    eviction join only against post-eviction state (Flink's expired-state
+    semantics — retractions for pre-eviction pairs are no longer possible).
+    Requires a watermark and a ``ts_us`` column on ``tagged`` when set.
     """
     return tagged.groupBy("user_id").applyInPandasWithState(
-        _outer_join_changelog_fn,
+        _make_outer_join_changelog_fn(
+            state_ttl_seconds * 1_000_000 if state_ttl_seconds else None
+        ),
         outputStructType=JOIN_CHANGELOG_OUTPUT,
         stateStructType=JOIN_CHANGELOG_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_seconds
+            else GroupStateTimeout.NoTimeout
+        ),
     )

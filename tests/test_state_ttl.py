@@ -48,12 +48,12 @@ def _topic(spark):
     )
 
 
-def _run_and_count_state(spark, sdf) -> tuple[int, set[int]]:
+def _run_and_count_state(spark, sdf, output_mode="update") -> tuple[int, set[int]]:
     name = "ttl_" + uuid.uuid4().hex[:10]
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ttl_ckpt_"))
         .trigger(availableNow=True)
         .start()
@@ -88,5 +88,55 @@ def test_topn_ttl_bounds_state(spark):
 
     without = streaming_topn(_topic(spark), n=3)
     state_rows, keys = _run_and_count_state(spark, without)
+    assert keys == {1, 2, 3}
+    assert state_rows == 3
+
+
+def test_over_agg_ttl_bounds_state(spark):
+    """table.exec.state.ttl on the streaming over-agg
+    (AbstractRowTimeUnboundedPrecedingOver cleanup-timer parity): key 1's
+    accumulator is evicted once the watermark passes t0+ttl; emissions are
+    unchanged on this fixture (each key's rows arrive within its TTL)."""
+    from flink_1_12_2_spark.streaming.stateful import streaming_over_agg
+
+    with_ttl = streaming_over_agg(_topic(spark), state_ttl_seconds=1800)
+    state_rows, keys = _run_and_count_state(spark, with_ttl, "append")
+    assert keys == {1, 2, 3}
+    assert state_rows == 2
+
+    without = streaming_over_agg(_topic(spark))
+    state_rows, keys = _run_and_count_state(spark, without, "append")
+    assert keys == {1, 2, 3}
+    assert state_rows == 3
+
+
+def _tagged_topic(spark):
+    """The TTL fixture reshaped for the outer-join operator: every event is
+    a left row (no right matches → each emits one +I padding row)."""
+    sdf = _topic(spark)
+    return sdf.select(
+        F.lit("L").alias("side"), "user_id", "event_id", "ts_us", "ts"
+    )
+
+
+def test_outer_join_changelog_ttl_bounds_state(spark):
+    """Idle-state retention on the streaming outer join
+    (StreamingJoinOperator minRetentionTime parity): key 1's join state is
+    evicted after the TTL; the emitted changelog is identical."""
+    from flink_1_12_2_spark.streaming.stateful import (
+        streaming_outer_join_changelog,
+    )
+
+    def run(ttl):
+        out = streaming_outer_join_changelog(
+            _tagged_topic(spark), state_ttl_seconds=ttl
+        )
+        return _run_and_count_state(spark, out)
+
+    state_rows, keys = run(1800)
+    assert keys == {1, 2, 3}
+    assert state_rows == 2
+
+    state_rows, keys = run(None)
     assert keys == {1, 2, 3}
     assert state_rows == 3
