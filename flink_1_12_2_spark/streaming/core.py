@@ -82,6 +82,64 @@ def set_idleness_policy(spark: SparkSession, policy: str = "max") -> None:
 SENTINEL_TS_US = 1_893_456_000_000_000
 
 
+def _tag_ntile_chunks(
+    static: DataFrame, n_files: int
+) -> tuple[DataFrame, DataFrame]:
+    """Tag each row with its ntile(n_files)-equivalent chunk (0-based) over
+    the global (ts_us, event_id) order — WITHOUT a global window.
+
+    Plan: ``repartitionByRange`` on the sort key gives non-overlapping
+    ascending ranges per partition id; a per-partition row_number (parallel —
+    every window has a partition key) plus broadcast cumulative offsets
+    yields the exact global rank; the chunk index applies SQL ntile's
+    bucket-size rule (N = q·n + r → first r buckets get q+1 rows). Returns
+    the tagged frame PERSISTED (the offsets job and the chunk writes must
+    see identical range partitions — range sampling is not re-run)."""
+    from pyspark.sql import Window as _W
+
+    n_parts = max(static.sparkSession.sparkContext.defaultParallelism, n_files)
+    ranged = static.repartitionByRange(n_parts, "ts_us", "event_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrn",
+        F.row_number().over(
+            _W.partitionBy("__pid").orderBy("ts_us", "event_id")
+        ),
+    ).persist()
+    # tiny: one row per partition
+    counts = dict(
+        (r["__pid"], r["c"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    # NOTE: `local` stays persisted while the caller writes the chunks (the
+    # range sampling must not re-run between the offsets job and the
+    # writes); the caller unpersists the returned base handle
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    q, r = divmod(total, n_files)
+    rank = (off_expr + F.col("__lrn") - 1).alias("__rank")  # 0-based
+    big = r * (q + 1)  # rows in the first r (larger) buckets
+    if q > 0:
+        chunk = F.when(
+            F.col("__rank") < big, F.floor(F.col("__rank") / (q + 1))
+        ).otherwise(r + F.floor((F.col("__rank") - big) / q))
+    else:  # fewer rows than chunks: one row per leading chunk
+        chunk = F.col("__rank")
+    out = (
+        local.withColumn("__rank", rank)
+        .withColumn("__file", chunk.cast("int"))
+        .drop("__pid", "__lrn")
+    )
+    return out, local  # (tagged frame, persisted base to unpersist)
+
+
 def stream_events_multibatch(
     spark: SparkSession,
     sf_dir: str,
@@ -120,30 +178,34 @@ def stream_events_multibatch(
     # watermarks require TIMESTAMP (LTZ) — rebuild ts from the micros value
     static = static.withColumn("ts", F2.timestamp_micros(F2.col("ts_us")))
     key = _hl.md5(
-        f"{sf_dir}|{n_files}|{flush_sentinels}|{raw_ts_type}|v2".encode()
+        f"{sf_dir}|{n_files}|{flush_sentinels}|{raw_ts_type}|v3".encode()
     ).hexdigest()[:8]
     split_dir = os.path.join(tempfile.gettempdir(), f"events_split_{key}_{n_files}")
     if not glob.glob(os.path.join(split_dir, "part_*")):
-        from pyspark.sql import Window as _W
-
         os.makedirs(split_dir, exist_ok=True)
-        # executor-side ordered split: ntile over the global event-time order
-        # tags each row with its target file — nothing is collected to the
-        # driver (the r2 flag: collect() capped the harness at driver
-        # memory). The unpartitioned window funnels rows through one TASK,
-        # bounded by executor memory; a production-scale splitter would
-        # repartitionByRange instead — ntile is kept here because its
-        # deterministic equal-size chunks pin the per-batch state tests.
-        w = _W.orderBy("ts_us", "event_id")
-        tagged = static.withColumn("__file", F2.ntile(n_files).over(w) - 1).persist()
+        # executor-PARALLEL ordered split (the r3 flag: an unpartitioned
+        # ntile window funneled every row through one task). Exact global
+        # ranks without a global window: range-repartition on the sort key,
+        # rank locally per partition (parallel windows), then add the
+        # broadcast per-partition offsets — the classic scalable global-rank
+        # pattern. The chunk assignment replicates ntile()'s equal-size
+        # buckets EXACTLY (big buckets first), so per-batch state tests keep
+        # their pinned chunk contents.
+        tagged, split_base = _tag_ntile_chunks(static, n_files)
         # one write per chunk, in order: the file stream source triggers
         # files by (modification time, path), so sequential writes keep the
-        # micro-batch order aligned with event time
+        # micro-batch order aligned with event time. Each chunk's
+        # coalesce(1) serializes ONE file from 1/n of the data (a streaming
+        # copy, no window state) — the harness needs exactly one file per
+        # micro-batch; a production splitter would write chunk DIRECTORIES
+        # with per-range parallel files instead.
         for i in range(n_files):
-            tagged.filter(F2.col("__file") == i).drop("__file").coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(split_dir, f"part_{i}"))
-        tagged.unpersist()
+            tagged.filter(F2.col("__file") == i).drop(
+                "__file", "__rank"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(split_dir, f"part_{i}")
+            )
+        split_base.unpersist()
         if flush_sentinels:
             other = [c for c in static.columns if c not in ("event_id", "ts", "user_id", "ts_us")]
             sent = static.select("user_id").distinct().select(
