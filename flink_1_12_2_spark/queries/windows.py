@@ -331,7 +331,11 @@ def asof_join_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
       FROM e),
     s AS (
-      SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+      -- boundary rule: a row AT exactly prev_end MERGES (touching
+      -- windows merge — Spark session_window and Flink
+      -- SessionWindowAssigner/TimeWindow.intersects agree; pinned in
+      -- tests/test_oracle_parity.py) -> strict > starts a new session
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts > prev_end
                          THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY ts
                ROWS UNBOUNDED PRECEDING) AS sess

@@ -170,8 +170,40 @@ def streaming_topn_changelog(events: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def local_topn_combiner(events: DataFrame, n: int) -> DataFrame:
+    """Stateless per-partition pre-aggregation for streaming Top-N: within
+    each input partition of each micro-batch, keep only the local top-n
+    rows per key before the keyed state shuffle.
+
+    Flink parity: the MiniBatch local/global split of the rank operator
+    (two-phase agg idea applied to Top-N) — a HOT KEY with k rows per batch
+    per partition ships only min(k, n) rows through the exchange, so the
+    skewed key's state task receives ≤ n·|partitions| rows instead of the
+    full firehose. Provably output-identical: a row outside its partition's
+    local top-n is outside the global top-n a fortiori (top-n is a
+    monotone selection under merge). Arrow-batched ``mapInPandas`` — no
+    shuffle, no state."""
+    cols = events.columns
+
+    def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            ranked = pdf.sort_values(
+                ["user_id", "value", "event_id"],
+                ascending=[True, False, True],
+            )
+            yield ranked.groupby("user_id", sort=False).head(n)[cols]
+
+    return events.mapInPandas(fn, events.schema)
+
+
 def streaming_topn(
-    events: DataFrame, n: int = 3, state_ttl_seconds: int | None = None
+    events: DataFrame,
+    n: int = 3,
+    state_ttl_seconds: int | None = None,
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """Per-key streaming Top-N by value (desc, event_id tie-break).
 
@@ -180,8 +212,12 @@ def streaming_topn(
     applies the same watermark-driven idle-key eviction as
     ``streaming_dedup_keep_last`` (table.exec.state.ttl parity) — at 100 TB
     key cardinalities the rank state of keys that stopped producing must
-    age out."""
+    age out. ``pre_aggregate=True`` inserts the stateless
+    :func:`local_topn_combiner` before the keyed shuffle — the skew guard
+    for hot keys (output-identical; see its docstring)."""
     ttl_us = state_ttl_seconds * 1_000_000 if state_ttl_seconds else None
+    if pre_aggregate:
+        events = local_topn_combiner(events, n)
     return events.groupBy("user_id").applyInPandasWithState(
         _topn_fn(n, ttl_us),
         outputStructType=TOPN_OUTPUT,

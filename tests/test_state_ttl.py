@@ -140,3 +140,85 @@ def test_outer_join_changelog_ttl_bounds_state(spark):
     state_rows, keys = run(None)
     assert keys == {1, 2, 3}
     assert state_rows == 3
+
+
+# ---- skewed streaming Top-N: local/global split (MiniBatch rank parity) ---
+
+
+def _skewed_topic(spark, hot_rows=400):
+    """One HOT key (1000 rows across 2 batches) + two cold keys."""
+    d = tempfile.mkdtemp(prefix="skew_src_")
+    schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    for b in range(2):
+        rows = [
+            (b * 10_000 + i, T0 + b * 60_000_000 + i * 1000, 1, "click",
+             float((i * 37 + b * 11) % 997))
+            for i in range(hot_rows)
+        ] + [
+            (90_000 + b * 10 + k, T0 + b * 60_000_000, 2 + k, "click", float(k))
+            for k in range(2)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"b{b}"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+    )
+
+
+def test_skewed_topn_pre_aggregate_identical_output(spark):
+    """Under a hot key, the local top-n combiner must leave the emitted
+    ranking byte-identical while bounding what crosses the shuffle; state
+    stays at ≤ n rows per key either way."""
+    from flink_1_12_2_spark.streaming.stateful import streaming_topn
+
+    def final_ranking(pre):
+        out = streaming_topn(
+            _skewed_topic(spark), n=3, state_ttl_seconds=1800,
+            pre_aggregate=pre,
+        )
+        name = "skew_" + uuid.uuid4().hex[:10]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="skew_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        rows = spark.table(name).collect()
+        last_seq = max(r.seq for r in rows)
+        final = sorted(
+            (r.user_id, r.rn, r.event_id, r.value)
+            for r in rows
+            if r.seq == last_seq or r.user_id != 1
+        )
+        return state_rows, final
+
+    s1, plain = final_ranking(False)
+    s2, combined = final_ranking(True)
+    assert plain == combined
+    # bounded state regardless of skew: top-3 per key, 3 keys
+    assert s1 == 3 and s2 == 3
+
+
+def test_local_topn_combiner_bounds_rows(spark):
+    """The combiner emits ≤ n rows per key per partition and they are the
+    partition-local maxima."""
+    from flink_1_12_2_spark.streaming.stateful import local_topn_combiner
+
+    rows = [(i, T0 + i, 1, "click", float(i % 50)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).repartition(4)
+    out = local_topn_combiner(df, 3).collect()
+    assert len(out) <= 3 * 4
+    assert max(r.value for r in out) == 49.0
