@@ -731,6 +731,84 @@ def match_recognize_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
 
 
+# Branch-NFA oracle for PATTERN (PERMUTE (A, B) C): a click or view starts
+# one branch per order; the branch consumes the first row of the OTHER type
+# after it, then completes at the first purchase after that — valid while
+# inside the 24 h window. Per-start completions precompute pos-independently
+# in `st`; the skip-past-last recursion picks the earliest completion
+# (earliest start on ties).
+_MR_PERMUTE_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type FROM events),
+    st AS (
+      SELECT s.user_id, s.event_id AS s_eid, s.ts_us AS s_ts,
+             p.event_id AS p_eid, p.ts_us AS p_ts
+      FROM ev s
+      JOIN LATERAL (
+        SELECT m2.ts_us AS ts_us, m2.event_id AS event_id FROM ev m2
+        WHERE m2.user_id = s.user_id
+          AND m2.event_type = CASE s.event_type WHEN 'click' THEN 'view'
+                                                ELSE 'click' END
+          AND (m2.ts_us, m2.event_id) > (s.ts_us, s.event_id)
+        ORDER BY m2.ts_us, m2.event_id LIMIT 1) m ON true
+      JOIN LATERAL (
+        SELECT p2.ts_us AS ts_us, p2.event_id AS event_id FROM ev p2
+        WHERE p2.user_id = s.user_id AND p2.event_type = 'purchase'
+          AND (p2.ts_us, p2.event_id) > (m.ts_us, m.event_id)
+        ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+      WHERE s.event_type IN ('click', 'view')
+        AND p.ts_us <= s.ts_us + {24 * 3600 * 1_000_000}),
+    state AS (
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS BIGINT) AS m_first_ts,
+             CAST(NULL AS BIGINT) AS m_last_ts
+      FROM ev
+      UNION ALL
+      SELECT s.user_id, x.p_ts, x.p_eid, x.s_eid, x.p_eid, x.s_ts, x.p_ts
+      FROM state s
+      JOIN LATERAL (
+        SELECT k.s_eid, k.s_ts, k.p_eid, k.p_ts FROM st k
+        WHERE k.user_id = s.user_id
+          AND (k.s_ts, k.s_eid) > (s.pos_ts, s.pos_eid)
+        ORDER BY k.p_ts, k.p_eid, k.s_ts, k.s_eid LIMIT 1) x ON true)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+    """
+
+
+@query(
+    "match_recognize_permute",
+    oracle=_MR_PERMUTE_ORACLE,
+    tags=("batch", "cep", "sql", "permute"),
+)
+def match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN (PERMUTE (A, B) C) — Calcite SqlMatchRecognize PERMUTE
+    (Flink expands it to the alternation of all orders): click and view in
+    EITHER order, then purchase, within 24 h. Each order is a branch family
+    in the sequence-set NFA (streaming/cep.py Pattern.permute). 221 matches
+    on sf0.01, hash-verified against the recursive-CTE oracle."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (PERMUTE (A, B) C)
+      WITHIN INTERVAL '24' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'view',
+             C AS event_type = 'purchase'
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
 _24H_US = 24 * 3600 * 1_000_000
 
 # Branch-NFA oracle over OVERLAPPING threshold predicates (value > 50 /

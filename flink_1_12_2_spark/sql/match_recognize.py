@@ -47,7 +47,8 @@ _MR = re.compile(
     r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|"
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|\([\w\s|]*\))+?)\s*\)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|PERMUTE\s*\([\w\s,]*\)"
+    r"|\([\w\s|]*\))+?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*?)\s*\)"
 )
@@ -90,6 +91,11 @@ def _apply_quantifier(pat: Pattern, quant: str | None) -> Pattern:
     return pat
 
 
+_PERMUTE = re.compile(
+    r"(?is)^PERMUTE\s*\(\s*(?P<vars>\w+(?:\s*,\s*\w+)+)\s*\)\s*(?P<rest>\w+)?\s*$"
+)
+
+
 def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     """Parse the restricted MATCH_RECOGNIZE block →
     (partition_col, order_col, Pattern)."""
@@ -108,14 +114,24 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
 
         return pred
 
-    elements = _ELEMENT.findall(m.group("pattern"))
-    if "".join(elements).replace(" ", "") != re.sub(
-        r"\s", "", m.group("pattern")
-    ):
-        raise ValueError(
-            f"unsupported PATTERN body: {m.group('pattern')!r}"
-        )
+    pm = _PERMUTE.match(m.group("pattern").strip())
     pat: Pattern | None = None
+    if pm:  # PATTERN (PERMUTE (A, B [, ...]) [C]) — any-order matching
+        names = [v.strip() for v in pm.group("vars").split(",")]
+        last = pm.group("rest")
+        pat = Pattern.permute(
+            [(n, mk_pred(n)) for n in names],
+            (last, mk_pred(last)) if last else None,
+        )
+        elements = []
+    else:
+        elements = _ELEMENT.findall(m.group("pattern"))
+        if "".join(elements).replace(" ", "") != re.sub(
+            r"\s", "", m.group("pattern")
+        ):
+            raise ValueError(
+                f"unsupported PATTERN body: {m.group('pattern')!r}"
+            )
     for step in elements:
         am = _ALT.match(step)
         if am:  # alternation group (A | B [| C ...]) — Calcite

@@ -125,10 +125,34 @@ class Pattern:
     steps: list[Step] = field(default_factory=list)
     within_us: int | None = None
     skip: Any = "past_last"  # AfterMatchSkipStrategy
+    # sequence-set alternation (PERMUTE / top-level |): when set, every row
+    # may start one branch PER sequence; each branch evolves against its own
+    # step list. `steps` is ignored.
+    seqs: list[list[Step]] | None = None
 
     @staticmethod
     def begin(name: str, pred: Predicate) -> "Pattern":
         return Pattern(steps=[Step(name, pred)])
+
+    @staticmethod
+    def permute(
+        vars_: list[tuple[str, Predicate]], last: tuple[str, Predicate] | None = None
+    ) -> "Pattern":
+        """``PATTERN (PERMUTE (A, B [, ...]) [C])`` — Calcite
+        SqlMatchRecognize PERMUTE: the variables may match in ANY order
+        (n! sequences, each a branch family); ``last`` appends a common
+        definite closing step. Flink rewrites PERMUTE to an alternation of
+        all orders (CEPPatternUtils) — same expansion here, executed by the
+        branch NFA's sequence-set machinery."""
+        import itertools as _it
+
+        seqs = []
+        for order in _it.permutations(vars_):
+            seq = [Step(n, p) for n, p in order]
+            if last is not None:
+                seq.append(Step(last[0], last[1]))
+            seqs.append(seq)
+        return Pattern(seqs=seqs)
 
     def no_skip(self) -> "Pattern":
         """AFTER MATCH SKIP TO NEXT MATCH / noSkip (the Pattern-API default
@@ -219,13 +243,14 @@ class Pattern:
         return self
 
     def validate(self) -> "Pattern":
-        last = self.steps[-1]
-        if last.negative or last.min_times != 1 or last.max_times != 1:
-            raise ValueError(
-                "pattern must end with a definite consuming step "
-                "(no trailing loop/optional/negative) so completion is "
-                "decidable per row"
-            )
+        for seq in self.seqs if self.seqs is not None else [self.steps]:
+            last = seq[-1]
+            if last.negative or last.min_times != 1 or last.max_times != 1:
+                raise ValueError(
+                    "pattern must end with a definite consuming step "
+                    "(no trailing loop/optional/negative) so completion is "
+                    "decidable per row"
+                )
         return self
 
 
@@ -241,13 +266,15 @@ CEP_OUTPUT = StructType(
 CEP_STATE = StructType([StructField("partial_json", StringType())])
 
 
-def _new_branch(row: dict) -> dict:
-    """A branch about to consume ``row`` as its first row."""
+def _new_branch(row: dict, pat: int = 0) -> dict:
+    """A branch about to consume ``row`` as its first row. ``pat`` selects
+    the step sequence for sequence-set patterns (PERMUTE / alternation)."""
     return {
         "first_eid": row["event_id"],
         "first_ts": row["ts_us"],
         "step_idx": 0,
         "loop_count": 0,
+        "pat": pat,
         "vf": {},  # var → [eid, ts] of FIRST row mapped to it
         "vl": {},  # var → [eid, ts] of LAST row mapped to it
     }
@@ -256,6 +283,7 @@ def _new_branch(row: dict) -> dict:
 def _branch_key(br: dict) -> tuple:
     return (
         br["first_eid"],
+        br.get("pat", 0),
         br["step_idx"],
         br["loop_count"],
         tuple(sorted((k, tuple(v)) for k, v in br["vf"].items())),
@@ -324,6 +352,7 @@ def _evolve(
             "first_ts": branch["first_ts"],
             "step_idx": step_idx,
             "loop_count": loop_count,
+            "pat": branch.get("pat", 0),
             "vf": dict(branch["vf"]),
             "vl": dict(branch["vl"]),
         }
@@ -386,7 +415,7 @@ def _match_events(
     (Flink ComputationStates). Every row starts a candidate new branch AND
     evolves every live branch; completions are resolved per the pattern's
     AfterMatchSkipStrategy (module doc)."""
-    steps = pattern.steps
+    seqs = pattern.seqs if pattern.seqs is not None else [pattern.steps]
     matches: list[tuple] = []
     branches: list[dict] = list(state["branches"]) if state and "branches" in state else []
 
@@ -401,17 +430,19 @@ def _match_events(
         next_branches: list[dict] = []
         completions: list[dict] = []
         for br in branches:
-            succ, comp, _ = _evolve(br, row, steps)
+            succ, comp, _ = _evolve(br, row, seqs[br.get("pat", 0)])
             next_branches.extend(succ)
             completions.extend(comp)
-        # every row is a candidate start (Flink: the NFA's start state is
-        # always live); the empty branch evolves on this row only if it
-        # actually consumes it
-        start = _new_branch(row)
-        succ, comp, unchanged = _evolve(start, row, steps)
-        if not unchanged:  # a start must consume its first row
-            next_branches.extend(succ)
-            completions.extend(comp)
+        # every row is a candidate start, once per sequence (Flink: the
+        # NFA's start state is always live; PERMUTE = one start family per
+        # order); the empty branch evolves on this row only if it actually
+        # consumes it
+        for pat_i, pat_steps in enumerate(seqs):
+            start = _new_branch(row, pat_i)
+            succ, comp, unchanged = _evolve(start, row, pat_steps)
+            if not unchanged:  # a start must consume its first row
+                next_branches.extend(succ)
+                completions.extend(comp)
         # dedup identical NFA configurations (SharedBuffer node sharing)
         seen_keys: set = set()
         deduped: list[dict] = []
@@ -426,7 +457,9 @@ def _match_events(
             branches = branches[:MAX_BRANCHES]
         if not completions:
             continue
-        completions.sort(key=lambda b: (b["first_ts"], b["first_eid"]))
+        completions.sort(
+            key=lambda b: (b["first_ts"], b["first_eid"], b.get("pat", 0))
+        )
         skip = pattern.skip
         if skip == "no_skip":
             emitted = set()

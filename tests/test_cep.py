@@ -573,3 +573,32 @@ def test_alternation_both_match_same_row():
         _rows([(1, 10, "S"), (2, 20, "X"), (3, 30, "E")]), p, None
     )
     assert m == [(1, 3, 10, 30)]
+
+
+def test_permute_matches_any_order():
+    """PERMUTE(A, B) C: both orders match; the branch family id rides the
+    state across batch splits."""
+    p = Pattern.permute(
+        [("A", _is("A")), ("B", _is("B"))], ("C", _is("C"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "B"), (2, 20, "A"), (3, 30, "C"),
+               (4, 40, "A"), (5, 50, "B"), (6, 60, "C")]), p, None
+    )
+    assert m == [(1, 3, 10, 30), (4, 6, 40, 60)]
+    # missing one variable → no match
+    m2, _ = _match_events(_rows([(1, 10, "A"), (2, 20, "C")]), p, None)
+    assert m2 == []
+
+
+def test_permute_state_roundtrip_across_batches():
+    import json
+
+    p = Pattern.permute(
+        [("A", _is("A")), ("B", _is("B"))], ("C", _is("C"))
+    )
+    m1, st = _match_events(_rows([(1, 10, "B"), (2, 20, "A")]), p, None)
+    assert m1 == []
+    st = json.loads(json.dumps(st))  # the streaming operator's serialization
+    m2, _ = _match_events(_rows([(3, 30, "C")]), p, st)
+    assert m2 == [(1, 3, 10, 30)]
