@@ -783,6 +783,43 @@ _MR_PERMUTE_ORACLE = f"""
 
 
 @query(
+    "stream_cep_no_skip",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+                FROM events)
+    SELECT c.user_id, c.event_id AS first_event_id, p.event_id AS last_event_id,
+           c.ts_us AS first_ts_us, p.ts_us AS last_ts_us
+    FROM ev c
+    JOIN LATERAL (
+      SELECT p2.event_id, p2.ts_us FROM ev p2
+      WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
+        AND (p2.ts_us, p2.event_id) > (c.ts_us, c.event_id)
+      ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+    WHERE c.event_type = 'click' AND p.ts_us <= c.ts_us + {_6H_US}
+    ORDER BY user_id, first_event_id
+    """,
+    tags=("streaming", "cep", "stateful", "skip-strategy"),
+)
+def stream_cep_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkipStrategy.noSkip — the Flink Pattern-API DEFAULT
+    (CEP.java:38 + nfa/aftermatch/NoSkipStrategy): EVERY completed match is
+    emitted and nothing is discarded. For click→(6h)→purchase, every click
+    branch completes at its first subsequent purchase inside the window —
+    SQL-expressible as a per-click lateral top-1 with the window bound, so
+    no recursion is needed (contrast the skip-past-last oracles)."""
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(_6H_US)
+        .no_skip()
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id")
+
+
+@query(
     "match_recognize_permute",
     oracle=_MR_PERMUTE_ORACLE,
     tags=("batch", "cep", "sql", "permute"),
