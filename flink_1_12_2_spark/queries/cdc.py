@@ -295,3 +295,79 @@ def changelog_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round("avg_price", 2).alias("avg_price"),
     ).orderBy("bucket")
+
+
+@query(
+    "stream_changelog_reagg",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderkey % 10 AS bucket,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM final_state GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("streaming", "cdc", "changelog", "retract", "aggregate", "kafka"),
+)
+def stream_changelog_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changelog_reagg, END TO END through Structured Streaming: the
+    debezium topic (file-backed kafka emulation, two producer batches) is
+    consumed as a real stream and the -U/-D retractions flow INCREMENTALLY
+    into the signed group aggregate (complete mode — Spark's stateful agg
+    folds each micro-batch's signed deltas, which is precisely Flink's
+    GroupAggFunction accumulate/retract loop). The final state matches the
+    batch oracle even though the updates/deletes arrive in a LATER batch
+    than the inserts they retract."""
+    import tempfile
+
+    from flink_1_12_2_spark.sources.kafka_emu import publish, read_topic_stream
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    null_p = F.lit(None).cast(f"struct<{_PAYLOAD}>")
+
+    def env(before, after, op, ts_ms):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                F.lit(ts_ms).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+
+    topic = tempfile.mkdtemp(prefix="topic_reagg_cdc_")
+    publish(o.select(env(null_p, _payload(key, price), "c", 1)), topic)
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    upd = o.filter(key % 3 == 0).select(
+        env(_payload(key, price), _payload(key, price + 10), "u", 2)
+    )
+    dele = o.filter(key % 7 == 0).select(
+        env(_payload(key, cur), null_p, "d", 3)
+    )
+    publish(upd.unionByName(dele), topic)
+
+    stream = read_topic_stream(
+        spark, topic, "debezium-json", _PAYLOAD, max_files_per_trigger=1
+    )
+    sign = F.when(F.col("_row_kind").isin("+I", "+U"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    agg = (
+        stream.withColumn("bucket", F.col("o_orderkey") % 10)
+        .groupBy("bucket")
+        .agg(
+            F.sum(sign * F.col("o_totalprice")).alias("total_price"),
+            F.sum(sign).cast("bigint").alias("n_orders"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.filter(F.col("n_orders") > 0).select(
+        "bucket",
+        F.round("total_price", 2).alias("total_price"),
+        "n_orders",
+    ).orderBy("bucket")
