@@ -28,7 +28,7 @@ rank/limit, rollup sort keys state NULLS FIRST explicitly on both engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_1_12_2_spark.registry import EVENTS_US_CTE, load, query
 
@@ -342,4 +342,363 @@ def ds_q90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("amc").cast("double") / F.col("pmc"), 4).alias(
             "am_pm_ratio"
         ),
+    )
+
+
+_CHAN = (
+    "CASE l_suppkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web' "
+    "ELSE 'catalog' END"
+)
+
+
+def _chan_col():
+    return (
+        F.when(F.col("l_suppkey") % 3 == 0, "store")
+        .when(F.col("l_suppkey") % 3 == 1, "web")
+        .otherwise("catalog")
+    )
+
+
+@query(
+    "ds_q14_cross_channel_intersect",
+    oracle=f"""
+    WITH chans AS (SELECT l_partkey, {_CHAN} AS channel,
+                          l_extendedprice * (1 - l_discount) AS amt
+                   FROM lineitem),
+    common AS (
+      SELECT l_partkey FROM chans WHERE channel = 'store'
+      INTERSECT
+      SELECT l_partkey FROM chans WHERE channel = 'web'
+      INTERSECT
+      SELECT l_partkey FROM chans WHERE channel = 'catalog')
+    SELECT c.channel, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(c.amt), 2) AS DOUBLE) AS sales
+    FROM chans c JOIN common m ON c.l_partkey = m.l_partkey
+    GROUP BY c.channel ORDER BY c.channel
+    """,
+    tags=("batch", "tpcds", "intersect", "multi-fact"),
+)
+def ds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: cross-channel INTERSECT — items sold in ALL
+    channels (chained INTERSECT of distinct key sets) gate the per-channel
+    aggregate via a semi join. The intersect operands reduce to distinct
+    keys before any join; the gate set broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    chans = li.select(
+        "l_partkey", _chan_col().alias("channel"), _rev().alias("amt")
+    )
+    common = (
+        chans.filter(F.col("channel") == "store").select("l_partkey")
+        .intersect(chans.filter(F.col("channel") == "web").select("l_partkey"))
+        .intersect(
+            chans.filter(F.col("channel") == "catalog").select("l_partkey")
+        )
+    )
+    return (
+        chans.join(F.broadcast(common), "l_partkey")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("amt"), 2).alias("sales"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "ds_q49_return_ratio_rank",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_CHAN} AS channel, l_partkey,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+               AS ret_qty,
+             SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2 HAVING SUM(l_quantity) > 0),
+    ranked AS (
+      SELECT channel, l_partkey,
+             ROUND(ret_qty / qty, 6) AS return_ratio,
+             RANK() OVER (PARTITION BY channel
+                          ORDER BY ROUND(ret_qty / qty, 6) DESC, l_partkey)
+               AS ratio_rank
+      FROM base)
+    SELECT channel, l_partkey,
+           CAST(return_ratio AS DOUBLE) AS return_ratio,
+           CAST(ratio_rank AS BIGINT) AS ratio_rank
+    FROM ranked WHERE ratio_rank <= 10
+    ORDER BY channel, ratio_rank, l_partkey
+    """,
+    tags=("batch", "tpcds", "rank", "union"),
+)
+def ds_q49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: worst return ratios per channel — per-item
+    returned/sold ratio ranked within channel, top-10 kept. The ratio is
+    rounded BEFORE ranking on both engines (float-tie discipline) and the
+    rank tie-breaks on the item key."""
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy(_chan_col().alias("channel"), "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(
+                    0.0
+                )
+            ).alias("ret_qty"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+        .withColumn("return_ratio", F.round(F.col("ret_qty") / F.col("qty"), 6))
+    )
+    w = Window.partitionBy("channel").orderBy(
+        F.col("return_ratio").desc(), F.col("l_partkey")
+    )
+    return (
+        base.withColumn("ratio_rank", F.rank().over(w))
+        .filter(F.col("ratio_rank") <= 10)
+        .select("channel", "l_partkey", "return_ratio", "ratio_rank")
+        .orderBy("channel", "ratio_rank", "l_partkey")
+    )
+
+
+@query(
+    "ds_q39_inventory_variance",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey, CAST(MONTH(l_shipdate) AS INT) AS moy,
+             AVG(l_quantity) AS mean_qty, STDDEV_SAMP(l_quantity) AS sd_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1),
+    flagged AS (
+      SELECT * FROM m WHERE sd_qty / mean_qty > 0.65)
+    SELECT a.l_suppkey, a.moy AS moy1, b.moy AS moy2,
+           CAST(ROUND(a.sd_qty / a.mean_qty, 4) AS DOUBLE) AS cov1,
+           CAST(ROUND(b.sd_qty / b.mean_qty, 4) AS DOUBLE) AS cov2
+    FROM flagged a JOIN flagged b
+      ON a.l_suppkey = b.l_suppkey AND b.moy = a.moy + 1
+    ORDER BY a.l_suppkey, moy1
+    """,
+    tags=("batch", "tpcds", "statistics", "self-join"),
+)
+def ds_q39_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: the inventory-variance pair — per (supplier,
+    month) coefficient of variation (stddev/mean) flagged when > 0.65
+    (the top decile on this data; DS uses 1.0 on unit quantities), then a
+    SELF JOIN pairing consecutive months that are BOTH flagged. The
+    statistical aggregate reduces the fact before the (tiny) self join."""
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.groupBy("l_suppkey", F.month("l_shipdate").alias("moy"))
+        .agg(
+            F.avg("l_quantity").alias("mean_qty"),
+            F.stddev_samp("l_quantity").alias("sd_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .filter(F.col("sd_qty") / F.col("mean_qty") > 0.65)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("b.moy") == F.col("a.moy") + 1),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("l_suppkey"),
+            F.col("a.moy").alias("moy1"),
+            F.col("b.moy").alias("moy2"),
+            F.round(F.col("a.sd_qty") / F.col("a.mean_qty"), 4).alias("cov1"),
+            F.round(F.col("b.sd_qty") / F.col("b.mean_qty"), 4).alias("cov2"),
+        )
+        .orderBy("l_suppkey", "moy1")
+    )
+
+
+@query(
+    "ds_q47_lag_lead_deviation",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand, CAST(MONTH(l.l_shipdate) AS INT) AS moy,
+             CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS DECIMAL(18,2)) AS sum_sales
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    w AS (
+      -- avg from an EXACT decimal window sum: both engines divide the same
+      -- exact numerator, so the double result is bit-identical (a plain
+      -- AVG(double) hits half-cent rounding boundaries)
+      SELECT p_brand, moy, CAST(sum_sales AS DOUBLE) AS sum_sales,
+             CAST(SUM(sum_sales) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS avg_monthly,
+             CAST(LAG(sum_sales) OVER (PARTITION BY p_brand ORDER BY moy)
+                  AS DOUBLE) AS psum,
+             CAST(LEAD(sum_sales) OVER (PARTITION BY p_brand ORDER BY moy)
+                  AS DOUBLE) AS nsum
+      FROM m)
+    -- avg_monthly emitted RAW: both engines derive the identical double
+    -- (exact decimal sum / count), and engine-side ROUND disagrees on
+    -- exact .xx5 boundaries (Spark rounds the shortest decimal repr
+    -- HALF_UP, DuckDB the binary value) — the gate canonicalizer rounds
+    SELECT p_brand, moy, CAST(sum_sales AS DOUBLE) AS sum_sales,
+           CAST(avg_monthly AS DOUBLE) AS avg_monthly,
+           CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum
+    FROM w
+    WHERE avg_monthly > 0 AND psum IS NOT NULL AND nsum IS NOT NULL
+      AND ABS(sum_sales - avg_monthly) / avg_monthly > 0.1
+    ORDER BY p_brand, moy
+    """,
+    tags=("batch", "tpcds", "window", "lag-lead"),
+)
+def ds_q47_lag_lead_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape: deviating months with their NEIGHBORS — the
+    monthly series carries three window functions over one partition
+    (partition-wide AVG + LAG + LEAD, a single window exchange), and the
+    deviation filter keeps rows with both neighbors present."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").alias("moy"))
+        .agg(
+            F.round(F.sum(_rev()), 2).cast("decimal(18,2)").alias("sum_sales")
+        )
+    )
+    wp = Window.partitionBy("p_brand")
+    wo = wp.orderBy("moy")
+    w = (
+        m.withColumn(
+            "avg_monthly",
+            F.sum("sum_sales").over(wp).cast("double")
+            / F.count(F.lit(1)).over(wp),
+        )
+        .withColumn("psum", F.lag("sum_sales").over(wo).cast("double"))
+        .withColumn("nsum", F.lead("sum_sales").over(wo).cast("double"))
+        .withColumn("sum_sales", F.col("sum_sales").cast("double"))
+    )
+    return (
+        w.filter(
+            (F.col("avg_monthly") > 0)
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly"))
+                / F.col("avg_monthly")
+                > 0.1
+            )
+        )
+        .select("p_brand", "moy", "sum_sales", "avg_monthly", "psum", "nsum")
+        .orderBy("p_brand", "moy")
+    )
+
+
+@query(
+    "ds_q95_multi_supplier_orders",
+    oracle="""
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2),
+    returned AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM multi)
+      AND o.o_orderkey NOT IN (SELECT l_orderkey FROM returned)
+    """,
+    tags=("batch", "tpcds", "semi", "anti", "exists"),
+)
+def ds_q95_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape: orders shipped by ≥2 distinct warehouses
+    (suppliers here) with NO returned line — a distinct-count HAVING gate
+    consumed as a semi join plus an anti join on the same fact (the q94
+    combo with the q95 multi-site twist)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    kept = o.join(
+        multi, o.o_orderkey == multi.l_orderkey, "left_semi"
+    ).join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+    return kept.agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "ds_q31_share_growth_compare",
+    oracle=f"""
+    WITH per AS (
+      SELECT n.n_name, {_CHAN} AS channel,
+             CAST(QUARTER(o.o_orderdate) AS INT) AS qtr,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE {_CHAN} IN ('store', 'web')
+      GROUP BY 1, 2, 3)
+    SELECT s1.n_name AS n_name,
+           CAST(ROUND(s2.rev / s1.rev, 4) AS DOUBLE) AS store_growth,
+           CAST(ROUND(w2.rev / w1.rev, 4) AS DOUBLE) AS web_growth
+    FROM per s1 JOIN per s2 ON s1.n_name = s2.n_name AND s1.qtr = 1
+                           AND s2.qtr = 2 AND s1.channel = 'store'
+                           AND s2.channel = 'store'
+         JOIN per w1 ON w1.n_name = s1.n_name AND w1.qtr = 1
+                    AND w1.channel = 'web'
+         JOIN per w2 ON w2.n_name = s1.n_name AND w2.qtr = 2
+                    AND w2.channel = 'web'
+    WHERE s1.rev > 0 AND w1.rev > 0
+      AND ROUND(w2.rev / w1.rev, 4) > ROUND(s2.rev / s1.rev, 4)
+    ORDER BY s1.n_name
+    """,
+    tags=("batch", "tpcds", "join", "growth"),
+)
+def ds_q31_share_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: quarter-over-quarter growth comparison between two
+    channels per geography — four aliases of one aggregated series joined
+    on the dimension, keeping rows where web growth outpaces store growth.
+    The series aggregates the fact once; the 4-way join touches only
+    (nation × quarter × channel) rows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per = (
+        li.withColumn("channel", _chan_col())
+        .filter(F.col("channel").isin("store", "web"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "channel", F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    s1 = per.filter((F.col("channel") == "store") & (F.col("qtr") == 1)).select(
+        "n_name", F.col("rev").alias("s1")
+    )
+    s2 = per.filter((F.col("channel") == "store") & (F.col("qtr") == 2)).select(
+        "n_name", F.col("rev").alias("s2")
+    )
+    w1 = per.filter((F.col("channel") == "web") & (F.col("qtr") == 1)).select(
+        "n_name", F.col("rev").alias("w1")
+    )
+    w2 = per.filter((F.col("channel") == "web") & (F.col("qtr") == 2)).select(
+        "n_name", F.col("rev").alias("w2")
+    )
+    j = s1.join(s2, "n_name").join(w1, "n_name").join(w2, "n_name")
+    return (
+        j.filter((F.col("s1") > 0) & (F.col("w1") > 0))
+        .select(
+            "n_name",
+            F.round(F.col("s2") / F.col("s1"), 4).alias("store_growth"),
+            F.round(F.col("w2") / F.col("w1"), 4).alias("web_growth"),
+        )
+        .filter(F.col("web_growth") > F.col("store_growth"))
+        .orderBy("n_name")
     )
