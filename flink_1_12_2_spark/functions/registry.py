@@ -179,6 +179,30 @@ def e_() -> Column:
 
 # --- the full name → builder map -------------------------------------------
 
+def array_element(arr) -> Column:
+    """ARRAY_ELEMENT(arr): the sole element of a 1-element array, NULL for
+    an empty array (BuiltInFunctionDefinitions ARRAY_ELEMENT; Flink throws
+    for size > 1 — here NULL, a documented relaxation: Catalyst expressions
+    cannot raise data-dependent errors without a UDF)."""
+    a = _c(arr)
+    return F.when(F.size(a) == 1, F.element_at(a, 1))
+
+
+def temporal_overlaps(l_start, l_end, r_start, r_end) -> Column:
+    """TEMPORAL_OVERLAPS(ls, le, rs, re) — SQL (ls, le) OVERLAPS (rs, re):
+    swaps each pair if reversed, then tests leftEnd >= rightStart AND
+    leftStart <= rightEnd (SqlDateTimeUtils.overlaps parity)."""
+    ls, le = F.least(_c(l_start), _c(l_end)), F.greatest(_c(l_start), _c(l_end))
+    rs, re = F.least(_c(r_start), _c(r_end)), F.greatest(_c(r_start), _c(r_end))
+    return (le >= rs) & (ls <= re)
+
+
+def timestamp_diff(unit: str, t1, t2) -> Column:
+    """TIMESTAMPDIFF(unit, t1, t2): signed count of complete `unit`
+    boundaries from t1 to t2 (FlinkSqlOperatorTable TIMESTAMP_DIFF)."""
+    return F.timestamp_diff(unit, _c(t1), _c(t2))
+
+
 FLINK_FUNCTIONS: dict[str, object] = {
     # comparison / logic (native operators in both APIs; listed for coverage)
     "COALESCE": F.coalesce,
@@ -262,6 +286,19 @@ FLINK_FUNCTIONS: dict[str, object] = {
     "LEAD": F.lead, "LAG": F.lag, "NTILE": F.ntile,
     # time attributes
     "PROCTIME": F.current_timestamp,
+    "LOCALTIME": lambda: F.date_format(F.localtimestamp(), "HH:mm:ss"),
+    "LOCALTIMESTAMP": F.localtimestamp,
+    # remaining BuiltInFunctionDefinitions scalars (the other definitions in
+    # that file are expression/syntax nodes — AND, CAST, OVER, ORDER_ASC… —
+    # covered natively by Column operators)
+    "ARRAY_ELEMENT": array_element,
+    "TEMPORAL_OVERLAPS": temporal_overlaps,
+    "TIMESTAMP_DIFF": timestamp_diff,
+    # Table-API spelling aliases (BuiltInFunctionDefinitions INIT_CAP /
+    # LOWERCASE / UPPERCASE vs SQL INITCAP / LOWER / UPPER)
+    "INIT_CAP": F.initcap,
+    "LOWERCASE": F.lower,
+    "UPPERCASE": F.upper,
 }
 FLINK_FUNCTIONS = {k: v for k, v in FLINK_FUNCTIONS.items() if v is not None}
 

@@ -166,3 +166,97 @@ def test_stddev_var_edge_guards(spark, sf_dir):
     assert a.sd_samp is None and a.var_samp is None  # n==1: NULL, not NaN
     assert a.sd_pop == 0.0 and a.var_pop == 0.0
     assert b.sd_samp == 0.0 and b.var_samp == 0.0  # constant group: clamped
+
+
+def test_builtin_definitions_closure(spark):
+    """Every SCALAR definition in the reference's
+    BuiltInFunctionDefinitions.java is either registered in FLINK_FUNCTIONS
+    or a Column-operator/syntax node (AND, CAST, OVER, ORDER_ASC, …) — the
+    closure list below is exhaustive, so a new unmapped name fails here."""
+    import re
+    from pathlib import Path
+
+    from flink_1_12_2_spark.functions.registry import FLINK_FUNCTIONS
+
+    src = Path(
+        "/root/reference/flink-table/flink-table-common/src/main/java/org/"
+        "apache/flink/table/functions/BuiltInFunctionDefinitions.java"
+    )
+    if not src.exists():
+        import pytest
+
+        pytest.skip("reference tree unavailable")
+    names = set(
+        re.findall(
+            r"public static final BuiltInFunctionDefinition (\w+)",
+            src.read_text(),
+        )
+    )
+    # expression/syntax nodes realized as native Column operators, Table-API
+    # markers, or planner internals — not scalar functions
+    OPERATOR_NODES = {
+        "AND", "OR", "NOT", "CAST", "AS", "IN", "DISTINCT", "EQUALS",
+        "NOT_EQUALS", "GREATER_THAN", "GREATER_THAN_OR_EQUAL", "LESS_THAN",
+        "LESS_THAN_OR_EQUAL", "IS_NULL", "IS_NOT_NULL", "IS_TRUE",
+        "IS_NOT_TRUE", "IS_FALSE", "IS_NOT_FALSE", "NOT_BETWEEN", "BETWEEN",
+        "PLUS", "MINUS", "MINUS_PREFIX", "TIMES", "DIVIDE", "MOD", "OVER",
+        "ORDER_ASC", "ORDER_DESC", "UNBOUNDED_RANGE", "UNBOUNDED_ROW",
+        "CURRENT_RANGE", "CURRENT_ROW", "RANGE_TO", "WITH_COLUMNS",
+        "WITHOUT_COLUMNS", "FLATTEN", "GET", "MAP", "ROW", "ARRAY",
+        "REINTERPRET_CAST", "ROWTIME", "PROCTIME", "STREAM_RECORD_TIMESTAMP",
+        "WINDOW_START", "WINDOW_END", "SIMILAR", "LIKE",
+        "CURRENT_TIMESTAMP", "CURRENT_TIME", "CURRENT_DATE",
+        "LOCAL_TIME", "LOCAL_TIMESTAMP",
+    }
+    # names whose FLINK_FUNCTIONS key differs from the definition constant
+    RENAMES = {
+        "INIT_CAP": "INIT_CAP", "LOWERCASE": "LOWERCASE",
+        "UPPERCASE": "UPPERCASE", "ARRAY_ELEMENT": "ARRAY_ELEMENT",
+        "TEMPORAL_OVERLAPS": "TEMPORAL_OVERLAPS",
+        "TIMESTAMP_DIFF": "TIMESTAMP_DIFF",
+    }
+    unmapped = {
+        n
+        for n in names
+        if n not in OPERATOR_NODES
+        and RENAMES.get(n, n) not in FLINK_FUNCTIONS
+    }
+    assert unmapped == set(), f"unmapped scalar definitions: {sorted(unmapped)}"
+
+
+def test_new_scalar_shims(spark):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.functions.registry import flink_call
+
+    df = spark.range(1).select(
+        flink_call("ARRAY_ELEMENT", F.array(F.lit(7))).alias("ae"),
+        flink_call("ARRAY_ELEMENT", F.array().cast("array<int>")).alias("ae0"),
+        flink_call(
+            "TEMPORAL_OVERLAPS",
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-01 02:00:00").cast("timestamp"),
+            F.lit("2024-01-01 01:00:00").cast("timestamp"),
+            F.lit("2024-01-01 03:00:00").cast("timestamp"),
+        ).alias("ov"),
+        flink_call(
+            "TEMPORAL_OVERLAPS",
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-01 01:00:00").cast("timestamp"),
+            F.lit("2024-01-01 02:00:00").cast("timestamp"),
+            F.lit("2024-01-01 03:00:00").cast("timestamp"),
+        ).alias("no_ov"),
+        flink_call(
+            "TIMESTAMP_DIFF",
+            "HOUR",
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-01 05:30:00").cast("timestamp"),
+        ).alias("td"),
+        flink_call("INIT_CAP", F.lit("hello world")).alias("ic"),
+    ).collect()[0]
+    assert df.ae == 7 and df.ae0 is None
+    assert df.ov is True and df.no_ov is False
+    assert df.td == 5
+    assert df.ic == "Hello World"
