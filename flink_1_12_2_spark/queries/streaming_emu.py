@@ -783,6 +783,38 @@ _MR_PERMUTE_ORACLE = f"""
 
 
 @query(
+    "stream_cep_buffered_reorder",
+    oracle=_CEP_CLICK_PURCHASE_ORACLE,
+    tags=("streaming", "cep", "stateful", "watermark-buffer", "multibatch"),
+)
+def stream_cep_buffered_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-buffered CEP on a maximally DISORDERED source — the exact
+    Flink out-of-order contract (AbstractKeyedCEPPatternOperator's priority
+    queue drained on watermark advance): micro-batches split by even/odd
+    event_id each span the whole month, so cross-batch arrival order is
+    adversarial; rows buffer in state until the watermark passes them and
+    the NFA consumes them in global (ts, event_id) order. Sentinel flush
+    batches raise the final watermark (Flink MAX_WATERMARK), draining the
+    buffer. Hash-matched against the SAME oracle as the in-order source —
+    proving arrival order is fully neutralized (the unbuffered operator on
+    this source would interleave months of history after newer rows)."""
+    from flink_1_12_2_spark.streaming.core import stream_events_interleaved
+
+    ev = stream_events_interleaved(spark, sf_dir, n_files=2, watermark="35 days")
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(_6H_US)
+    )
+    out = run_to_memory(
+        cep_pattern_matches(ev, pat, buffer_to_watermark=True),
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "first_event_id")
+
+
+@query(
     "stream_cep_no_skip",
     oracle=f"""
     WITH ev AS (SELECT user_id, event_id,

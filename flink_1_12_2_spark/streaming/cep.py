@@ -551,13 +551,38 @@ def cep_match_batch(
     return events.groupBy(key_col).applyInPandas(fn, CEP_OUTPUT)
 
 
+def _json_safe(d: dict) -> dict:
+    """Row payload → JSON-storable dict (numpy scalars → python, drop
+    non-primitive columns like the Timestamp ts — ts_us carries the time)."""
+    out = {}
+    for k, v in d.items():
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            out[k] = v
+    return out
+
+
 def cep_pattern_matches(
     events: DataFrame,
     pattern: Pattern,
     key_col: str = "user_id",
     time_col: str = "ts",
+    buffer_to_watermark: bool = False,
 ) -> DataFrame:
-    """Keyed CEP matching; emits one row per completed match."""
+    """Keyed CEP matching; emits one row per completed match.
+
+    ``buffer_to_watermark=True`` gives Flink's exact out-of-order handling
+    (AbstractKeyedCEPPatternOperator buffers elements in a priority queue
+    and processes them on watermark advance): rows are held in state until
+    the watermark passes their event time, then fed to the NFA in global
+    (ts, event_id) order — cross-batch disorder cannot corrupt match order.
+    Requires a watermark; on a bounded run the source must flush a final
+    watermark past every row (sentinel batches — Flink's MAX_WATERMARK),
+    else the tail stays buffered. The default (False) processes each
+    micro-batch's rows immediately (sorted within the batch) — correct
+    whenever batches arrive in event-time order, e.g. the time-split
+    harness source."""
     pattern.validate()
 
     def fn(
@@ -565,21 +590,30 @@ def cep_pattern_matches(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        partial = (
+        raw = (
             json.loads(state.get[0]) if state.exists and state.get[0] else None
         )
-        if not isinstance(partial, dict) or "branches" not in partial:
-            partial = None  # unknown/legacy state → fresh
-        rows: list[dict] = []
+        if not isinstance(raw, dict) or "branches" not in raw:
+            raw = None  # unknown/legacy state → fresh
+        partial = {"branches": raw["branches"]} if raw else None
+        rows: list[dict] = list(raw.get("pending", [])) if raw else []
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
                 d = r._asdict()
+                if d.get("event_id", 0) is not None and int(d["event_id"]) < 0:
+                    continue  # sentinel flush rows carry no data
                 if "ts_us" not in d:  # attached by stream_events normally
                     d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
                 d["ts_us"] = int(d["ts_us"])
-                rows.append(d)
+                rows.append(_json_safe(d))
+        hold: list[dict] = []
+        if buffer_to_watermark:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            hold = [r for r in rows if r["ts_us"] > wm_us]
+            rows = [r for r in rows if r["ts_us"] <= wm_us]
         rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
         matches, new_state = _match_events(rows, pattern, partial)
+        new_state["pending"] = hold
         state.update((json.dumps(new_state),))
         yield pd.DataFrame(
             {

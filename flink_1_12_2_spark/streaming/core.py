@@ -230,6 +230,71 @@ def stream_events_multibatch(
     return sdf
 
 
+def stream_events_interleaved(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 2,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Events as a DISORDERED multi-batch stream: files split by
+    ``event_id % n_files`` — every micro-batch spans the full time range, so
+    cross-batch arrival order maximally violates event-time order (the
+    adversarial fixture for watermark-buffered operators). Two sentinel
+    flush files (far-future rows, ``event_id = -1``) raise the final
+    watermark past every real row — Flink's end-of-input MAX_WATERMARK —
+    so buffered rows flush. The default 30-day watermark delay keeps every
+    real row inside the lateness allowance (nothing is dropped; ordering is
+    entirely the operator's job)."""
+    import glob
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F2
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw_ts_type = dict(static.dtypes).get("ts", "?")
+    if raw_ts_type == "bigint":
+        static = static.withColumn("ts_us", F2.expr("ts div 1000"))
+    else:
+        static = static.withColumn(
+            "ts_us", F2.unix_micros(F2.col("ts").cast("timestamp"))
+        )
+    static = static.withColumn("ts", F2.timestamp_micros(F2.col("ts_us")))
+    key = _hl.md5(
+        f"{sf_dir}|interleave|{n_files}|{raw_ts_type}|v1".encode()
+    ).hexdigest()[:8]
+    split_dir = os.path.join(tempfile.gettempdir(), f"events_ileave_{key}")
+    if not glob.glob(os.path.join(split_dir, "part_*")):
+        os.makedirs(split_dir, exist_ok=True)
+        for i in range(n_files):
+            static.filter(F2.col("event_id") % n_files == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(split_dir, f"part_{i}")
+            )
+        other = [
+            c for c in static.columns if c not in ("event_id", "ts", "user_id", "ts_us")
+        ]
+        sent = static.select("user_id").distinct().select(
+            F2.lit(-1).alias("event_id"),
+            F2.timestamp_micros(F2.lit(SENTINEL_TS_US)).alias("ts"),
+            "user_id",
+            *[F2.lit(None).cast(dict(static.dtypes)[c]).alias(c) for c in other],
+            F2.lit(SENTINEL_TS_US).alias("ts_us"),
+        ).select(*static.columns)
+        for j in range(2):
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(split_dir, f"part_{n_files + j}_sentinel")
+            )
+    sdf = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    return sdf.withWatermark("ts", watermark)
+
+
 def run_update_batches(
     sdf: DataFrame, timeout_sec: int = 300
 ) -> DataFrame:

@@ -602,3 +602,47 @@ def test_permute_state_roundtrip_across_batches():
     st = json.loads(json.dumps(st))  # the streaming operator's serialization
     m2, _ = _match_events(_rows([(3, 30, "C")]), p, st)
     assert m2 == [(1, 3, 10, 30)]
+
+
+def test_buffered_reorder_is_load_bearing(spark, sf_dir):
+    """On the even/odd-interleaved (maximally disordered) source, the
+    watermark-buffered operator equals the batch NFA on globally sorted
+    rows, while the UNBUFFERED operator — which consumes each batch
+    immediately — provably diverges (arrival order corrupts match order).
+    This pins Flink's AbstractKeyedCEPPatternOperator watermark-buffer
+    semantics as the thing the buffer actually provides."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.streaming.cep import (
+        Pattern,
+        cep_match_batch,
+        cep_pattern_matches,
+    )
+    from flink_1_12_2_spark.streaming.core import (
+        run_to_memory,
+        stream_events_interleaved,
+    )
+
+    def pat():
+        return (
+            Pattern.begin("c", _is("click"))
+            .followed_by("p", _is("purchase"))
+            .within(6 * 3600 * 1_000_000)
+        )
+
+    def run(buffered):
+        ev = stream_events_interleaved(
+            spark, sf_dir, n_files=2, watermark="35 days"
+        ).withColumn("ts_us", F.unix_micros(F.col("ts")))
+        out = run_to_memory(
+            cep_pattern_matches(ev, pat(), buffer_to_watermark=buffered),
+            output_mode="append",
+        )
+        return sorted(map(tuple, out.collect()))
+
+    batch_ref = sorted(
+        map(tuple, cep_match_batch(load(spark, sf_dir, "events"), pat()).collect())
+    )
+    assert run(True) == batch_ref
+    assert run(False) != batch_ref
