@@ -131,6 +131,54 @@ def group_agg_retract(
     )
 
 
+def changelog_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None = None,
+    condition=None,
+) -> DataFrame:
+    """Inner-join two RETRACTING changelogs into a changelog — the
+    incremental-view-maintenance product rule that Flink's
+    StreamingJoinOperator implements record-at-a-time
+    (StreamingJoinOperator.java:36: an input's -U/-D probes the other
+    side's state and emits retractions for every joined pair).
+
+    Set semantics: the net multiplicity of an output row is the product of
+    the input multiplicities, and over complete changelog histories
+    Σ (w_l · w_r) = (Σ w_l)(Σ w_r) per joined pair — so tagging every
+    joined row with ``sign(l)·sign(r)`` (+I when +1, -D when −1) yields a
+    changelog whose net effect equals joining the two FINAL states. A
+    downstream :func:`group_agg_retract` (or changelog_normalize keyed on
+    the pair) consumes it directly; no normalization between the operators.
+
+    Scale: one key-partitioned join of the two changelogs (both sides
+    shuffle on the join key once, exactly Flink's two-input keyed wiring);
+    signs are column arithmetic, no extra pass.
+    """
+    lk = F.when(
+        F.col(f"l.{ROW_KIND}").isin(INSERT, UPDATE_AFTER), F.lit(1)
+    ).otherwise(F.lit(-1))
+    rk = F.when(
+        F.col(f"r.{ROW_KIND}").isin(INSERT, UPDATE_AFTER), F.lit(1)
+    ).otherwise(F.lit(-1))
+    l = left.alias("l")
+    r = right.alias("r")
+    if on is not None:
+        cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    else:
+        cond = condition
+    sign = lk * rk
+    r_cols = [
+        F.col(f"r.{c}") for c in right.columns if c != ROW_KIND and c not in (on or [])
+    ]
+    l_cols = [F.col(f"l.{c}") for c in left.columns if c != ROW_KIND]
+    return l.join(r, cond).select(
+        F.when(sign == 1, F.lit(INSERT)).otherwise(F.lit(DELETE)).alias(ROW_KIND),
+        *l_cols,
+        *r_cols,
+    )
+
+
 def upsert_foreach_batch(state_dir: str, pks: list[str], order_cols: list[str]):
     """Build a ``foreachBatch`` function maintaining a keyed state table at
     ``state_dir`` (parquet): per batch, last-change-per-key is MERGEd in.

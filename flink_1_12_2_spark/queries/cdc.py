@@ -371,3 +371,86 @@ def stream_changelog_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price", 2).alias("total_price"),
         "n_orders",
     ).orderBy("bucket")
+
+
+@query(
+    "changelog_join_reagg",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    c_final AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 5 <> 0)
+    SELECT c.c_nationkey,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM o_final o JOIN c_final c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY c_nationkey
+    """,
+    tags=("batch", "cdc", "changelog", "retract", "join", "ivm"),
+)
+def changelog_join_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog ⋈ changelog → changelog → aggregate — retractions
+    propagated through a two-input JOIN by the IVM product rule
+    (operators/changelog.py:changelog_join; Flink
+    StreamingJoinOperator.java:36 emits exactly these signed pairs
+    record-at-a-time). Orders carry inserts + price updates (-U/+U) +
+    deletes; customers carry inserts + deletes; NEITHER side is normalized
+    before the join, yet the signed pair stream re-aggregated per nation
+    hash-matches the join of the two FINAL states."""
+    from flink_1_12_2_spark.operators.changelog import (
+        changelog_join,
+        group_agg_retract,
+    )
+
+    o = _orders_slim(spark, sf_dir).join(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "o_orderkey",
+    )
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    o_ch = (
+        o.select(F.lit("+I").alias("_row_kind"), "o_custkey", "o_totalprice")
+        .unionByName(
+            o.filter(key % 3 == 0).select(
+                F.lit("-U").alias("_row_kind"), "o_custkey", "o_totalprice"
+            )
+        )
+        .unionByName(
+            o.filter(key % 3 == 0).select(
+                F.lit("+U").alias("_row_kind"),
+                "o_custkey",
+                (price + 10).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            o.filter(key % 7 == 0).select(
+                F.lit("-D").alias("_row_kind"),
+                "o_custkey",
+                cur.alias("o_totalprice"),
+            )
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_ch = c.select(
+        F.lit("+I").alias("_row_kind"), "c_custkey", "c_nationkey"
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.lit("-D").alias("_row_kind"), "c_custkey", "c_nationkey"
+        )
+    )
+    joined = changelog_join(
+        o_ch, c_ch, condition=F.col("l.o_custkey") == F.col("r.c_custkey")
+    )
+    agg = group_agg_retract(
+        joined,
+        ["c_nationkey"],
+        [("sum", "o_totalprice", "total_price"), ("count", None, "n_orders")],
+    )
+    return agg.select(
+        "c_nationkey",
+        F.round("total_price", 2).alias("total_price"),
+        "n_orders",
+    ).orderBy("c_nationkey")

@@ -126,3 +126,37 @@ def test_group_agg_retract_rejects_min_max(spark):
     df = spark.createDataFrame([("+I", 1, 1.0)], ["_row_kind", "g", "v"])
     with pytest.raises(ValueError, match="multiset"):
         group_agg_retract(df, ["g"], [("min", "v", "m")])
+
+
+def test_changelog_join_product_rule(spark):
+    """changelog ⋈ changelog: net effect equals joining the final states —
+    including an update crossing a delete (sign products cancel)."""
+    from flink_1_12_2_spark.operators.changelog import (
+        changelog_join,
+        group_agg_retract,
+    )
+
+    l = spark.createDataFrame(
+        [
+            ("+I", 1, 10.0), ("-U", 1, 10.0), ("+U", 1, 30.0),  # k1: 30
+            ("+I", 2, 5.0),                                      # k2: 5
+        ],
+        ["_row_kind", "k", "v"],
+    )
+    r = spark.createDataFrame(
+        [
+            ("+I", 1, "x"), ("+I", 2, "y"), ("-D", 2, "y"),  # k2 deleted
+        ],
+        ["_row_kind", "k", "tag"],
+    )
+    import pyspark.sql.functions as F2
+
+    joined = changelog_join(l, r, on=["k"])
+    out = {
+        row.k: (row.s, row.n)
+        for row in group_agg_retract(
+            joined, ["k"], [("sum", "v", "s"), ("count", None, "n")]
+        ).collect()
+    }
+    # final states: l = {1: 30, 2: 5}; r = {1: x} -> join keeps only k=1
+    assert out == {1: (30.0, 1)}
