@@ -360,3 +360,35 @@ def sink_roundtrip_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sequencefile(s, path, "s_suppkey", "s_name")
     back = read_sequencefile(spark, path, "s_suppkey", "s_name")
     return back.orderBy("s_suppkey")
+
+
+@query(
+    "sink_roundtrip_avro",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "sink", "format", "avro"),
+)
+def sink_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink+source round-trip (flink-formats/flink-avro
+    AvroFileFormatFactory parity). Uses spark-avro when the jar is present;
+    otherwise the pure-Python Avro 1.x object-container fallback
+    (sources/avro_py.py — spec-compliant magic/metadata/sync blocks,
+    executor-parallel one container per partition) — the format is
+    first-class on every deployment."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp("avro_rt_")
+    write_table(o, path, fmt="avro")
+    back = read_table(spark, path, fmt="avro")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -69,6 +69,18 @@ def write_table(
     overwrite: bool = True,
     options: dict[str, str] | None = None,
 ) -> None:
+    if fmt == "avro" and not avro_available(df.sparkSession):
+        # pure-Python container fallback (sources/avro_py.py) keeps the
+        # format usable without the spark-avro jar; PARTITIONED BY is a
+        # jar-path feature (raise rather than silently flatten)
+        if partition_by:
+            raise NotImplementedError(
+                "avro + partitionBy needs spark-avro on the classpath"
+            )
+        from flink_1_12_2_spark.sources.avro_py import write_avro_py
+
+        write_avro_py(df, path, codec=(options or {}).get("codec", "null"))
+        return
     _check_format(fmt, df.sparkSession)
     writer = df.write.format(fmt)
     for k, v in (options or {}).items():
@@ -131,6 +143,10 @@ def read_table(
     schema=None,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
+    if fmt == "avro" and not avro_available(spark):
+        from flink_1_12_2_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
     _check_format(fmt, spark)
     reader = spark.read.format(fmt)
     for k, v in (options or {}).items():
