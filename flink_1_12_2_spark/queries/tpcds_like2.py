@@ -702,3 +702,64 @@ def ds_q31_share_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("web_growth") > F.col("store_growth"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "ds_q17_buy_return_rebuy",
+    oracle="""
+    WITH sales AS (
+      SELECT o.o_custkey, l.l_partkey, l.l_quantity, l.l_returnflag,
+             l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ret AS (SELECT * FROM sales WHERE l_returnflag = 'R'),
+    chained AS (
+      SELECT r.* FROM ret r WHERE EXISTS (
+        SELECT 1 FROM sales s2
+        WHERE s2.o_custkey = r.o_custkey AND s2.l_partkey = r.l_partkey
+          AND s2.l_shipdate > r.l_shipdate))
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(ROUND(AVG(c.l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(STDDEV_SAMP(c.l_quantity), 4) AS DOUBLE) AS sd_qty
+    FROM chained c JOIN part p ON c.l_partkey = p.p_partkey
+    GROUP BY p.p_brand HAVING COUNT(*) > 1
+    ORDER BY p_brand
+    """,
+    tags=("batch", "tpcds", "multi-fact", "semi", "statistics"),
+)
+def ds_q17_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape: the buy→return→re-buy chain across three fact
+    roles — returned lines semi-joined to a LATER purchase of the same
+    (customer, item), then mean/stddev statistics per brand. The chain
+    correlation is a semi join on the composite key (no pair explosion);
+    the stats aggregate runs after the chain gate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    sales = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    ret = sales.filter(F.col("l_returnflag") == "R")
+    later = sales.select(
+        F.col("o_custkey").alias("s_ck"),
+        F.col("l_partkey").alias("s_pk"),
+        F.col("l_shipdate").alias("s_sd"),
+    )
+    chained = ret.join(
+        later,
+        (ret.o_custkey == later.s_ck)
+        & (ret.l_partkey == later.s_pk)
+        & (later.s_sd > ret.l_shipdate),
+        "left_semi",
+    )
+    return (
+        chained.join(F.broadcast(p), chained.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        )
+        .filter(F.col("n_chains") > 1)
+        .orderBy("p_brand")
+    )

@@ -344,3 +344,27 @@ def test_overlap_pattern_batch_split_invariance(vals, cuts):
         m, state = _match_events(rows[lo:hi], pat(), state)
         got.extend(m)
     assert got == single
+
+
+@given(
+    types=st.lists(st.sampled_from(["A", "B", "C", "X"]), max_size=24),
+    cut=st.integers(min_value=0, max_value=24),
+)
+@settings(max_examples=100, deadline=None)
+def test_permute_batch_split_invariance(types, cut):
+    """Sequence-set (PERMUTE) state — including the branch family id —
+    survives micro-batch splits: split run == one-shot run."""
+    from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+    rows = [
+        {"event_id": i, "ts_us": i * 10, "event_type": t}
+        for i, t in enumerate(types)
+    ]
+    pat = lambda: Pattern.permute(
+        [("A", _is_t("A")), ("B", _is_t("B"))], ("C", _is_t("C"))
+    )
+    single, _ = _match_events(list(rows), pat(), None)
+    c = min(cut, len(rows))
+    m1, stt = _match_events(rows[:c], pat(), None)
+    m2, _ = _match_events(rows[c:], pat(), stt)
+    assert m1 + m2 == single
