@@ -299,3 +299,100 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "predicted_lang", "quality", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---- deterministic sampling / data mixing (llm/sampling.py) ---------------
+
+_DRAW = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15))::BIGINT"
+    " / CAST(1152921504606846976 AS DOUBLE))"
+)
+
+
+@query(
+    "sample_stratified_fraction",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_DRAW.format(salt='')} <
+          CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.6 ELSE 0.4 END
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (language rebalancing — the
+    canonical training-mix operation): each row's keep decision is the md5
+    draw of its OWN key against its stratum's fraction, so the sample is
+    reproducible across runs/partitionings and the oracle reproduces the
+    exact row set, not a count. Pure scan-stage filter — zero shuffle."""
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_fraction
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample_fraction(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.6}, default_fraction=0.4
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'q'),
+                         1, 15))::BIGINT, doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling", "quota"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quotas (5 docs per source): rows ranked inside each
+    stratum by their deterministic draw — a content-addressed reservoir
+    whose result is independent of partitioning and arrival order. One hash
+    exchange on the stratum; per-group state is a rank counter."""
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_exact
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample_exact(
+        d, "doc_id", "source", {f"src{i}": 5 for i in range(20)}, salt="q"
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "pipeline_data_mixture",
+    oracle=f"""
+    WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+    rest AS (SELECT * FROM documents WHERE lang <> 'en'),
+    mixed AS (
+      SELECT doc_id, lang FROM en
+      WHERE {_DRAW.format(salt='|src0')} < 0.3
+      UNION ALL
+      SELECT doc_id, lang FROM rest
+      WHERE {_DRAW.format(salt='|src1')} < 0.8)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM mixed GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def pipeline_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: compose a training corpus from per-source keep rates
+    (downweight English 0.3×, upweight the rest 0.8×) — each source is a
+    deterministic scan-stage filter, the mixture a shuffle-free UNION ALL;
+    per-source salts decorrelate the draws."""
+    from flink_1_12_2_spark.llm.sampling import weighted_mixture
+
+    d = load(spark, sf_dir, "documents")
+    out = weighted_mixture(
+        [
+            (d.filter(F.col("lang") == "en"), 0.3),
+            (d.filter(F.col("lang") != "en"), 0.8),
+        ],
+        "doc_id",
+    )
+    return (
+        out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    )

@@ -108,3 +108,64 @@ def test_simhash_hot_band_refined_not_dropped(spark):
     }
     assert uncapped  # docs sharing 8 of 9 tokens: near-identical simhashes
     assert capped == uncapped
+
+
+# ---- deterministic sampling invariants (llm/sampling.py) ------------------
+
+
+def test_fraction_sampling_is_partitioning_invariant(spark):
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_fraction
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(500)]
+    d1 = spark.createDataFrame(rows, ["doc_id", "lang"])
+    d2 = spark.createDataFrame(rows, ["doc_id", "lang"]).repartition(13)
+    pick = lambda d: sorted(
+        r.doc_id
+        for r in stratified_sample_fraction(
+            d, "doc_id", "lang", {"a": 0.3, "b": 0.7}
+        ).collect()
+    )
+    s1 = pick(d1)
+    assert s1 == pick(d2)  # content-addressed: layout cannot change the set
+    assert 0 < len(s1) < 500
+
+
+def test_exact_quota_is_exact_and_order_invariant(spark):
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_exact
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = stratified_sample_exact(
+        d, "doc_id", "src", {f"s{k}": 7 for k in range(4)}
+    )
+    per = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {f"s{k}": 7 for k in range(4)}
+    shuffled = stratified_sample_exact(
+        d.repartition(17), "doc_id", "src", {f"s{k}": 7 for k in range(4)}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_salt_decorrelates_draws(spark):
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_fraction
+
+    rows = [(i, "x") for i in range(400)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = {
+        r.doc_id
+        for r in stratified_sample_fraction(
+            d, "doc_id", "lang", {"x": 0.5}, salt="s1"
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in stratified_sample_fraction(
+            d, "doc_id", "lang", {"x": 0.5}, salt="s2"
+        ).collect()
+    }
+    assert a != b  # different salts → different (deterministic) samples
