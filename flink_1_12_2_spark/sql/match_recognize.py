@@ -174,6 +174,25 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
 _MEASURE = re.compile(r"(?is)(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)")
 
 
+def match_recognize_stream(
+    sdf: DataFrame, sql: str, buffer_to_watermark: bool = False
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE: the same restricted SQL surface executed
+    through the keyed streaming NFA (StreamExecMatch.scala:68 — Flink's
+    MATCH_RECOGNIZE is a streaming operator first). ``sdf`` is a streaming
+    DataFrame with a watermark; returns the streaming matches frame
+    (append mode). MEASURES projections are not available on the stream
+    (they join back to the input — do that on the materialized output);
+    ``buffer_to_watermark`` forwards Flink's out-of-order buffering."""
+    from flink_1_12_2_spark.streaming.cep import cep_pattern_matches
+
+    part, order, pat = parse_match_recognize(sql)
+    return cep_pattern_matches(
+        sdf, pat, key_col=part, time_col=order,
+        buffer_to_watermark=buffer_to_watermark,
+    )
+
+
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     """Execute a restricted MATCH_RECOGNIZE statement against ``df`` (batch).
     Returns (user_id, first_event_id, last_event_id, first_ts_us, last_ts_us)

@@ -646,3 +646,26 @@ def test_buffered_reorder_is_load_bearing(spark, sf_dir):
     )
     assert run(True) == batch_ref
     assert run(False) != batch_ref
+
+
+def test_match_recognize_stream_front_door(spark, sf_dir):
+    """The streaming SQL front door equals the batch front door on the same
+    MATCH_RECOGNIZE statement (stream⇄table duality for CEP)."""
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.sql.match_recognize import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from flink_1_12_2_spark.streaming.core import run_to_memory, stream_events
+
+    sql = """SELECT * FROM events MATCH_RECOGNIZE (
+         PARTITION BY user_id ORDER BY ts PATTERN (A B)
+         WITHIN INTERVAL '6' HOUR
+         DEFINE A AS event_type = 'click', B AS event_type = 'purchase')"""
+    ev = stream_events(spark, sf_dir)
+    stream_out = run_to_memory(
+        match_recognize_stream(ev, sql), output_mode="append"
+    ).collect()
+    batch_out = match_recognize(load(spark, sf_dir, "events"), sql).collect()
+    assert sorted(map(tuple, stream_out)) == sorted(map(tuple, batch_out))
+    assert len(stream_out) > 0
