@@ -156,12 +156,14 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_canonical",
-    # ANN similarity search
+    # ANN similarity search (LSH bucket variant stays locally verified; the
+    # freed slots cover the r4 IVM changelog join and sampling classes)
     "ann_cosine_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
-    # text pipeline + multimodal plumbing
-    "text_pii_scrub",
+    "changelog_join_reagg",
+    # text pipeline + sampling + multimodal plumbing (pii scrub stays local;
+    # corpus_clean exercises the same regex battery end-to-end)
+    "sample_stratified_exact",
     "pipeline_corpus_clean",
     "multimodal_filter_before_decode",
     # TPC-H / TPC-DS composites (q21 semi+anti composite stays local)
