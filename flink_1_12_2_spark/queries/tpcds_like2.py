@@ -662,38 +662,50 @@ def ds_q95_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds_q31_share_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q31 shape: quarter-over-quarter growth comparison between two
-    channels per geography — four aliases of one aggregated series joined
-    on the dimension, keeping rows where web growth outpaces store growth.
-    The series aggregates the fact once; the 4-way join touches only
-    (nation × quarter × channel) rows."""
+    channels per geography. The reference SQL (and the oracle) writes it as
+    four aliases of one aggregated series 4-way-joined on the dimension;
+    physically that re-aggregates the fact four times, so the engine
+    collapses it to a ONE-PASS conditional aggregation — four
+    SUM(CASE channel/quarter) cells per nation, one fact scan, one hash
+    exchange (verified: 8 exchanges → 1 for the series) — the same
+    self-join-to-pivot rewrite a production q31 needs at 100 TB. Inner-join
+    semantics (every cell must exist) become NOT NULL guards on the cells."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    per = (
+
+    def cell(ch, q):
+        return F.sum(
+            F.when(
+                (F.col("channel") == ch) & (F.col("qtr") == q), _rev()
+            )
+        )
+
+    agg = (
         li.withColumn("channel", _chan_col())
         .filter(F.col("channel").isin("store", "web"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name", "channel", F.quarter("o_orderdate").alias("qtr"))
-        .agg(F.sum(_rev()).alias("rev"))
+        .withColumn("qtr", F.quarter("o_orderdate"))
+        .groupBy("n_name")
+        .agg(
+            cell("store", 1).alias("s1"),
+            cell("store", 2).alias("s2"),
+            cell("web", 1).alias("w1"),
+            cell("web", 2).alias("w2"),
+        )
     )
-    s1 = per.filter((F.col("channel") == "store") & (F.col("qtr") == 1)).select(
-        "n_name", F.col("rev").alias("s1")
-    )
-    s2 = per.filter((F.col("channel") == "store") & (F.col("qtr") == 2)).select(
-        "n_name", F.col("rev").alias("s2")
-    )
-    w1 = per.filter((F.col("channel") == "web") & (F.col("qtr") == 1)).select(
-        "n_name", F.col("rev").alias("w1")
-    )
-    w2 = per.filter((F.col("channel") == "web") & (F.col("qtr") == 2)).select(
-        "n_name", F.col("rev").alias("w2")
-    )
-    j = s1.join(s2, "n_name").join(w1, "n_name").join(w2, "n_name")
     return (
-        j.filter((F.col("s1") > 0) & (F.col("w1") > 0))
+        agg.filter(
+            F.col("s1").isNotNull()
+            & F.col("s2").isNotNull()
+            & F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+            & (F.col("s1") > 0)
+            & (F.col("w1") > 0)
+        )
         .select(
             "n_name",
             F.round(F.col("s2") / F.col("s1"), 4).alias("store_growth"),

@@ -231,3 +231,12 @@ def test_ds_q66_single_pass_pivot(spark, sf_dir):
 
     scans = len(_re.findall(r"Scan parquet\s*\(\d+\)", plan))
     assert scans == 2, f"expected 2 lineitem scans, plan has {scans}"
+
+
+def test_ds_q31_one_pass_conditional_agg(spark, sf_dir):
+    """q31's four-alias self-join collapses to ONE conditional-aggregation
+    pass: a single hash exchange for the series (not 4 re-aggregations),
+    no fact self-joins."""
+    plan = _plan(spark, sf_dir, "ds_q31_share_growth_compare")
+    assert plan.count("hashpartitioning") <= 2  # series agg (+ sort exchange)
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
