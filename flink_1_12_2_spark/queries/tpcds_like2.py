@@ -775,3 +775,102 @@ def ds_q17_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chains") > 1)
         .orderBy("p_brand")
     )
+
+
+@query(
+    "ds_q54_anchor_window_revenue",
+    oracle="""
+    WITH first_buy AS (
+      SELECT o_custkey, MIN(o_orderdate) AS anchor
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT o.o_custkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS amt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN first_buy f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate > f.anchor
+        AND o.o_orderdate <= f.anchor + INTERVAL 30 DAY
+      GROUP BY o.o_custkey),
+    banded AS (
+      SELECT CAST(FLOOR(amt / 5000) AS BIGINT) AS revenue_band,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM rev GROUP BY 1)
+    SELECT revenue_band, n_customers FROM banded ORDER BY revenue_band
+    """,
+    tags=("batch", "tpcds", "anchor", "histogram"),
+)
+def ds_q54_anchor_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: revenue inside a PER-CUSTOMER time window anchored
+    at their first purchase (the month after first contact in DS), then a
+    revenue-band histogram. The anchor is a per-key MIN aggregate joined
+    back to the fact with a derived-interval predicate — a self-referential
+    temporal correlation, not a fixed date filter."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    first_buy = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("anchor"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(first_buy.withColumnRenamed("o_custkey", "f_ck"),
+              F.col("o_custkey") == F.col("f_ck"))
+        .filter(
+            (F.col("o_orderdate") > F.col("anchor"))
+            & (F.col("o_orderdate") <= F.date_add(F.col("anchor"), 30))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("amt"))
+    )
+    return (
+        rev.groupBy(F.floor(F.col("amt") / 5000).alias("revenue_band"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("revenue_band")
+    )
+
+
+@query(
+    "ds_q72_date_offset_join",
+    oracle="""
+    WITH ship AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS shipped
+      FROM lineitem GROUP BY 1, 2),
+    wk_later AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) - 7 AS d,
+             CAST(COUNT(*) AS BIGINT) AS shipped_next_wk
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s.l_suppkey, s.d AS ship_date, s.shipped, w.shipped_next_wk
+    FROM ship s JOIN wk_later w
+      ON s.l_suppkey = w.l_suppkey AND s.d = w.d
+    WHERE s.shipped >= 2 AND w.shipped_next_wk >= 2
+    ORDER BY s.l_suppkey, ship_date
+    """,
+    tags=("batch", "tpcds", "date-offset", "join"),
+)
+def ds_q72_date_offset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape: the DATE-OFFSET equi-join — activity on day d
+    joined to activity exactly one week later (inventory_week_later in DS)
+    by shifting one side's date column before the join key. Both sides
+    pre-aggregate to (supplier, day) grain so the offset join touches the
+    reduced series."""
+    li = load(spark, sf_dir, "lineitem")
+    ship = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("shipped"))
+    wk_later = li.groupBy(
+        "l_suppkey",
+        F.date_sub(F.col("l_shipdate").cast("date"), 7).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("shipped_next_wk"))
+    return (
+        ship.join(
+            wk_later.withColumnRenamed("l_suppkey", "w_sk"),
+            (ship.l_suppkey == F.col("w_sk")) & (ship.d == wk_later.d),
+        )
+        .filter((F.col("shipped") >= 2) & (F.col("shipped_next_wk") >= 2))
+        .select(
+            "l_suppkey",
+            ship.d.alias("ship_date"),
+            "shipped",
+            "shipped_next_wk",
+        )
+        .orderBy("l_suppkey", "ship_date")
+    )
