@@ -1,4 +1,4 @@
-"""TPC-DS archetype tranche 2 (adapted to the driver's star schema).
+"""TPC-DS archetype tranches 2-4 (adapted to the driver's star schema).
 
 Continues queries/tpcds_like.py toward the reference gate's 103 queries
 (flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/, driver
@@ -10,10 +10,19 @@ TpcdsTestProgram.java:48) with the round-4 shapes:
   dimension filter, then ROLLUP);
 - q66 — the monthly pivot: 12 SUM(CASE month = m) columns per ship mode,
   two carrier halves UNION ALL'd then re-aggregated;
-- q61 — promotional-revenue ratio: two scalar aggregates (promo / all)
-  cross-joined into one ratio row;
-- q90 — am/pm ratio battery: mutually exclusive time-slot CASE counts as
-  singleton aggregates, cross-joined and divided.
+- q61 / q90 — ratio batteries: scalar aggregates cross-joined and divided;
+- q14 — cross-channel INTERSECT gating a per-channel aggregate;
+- q49 — per-item return ratios ranked within channel, top-10;
+- q39 — coefficient-of-variation flags self-joined across consecutive months;
+- q47 — windowed AVG + LAG + LEAD deviation report (one window exchange);
+- q95 — ≥2-distinct-supplier orders with no returns (semi + anti combo);
+- q31 — QoQ growth comparison, collapsed to a ONE-PASS conditional
+  aggregation (the four-alias self-join the SQL implies would re-scan the
+  fact 4×; plan-pinned to a single series exchange);
+- q17 — buy→return→re-buy chain (semi join on the composite key) + stats;
+- q54 — per-customer anchor-window revenue histogram (MIN-anchor joined
+  back with a derived interval);
+- q72 — date-offset equi-join (activity on d ⋈ activity on d+7).
 
 Scale notes: dimension joins broadcast; every rollup/pivot aggregates
 partially before Expand; the q80 fact-fact LEFT join co-partitions both
