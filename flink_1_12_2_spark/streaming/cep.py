@@ -104,6 +104,10 @@ class Step:
     negative: bool = False
     strict_negative: bool = False
     alts: list[tuple[str, Predicate]] | None = None
+    # strict positive contiguity (Pattern.next, Pattern.java:214): the row
+    # immediately following the previous consume must match this step's
+    # FIRST occurrence, else the branch dies (no relaxed skipping)
+    strict: bool = False
 
     @property
     def is_loop(self) -> bool:
@@ -198,6 +202,12 @@ class Pattern:
             steps=[Step(name, lambda r: False, alts=list(alts))]
         )
 
+    def next(self, name: str, pred: Predicate) -> "Pattern":
+        """Strict contiguity (Pattern.java:214 ``next``): the immediately
+        following row must match, else the partial match dies."""
+        self.steps.append(Step(name, pred, strict=True))
+        return self
+
     def not_next(self, name: str, pred: Predicate) -> "Pattern":
         """The immediately-next row must not match (Pattern.java:273)."""
         self.steps.append(
@@ -245,11 +255,19 @@ class Pattern:
     def validate(self) -> "Pattern":
         for seq in self.seqs if self.seqs is not None else [self.steps]:
             last = seq[-1]
-            if last.negative or last.min_times != 1 or last.max_times != 1:
+            # decidable completion: the final step must consume a FIXED
+            # number of rows — a single step or an exact times(n) loop
+            # (completion fires on the n-th occurrence); unbounded/optional/
+            # negative tails stay rejected
+            if (
+                last.negative
+                or last.min_times < 1
+                or last.max_times != last.min_times
+            ):
                 raise ValueError(
                     "pattern must end with a definite consuming step "
-                    "(no trailing loop/optional/negative) so completion is "
-                    "decidable per row"
+                    "(single or exact times(n); no trailing unbounded loop/"
+                    "optional/negative) so completion is decidable per row"
                 )
         return self
 
@@ -311,6 +329,21 @@ def _evolve(
             step_idx += 1  # satisfied permanently
         else:
             break
+    # strict POSITIVE step at the cursor, not yet entered (Pattern.next):
+    # the arriving row must match it — no relaxed skipping, no passover
+    if (
+        step_idx < len(steps)
+        and steps[step_idx].strict
+        and not steps[step_idx].negative
+        and loop_count == 0
+    ):
+        if not steps[step_idx].matching_alts(row):
+            return [], [], False  # strict contiguity broken → branch dies
+        kill_preds, candidates, loop_extend = [], [step_idx], None
+        return _consume_phase(
+            branch, row, steps, step_idx, loop_count,
+            kill_preds, candidates, loop_extend,
+        )
     # frontier walk from the cursor: collect armed negative predicates
     # (kill checks) and consumable candidate steps; stop at the first step
     # that cannot be passed over. In-walk strict negatives are treated as
@@ -337,6 +370,23 @@ def _evolve(
             j += 1  # optional, not yet entered → later steps reachable
             continue
         break
+    return _consume_phase(
+        branch, row, steps, step_idx, loop_count,
+        kill_preds, candidates, loop_extend,
+    )
+
+
+def _consume_phase(
+    branch: dict,
+    row: dict,
+    steps: list[Step],
+    step_idx: int,
+    loop_count: int,
+    kill_preds: list[Predicate],
+    candidates: list[int],
+    loop_extend: int | None,
+) -> tuple[list[dict], list[dict], bool]:
+    """Second half of :func:`_evolve`: apply kills, fork consumptions."""
     if any(p(row) for p in kill_preds):
         return [], [], False  # killed by a relaxed negative
     extend_names = (
@@ -386,7 +436,12 @@ def _evolve(
         if names and steps[j].is_loop and steps[j].greedy:
             break
     for var in extend_names:
-        successors.append(consumed(loop_extend, var))
+        nb = consumed(loop_extend, var)
+        if nb["step_idx"] >= len(steps):  # exact-times tail hit its max
+            nb["last_eid"], nb["last_ts"] = row["event_id"], row["ts_us"]
+            completions.append(nb)
+        else:
+            successors.append(nb)
     if successors or completions:
         return successors, completions, False
     # nothing matched: consecutive loop at the cursor closes (or kills)

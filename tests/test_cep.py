@@ -669,3 +669,90 @@ def test_match_recognize_stream_front_door(spark, sf_dir):
     batch_out = match_recognize(load(spark, sf_dir, "events"), sql).collect()
     assert sorted(map(tuple, stream_out)) == sorted(map(tuple, batch_out))
     assert len(stream_out) > 0
+
+
+# ---- Flink AfterMatchSkipITCase scenario parity ---------------------------
+# (flink-libraries/flink-cep/src/test/java/.../nfa/AfterMatchSkipITCase.java
+# — the scenarios re-expressed on this NFA's surface; expected matches are
+# Flink's, projected to (first, last) rows)
+
+
+def _aaaa(n=6):
+    return _rows([(i, i * 10, "a") for i in range(1, n + 1)])
+
+
+def test_flink_itcase_noskip_times3():
+    # testNoSkip: a{3} noSkip over a1..a6 → every 3-window
+    p = Pattern.begin("start", _is("a")).times(3).no_skip()
+    m, _ = _match_events(_aaaa(), p, None)
+    assert [(f, l) for f, l, *_ in m] == [(1, 3), (2, 4), (3, 5), (4, 6)]
+
+
+def test_flink_itcase_skip_past_last_times3():
+    # testSkipPastLast: a{3} skipPastLastEvent → disjoint triples
+    p = Pattern.begin("start", _is("a")).times(3)
+    m, _ = _match_events(_aaaa(), p, None)
+    assert [(f, l) for f, l, *_ in m] == [(1, 3), (4, 6)]
+
+
+def _ab_rows(n):
+    # events named "ab": match both the 'contains a' and 'contains b' preds
+    return _rows([(i, i * 10, "ab") for i in range(1, n + 1)])
+
+
+def _contains(ch):
+    return lambda r: ch in r["event_type"]
+
+
+def test_flink_itcase_skip_to_first_times_next_times():
+    # testSkipToFirst: start{2} NEXT end{2}, skipToFirst("end") over ab1..6
+    # → (ab1..ab4), (ab3..ab6)
+    p = (
+        Pattern.begin("start", _contains("a"))
+        .times(2)
+        .next("end", _contains("b"))
+        .times(2)
+        .skip_to_first("end")
+    )
+    m, _ = _match_events(_ab_rows(6), p, None)
+    assert [(f, l) for f, l, *_ in m] == [(1, 4), (3, 6)]
+
+
+def test_flink_itcase_skip_to_last_times_next_times():
+    # testSkipToLast: same pattern, skipToLast("end") over ab1..7
+    # → (ab1..ab4), (ab4..ab7)
+    p = (
+        Pattern.begin("start", _contains("a"))
+        .times(2)
+        .next("end", _contains("b"))
+        .times(2)
+        .skip_to_last("end")
+    )
+    m, _ = _match_events(_ab_rows(7), p, None)
+    assert [(f, l) for f, l, *_ in m] == [(1, 4), (4, 7)]
+
+
+def test_next_strict_contiguity_kills_on_gap():
+    # Pattern.next: a gap row between A and B kills the partial
+    p = Pattern.begin("a", _is("A")).next("b", _is("B"))
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "X"), (3, 30, "B"),
+               (4, 40, "A"), (5, 50, "B")]), p, None
+    )
+    assert m == [(4, 5, 40, 50)]
+
+
+def test_trailing_exact_times_allowed_unbounded_rejected():
+    import pytest as _pytest
+
+    # exact times(2) tail: completion decidable → allowed
+    Pattern.begin("a", _is("A")).followed_by("b", _is("B")).times(2).validate()
+    # unbounded / range tails stay rejected
+    with _pytest.raises(ValueError):
+        Pattern.begin("a", _is("A")).followed_by(
+            "b", _is("B")
+        ).one_or_more().validate()
+    with _pytest.raises(ValueError):
+        Pattern.begin("a", _is("A")).followed_by("b", _is("B")).times(
+            2, 3
+        ).validate()
