@@ -108,6 +108,10 @@ class Step:
     # immediately following the previous consume must match this step's
     # FIRST occurrence, else the branch dies (no relaxed skipping)
     strict: bool = False
+    # non-deterministic relaxed contiguity (Pattern.followedByAny,
+    # Pattern.java:308): a matching row forks BOTH a consuming branch and an
+    # ignoring branch, so later matching rows also pair with the prefix
+    any_fork: bool = False
 
     @property
     def is_loop(self) -> bool:
@@ -201,6 +205,13 @@ class Pattern:
         return Pattern(
             steps=[Step(name, lambda r: False, alts=list(alts))]
         )
+
+    def followed_by_any(self, name: str, pred: Predicate) -> "Pattern":
+        """Non-deterministic relaxed contiguity (Pattern.java:308
+        ``followedByAny``): every matching row is both taken and ignored —
+        the prefix can pair with EACH later match of this step."""
+        self.steps.append(Step(name, pred, any_fork=True))
+        return self
 
     def next(self, name: str, pred: Predicate) -> "Pattern":
         """Strict contiguity (Pattern.java:214 ``next``): the immediately
@@ -421,8 +432,11 @@ def _consume_phase(
 
     successors: list[dict] = []
     completions: list[dict] = []
+    ignore_fork = False
     for j in candidates:
         names = steps[j].matching_alts(row)
+        if names and steps[j].any_fork:
+            ignore_fork = True  # followedByAny: also keep the un-consumed branch
         for var in names:
             nb = consumed(j, var)
             if nb["step_idx"] >= len(steps):
@@ -443,6 +457,11 @@ def _consume_phase(
         else:
             successors.append(nb)
     if successors or completions:
+        if ignore_fork:
+            nb = dict(branch)
+            nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+            nb["step_idx"], nb["loop_count"] = step_idx, loop_count
+            successors.append(nb)
         return successors, completions, False
     # nothing matched: consecutive loop at the cursor closes (or kills)
     s0 = steps[step_idx] if step_idx < len(steps) else None

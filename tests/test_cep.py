@@ -756,3 +756,19 @@ def test_trailing_exact_times_allowed_unbounded_rejected():
         Pattern.begin("a", _is("A")).followed_by("b", _is("B")).times(
             2, 3
         ).validate()
+
+
+def test_followed_by_any_pairs_with_every_match():
+    """followedByAny (Pattern.java:308): A pairs with EVERY later B under
+    noSkip (the take/ignore fork); plain followedBy takes only the first."""
+    rows = _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "B"), (4, 40, "B")])
+    p_any = (
+        Pattern.begin("a", _is("A"))
+        .followed_by_any("b", _is("B"))
+        .no_skip()
+    )
+    m, _ = _match_events(rows, p_any, None)
+    assert m == [(1, 2, 10, 20), (1, 3, 10, 30), (1, 4, 10, 40)]
+    p_plain = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).no_skip()
+    m2, _ = _match_events(rows, p_plain, None)
+    assert m2 == [(1, 2, 10, 20)]
