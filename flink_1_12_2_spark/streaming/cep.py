@@ -36,10 +36,17 @@ Pattern surface (Pattern.java — ``notNext``:273, ``oneOrMore``:350,
 - ``not_next`` / ``not_followed_by`` — negative steps: strict (the
   immediately-next row) / relaxed (any row before the next positive step
   matches) branch kill;
+- ``next`` — strict positive contiguity (Pattern.java:214): the immediately
+  following row must match or the branch dies;
+- ``followed_by_any`` — non-deterministic relaxed contiguity
+  (Pattern.java:308): matching rows fork take AND ignore, so a prefix pairs
+  with every later match;
 - ``followed_by_one_of`` — alternation (``PATTERN (A | B)``, Calcite
   SqlMatchRecognize): a step with several named alternatives; each matching
   alternative forks its own branch with the variable name recorded for
-  MEASURES / AFTER MATCH SKIP TO var.
+  MEASURES / AFTER MATCH SKIP TO var;
+- ``Pattern.permute`` — ``PERMUTE (A, B)`` sequence sets (one branch family
+  per order).
 
 Match emission per AfterMatchSkipStrategy (nfa/aftermatch/):
 
@@ -55,13 +62,16 @@ Match emission per AfterMatchSkipStrategy (nfa/aftermatch/):
 - ``no_skip``: every completion is emitted (projected to first/last rows —
   middle-row assignment multiplicities collapse under this output schema).
 
-The last step must be a definite consuming step (no trailing loop/optional/
-negative), so match completion is decidable at the row that closes it.
+The last step must consume a FIXED number of rows (single step or exact
+``times(n)``), so match completion is decidable at the row that closes it.
 
 Ordering: rows are sorted by (ts, event_id) inside each micro-batch; the NFA
-state (the branch set) carries across batches. Late rows older than an
-already-consumed position are ignored — the documented difference vs Flink's
-watermark-buffered CEP (which reorders up to the watermark).
+state (the branch set) carries across batches. With
+``buffer_to_watermark=True`` (:func:`cep_pattern_matches`) rows are
+additionally held in state until the watermark passes them and consumed in
+global event-time order — Flink's exact out-of-order contract
+(AbstractKeyedCEPPatternOperator's priority queue); the default processes
+each batch immediately, correct when batches arrive time-ordered.
 """
 
 from __future__ import annotations
