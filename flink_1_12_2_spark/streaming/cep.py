@@ -122,6 +122,10 @@ class Step:
     # Pattern.java:308): a matching row forks BOTH a consuming branch and an
     # ignoring branch, so later matching rows also pair with the prefix
     any_fork: bool = False
+    # loop stopping condition (Pattern.until, Pattern.java:237): once it
+    # fires on a row, the loop stops accepting elements — the row itself is
+    # NOT consumed into the loop (it may match the successor step)
+    until_pred: Predicate | None = None
 
     @property
     def is_loop(self) -> bool:
@@ -258,6 +262,12 @@ class Pattern:
         self.steps[-1].min_times = 0
         return self
 
+    def until(self, pred: Predicate) -> "Pattern":
+        """Loop stopping condition (Pattern.java:237): a row firing ``pred``
+        is never absorbed into the loop; the loop closes there."""
+        self.steps[-1].until_pred = pred
+        return self
+
     def greedy(self) -> "Pattern":
         """Prefer extending the loop on predicate overlap (Pattern.java:365):
         the proceed-fork is suppressed while the extension matches."""
@@ -380,13 +390,21 @@ def _evolve(
             j += 1
             continue
         if j == step_idx and s.is_loop and loop_count > 0:
-            if s.max_times is None or loop_count < s.max_times:
+            until_fired = s.until_pred is not None and s.until_pred(row)
+            if (s.max_times is None or loop_count < s.max_times) and not until_fired:
                 loop_extend = j
             if loop_count >= s.min_times:
                 j += 1  # enough occurrences → later steps reachable
                 continue
+            if until_fired:
+                return [], [], False  # loop stopped under min → branch dies
             break
-        candidates.append(j)
+        if not (
+            s.is_loop
+            and s.until_pred is not None
+            and s.until_pred(row)
+        ):
+            candidates.append(j)
         if s.min_times == 0 and not (s.is_loop and loop_count > 0):
             j += 1  # optional, not yet entered → later steps reachable
             continue
@@ -466,6 +484,23 @@ def _consume_phase(
             completions.append(nb)
         else:
             successors.append(nb)
+    # non-greedy entered loop with min met: Flink ALSO forks an epsilon
+    # PROCEED (the loop closes without consuming this row); when a successor
+    # candidate matched, that fork already covers the row — otherwise the
+    # closed branch persists and skips it (relaxed at the successor). This
+    # is what lets (start, [a1], breaking) match alongside
+    # (start, [a1, a2], breaking) — UntilConditionITCase's expected set.
+    if (
+        loop_extend is not None
+        and extend_names
+        and not steps[loop_extend].greedy
+        and loop_count >= steps[loop_extend].min_times
+        and not any(steps[j].matching_alts(row) for j in candidates)
+    ):
+        nb = dict(branch)
+        nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+        nb["step_idx"], nb["loop_count"] = loop_extend + 1, 0
+        successors.append(nb)
     if successors or completions:
         if ignore_fork:
             nb = dict(branch)
@@ -542,7 +577,16 @@ def _match_events(
         if not completions:
             continue
         completions.sort(
-            key=lambda b: (b["first_ts"], b["first_eid"], b.get("pat", 0))
+            key=lambda b: (
+                b["first_ts"],
+                b["first_eid"],
+                b.get("pat", 0),
+                # same-start tie (epsilon-proceed vs take families): prefer
+                # the branch with the LATER last loop-var rows — Flink's
+                # SharedBuffer emits the longer/greedier assignment first —
+                # then an arbitrary-but-stable var-map key
+                tuple(sorted(((k, -v[1], -v[0]) for k, v in b["vl"].items()))),
+            )
         )
         skip = pattern.skip
         if skip == "no_skip":
@@ -574,26 +618,44 @@ def _match_events(
             # every live branch started before the match end → discard all
             branches = []
         else:  # ("to_first" | "to_last", var)
+            # iterative emission: each emitted match prunes (partial AND
+            # still-pending completed) matches started before its skip
+            # target; later same-row completions at/after the target emit
+            # too (Flink's per-match prune order)
             mode, var = skip
-            w = completions[0]
-            matches.append(
-                (w["first_eid"], w["last_eid"], w["first_ts"], w["last_ts"])
-            )
-            tgt = (w["vf"] if mode == "to_first" else w["vl"]).get(var)
-            if tgt is None:
-                branches = []  # var never matched → degenerate to past-last
-            else:
-                tgt_eid, tgt_ts = tgt[0], tgt[1]
-                if tgt_eid == w["first_eid"]:
+            threshold: tuple | None = None
+            emitted = set()
+            for c in completions:
+                if threshold is not None and (
+                    (c["first_ts"], c["first_eid"]) < threshold
+                ):
+                    continue
+                out = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+                if out not in emitted:
+                    emitted.add(out)
+                    matches.append(out)
+                tgt = (c["vf"] if mode == "to_first" else c["vl"]).get(var)
+                if tgt is None:
+                    threshold = (float("inf"), float("inf"))  # prune all
+                    continue
+                if mode == "to_first" and tgt[0] == c["first_eid"]:
+                    # SKIP TO FIRST at the match's own start would rescan the
+                    # same match forever — Flink throws exactly here
+                    # (skipToLast at the own start is legal: it only prunes
+                    # earlier starts)
                     raise ValueError(
                         f"AFTER MATCH SKIP TO {var} would resume at the "
                         "match's own start row (infinite loop) — Flink's "
                         "AfterMatchSkipStrategy raises the same way"
                     )
+                threshold = (tgt[1], tgt[0])
+            if threshold is None:
+                branches = []
+            else:
                 branches = [
                     b
                     for b in branches
-                    if (b["first_ts"], b["first_eid"]) >= (tgt_ts, tgt_eid)
+                    if (b["first_ts"], b["first_eid"]) >= threshold
                 ]
     return matches, {"branches": branches}
 

@@ -772,3 +772,86 @@ def test_followed_by_any_pairs_with_every_match():
     p_plain = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).no_skip()
     m2, _ = _match_events(rows, p_plain, None)
     assert m2 == [(1, 2, 10, 20)]
+
+
+# ---- until() stopping condition (Pattern.java:237, UntilConditionITCase) --
+
+
+def _vrows(seq):
+    """seq: (event_id, ts_us, event_type, value)"""
+    return [
+        {"event_id": e, "ts_us": t, "event_type": y, "value": v}
+        for (e, t, y, v) in seq
+    ]
+
+
+def test_until_stops_greedy_loop_for_successor():
+    """UntilConditionITCase shape: c → a+ greedy until(v=5) → end(v=5).
+    Without until, the greedy loop absorbs the breaking row ('a', v=5) and
+    the pattern never completes; with until, the loop refuses it and the
+    successor consumes it."""
+    rows = _vrows([(40, 1, "c", 1.0), (41, 3, "a", 2.0), (42, 4, "a", 3.0),
+                   (44, 6, "a", 5.0), (45, 7, "a", 6.0)])
+
+    def pat(with_until):
+        p = Pattern.begin("start", _is("c")).followed_by(
+            "mid", _is("a")
+        ).one_or_more().greedy()
+        if with_until:
+            p = p.until(lambda r: r["value"] == 5.0)
+        return p.followed_by("end", lambda r: r["value"] == 5.0)
+
+    m, _ = _match_events(list(rows), pat(True), None)
+    assert [(f, l) for f, l, *_ in m] == [(40, 44)]
+    m2, _ = _match_events(list(rows), pat(False), None)
+    assert m2 == []  # breaking row swallowed by the greedy loop
+
+
+def test_until_under_min_kills_branch():
+    # a{2,} until fires after one occurrence → branch dies (under min)
+    p = (
+        Pattern.begin("a", _is("A"))
+        .times(2, 99)
+        .until(lambda r: r["value"] == 5.0)
+        .followed_by("b", _is("B"))
+    )
+    rows = _vrows([(1, 10, "A", 1.0), (2, 20, "A", 5.0), (3, 30, "B", 0.0)])
+    m, _ = _match_events(rows, p, None)
+    assert m == []
+
+
+def test_reluctant_loop_epsilon_proceed():
+    """Flink's PROCEED fork: a non-greedy loop with min met evolving on an
+    extending row forks BOTH the take (count+1) and the loop-closed
+    (epsilon-proceed) branch — UntilConditionITCase's
+    (start, [a1], breaking) + (start, [a1, a2], breaking) expected set."""
+    from flink_1_12_2_spark.streaming.cep import _evolve, _new_branch
+
+    p = (
+        Pattern.begin("a", _is("A"))
+        .one_or_more()
+        .followed_by("b", _is("B"))
+    )
+    rows = _rows([(1, 10, "A"), (2, 20, "A")])
+    start = _new_branch(rows[0])
+    succ, comp, _ = _evolve(start, rows[0], p.steps)
+    assert len(succ) == 1 and comp == []  # entered the loop, count 1
+    succ2, comp2, _ = _evolve(succ[0], rows[1], p.steps)
+    assert comp2 == []
+    states = sorted((b["step_idx"], b["loop_count"]) for b in succ2)
+    # take (still in loop, count 2) AND epsilon-proceed (loop closed)
+    assert states == [(0, 2), (1, 0)]
+    # iterative to_last emission on the same-start tie: the longer (later
+    # vl) assignment emits first and its target (A2) prunes the shorter
+    # A1-family; the A2-start completion is at the target so it emits too
+    # (same (first,last) projections dedup), then A4+B5 match
+    p2 = (
+        Pattern.begin("a", _is("A"))
+        .one_or_more()
+        .followed_by("b", _is("B"))
+        .skip_to_last("a")
+    )
+    rows2 = _rows([(1, 10, "A"), (2, 20, "A"), (3, 30, "B"),
+                   (4, 40, "A"), (5, 50, "B")])
+    m, _ = _match_events(rows2, p2, None)
+    assert [(f, l) for f, l, *_ in m] == [(1, 3), (2, 3), (4, 5)]
