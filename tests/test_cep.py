@@ -855,3 +855,55 @@ def test_reluctant_loop_epsilon_proceed():
                    (4, 40, "A"), (5, 50, "B")])
     m, _ = _match_events(rows2, p2, None)
     assert [(f, l) for f, l, *_ in m] == [(1, 3), (2, 3), (4, 5)]
+
+
+# ---- iterative conditions (IterativeCondition.java:57) --------------------
+
+
+def test_iterative_condition_references_matched_row():
+    """A two-argument predicate reads the match context: B fires only when
+    its value exceeds the A row's own value."""
+    p = Pattern.begin("A", _is("A")).followed_by(
+        "B", lambda r, ctx: r["value"] > ctx.last("A")["value"]
+    )
+    rows = _vrows([(1, 10, "A", 50.0), (2, 20, "X", 40.0),
+                   (3, 30, "X", 60.0),
+                   (4, 40, "A", 10.0), (5, 50, "X", 20.0)])
+    m, _ = _match_events(rows, p, None)
+    # first A(50) skips 40, completes at 60; second A(10) completes at 20
+    assert [(f, l) for f, l, *_ in m] == [(1, 3), (4, 5)]
+
+
+def test_iterative_condition_state_roundtrip():
+    import json
+
+    p = Pattern.begin("A", _is("A")).followed_by(
+        "B", lambda r, ctx: r["value"] > ctx.last("A")["value"]
+    )
+    rows = _vrows([(1, 10, "A", 50.0), (2, 20, "X", 60.0)])
+    m1, st = _match_events(rows[:1], p, None)
+    st = json.loads(json.dumps(st))  # payloads survive serialization
+    m2, _ = _match_events(rows[1:], p, st)
+    assert m1 == [] and m2 == [(1, 2, 10, 20)]
+
+
+def test_match_recognize_define_iterative_and_numeric():
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    _, _, pat = parse_match_recognize(
+        """SELECT * FROM t MATCH_RECOGNIZE (
+             PARTITION BY u ORDER BY ts PATTERN (A B C)
+             DEFINE A AS event_type = 'click', B AS value > 100,
+                    C AS C.value > A.value)"""
+    )
+    row_a = {"event_type": "click", "value": 5.0}
+    assert pat.steps[0].pred(row_a)
+    assert pat.steps[1].pred({"value": 101.0})
+    assert not pat.steps[1].pred({"value": 99.0})
+
+    class Ctx:
+        def last(self, v):
+            return {"value": 5.0} if v == "A" else None
+
+    assert pat.steps[2].pred({"value": 6.0}, Ctx())
+    assert not pat.steps[2].pred({"value": 4.0}, Ctx())
