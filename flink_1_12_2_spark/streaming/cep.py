@@ -289,6 +289,13 @@ class Pattern:
         self.steps[-1].max_times = n if n_max is None else n_max
         return self
 
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least n occurrences, unbounded above (Pattern.java
+        ``timesOrMore``)."""
+        self.steps[-1].min_times = n
+        self.steps[-1].max_times = None
+        return self
+
     def one_or_more(self) -> "Pattern":
         """≥1 occurrences; forks take/proceed on overlap unless .greedy()
         (Pattern.java:350)."""

@@ -907,3 +907,34 @@ def test_match_recognize_define_iterative_and_numeric():
 
     assert pat.steps[2].pred({"value": 6.0}, Ctx())
     assert not pat.steps[2].pred({"value": 4.0}, Ctx())
+
+
+def test_times_or_more():
+    # A{2,} greedy B (TimesOrMoreITCase): at least two A's, then B
+    p = (
+        Pattern.begin("a", _is("A"))
+        .times_or_more(2)
+        .greedy()
+        .followed_by("b", _is("B"))
+    )
+    m, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "A"),
+               (5, 50, "A"), (6, 60, "B")]), p, None
+    )
+    # relaxed (non-consecutive) loop: branch A1 skips the interleaved B2,
+    # absorbs A3..A5 (greedy), and closes at B6 — earliest start wins
+    assert m == [(1, 6, 10, 60)]
+    # consecutive variant: B2 breaks the A1 run (under min -> killed);
+    # the A3..A5 run closes at B6
+    pc = (
+        Pattern.begin("a", _is("A"))
+        .times_or_more(2)
+        .consecutive()
+        .greedy()
+        .followed_by("b", _is("B"))
+    )
+    mc, _ = _match_events(
+        _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "A"),
+               (5, 50, "A"), (6, 60, "B")]), pc, None
+    )
+    assert mc == [(3, 6, 30, 60)]
