@@ -12,9 +12,9 @@ md5 of a stable row key (:mod:`flink_1_12_2_spark.llm.hashing`), so:
 - adding rows never flips the decision of existing rows (fraction mode).
 
 Scale: fraction sampling is a pure per-row filter (no shuffle, pushes into
-the scan stage); exact-quota sampling is one hash-partitioned window per
-stratum ordered by the hash (top-k per group — the same plan as any rank
-query, with the per-stratum heap bounded by k).
+the scan stage); exact-quota sampling is a salted two-phase top-k (local
+top-k per (stratum, bucket), exact rank over ≤ k·buckets survivors) so no
+single task ever sorts a whole stratum.
 """
 
 from __future__ import annotations
@@ -60,25 +60,46 @@ def stratified_sample_exact(
     quotas: dict[str, int],
     default_quota: int = 0,
     salt: str = "",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """EXACTLY ``quotas[s]`` rows per stratum (fewer when the stratum is
     smaller): rank rows inside each stratum by their deterministic draw and
     keep the first k — a content-addressed reservoir whose result is
     independent of partitioning and row order.
 
-    One hash exchange on the stratum column; the window's per-group state
-    is a rank counter (Spark's WindowExec streams sorted groups)."""
+    Scale: a single ``Window.partitionBy(strata_col)`` would funnel each
+    whole stratum through ONE task's sort (5 strata over 100 TB → 5 tasks
+    sorting ~20 TB each). Instead, a salted two-phase top-k:
+
+    1. bucket each row into ``(stratum, draw % num_buckets)`` and keep the
+       local top-``k`` per bucket — ``num_buckets×`` parallel windows, each
+       a streamed rank counter;
+    2. exact global rank over the survivors — per stratum at most
+       ``k·num_buckets`` rows reach the final window, so its single-task
+       sort is bounded by the quota, not the stratum size.
+
+    Exact because the global top-k by any total order is a subset of the
+    union of per-bucket top-k for ANY partition of the rows into buckets.
+    Ordering (draw, key) is identical to the one-phase form, so results are
+    byte-identical and oracle-stable."""
     quota = F.lit(default_quota)
     for s, k in quotas.items():
         quota = F.when(F.col(strata_col) == s, F.lit(int(k))).otherwise(quota)
-    w = Window.partitionBy(strata_col).orderBy(
-        md5int60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
-        F.col(key_col),
+    draw = md5int60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w_local = Window.partitionBy(strata_col, "__bkt").orderBy(
+        "__draw", F.col(key_col)
     )
+    survivors = (
+        df.withColumn("__draw", draw)
+        .withColumn("__bkt", (F.col("__draw") % F.lit(int(num_buckets))))
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= quota)
+    )
+    w_global = Window.partitionBy(strata_col).orderBy("__draw", F.col(key_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w_global))
         .filter(F.col("__rn") <= quota)
-        .drop("__rn")
+        .drop("__draw", "__bkt", "__lrn", "__rn")
     )
 
 

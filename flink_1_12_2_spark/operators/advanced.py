@@ -114,20 +114,58 @@ def tag_late_rows(
     time in ``arrival_col`` order minus ``delay_seconds``; a row is late iff
     its event time is below the watermark established *before* it arrived.
     Adds a boolean ``is_late`` — filter on it for the main/side outputs.
+
+    Scale: the running max is NOT a global ``Window.orderBy`` (which would
+    sort the whole stream through one task). Instead:
+    ``repartitionByRange(arrival_col)`` gives non-overlapping ascending
+    arrival ranges per partition; a per-partition running max runs fully
+    parallel; the cross-partition carry-in is the prefix max of the
+    per-partition maxima — one tiny row per partition, collected and
+    broadcast back as a literal CASE. Exact same semantics as the global
+    window at any scale (same template as ``streaming/core._tag_ntile_chunks``).
+    The intermediate is ``localCheckpoint``ed so the offsets job and the
+    output see identical range boundaries (range sampling is not re-run).
     """
     from pyspark.sql import Window
 
     epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    ts_s = F.timestamp_diff("SECOND", epoch_ntz, F.col(ts_col).cast("timestamp_ntz"))
-    w = (
-        Window.orderBy(arrival_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        df.repartitionByRange(n_parts, arrival_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__ts_s",
+            F.timestamp_diff(
+                "SECOND", epoch_ntz, F.col(ts_col).cast("timestamp_ntz")
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    prev_max = F.max(ts_s).over(w)
-    return df.withColumn(
+    # tiny: one row per partition — prefix maxima of earlier partitions
+    part_max = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid").agg(F.max("__ts_s").alias("m")).collect()
+    }
+    carry_in, running = {}, None
+    for pid in sorted(part_max):
+        carry_in[pid] = running
+        m = part_max[pid]
+        if m is not None and (running is None or m > running):
+            running = m
+    pre_expr = F.lit(None).cast("bigint")
+    for pid, pm in carry_in.items():
+        if pm is not None:
+            pre_expr = F.when(F.col("__pid") == pid, F.lit(pm)).otherwise(pre_expr)
+    w = Window.partitionBy("__pid").orderBy(arrival_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_max = F.greatest(F.max("__ts_s").over(w), pre_expr)
+    return ranged.withColumn(
         "is_late",
-        F.coalesce(ts_s < prev_max - F.lit(delay_seconds), F.lit(False)),
-    )
+        F.coalesce(
+            F.col("__ts_s") < prev_max - F.lit(delay_seconds), F.lit(False)
+        ),
+    ).drop("__pid", "__ts_s")
 
 
 def iterate(

@@ -240,3 +240,23 @@ def test_ds_q31_one_pass_conditional_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds_q31_share_growth_compare")
     assert plan.count("hashpartitioning") <= 2  # series agg (+ sort exchange)
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_late_tagging_no_global_window(spark, sf_dir):
+    """tag_late_rows must not sort the whole stream through one task: no
+    Exchange SinglePartition may feed the running-max window (the r4
+    global-window form did exactly that). The per-partition window keys on
+    __pid so every Window has a partition spec."""
+    plan = _plan(spark, sf_dir, "late_data_side_output")
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_exact_two_phase_window(spark, sf_dir):
+    """stratified_sample_exact: two Window nodes (salted local top-k, then
+    exact rank over <= quota*buckets survivors) and no single-task stage —
+    a lone Window.partitionBy(strata) would funnel each stratum through one
+    task's sort."""
+    plan = _plan(spark, sf_dir, "sample_stratified_exact")
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") >= 2
+    assert "__bkt" in plan  # the salted phase-1 partition key
