@@ -167,6 +167,16 @@ def changelog_join(
         cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
     else:
         cond = condition
+        # theta-join keeps ALL right columns — a shared name would produce
+        # duplicate output columns and ambiguous downstream references
+        clash = sorted(
+            set(left.columns) & set(right.columns) - {ROW_KIND}
+        )
+        if clash:
+            raise ValueError(
+                "changelog_join with `condition` requires disjoint column "
+                f"names; rename right-side columns {clash} before joining"
+            )
     sign = lk * rk
     r_cols = [
         F.col(f"r.{c}") for c in right.columns if c != ROW_KIND and c not in (on or [])

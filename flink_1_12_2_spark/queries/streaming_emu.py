@@ -39,7 +39,7 @@ def _cep_oracle(error_kill: bool) -> str:
 
       from position ``pos``: the next match's last row is the EARLIEST
       purchase ``p`` after ``pos`` for which a valid start exists — a click
-      ``c`` with ``pos < c < p``, ``p.ts ≤ c.ts + 6h`` (branch not expired)
+      ``c`` with ``pos < c < p``, ``p.ts < c.ts + 6h`` (branch not expired; strict — NFA.java:301)
       [and no error strictly between ``c`` and ``p`` — branch not killed];
       the winner start is the earliest such ``c``; resume at ``p``.
 
@@ -81,7 +81,7 @@ def _cep_oracle(error_kill: bool) -> str:
           WHERE c2.user_id = p.user_id AND c2.event_type = 'click'
             AND (c2.ts_us, c2.event_id) > (s.pos_ts, s.pos_eid)
             AND (c2.ts_us, c2.event_id) < (p.ts_us, p.event_id)
-            AND p.ts_us <= c2.ts_us + {_6H_US}{err}
+            AND p.ts_us < c2.ts_us + {_6H_US}{err}
           ORDER BY c2.ts_us, c2.event_id LIMIT 1) c ON true
         WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
           AND (p.ts_us, p.event_id) > (s.pos_ts, s.pos_eid)
@@ -680,7 +680,7 @@ _MR_ALTERNATION_ORACLE = f"""
         WHERE v2.user_id = c.user_id AND v2.event_type = 'view'
           AND (v2.ts_us, v2.event_id) > (m.ts_us, m.event_id)
         ORDER BY v2.ts_us, v2.event_id LIMIT 1) v ON true
-      WHERE c.event_type = 'click' AND v.ts_us <= c.ts_us + {_48H_US}),
+      WHERE c.event_type = 'click' AND v.ts_us < c.ts_us + {_48H_US}),
     state AS (
       SELECT DISTINCT user_id,
              CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
@@ -758,7 +758,7 @@ _MR_PERMUTE_ORACLE = f"""
           AND (p2.ts_us, p2.event_id) > (m.ts_us, m.event_id)
         ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
       WHERE s.event_type IN ('click', 'view')
-        AND p.ts_us <= s.ts_us + {24 * 3600 * 1_000_000}),
+        AND p.ts_us < s.ts_us + {24 * 3600 * 1_000_000}),
     state AS (
       SELECT DISTINCT user_id,
              CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
@@ -828,7 +828,7 @@ def stream_cep_buffered_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
         AND (p2.ts_us, p2.event_id) > (c.ts_us, c.event_id)
       ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
-    WHERE c.event_type = 'click' AND p.ts_us <= c.ts_us + {_6H_US}
+    WHERE c.event_type = 'click' AND p.ts_us < c.ts_us + {_6H_US}
     ORDER BY user_id, first_event_id
     """,
     tags=("streaming", "cep", "stateful", "skip-strategy"),
@@ -868,7 +868,7 @@ _MR_ITERATIVE_ORACLE = f"""
         WHERE b2.user_id = a.user_id AND b2.value > a.value
           AND (b2.ts_us, b2.event_id) > (a.ts_us, a.event_id)
         ORDER BY b2.ts_us, b2.event_id LIMIT 1) b ON true
-      WHERE a.event_type = 'click' AND b.ts_us <= a.ts_us + {_6H_US}),
+      WHERE a.event_type = 'click' AND b.ts_us < a.ts_us + {_6H_US}),
     state AS (
       SELECT DISTINCT user_id,
              CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
@@ -975,7 +975,7 @@ _CEP_OVERLAP_ORACLE = f"""
           WHERE m2.user_id = h.user_id AND m2.value > 50
             AND (m2.ts_us, m2.event_id) > (s.pos_ts, s.pos_eid)
             AND (m2.ts_us, m2.event_id) < (h.ts_us, h.event_id)
-            AND h.ts_us <= m2.ts_us + {_24H_US}
+            AND h.ts_us < m2.ts_us + {_24H_US}
           ORDER BY m2.ts_us, m2.event_id LIMIT 1) m ON true
         WHERE h.user_id = s.user_id AND h.value > 150
           AND (h.ts_us, h.event_id) > (s.pos_ts, s.pos_eid)
@@ -1333,3 +1333,157 @@ def stream_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, output_mode="complete")
     return out.orderBy("win_start", "win_end")
+
+
+_EV_US_CTE = """WITH ev AS (SELECT user_id, event_id, value,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+                FROM events)"""
+
+
+@query(
+    "match_recognize_agg_measures",
+    oracle=f"""
+    {_EV_US_CTE},
+    m AS (
+      SELECT c1.user_id, c1.event_id AS first_event_id,
+             c1.ts_us AS first_ts_us, c1.value AS v1,
+             c2.value AS v2, p.event_id AS last_event_id,
+             p.ts_us AS last_ts_us
+      FROM ev c1
+      JOIN LATERAL (
+        SELECT c.event_id, c.ts_us, c.value FROM ev c
+        WHERE c.user_id = c1.user_id AND c.event_type = 'click'
+          AND (c.ts_us, c.event_id) > (c1.ts_us, c1.event_id)
+        ORDER BY c.ts_us, c.event_id LIMIT 1) c2 ON true
+      JOIN LATERAL (
+        SELECT p2.event_id, p2.ts_us FROM ev p2
+        WHERE p2.user_id = c1.user_id AND p2.event_type = 'purchase'
+          AND (p2.ts_us, p2.event_id) > (c2.ts_us, c2.event_id)
+        ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+      WHERE c1.event_type = 'click')
+    SELECT user_id, first_event_id, last_event_id, first_ts_us, last_ts_us,
+           CAST(v1 + v2 AS DOUBLE) AS sum_a,
+           CAST((v1 + v2) / 2 AS DOUBLE) AS avg_a,
+           CAST(2 AS BIGINT) AS cnt_a,
+           CAST(v2 AS DOUBLE) AS last_a,
+           'B' AS cls,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY first_ts_us, first_event_id) AS BIGINT) AS match_no
+    FROM m ORDER BY user_id, first_event_id
+    """,
+    tags=("batch", "cep", "sql", "measures", "aggregates"),
+)
+def match_recognize_agg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES aggregates over pattern variables (Flink StreamExecMatch
+    MatchCodeGenerator aggregate measures + CLASSIFIER()/MATCH_NUMBER() —
+    flink-table-planner-blink MatchRecognizeITCase family): PATTERN (A{2} B)
+    with SUM/AVG/COUNT/LAST over A's two rows, the classifier of the last
+    row, and the per-partition match number. The NFA records each match's
+    variable→event-ids assignment; measures posexplode it and join back to
+    the input (key-partitioned, no NFA changes)."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES SUM(A.value) AS sum_a, AVG(A.value) AS avg_a,
+               COUNT(A.value) AS cnt_a, LAST(A.value) AS last_a,
+               CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A{2} B)
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize(ev, sql)
+    return out.select(
+        "user_id", "first_event_id", "last_event_id", "first_ts_us",
+        "last_ts_us", "sum_a", "avg_a", "cnt_a", "last_a", "cls",
+        F.col("match_no").cast("bigint").alias("match_no"),
+    ).orderBy("user_id", "first_event_id")
+
+
+@query(
+    "match_recognize_define_agg",
+    oracle=f"""
+    {_EV_US_CTE}
+    SELECT c1.user_id, c1.event_id AS first_event_id,
+           p.event_id AS last_event_id,
+           c1.ts_us AS first_ts_us, p.ts_us AS last_ts_us
+    FROM ev c1
+    JOIN LATERAL (
+      SELECT c.event_id, c.ts_us, c.value FROM ev c
+      WHERE c.user_id = c1.user_id AND c.event_type = 'click'
+        AND (c.ts_us, c.event_id) > (c1.ts_us, c1.event_id)
+      ORDER BY c.ts_us, c.event_id LIMIT 1) c2 ON true
+    JOIN LATERAL (
+      SELECT p2.event_id, p2.ts_us FROM ev p2
+      WHERE p2.user_id = c1.user_id AND p2.event_type = 'purchase'
+        AND (p2.ts_us, p2.event_id) > (c2.ts_us, c2.event_id)
+        AND p2.value > (c1.value + c2.value) / 2
+      ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+    WHERE c1.event_type = 'click'
+    ORDER BY user_id, first_event_id
+    """,
+    tags=("batch", "cep", "sql", "iterative", "aggregates"),
+)
+def match_recognize_define_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-events iterative condition (IterativeCondition.java:57
+    getEventsForPattern): DEFINE B compares the candidate row against an
+    AGGREGATE over ALL rows matched to A — `B AS event_type = 'purchase'
+    AND value > AVG(A.value)` (also exercises AND in DEFINE). The pattern
+    opts into per-branch event retention (Pattern.with_events), bounded by
+    the match length; purchases under the running average are skipped
+    (relaxed contiguity), so the match closes at the FIRST qualifying
+    purchase."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A{2} B)
+      DEFINE A AS event_type = 'click',
+             B AS event_type = 'purchase' AND value > AVG(A.value)
+    )"""
+    return match_recognize(ev, sql).orderBy("user_id", "first_event_id")
+
+
+@query(
+    "stream_cep_trailing_loop",
+    oracle=f"""
+    {_EV_US_CTE}
+    SELECT c.user_id AS user_id, c.event_id AS first_event_id,
+           v.event_id AS last_event_id,
+           c.ts_us AS first_ts_us, v.ts_us AS last_ts_us
+    FROM ev c JOIN ev v
+      ON v.user_id = c.user_id AND v.event_type = 'view'
+     AND (v.ts_us, v.event_id) > (c.ts_us, c.event_id)
+     AND v.ts_us < c.ts_us + {_6H_US}
+    WHERE c.event_type = 'click'
+    ORDER BY c.user_id, first_event_id, last_event_id
+    """,
+    tags=("streaming", "cep", "stateful", "trailing-loop"),
+)
+def stream_cep_trailing_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing unbounded loop — `click view+` within 6 h under noSkip:
+    the loop tail emits EAGERLY, one completion per take once min
+    occurrences are met (Flink's oneOrMore PROCEED-to-final edge;
+    previously rejected by validate()). The B-loop absorbs every view
+    after the click, so the emitted spans are exactly (click, any later
+    in-window view) — SQL-expressible without recursion. Strict `within`
+    boundary (NFA.java:301) pinned by the `<` in the oracle."""
+    ev = stream_events(spark, sf_dir)
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("view", lambda r: r["event_type"] == "view")
+        .one_or_more()
+        .within(_6H_US)
+        .no_skip()
+    )
+    out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
+    return out.orderBy("user_id", "first_event_id", "last_event_id")

@@ -195,6 +195,10 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
         n = _zigzag_decode(buf)
         if n == 0:
             break
+        if n < 0:
+            # Avro spec: a negative block count is followed by the block's
+            # byte size (fast-skip affordance) — consume it before iterating
+            _zigzag_decode(buf)
         for _ in range(abs(n)):
             kl = _zigzag_decode(buf)
             k = buf.read(kl).decode()

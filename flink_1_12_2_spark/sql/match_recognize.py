@@ -17,7 +17,18 @@ Supported subset (mirrors streaming/cep.py's NFA scope):
 Pattern quantifiers (SQL MATCH_RECOGNIZE regex syntax → the NFA's
 quantifier steps): ``A+`` (one-or-more, reluctant ``A+?``), ``A*``
 (zero-or-more), ``A?`` (optional), ``A{n}`` / ``A{n,m}`` (times). The last
-pattern variable must be unquantified (the NFA's decidable-completion rule).
+pattern variable may be unquantified, exactly quantified (``{n}``), or a
+RELUCTANT loop (``B+?`` — emits eagerly per take, Flink's oneOrMore
+PROCEED edge); a greedy trailing quantifier is rejected exactly like
+Flink's MalformedPatternException.
+
+MEASURES: FIRST/LAST(col) match-boundary accessors, SUM/COUNT/AVG/MIN/MAX
+(Var.col) per-variable aggregates, FIRST/LAST(Var.col), CLASSIFIER(),
+MATCH_NUMBER(). DEFINE: comparisons joined with AND/OR; operands are
+literals, current-row columns, other variables' last rows (``A.price``),
+FIRST/LAST(Var.col), and running aggregates ``SUM/COUNT/AVG/MIN/MAX
+(Var.col)`` (the candidate row counts toward its own variable — Flink's
+RUNNING semantics).
 
 Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
 contiguity between steps (followedBy). Parsing is a regex grammar over the
@@ -50,12 +61,7 @@ _MR = re.compile(
     r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|PERMUTE\s*\([\w\s,]*\)"
     r"|\([\w\s|]*\))+?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
-    r"DEFINE\s+(?P<define>.*?)\s*\)"
-)
-
-_DEF = re.compile(
-    r"(?is)(\w+)\s+AS\s+(\w+(?:\.\w+)?)\s*(>=|<=|<>|=|>|<)\s*"
-    r"('[^']*'|-?\d+(?:\.\d+)?|\w+\.\w+)"
+    r"DEFINE\s+(?P<define>.*)\s*\)"  # greedy: DEFINE exprs may contain (…)
 )
 
 _OPS = {
@@ -67,41 +73,125 @@ _OPS = {
     "<=": lambda a, b: a is not None and b is not None and a <= b,
 }
 
+# one DEFINE item: `name AS <expr>` where <expr> runs to the next item
+_DEF_ITEM = re.compile(r"(?is)\b(\w+)\s+AS\s+(.*?)(?=,\s*\w+\s+AS\b|\Z)")
+_CMP = re.compile(r"(?s)\s*(>=|<=|<>|=|>|<)\s*")
+_AGG_OPERAND = re.compile(
+    r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)$"
+)
+_VARCOL = re.compile(r"^(\w+)\.(\w+)$")
 
-def _parse_defines(text: str) -> dict[str, object]:
-    """DEFINE clauses → predicates. Supported right-hand sides:
-    ``'literal'`` strings, numbers, and ``Var.col`` references to a
-    PREVIOUSLY matched variable's last row — the iterative-condition form
-    (Flink IterativeCondition / MATCH_RECOGNIZE's running semantics for
-    ``B AS B.price > A.price``). A left side ``Var.col`` where Var is the
-    defined variable reads the CURRENT row."""
+
+def _operand(tok: str, defined: str) -> tuple:
+    """One comparison operand → (getter(row, ctx) -> value, needs_events).
+
+    Forms: ``'literal'`` · number · ``col`` / ``Var.col`` (the defined
+    variable or a bare column reads the CURRENT row; another variable reads
+    its LAST matched row) · ``FIRST/LAST(Var.col)`` (boundary rows, running
+    semantics: for the defined variable the current candidate row is the
+    fallback/last) · ``SUM/COUNT/AVG/MIN/MAX(Var.col)`` (aggregates over
+    the variable's matched rows — running semantics include the candidate
+    row for its own variable; needs ``Pattern.with_events()`` state)."""
+    tok = tok.strip()
+    if tok.startswith("'"):
+        lit = tok[1:-1]
+        return (lambda row, ctx, _l=lit: _l), False
+    if re.match(r"^-?\d", tok):
+        num = float(tok) if "." in tok else int(tok)
+        return (lambda row, ctx, _l=num: _l), False
+    am = _AGG_OPERAND.match(tok)
+    if am:
+        fn, var, col = am.group(1).upper(), am.group(2), am.group(3)
+        own = var.upper() == defined.upper()
+        if fn == "FIRST":
+
+            def get(row, ctx, _v=var, _c=col, _own=own):
+                prev = ctx.first(_v)
+                if prev is None:
+                    return row.get(_c) if _own else None
+                return prev.get(_c)
+
+            return get, False
+        if fn == "LAST":
+
+            def get(row, ctx, _v=var, _c=col, _own=own):
+                if _own:  # the candidate row IS the running last of its var
+                    return row.get(_c)
+                prev = ctx.last(_v)
+                return None if prev is None else prev.get(_c)
+
+            return get, False
+
+        def get(row, ctx, _v=var, _c=col, _own=own, _fn=fn):
+            vals = [
+                e.get(_c) for e in ctx.events(_v) if e.get(_c) is not None
+            ]
+            if _own and row.get(_c) is not None:
+                vals = vals + [row.get(_c)]  # running semantics
+            if _fn == "COUNT":
+                return len(vals)
+            if not vals:
+                return None
+            if _fn == "SUM":
+                return sum(vals)
+            if _fn == "AVG":
+                return sum(vals) / len(vals)
+            return min(vals) if _fn == "MIN" else max(vals)
+
+        return get, True
+    vm = _VARCOL.match(tok)
+    if vm and vm.group(1).upper() != defined.upper():
+        var, col = vm.group(1), vm.group(2)
+
+        def get(row, ctx, _v=var, _c=col):
+            prev = ctx.last(_v)
+            return None if prev is None else prev.get(_c)
+
+        return get, False
+    col = tok.split(".")[-1]  # defined var's or bare column → current row
+    return (lambda row, ctx, _c=col: row.get(_c)), False
+
+
+def _parse_expr(expr: str, defined: str) -> tuple:
+    """Boolean DEFINE expression → (pred(row, ctx), needs_events).
+
+    Grammar: comparisons joined by AND / OR (OR binds looser, no parens) —
+    the Flink MATCH_RECOGNIZE DEFINE surface minus nested parentheses."""
+    needs = False
+    disjuncts = []
+    for part in re.split(r"(?i)\s+OR\s+", expr.strip()):
+        conj = []
+        for atom in re.split(r"(?i)\s+AND\s+", part.strip()):
+            pieces = _CMP.split(atom.strip())
+            if len(pieces) != 3:
+                raise ValueError(f"unsupported DEFINE atom: {atom!r}")
+            gl, nl = _operand(pieces[0], defined)
+            gr, nr = _operand(pieces[2], defined)
+            needs = needs or nl or nr
+            conj.append((gl, _OPS[pieces[1]], gr))
+        disjuncts.append(conj)
+
+    def pred(row, ctx, _d=disjuncts):
+        return any(
+            all(cmp(gl(row, ctx), gr(row, ctx)) for gl, cmp, gr in conj)
+            for conj in _d
+        )
+
+    return pred, needs
+
+
+def _parse_defines(text: str) -> tuple[dict[str, object], bool]:
+    """DEFINE clauses → ({VAR: pred}, needs_events). Each definition is a
+    boolean expression over comparisons (see :func:`_parse_expr`);
+    ``needs_events`` reports whether any predicate aggregates over a
+    variable's full row set (→ the pattern must retain events)."""
     defs: dict[str, object] = {}
-    for name, lhs, op, rhs in _DEF.findall(text):
-        col = lhs.split(".")[-1]  # B.price and price both read the row
-        cmp = _OPS[op]
-        if rhs.startswith("'"):
-            lit: object = rhs[1:-1]
-
-            def pred(row, col=col, lit=lit, cmp=cmp):
-                return cmp(row.get(col), lit)
-
-        elif re.match(r"^-?\d", rhs):
-            num = float(rhs) if "." in rhs else int(rhs)
-
-            def pred(row, col=col, lit=num, cmp=cmp):
-                return cmp(row.get(col), lit)
-
-        else:
-            ref_var, ref_col = rhs.split(".")
-
-            def pred(
-                row, ctx, col=col, rv=ref_var, rc=ref_col, cmp=cmp
-            ):
-                prev = ctx.last(rv)
-                return prev is not None and cmp(row.get(col), prev.get(rc))
-
+    needs_events = False
+    for name, expr in _DEF_ITEM.findall(text):
+        pred, needs = _parse_expr(expr, name)
+        needs_events = needs_events or needs
         defs[name.upper()] = pred
-    return defs
+    return defs, needs_events
 
 _STEP = re.compile(
     r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
@@ -150,7 +240,7 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     m = _MR.search(sql)
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE syntax (see module doc)")
-    defines = _parse_defines(m.group("define"))
+    defines, needs_events = _parse_defines(m.group("define"))
 
     def mk_pred(name: str):
         return defines[name.upper()]
@@ -209,10 +299,19 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
         pat = pat.skip_to_first(skip_raw[2])  # var name keeps its case
     elif skip[:2] == ["TO", "LAST"]:
         pat = pat.skip_to_last(skip_raw[2])
+    if needs_events:  # DEFINE aggregates read the variable's full row set
+        pat = pat.with_events()
     return m.group("part"), m.group("order"), pat.validate()
 
 
 _MEASURE = re.compile(r"(?is)(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)")
+_M_AGG = re.compile(
+    r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)"
+    r"\s+AS\s+(\w+)$"
+)
+_M_PLAIN = re.compile(r"(?is)^(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$")
+_M_CLS = re.compile(r"(?is)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$")
+_M_MN = re.compile(r"(?is)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$")
 
 
 def match_recognize_stream(
@@ -237,21 +336,60 @@ def match_recognize_stream(
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     """Execute a restricted MATCH_RECOGNIZE statement against ``df`` (batch).
     Returns (user_id, first_event_id, last_event_id, first_ts_us, last_ts_us)
-    per match — one row per completed match; AFTER MATCH SKIP PAST LAST ROW
-    (default) or SKIP TO NEXT ROW.
+    per match plus MEASURES columns — one row per completed match (ONE ROW
+    PER MATCH → FINAL semantics).
 
-    MEASURES subset: ``FIRST(col) AS alias`` / ``LAST(col) AS alias``
-    project a column of the match's first/last row (match-level, not
-    per-pattern-variable). Implemented as joins from the match summary back
-    to the input on (partition, event_id) — the NFA stays measure-agnostic
-    and the join is key-partitioned on both sides."""
+    MEASURES surface (StreamExecMatch / Flink's MATCH_RECOGNIZE measures):
+
+    - ``FIRST(col) / LAST(col) AS alias`` — a column of the match's
+      first/last row (match-level accessors);
+    - ``SUM/COUNT/AVG/MIN/MAX(Var.col) AS alias`` — aggregates over the
+      rows the match assigned to pattern variable ``Var``;
+    - ``FIRST/LAST(Var.col) AS alias`` — the variable's boundary rows;
+    - ``CLASSIFIER() AS alias`` — the variable of the match's LAST row;
+    - ``MATCH_NUMBER() AS alias`` — 1-based sequential match number per
+      partition (ordered by match start).
+
+    Implementation: the NFA records each match's variable→event-ids
+    assignment (``vars_json``); per-variable measures posexplode the id
+    list and join back to the input on (partition, event_id) — both sides
+    key-partitioned, aggregate state bounded by match length. The NFA
+    itself stays measure-agnostic."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
     m = _MR.search(sql)
     part, order, pat = parse_match_recognize(sql)
-    out = cep_match_batch(df, pat, key_col=part, time_col=order)
-    measures = _MEASURE.findall(m.group("measures") or "") if m else []
-    for which, col, alias in measures:
+    items = [
+        x.strip() for x in (m.group("measures") or "").split(",") if x.strip()
+    ]
+    plain: list[tuple[str, str, str]] = []
+    var_aggs: dict[str, list[tuple[str, str, str]]] = {}
+    cls_alias = mn_alias = None
+    for it in items:
+        am = _M_AGG.match(it)
+        if am:
+            fn, var, col, alias = am.groups()
+            var_aggs.setdefault(var, []).append((fn.upper(), col, alias))
+            continue
+        pm = _M_PLAIN.match(it)
+        if pm:
+            plain.append(pm.groups())
+            continue
+        cm = _M_CLS.match(it)
+        if cm:
+            cls_alias = cm.group(1)
+            continue
+        nm = _M_MN.match(it)
+        if nm:
+            mn_alias = nm.group(1)
+            continue
+        raise ValueError(f"unsupported MEASURES item: {it!r}")
+    need_vars = bool(var_aggs) or cls_alias is not None
+    out = cep_match_batch(
+        df, pat, key_col=part, time_col=order, include_vars=need_vars
+    )
+    for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
         side = df.select(
             F.col(part).alias("__mk"),
@@ -263,4 +401,61 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             (out[part] == side["__mk"]) & (out[anchor] == side["__mid"]),
             "left",
         ).drop("__mk", "__mid")
-    return out
+    if need_vars:
+        out = out.withColumn(
+            "__vars", F.from_json("vars_json", "map<string,array<bigint>>")
+        )
+    if cls_alias is not None:
+        # the variable whose id list contains the match's last row
+        ent = F.filter(
+            F.map_entries(F.col("__vars")),
+            lambda e: F.array_contains(e["value"], F.col("last_event_id")),
+        )
+        out = out.withColumn(cls_alias, F.element_at(ent, 1)["key"])
+    for var, specs in var_aggs.items():
+        eids = F.coalesce(
+            F.element_at(F.col("__vars"), F.lit(var)),
+            F.lit(None).cast("array<bigint>"),
+        )
+        ex = out.select(
+            F.col(part).alias("__k"),
+            F.col("first_event_id").alias("__f"),
+            F.col("last_event_id").alias("__l"),
+            F.posexplode(eids).alias("__pos", "__eid"),
+        )
+        cols = sorted({c for _, c, _ in specs})
+        side = df.select(
+            F.col(part).alias("__k"),
+            F.col("event_id").alias("__eid"),
+            *[F.col(c).alias(f"__c_{c}") for c in cols],
+        )
+        joined = ex.join(side, ["__k", "__eid"])
+        aggs = []
+        for fn, c, alias in specs:
+            col = F.col(f"__c_{c}")
+            expr = {
+                "SUM": F.sum(col),
+                "COUNT": F.count(col),
+                "AVG": F.avg(col),
+                "MIN": F.min(col),
+                "MAX": F.max(col),
+                # boundary rows by position in MATCH order (posexplode),
+                # not by raw event-id
+                "FIRST": F.min_by(col, F.col("__pos")),
+                "LAST": F.max_by(col, F.col("__pos")),
+            }[fn]
+            aggs.append(expr.alias(alias))
+        aggd = joined.groupBy("__k", "__f", "__l").agg(*aggs)
+        out = out.join(
+            aggd,
+            (out[part] == aggd["__k"])
+            & (out["first_event_id"] == aggd["__f"])
+            & (out["last_event_id"] == aggd["__l"]),
+            "left",
+        ).drop("__k", "__f", "__l")
+    if mn_alias is not None:
+        w = Window.partitionBy(part).orderBy("first_ts_us", "first_event_id")
+        out = out.withColumn(mn_alias, F.row_number().over(w))
+    # vars_json also appears when DEFINE aggregates forced event retention
+    # without any var-anchored measure — always scrub the internals
+    return out.drop("__vars", "vars_json")

@@ -62,8 +62,13 @@ Match emission per AfterMatchSkipStrategy (nfa/aftermatch/):
 - ``no_skip``: every completion is emitted (projected to first/last rows —
   middle-row assignment multiplicities collapse under this output schema).
 
-The last step must consume a FIXED number of rows (single step or exact
-``times(n)``), so match completion is decidable at the row that closes it.
+The last step is either fixed-arity (single step or exact ``times(n)``,
+completion fires on the closing row) or a trailing loop with min ≥ 1
+(``A B+``): trailing loops emit EAGERLY — one completion per take once the
+min occurrence count is met, exactly Flink's oneOrMore PROCEED-to-final
+edge (on [a b1 b2], ``a b+`` emits {a,b1} then {a,b1,b2}); a greedy
+unbounded tail is rejected like Flink's MalformedPatternException.
+Optional/negative tails stay rejected.
 
 Ordering: rows are sorted by (ts, event_id) inside each micro-batch; the NFA
 state (the branch set) carries across batches. With
@@ -90,25 +95,41 @@ Predicate = Callable[..., bool]
 
 class MatchContext:
     """Flink IterativeCondition context (IterativeCondition.java:57
-    ``ctx.getEventsForPattern``), compact form: the FIRST and LAST row
-    already matched per pattern variable. Predicates declared with two
+    ``ctx.getEventsForPattern``). Default compact form: the FIRST and LAST
+    row already matched per pattern variable. Predicates declared with two
     arguments receive ``(row, ctx)``; ``ctx.first(var)`` / ``ctx.last(var)``
     return the row dicts (None while the variable is unmatched). Covers the
     dominant iterative-condition family — comparisons against the match's
-    earlier rows (``B.price > A.price``) — without retaining whole loop
-    contents per branch (Flink's full events-list lookup needs its
-    SharedBuffer; here state stays two rows per variable per branch)."""
+    earlier rows (``B.price > A.price``) — with state of two rows per
+    variable per branch.
 
-    __slots__ = ("_vfr", "_vlr")
+    With ``Pattern.with_events()``, branches additionally retain EVERY
+    matched row per variable and ``ctx.events(var)`` returns the full list —
+    exact ``getEventsForPattern`` parity (enables ``B.v > AVG(A.v)``
+    conditions). Opt-in because per-branch state then grows with the match
+    length (bounded by ``within``, like Flink's SharedBuffer residency)."""
 
-    def __init__(self, vfr: dict, vlr: dict):
-        self._vfr, self._vlr = vfr, vlr
+    __slots__ = ("_vfr", "_vlr", "_ve")
+
+    def __init__(self, vfr: dict, vlr: dict, ve: dict | None = None):
+        self._vfr, self._vlr, self._ve = vfr, vlr, ve
 
     def first(self, var: str):
         return self._vfr.get(var)
 
     def last(self, var: str):
         return self._vlr.get(var)
+
+    def events(self, var: str) -> list:
+        """All rows matched to ``var`` so far, in match order
+        (IterativeCondition.getEventsForPattern). Requires the pattern to
+        opt in via ``Pattern.with_events()``."""
+        if self._ve is None:
+            raise RuntimeError(
+                "ctx.events(var) needs Pattern.with_events() — full "
+                "per-variable event retention is opt-in (state cost)"
+            )
+        return self._ve.get(var, [])
 
 
 def _arity(pred) -> int:
@@ -189,6 +210,12 @@ class Pattern:
     # may start one branch PER sequence; each branch evolves against its own
     # step list. `steps` is ignored.
     seqs: list[list[Step]] | None = None
+    # retain per-variable matched event-ids on each branch (MEASURES
+    # aggregates / CLASSIFIER need the full variable→rows assignment)
+    collect_ids: bool = False
+    # retain per-variable FULL rows (ctx.events — IterativeCondition
+    # getEventsForPattern parity); implies collect_ids state keying
+    collect_events: bool = False
 
     @staticmethod
     def begin(name: str, pred: Predicate) -> "Pattern":
@@ -328,22 +355,44 @@ class Pattern:
         self.within_us = duration_us
         return self
 
+    def with_var_ids(self) -> "Pattern":
+        """Record every matched row's event_id per variable on each branch
+        (the variable→rows assignment MEASURES aggregates and CLASSIFIER
+        read). Branch state grows with match length — bounded by ``within``."""
+        self.collect_ids = True
+        return self
+
+    def with_events(self) -> "Pattern":
+        """Retain full matched rows per variable → ``ctx.events(var)``
+        (IterativeCondition.getEventsForPattern parity)."""
+        self.collect_events = True
+        return self
+
     def validate(self) -> "Pattern":
         for seq in self.seqs if self.seqs is not None else [self.steps]:
             last = seq[-1]
-            # decidable completion: the final step must consume a FIXED
-            # number of rows — a single step or an exact times(n) loop
-            # (completion fires on the n-th occurrence); unbounded/optional/
-            # negative tails stay rejected
-            if (
-                last.negative
-                or last.min_times < 1
-                or last.max_times != last.min_times
-            ):
+            # the final step must either consume a fixed row count OR be a
+            # trailing loop with min>=1: a trailing loop emits EAGERLY — a
+            # completion fires on every take once min occurrences are met
+            # (Flink's oneOrMore tail: the PROCEED edge to the final state
+            # is evaluated per take, so `a b+` on [a b1 b2] emits {a,b1}
+            # then {a,b1,b2}); optional/negative tails stay rejected
+            if last.negative or last.min_times < 1:
                 raise ValueError(
-                    "pattern must end with a definite consuming step "
-                    "(single or exact times(n); no trailing unbounded loop/"
-                    "optional/negative) so completion is decidable per row"
+                    "pattern must end with a consuming step of min>=1 "
+                    "(no trailing optional/negative) so completion is "
+                    "decidable per row"
+                )
+            if (
+                last.is_loop
+                and last.max_times != last.min_times
+                and last.greedy
+            ):
+                # Flink MalformedPatternException: greedy is not allowed as
+                # the last element (an unbounded greedy tail never emits)
+                raise ValueError(
+                    "greedy quantifier is not allowed on the last pattern "
+                    "step (Flink MalformedPatternException parity)"
                 )
         return self
 
@@ -381,11 +430,15 @@ def _copy_branch(br: dict) -> dict:
     nb["vf"], nb["vl"] = dict(br["vf"]), dict(br["vl"])
     nb["vfr"] = dict(br.get("vfr", {}))
     nb["vlr"] = dict(br.get("vlr", {}))
+    if "vids" in br:
+        nb["vids"] = dict(br["vids"])
+    if "ve" in br:
+        nb["ve"] = dict(br["ve"])
     return nb
 
 
 def _branch_key(br: dict) -> tuple:
-    return (
+    base = (
         br["first_eid"],
         br.get("pat", 0),
         br["step_idx"],
@@ -393,18 +446,34 @@ def _branch_key(br: dict) -> tuple:
         tuple(sorted((k, tuple(v)) for k, v in br["vf"].items())),
         tuple(sorted((k, tuple(v)) for k, v in br["vl"].items())),
     )
+    if "vids" in br:
+        # with full assignments retained, branches differing in MIDDLE rows
+        # are distinct configurations — keying only (first, last) per var
+        # would silently merge them and lose one assignment's rows
+        base += (
+            tuple(sorted((k, tuple(v)) for k, v in br["vids"].items())),
+        )
+    return base
 
 
 def _evolve(
-    branch: dict, row: dict, steps: list[Step]
+    branch: dict,
+    row: dict,
+    steps: list[Step],
+    collect: tuple[bool, bool] = (False, False),
 ) -> tuple[list[dict], list[dict], bool]:
     """Evolve one branch on one row.
 
     Returns (successors, completions, survived_unchanged):
     ``successors`` — forked branches that consumed the row (non-final);
     ``completions`` — branches that consumed the final step (match done);
-    ``survived_unchanged`` — the branch persists as-is (relaxed contiguity)."""
-    ctx = MatchContext(branch.get("vfr", {}), branch.get("vlr", {}))
+    ``survived_unchanged`` — the branch persists as-is (relaxed contiguity).
+    ``collect`` = (retain per-var event ids, retain per-var full rows)."""
+    ctx = MatchContext(
+        branch.get("vfr", {}),
+        branch.get("vlr", {}),
+        branch.get("ve", {}) if collect[1] else None,
+    )
     # strict negatives AT the cursor: tested exactly once, on the row
     # immediately following the previous consume
     step_idx, loop_count = branch["step_idx"], branch["loop_count"]
@@ -429,7 +498,7 @@ def _evolve(
         kill_preds, candidates, loop_extend = [], [step_idx], None
         return _consume_phase(
             branch, row, steps, step_idx, loop_count,
-            kill_preds, candidates, loop_extend, ctx,
+            kill_preds, candidates, loop_extend, ctx, collect,
         )
     # frontier walk from the cursor: collect armed negative predicates
     # (kill checks) and consumable candidate steps; stop at the first step
@@ -469,7 +538,7 @@ def _evolve(
         break
     return _consume_phase(
         branch, row, steps, step_idx, loop_count,
-        kill_preds, candidates, loop_extend, ctx,
+        kill_preds, candidates, loop_extend, ctx, collect,
     )
 
 
@@ -483,6 +552,7 @@ def _consume_phase(
     candidates: list[int],
     loop_extend: int | None,
     ctx: MatchContext,
+    collect: tuple[bool, bool] = (False, False),
 ) -> tuple[list[dict], list[dict], bool]:
     """Second half of :func:`_evolve`: apply kills, fork consumptions."""
     if any(_test(p, row, ctx) for p in kill_preds):
@@ -514,6 +584,14 @@ def _consume_phase(
         safe = _json_safe(row)
         nb["vfr"].setdefault(var, safe)
         nb["vlr"][var] = safe
+        if collect[0] or collect[1]:
+            vids = {k: list(v) for k, v in branch.get("vids", {}).items()}
+            vids.setdefault(var, []).append(row["event_id"])
+            nb["vids"] = vids
+        if collect[1]:
+            ve = {k: list(v) for k, v in branch.get("ve", {}).items()}
+            ve.setdefault(var, []).append(safe)
+            nb["ve"] = ve
         s = steps[j]
         if s.is_loop:
             nb["loop_count"] = nb["loop_count"] + 1 if j == step_idx else 1
@@ -524,32 +602,44 @@ def _consume_phase(
             nb["step_idx"], nb["loop_count"] = j + 1, 0
         return nb
 
+    def finish(nb: dict) -> dict:
+        nb["last_eid"], nb["last_ts"] = row["event_id"], row["ts_us"]
+        return nb
+
     successors: list[dict] = []
     completions: list[dict] = []
     ignore_fork = False
+
+    def route(nb: dict) -> None:
+        """File a consumed branch: completion when past the last step; a
+        trailing loop with min occurrences met emits EAGERLY (a completion
+        snapshot per take — Flink's oneOrMore PROCEED-to-final edge) while
+        the take branch stays live for further extension."""
+        if nb["step_idx"] >= len(steps):
+            completions.append(finish(nb))
+            return
+        successors.append(nb)
+        s = steps[nb["step_idx"]]
+        if (
+            nb["step_idx"] == len(steps) - 1
+            and s.is_loop
+            and nb["loop_count"] >= s.min_times
+        ):
+            completions.append(finish(_copy_branch(nb)))
+
     for j in candidates:
         names = steps[j].matching_alts(row, ctx)
         if names and steps[j].any_fork:
             ignore_fork = True  # followedByAny: also keep the un-consumed branch
         for var in names:
-            nb = consumed(j, var)
-            if nb["step_idx"] >= len(steps):
-                nb["last_eid"], nb["last_ts"] = row["event_id"], row["ts_us"]
-                completions.append(nb)
-            else:
-                successors.append(nb)
+            route(consumed(j, var))
         # an unentered greedy loop that matches suppresses forking into the
         # steps beyond it (same Pattern.java:365 preference as the entered
         # case handled above)
         if names and steps[j].is_loop and steps[j].greedy:
             break
     for var in extend_names:
-        nb = consumed(loop_extend, var)
-        if nb["step_idx"] >= len(steps):  # exact-times tail hit its max
-            nb["last_eid"], nb["last_ts"] = row["event_id"], row["ts_us"]
-            completions.append(nb)
-        else:
-            successors.append(nb)
+        route(consumed(loop_extend, var))
     # non-greedy entered loop with min met: Flink ALSO forks an epsilon
     # PROCEED (the loop closes without consuming this row); when a successor
     # candidate matched, that fork already covers the row — otherwise the
@@ -558,6 +648,7 @@ def _consume_phase(
     # (start, [a1, a2], breaking) — UntilConditionITCase's expected set.
     if (
         loop_extend is not None
+        and loop_extend + 1 < len(steps)  # a trailing loop has no successor
         and extend_names
         and not steps[loop_extend].greedy
         and loop_count >= steps[loop_extend].min_times
@@ -597,21 +688,34 @@ def _match_events(
     evolves every live branch; completions are resolved per the pattern's
     AfterMatchSkipStrategy (module doc)."""
     seqs = pattern.seqs if pattern.seqs is not None else [pattern.steps]
+    collect = (
+        pattern.collect_ids or pattern.collect_events,
+        pattern.collect_events,
+    )
     matches: list[tuple] = []
     branches: list[dict] = list(state["branches"]) if state and "branches" in state else []
 
+    def _mk(c: dict) -> tuple:
+        t = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+        if collect[0]:  # append the variable→event-ids assignment (JSON)
+            t += (json.dumps(c.get("vids", {}), sort_keys=True),)
+        return t
+
     for row in rows:
-        # `within` expiry: starts too old to complete are retired
+        # `within` expiry: starts too old to complete are retired. STRICT
+        # boundary — Flink NFA.java:301 times out a computation state when
+        # `timestamp - startTimestamp >= windowTime`, so a match whose span
+        # exactly equals the window is NOT emitted.
         if pattern.within_us is not None:
             branches = [
                 b
                 for b in branches
-                if row["ts_us"] - b["first_ts"] <= pattern.within_us
+                if row["ts_us"] - b["first_ts"] < pattern.within_us
             ]
         next_branches: list[dict] = []
         completions: list[dict] = []
         for br in branches:
-            succ, comp, _ = _evolve(br, row, seqs[br.get("pat", 0)])
+            succ, comp, _ = _evolve(br, row, seqs[br.get("pat", 0)], collect)
             next_branches.extend(succ)
             completions.extend(comp)
         # every row is a candidate start, once per sequence (Flink: the
@@ -620,7 +724,7 @@ def _match_events(
         # consumes it
         for pat_i, pat_steps in enumerate(seqs):
             start = _new_branch(row, pat_i)
-            succ, comp, unchanged = _evolve(start, row, pat_steps)
+            succ, comp, unchanged = _evolve(start, row, pat_steps, collect)
             if not unchanged:  # a start must consume its first row
                 next_branches.extend(succ)
                 completions.extend(comp)
@@ -634,6 +738,15 @@ def _match_events(
                 deduped.append(b)
         branches = deduped
         if len(branches) > MAX_BRANCHES:
+            import warnings
+
+            warnings.warn(
+                f"CEP branch set exceeded MAX_BRANCHES={MAX_BRANCHES}; "
+                "dropping newest starts — matches may be lost. Add a "
+                "`within` window to bound live starts.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             branches.sort(key=lambda b: (b["first_ts"], b["first_eid"]))
             branches = branches[:MAX_BRANCHES]
         if not completions:
@@ -654,19 +767,17 @@ def _match_events(
         if skip == "no_skip":
             emitted = set()
             for c in completions:
-                out = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
-                if out not in emitted:
-                    emitted.add(out)
-                    matches.append(out)
+                span = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+                if span not in emitted:
+                    emitted.add(span)
+                    matches.append(_mk(c))
         elif skip == "to_next":
             done_starts = set()
             for c in completions:
                 sk = (c["first_ts"], c["first_eid"])
                 if sk not in done_starts:
                     done_starts.add(sk)
-                    matches.append(
-                        (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
-                    )
+                    matches.append(_mk(c))
             branches = [
                 b
                 for b in branches
@@ -674,9 +785,7 @@ def _match_events(
             ]
         elif skip == "past_last":
             w = completions[0]
-            matches.append(
-                (w["first_eid"], w["last_eid"], w["first_ts"], w["last_ts"])
-            )
+            matches.append(_mk(w))
             # every live branch started before the match end → discard all
             branches = []
         else:  # ("to_first" | "to_last", var)
@@ -692,10 +801,10 @@ def _match_events(
                     (c["first_ts"], c["first_eid"]) < threshold
                 ):
                     continue
-                out = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
-                if out not in emitted:
-                    emitted.add(out)
-                    matches.append(out)
+                span = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+                if span not in emitted:
+                    emitted.add(span)
+                    matches.append(_mk(c))
                 tgt = (c["vf"] if mode == "to_first" else c["vl"]).get(var)
                 if tgt is None:
                     threshold = (float("inf"), float("inf"))  # prune all
@@ -727,13 +836,25 @@ def cep_match_batch(
     pattern: Pattern,
     key_col: str = "user_id",
     time_col: str = "ts",
+    include_vars: bool = False,
 ) -> DataFrame:
     """Batch CEP (MATCH_RECOGNIZE over a bounded table): same NFA, executed
     per key via ``applyInPandas`` on event-time-sorted rows. Output schema
-    matches the streaming operator."""
+    matches the streaming operator; with ``include_vars=True`` (or a
+    pattern that already collects ids) a ``vars_json`` column carries the
+    variable→event-ids assignment of each match (MEASURES aggregates /
+    CLASSIFIER read it)."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
+    if include_vars:
+        pattern.with_var_ids()
     pattern.validate()
+    with_vars = pattern.collect_ids or pattern.collect_events
+    schema = (
+        StructType(CEP_OUTPUT.fields + [StructField("vars_json", StringType())])
+        if with_vars
+        else CEP_OUTPUT
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -746,17 +867,18 @@ def cep_match_batch(
         rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
         matches, _ = _match_events(rows, pattern, None)
         key_val = rows[0][key_col] if rows else None
-        return pd.DataFrame(
-            {
-                "user_id": [key_val] * len(matches),
-                "first_event_id": [m[0] for m in matches],
-                "last_event_id": [m[1] for m in matches],
-                "first_ts_us": [m[2] for m in matches],
-                "last_ts_us": [m[3] for m in matches],
-            }
-        )
+        out = {
+            "user_id": [key_val] * len(matches),
+            "first_event_id": [m[0] for m in matches],
+            "last_event_id": [m[1] for m in matches],
+            "first_ts_us": [m[2] for m in matches],
+            "last_ts_us": [m[3] for m in matches],
+        }
+        if with_vars:
+            out["vars_json"] = [m[4] for m in matches]
+        return pd.DataFrame(out)
 
-    return events.groupBy(key_col).applyInPandas(fn, CEP_OUTPUT)
+    return events.groupBy(key_col).applyInPandas(fn, schema)
 
 
 def _json_safe(d: dict) -> dict:

@@ -258,12 +258,49 @@ def test_killed_row_restarts_pattern():
     assert m == [(2, 3, 20, 30)]
 
 
-def test_trailing_loop_rejected():
+def test_trailing_loop_eager_emission():
+    """Trailing unbounded loops are supported with EAGER emission (Flink's
+    oneOrMore PROCEED-to-final edge): `a b+` on [a b1 b2] under no_skip
+    emits {a,b1} then {a,b1,b2}. Greedy unbounded tails stay rejected
+    (Flink MalformedPatternException parity), as do optional/negative
+    tails."""
     import pytest as _pytest
 
-    p = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).one_or_more()
-    with _pytest.raises(ValueError):
-        p.validate()
+    p = (
+        Pattern.begin("a", _is("A"))
+        .followed_by("b", _is("B"))
+        .one_or_more()
+        .no_skip()
+        .validate()
+    )
+    m, _ = _match_events(_rows([(1, 0, "A"), (2, 10, "B"), (3, 20, "B")]), p, None)
+    assert m == [(1, 2, 0, 10), (1, 3, 0, 20)]
+    # past_last emits the earliest completion, then resets
+    p2 = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).one_or_more()
+    m2, _ = _match_events(
+        _rows([(1, 0, "A"), (2, 10, "B"), (3, 20, "B"), (4, 30, "A"), (5, 40, "B")]),
+        p2.validate(), None,
+    )
+    assert m2 == [(1, 2, 0, 10), (4, 5, 30, 40)]
+    # trailing-loop state carries across batches: the take branch stays
+    # live after an eager emission
+    p3 = (
+        Pattern.begin("a", _is("A"))
+        .followed_by("b", _is("B"))
+        .times_or_more(2)
+        .no_skip()
+        .validate()
+    )
+    ma, st = _match_events(_rows([(1, 0, "A"), (2, 10, "B")]), p3, None)
+    assert ma == []  # under min occurrences
+    mb, _ = _match_events(_rows([(3, 20, "B"), (4, 30, "B")]), p3, st)
+    assert mb == [(1, 3, 0, 20), (1, 4, 0, 30)]
+    with _pytest.raises(ValueError):  # greedy unbounded tail
+        Pattern.begin("a", _is("A")).followed_by(
+            "b", _is("B")
+        ).one_or_more().greedy().validate()
+    with _pytest.raises(ValueError):  # optional tail
+        Pattern.begin("a", _is("A")).followed_by("b", _is("B")).optional().validate()
 
 
 def test_quantified_state_across_batches():
@@ -501,7 +538,7 @@ def test_overlap_engine_matches_branch_semantics_exhaustive():
         out, mids = [], []
         for (e, t, v) in evs:
             if v > hi and mids:
-                valid = [(tt, ee) for (ee, tt) in mids if t <= tt + W]
+                valid = [(tt, ee) for (ee, tt) in mids if t < tt + W]
                 if valid:
                     c = min(valid)
                     out.append((c[1], e))
@@ -742,20 +779,24 @@ def test_next_strict_contiguity_kills_on_gap():
     assert m == [(4, 5, 40, 50)]
 
 
-def test_trailing_exact_times_allowed_unbounded_rejected():
-    import pytest as _pytest
-
+def test_trailing_times_range_eager():
     # exact times(2) tail: completion decidable → allowed
     Pattern.begin("a", _is("A")).followed_by("b", _is("B")).times(2).validate()
-    # unbounded / range tails stay rejected
-    with _pytest.raises(ValueError):
-        Pattern.begin("a", _is("A")).followed_by(
-            "b", _is("B")
-        ).one_or_more().validate()
-    with _pytest.raises(ValueError):
-        Pattern.begin("a", _is("A")).followed_by("b", _is("B")).times(
-            2, 3
-        ).validate()
+    # range tail b{2,3}: eager emission at 2 and 3 takes
+    p = (
+        Pattern.begin("a", _is("A"))
+        .followed_by("b", _is("B"))
+        .times(2, 3)
+        .no_skip()
+        .validate()
+    )
+    m, _ = _match_events(
+        _rows([(1, 0, "A"), (2, 10, "B"), (3, 20, "B"), (4, 30, "B"), (5, 40, "B")]),
+        p, None,
+    )
+    # takes at b3 (2 occ), b4 (3 occ = max, then the loop closes); b5 opens
+    # nothing new for start a1 (loop at max), later starts lack an A
+    assert m == [(1, 3, 0, 20), (1, 4, 0, 30)]
 
 
 def test_followed_by_any_pairs_with_every_match():
@@ -897,9 +938,10 @@ def test_match_recognize_define_iterative_and_numeric():
                     C AS C.value > A.value)"""
     )
     row_a = {"event_type": "click", "value": 5.0}
-    assert pat.steps[0].pred(row_a)
-    assert pat.steps[1].pred({"value": 101.0})
-    assert not pat.steps[1].pred({"value": 99.0})
+    # predicates are uniformly (row, ctx); literal comparisons ignore ctx
+    assert pat.steps[0].pred(row_a, None)
+    assert pat.steps[1].pred({"value": 101.0}, None)
+    assert not pat.steps[1].pred({"value": 99.0}, None)
 
     class Ctx:
         def last(self, v):

@@ -285,7 +285,7 @@ def test_cep_nfa_equals_branch_recursion(events):
         for r in rows:
             if r["event_type"] == "purchase":
                 valid = [
-                    (t, e) for (e, t) in starts if r["ts_us"] <= t + W
+                    (t, e) for (e, t) in starts if r["ts_us"] < t + W
                 ]
                 if valid:
                     c = min(valid)
