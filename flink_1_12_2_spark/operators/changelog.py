@@ -95,26 +95,31 @@ def group_agg_retract(
     reaches 0 vanish, matching Flink's recordCounter.recordCountIsZero()
     state cleanup (GroupAggFunction.java:150).
 
-    ``aggs``: (kind, column, alias) with kind ∈ {sum, count, avg}. MIN/MAX
-    over a retracting input need a multiset of seen values (Flink's
-    MinWithRetractAggFunction keeps a sorted map state) and are rejected
-    here — use :func:`changelog_normalize` + a plain agg for those.
+    ``aggs``: (kind, column, alias) with kind ∈ {sum, count, avg, min,
+    max}. MIN/MAX over a retracting input need a value MULTISET (Flink's
+    Min/MaxWithRetractAggFunction keep a sorted MapState<value, count> —
+    flink-table-planner-blink .../aggfunctions/MinWithRetractAggFunction):
+    the Spark analogue is a two-level aggregation — ``groupBy(keys, value)
+    → Σ sign`` materializes exactly that value→count map (dropping counts
+    ≤ 0), then ``groupBy(keys) → MIN/MAX`` reads its extremum. One extra
+    map-combinable shuffle per distinct extremal COLUMN (shared across
+    min+max on the same column), same shape as the distinct-agg split;
+    nulls are ignored as in Flink's accumulator.
 
-    Scale: one hash shuffle on ``group_cols`` with partial aggregation;
-    the changelog never needs to be normalized (no per-PK window) first.
+    Scale: signed aggregates are one hash shuffle on ``group_cols``;
+    each extremal column adds a (keys, value)-keyed shuffle whose state is
+    the distinct-value multiset — never a per-PK window over the changelog.
     """
     for kind, _, _ in aggs:
-        if kind not in ("sum", "count", "avg"):
-            raise ValueError(
-                f"group_agg_retract: {kind!r} cannot consume retractions "
-                "without multiset state (Flink MinWithRetractAggFunction); "
-                "normalize the changelog first"
-            )
+        if kind not in ("sum", "count", "avg", "min", "max"):
+            raise ValueError(f"group_agg_retract: unsupported agg {kind!r}")
     sign = F.when(
         F.col(ROW_KIND).isin(INSERT, UPDATE_AFTER), F.lit(1)
     ).otherwise(F.lit(-1))
+    signed = [a for a in aggs if a[0] in ("sum", "count", "avg")]
+    extremal = [a for a in aggs if a[0] in ("min", "max")]
     exprs = [F.sum(sign).alias("__net_rows")]
-    for kind, col, alias in aggs:
+    for kind, col, alias in signed:
         if kind == "sum":
             exprs.append(F.sum(sign * F.col(col)).alias(alias))
         elif kind == "count":
@@ -123,12 +128,27 @@ def group_agg_retract(
             exprs.append(
                 (F.sum(sign * F.col(col)) / F.sum(sign)).alias(alias)
             )
-    return (
+    base = (
         df.groupBy(*group_cols)
         .agg(*exprs)
         .filter(F.col("__net_rows") > 0)
-        .drop("__net_rows")
     )
+    for col in sorted({c for _, c, _ in extremal}):
+        specs = [(k, a) for k, c, a in extremal if c == col]
+        multiset = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(*group_cols, col)
+            .agg(F.sum(sign).alias("__cnt"))
+            .filter(F.col("__cnt") > 0)
+        )
+        ext = multiset.groupBy(*group_cols).agg(
+            *[
+                (F.min(col) if k == "min" else F.max(col)).alias(a)
+                for k, a in specs
+            ]
+        )
+        base = base.join(ext, group_cols, "left")
+    return base.drop("__net_rows")
 
 
 def changelog_join(
@@ -189,10 +209,26 @@ def changelog_join(
     )
 
 
-def upsert_foreach_batch(state_dir: str, pks: list[str], order_cols: list[str]):
+def upsert_foreach_batch(
+    state_dir: str,
+    pks: list[str],
+    order_cols: list[str],
+    num_buckets: int = 64,
+):
     """Build a ``foreachBatch`` function maintaining a keyed state table at
     ``state_dir`` (parquet): per batch, last-change-per-key is MERGEd in.
-    This is the upsert-sink pattern for engines without MERGE INTO."""
+    This is the upsert-sink pattern for engines without MERGE INTO.
+
+    Scale — BUCKETED state: the table is hash-partitioned into
+    ``num_buckets`` directories on ``crc32(pk) % num_buckets``
+    (``__bucket=NN/``), and each micro-batch rewrites ONLY the buckets
+    containing touched keys (Spark dynamic partition overwrite). Per-batch
+    I/O is O(touched buckets · bucket size), not O(|state|) — the r4
+    full-table rewrite is gone. Reading existing state filters on the
+    touched bucket ids, so partition pruning skips untouched directories
+    entirely. Readers of the state table see an extra ``__bucket`` column
+    (select your payload columns). On a MERGE-capable table format
+    (Delta/Iceberg) replace this whole function with ``MERGE INTO``."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -200,26 +236,51 @@ def upsert_foreach_batch(state_dir: str, pks: list[str], order_cols: list[str]):
         w = Window.partitionBy(*pks).orderBy(
             *[F.col(c).desc() for c in order_cols]
         )
+        bucket = F.pmod(
+            F.crc32(
+                F.concat_ws("\x1f", *[F.col(k).cast("string") for k in pks])
+            ),
+            F.lit(num_buckets),
+        ).cast("int")
         last = (
             drop_update_before(batch_df)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .withColumn("__bucket", bucket)
         )
-        touched_keys = last.select(*pks)
+        touched_keys = last.select(*pks, "__bucket")
         survivors = last.filter(F.col(ROW_KIND) != DELETE).drop(ROW_KIND)
+        touched_buckets = [
+            r["__bucket"]
+            for r in touched_keys.select("__bucket").distinct().collect()
+        ]
+        if not touched_buckets:
+            return
         try:
-            existing = spark.read.parquet(state_dir)
+            existing = spark.read.parquet(state_dir).filter(
+                F.col("__bucket").isin(touched_buckets)  # partition pruning
+            )
         except Exception:  # first batch — no state yet
             existing = None
         if existing is not None:
-            untouched = existing.join(touched_keys, pks, "left_anti")
+            untouched = existing.join(
+                touched_keys.drop("__bucket"), pks, "left_anti"
+            )
             merged = untouched.unionByName(survivors)
         else:
             merged = survivors
-        merged.coalesce(8).write.mode("overwrite").parquet(state_dir + "_tmp")
-        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
-            state_dir
-        )
+        # truncate lineage so the write target isn't also a read path
+        merged = merged.repartition(
+            max(1, min(8, len(touched_buckets))), "__bucket"
+        ).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+                state_dir
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return apply

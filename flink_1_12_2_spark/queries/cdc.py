@@ -298,6 +298,86 @@ def changelog_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "changelog_reagg_minmax",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderkey % 10 AS bucket,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM final_state GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("batch", "cdc", "changelog", "retract", "aggregate", "minmax"),
+)
+def changelog_reagg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over a RETRACTING changelog (Min/MaxWithRetractAggFunction
+    parity — flink-table-planner-blink .../aggfunctions/): the same
+    debezium battery as changelog_reagg (updates shift every 3rd key's
+    price, deletes remove every 7th key — so many buckets LOSE their
+    current extremum to a -U or -D and the next-best value must surface).
+    group_agg_retract materializes the value→count multiset via a
+    (bucket, value)-keyed signed aggregation — the distributed form of
+    Flink's sorted MapState — then reads each bucket's extremum; hash
+    equality against the final-state oracle proves retracted extrema
+    fall back correctly."""
+    from flink_1_12_2_spark.operators.changelog import group_agg_retract
+
+    o = _orders_slim(spark, sf_dir)
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    null_p = F.lit(None).cast(f"struct<{_PAYLOAD}>")
+    ins = o.select(
+        F.to_json(
+            F.struct(
+                null_p.alias("before"),
+                _payload(key, price).alias("after"),
+                F.lit("c").alias("op"),
+            )
+        ).alias("j")
+    )
+    upd = o.filter(key % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload(key, price).alias("before"),
+                _payload(key, price + 10).alias("after"),
+                F.lit("u").alias("op"),
+            )
+        ).alias("j")
+    )
+    cur = F.when(key % 3 == 0, price + 10).otherwise(price)
+    dele = o.filter(key % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                _payload(key, cur).alias("before"),
+                null_p.alias("after"),
+                F.lit("d").alias("op"),
+            )
+        ).alias("j")
+    )
+    changelog = parse_debezium_json(
+        ins.unionByName(upd).unionByName(dele), "j", _PAYLOAD
+    )
+    agg = group_agg_retract(
+        changelog.withColumn("bucket", F.col("o_orderkey") % 10),
+        ["bucket"],
+        [
+            ("min", "o_totalprice", "min_price"),
+            ("max", "o_totalprice", "max_price"),
+            ("count", None, "n_orders"),
+        ],
+    )
+    return agg.select(
+        "bucket",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        "n_orders",
+    ).orderBy("bucket")
+
+
+@query(
     "stream_changelog_reagg",
     oracle="""
     WITH final_state AS (

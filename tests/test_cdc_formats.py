@@ -118,14 +118,32 @@ def test_group_agg_retract_folds_updates_and_deletes(spark):
     assert out == {1: (30.0, 2, 15.0)}  # group 2 reached net 0 and vanished
 
 
-def test_group_agg_retract_rejects_min_max(spark):
+def test_group_agg_retract_min_max_multiset(spark):
+    """MIN/MAX with retract (Min/MaxWithRetractAggFunction parity): the
+    value→count multiset lets the extremum FALL BACK when the current
+    min/max is retracted — the case a naive running min cannot handle."""
     import pytest
 
     from flink_1_12_2_spark.operators.changelog import group_agg_retract
 
-    df = spark.createDataFrame([("+I", 1, 1.0)], ["_row_kind", "g", "v"])
-    with pytest.raises(ValueError, match="multiset"):
-        group_agg_retract(df, ["g"], [("min", "v", "m")])
+    df = spark.createDataFrame(
+        [
+            ("+I", 1, 1.0), ("+I", 1, 5.0), ("+I", 1, 9.0),
+            ("-D", 1, 1.0),                    # retract the current MIN
+            ("-U", 1, 9.0), ("+U", 1, 4.0),    # update the current MAX down
+            ("+I", 2, 7.0), ("-D", 2, 7.0),    # group vanishes at net 0
+        ],
+        ["_row_kind", "g", "v"],
+    )
+    out = group_agg_retract(
+        df, ["g"], [("min", "v", "mn"), ("max", "v", "mx"), ("count", None, "c")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g"], r["mn"], r["mx"], r["c"]) == (1, 4.0, 5.0, 2)
+
+    with pytest.raises(ValueError, match="unsupported"):
+        group_agg_retract(df, ["g"], [("median", "v", "m")])
 
 
 def test_changelog_join_product_rule(spark):
