@@ -1,0 +1,564 @@
+"""TPC-DS-style composite queries, tranche 4 (adapted to the driver's star
+schema — see tpcds_like.py for the gate context:
+flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/,
+TpcdsTestProgram.java:48).
+
+Tranche-4 archetypes (each reproduces a remaining distinct plan shape of
+the reference's 103-query gate):
+
+- q4/q11  — multi-year multi-channel CTE self-join on customer growth,
+            rewritten as ONE conditional-aggregation pass (the q31-style
+            collapse: 1 hash exchange instead of a 4-alias self-join).
+- q64     — wide multi-join chain (fact ⋈ 6 dims + same-nation filter)
+            with a two-year compare per group.
+- q41     — correlated EXISTS battery over the item dimension alone.
+- q21/q40 — before/after pivot-date quantity compare with ratio bounds
+            (integer-exact cross-multiplied, no float boundary).
+- q58/q83 — three-channel revenue compare, each channel within ±10% of
+            the three-channel average (one conditional pass vs the
+            reference's 3-CTE join).
+- q99/q62 — shipping-delay bucket CASE battery, one pass.
+- q45     — geo list OR key-IN-subquery revenue (semi-join on a union of
+            qualifying sets).
+- q8      — join on a DERIVED substring key against a deduped derived
+            dimension (zip-prefix shape).
+- q38     — INTERSECT of three channels' distinct customer sets.
+- q87     — EXCEPT chain over the same three channels.
+
+Determinism discipline (house rules from tpcds_like.py): every float that
+feeds a comparison is rounded first (6dp ratios, 2dp revenues); ratio
+bounds on integral quantities use cross-multiplication so the predicate is
+integer-exact; outputs order by group keys only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.registry import load, query
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "ds_q4_one_pass_growth",
+    oracle="""
+    WITH year_total AS (
+      SELECT o.o_custkey AS custkey, YEAR(o.o_orderdate) AS yr,
+             CASE WHEN l.l_returnflag = 'N' THEN 'st' ELSE 'wb' END AS channel,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS total
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE YEAR(o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3)
+    SELECT s1.custkey AS custkey,
+           CAST(ROUND(s2.total / s1.total, 6) AS DOUBLE) AS store_growth,
+           CAST(ROUND(w2.total / w1.total, 6) AS DOUBLE) AS web_growth
+    FROM year_total s1
+    JOIN year_total s2 ON s1.custkey = s2.custkey
+    JOIN year_total w1 ON s1.custkey = w1.custkey
+    JOIN year_total w2 ON s1.custkey = w2.custkey
+    WHERE s1.channel = 'st' AND s1.yr = 1996
+      AND s2.channel = 'st' AND s2.yr = 1997
+      AND w1.channel = 'wb' AND w1.yr = 1996
+      AND w2.channel = 'wb' AND w2.yr = 1997
+      AND s1.total > 0 AND w1.total > 0
+      AND ROUND(w2.total / w1.total, 6) > ROUND(s2.total / s1.total, 6)
+    ORDER BY custkey
+    """,
+    tags=("batch", "tpcds", "self-join", "one-pass"),
+)
+def ds_q4_one_pass_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4/q11 shape: per-customer year totals across two channels,
+    self-joined 4 ways for the growth-ratio comparison. Spark-first
+    rewrite: ONE conditional-aggregation pass per customer (sum(CASE) per
+    (channel, year) cell — absent cells stay NULL, preserving the
+    self-join's existence semantics) — 1 hash exchange where the reference
+    plan re-joins year_total four times. Ratios round to 6dp before the
+    comparison (float-sum order cannot flip the predicate)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    yr = F.year("o_orderdate")
+    base = o.join(li, li.l_orderkey == o.o_orderkey).filter(yr.isin(1996, 1997))
+    st = F.col("l_returnflag") == "N"
+
+    def cell(chan_pred, year):
+        # no otherwise → NULL when the (channel, year) cell has no rows,
+        # exactly "no year_total row exists" in the self-join form
+        return F.sum(F.when(chan_pred & (yr == year), _rev()))
+
+    g = base.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        cell(st, 1996).alias("st1"),
+        cell(st, 1997).alias("st2"),
+        cell(~st, 1996).alias("wb1"),
+        cell(~st, 1997).alias("wb2"),
+    )
+    store_growth = F.round(F.col("st2") / F.col("st1"), 6)
+    web_growth = F.round(F.col("wb2") / F.col("wb1"), 6)
+    return (
+        g.filter(
+            (F.col("st1") > 0)
+            & (F.col("wb1") > 0)
+            & F.col("st2").isNotNull()
+            & F.col("wb2").isNotNull()
+        )
+        .filter(web_growth > store_growth)
+        .select(
+            "custkey",
+            store_growth.alias("store_growth"),
+            web_growth.alias("web_growth"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "ds_q64_wide_join_chain",
+    oracle="""
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           CAST(ROUND(SUM(CASE WHEN YEAR(o.o_orderdate) = 1996
+                 THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
+                AS DOUBLE) AS rev96,
+           CAST(ROUND(SUM(CASE WHEN YEAR(o.o_orderdate) = 1997
+                 THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
+                AS DOUBLE) AS rev97
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = c.c_nationkey AND p.p_type = 'PROMO'
+      AND YEAR(o.o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    HAVING rev96 IS NOT NULL AND rev97 IS NOT NULL AND rev97 > rev96
+    ORDER BY region, brand
+    """,
+    tags=("batch", "tpcds", "join", "multi-join"),
+)
+def ds_q64_wide_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape: a WIDE join chain — fact ⋈ orders ⋈ customer ⋈
+    nation ⋈ region ⋈ part ⋈ supplier with a cross-dimension condition
+    (customer and supplier share a nation), then a two-year compare per
+    (region, brand). All dimensions broadcast (≤ nation-count × small
+    rows); the only shuffle is the final group-by — the year compare is
+    conditional aggregation, not a fact self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    yr = F.year("o_orderdate")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter((F.col("s_nationkey") == F.col("c_nationkey")) & yr.isin(1996, 1997))
+    )
+    g = base.groupBy(
+        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.round(F.sum(F.when(yr == 1996, _rev())), 2).alias("rev96"),
+        F.round(F.sum(F.when(yr == 1997, _rev())), 2).alias("rev97"),
+    )
+    return (
+        g.filter(
+            F.col("rev96").isNotNull()
+            & F.col("rev97").isNotNull()
+            & (F.col("rev97") > F.col("rev96"))
+        )
+        .orderBy("region", "brand")
+    )
+
+
+@query(
+    "ds_q41_exists_battery",
+    oracle="""
+    SELECT DISTINCT p1.p_name AS p_name
+    FROM part p1
+    WHERE p1.p_retailprice BETWEEN 940 AND 960
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND ((p2.p_type = 'PROMO'   AND p2.p_size BETWEEN 1 AND 15)
+            OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 20 AND 35)))
+    ORDER BY p_name
+    """,
+    tags=("batch", "tpcds", "exists", "dimension"),
+)
+def ds_q41_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape: a correlated EXISTS battery entirely within the
+    item dimension — distinct names of in-price-band parts whose BRAND has
+    some part matching an OR-battery of (type, size-range) predicates.
+    Spark: the battery decorrelates to a broadcast LEFT SEMI join on brand
+    (the qualifying-brand set is tiny after dedup)."""
+    p = load(spark, sf_dir, "part")
+    battery = (
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(20, 35))
+    )
+    brands = p.filter(battery).select("p_brand").distinct()
+    return (
+        p.filter(F.col("p_retailprice").between(940, 960))
+        .join(F.broadcast(brands), "p_brand", "left_semi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+    )
+
+
+@query(
+    "ds_q21_before_after",
+    oracle="""
+    SELECT n.n_name AS nation, l.l_partkey AS partkey,
+           CAST(SUM(CASE WHEN l.l_shipdate < DATE '1998-01-01'
+                         THEN l.l_quantity ELSE 0 END) AS DOUBLE) AS qty_before,
+           CAST(SUM(CASE WHEN l.l_shipdate >= DATE '1998-01-01'
+                         THEN l.l_quantity ELSE 0 END) AS DOUBLE) AS qty_after
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+      AND l.l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'
+    GROUP BY 1, 2
+    HAVING qty_before > 0 AND qty_after > 0
+       AND 3 * qty_after >= 2 * qty_before
+       AND 2 * qty_after <= 3 * qty_before
+    ORDER BY nation, partkey
+    """,
+    tags=("batch", "tpcds", "agg", "pivot-date"),
+)
+def ds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21/q40 shape: per (warehouse≈supplier-nation, item) quantity
+    before vs after a pivot date, keeping groups whose after/before ratio
+    sits in [2/3, 3/2]. The ratio bound is CROSS-MULTIPLIED — quantities
+    are integral, so the predicate is integer-exact and float summation
+    order cannot flip membership across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    pivot = F.lit("1998-01-01").cast("date")
+    base = (
+        li.filter(
+            F.col("l_shipdate").between("1997-01-01", "1998-12-31")
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    g = base.groupBy(
+        F.col("n_name").alias("nation"), F.col("l_partkey").alias("partkey")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0)
+        ).alias("qty_before"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity")).otherwise(0)
+        ).alias("qty_after"),
+    )
+    return (
+        g.filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") > 0)
+            & (3 * F.col("qty_after") >= 2 * F.col("qty_before"))
+            & (2 * F.col("qty_after") <= 3 * F.col("qty_before"))
+        )
+        .orderBy("nation", "partkey")
+    )
+
+
+@query(
+    "ds_q58_three_channel_compare",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand AS brand,
+             ROUND(SUM(CASE WHEN l.l_returnflag = 'N'
+                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_n,
+             ROUND(SUM(CASE WHEN l.l_returnflag = 'A'
+                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_a,
+             ROUND(SUM(CASE WHEN l.l_returnflag = 'R'
+                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      WHERE YEAR(o.o_orderdate) = 1996
+      GROUP BY 1)
+    SELECT brand, CAST(rev_n AS DOUBLE) AS rev_n,
+           CAST(rev_a AS DOUBLE) AS rev_a, CAST(rev_r AS DOUBLE) AS rev_r
+    FROM g
+    WHERE rev_n IS NOT NULL AND rev_a IS NOT NULL AND rev_r IS NOT NULL
+      AND rev_n BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
+      AND rev_a BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
+      AND rev_r BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
+                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
+    ORDER BY brand
+    """,
+    tags=("batch", "tpcds", "agg", "three-way"),
+)
+def ds_q58_three_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58/q83 shape: per-item revenue in THREE channels, keeping
+    items where every channel is within ±10% of the three-channel average.
+    The reference joins three per-channel CTEs on item; Spark-first this is
+    ONE conditional-aggregation pass (3 sums per brand, 1 exchange).
+    Revenues round to 2dp before the band predicate so the comparison is
+    identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.year("o_orderdate") == 1996)
+    )
+
+    def chan(flag):
+        return F.round(
+            F.sum(F.when(F.col("l_returnflag") == flag, _rev())), 2
+        )
+
+    g = base.groupBy(F.col("p_brand").alias("brand")).agg(
+        chan("N").alias("rev_n"), chan("A").alias("rev_a"), chan("R").alias("rev_r")
+    )
+    avg3 = (F.col("rev_n") + F.col("rev_a") + F.col("rev_r")) / 3
+    in_band = lambda c: F.col(c).between(0.9 * avg3, 1.1 * avg3)  # noqa: E731
+    return (
+        g.filter(
+            F.col("rev_n").isNotNull()
+            & F.col("rev_a").isNotNull()
+            & F.col("rev_r").isNotNull()
+            & in_band("rev_n")
+            & in_band("rev_a")
+            & in_band("rev_r")
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "ds_q99_delay_buckets",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                              > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_more
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY priority
+    """,
+    tags=("batch", "tpcds", "agg", "case-battery"),
+)
+def ds_q99_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99/q62 shape: shipping-delay histogram — day counts bucketed
+    30/60/90/120/120+ per order priority, a CASE battery folded in ONE
+    aggregation pass over the join (integer datediff, exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    base = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    def bucket(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+
+    return (
+        base.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            bucket(d <= 30, "d30"),
+            bucket(d.between(31, 60), "d60"),
+            bucket(d.between(61, 90), "d90"),
+            bucket(d.between(91, 120), "d120"),
+            bucket(d > 120, "d_more"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "ds_q45_geo_or_in_subquery",
+    oracle="""
+    WITH promo_buyers AS (
+      SELECT DISTINCT o.o_custkey
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO' AND YEAR(o.o_orderdate) = 1996)
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE YEAR(o.o_orderdate) = 1997
+      AND (n.n_name IN ('NATION_1', 'NATION_7', 'NATION_19')
+           OR c.c_custkey IN (SELECT o_custkey FROM promo_buyers))
+    GROUP BY 1 ORDER BY nation
+    """,
+    tags=("batch", "tpcds", "semi-join", "subquery"),
+)
+def ds_q45_geo_or_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape: revenue restricted by a GEO LIST **OR** a key-IN-
+    subquery. The OR of a local predicate and a semi-join decorrelates to a
+    LEFT SEMI join against the UNION of the two qualifying customer sets
+    (listed-nation customers ∪ promo buyers) — one semi-join, no
+    double-scan of the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    geo = ["NATION_1", "NATION_7", "NATION_19"]
+    promo_buyers = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    geo_customers = (
+        c.join(F.broadcast(n.filter(F.col("n_name").isin(geo))),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey")
+    )
+    qualifying = geo_customers.unionByName(promo_buyers).distinct()
+    return (
+        li.join(o.filter(F.year("o_orderdate") == 1997),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(qualifying, "c_custkey", "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+@query(
+    "ds_q8_substring_join",
+    oracle="""
+    WITH zips AS (
+      SELECT DISTINCT SUBSTRING(s_name, LENGTH(s_name) - 1, 2) AS zip2
+      FROM supplier WHERE s_acctbal > 0)
+    SELECT SUBSTRING(c.c_name, LENGTH(c.c_name) - 1, 2) AS zip2,
+           CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN zips z ON SUBSTRING(c.c_name, LENGTH(c.c_name) - 1, 2) = z.zip2
+    WHERE YEAR(o.o_orderdate) = 1996
+    GROUP BY 1 ORDER BY zip2
+    """,
+    tags=("batch", "tpcds", "join", "derived-key"),
+)
+def ds_q8_substring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 shape: equi-join on a DERIVED SUBSTRING key (zip prefix)
+    against a deduped derived dimension — the join key exists in neither
+    table's columns. The distinct prefix set is tiny → broadcast; the
+    substring is computed scan-side so the join stays a hash join on the
+    derived key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    zip2 = lambda col: F.substring(col, -2, 2)  # noqa: E731
+    zips = (
+        s.filter(F.col("s_acctbal") > 0)
+        .select(zip2(F.col("s_name")).alias("zip2"))
+        .distinct()
+    )
+    return (
+        o.filter(F.year("o_orderdate") == 1996)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("zip2", zip2(F.col("c_name")))
+        .join(F.broadcast(zips), "zip2", "left_semi")
+        .groupBy("zip2")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("zip2")
+    )
+
+
+@query(
+    "ds_q38_intersect_three",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_customers FROM (
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'N'
+      INTERSECT
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'A'
+      INTERSECT
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'R')
+    """,
+    tags=("batch", "tpcds", "setop", "intersect"),
+)
+def ds_q38_intersect_three(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape: INTERSECT of three channels' distinct customer
+    sets (customers active in ALL channels in the year). Spark INTERSECT
+    compiles to a distinct + join chain; each branch prunes to the key
+    column before the set op."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    base = o.join(li, li.l_orderkey == o.o_orderkey)
+
+    def chan(flag):
+        return base.filter(F.col("l_returnflag") == flag).select("o_custkey")
+
+    hot = chan("N").intersect(chan("A")).intersect(chan("R"))
+    return hot.agg(F.count(F.lit(1)).alias("n_hot_customers"))
+
+
+@query(
+    "ds_q87_except_chain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_store_only FROM (
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'N'
+      EXCEPT
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'A'
+      EXCEPT
+      SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(o.o_orderdate) = 1996 AND l.l_returnflag = 'R')
+    """,
+    tags=("batch", "tpcds", "setop", "except"),
+)
+def ds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: EXCEPT chain — customers in the first channel and
+    NEITHER of the other two (set difference, distinct semantics). Spark
+    ``exceptAll``-vs-``subtract``: q87 needs DISTINCT semantics →
+    ``subtract`` (compiles to left-anti after dedup)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    base = o.join(li, li.l_orderkey == o.o_orderkey)
+
+    def chan(flag):
+        return base.filter(F.col("l_returnflag") == flag).select("o_custkey")
+
+    only = chan("N").subtract(chan("A")).subtract(chan("R"))
+    return only.agg(F.count(F.lit(1)).alias("n_store_only"))

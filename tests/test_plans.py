@@ -260,3 +260,23 @@ def test_stratified_exact_two_phase_window(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert plan.count("Window") >= 2
     assert "__bkt" in plan  # the salted phase-1 partition key
+
+
+def test_ds_q4_one_pass_no_self_join(spark, sf_dir):
+    """q4/q11 shape collapses the 4-alias year_total self-join to ONE
+    conditional-aggregation pass: a single hash exchange for the customer
+    agg (plus the order join), and NO join between aggregated subtrees."""
+    plan = _plan(spark, sf_dir, "ds_q4_one_pass_growth")
+    # join count: exactly the lineitem<->orders fact join (SMJ or SHJ),
+    # never a join above a HashAggregate
+    agg_zone = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in agg_zone.split("Exchange")[0]  # no join above the final agg
+
+
+def test_ds_q64_broadcasts_all_dims(spark, sf_dir):
+    """q64 wide chain: customer/nation/region/part/supplier all broadcast —
+    the fact shuffles only for the orders join and the final group-by."""
+    plan = _plan(spark, sf_dir, "ds_q64_wide_join_chain")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
