@@ -1487,3 +1487,76 @@ def stream_cep_trailing_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
     return out.orderBy("user_id", "first_event_id", "last_event_id")
+
+
+@query(
+    "cep_group_pattern",
+    oracle=f"""
+    {_EV_US_CTE},
+    m1 AS (
+      SELECT c.user_id AS user_id, c.event_id AS first_event_id,
+             c.ts_us AS first_ts_us, p.event_id AS last_event_id,
+             p.ts_us AS last_ts_us
+      FROM ev c
+      JOIN LATERAL (
+        SELECT v2.event_id, v2.ts_us FROM ev v2
+        WHERE v2.user_id = c.user_id AND v2.event_type = 'view'
+          AND (v2.ts_us, v2.event_id) > (c.ts_us, c.event_id)
+        ORDER BY v2.ts_us, v2.event_id LIMIT 1) v ON true
+      JOIN LATERAL (
+        SELECT p2.event_id, p2.ts_us FROM ev p2
+        WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
+          AND (p2.ts_us, p2.event_id) > (v.ts_us, v.event_id)
+        ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+      WHERE c.event_type = 'click'),
+    m2 AS (
+      SELECT c.user_id AS user_id, c.event_id AS first_event_id,
+             c.ts_us AS first_ts_us, p.event_id AS last_event_id,
+             p.ts_us AS last_ts_us
+      FROM ev c
+      JOIN LATERAL (
+        SELECT v2.event_id, v2.ts_us FROM ev v2
+        WHERE v2.user_id = c.user_id AND v2.event_type = 'view'
+          AND (v2.ts_us, v2.event_id) > (c.ts_us, c.event_id)
+        ORDER BY v2.ts_us, v2.event_id LIMIT 1) v1 ON true
+      JOIN LATERAL (
+        SELECT k2.event_id, k2.ts_us FROM ev k2
+        WHERE k2.user_id = c.user_id AND k2.event_type = 'click'
+          AND (k2.ts_us, k2.event_id) > (v1.ts_us, v1.event_id)
+        ORDER BY k2.ts_us, k2.event_id LIMIT 1) c2 ON true
+      JOIN LATERAL (
+        SELECT v3.event_id, v3.ts_us FROM ev v3
+        WHERE v3.user_id = c.user_id AND v3.event_type = 'view'
+          AND (v3.ts_us, v3.event_id) > (c2.ts_us, c2.event_id)
+        ORDER BY v3.ts_us, v3.event_id LIMIT 1) v2 ON true
+      JOIN LATERAL (
+        SELECT p2.event_id, p2.ts_us FROM ev p2
+        WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase'
+          AND (p2.ts_us, p2.event_id) > (v2.ts_us, v2.event_id)
+        ORDER BY p2.ts_us, p2.event_id LIMIT 1) p ON true
+      WHERE c.event_type = 'click')
+    SELECT user_id, first_event_id, last_event_id, first_ts_us, last_ts_us
+    FROM (SELECT * FROM m1 UNION SELECT * FROM m2)
+    ORDER BY user_id, first_event_id, last_event_id
+    """,
+    tags=("batch", "cep", "group-pattern"),
+)
+def cep_group_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested GROUP pattern (GroupPattern.java — Pattern.begin(Pattern)):
+    `(click view){1,2} purchase` under noSkip. Compiled by flattening each
+    repetition count into its own sequence family (Pattern.group_seq);
+    relaxed contiguity makes each family's match per start deterministic
+    (chained first-after laterals), so the oracle is the UNION of the
+    1-rep and 2-rep chains."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.streaming.cep import cep_match_batch
+
+    ev = _load(spark, sf_dir, "events")
+    cv = Pattern.begin("c", lambda r: r["event_type"] == "click").followed_by(
+        "v", lambda r: r["event_type"] == "view"
+    )
+    buy = Pattern.begin("p", lambda r: r["event_type"] == "purchase")
+    pat = Pattern.group_seq([(cv, 1, 2), (buy, 1, 1)]).no_skip()
+    return cep_match_batch(ev, pat).orderBy(
+        "user_id", "first_event_id", "last_event_id"
+    )

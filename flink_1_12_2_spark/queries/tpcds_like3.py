@@ -1,10 +1,14 @@
-"""TPC-DS-style composite queries, tranche 4 (adapted to the driver's star
-schema — see tpcds_like.py for the gate context:
+"""TPC-DS-style composite queries, tranches 4-5 (adapted to the driver's
+star schema — see tpcds_like.py for the gate context:
 flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/,
 TpcdsTestProgram.java:48).
 
-Tranche-4 archetypes (each reproduces a remaining distinct plan shape of
-the reference's 103-query gate):
+Archetypes here (each reproduces a remaining distinct plan shape of
+the reference's 103-query gate); tranche 5 adds q32/q92 (per-item
+scalar-threshold decorrelation), q37/q82 (dimension band + HAVING range),
+q48 (OR band battery), q96 (pinpoint slot count), q6 (global scalar
+threshold + HAVING count), q68/q79 (order-grain trip report), q85/q91
+(double OR-battery over joined dims):
 
 - q4/q11  — multi-year multi-channel CTE self-join on customer growth,
             rewritten as ONE conditional-aggregation pass (the q31-style
@@ -562,3 +566,284 @@ def ds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     only = chan("N").subtract(chan("A")).subtract(chan("R"))
     return only.agg(F.count(F.lit(1)).alias("n_store_only"))
+
+
+@query(
+    "ds_q32_excess_threshold",
+    oracle="""
+    WITH t AS (
+      SELECT l_partkey, 1.3 * AVG(l_extendedprice) AS thresh
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(ROUND(SUM(l.l_extendedprice), 2) AS DOUBLE) AS excess_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN t ON l.l_partkey = t.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO' AND l.l_extendedprice > t.thresh
+    """,
+    tags=("batch", "tpcds", "subquery", "correlated"),
+)
+def ds_q32_excess_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32/q92 shape: "excess discount" — lines whose price exceeds
+    1.3× the per-item average, summed. The correlated scalar subquery
+    decorrelates to a per-item aggregate joined back to the fact at LINE
+    grain (two passes over lineitem, one co-partitioned join on partkey —
+    Flink's planner produces the same decorrelation)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    t = li.groupBy("l_partkey").agg(
+        (1.3 * F.avg("l_extendedprice")).alias("thresh")
+    )
+    return (
+        li.join(t, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("l_extendedprice") > F.col("thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("excess_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "ds_q82_having_range_report",
+    oracle="""
+    SELECT p.p_name AS p_name, p.p_brand AS brand,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_retailprice BETWEEN 930 AND 970
+      AND p.p_size IN (5, 10, 15, 20, 25)
+      AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY 1, 2
+    HAVING SUM(l.l_quantity) BETWEEN 100 AND 500
+    ORDER BY p_name, brand
+    """,
+    tags=("batch", "tpcds", "having", "dimension-band"),
+)
+def ds_q82_having_range_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape: an item report gated by a dimension band
+    (price range + size list) AND a HAVING range on the aggregated fact
+    quantity — quantity sums are integral so the HAVING band is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(930, 970)
+        & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    return (
+        li.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_name"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty").between(100, 500))
+        .orderBy("p_name", "brand")
+    )
+
+
+@query(
+    "ds_q48_or_band_battery",
+    oracle="""
+    SELECT CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE (c.c_mktsegment = 'BUILDING'
+             AND l.l_quantity BETWEEN 1 AND 15
+             AND l.l_extendedprice BETWEEN 0 AND 20000)
+       OR (c.c_mktsegment = 'MACHINERY'
+             AND l.l_quantity BETWEEN 16 AND 35
+             AND l.l_extendedprice BETWEEN 10000 AND 60000)
+       OR (c.c_mktsegment = 'HOUSEHOLD'
+             AND l.l_quantity BETWEEN 36 AND 50
+             AND l.l_extendedprice BETWEEN 20000 AND 100000)
+    """,
+    tags=("batch", "tpcds", "filter-battery"),
+)
+def ds_q48_or_band_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48 shape: a WHERE battery — the OR of three (segment,
+    quantity-band, price-band) conjunctions — folded into one aggregation
+    pass; the disjunction evaluates post-join as a single predicate (no
+    per-arm scans, no union)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    arm = lambda seg, q1, q2, p1, p2: (  # noqa: E731
+        (F.col("c_mktsegment") == seg)
+        & F.col("l_quantity").between(q1, q2)
+        & F.col("l_extendedprice").between(p1, p2)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            arm("BUILDING", 1, 15, 0, 20000)
+            | arm("MACHINERY", 16, 35, 10000, 60000)
+            | arm("HOUSEHOLD", 36, 50, 20000, 100000)
+        )
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "ds_q96_slot_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE YEAR(l.l_shipdate) = 1997 AND MONTH(l.l_shipdate) = 6
+      AND l.l_returnflag = 'R' AND l.l_quantity BETWEEN 20 AND 30
+      AND o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("batch", "tpcds", "count"),
+)
+def ds_q96_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape: a pinpoint slot count — every predicate is a
+    scan-level filter (month, flag, quantity band) plus one join; the
+    whole query reduces to a single COUNT."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & (F.month("l_shipdate") == 6)
+            & (F.col("l_returnflag") == "R")
+            & F.col("l_quantity").between(20, 30)
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "ds_q6_global_avg_threshold",
+    oracle="""
+    WITH g AS (SELECT AVG(o_totalprice) AS avg_price FROM orders
+               WHERE YEAR(o_orderdate) = 1996)
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_big_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN g
+    WHERE YEAR(o.o_orderdate) = 1996
+      AND o.o_totalprice > 1.2 * g.avg_price
+    GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY nation
+    """,
+    tags=("batch", "tpcds", "scalar-subquery"),
+)
+def ds_q6_global_avg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape: rows above a GLOBAL scalar threshold (1.2× the
+    period's average price) counted per geography, HAVING a minimum count.
+    The scalar aggregate reduces to ONE row and cross-joins back as a
+    broadcast nested loop — no re-scan per row."""
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    g = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(g))
+        .filter(F.col("o_totalprice") > 1.2 * F.col("avg_price"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+        .filter(F.col("n_big_orders") >= 10)
+        .orderBy("nation")
+    )
+
+
+@query(
+    "ds_q68_trip_report",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS c_name,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS trip_qty,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS trip_rev
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND YEAR(o.o_orderdate) = 1996
+    GROUP BY 1, 2
+    HAVING SUM(l.l_quantity) BETWEEN 150 AND 200
+    ORDER BY orderkey
+    """,
+    tags=("batch", "tpcds", "having", "order-grain"),
+)
+def ds_q68_trip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68/q79 shape: ORDER-grain aggregates (one row per trip)
+    HAVING a quantity band, with customer attributes carried through the
+    group-by. Quantity sums are integral → exact band membership."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("c_name"))
+        .agg(
+            F.sum("l_quantity").alias("trip_qty"),
+            F.round(F.sum(_rev()), 2).alias("trip_rev"),
+        )
+        .filter(F.col("trip_qty").between(150, 200))
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "ds_q85_band_battery_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(AVG(l.l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_returns
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND ((c.c_mktsegment = 'BUILDING'  AND c.c_acctbal BETWEEN 0 AND 5000)
+        OR (c.c_mktsegment = 'MACHINERY' AND c.c_acctbal BETWEEN 2500 AND 7500)
+        OR (c.c_mktsegment = 'HOUSEHOLD' AND c.c_acctbal BETWEEN 5000 AND 10000))
+      AND ((l.l_quantity BETWEEN 1 AND 20 AND l.l_discount <= 0.05)
+        OR (l.l_quantity BETWEEN 21 AND 50 AND l.l_discount > 0.05))
+    GROUP BY 1 ORDER BY nation
+    """,
+    tags=("batch", "tpcds", "filter-battery", "returns"),
+)
+def ds_q85_band_battery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q85/q91 shape: returned lines analyzed under TWO independent
+    OR-batteries — one over customer attributes (segment × balance band),
+    one over line attributes (quantity × discount band) — aggregated per
+    nation. Both batteries are single predicates over the joined row; no
+    per-arm unions."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cust_band = (
+        ((F.col("c_mktsegment") == "BUILDING") & F.col("c_acctbal").between(0, 5000))
+        | ((F.col("c_mktsegment") == "MACHINERY") & F.col("c_acctbal").between(2500, 7500))
+        | ((F.col("c_mktsegment") == "HOUSEHOLD") & F.col("c_acctbal").between(5000, 10000))
+    )
+    line_band = (
+        (F.col("l_quantity").between(1, 20) & (F.col("l_discount") <= 0.05))
+        | (F.col("l_quantity").between(21, 50) & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .filter(cust_band & line_band)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_returns"),
+        )
+        .orderBy("nation")
+    )

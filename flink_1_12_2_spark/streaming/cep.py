@@ -222,6 +222,61 @@ class Pattern:
         return Pattern(steps=[Step(name, pred)])
 
     @staticmethod
+    def group_seq(
+        groups: list[tuple["Pattern", int, int]],
+    ) -> "Pattern":
+        """Nested GROUP patterns (GroupPattern.java — ``Pattern.begin(
+        Pattern.begin("a").followedBy("b")).times(n)``): each element is
+        ``(sub_pattern, min_rep, max_rep)`` — the sub-pattern's step
+        sequence repeated between min and max times (``min_rep=0`` → the
+        whole group may be absent).
+
+        Compiled by FLATTENING into the sequence-set machinery: every
+        repetition count in ``[min_rep, max_rep]`` yields one alternative
+        step list per group, and the pattern's sequences are the cartesian
+        product across groups (each sequence is its own branch family —
+        the same expansion Flink applies conceptually in
+        GroupPattern/NFACompiler quantifier unrolling). Unbounded group
+        repetition (``oneOrMore`` of a GROUP) is rejected — only the
+        innermost step may be unbounded. Variable names repeat across
+        repetitions, accumulating rows per variable exactly like a loop.
+        The product is capped at 64 sequences."""
+        alt_lists: list[list[list[Step]]] = []
+        for sub, min_rep, max_rep in groups:
+            if sub.seqs is not None:
+                raise ValueError("nested sequence-set patterns cannot group")
+            if max_rep is None or max_rep < min_rep or min_rep < 0:
+                raise ValueError(
+                    "group repetition must be a finite 0 <= min <= max "
+                    "range (unbounded group loops are unsupported)"
+                )
+            alts = []
+            for k in range(min_rep, max_rep + 1):
+                alts.append(
+                    [
+                        Step(**{f.name: getattr(s, f.name) for f in s.__dataclass_fields__.values()})
+                        for _ in range(k)
+                        for s in sub.steps
+                    ]
+                )
+            alt_lists.append(alts)
+        import itertools as _it
+
+        seqs = []
+        for combo in _it.product(*alt_lists):
+            seq = [s for part in combo for s in part]
+            if seq:
+                seqs.append(seq)
+        if not seqs:
+            raise ValueError("group composition produced an empty pattern")
+        if len(seqs) > 64:
+            raise ValueError(
+                f"group expansion yields {len(seqs)} sequences (cap 64) — "
+                "reduce repetition ranges"
+            )
+        return Pattern(seqs=seqs)
+
+    @staticmethod
     def permute(
         vars_: list[tuple[str, Predicate]], last: tuple[str, Predicate] | None = None
     ) -> "Pattern":

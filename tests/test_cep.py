@@ -980,3 +980,28 @@ def test_times_or_more():
                (5, 50, "A"), (6, 60, "B")]), pc, None
     )
     assert mc == [(3, 6, 30, 60)]
+
+
+def test_group_pattern_flattening():
+    """GroupPattern (Pattern.begin(Pattern).times — GroupPattern.java):
+    (A B){1,2} and optional groups compile to sequence families; variable
+    rows accumulate across repetitions."""
+    import pytest as _pytest
+
+    ab = Pattern.begin("a", _is("A")).followed_by("b", _is("B"))
+    rows = _rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "A"), (4, 40, "B")])
+    p = Pattern.group_seq([(ab, 2, 2)]).no_skip().validate()
+    m, _ = _match_events(rows, p, None)
+    assert m == [(1, 4, 10, 40)]
+    p2 = Pattern.group_seq([(ab, 1, 2)]).no_skip().validate()
+    m2, _ = _match_events(rows, p2, None)
+    assert {(1, 2, 10, 20), (1, 4, 10, 40), (3, 4, 30, 40)} <= set(m2)
+    c = Pattern.begin("c", _is("C"))
+    p3 = Pattern.group_seq([(ab, 0, 1), (c, 1, 1)]).no_skip().validate()
+    m3, _ = _match_events(_rows([(1, 10, "A"), (2, 20, "B"), (3, 30, "C")]), p3, None)
+    assert {(1, 3, 10, 30), (3, 3, 30, 30)} <= set(m3)
+    with _pytest.raises(ValueError):
+        Pattern.group_seq([(ab, 1, None)])
+    pv = Pattern.group_seq([(ab, 2, 2)]).with_var_ids().no_skip().validate()
+    mv, _ = _match_events(rows, pv, None)
+    assert mv[0][4] == '{"a": [1, 3], "b": [2, 4]}'
