@@ -1560,3 +1560,43 @@ def cep_group_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep_match_batch(ev, pat).orderBy(
         "user_id", "first_event_id", "last_event_id"
     )
+
+
+@query(
+    "cep_timeout_side_output",
+    oracle=f"""
+    {_EV_US_CTE}
+    SELECT c.user_id AS user_id, c.event_id AS first_event_id,
+           c.event_id AS last_event_id,
+           c.ts_us AS first_ts_us, c.ts_us AS last_ts_us
+    FROM ev c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM ev p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts_us, p.event_id) > (c.ts_us, c.event_id)
+          AND p.ts_us < c.ts_us + {_6H_US})
+    ORDER BY user_id, first_event_id
+    """,
+    tags=("batch", "cep", "timeout", "side-output"),
+)
+def cep_timeout_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timeout side output (TimedOutPartialMatchHandler /
+    PatternTimeoutFunction): for click →(6h)→ purchase under noSkip, the
+    timed-out partials are EXACTLY the clicks with no purchase inside
+    their window — each click's branch either completes at its first
+    in-window purchase (a match, not a timeout) or expires / flushes at
+    end-of-input (Flink's MAX_WATERMARK). Since no second row was
+    consumed, first = last in each timeout record; the NOT EXISTS oracle
+    pins both the membership and the strict `within` boundary."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.streaming.cep import cep_timed_out_partials
+
+    ev = _load(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .within(_6H_US)
+        .no_skip()
+    )
+    return cep_timed_out_partials(ev, pat).orderBy("user_id", "first_event_id")

@@ -733,15 +733,35 @@ def _consume_phase(
     return [nb], [], True
 
 
+def _timeout_rec(b: dict) -> tuple:
+    """A timed-out partial match record: (first row, LAST CONSUMED row)."""
+    last = max(
+        ((v[1], v[0]) for v in b["vl"].values()),
+        default=(b["first_ts"], b["first_eid"]),
+    )
+    return (b["first_eid"], last[1], b["first_ts"], last[0])
+
+
 def _match_events(
-    rows: list[dict], pattern: Pattern, state: dict | None
+    rows: list[dict],
+    pattern: Pattern,
+    state: dict | None,
+    timeouts: list | None = None,
 ) -> tuple[list[tuple], dict]:
     """Run the branch-exploring NFA over ordered rows.
 
     Returns (matches, new_state). State: ``branches`` — the live branch set
     (Flink ComputationStates). Every row starts a candidate new branch AND
     evolves every live branch; completions are resolved per the pattern's
-    AfterMatchSkipStrategy (module doc)."""
+    AfterMatchSkipStrategy (module doc).
+
+    ``timeouts`` (optional out-list): collects TIMED-OUT partial matches —
+    branches pruned by ``within`` expiry, Flink's
+    TimedOutPartialMatchHandler / PatternTimeoutFunction side output — as
+    (first_eid, last_consumed_eid, first_ts, last_consumed_ts), deduped.
+    On a BOUNDED run the caller treats end-of-input as the final watermark
+    (Flink MAX_WATERMARK): every branch still pending at the end times out.
+    Branches discarded by an AfterMatchSkip strategy are NOT timeouts."""
     seqs = pattern.seqs if pattern.seqs is not None else [pattern.steps]
     collect = (
         pattern.collect_ids or pattern.collect_events,
@@ -762,6 +782,12 @@ def _match_events(
         # `timestamp - startTimestamp >= windowTime`, so a match whose span
         # exactly equals the window is NOT emitted.
         if pattern.within_us is not None:
+            if timeouts is not None:
+                timeouts.extend(
+                    _timeout_rec(b)
+                    for b in branches
+                    if row["ts_us"] - b["first_ts"] >= pattern.within_us
+                )
             branches = [
                 b
                 for b in branches
@@ -883,6 +909,15 @@ def _match_events(
                     for b in branches
                     if (b["first_ts"], b["first_eid"]) >= threshold
                 ]
+    if timeouts is not None and pattern.within_us is not None:
+        # bounded run: end-of-input = final watermark → pending branches
+        # time out (Flink flushes the same way at MAX_WATERMARK); dedupe
+        # identical (first, last-consumed) partials across forked branches
+        timeouts.extend(_timeout_rec(b) for b in branches)
+        seen_t: set = set()
+        deduped_t = [t for t in timeouts if not (t in seen_t or seen_t.add(t))]
+        timeouts.clear()
+        timeouts.extend(deduped_t)
     return matches, {"branches": branches}
 
 
@@ -934,6 +969,50 @@ def cep_match_batch(
         return pd.DataFrame(out)
 
     return events.groupBy(key_col).applyInPandas(fn, schema)
+
+
+def cep_timed_out_partials(
+    events: DataFrame,
+    pattern: Pattern,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """The TIMEOUT SIDE OUTPUT of a bounded CEP run — Flink's
+    TimedOutPartialMatchHandler / ``CEP.pattern(...).select(timeoutTag,
+    PatternTimeoutFunction, ...)`` (flink-cep PatternTimeoutFunction.java):
+    partial matches pruned by ``within`` expiry, plus everything still
+    pending at end-of-input (= Flink's MAX_WATERMARK flush). One row per
+    timed-out partial: (key, first row, last CONSUMED row, their event
+    times). Requires a ``within`` window."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    pattern.validate()
+    if pattern.within_us is None:
+        raise ValueError("timeout side output requires Pattern.within(...)")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            d = r._asdict()
+            if "ts_us" not in d or d["ts_us"] is None:
+                d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
+            d["ts_us"] = int(d["ts_us"])
+            rows.append(d)
+        rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
+        touts: list[tuple] = []
+        _match_events(rows, pattern, None, timeouts=touts)
+        key_val = rows[0][key_col] if rows else None
+        return pd.DataFrame(
+            {
+                "user_id": [key_val] * len(touts),
+                "first_event_id": [t[0] for t in touts],
+                "last_event_id": [t[1] for t in touts],
+                "first_ts_us": [t[2] for t in touts],
+                "last_ts_us": [t[3] for t in touts],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(fn, CEP_OUTPUT)
 
 
 def _json_safe(d: dict) -> dict:

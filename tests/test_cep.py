@@ -1005,3 +1005,25 @@ def test_group_pattern_flattening():
     pv = Pattern.group_seq([(ab, 2, 2)]).with_var_ids().no_skip().validate()
     mv, _ = _match_events(rows, pv, None)
     assert mv[0][4] == '{"a": [1, 3], "b": [2, 4]}'
+
+
+def test_timeout_side_output_partials():
+    """TimedOutPartialMatchHandler parity: within-expired partials and
+    end-of-input pending partials both surface; completed matches don't."""
+    p = (
+        Pattern.begin("a", _is("A"))
+        .followed_by("b", _is("B"))
+        .within(100)
+        .no_skip()
+        .validate()
+    )
+    rows = _rows([
+        (1, 0, "A"),     # expires at ts 120 (no B inside [0,100))
+        (2, 50, "A"),    # completes with B at 120
+        (3, 120, "B"),   # outside A1's strict window, inside A2's
+        (4, 160, "A"),   # pending at end-of-input -> flush timeout
+    ])
+    touts = []
+    m, _ = _match_events(rows, p, None, timeouts=touts)
+    assert m == [(2, 3, 50, 120)]
+    assert touts == [(1, 1, 0, 0), (4, 4, 160, 160)]
