@@ -169,3 +169,38 @@ def test_salt_decorrelates_draws(spark):
         ).collect()
     }
     assert a != b  # different salts → different (deterministic) samples
+
+
+def test_two_phase_quota_equals_single_window_reference(spark):
+    """The salted two-phase top-k (r5 scale fix) must be byte-identical to
+    the naive single Window.partitionBy(stratum) reference — global top-k
+    is a subset of the union of per-bucket top-k for any bucketing."""
+    from pyspark.sql import Window
+
+    from flink_1_12_2_spark.llm.hashing import md5int60
+    from flink_1_12_2_spark.llm.sampling import stratified_sample_exact
+
+    rows = [(i, f"s{i % 3}") for i in range(500)]
+    d = spark.createDataFrame(rows, ["doc_id", "src"])
+    quotas = {"s0": 11, "s1": 1, "s2": 40}
+    two_phase = stratified_sample_exact(d, "doc_id", "src", quotas)
+
+    # naive reference: one window per stratum (the r4 implementation)
+    quota = F.lit(0)
+    for s, k in quotas.items():
+        quota = F.when(F.col("src") == s, F.lit(k)).otherwise(quota)
+    w = Window.partitionBy("src").orderBy(
+        md5int60(F.concat(F.col("doc_id").cast("string"), F.lit(""))),
+        F.col("doc_id"),
+    )
+    ref = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # tiny bucket count stresses the phase-2 exactness (buckets << quota)
+    tp2 = stratified_sample_exact(d, "doc_id", "src", quotas, num_buckets=2)
+    assert sorted(map(tuple, tp2.collect())) == sorted(map(tuple, ref.collect()))

@@ -280,3 +280,28 @@ def test_ds_q64_broadcasts_all_dims(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds_q64_wide_join_chain")
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_ds_q9_q28_single_pass(spark, sf_dir):
+    """q9/q28 shapes: the per-band scalar batteries fold into ONE
+    aggregation over ONE lineitem scan — no cross joins of single-row
+    subqueries (the reference plan's shape), no repeated scans."""
+    import re as _re
+
+    for name in ("ds_q9_case_over_bands", "ds_q28_distinct_band_battery"):
+        plan = _plan(spark, sf_dir, name)
+        scans = len(_re.findall(r"Scan parquet\s*\(\d+\)", plan))
+        assert scans == 1, f"{name}: expected 1 scan, got {scans}"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ds_q44_rank_over_aggregated_series_only(spark, sf_dir):
+    """q44: the asc/desc rank windows run over the per-part AGGREGATE
+    (thousands of rows), never the fact — the single-partition window
+    exchanges must sit above a HashAggregate."""
+    plan = _plan(spark, sf_dir, "ds_q44_best_worst_rank")
+    assert "Window" in plan and "HashAggregate" in plan
+    # tree prints parents first: Window sits ABOVE the aggregate, i.e. the
+    # aggregate's output (not the fact) feeds the rank windows
+    assert plan.index("Window") < plan.index("HashAggregate")
