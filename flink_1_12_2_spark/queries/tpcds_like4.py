@@ -493,3 +493,218 @@ def ds_q15_having_vs_series_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "rev")
         .orderBy("custkey")
     )
+
+
+@query(
+    "ds_q19_compound_dim_predicate",
+    oracle="""
+    SELECT p.p_brand AS brand, n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
+                / 10000.0 AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE ((p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 1 AND 15)
+        OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 11 AND 30
+              AND l.l_quantity BETWEEN 16 AND 35)
+        OR (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 31 AND 50
+              AND l.l_quantity BETWEEN 36 AND 50))
+      AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2 ORDER BY brand, nation
+    """,
+    tags=("batch", "tpcds", "compound-predicate"),
+)
+def ds_q19_compound_dim_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape: a COMPOUND predicate COUPLING dimension and fact
+    attributes (each arm constrains part type+size AND line quantity
+    together) — the filter cannot fully push to either scan, so it
+    evaluates post-join while the per-table conjuncts (segment list) still
+    prune scan-side. Revenue in integer basis-point units."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    n = load(spark, sf_dir, "nation")
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+    arm = lambda t, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_type") == t)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .filter(
+            arm("PROMO", 1, 10, 1, 15)
+            | arm("STANDARD", 11, 30, 16, 35)
+            | arm("ECONOMY", 31, 50, 36, 50)
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg((F.sum(units) / 10000.0).alias("revenue"))
+        .orderBy("brand", "nation")
+    )
+
+
+@query(
+    "ds_q46_cross_dim_inequality",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS c_name,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS qty,
+           CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_foreign_nations
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+      AND YEAR(o.o_orderdate) = 1996
+    GROUP BY 1, 2
+    HAVING SUM(l.l_quantity) BETWEEN 180 AND 220
+    ORDER BY orderkey
+    """,
+    tags=("batch", "tpcds", "inequality-predicate", "order-grain"),
+)
+def ds_q46_cross_dim_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46/q68 "different city" shape: order-grain trips where the
+    SUPPLIER geography differs from the CUSTOMER's (the bought-outside-
+    home-city predicate) — an INEQUALITY between two dimension attributes
+    that only exists post-join, plus a COUNT DISTINCT of the foreign
+    geographies and a HAVING band on integral quantity."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("c_name"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.count_distinct(F.col("s_nationkey")).alias("n_foreign_nations"),
+        )
+        .filter(F.col("qty").between(180, 220))
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "ds_q69_semi_anti_cross_fact",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND YEAR(o.o_orderdate) = 1996)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+        WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+          AND l.l_quantity >= 48 AND YEAR(o2.o_orderdate) = 1996)
+    GROUP BY 1 ORDER BY segment
+    """,
+    tags=("batch", "tpcds", "semi-anti", "cross-fact"),
+)
+def ds_q69_semi_anti_cross_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69/q35 shape: EXISTS against one fact AND NOT EXISTS
+    against a DIFFERENT fact path (active buyers who never returned
+    big items in the period) — a LEFT SEMI then LEFT ANTI chain on the
+    customer dimension; the anti side pre-reduces to distinct qualifying
+    customers before the join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    active = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    returners = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .join(
+            o.filter(F.year("o_orderdate") == 1996),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.join(active, "c_custkey", "left_semi")
+        .join(returners, "c_custkey", "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "ds_q76_null_channel_union",
+    oracle="""
+    SELECT channel, yr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(partkey) AS BIGINT) AS n_with_part,
+           CAST(SUM(qty) AS DOUBLE) AS total_qty
+    FROM (
+      SELECT 'store' AS channel, YEAR(o.o_orderdate) AS yr,
+             l.l_partkey AS partkey, l.l_quantity AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'N'
+      UNION ALL
+      SELECT 'web' AS channel, YEAR(o.o_orderdate) AS yr,
+             CAST(NULL AS BIGINT) AS partkey, l.l_quantity AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'A'
+      UNION ALL
+      SELECT 'catalog' AS channel, YEAR(o.o_orderdate) AS yr,
+             l.l_partkey AS partkey, l.l_quantity AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R')
+    GROUP BY 1, 2 ORDER BY channel, yr
+    """,
+    tags=("batch", "tpcds", "union", "null-accounting"),
+)
+def ds_q76_null_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape: a UNION ALL of channels where one channel
+    contributes a NULL for a dimension key it lacks, and the aggregate
+    counts rows WITH vs WITHOUT the key (COUNT(col) vs COUNT(*) null
+    accounting) per (channel, year)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    def chan(flag, label, null_part):
+        part = (
+            F.lit(None).cast("bigint") if null_part else F.col("l_partkey")
+        )
+        return base.filter(F.col("l_returnflag") == flag).select(
+            F.lit(label).alias("channel"),
+            F.year("o_orderdate").alias("yr"),
+            part.alias("partkey"),
+            F.col("l_quantity").alias("qty"),
+        )
+
+    u = (
+        chan("N", "store", False)
+        .unionByName(chan("A", "web", True))
+        .unionByName(chan("R", "catalog", False))
+    )
+    return (
+        u.groupBy("channel", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("partkey").alias("n_with_part"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .orderBy("channel", "yr")
+    )
