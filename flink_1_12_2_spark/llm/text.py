@@ -153,3 +153,44 @@ def scrub_pii(text: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def chunk_tokens_expr(
+    text: Column, chunk_size: int, overlap: int
+) -> Column:
+    """Token-window chunking plan fragment: an ARRAY of (start, chunk)
+    structs — ``posexplode`` it for one row per chunk.
+
+    Standard training-data chunking: whitespace tokens, windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap`` (trailing
+    chunk may be shorter). Pure Catalyst (sequence → transform → slice →
+    array_join): JVM-side for the full corpus scan, no Python."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(
+                F.slice(toks, s + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_size)).alias("n_tokens"),
+        ),
+    )
+
+
+def ngrams_expr(text: Column, n: int) -> Column:
+    """ARRAY of word n-grams (space-joined) — the contamination /
+    overlap-detection unit. Catalyst-only: sequence over valid start
+    positions, slice + join per position."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.filter(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+        lambda g: g != "",
+    )

@@ -396,3 +396,98 @@ def pipeline_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
     )
+
+
+_CHUNK, _OVL = 32, 8
+_STRIDE = _CHUNK - _OVL
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, GREATEST(len(toks) - 1, 0), {_STRIDE}))
+               AS start
+      FROM d)
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEAST(len(toks) - start, {_CHUNK}) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+             AS chunk_text
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training/RAG pipelines: token windows of
+    {chunk} with {ovl}-token overlap (trailing chunk shorter). The whole
+    pass is Catalyst array expressions (tokens → sequence of starts →
+    slice → join) + posexplode — JVM-side, no Python, no shuffle until a
+    downstream consumer groups; at 100 TB this is a pure map stage whose
+    output partitioning follows the scan."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    chunks = T.chunk_tokens_expr(F.col("text"), _CHUNK, _OVL)
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            (F.col("c.start") / _STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CONTAM_N = 4  # n-gram order for contamination checks
+_PROBE_MOD = 20  # every 20th doc plays the "benchmark" probe set
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, GREATEST(len(toks) - {_CONTAM_N - 1}, 0)),
+               i -> array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ')))
+               AS ng
+      FROM d),
+    probe AS (SELECT DISTINCT ng FROM g WHERE doc_id % {_PROBE_MOD} = 0)
+    SELECT g.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT g.ng) AS BIGINT) AS n_hits
+    FROM g JOIN probe USING (ng)
+    WHERE g.doc_id % {_PROBE_MOD} <> 0
+    GROUP BY 1 ORDER BY doc_id
+    """,
+    tags=("llm", "text", "contamination"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    word {n}-gram with a probe ("benchmark") set, with the distinct-hit
+    count per contaminated document — the standard decontamination pass
+    before training.
+
+    Scale: the probe set is tiny relative to the corpus, so its distinct
+    n-gram set BROADCASTS; the corpus side explodes n-grams map-side and
+    inner-joins against the broadcast (no corpus shuffle — only the final
+    per-doc count aggregates). A probe too large to broadcast falls back
+    to a bucketed equijoin on the n-gram hash — same plan as the LSH band
+    join in llm/dedup."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(T.ngrams_expr(F.col("text"), _CONTAM_N)).alias("ng")
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % _PROBE_MOD == 0).select("ng").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % _PROBE_MOD != 0)
+        .join(F.broadcast(probe), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_hits"))
+        .orderBy("doc_id")
+    )

@@ -305,3 +305,12 @@ def test_ds_q44_rank_over_aggregated_series_only(spark, sf_dir):
     # tree prints parents first: Window sits ABOVE the aggregate, i.e. the
     # aggregate's output (not the fact) feeds the rank windows
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_contamination_probe_broadcasts_no_corpus_shuffle(spark, sf_dir):
+    """Contamination check: the probe n-gram set broadcasts; the corpus
+    side must NOT shuffle for the join (only the final per-doc count may
+    exchange)."""
+    plan = _plan(spark, sf_dir, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
