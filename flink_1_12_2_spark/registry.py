@@ -127,13 +127,14 @@ GATE_ORDER: tuple[str, ...] = (
     "stream_over_agg",
     "stream_event_time_sort",
     "stream_join_outer_changelog",
-    # CEP / MATCH_RECOGNIZE: measures, quantifiers, the multi-run
-    # overlapping-predicate proof query (NFA.java branch semantics), and
-    # PATTERN alternation
-    "match_recognize_measures",
+    # CEP / MATCH_RECOGNIZE: r5 MEASURES aggregates (+CLASSIFIER/
+    # MATCH_NUMBER), quantifiers, the multi-run overlapping-predicate
+    # proof query (NFA.java branch semantics), and the r5 eager trailing
+    # loop (alternation + FIRST/LAST measures stay locally verified)
+    "match_recognize_agg_measures",
     "stream_cep_quantified",
     "stream_cep_overlap_threshold",
-    "match_recognize_alternation",
+    "stream_cep_trailing_loop",
     # changelog pipeline: the kafka+debezium query subsumes
     # changelog_normalize_batch (same normalize, plus CDC decode and real
     # micro-batch consumption); normalize_batch stays locally verified.
@@ -142,6 +143,7 @@ GATE_ORDER: tuple[str, ...] = (
     "kafka_debezium_pipeline",
     "stream_changelog_upsert",
     "changelog_reagg",
+    "changelog_reagg_minmax",
     # lookup join + multi-sink statement set
     "lookup_join_external",
     "statement_set_multi_sink",
@@ -166,10 +168,10 @@ GATE_ORDER: tuple[str, ...] = (
     "sample_stratified_exact",
     "pipeline_corpus_clean",
     "multimodal_filter_before_decode",
-    # TPC-H / TPC-DS composites (q21 semi+anti composite stays local)
+    # TPC-H / TPC-DS composites (q21 semi+anti composite and the wider
+    # ds_* tranches stay locally verified; q4 is the r5 one-pass collapse)
     "q18_large_volume_customers",
-    "ds_q51_cumulative_compare",
-    "ds_q97_channel_overlap",
+    "ds_q4_one_pass_growth",
 )
 
 
