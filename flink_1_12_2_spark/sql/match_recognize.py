@@ -30,6 +30,14 @@ FIRST/LAST(Var.col), and running aggregates ``SUM/COUNT/AVG/MIN/MAX
 (Var.col)`` (the candidate row counts toward its own variable — Flink's
 RUNNING semantics).
 
+Parity boundary vs the reference (flink 1.12 MATCH_RECOGNIZE "known
+limitations", docs/dev/table/streaming/match_recognize):
+``ALL ROWS PER MATCH``, ``SUBSET``, and greedy trailing quantifiers are
+unsupported THERE too (we reject the same inputs); pattern ALTERNATION
+``(A | B)`` and ``PERMUTE`` are rejected by the reference but SUPPORTED
+here (the branch NFA's sequence sets) — a strict superset of the
+reference surface.
+
 Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
 contiguity between steps (followedBy). Parsing is a regex grammar over the
 restricted form — enough for Flink-dialect CEP SQL to run verbatim; richer

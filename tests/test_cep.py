@@ -1027,3 +1027,38 @@ def test_timeout_side_output_partials():
     m, _ = _match_events(rows, p, None, timeouts=touts)
     assert m == [(2, 3, 50, 120)]
     assert touts == [(1, 1, 0, 0), (4, 4, 160, 160)]
+
+
+def test_with_events_state_survives_serialization():
+    """ve/vids branch state (r5) must round-trip the JSON state channel —
+    a DEFINE aggregate over A's rows keeps working when the pattern spans
+    micro-batches."""
+    import json as _json
+
+    def b_gt_avg_a(row, ctx):
+        if row["event_type"] != "B":
+            return False
+        ev = ctx.events("A")
+        return bool(ev) and row["v"] > sum(e["v"] for e in ev) / len(ev)
+
+    p = (
+        Pattern.begin("A", lambda r: r["event_type"] == "A")
+        .one_or_more()
+        .followed_by("B", b_gt_avg_a)
+        .with_events()
+        .with_var_ids()
+        .no_skip()
+        .validate()
+    )
+    rows = [
+        {"event_id": i, "ts_us": i * 10, "event_type": et, "v": v}
+        for i, (et, v) in enumerate([("A", 10.0), ("A", 30.0), ("B", 25.0)])
+    ]
+    m1, st = _match_events(rows[:2], p, None)
+    st = _json.loads(_json.dumps(st))  # the streaming state channel
+    m2, _ = _match_events(rows[2:], p, st)
+    assert m1 == []
+    # avg(A=[10,30])=20 < 25 -> match over both A rows, vids intact
+    assert any(
+        t[:4] == (0, 2, 0, 20) and '"A": [0, 1]' in t[4] for t in m2
+    ), m2
