@@ -122,12 +122,14 @@ def ds_q4_one_pass_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_q64_wide_join_chain",
     oracle="""
     SELECT r.r_name AS region, p.p_brand AS brand,
-           CAST(ROUND(SUM(CASE WHEN YEAR(o.o_orderdate) = 1996
-                 THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
-                AS DOUBLE) AS rev96,
-           CAST(ROUND(SUM(CASE WHEN YEAR(o.o_orderdate) = 1997
-                 THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
-                AS DOUBLE) AS rev97
+           CAST(SUM(CASE WHEN YEAR(o.o_orderdate) = 1996
+                 THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT) END)
+                / 10000.0 AS DOUBLE) AS rev96,
+           CAST(SUM(CASE WHEN YEAR(o.o_orderdate) = 1997
+                 THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT) END)
+                / 10000.0 AS DOUBLE) AS rev97
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -149,7 +151,8 @@ def ds_q64_wide_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer and supplier share a nation), then a two-year compare per
     (region, brand). All dimensions broadcast (≤ nation-count × small
     rows); the only shuffle is the final group-by — the year compare is
-    conditional aggregation, not a fact self-join."""
+    conditional aggregation, not a fact self-join. Revenue in integer
+    basis-point units so both engines compare identical values."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -167,11 +170,15 @@ def ds_q64_wide_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter((F.col("s_nationkey") == F.col("c_nationkey")) & yr.isin(1996, 1997))
     )
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
     g = base.groupBy(
         F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
     ).agg(
-        F.round(F.sum(F.when(yr == 1996, _rev())), 2).alias("rev96"),
-        F.round(F.sum(F.when(yr == 1997, _rev())), 2).alias("rev97"),
+        (F.sum(F.when(yr == 1996, units)) / 10000.0).alias("rev96"),
+        (F.sum(F.when(yr == 1997, units)) / 10000.0).alias("rev97"),
     )
     return (
         g.filter(
@@ -286,27 +293,34 @@ def ds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT p.p_brand AS brand,
-             ROUND(SUM(CASE WHEN l.l_returnflag = 'N'
-                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_n,
-             ROUND(SUM(CASE WHEN l.l_returnflag = 'A'
-                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_a,
-             ROUND(SUM(CASE WHEN l.l_returnflag = 'R'
-                   THEN l.l_extendedprice * (1 - l.l_discount) END), 2) AS rev_r
+             SUM(CASE WHEN l.l_returnflag = 'N'
+                   THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT)
+                 END) AS u_n,
+             SUM(CASE WHEN l.l_returnflag = 'A'
+                   THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT)
+                 END) AS u_a,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                   THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT)
+                 END) AS u_r
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN part p   ON l.l_partkey = p.p_partkey
       WHERE YEAR(o.o_orderdate) = 1996
       GROUP BY 1)
-    SELECT brand, CAST(rev_n AS DOUBLE) AS rev_n,
-           CAST(rev_a AS DOUBLE) AS rev_a, CAST(rev_r AS DOUBLE) AS rev_r
+    SELECT brand, CAST(u_n / 10000.0 AS DOUBLE) AS rev_n,
+           CAST(u_a / 10000.0 AS DOUBLE) AS rev_a,
+           CAST(u_r / 10000.0 AS DOUBLE) AS rev_r
     FROM g
-    WHERE rev_n IS NOT NULL AND rev_a IS NOT NULL AND rev_r IS NOT NULL
-      AND rev_n BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
-                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
-      AND rev_a BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
-                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
-      AND rev_r BETWEEN 0.9 * (rev_n + rev_a + rev_r) / 3
-                    AND 1.1 * (rev_n + rev_a + rev_r) / 3
+    WHERE u_n IS NOT NULL AND u_a IS NOT NULL AND u_r IS NOT NULL
+      AND 30 * u_n >= 9 * (u_n + u_a + u_r)
+      AND 30 * u_n <= 11 * (u_n + u_a + u_r)
+      AND 30 * u_a >= 9 * (u_n + u_a + u_r)
+      AND 30 * u_a <= 11 * (u_n + u_a + u_r)
+      AND 30 * u_r >= 9 * (u_n + u_a + u_r)
+      AND 30 * u_r <= 11 * (u_n + u_a + u_r)
     ORDER BY brand
     """,
     tags=("batch", "tpcds", "agg", "three-way"),
@@ -316,8 +330,9 @@ def ds_q58_three_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     items where every channel is within ±10% of the three-channel average.
     The reference joins three per-channel CTEs on item; Spark-first this is
     ONE conditional-aggregation pass (3 sums per brand, 1 exchange).
-    Revenues round to 2dp before the band predicate so the comparison is
-    identical across engines."""
+    Revenue sums in INTEGER basis-point units; the ±10% band
+    cross-multiplies to `30·u between 9·T and 11·T` — integer-exact, no
+    float in any comparison."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     p = load(spark, sf_dir, "part")
@@ -327,24 +342,35 @@ def ds_q58_three_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("o_orderdate") == 1996)
     )
 
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+
     def chan(flag):
-        return F.round(
-            F.sum(F.when(F.col("l_returnflag") == flag, _rev())), 2
-        )
+        return F.sum(F.when(F.col("l_returnflag") == flag, units))
 
     g = base.groupBy(F.col("p_brand").alias("brand")).agg(
-        chan("N").alias("rev_n"), chan("A").alias("rev_a"), chan("R").alias("rev_r")
+        chan("N").alias("u_n"), chan("A").alias("u_a"), chan("R").alias("u_r")
     )
-    avg3 = (F.col("rev_n") + F.col("rev_a") + F.col("rev_r")) / 3
-    in_band = lambda c: F.col(c).between(0.9 * avg3, 1.1 * avg3)  # noqa: E731
+    tot = F.col("u_n") + F.col("u_a") + F.col("u_r")
+    in_band = lambda c: (  # noqa: E731 — ±10% band, cross-multiplied
+        (30 * F.col(c) >= 9 * tot) & (30 * F.col(c) <= 11 * tot)
+    )
     return (
         g.filter(
-            F.col("rev_n").isNotNull()
-            & F.col("rev_a").isNotNull()
-            & F.col("rev_r").isNotNull()
-            & in_band("rev_n")
-            & in_band("rev_a")
-            & in_band("rev_r")
+            F.col("u_n").isNotNull()
+            & F.col("u_a").isNotNull()
+            & F.col("u_r").isNotNull()
+            & in_band("u_n")
+            & in_band("u_a")
+            & in_band("u_r")
+        )
+        .select(
+            "brand",
+            (F.col("u_n") / 10000.0).alias("rev_n"),
+            (F.col("u_a") / 10000.0).alias("rev_a"),
+            (F.col("u_r") / 10000.0).alias("rev_r"),
         )
         .orderBy("brand")
     )

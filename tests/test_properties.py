@@ -368,3 +368,35 @@ def test_permute_batch_split_invariance(types, cut):
     m1, stt = _match_events(rows[:c], pat(), None)
     m2, _ = _match_events(rows[c:], pat(), stt)
     assert m1 + m2 == single
+
+
+@given(
+    vals=st.lists(st.sampled_from(["A", "B", "C"]), max_size=25),
+    cuts=st.lists(st.integers(min_value=0, max_value=25), max_size=3),
+)
+@settings(max_examples=80, deadline=None)
+def test_trailing_loop_batch_split_invariance(vals, cuts):
+    """Eager trailing-loop emission (r5) across arbitrary micro-batch
+    splits == one-shot matching: the live take-branch after an emission
+    must carry in state and keep extending in later batches."""
+    from flink_1_12_2_spark.streaming.cep import Pattern, _match_events
+
+    rows = [
+        {"event_id": i, "ts_us": i * 10, "event_type": t}
+        for i, t in enumerate(vals)
+    ]
+    pat = lambda: (  # noqa: E731
+        Pattern.begin("a", lambda r: r["event_type"] == "A")
+        .followed_by("b", lambda r: r["event_type"] == "B")
+        .one_or_more()
+        .within(120)
+        .no_skip()
+        .validate()
+    )
+    single, _ = _match_events(list(rows), pat(), None)
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    got, state = [], None
+    for lo, hi in zip(bounds, bounds[1:]):
+        m, state = _match_events(rows[lo:hi], pat(), state)
+        got.extend(m)
+    assert got == single
