@@ -186,11 +186,15 @@ def chunk_tokens_expr(
 def ngrams_expr(text: Column, n: int) -> Column:
     """ARRAY of word n-grams (space-joined) — the contamination /
     overlap-detection unit. Catalyst-only: sequence over valid start
-    positions, slice + join per position."""
+    positions, slice + join per position. Documents with fewer than ``n``
+    tokens yield an EMPTY array (guarded — an unguarded
+    ``sequence(1, cnt-n+1)`` would count DOWN to 0 and crash slice)."""
     toks = tokens(text)
     cnt = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
-    return F.filter(
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-        lambda g: g != "",
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )

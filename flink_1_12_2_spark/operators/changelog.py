@@ -19,6 +19,9 @@ column plus these operators:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -282,5 +285,17 @@ def upsert_foreach_batch(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # a touched bucket whose merged output is EMPTY (every key in it
+        # deleted, none untouched) writes no partition, so dynamic
+        # overwrite would leave its stale files — drop those directories
+        # explicitly (table-format MERGE handles this via delete vectors)
+        surviving = {
+            r["__bucket"]
+            for r in merged.select("__bucket").distinct().collect()
+        }
+        for b in set(touched_buckets) - surviving:
+            bdir = os.path.join(state_dir, f"__bucket={b}")
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)
 
     return apply

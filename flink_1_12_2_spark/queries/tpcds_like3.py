@@ -598,14 +598,18 @@ def ds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_q32_excess_threshold",
     oracle="""
     WITH t AS (
-      SELECT l_partkey, 1.3 * AVG(l_extendedprice) AS thresh
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_c,
+             COUNT(*) AS n
       FROM lineitem GROUP BY 1)
     SELECT CAST(ROUND(SUM(l.l_extendedprice), 2) AS DOUBLE) AS excess_revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN t ON l.l_partkey = t.l_partkey
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_type = 'PROMO' AND l.l_extendedprice > t.thresh
+    WHERE p.p_type = 'PROMO'
+      AND 10 * CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * t.n
+            > 13 * t.sum_c
     """,
     tags=("batch", "tpcds", "subquery", "correlated"),
 )
@@ -614,16 +618,19 @@ def ds_q32_excess_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.3× the per-item average, summed. The correlated scalar subquery
     decorrelates to a per-item aggregate joined back to the fact at LINE
     grain (two passes over lineitem, one co-partitioned join on partkey —
-    Flink's planner produces the same decorrelation)."""
+    Flink's planner produces the same decorrelation). The 1.3× threshold
+    cross-multiplies in integer cents (`10·price·n > 13·Σprice`) so the
+    boundary is engine-exact."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     t = li.groupBy("l_partkey").agg(
-        (1.3 * F.avg("l_extendedprice")).alias("thresh")
+        F.sum(cents).alias("sum_c"), F.count(F.lit(1)).alias("n")
     )
     return (
         li.join(t, "l_partkey")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .filter(F.col("l_extendedprice") > F.col("thresh"))
+        .filter(10 * cents * F.col("n") > 13 * F.col("sum_c"))
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("excess_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -748,15 +755,16 @@ def ds_q96_slot_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ds_q6_global_avg_threshold",
     oracle="""
-    WITH g AS (SELECT AVG(o_totalprice) AS avg_price FROM orders
-               WHERE YEAR(o_orderdate) = 1996)
+    WITH g AS (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_c,
+                      COUNT(*) AS n
+               FROM orders WHERE YEAR(o_orderdate) = 1996)
     SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_big_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     CROSS JOIN g
     WHERE YEAR(o.o_orderdate) = 1996
-      AND o.o_totalprice > 1.2 * g.avg_price
+      AND 5 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * g.n > 6 * g.sum_c
     GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY nation
     """,
     tags=("batch", "tpcds", "scalar-subquery"),
@@ -765,14 +773,17 @@ def ds_q6_global_avg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q6 shape: rows above a GLOBAL scalar threshold (1.2× the
     period's average price) counted per geography, HAVING a minimum count.
     The scalar aggregate reduces to ONE row and cross-joins back as a
-    broadcast nested loop — no re-scan per row."""
+    broadcast nested loop — no re-scan per row. The 1.2× threshold
+    cross-multiplies in integer cents (`5·price·n > 6·Σprice`) so the
+    boundary is engine-exact."""
     o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    g = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = o.agg(F.sum(cents).alias("sum_c"), F.count(F.lit(1)).alias("n"))
     return (
         o.crossJoin(F.broadcast(g))
-        .filter(F.col("o_totalprice") > 1.2 * F.col("avg_price"))
+        .filter(5 * cents * F.col("n") > 6 * F.col("sum_c"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -485,7 +485,9 @@ def ds_q15_having_vs_series_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
-    cr = cr.persist()  # threshold and filter read the same series once
+    # both consumers read the identical aggregate subtree — Spark's
+    # ReusedExchange dedups it, no persist (a persist here would pin
+    # cache in the shared session with no unpersist point)
     t = cr.agg(F.round(F.avg("rev"), 2).alias("thresh"))
     return (
         cr.crossJoin(F.broadcast(t))

@@ -156,6 +156,12 @@ def _operand(tok: str, defined: str) -> tuple:
             return None if prev is None else prev.get(_c)
 
         return get, False
+    if not re.match(r"^\w+(?:\.\w+)?$", tok):
+        # anything function-call-shaped that the AGG regex didn't accept
+        # (MEDIAN(...), FIRST(price) without Var prefix, typos) must fail
+        # loudly — falling through to a bare-column read would silently
+        # evaluate every comparison to False
+        raise ValueError(f"unsupported DEFINE operand: {tok!r}")
     col = tok.split(".")[-1]  # defined var's or bare column → current row
     return (lambda row, ctx, _c=col: row.get(_c)), False
 
@@ -461,6 +467,14 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             & (out["last_event_id"] == aggd["__l"]),
             "left",
         ).drop("__k", "__f", "__l")
+        for fn, _, alias in specs:
+            if fn == "COUNT":
+                # SQL COUNT over an empty variable (e.g. A? unmatched) is
+                # 0, not NULL — the left join leaves NULL when no row of
+                # the match mapped to the variable
+                out = out.withColumn(
+                    alias, F.coalesce(F.col(alias), F.lit(0))
+                )
     if mn_alias is not None:
         w = Window.partitionBy(part).orderBy("first_ts_us", "first_event_id")
         out = out.withColumn(mn_alias, F.row_number().over(w))

@@ -934,10 +934,15 @@ def cep_match_batch(
     pattern that already collects ids) a ``vars_json`` column carries the
     variable→event-ids assignment of each match (MEASURES aggregates /
     CLASSIFIER read it)."""
+    import copy
+
     import pandas as pd  # noqa: F811 (worker-side import)
 
-    if include_vars:
-        pattern.with_var_ids()
+    if include_vars and not pattern.collect_ids:
+        # shallow copy: never mutate the CALLER's pattern (reuse of the
+        # same Pattern object in a later call must keep its behavior)
+        pattern = copy.copy(pattern)
+        pattern.collect_ids = True
     pattern.validate()
     with_vars = pattern.collect_ids or pattern.collect_events
     schema = (

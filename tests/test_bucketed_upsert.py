@@ -59,3 +59,25 @@ def test_untouched_buckets_not_rewritten(spark):
     got2 = spark.read.parquet(state)
     assert got2.count() == 199
     assert got2.filter(F.col("k") == 7).count() == 0
+
+
+def test_bucket_emptied_by_delete_is_dropped(spark):
+    """A micro-batch that deletes EVERY key of a bucket (no untouched keys
+    in it) must not leave the bucket's old files behind — dynamic
+    partition overwrite writes nothing for an empty bucket, so the sink
+    drops the directory explicitly."""
+    state = tempfile.mkdtemp(prefix="bucket_upsert_del_") + "/state"
+    sink = upsert_foreach_batch(state, ["k"], ["seq"], num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, f"{ROW_KIND} string, k bigint, seq bigint, v string"
+        )
+
+    sink(batch([(INSERT, 7, 0, "v7")]), 0)  # the only key in its bucket
+    assert spark.read.parquet(state).count() == 1
+    sink(batch([(DELETE, 7, 1, "v7")]), 1)
+    import glob
+
+    files = glob.glob(os.path.join(state, "__bucket=*", "*.parquet"))
+    assert files == [], files
