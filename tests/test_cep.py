@@ -378,7 +378,10 @@ def test_match_recognize_times_and_optional_parse():
     assert (c.min_times, c.max_times) == (1, 1)
 
 
-def test_match_recognize_trailing_quantifier_rejected():
+def test_match_recognize_trailing_quantifier_greedy_vs_reluctant():
+    """Flink parity: a GREEDY trailing quantifier (B+) is rejected (the
+    reference's MalformedPatternException); the RELUCTANT form (B+?) is
+    accepted since r5 and compiles to the eager trailing loop."""
     import pytest as _pytest
 
     from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
@@ -389,6 +392,13 @@ def test_match_recognize_trailing_quantifier_rejected():
                  PARTITION BY u ORDER BY ts PATTERN (A B+)
                  DEFINE A AS t = 'a', B AS t = 'b')"""
         )
+    _, _, pat = parse_match_recognize(
+        """SELECT * FROM t MATCH_RECOGNIZE (
+             PARTITION BY u ORDER BY ts PATTERN (A B+?)
+             DEFINE A AS t = 'a', B AS t = 'b')"""
+    )
+    last = pat.steps[-1]
+    assert last.is_loop and last.max_times is None and not last.greedy
 
 
 def test_skip_to_next_row_overlapping():
