@@ -710,3 +710,56 @@ def ds_q76_null_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "yr")
     )
+
+
+@query(
+    "ds_q2_wow_dow_share",
+    oracle="""
+    WITH w AS (
+      SELECT WEEKOFYEAR(o_orderdate) AS wk, ISODOW(o_orderdate) AS dow,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS units
+      FROM orders
+      WHERE YEAR(o_orderdate) = 1996 AND WEEKOFYEAR(o_orderdate) BETWEEN 2 AND 50
+      GROUP BY 1, 2)
+    SELECT a.wk AS wk, CAST(a.dow AS BIGINT) AS dow,
+           CAST(ROUND(CAST(b.units AS DOUBLE) / a.units, 6) AS DOUBLE)
+             AS wow_ratio
+    FROM w a JOIN w b ON b.wk = a.wk + 1 AND b.dow = a.dow
+    WHERE a.units > 0
+    ORDER BY wk, dow
+    """,
+    tags=("batch", "tpcds", "self-join", "wow"),
+)
+def ds_q2_wow_dow_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2 shape: per-(week, day-of-week) totals SELF-JOINED on
+    week+1 for the week-over-week ratio by weekday. ISO week/day numbering
+    agrees across engines (Spark ``weekofyear``/``weekday()+1`` == DuckDB
+    ``WEEKOFYEAR``/``ISODOW``); totals sum in integer cents and only the
+    final ratio is floating (rounded to 6dp)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1996)
+        & F.weekofyear("o_orderdate").between(2, 50)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = o.groupBy(
+        F.weekofyear("o_orderdate").alias("wk"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+    ).agg(F.sum(cents).alias("units"))
+    a = w.select(
+        F.col("wk").alias("wk"), F.col("dow").alias("dow"),
+        F.col("units").alias("u_a"),
+    )
+    b = w.select(
+        (F.col("wk") - 1).alias("wk"), F.col("dow").alias("dow"),
+        F.col("units").alias("u_b"),
+    )
+    return (
+        a.join(b, ["wk", "dow"])
+        .filter(F.col("u_a") > 0)
+        .select(
+            "wk",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.round(F.col("u_b") / F.col("u_a"), 6).alias("wow_ratio"),
+        )
+        .orderBy("wk", "dow")
+    )
