@@ -19,9 +19,6 @@ column plus these operators:
 
 from __future__ import annotations
 
-import os
-import shutil
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -260,12 +257,24 @@ def upsert_foreach_batch(
         ]
         if not touched_buckets:
             return
+        from pyspark.errors import AnalysisException
+
         try:
-            existing = spark.read.parquet(state_dir).filter(
+            existing = spark.read.parquet(state_dir)
+        except AnalysisException as e:  # first batch — no state yet
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise  # a real read error must not masquerade as empty state
+            existing = None
+        if existing is not None:
+            if "__bucket" not in existing.columns:
+                raise ValueError(
+                    f"state table at {state_dir} is not bucketed (pre-r5 "
+                    "layout?) — migrate it by rewriting with partitionBy "
+                    "__bucket before resuming this sink"
+                )
+            existing = existing.filter(
                 F.col("__bucket").isin(touched_buckets)  # partition pruning
             )
-        except Exception:  # first batch — no state yet
-            existing = None
         if existing is not None:
             untouched = existing.join(
                 touched_keys.drop("__bucket"), pks, "left_anti"
@@ -288,14 +297,22 @@ def upsert_foreach_batch(
         # a touched bucket whose merged output is EMPTY (every key in it
         # deleted, none untouched) writes no partition, so dynamic
         # overwrite would leave its stale files — drop those directories
-        # explicitly (table-format MERGE handles this via delete vectors)
+        # explicitly through the Hadoop FS API (works for hdfs://, s3a://,
+        # file:// alike; a table format would use delete vectors instead)
         surviving = {
             r["__bucket"]
             for r in merged.select("__bucket").distinct().collect()
         }
-        for b in set(touched_buckets) - surviving:
-            bdir = os.path.join(state_dir, f"__bucket={b}")
-            if os.path.isdir(bdir):
-                shutil.rmtree(bdir)
+        doomed = set(touched_buckets) - surviving
+        if doomed:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for b in doomed:
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/__bucket={b}"
+                )
+                fs = jpath.getFileSystem(hconf)
+                if fs.exists(jpath):
+                    fs.delete(jpath, True)
 
     return apply

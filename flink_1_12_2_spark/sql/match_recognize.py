@@ -68,13 +68,21 @@ _MR = re.compile(
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|PERMUTE\s*\([\w\s,]*\)"
     r"|\([\w\s|]*\))+?)\s*\)\s+"
+    # DEFINE runs to the MATCH_RECOGNIZE closing paren: lazy match over
+    # non-paren chars, quoted strings, and SINGLE-LEVEL (...) groups (the
+    # AGG(Var.col) calls) — unlike a greedy `.*)`, SQL FOLLOWING the block
+    # (outer subquery parens, WHERE clauses) is never swallowed into the
+    # last DEFINE expression
     r"(?:WITHIN\s+INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>\w+)\s+)?"
-    r"DEFINE\s+(?P<define>.*)\s*\)"  # greedy: DEFINE exprs may contain (…)
+    r"DEFINE\s+(?P<define>(?:[^()']|'[^']*'|\([^()]*\))*?)\s*\)"
 )
 
 _OPS = {
-    "=": lambda a, b: a == b,
-    "<>": lambda a, b: a != b,
+    # SQL three-valued logic: ANY comparison with NULL is not-true — an
+    # unmatched variable reference or NULL column must never satisfy a
+    # DEFINE predicate (including = and <>)
+    "=": lambda a, b: a is not None and b is not None and a == b,
+    "<>": lambda a, b: a is not None and b is not None and a != b,
     ">": lambda a, b: a is not None and b is not None and a > b,
     "<": lambda a, b: a is not None and b is not None and a < b,
     ">=": lambda a, b: a is not None and b is not None and a >= b,
@@ -318,7 +326,6 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     return m.group("part"), m.group("order"), pat.validate()
 
 
-_MEASURE = re.compile(r"(?is)(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)")
 _M_AGG = re.compile(
     r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)"
     r"\s+AS\s+(\w+)$"
@@ -476,7 +483,12 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
                     alias, F.coalesce(F.col(alias), F.lit(0))
                 )
     if mn_alias is not None:
-        w = Window.partitionBy(part).orderBy("first_ts_us", "first_event_id")
+        # last_event_id tiebreak: overlapping matches can share a start
+        # (eager trailing loops, SKIP TO FIRST/LAST) — numbering must stay
+        # deterministic for the oracle hash
+        w = Window.partitionBy(part).orderBy(
+            "first_ts_us", "first_event_id", "last_ts_us", "last_event_id"
+        )
         out = out.withColumn(mn_alias, F.row_number().over(w))
     # vars_json also appears when DEFINE aggregates forced event retention
     # without any var-anchored measure — always scrub the internals

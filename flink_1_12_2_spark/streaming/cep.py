@@ -845,12 +845,20 @@ def _match_events(
             )
         )
         skip = pattern.skip
+        # dedup key: plain runs collapse same-span completions (the output
+        # schema can't distinguish them); with assignments collected the
+        # variable map IS part of the output (vars_json/CLASSIFIER), so
+        # distinct assignments of one span must each emit — Flink's noSkip
+        # emits every match
+        _dk = _mk if collect[0] else (
+            lambda c: (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
+        )
         if skip == "no_skip":
             emitted = set()
             for c in completions:
-                span = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
-                if span not in emitted:
-                    emitted.add(span)
+                k = _dk(c)
+                if k not in emitted:
+                    emitted.add(k)
                     matches.append(_mk(c))
         elif skip == "to_next":
             done_starts = set()
@@ -882,9 +890,9 @@ def _match_events(
                     (c["first_ts"], c["first_eid"]) < threshold
                 ):
                     continue
-                span = (c["first_eid"], c["last_eid"], c["first_ts"], c["last_ts"])
-                if span not in emitted:
-                    emitted.add(span)
+                k = _dk(c)
+                if k not in emitted:
+                    emitted.add(k)
                     matches.append(_mk(c))
                 tgt = (c["vf"] if mode == "to_first" else c["vl"]).get(var)
                 if tgt is None:
@@ -921,6 +929,23 @@ def _match_events(
     return matches, {"branches": branches}
 
 
+def _rows_from_pdf(pdf, time_col: str) -> list[dict]:
+    """Arrow batch → NFA row dicts: derive microsecond event time when the
+    source didn't attach ``ts_us``, and sort by (ts_us, event_id) — the
+    shared row-prep for every batch CEP closure."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    rows = []
+    for r in pdf.itertuples(index=False):
+        d = r._asdict()
+        if "ts_us" not in d or d["ts_us"] is None:
+            d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
+        d["ts_us"] = int(d["ts_us"])
+        rows.append(d)
+    rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
+    return rows
+
+
 def cep_match_batch(
     events: DataFrame,
     pattern: Pattern,
@@ -952,14 +977,7 @@ def cep_match_batch(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in pdf.itertuples(index=False):
-            d = r._asdict()
-            if "ts_us" not in d or d["ts_us"] is None:
-                d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
-            d["ts_us"] = int(d["ts_us"])
-            rows.append(d)
-        rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
+        rows = _rows_from_pdf(pdf, time_col)
         matches, _ = _match_events(rows, pattern, None)
         key_val = rows[0][key_col] if rows else None
         out = {
@@ -996,14 +1014,7 @@ def cep_timed_out_partials(
         raise ValueError("timeout side output requires Pattern.within(...)")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in pdf.itertuples(index=False):
-            d = r._asdict()
-            if "ts_us" not in d or d["ts_us"] is None:
-                d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
-            d["ts_us"] = int(d["ts_us"])
-            rows.append(d)
-        rows.sort(key=lambda d: (d["ts_us"], d["event_id"]))
+        rows = _rows_from_pdf(pdf, time_col)
         touts: list[tuple] = []
         _match_events(rows, pattern, None, timeouts=touts)
         key_val = rows[0][key_col] if rows else None
