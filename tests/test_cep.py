@@ -1072,3 +1072,32 @@ def test_with_events_state_survives_serialization():
     assert any(
         t[:4] == (0, 2, 0, 20) and '"A": [0, 1]' in t[4] for t in m2
     ), m2
+
+
+def test_group_pattern_with_inner_loop():
+    """(A B+){2} flattens to A B+ A B+ — two independent loops in one
+    sequence; the second A closes the first loop (relaxed) and the match
+    completes on the 2nd group's first B."""
+    ab = Pattern.begin("a", _is("A")).followed_by("b", _is("B")).one_or_more()
+    p = Pattern.group_seq([(ab, 2, 2)]).validate()
+    rows = _rows([(1, 0, "A"), (2, 10, "B"), (3, 20, "B"), (4, 30, "A"), (5, 40, "B")])
+    m, _ = _match_events(rows, p, None)
+    assert m == [(1, 5, 0, 40)]
+
+
+def test_quantified_alternation_records_per_occurrence_variable():
+    """(A | B){2} C — each occurrence of a quantified alternation step may
+    match a DIFFERENT alternative, and the assignment records each row
+    under its own variable (x gets the A row, y gets the B row)."""
+    p = (
+        Pattern.begin_one_of("ab", [("x", _is("A")), ("y", _is("B"))])
+        .times(2)
+        .followed_by("c", _is("C"))
+        .with_var_ids()
+        .no_skip()
+        .validate()
+    )
+    rows = _rows([(1, 0, "A"), (2, 10, "B"), (3, 20, "C")])
+    m, _ = _match_events(rows, p, None)
+    assert len(m) == 1 and m[0][:4] == (1, 3, 0, 20)
+    assert m[0][4] == '{"c": [3], "x": [1], "y": [2]}'
