@@ -314,3 +314,65 @@ def test_contamination_probe_broadcasts_no_corpus_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "contamination_ngram_overlap")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ds_q7_broadcasts_all_dims_one_agg_shuffle(spark, sf_dir):
+    """q7 star: part/supplier/nation broadcast; the only SMJ-eligible join
+    is lineitem⨝orders; the avg battery is one aggregation pass."""
+    plan = _plan(spark, sf_dir, "ds_q7_multi_dim_star_avgs")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_ds_q18_dual_role_dim_single_expand(spark, sf_dir):
+    """q18: nation joins twice (bill/ship roles) — both broadcast — and the
+    ROLLUP runs as ONE Expand over one joined stream."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "ds_q18_dual_role_dim_rollup")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # exactly one Expand node (formatted mode prints each node twice:
+    # once in the tree, once in the numbered detail section)
+    assert len(_re.findall(r"\(\d+\) Expand", plan)) == 1
+
+
+def test_ds_q50_histogram_single_agg_after_join(spark, sf_dir):
+    """q50: the five delay buckets are conditional sums in ONE aggregate
+    after the fact-fact join — no per-bucket scans of lineitem."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "ds_q50_fact_fact_delay_histogram")
+    # 4 tables → exactly 4 scans: lineitem is read once, every bucket is a
+    # conditional sum inside one aggregate
+    scans = len(_re.findall(r"Scan parquet\s*\(\d+\)", plan))
+    assert scans == 4, f"expected 4 scans, got {scans}"
+    assert "PushedFilters:" in plan  # shipdate filter reaches the scan
+
+
+def test_ds_q70_rank_subquery_on_preagg_only(spark, sf_dir):
+    """q70: the restricting rank window runs over the nation-level
+    PRE-AGGREGATE (≤ nations·regions rows), never the fact; the kept-set
+    semi join broadcasts."""
+    plan = _plan(spark, sf_dir, "ds_q70_rank_restricted_rollup")
+    assert "LeftSemi" in plan
+    assert "Expand" in plan  # the rollup
+    assert plan.index("Window") < plan.index("Scan parquet")  # window above scans
+
+
+def test_ds_q71_union_no_extra_shuffle(spark, sf_dir):
+    """q71: three filtered branches union append-only; customer broadcasts;
+    the only exchange is the final group-by."""
+    plan = _plan(spark, sf_dir, "ds_q71_channel_union_time_breakdown")
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ds_q84_fact_never_shuffles(spark, sf_dir):
+    """q84 lookup chain: every dimension broadcasts — the orders fact must
+    reach the top-k projection without a single exchange for joins."""
+    plan = _plan(spark, sf_dir, "ds_q84_banded_lookup_chain")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # ORDER BY + LIMIT as top-k
