@@ -441,3 +441,77 @@ def ds_q84_banded_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("customer_id")
         .limit(100)
     )
+
+
+@query(
+    "ds_q24_shared_cte_scalar_threshold",
+    oracle="""
+    WITH ssales AS (
+      SELECT c.c_name AS c_name, n.n_name AS n_name, p.p_brand AS p_brand,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS netpaid_cents
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2, 3),
+    scal AS (SELECT SUM(netpaid_cents) AS tot, COUNT(*) AS cnt FROM ssales)
+    SELECT ss.c_name AS c_name, ss.n_name AS n_name,
+           CAST(SUM(ss.netpaid_cents) AS DOUBLE) / 100 AS paid
+    FROM ssales ss, scal
+    WHERE ss.p_brand = 'Brand#13'
+    GROUP BY 1, 2, scal.tot, scal.cnt
+    HAVING 20 * SUM(ss.netpaid_cents) * MAX(scal.cnt) > MAX(scal.tot)
+    ORDER BY c_name, n_name
+    """,
+    tags=("batch", "tpcds", "shared-cte", "scalar-threshold"),
+)
+def ds_q24_shared_cte_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape (query24a.sql): a shared WITH pre-aggregate
+    (``ssales``) consumed TWICE — once filtered (i_color = 'peach') and
+    re-aggregated, once unfiltered to produce the scalar ``0.05·avg``
+    HAVING threshold — over a fact-fact composite join with a NON-EQUI
+    dimension predicate (c_birth_country <> upper(ca_country)). Here:
+    lineitem⨝orders with customer-nation ≠ supplier-nation, brand filter
+    on the re-agg branch, threshold from the whole pre-aggregate.
+
+    The pre-aggregate is persisted so both consumers reuse one
+    computation (the reference planner shares the CTE subgraph the same
+    way). The ``paid > 0.05·avg`` predicate cross-multiplies to pure
+    integers: ``20·paid·n > Σ`` — no float enters the comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ssales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_name", "n_name", "p_brand")
+        .agg(F.sum(cents).alias("netpaid_cents"))
+        .persist()
+    )
+    scal = ssales.agg(
+        F.sum("netpaid_cents").alias("tot"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        ssales.filter(F.col("p_brand") == "Brand#13")
+        .groupBy("c_name", "n_name")
+        .agg(F.sum("netpaid_cents").alias("paid_cents"))
+        .crossJoin(F.broadcast(scal))
+        .filter(20 * F.col("paid_cents") * F.col("cnt") > F.col("tot"))
+        .select(
+            "c_name",
+            "n_name",
+            (F.col("paid_cents").cast("double") / 100).alias("paid"),
+        )
+        .orderBy("c_name", "n_name")
+    )

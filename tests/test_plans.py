@@ -376,3 +376,12 @@ def test_ds_q84_fact_never_shuffles(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # ORDER BY + LIMIT as top-k
+
+
+def test_ds_q24_shared_cte_computed_once(spark, sf_dir):
+    """q24: both consumers (brand re-agg and the scalar threshold) must
+    read the PERSISTED pre-aggregate — the fact join appears once; the
+    second consumer is an InMemoryTableScan, not a second scan chain."""
+    plan = _plan(spark, sf_dir, "ds_q24_shared_cte_scalar_threshold")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan  # scalar joins via broadcast
