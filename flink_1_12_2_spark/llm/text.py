@@ -198,3 +198,34 @@ def ngrams_expr(text: Column, n: int) -> Column:
     return F.when(cnt >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def nonblank_lines(text: Column) -> Column:
+    """Newline-split lines with blank (whitespace-only) lines removed."""
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    (Gopher repetition rule #1, Rae et al. 2021 table A1). Pure array
+    expression — runs in the scan stage, shuffle-free."""
+    lns = nonblank_lines(text)
+    n = F.size(lns)
+    return (n - F.size(F.array_distinct(lns))).cast("double") / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
+
+
+def token_bigrams(text: Column) -> Column:
+    """Adjacent-token 2-grams (space-joined) of the whitespace tokens.
+    Empty array for docs with fewer than two tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -491,3 +491,104 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("ng").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_LOWER} AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+      FROM documents),
+    lf AS (
+      SELECT doc_id,
+             CASE WHEN len(lns) = 0 THEN 0.0
+                  ELSE CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE)
+                       / len(lns) END AS dlf
+      FROM d),
+    grams AS (
+      SELECT doc_id, 'tok' AS kind, unnest(toks) AS gram FROM d
+      UNION ALL
+      SELECT doc_id, 'big' AS kind,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM d),
+    counts AS (SELECT doc_id, kind, gram, COUNT(*) AS c
+               FROM grams GROUP BY 1, 2, 3),
+    fr AS (SELECT doc_id, kind, CAST(MAX(c) AS DOUBLE) / SUM(c) AS frac
+           FROM counts GROUP BY 1, 2),
+    piv AS (SELECT doc_id,
+                   MAX(CASE WHEN kind = 'tok' THEN frac END) AS ttf,
+                   MAX(CASE WHEN kind = 'big' THEN frac END) AS tbf
+            FROM fr GROUP BY 1)
+    SELECT l.doc_id AS doc_id,
+           ROUND(l.dlf, 4) AS dup_line_frac,
+           ROUND(COALESCE(p.ttf, 0.0), 4) AS top_token_frac,
+           ROUND(COALESCE(p.tbf, 0.0), 4) AS top_bigram_frac,
+           (l.dlf < 0.3 AND COALESCE(p.ttf, 0.0) < 0.2
+            AND COALESCE(p.tbf, 0.0) < 0.18) AS keep
+    FROM lf l LEFT JOIN piv p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021, table A1): reject
+    documents dominated by repeated lines, a single token, or a single
+    2-gram. Three signals per doc:
+
+    - ``dup_line_frac`` — duplicate non-blank lines / lines; a pure array
+      expression evaluated in the scan stage (no shuffle).
+    - ``top_token_frac`` / ``top_bigram_frac`` — occurrence share of the
+      most frequent token / adjacent 2-gram. Both computed in ONE pass:
+      tokens and bigrams explode into a shared (doc_id, kind, gram)
+      stream → count → per-(doc, kind) max/total → conditional-agg pivot.
+      Two map-combinable shuffles keyed by high-cardinality doc_id —
+      linear and skew-free at 100 TB.
+
+    ``keep`` applies the thresholds (0.3 / 0.2 / 0.18) to the UNROUNDED
+    fractions; each fraction is a single integer division so both engines
+    compare bit-identical doubles."""
+    d = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    t = F.col("text")
+    base = d.select(
+        "doc_id", T.dup_line_fraction(t).alias("dlf")
+    )
+    tok_grams = d.select(
+        "doc_id",
+        F.lit("tok").alias("kind"),
+        F.explode(T.tokens(F.lower(t))).alias("gram"),
+    )
+    big_grams = d.select(
+        "doc_id",
+        F.lit("big").alias("kind"),
+        F.explode(T.token_bigrams(F.lower(t))).alias("gram"),
+    )
+    fr = (
+        tok_grams.unionAll(big_grams)
+        .groupBy("doc_id", "kind", "gram")
+        .count()
+        .groupBy("doc_id", "kind")
+        .agg((F.max("count").cast("double") / F.sum("count")).alias("frac"))
+    )
+    piv = fr.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "tok", F.col("frac"))).alias("ttf"),
+        F.max(F.when(F.col("kind") == "big", F.col("frac"))).alias("tbf"),
+    )
+    ttf = F.coalesce(F.col("ttf"), F.lit(0.0))
+    tbf = F.coalesce(F.col("tbf"), F.lit(0.0))
+    return (
+        base.join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("dlf"), 4).alias("dup_line_frac"),
+            F.round(ttf, 4).alias("top_token_frac"),
+            F.round(tbf, 4).alias("top_bigram_frac"),
+            (
+                (F.col("dlf") < 0.3) & (ttf < 0.2) & (tbf < 0.18)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

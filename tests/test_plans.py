@@ -385,3 +385,13 @@ def test_ds_q24_shared_cte_computed_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds_q24_shared_cte_scalar_threshold")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan  # scalar joins via broadcast
+
+
+def test_repetition_filter_one_pass_no_cartesian(spark, sf_dir):
+    """Repetition filter: tokens and bigrams share ONE exploded stream —
+    the gram count aggregates map-side (partial) and nothing degenerates
+    into a cartesian or per-kind rescan of documents."""
+    plan = _plan(spark, sf_dir, "text_repetition_filter")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+    assert "Union" in plan  # tok + bigram branches feed one count
