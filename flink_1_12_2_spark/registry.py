@@ -100,9 +100,11 @@ GATE_ORDER: tuple[str, ...] = (
     "interval_join",
     "asof_join_event_time",
     # aggregations: distinct-split, grouping sets (built-in fns
-    # stddev/var/listagg stay locally verified)
+    # stddev/var/listagg stay locally verified; plain agg_rollup's Expand
+    # is gate-covered by the r5 dual-role-dimension rollup below, which
+    # exercises the same Expand plus the two-role nation join)
     "agg_distinct",
-    "agg_rollup",
+    "ds_q18_dual_role_dim_rollup",
     # live jdbc connector round-trip (embedded Derby, partitioned scan)
     "jdbc_roundtrip_partitioned",
     # rank/top-N, set ops, correlate, scalar-fn gauntlets
@@ -163,10 +165,12 @@ GATE_ORDER: tuple[str, ...] = (
     "ann_cosine_topk",
     "ann_ivf_topk",
     "changelog_join_reagg",
-    # text pipeline + sampling + multimodal plumbing (pii scrub stays local;
-    # corpus_clean exercises the same regex battery end-to-end)
+    # text pipeline + sampling + multimodal plumbing (pii scrub and the
+    # single-shuffle corpus_clean pipeline stay locally verified — the r5
+    # Gopher repetition filter covers the text class in the gate with a
+    # newer, wider shape: scan-stage array exprs + exploded gram counts)
     "sample_stratified_exact",
-    "pipeline_corpus_clean",
+    "text_repetition_filter",
     "multimodal_filter_before_decode",
     # TPC-H / TPC-DS composites (q21 semi+anti composite and the wider
     # ds_* tranches stay locally verified; q4 is the r5 one-pass collapse)
