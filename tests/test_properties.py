@@ -400,3 +400,40 @@ def test_trailing_loop_batch_split_invariance(vals, cuts):
         m, state = _match_events(rows[lo:hi], pat(), state)
         got.extend(m)
     assert got == single
+
+
+_textish = st.text(
+    alphabet=st.sampled_from(list("ab c\nd\t.")), min_size=0, max_size=60
+)
+
+
+@SET
+@given(texts=st.lists(_textish, min_size=1, max_size=6))
+def test_repetition_signals_match_bruteforce(spark, texts):
+    """dup_line_fraction and token_bigrams against plain-Python refs on
+    adversarial whitespace/newline soup."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.dlf, list(r.bigs))
+        for r in df.select(
+            "doc_id",
+            T.dup_line_fraction(F.col("text")).alias("dlf"),
+            T.token_bigrams(F.col("text")).alias("bigs"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        lines = [l for l in t.split("\n") if l.strip() != ""]
+        exp_dlf = (len(lines) - len(set(lines))) / max(len(lines), 1)
+        toks = [w for w in re.split(r"\s+", t.strip()) if w != ""]
+        exp_bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dlf, bigs = got[i]
+        assert abs(dlf - exp_dlf) < 1e-12, (t, dlf, exp_dlf)
+        assert bigs == exp_bigs, (t, bigs, exp_bigs)
