@@ -592,3 +592,86 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# quality-score expression shared by the quantile gate (lockstep with
+# text_quality_score's oracle above)
+_QUALITY_SQL = f"""
+      SELECT doc_id, source,
+             ROUND(LEAST(CAST(len({_TOKS}) AS DOUBLE) / 20.0, 1.0) * 0.3
+               + (CASE WHEN (CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                        ELSE CAST(list_reduce(list_transform({_TOKS},
+                                  t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+                             / len({_TOKS}) END) >= 3.0
+                   AND (CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                        ELSE CAST(list_reduce(list_transform({_TOKS},
+                                  t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+                             / len({_TOKS}) END) <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.25
+               + GREATEST(1.0
+                   - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                           AS DOUBLE) / GREATEST(length(text), 1)
+                      + CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                        / GREATEST(length(text), 1)) * 2.0, 0.0) * 0.25
+               + LEAST({_sw_ratio_sql(T.LANG_MARKERS["en"])} * 5.0, 1.0) * 0.2,
+               4) AS qs
+      FROM documents
+"""
+
+
+@query(
+    "text_quality_quantile_gate",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             quantile_disc(qs, 0.5) AS p50,
+             quantile_disc(qs, 0.9) AS p90
+      FROM q GROUP BY 1)
+    SELECT s.source AS source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           s.p50 AS p50, s.p90 AS p90,
+           CAST(COUNT(CASE WHEN q.qs > s.p90 THEN 1 END) AS BIGINT)
+             AS n_above_p90
+    FROM s JOIN q ON q.source = s.source
+    GROUP BY 1, 2, 3, 4
+    ORDER BY source
+    """,
+    tags=("llm", "text", "quality", "quantile"),
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality distribution gate: exact p50/p90 of the quality
+    score plus how many docs clear their own source's p90 — the building
+    block of "keep the top decile per domain" curation policies.
+
+    Percentiles are DISCRETE order statistics (``percentile_disc`` /
+    ``quantile_disc``): the returned thresholds are actual data values, so
+    the cross-engine comparison and the strict ``qs > p90`` count are
+    bit-exact — no interpolation arithmetic whose last bit could differ.
+    Scale: one partial-aggregating shuffle on high-cardinality-safe
+    ``source`` for the stats, then the tiny stats table BROADCASTS back for
+    the threshold count — no per-source window, no single-task sort (the
+    stratified-exact lesson from r4 applied)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    q = d.select("doc_id", "source", T.quality_score(t).alias("qs"))
+    stats = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY qs)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY qs)").alias("p90"),
+    )
+    return (
+        q.join(F.broadcast(stats), "source")
+        .groupBy("source", "n_docs", "p50", "p90")
+        .agg(
+            F.count(F.when(F.col("qs") > F.col("p90"), 1)).alias("n_above_p90")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "p50",
+            "p90",
+            F.col("n_above_p90").cast("bigint").alias("n_above_p90"),
+        )
+        .orderBy("source")
+    )

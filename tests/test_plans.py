@@ -395,3 +395,13 @@ def test_repetition_filter_one_pass_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
     assert "Union" in plan  # tok + bigram branches feed one count
+
+
+def test_quantile_gate_broadcasts_stats_no_window(spark, sf_dir):
+    """Quality quantile gate: the per-source stats broadcast back for the
+    threshold count — no Window operator (a per-source window would funnel
+    each source through one task at scale)."""
+    plan = _plan(spark, sf_dir, "text_quality_quantile_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
