@@ -25,7 +25,7 @@ _EV_CTE = "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM event
 _6H_US = 6 * 3600 * 1_000_000
 
 
-def _cep_oracle(error_kill: bool) -> str:
+def _cep_oracle(error_kill: bool, final: str | None = None) -> str:
     """Recursive-CTE oracle for the branch-exploring NFA with AFTER MATCH
     SKIP PAST LAST ROW (streaming/cep.py:_match_events — Flink NFA.java:86
     simultaneous-branch semantics).
@@ -86,10 +86,12 @@ def _cep_oracle(error_kill: bool) -> str:
         WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
           AND (p.ts_us, p.event_id) > (s.pos_ts, s.pos_eid)
         ORDER BY p.ts_us, p.event_id LIMIT 1) x ON true)
+    {final or '''
     SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
            m_first_ts AS first_ts_us, m_last_ts AS last_ts_us
     FROM state WHERE m_first IS NOT NULL
     ORDER BY user_id, first_event_id
+    '''}
     """
 
 
@@ -1600,3 +1602,61 @@ def cep_timeout_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .no_skip()
     )
     return cep_timed_out_partials(ev, pat).orderBy("user_id", "first_event_id")
+
+
+_ALL_ROWS_FINAL = """
+    , nm AS (
+      SELECT user_id, m_first, m_last,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY m_first_ts, m_first, m_last_ts, m_last) AS mn
+      FROM state WHERE m_first IS NOT NULL)
+    SELECT user_id, m_first AS event_id, 'A' AS role,
+           CAST(mn AS BIGINT) AS mn, CAST(0 AS BIGINT) AS n_b
+    FROM nm
+    UNION ALL
+    SELECT user_id, m_last AS event_id, 'B' AS role,
+           CAST(mn AS BIGINT) AS mn, CAST(1 AS BIGINT) AS n_b
+    FROM nm
+    ORDER BY user_id, mn, n_b
+"""
+
+
+@query(
+    "match_recognize_all_rows",
+    oracle=_cep_oracle(error_kill=False, final=_ALL_ROWS_FINAL),
+    tags=("batch", "cep", "sql", "all-rows"),
+)
+def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH (SQL:2016 R010) — one output row per MATCHED
+    INPUT ROW with RUNNING measures, per-row CLASSIFIER() and
+    MATCH_NUMBER(). BEYOND the reference surface: Flink 1.12 rejects ALL
+    ROWS PER MATCH (docs/dev/table/streaming/match_recognize "known
+    limitations"); the branch NFA's recorded variable→event assignments
+    make the row-grain emission a posexplode + key-partitioned join-back.
+
+    Same click→purchase match set as ``match_recognize_sql`` (hash-proven
+    against the same recursive-CTE recursion, re-projected to row grain):
+    the A row reports running COUNT(B.value)=0, the B row 1."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES CLASSIFIER() AS role, MATCH_NUMBER() AS mn,
+               COUNT(B.value) AS n_b
+      ALL ROWS PER MATCH
+      PATTERN (A B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize(ev, sql)
+    return out.select(
+        "user_id",
+        "event_id",
+        "role",
+        F.col("mn").cast("bigint").alias("mn"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    ).orderBy("user_id", "mn", "n_b")

@@ -32,11 +32,12 @@ RUNNING semantics).
 
 Parity boundary vs the reference (flink 1.12 MATCH_RECOGNIZE "known
 limitations", docs/dev/table/streaming/match_recognize):
-``ALL ROWS PER MATCH``, ``SUBSET``, and greedy trailing quantifiers are
-unsupported THERE too (we reject the same inputs); pattern ALTERNATION
-``(A | B)`` and ``PERMUTE`` are rejected by the reference but SUPPORTED
-here (the branch NFA's sequence sets) — a strict superset of the
-reference surface.
+``SUBSET`` and greedy trailing quantifiers are unsupported THERE too (we
+reject the same inputs); pattern ALTERNATION ``(A | B)``, ``PERMUTE``,
+and ``ALL ROWS PER MATCH`` (SQL:2016 R010 — row-grain emission with
+RUNNING measures, per-row CLASSIFIER, MATCH_NUMBER) are rejected by the
+reference but SUPPORTED here — a strict superset of the reference
+surface.
 
 Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
 contiguity between steps (followedBy). Parsing is a regex grammar over the
@@ -64,6 +65,7 @@ _MR = re.compile(
     r"PARTITION\s+BY\s+(?P<part>\w+)\s+"
     r"ORDER\s+BY\s+(?P<order>\w+)\s+"
     r"(?:MEASURES\s+(?P<measures>.*?)\s+)?"
+    r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|"
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|PERMUTE\s*\([\w\s,]*\)"
@@ -354,11 +356,105 @@ def match_recognize_stream(
     )
 
 
+def _match_recognize_all_rows(
+    df: DataFrame, sql: str, m, part: str, order: str, pat
+) -> DataFrame:
+    """ALL ROWS PER MATCH emission (SQL:2016 R010; BEYOND the reference —
+    Flink 1.12 rejects it, docs/dev/table/streaming/match_recognize "known
+    limitations"). One output row per matched input row, carrying every
+    input column plus MEASURES under RUNNING semantics:
+
+    - ``SUM/COUNT/AVG/MIN/MAX(Var.col)`` — over the rows assigned to
+      ``Var`` up to and including the current row;
+    - ``CLASSIFIER()`` — the CURRENT row's pattern variable;
+    - ``MATCH_NUMBER()`` — same numbering as ONE ROW mode.
+    ``FIRST/LAST`` measures are rejected here (RUNNING boundary accessors
+    are not implemented for row-grain output).
+
+    Scale: the NFA emits (match → var → event-id) assignments; rows
+    explode per match and join back to the input key-partitioned; the
+    running window partitions by (partition, match_number) — bounded by
+    match length, never by partition size."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    items = [
+        x.strip() for x in (m.group("measures") or "").split(",") if x.strip()
+    ]
+    specs: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
+    cls_alias = mn_alias = None
+    for it in items:
+        am = _M_AGG.match(it)
+        if am:
+            fn, var, col, alias = am.groups()
+            if fn.upper() in ("FIRST", "LAST"):
+                raise ValueError(
+                    f"ALL ROWS PER MATCH: FIRST/LAST measures unsupported: {it!r}"
+                )
+            specs.append((fn.upper(), var, col, alias))
+            continue
+        cm = _M_CLS.match(it)
+        if cm:
+            cls_alias = cm.group(1)
+            continue
+        nm = _M_MN.match(it)
+        if nm:
+            mn_alias = nm.group(1)
+            continue
+        raise ValueError(f"ALL ROWS PER MATCH: unsupported MEASURES item: {it!r}")
+
+    out = cep_match_batch(
+        df, pat, key_col=part, time_col=order, include_vars=True
+    )
+    wmn = Window.partitionBy(part).orderBy(
+        "first_ts_us", "first_event_id", "last_ts_us", "last_event_id"
+    )
+    pairs = (
+        out.withColumn("__mn", F.row_number().over(wmn))
+        .withColumn(
+            "__vars", F.from_json("vars_json", "map<string,array<bigint>>")
+        )
+        .select(
+            F.col(part).alias("__k"),
+            "__mn",
+            F.explode("__vars").alias("__var", "__ids"),
+        )
+        .select("__k", "__mn", "__var", F.explode("__ids").alias("__eid"))
+    )
+    side = df.select(
+        F.col(part).alias("__k"), F.col("event_id").alias("__eid"), "*"
+    )
+    joined = pairs.join(side, ["__k", "__eid"])
+    runw = (
+        Window.partitionBy("__k", "__mn")
+        .orderBy(order, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    proj = [F.col(c) for c in df.columns]
+    for fn, var, col, alias in specs:
+        val = F.when(F.col("__var") == var, F.col(col))
+        expr = {
+            "SUM": F.sum(val),
+            "COUNT": F.count(val),
+            "AVG": F.avg(val),
+            "MIN": F.min(val),
+            "MAX": F.max(val),
+        }[fn]
+        proj.append(expr.over(runw).alias(alias))
+    if cls_alias is not None:
+        proj.append(F.col("__var").alias(cls_alias))
+    if mn_alias is not None:
+        proj.append(F.col("__mn").alias(mn_alias))
+    return joined.select(*proj)
+
+
 def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     """Execute a restricted MATCH_RECOGNIZE statement against ``df`` (batch).
     Returns (user_id, first_event_id, last_event_id, first_ts_us, last_ts_us)
     per match plus MEASURES columns — one row per completed match (ONE ROW
-    PER MATCH → FINAL semantics).
+    PER MATCH → FINAL semantics). With ``ALL ROWS PER MATCH`` in the SQL,
+    emits one row per MATCHED INPUT ROW instead (RUNNING measures,
+    per-row CLASSIFIER — see :func:`_match_recognize_all_rows`).
 
     MEASURES surface (StreamExecMatch / Flink's MATCH_RECOGNIZE measures):
 
@@ -381,6 +477,8 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
 
     m = _MR.search(sql)
     part, order, pat = parse_match_recognize(sql)
+    if (m.group("rows") or "").upper().startswith("ALL"):
+        return _match_recognize_all_rows(df, sql, m, part, order, pat)
     items = [
         x.strip() for x in (m.group("measures") or "").split(",") if x.strip()
     ]

@@ -1101,3 +1101,50 @@ def test_quantified_alternation_records_per_occurrence_variable():
     m, _ = _match_events(rows, p, None)
     assert len(m) == 1 and m[0][:4] == (1, 3, 0, 20)
     assert m[0][4] == '{"c": [3], "x": [1], "y": [2]}'
+
+
+def test_all_rows_per_match_running_measures(spark):
+    """ALL ROWS PER MATCH with a multi-row variable: each matched row
+    carries RUNNING aggregates (rows of the variable up to and including
+    the current row), per-row CLASSIFIER, and the match number."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # match 1: A(id 0) B(1, v=10) B(2, v=20)
+        (0, 1, base, "a", 1.0),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 10.0),
+        (2, 1, base + dt.timedelta(minutes=2), "b", 20.0),
+        # noise, then match 2: A(4) B(5, v=5) B(6, v=7)
+        (3, 1, base + dt.timedelta(minutes=3), "x", 0.0),
+        (4, 1, base + dt.timedelta(minutes=4), "a", 2.0),
+        (5, 1, base + dt.timedelta(minutes=5), "b", 5.0),
+        (6, 1, base + dt.timedelta(minutes=6), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts timestamp, event_type string, value double"
+    )
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES CLASSIFIER() AS role, MATCH_NUMBER() AS mn,
+               SUM(B.value) AS run_sum, COUNT(B.value) AS n_b
+      ALL ROWS PER MATCH
+      PATTERN (A B{2})
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    got = {
+        r.event_id: (r.role, r.mn, r.run_sum, r.n_b)
+        for r in match_recognize(df, sql).collect()
+    }
+    assert got == {
+        0: ("A", 1, None, 0),
+        1: ("B", 1, 10.0, 1),
+        2: ("B", 1, 30.0, 2),
+        4: ("A", 2, None, 0),
+        5: ("B", 2, 5.0, 1),
+        6: ("B", 2, 12.0, 2),
+    }
