@@ -1660,3 +1660,52 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("bigint").alias("mn"),
         F.col("n_b").cast("bigint").alias("n_b"),
     ).orderBy("user_id", "mn", "n_b")
+
+
+_SUBSET_FINAL = """
+    , nm AS (SELECT user_id, m_first, m_last FROM state
+             WHERE m_first IS NOT NULL)
+    SELECT n.user_id AS user_id,
+           n.m_first AS first_event_id, n.m_last AS last_event_id,
+           CAST(ea.value + eb.value AS DOUBLE) AS u_sum,
+           CAST(2 AS BIGINT) AS u_cnt
+    FROM nm n
+    JOIN events ea ON ea.event_id = n.m_first
+    JOIN events eb ON eb.event_id = n.m_last
+    ORDER BY user_id, first_event_id
+"""
+
+
+@query(
+    "match_recognize_subset",
+    oracle=_cep_oracle(error_kill=False, final=_SUBSET_FINAL),
+    tags=("batch", "cep", "sql", "subset"),
+)
+def match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union variables (SQL:2016) — BEYOND the reference surface
+    (Flink 1.12 rejects SUBSET, docs known limitations). ``U = (A, B)``
+    aggregates over the union of both variables' matched rows: the NFA's
+    per-variable id lists concatenate before the measure join-back, so a
+    subset measure costs the same one posexplode as a plain variable."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES SUM(U.value) AS u_sum, COUNT(U.value) AS u_cnt
+      PATTERN (A B)
+      SUBSET U = (A, B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize(ev, sql)
+    return out.select(
+        "user_id",
+        "first_event_id",
+        "last_event_id",
+        F.col("u_sum").cast("double").alias("u_sum"),
+        F.col("u_cnt").cast("bigint").alias("u_cnt"),
+    ).orderBy("user_id", "first_event_id")

@@ -32,12 +32,13 @@ RUNNING semantics).
 
 Parity boundary vs the reference (flink 1.12 MATCH_RECOGNIZE "known
 limitations", docs/dev/table/streaming/match_recognize):
-``SUBSET`` and greedy trailing quantifiers are unsupported THERE too (we
-reject the same inputs); pattern ALTERNATION ``(A | B)``, ``PERMUTE``,
-and ``ALL ROWS PER MATCH`` (SQL:2016 R010 — row-grain emission with
-RUNNING measures, per-row CLASSIFIER, MATCH_NUMBER) are rejected by the
-reference but SUPPORTED here — a strict superset of the reference
-surface.
+greedy trailing quantifiers are unsupported THERE too (we reject the
+same inputs); pattern ALTERNATION ``(A | B)``, ``PERMUTE``, ``ALL ROWS
+PER MATCH`` (SQL:2016 R010 — row-grain emission with RUNNING measures,
+per-row CLASSIFIER, MATCH_NUMBER), and ``SUBSET`` union variables in
+MEASURES (order-insensitive aggregates; FIRST/LAST on a subset is
+rejected) are all rejected by the reference but SUPPORTED here — a
+strict superset of the reference surface.
 
 Semantics: AFTER MATCH SKIP PAST LAST ROW (Flink's default), relaxed
 contiguity between steps (followedBy). Parsing is a regex grammar over the
@@ -70,6 +71,9 @@ _MR = re.compile(
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[\w\s+*?{},]|PERMUTE\s*\([\w\s,]*\)"
     r"|\([\w\s|]*\))+?)\s*\)\s+"
+    # SUBSET U = (A, B)[, V = (...)] — union variables for MEASURES
+    r"(?:SUBSET\s+(?P<subset>\w+\s*=\s*\([\w\s,]*\)"
+    r"(?:\s*,\s*\w+\s*=\s*\([\w\s,]*\))*)\s+)?"
     # DEFINE runs to the MATCH_RECOGNIZE closing paren: lazy match over
     # non-paren chars, quoted strings, and SINGLE-LEVEL (...) groups (the
     # AGG(Var.col) calls) — unlike a greedy `.*)`, SQL FOLLOWING the block
@@ -335,6 +339,18 @@ _M_AGG = re.compile(
 _M_PLAIN = re.compile(r"(?is)^(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$")
 _M_CLS = re.compile(r"(?is)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$")
 _M_MN = re.compile(r"(?is)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$")
+_SUBSET_ITEM = re.compile(r"(\w+)\s*=\s*\(([\w\s,]*)\)")
+
+
+def _parse_subsets(text: str | None) -> dict[str, list[str]]:
+    """SUBSET clause → {union_var: [member_vars]} (SQL:2016; the reference
+    rejects SUBSET — docs known limitations — supported here for MEASURES)."""
+    if not text:
+        return {}
+    return {
+        name: [v.strip() for v in members.split(",") if v.strip()]
+        for name, members in _SUBSET_ITEM.findall(text)
+    }
 
 
 def match_recognize_stream(
@@ -430,9 +446,15 @@ def _match_recognize_all_rows(
         .orderBy(order, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    subsets = _parse_subsets(m.group("subset"))
     proj = [F.col(c) for c in df.columns]
     for fn, var, col, alias in specs:
-        val = F.when(F.col("__var") == var, F.col(col))
+        cond = (
+            F.col("__var").isin(*subsets[var])
+            if var in subsets
+            else F.col("__var") == var
+        )
+        val = F.when(cond, F.col(col))
         expr = {
             "SUM": F.sum(val),
             "COUNT": F.count(val),
@@ -531,11 +553,33 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             lambda e: F.array_contains(e["value"], F.col("last_event_id")),
         )
         out = out.withColumn(cls_alias, F.element_at(ent, 1)["key"])
+    subsets = _parse_subsets(m.group("subset"))
     for var, specs in var_aggs.items():
-        eids = F.coalesce(
-            F.element_at(F.col("__vars"), F.lit(var)),
-            F.lit(None).cast("array<bigint>"),
-        )
+        if var in subsets:
+            # union variable: concatenate the member id lists (order-
+            # insensitive aggregates only — FIRST/LAST positions are
+            # per-member and would be meaningless on the concat)
+            bad = [a for fn, _, a in specs if fn in ("FIRST", "LAST")]
+            if bad:
+                raise ValueError(
+                    f"FIRST/LAST unsupported on SUBSET variable {var!r}: {bad}"
+                )
+            empty = F.array().cast("array<bigint>")
+            eids = F.flatten(
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.element_at(F.col("__vars"), F.lit(mv)), empty
+                        )
+                        for mv in subsets[var]
+                    ]
+                )
+            )
+        else:
+            eids = F.coalesce(
+                F.element_at(F.col("__vars"), F.lit(var)),
+                F.lit(None).cast("array<bigint>"),
+            )
         ex = out.select(
             F.col(part).alias("__k"),
             F.col("first_event_id").alias("__f"),

@@ -1148,3 +1148,35 @@ def test_all_rows_per_match_running_measures(spark):
         5: ("B", 2, 5.0, 1),
         6: ("B", 2, 12.0, 2),
     }
+
+
+def test_subset_union_measure_all_rows(spark):
+    """SUBSET union variable in ALL ROWS mode: running aggregates count
+    rows of EITHER member variable."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "a", 1.0),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 10.0),
+        (2, 1, base + dt.timedelta(minutes=2), "b", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts timestamp, event_type string, value double"
+    )
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES SUM(U.value) AS u_run, COUNT(U.value) AS u_n
+      ALL ROWS PER MATCH
+      PATTERN (A B{2})
+      SUBSET U = (A, B)
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    got = {
+        r.event_id: (r.u_run, r.u_n) for r in match_recognize(df, sql).collect()
+    }
+    assert got == {0: (1.0, 1), 1: (11.0, 2), 2: (31.0, 3)}
