@@ -493,9 +493,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_repetition_filter",
-    oracle=f"""
+_REPETITION_SQL = f"""
     WITH d AS (
       SELECT doc_id, {_TOKS_LOWER} AS toks,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
@@ -531,7 +529,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND COALESCE(p.tbf, 0.0) < 0.18) AS keep
     FROM lf l LEFT JOIN piv p USING (doc_id)
     ORDER BY doc_id
-    """,
+"""
+
+
+@query(
+    "text_repetition_filter",
+    oracle=_REPETITION_SQL,
     tags=("llm", "text", "quality", "repetition"),
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,4 +677,41 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_above_p90").cast("bigint").alias("n_above_p90"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "pipeline_quality_curation",
+    oracle=f"""
+    WITH rep AS (SELECT doc_id, keep FROM ({_REPETITION_SQL})),
+    q AS ({_QUALITY_SQL}),
+    s AS (SELECT source, quantile_disc(qs, 0.5) AS p50 FROM q GROUP BY 1)
+    SELECT q.doc_id AS doc_id, q.source AS source, q.qs AS quality
+    FROM q JOIN rep USING (doc_id) JOIN s USING (source)
+    WHERE rep.keep AND q.qs >= s.p50
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pipeline", "curation"),
+)
+def pipeline_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: drop repetition-dominated docs (Gopher
+    rules), then keep only docs at or above their OWN SOURCE's median
+    quality — the "better half of every domain" policy. Chains the
+    repetition filter with a per-source percentile_disc threshold; the
+    median is an actual data value, so the >= comparison is bit-exact
+    cross-engine. The per-source stats broadcast; the repetition join is
+    doc_id-keyed — no global sorts, no per-source windows."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
+    q = d.select("doc_id", "source", T.quality_score(t).alias("qs"))
+    s = q.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY qs)").alias("p50")
+    )
+    return (
+        q.join(rep, "doc_id")
+        .join(F.broadcast(s), "source")
+        .filter(F.col("keep") & (F.col("qs") >= F.col("p50")))
+        .select("doc_id", "source", F.col("qs").alias("quality"))
+        .orderBy("doc_id")
     )
