@@ -1180,3 +1180,32 @@ def test_subset_union_measure_all_rows(spark):
         r.event_id: (r.u_run, r.u_n) for r in match_recognize(df, sql).collect()
     }
     assert got == {0: (1.0, 1), 1: (11.0, 2), 2: (31.0, 3)}
+
+
+def test_all_rows_and_subset_reject_boundary_measures(spark):
+    """Error paths: FIRST/LAST measures are rejected in ALL ROWS mode, and
+    on SUBSET variables in ONE ROW mode (positions don't order the union)."""
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    df = spark.createDataFrame(
+        [(0, 1, __import__("datetime").datetime(2024, 1, 1), "a", 1.0)],
+        "event_id long, user_id int, ts timestamp, event_type string, value double",
+    )
+    all_rows_sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(A.value) AS fv
+      ALL ROWS PER MATCH
+      PATTERN (A) DEFINE A AS event_type = 'a')"""
+    with _pytest.raises(ValueError, match="FIRST/LAST"):
+        match_recognize(df, all_rows_sql)
+    subset_sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES LAST(U.value) AS lv
+      PATTERN (A B) SUBSET U = (A, B)
+      DEFINE A AS event_type = 'a', B AS event_type = 'b')"""
+    with _pytest.raises(ValueError, match="SUBSET"):
+        match_recognize(df, subset_sql).collect()
