@@ -201,8 +201,12 @@ def ngrams_expr(text: Column, n: int) -> Column:
 
 
 def nonblank_lines(text: Column) -> Column:
-    """Newline-split lines with blank (whitespace-only) lines removed."""
-    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    """Newline-split lines with blank (whitespace-only) lines removed.
+    "Blank" means no non-whitespace character at all (``\\S`` regex), so
+    tab-only / mixed-whitespace lines count as blank too — matching
+    Python's ``str.strip()`` and the Gopher rule's intent, not just
+    ASCII-space ``trim``."""
+    return F.filter(F.split(text, "\n"), lambda l: l.rlike(r"\S"))
 
 
 def dup_line_fraction(text: Column) -> Column:

@@ -496,7 +496,8 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_SQL = f"""
     WITH d AS (
       SELECT doc_id, {_TOKS_LOWER} AS toks,
-             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+             list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '\\S')) AS lns
       FROM documents),
     lf AS (
       SELECT doc_id,

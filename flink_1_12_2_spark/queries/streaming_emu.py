@@ -1611,11 +1611,18 @@ _ALL_ROWS_FINAL = """
                  ORDER BY m_first_ts, m_first, m_last_ts, m_last) AS mn
       FROM state WHERE m_first IS NOT NULL)
     SELECT user_id, m_first AS event_id, 'A' AS role,
-           CAST(mn AS BIGINT) AS mn, CAST(0 AS BIGINT) AS n_b
+           CAST(mn AS BIGINT) AS mn,
+           -- structural 0: RUNNING COUNT(B.value) at the A row — B is not
+           -- matched yet, irrespective of value nullability
+           CAST(0 AS BIGINT) AS n_b
     FROM nm
     UNION ALL
     SELECT user_id, m_last AS event_id, 'B' AS role,
-           CAST(mn AS BIGINT) AS mn, CAST(1 AS BIGINT) AS n_b
+           CAST(mn AS BIGINT) AS mn,
+           -- real COUNT over the matched B row so the oracle encodes
+           -- null-skipping semantics, not the fixture's non-null values
+           (SELECT COUNT(e.value) FROM events e
+            WHERE e.event_id = nm.m_last) AS n_b
     FROM nm
     ORDER BY user_id, mn, n_b
 """
@@ -1665,13 +1672,17 @@ def match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSET_FINAL = """
     , nm AS (SELECT user_id, m_first, m_last FROM state
              WHERE m_first IS NOT NULL)
+    -- SUM/COUNT aggregated over the union of both matched rows, so the
+    -- oracle carries null-skipping aggregate semantics (a null value row
+    -- is excluded from COUNT and ignored by SUM) rather than assuming
+    -- the fixture's values are non-null
     SELECT n.user_id AS user_id,
            n.m_first AS first_event_id, n.m_last AS last_event_id,
-           CAST(ea.value + eb.value AS DOUBLE) AS u_sum,
-           CAST(2 AS BIGINT) AS u_cnt
+           CAST(SUM(e.value) AS DOUBLE) AS u_sum,
+           COUNT(e.value) AS u_cnt
     FROM nm n
-    JOIN events ea ON ea.event_id = n.m_first
-    JOIN events eb ON eb.event_id = n.m_last
+    JOIN events e ON e.event_id IN (n.m_first, n.m_last)
+    GROUP BY 1, 2, 3
     ORDER BY user_id, first_event_id
 """
 

@@ -463,7 +463,8 @@ def ds_q84_banded_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ssales ss, scal
     WHERE ss.p_brand = 'Brand#13'
     GROUP BY 1, 2, scal.tot, scal.cnt
-    HAVING 20 * SUM(ss.netpaid_cents) * MAX(scal.cnt) > MAX(scal.tot)
+    HAVING CAST(20 AS DECIMAL(38,0)) * CAST(SUM(ss.netpaid_cents) AS DECIMAL(38,0))
+           * MAX(scal.cnt) > CAST(MAX(scal.tot) AS DECIMAL(38,0))
     ORDER BY c_name, n_name
     """,
     tags=("batch", "tpcds", "shared-cte", "scalar-threshold"),
@@ -480,7 +481,12 @@ def ds_q24_shared_cte_scalar_threshold(spark: SparkSession, sf_dir: str) -> Data
     The pre-aggregate is persisted so both consumers reuse one
     computation (the reference planner shares the CTE subgraph the same
     way). The ``paid > 0.05·avg`` predicate cross-multiplies to pure
-    integers: ``20·paid·n > Σ`` — no float enters the comparison."""
+    integers: ``20·paid·n > Σ`` — no float enters the comparison. The
+    product is widened to DECIMAL(38,0) on BOTH engines before
+    multiplying: raw BIGINT would wrap silently in Spark's non-ANSI mode
+    at 100-TB row counts while DuckDB errors, so the explicit widening
+    keeps the comparison exact with ~10¹¹× headroom over the worst-case
+    operand magnitudes."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     p = load(spark, sf_dir, "part")
@@ -497,6 +503,9 @@ def ds_q24_shared_cte_scalar_threshold(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("c_name", "n_name", "p_brand")
         .agg(F.sum(cents).alias("netpaid_cents"))
+        # deliberate: cached until the caller's collect; long-lived
+        # sessions reclaim it via catalog.clearCache() between queries
+        # (tools/oracle_check.py does) — same policy as tpcds_like.py q15
         .persist()
     )
     scal = ssales.agg(
@@ -507,7 +516,16 @@ def ds_q24_shared_cte_scalar_threshold(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("c_name", "n_name")
         .agg(F.sum("netpaid_cents").alias("paid_cents"))
         .crossJoin(F.broadcast(scal))
-        .filter(20 * F.col("paid_cents") * F.col("cnt") > F.col("tot"))
+        # DECIMAL(38,0) product: 20·paid·n on raw BIGINTs would wrap
+        # silently in Spark's non-ANSI mode at 100-TB row counts while
+        # DuckDB promotes to HUGEINT — widen before multiplying so both
+        # engines compare exactly, with 38 digits of headroom
+        .filter(
+            F.lit(20).cast("decimal(38,0)")
+            * F.col("paid_cents").cast("decimal(38,0)")
+            * F.col("cnt")
+            > F.col("tot").cast("decimal(38,0)")
+        )
         .select(
             "c_name",
             "n_name",

@@ -7,6 +7,8 @@ broadcast strategy, partial aggregation, top-k selection.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -357,7 +359,21 @@ def test_ds_q70_rank_subquery_on_preagg_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ds_q70_rank_restricted_rollup")
     assert "LeftSemi" in plan
     assert "Expand" in plan  # the rollup
-    assert plan.index("Window") < plan.index("Scan parquet")  # window above scans
+    # structural, not positional: in the formatted tree section (lines
+    # before the numbered "(1) ..." detail dump), the first Window node's
+    # subtree must reach a HashAggregate BEFORE any parquet scan — i.e.
+    # the rank runs over the pre-aggregate, never the raw fact
+    tree = []
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\)", ln.strip()):
+            break
+        tree.append(ln)
+    w = next(i for i, ln in enumerate(tree) if "Window" in ln)
+    below = next(
+        ln for ln in tree[w + 1 :]
+        if "HashAggregate" in ln or "Scan parquet" in ln
+    )
+    assert "HashAggregate" in below, f"Window sits on: {below.strip()}"
 
 
 def test_ds_q71_union_no_extra_shuffle(spark, sf_dir):

@@ -81,6 +81,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # registry-level cleanup: a few shared-CTE queries persist()
+            # intermediates (e.g. ds_q24); evict between queries so the
+            # 256-query replay session doesn't accrete storage memory
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"WEAK {name}: rows-only ({len(srows)} rows)")
             n_weak += 1
