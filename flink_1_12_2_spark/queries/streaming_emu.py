@@ -1720,3 +1720,161 @@ def match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u_sum").cast("double").alias("u_sum"),
         F.col("u_cnt").cast("bigint").alias("u_cnt"),
     ).orderBy("user_id", "first_event_id")
+
+
+_PREV_NAV_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+                  COALESCE(value < lag(value) OVER w, FALSE) AS dn,
+                  COALESCE(value > lag(value) OVER w, FALSE) AS up
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+    state AS (
+      SELECT DISTINCT user_id,
+             CAST(-9223372036854775808 AS BIGINT) AS pos_ts,
+             CAST(-1 AS BIGINT) AS pos_eid,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_last,
+             CAST(NULL AS DOUBLE) AS v_start, CAST(NULL AS DOUBLE) AS v_end
+      FROM ev
+      UNION ALL
+      SELECT s.user_id, x.u_ts, x.u_eid, x.c_eid, x.u_eid, x.c_val, x.u_val
+      FROM state s
+      JOIN LATERAL (
+        -- branch chain from start c: d2 = first down row after c,
+        -- u = first up row after d2; valid iff u completes inside the
+        -- strict 6 h window anchored at c. Winner = earliest completion,
+        -- ties to the earliest start (SKIP PAST LAST ROW).
+        SELECT c.event_id AS c_eid, c.ts_us AS c_ts, c.value AS c_val,
+               u.event_id AS u_eid, u.ts_us AS u_ts, u.value AS u_val
+        FROM ev c
+        JOIN LATERAL (
+          SELECT d.event_id, d.ts_us FROM ev d
+          WHERE d.user_id = c.user_id AND d.dn
+            AND (d.ts_us, d.event_id) > (c.ts_us, c.event_id)
+          ORDER BY d.ts_us, d.event_id LIMIT 1) d2 ON true
+        JOIN LATERAL (
+          SELECT u2.event_id, u2.ts_us, u2.value FROM ev u2
+          WHERE u2.user_id = c.user_id AND u2.up
+            AND (u2.ts_us, u2.event_id) > (d2.ts_us, d2.event_id)
+          ORDER BY u2.ts_us, u2.event_id LIMIT 1) u ON true
+        WHERE c.user_id = s.user_id AND c.dn
+          AND (c.ts_us, c.event_id) > (s.pos_ts, s.pos_eid)
+          AND u.ts_us < c.ts_us + {_6H_US}
+        ORDER BY u.ts_us, u.event_id, c.ts_us, c.event_id LIMIT 1) x ON true)
+    SELECT user_id, m_first AS first_event_id, m_last AS last_event_id,
+           v_start, v_end
+    FROM state WHERE m_first IS NOT NULL
+    ORDER BY user_id, first_event_id
+"""
+
+
+@query(
+    "match_recognize_prev_nav",
+    oracle=_PREV_NAV_ORACLE,
+    tags=("batch", "cep", "sql", "navigation"),
+)
+def match_recognize_prev_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREV(col) physical navigation — the canonical V-pattern ticker
+    (MatchRecognizeITCase.scala:122-181; Flink's MATCH_RECOGNIZE docs open
+    with this query): two strictly-falling steps then a rising step, per
+    user, within 6 h. ``PREV(value)`` reads the row before the CURRENT row
+    in partition order — physical, not match-relative — so the front door
+    evaluates it JVM-side as ONE lag window over (user_id, ts) and the NFA
+    predicates become plain column reads: navigation costs zero per-row
+    Python and shares the NFA's keyed exchange.
+
+    The oracle precomputes the same down/up flags with DuckDB lag, then
+    runs the SKIP PAST LAST ROW recursion: each down row starts a branch
+    (chain: first down row after the start, then first up row after that);
+    the earliest-completing branch wins, ties to the earliest start."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(value) AS v_start, LAST(value) AS v_end
+      PATTERN (D1 D2 UP)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE D1 AS value < PREV(value),
+             D2 AS value < PREV(value),
+             UP AS value > PREV(value)
+    )"""
+    out = match_recognize(ev, sql)
+    return out.select(
+        "user_id",
+        "first_event_id",
+        "last_event_id",
+        F.col("v_start").cast("double").alias("v_start"),
+        F.col("v_end").cast("double").alias("v_end"),
+    ).orderBy("user_id", "first_event_id")
+
+
+_FINAL_ALL_ROWS_FINAL = """
+    , nm AS (
+      SELECT user_id, m_first, m_last,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY m_first_ts, m_first, m_last_ts, m_last) AS mn
+      FROM state WHERE m_first IS NOT NULL)
+    -- RUNNING at the A row: no B row matched yet -> SUM over zero rows is
+    -- NULL; FINAL on every row: SUM over the match's B rows (computed, so
+    -- the oracle encodes null-skipping SUM semantics)
+    SELECT user_id, m_first AS event_id, 'A' AS role,
+           CAST(mn AS BIGINT) AS mn,
+           CAST(NULL AS DOUBLE) AS s_run,
+           (SELECT CAST(SUM(e.value) AS DOUBLE) FROM events e
+            WHERE e.event_id = nm.m_last) AS s_fin
+    FROM nm
+    UNION ALL
+    SELECT user_id, m_last AS event_id, 'B' AS role,
+           CAST(mn AS BIGINT) AS mn,
+           (SELECT CAST(SUM(e.value) AS DOUBLE) FROM events e
+            WHERE e.event_id = nm.m_last) AS s_run,
+           (SELECT CAST(SUM(e.value) AS DOUBLE) FROM events e
+            WHERE e.event_id = nm.m_last) AS s_fin
+    FROM nm
+    ORDER BY user_id, mn, role
+"""
+
+
+@query(
+    "match_recognize_final",
+    oracle=_cep_oracle(error_kill=False, final=_FINAL_ALL_ROWS_FINAL),
+    tags=("batch", "cep", "sql", "all-rows", "final"),
+)
+def match_recognize_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING | FINAL measure prefixes in ALL ROWS PER MATCH (SQL:2016
+    semantics keywords — the one measure/mode combination r5 could not
+    express): ``RUNNING SUM`` grows row by row through the match while
+    ``FINAL SUM`` pins the whole-match aggregate onto every emitted row
+    (a whole-match window frame, still bounded by match length — never by
+    partition size). Same click→purchase match set as
+    ``match_recognize_all_rows``."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES CLASSIFIER() AS role, MATCH_NUMBER() AS mn,
+               RUNNING SUM(B.value) AS s_run, FINAL SUM(B.value) AS s_fin
+      ALL ROWS PER MATCH
+      PATTERN (A B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize(ev, sql)
+    return out.select(
+        "user_id",
+        "event_id",
+        "role",
+        F.col("mn").cast("bigint").alias("mn"),
+        F.col("s_run").cast("double").alias("s_run"),
+        F.col("s_fin").cast("double").alias("s_fin"),
+    ).orderBy("user_id", "mn", "role")

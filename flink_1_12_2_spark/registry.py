@@ -131,20 +131,25 @@ GATE_ORDER: tuple[str, ...] = (
     "stream_join_outer_changelog",
     # CEP / MATCH_RECOGNIZE: r5 MEASURES aggregates (+CLASSIFIER/
     # MATCH_NUMBER), quantifiers, the multi-run overlapping-predicate
-    # proof query (NFA.java branch semantics), and the r5 eager trailing
-    # loop (alternation + FIRST/LAST measures stay locally verified)
+    # proof query (NFA.java branch semantics), the r6 PREV physical
+    # navigation V-pattern, and the r6 RUNNING|FINAL all-rows query
+    # (alternation, FIRST/LAST measures, and the r5 trailing loop stay
+    # locally verified — trailing-loop NFA mechanics are also exercised
+    # by prev_nav's recursion and overlap_threshold)
     "match_recognize_agg_measures",
+    "match_recognize_prev_nav",
+    "match_recognize_final",
     "stream_cep_quantified",
     "stream_cep_overlap_threshold",
-    "stream_cep_trailing_loop",
     # changelog pipeline: the kafka+debezium query subsumes
     # changelog_normalize_batch (same normalize, plus CDC decode and real
     # micro-batch consumption); normalize_batch stays locally verified.
-    # changelog_reagg = retracting stream through a downstream group-agg
-    # (GroupAggFunction retract path)
+    # changelog_reagg_minmax = retracting stream through a downstream
+    # group-agg (GroupAggFunction retract path) INCLUDING the min/max
+    # value-multiset — it subsumes plain changelog_reagg's SUM/COUNT
+    # retraction, which stays locally verified
     "kafka_debezium_pipeline",
     "stream_changelog_upsert",
-    "changelog_reagg",
     "changelog_reagg_minmax",
     # lookup join + multi-sink statement set
     "lookup_join_external",

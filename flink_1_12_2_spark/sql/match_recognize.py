@@ -23,12 +23,22 @@ PROCEED edge); a greedy trailing quantifier is rejected exactly like
 Flink's MalformedPatternException.
 
 MEASURES: FIRST/LAST(col) match-boundary accessors, SUM/COUNT/AVG/MIN/MAX
-(Var.col) per-variable aggregates, FIRST/LAST(Var.col), CLASSIFIER(),
-MATCH_NUMBER(). DEFINE: comparisons joined with AND/OR; operands are
+(Var.col) per-variable aggregates, FIRST/LAST(Var.col[, n]) with the
+SQL:2016 logical-offset argument (MatchRecognizeITCase.scala:142 —
+``LAST(A.name, 2)``), CLASSIFIER(), MATCH_NUMBER(), and optional
+RUNNING|FINAL prefixes (ONE ROW PER MATCH: both equal FINAL; ALL ROWS
+PER MATCH: RUNNING is the default, FINAL pins the whole-match value on
+every row). DEFINE: comparisons and ``<operand> IS [NOT] NULL`` atoms
+(MatchRecognizeITCase.scala:165) joined with AND/OR; operands are
 literals, current-row columns, other variables' last rows (``A.price``),
-FIRST/LAST(Var.col), and running aggregates ``SUM/COUNT/AVG/MIN/MAX
+FIRST/LAST(Var.col[, n]), running aggregates ``SUM/COUNT/AVG/MIN/MAX
 (Var.col)`` (the candidate row counts toward its own variable — Flink's
-RUNNING semantics).
+RUNNING semantics), and ``PREV/NEXT(col[, n])`` PHYSICAL navigation over
+the partition order (the canonical V-pattern ticker's ``price <
+PREV(price)``). PREV/NEXT are evaluated JVM-side: the front door
+precomputes them as lag/lead window columns over the same (partition,
+order) key the NFA groups on — one shared exchange, zero per-row Python
+for navigation.
 
 Parity boundary vs the reference (flink 1.12 MATCH_RECOGNIZE "known
 limitations", docs/dev/table/streaming/match_recognize):
@@ -99,33 +109,71 @@ _OPS = {
 _DEF_ITEM = re.compile(r"(?is)\b(\w+)\s+AS\s+(.*?)(?=,\s*\w+\s+AS\b|\Z)")
 _CMP = re.compile(r"(?s)\s*(>=|<=|<>|=|>|<)\s*")
 _AGG_OPERAND = re.compile(
-    r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)$"
+    r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*"
+    r"(?:,\s*(\d+)\s*)?\)$"
+)
+# PREV/NEXT physical navigation: PREV(col[, n]) / PREV(Var.col[, n]) —
+# offset over the PARTITION ORDER (SQL:2016 physical navigation), not the
+# variable's matched rows; Var, if given, must be the defined variable
+# (Flink's restriction too — MatchRecognizeITCase.scala:122)
+_NAV_OPERAND = re.compile(
+    r"(?is)^(PREV|NEXT)\s*\(\s*(?:(\w+)\.)?(\w+)\s*(?:,\s*(\d+)\s*)?\)$"
 )
 _VARCOL = re.compile(r"^(\w+)\.(\w+)$")
 
 
+def _nav_col(fn: str, col: str, n: int) -> str:
+    """Internal column name for a precomputed PREV/NEXT value."""
+    return f"__nav_{fn.lower()}{n}_{col}"
+
+
 def _operand(tok: str, defined: str) -> tuple:
-    """One comparison operand → (getter(row, ctx) -> value, needs_events).
+    """One comparison operand →
+    (getter(row, ctx) -> value, needs_events, navs).
 
     Forms: ``'literal'`` · number · ``col`` / ``Var.col`` (the defined
     variable or a bare column reads the CURRENT row; another variable reads
-    its LAST matched row) · ``FIRST/LAST(Var.col)`` (boundary rows, running
+    its LAST matched row) · ``FIRST/LAST(Var.col[, n])`` (boundary rows
+    with optional LOGICAL offset into the variable's matched rows, running
     semantics: for the defined variable the current candidate row is the
     fallback/last) · ``SUM/COUNT/AVG/MIN/MAX(Var.col)`` (aggregates over
     the variable's matched rows — running semantics include the candidate
-    row for its own variable; needs ``Pattern.with_events()`` state)."""
+    row for its own variable; needs ``Pattern.with_events()`` state) ·
+    ``PREV/NEXT(col[, n])`` (PHYSICAL offset over the partition order —
+    SQL:2016 navigation; evaluated JVM-side as a lag/lead window column
+    BEFORE rows enter the NFA, so the Python predicate is a plain column
+    read; ``navs`` reports the (fn, col, n) columns to precompute)."""
     tok = tok.strip()
     if tok.startswith("'"):
         lit = tok[1:-1]
-        return (lambda row, ctx, _l=lit: _l), False
+        return (lambda row, ctx, _l=lit: _l), False, set()
     if re.match(r"^-?\d", tok):
         num = float(tok) if "." in tok else int(tok)
-        return (lambda row, ctx, _l=num: _l), False
+        return (lambda row, ctx, _l=num: _l), False, set()
+    nv = _NAV_OPERAND.match(tok)
+    if nv:
+        fn, var, col, off = nv.groups()
+        if var is not None and var.upper() != defined.upper():
+            raise ValueError(
+                f"PREV/NEXT on another pattern variable is unsupported "
+                f"(physical navigation reads the defined variable's current "
+                f"row): {tok!r}"
+            )
+        n = int(off) if off else 1
+        name = _nav_col(fn.upper(), col, n)
+        return (
+            (lambda row, ctx, _c=name: row.get(_c)),
+            False,
+            {(fn.upper(), col, n)},
+        )
     am = _AGG_OPERAND.match(tok)
     if am:
         fn, var, col = am.group(1).upper(), am.group(2), am.group(3)
+        off = int(am.group(4)) if am.group(4) else 0
         own = var.upper() == defined.upper()
-        if fn == "FIRST":
+        if off and fn not in ("FIRST", "LAST"):
+            raise ValueError(f"offset argument only valid on FIRST/LAST: {tok!r}")
+        if fn == "FIRST" and off == 0:
 
             def get(row, ctx, _v=var, _c=col, _own=own):
                 prev = ctx.first(_v)
@@ -133,8 +181,8 @@ def _operand(tok: str, defined: str) -> tuple:
                     return row.get(_c) if _own else None
                 return prev.get(_c)
 
-            return get, False
-        if fn == "LAST":
+            return get, False, set()
+        if fn == "LAST" and off == 0:
 
             def get(row, ctx, _v=var, _c=col, _own=own):
                 if _own:  # the candidate row IS the running last of its var
@@ -142,7 +190,23 @@ def _operand(tok: str, defined: str) -> tuple:
                 prev = ctx.last(_v)
                 return None if prev is None else prev.get(_c)
 
-            return get, False
+            return get, False, set()
+        if fn in ("FIRST", "LAST"):
+            # logical offset into the variable's matched-row list
+            # (MatchRecognizeITCase.scala:142 — LAST(A.name, 2)); running
+            # semantics append the candidate row for its own variable;
+            # out-of-range offsets are NULL (SQL navigation default)
+
+            def get(row, ctx, _v=var, _c=col, _own=own, _fn=fn, _k=off):
+                seq = list(ctx.events(_v))
+                if _own:
+                    seq.append(row)
+                idx = _k if _fn == "FIRST" else len(seq) - 1 - _k
+                if idx < 0 or idx >= len(seq):
+                    return None
+                return seq[idx].get(_c)
+
+            return get, True, set()
 
         def get(row, ctx, _v=var, _c=col, _own=own, _fn=fn):
             vals = [
@@ -160,7 +224,7 @@ def _operand(tok: str, defined: str) -> tuple:
                 return sum(vals) / len(vals)
             return min(vals) if _fn == "MIN" else max(vals)
 
-        return get, True
+        return get, True, set()
     vm = _VARCOL.match(tok)
     if vm and vm.group(1).upper() != defined.upper():
         var, col = vm.group(1), vm.group(2)
@@ -169,7 +233,7 @@ def _operand(tok: str, defined: str) -> tuple:
             prev = ctx.last(_v)
             return None if prev is None else prev.get(_c)
 
-        return get, False
+        return get, False, set()
     if not re.match(r"^\w+(?:\.\w+)?$", tok):
         # anything function-call-shaped that the AGG regex didn't accept
         # (MEDIAN(...), FIRST(price) without Var prefix, typos) must fail
@@ -177,25 +241,43 @@ def _operand(tok: str, defined: str) -> tuple:
         # evaluate every comparison to False
         raise ValueError(f"unsupported DEFINE operand: {tok!r}")
     col = tok.split(".")[-1]  # defined var's or bare column → current row
-    return (lambda row, ctx, _c=col: row.get(_c)), False
+    return (lambda row, ctx, _c=col: row.get(_c)), False, set()
+
+
+_IS_NULL = re.compile(r"(?is)^(.*?)\s+IS\s+(NOT\s+)?NULL$")
 
 
 def _parse_expr(expr: str, defined: str) -> tuple:
-    """Boolean DEFINE expression → (pred(row, ctx), needs_events).
+    """Boolean DEFINE expression → (pred(row, ctx), needs_events, navs).
 
-    Grammar: comparisons joined by AND / OR (OR binds looser, no parens) —
-    the Flink MATCH_RECOGNIZE DEFINE surface minus nested parentheses."""
+    Grammar: comparisons and ``<operand> IS [NOT] NULL`` atoms
+    (MatchRecognizeITCase.scala:165 — ``LAST(A.nullField) IS NULL``)
+    joined by AND / OR (OR binds looser, no parens) — the Flink
+    MATCH_RECOGNIZE DEFINE surface minus nested parentheses."""
     needs = False
+    navs: set = set()
     disjuncts = []
     for part in re.split(r"(?i)\s+OR\s+", expr.strip()):
         conj = []
         for atom in re.split(r"(?i)\s+AND\s+", part.strip()):
-            pieces = _CMP.split(atom.strip())
+            atom = atom.strip()
+            nm = _IS_NULL.match(atom)
+            if nm:
+                gl, nl, vl = _operand(nm.group(1), defined)
+                needs = needs or nl
+                navs |= vl
+                if nm.group(2):  # IS NOT NULL
+                    conj.append((gl, lambda a, b: a is not None, gl))
+                else:
+                    conj.append((gl, lambda a, b: a is None, gl))
+                continue
+            pieces = _CMP.split(atom)
             if len(pieces) != 3:
                 raise ValueError(f"unsupported DEFINE atom: {atom!r}")
-            gl, nl = _operand(pieces[0], defined)
-            gr, nr = _operand(pieces[2], defined)
+            gl, nl, vl = _operand(pieces[0], defined)
+            gr, nr, vr = _operand(pieces[2], defined)
             needs = needs or nl or nr
+            navs |= vl | vr
             conj.append((gl, _OPS[pieces[1]], gr))
         disjuncts.append(conj)
 
@@ -205,21 +287,25 @@ def _parse_expr(expr: str, defined: str) -> tuple:
             for conj in _d
         )
 
-    return pred, needs
+    return pred, needs, navs
 
 
-def _parse_defines(text: str) -> tuple[dict[str, object], bool]:
-    """DEFINE clauses → ({VAR: pred}, needs_events). Each definition is a
-    boolean expression over comparisons (see :func:`_parse_expr`);
+def _parse_defines(text: str) -> tuple[dict[str, object], bool, set]:
+    """DEFINE clauses → ({VAR: pred}, needs_events, navs). Each definition
+    is a boolean expression over comparisons (see :func:`_parse_expr`);
     ``needs_events`` reports whether any predicate aggregates over a
-    variable's full row set (→ the pattern must retain events)."""
+    variable's full row set (→ the pattern must retain events); ``navs``
+    collects the (PREV|NEXT, col, n) physical-navigation columns the
+    front door must precompute as lag/lead windows."""
     defs: dict[str, object] = {}
     needs_events = False
+    navs: set = set()
     for name, expr in _DEF_ITEM.findall(text):
-        pred, needs = _parse_expr(expr, name)
+        pred, needs, nv = _parse_expr(expr, name)
         needs_events = needs_events or needs
+        navs |= nv
         defs[name.upper()] = pred
-    return defs, needs_events
+    return defs, needs_events, navs
 
 _STEP = re.compile(
     r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
@@ -264,11 +350,28 @@ _PERMUTE = re.compile(
 
 def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     """Parse the restricted MATCH_RECOGNIZE block →
-    (partition_col, order_col, Pattern)."""
+    (partition_col, order_col, Pattern). Rejects PREV/NEXT physical
+    navigation — those need the batch front door (:func:`match_recognize`)
+    which precomputes the lag/lead columns the predicates read."""
+    part, order, pat, navs = _parse_mr(sql)
+    if navs:
+        raise ValueError(
+            "PREV/NEXT physical navigation requires the batch "
+            "match_recognize() front door (lag/lead precompute); "
+            f"needed: {sorted(navs)}"
+        )
+    return part, order, pat
+
+
+def _parse_mr(sql: str) -> tuple[str, str, Pattern, set]:
+    """Full parse → (partition_col, order_col, Pattern, navs) where
+    ``navs`` is the set of (PREV|NEXT, col, n) physical-navigation columns
+    DEFINE predicates read (computed as lag/lead over the partition order
+    before rows enter the NFA)."""
     m = _MR.search(sql)
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE syntax (see module doc)")
-    defines, needs_events = _parse_defines(m.group("define"))
+    defines, needs_events, navs = _parse_defines(m.group("define"))
 
     def mk_pred(name: str):
         return defines[name.upper()]
@@ -329,17 +432,65 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
         pat = pat.skip_to_last(skip_raw[2])
     if needs_events:  # DEFINE aggregates read the variable's full row set
         pat = pat.with_events()
-    return m.group("part"), m.group("order"), pat.validate()
+    return m.group("part"), m.group("order"), pat.validate(), navs
 
 
+def _with_nav_columns(df: DataFrame, part: str, order: str, navs: set):
+    """Precompute PREV/NEXT physical-navigation values as lag/lead window
+    columns over (PARTITION BY part ORDER BY order, event_id) — the same
+    key the NFA groups on, so Catalyst reuses one exchange for both the
+    window and the applyInPandas stage. The Python predicate then reads a
+    plain column of its own row: navigation costs zero per-row Python."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    if not navs:
+        return df
+    w = Window.partitionBy(part).orderBy(order, "event_id")
+    for fn, col, n in sorted(navs):
+        shift = F.lag(col, n) if fn == "PREV" else F.lead(col, n)
+        df = df.withColumn(_nav_col(fn, col, n), shift.over(w))
+    return df
+
+
+# MEASURES item: optional RUNNING|FINAL prefix (SQL:2016 semantics
+# keyword: ONE ROW PER MATCH output is always FINAL — RUNNING evaluated
+# at the last row equals FINAL, so both keywords are accepted there; in
+# ALL ROWS PER MATCH the default is RUNNING and FINAL pins the whole-match
+# value onto every row), then AGG(Var.col[, offset]) — the offset is the
+# FIRST/LAST logical navigation argument (MatchRecognizeITCase.scala:142)
 _M_AGG = re.compile(
-    r"(?is)^(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)"
+    r"(?is)^(?:(RUNNING|FINAL)\s+)?"
+    r"(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*"
+    r"(?:,\s*(\d+)\s*)?\)\s+AS\s+(\w+)$"
+)
+_M_PLAIN = re.compile(
+    r"(?is)^(?:(?:RUNNING|FINAL)\s+)?(FIRST|LAST)\s*\(\s*(\w+)\s*\)"
     r"\s+AS\s+(\w+)$"
 )
-_M_PLAIN = re.compile(r"(?is)^(FIRST|LAST)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$")
 _M_CLS = re.compile(r"(?is)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$")
 _M_MN = re.compile(r"(?is)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$")
 _SUBSET_ITEM = re.compile(r"(\w+)\s*=\s*\(([\w\s,]*)\)")
+
+
+def _split_measures(text: str | None) -> list[str]:
+    """Split the MEASURES list on TOP-LEVEL commas only — offset arguments
+    (``LAST(A.col, 2)``) carry commas inside the call parens."""
+    items: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in text or "":
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    return [i.strip() for i in items if i.strip()]
 
 
 def _parse_subsets(text: str | None) -> dict[str, list[str]]:
@@ -373,7 +524,7 @@ def match_recognize_stream(
 
 
 def _match_recognize_all_rows(
-    df: DataFrame, sql: str, m, part: str, order: str, pat
+    df: DataFrame, nfa_in: DataFrame, sql: str, m, part: str, order: str, pat
 ) -> DataFrame:
     """ALL ROWS PER MATCH emission (SQL:2016 R010; BEYOND the reference —
     Flink 1.12 rejects it, docs/dev/table/streaming/match_recognize "known
@@ -394,20 +545,25 @@ def _match_recognize_all_rows(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    items = [
-        x.strip() for x in (m.group("measures") or "").split(",") if x.strip()
-    ]
-    specs: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
+    items = _split_measures(m.group("measures"))
+    # (fn, var, col, alias, final) — final=True pins the whole-match value
+    # on every row (SQL:2016 FINAL keyword; default here is RUNNING)
+    specs: list[tuple[str, str, str, str, bool]] = []
     cls_alias = mn_alias = None
     for it in items:
         am = _M_AGG.match(it)
         if am:
-            fn, var, col, alias = am.groups()
+            prefix, fn, var, col, off, alias = am.groups()
             if fn.upper() in ("FIRST", "LAST"):
                 raise ValueError(
                     f"ALL ROWS PER MATCH: FIRST/LAST measures unsupported: {it!r}"
                 )
-            specs.append((fn.upper(), var, col, alias))
+            if off:
+                raise ValueError(
+                    f"offset argument only valid on FIRST/LAST: {it!r}"
+                )
+            final = (prefix or "").upper() == "FINAL"
+            specs.append((fn.upper(), var, col, alias, final))
             continue
         cm = _M_CLS.match(it)
         if cm:
@@ -420,7 +576,7 @@ def _match_recognize_all_rows(
         raise ValueError(f"ALL ROWS PER MATCH: unsupported MEASURES item: {it!r}")
 
     out = cep_match_batch(
-        df, pat, key_col=part, time_col=order, include_vars=True
+        nfa_in, pat, key_col=part, time_col=order, include_vars=True
     )
     wmn = Window.partitionBy(part).orderBy(
         "first_ts_us", "first_event_id", "last_ts_us", "last_event_id"
@@ -446,9 +602,16 @@ def _match_recognize_all_rows(
         .orderBy(order, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # FINAL measures: whole-match frame — the aggregate over ALL of the
+    # match's rows repeated on every output row
+    finw = (
+        Window.partitionBy("__k", "__mn")
+        .orderBy(order, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     subsets = _parse_subsets(m.group("subset"))
     proj = [F.col(c) for c in df.columns]
-    for fn, var, col, alias in specs:
+    for fn, var, col, alias, final in specs:
         cond = (
             F.col("__var").isin(*subsets[var])
             if var in subsets
@@ -462,7 +625,7 @@ def _match_recognize_all_rows(
             "MIN": F.min(val),
             "MAX": F.max(val),
         }[fn]
-        proj.append(expr.over(runw).alias(alias))
+        proj.append(expr.over(finw if final else runw).alias(alias))
     if cls_alias is not None:
         proj.append(F.col("__var").alias(cls_alias))
     if mn_alias is not None:
@@ -498,20 +661,27 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     from pyspark.sql import Window
 
     m = _MR.search(sql)
-    part, order, pat = parse_match_recognize(sql)
+    part, order, pat, navs = _parse_mr(sql)
+    nfa_in = _with_nav_columns(df, part, order, navs)
     if (m.group("rows") or "").upper().startswith("ALL"):
-        return _match_recognize_all_rows(df, sql, m, part, order, pat)
-    items = [
-        x.strip() for x in (m.group("measures") or "").split(",") if x.strip()
-    ]
+        return _match_recognize_all_rows(df, nfa_in, sql, m, part, order, pat)
+    items = _split_measures(m.group("measures"))
     plain: list[tuple[str, str, str]] = []
-    var_aggs: dict[str, list[tuple[str, str, str]]] = {}
+    # per variable: (fn, col, alias, offset)
+    var_aggs: dict[str, list[tuple[str, str, str, int]]] = {}
     cls_alias = mn_alias = None
     for it in items:
         am = _M_AGG.match(it)
         if am:
-            fn, var, col, alias = am.groups()
-            var_aggs.setdefault(var, []).append((fn.upper(), col, alias))
+            _prefix, fn, var, col, off, alias = am.groups()
+            off = int(off) if off else 0
+            if off and fn.upper() not in ("FIRST", "LAST"):
+                raise ValueError(
+                    f"offset argument only valid on FIRST/LAST: {it!r}"
+                )
+            # RUNNING|FINAL both legal here: ONE ROW PER MATCH evaluates
+            # at the final row where RUNNING == FINAL
+            var_aggs.setdefault(var, []).append((fn.upper(), col, alias, off))
             continue
         pm = _M_PLAIN.match(it)
         if pm:
@@ -528,7 +698,7 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         raise ValueError(f"unsupported MEASURES item: {it!r}")
     need_vars = bool(var_aggs) or cls_alias is not None
     out = cep_match_batch(
-        df, pat, key_col=part, time_col=order, include_vars=need_vars
+        nfa_in, pat, key_col=part, time_col=order, include_vars=need_vars
     )
     for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
@@ -559,7 +729,7 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             # union variable: concatenate the member id lists (order-
             # insensitive aggregates only — FIRST/LAST positions are
             # per-member and would be meaningless on the concat)
-            bad = [a for fn, _, a in specs if fn in ("FIRST", "LAST")]
+            bad = [a for fn, _, a, _ in specs if fn in ("FIRST", "LAST")]
             if bad:
                 raise ValueError(
                     f"FIRST/LAST unsupported on SUBSET variable {var!r}: {bad}"
@@ -586,7 +756,7 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             F.col("last_event_id").alias("__l"),
             F.posexplode(eids).alias("__pos", "__eid"),
         )
-        cols = sorted({c for _, c, _ in specs})
+        cols = sorted({c for _, c, _, _ in specs})
         side = df.select(
             F.col(part).alias("__k"),
             F.col("event_id").alias("__eid"),
@@ -594,19 +764,38 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         )
         joined = ex.join(side, ["__k", "__eid"])
         aggs = []
-        for fn, c, alias in specs:
+        for fn, c, alias, off in specs:
             col = F.col(f"__c_{c}")
-            expr = {
-                "SUM": F.sum(col),
-                "COUNT": F.count(col),
-                "AVG": F.avg(col),
-                "MIN": F.min(col),
-                "MAX": F.max(col),
-                # boundary rows by position in MATCH order (posexplode),
-                # not by raw event-id
-                "FIRST": F.min_by(col, F.col("__pos")),
-                "LAST": F.max_by(col, F.col("__pos")),
-            }[fn]
+            if fn in ("FIRST", "LAST") and off:
+                # logical offset navigation (FIRST(A.c, n) = n rows after
+                # the variable's first; LAST(A.c, n) = n before its last;
+                # out of range → NULL): collect (pos, val), sort by match
+                # position, index — state bounded by match length
+                lst = F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("__pos").alias("p"), col.alias("v"))
+                    )
+                )
+                idx = (
+                    F.lit(off + 1)
+                    if fn == "FIRST"
+                    else F.size(lst) - F.lit(off)
+                )
+                expr = F.when(
+                    F.size(lst) > off, F.element_at(lst, idx)["v"]
+                )
+            else:
+                expr = {
+                    "SUM": F.sum(col),
+                    "COUNT": F.count(col),
+                    "AVG": F.avg(col),
+                    "MIN": F.min(col),
+                    "MAX": F.max(col),
+                    # boundary rows by position in MATCH order (posexplode),
+                    # not by raw event-id
+                    "FIRST": F.min_by(col, F.col("__pos")),
+                    "LAST": F.max_by(col, F.col("__pos")),
+                }[fn]
             aggs.append(expr.alias(alias))
         aggd = joined.groupBy("__k", "__f", "__l").agg(*aggs)
         out = out.join(
@@ -616,7 +805,7 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             & (out["last_event_id"] == aggd["__l"]),
             "left",
         ).drop("__k", "__f", "__l")
-        for fn, _, alias in specs:
+        for fn, _, alias, _ in specs:
             if fn == "COUNT":
                 # SQL COUNT over an empty variable (e.g. A? unmatched) is
                 # 0, not NULL — the left join leaves NULL when no row of

@@ -936,8 +936,14 @@ def _rows_from_pdf(pdf, time_col: str) -> list[dict]:
     import pandas as pd  # noqa: F811 (worker-side import)
 
     rows = []
-    for r in pdf.itertuples(index=False):
-        d = r._asdict()
+    cols = list(pdf.columns)
+    # name=None → plain tuples zipped with the real column names:
+    # namedtuple itertuples silently RENAMES any column starting with an
+    # underscore (e.g. the __nav_* PREV/NEXT lag columns) to positional
+    # _N fields, losing it for the predicates — and plain tuples are
+    # faster to build anyway
+    for vals in pdf.itertuples(index=False, name=None):
+        d = dict(zip(cols, vals))
         if "ts_us" not in d or d["ts_us"] is None:
             d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
         d["ts_us"] = int(d["ts_us"])

@@ -1209,3 +1209,205 @@ def test_all_rows_and_subset_reject_boundary_measures(spark):
       DEFINE A AS event_type = 'a', B AS event_type = 'b')"""
     with _pytest.raises(ValueError, match="SUBSET"):
         match_recognize(df, subset_sql).collect()
+
+
+def _nav_df(spark):
+    """Ticker-style fixture: one partition, strictly ordered prices."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    prices = [10.0, 8.0, 6.0, 9.0, 5.0, 3.0, 2.0, 7.0]
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=i), "tick", v)
+        for i, v in enumerate(prices)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+
+
+def test_prev_navigation_v_pattern(spark):
+    """PREV(col) physical navigation (the canonical V-pattern ticker —
+    MatchRecognizeITCase.scala): two strictly-down steps then an up step.
+    PREV reads the row before the CURRENT row in partition order,
+    regardless of what matched it; the first partition row has no PREV
+    (NULL → predicate not-true, SQL three-valued logic)."""
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(value) AS v_start, LAST(value) AS v_end
+      PATTERN (D1 D2 UP)
+      DEFINE D1 AS value < PREV(value),
+             D2 AS value < PREV(value),
+             UP AS value > PREV(value)
+    )"""
+    got = [
+        (r.first_event_id, r.last_event_id, r.v_start, r.v_end)
+        for r in match_recognize(_nav_df(spark), sql)
+        .orderBy("first_event_id")
+        .collect()
+    ]
+    # prices 10 8 6 9 5 3 2 7: V matches (e1..e3) and (e4..e7)
+    assert got == [(1, 3, 8.0, 9.0), (4, 7, 5.0, 7.0)]
+
+
+def test_prev_offset_and_next(spark):
+    """PREV(col, n) with an explicit offset and NEXT(col): lag/lead by n
+    over the partition order. NEXT of the final partition row is NULL."""
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    # rows whose value is below BOTH of the prior two rows, and that are
+    # not the last row of the partition
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES LAST(value) AS v
+      PATTERN (A)
+      DEFINE A AS value < PREV(value, 2) AND value < PREV(value)
+                  AND NEXT(value) IS NOT NULL
+    )"""
+    got = [
+        (r.first_event_id, r.v)
+        for r in match_recognize(_nav_df(spark), sql)
+        .orderBy("first_event_id")
+        .collect()
+    ]
+    # 10 8 [6<10,8] 9 [5<6,9] [3<9,5] [2<5,3] 7(last row: NEXT NULL)
+    assert got == [(2, 6.0), (4, 5.0), (5, 3.0), (6, 2.0)]
+
+
+def test_prev_on_other_variable_rejected():
+    """Flink parity: PREV may only reference the DEFINE's own variable."""
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    with _pytest.raises(ValueError, match="PREV/NEXT"):
+        parse_match_recognize(
+            """SELECT * FROM t MATCH_RECOGNIZE (
+                 PARTITION BY u ORDER BY ts PATTERN (A B)
+                 DEFINE A AS v > 0, B AS v > PREV(A.v))"""
+        )
+
+
+def test_prev_rejected_on_stream_front_door():
+    """parse_match_recognize (the streaming path) rejects physical
+    navigation — the lag/lead precompute only exists on the batch door."""
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.sql.match_recognize import parse_match_recognize
+
+    with _pytest.raises(ValueError, match="front door"):
+        parse_match_recognize(
+            """SELECT * FROM t MATCH_RECOGNIZE (
+                 PARTITION BY u ORDER BY ts PATTERN (A)
+                 DEFINE A AS v < PREV(v))"""
+        )
+
+
+def test_last_offset_in_define_and_measures(spark):
+    """FIRST/LAST(Var.col, n) logical offsets (MatchRecognizeITCase.scala:142
+    — LAST(A.name, 2)): index into the variable's matched rows; offsets
+    past the start are NULL (→ predicate not-true in DEFINE)."""
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES LAST(A.value, 1) AS a_prev, FIRST(A.value, 1) AS a_second,
+               COUNT(A.value) AS n_a
+      PATTERN (A+? B)
+      DEFINE A AS value < 9,
+             B AS value > LAST(A.value, 1)
+    )"""
+    got = [
+        (r.first_event_id, r.last_event_id, r.a_prev, r.a_second, r.n_a)
+        for r in match_recognize(_nav_df(spark), sql)
+        .orderBy("first_event_id")
+        .collect()
+    ]
+    # match 1: A=[8,6] (LAST(A,1)=8 < 9=B row); match 2: A=[5,3,2], B=7>3
+    assert got == [(1, 3, 8.0, 6.0, 2), (4, 7, 3.0, 3.0, 3)]
+
+
+def test_last_is_null_define_atom(spark):
+    """IS [NOT] NULL DEFINE atoms (MatchRecognizeITCase.scala:165 —
+    LAST(A.nullField) IS NULL): an unmatched optional variable's LAST is
+    NULL, so `LAST(A.value) IS NULL` selects exactly the no-A branches."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "a", 1.0),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 2.0),
+        (2, 1, base + dt.timedelta(minutes=2), "b", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(A.value) AS n_a
+      PATTERN (A? B)
+      DEFINE A AS event_type = 'a',
+             B AS event_type = 'b' AND LAST(A.value) IS NULL
+    )"""
+    got = [
+        (r.first_event_id, r.last_event_id, r.n_a)
+        for r in match_recognize(df, sql).orderBy("first_event_id").collect()
+    ]
+    # e0 starts an A-branch but B requires LAST(A) NULL → only the pure-B
+    # branches complete: e1 and e2 each match alone
+    assert got == [(1, 1, 0), (2, 2, 0)]
+
+
+def test_running_final_prefixes(spark):
+    """RUNNING | FINAL measure prefixes: ONE ROW PER MATCH accepts both
+    (equal at the final row); ALL ROWS PER MATCH defaults to RUNNING and
+    FINAL pins the whole-match aggregate onto every row."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "a", 1.0),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 10.0),
+        (2, 1, base + dt.timedelta(minutes=2), "b", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    one_row = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FINAL SUM(B.value) AS s_fin, RUNNING COUNT(B.value) AS n_run
+      PATTERN (A B{2})
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    r = match_recognize(df, one_row).collect()
+    assert [(x.s_fin, x.n_run) for x in r] == [(30.0, 2)]
+    all_rows = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES RUNNING SUM(B.value) AS s_run, FINAL SUM(B.value) AS s_fin
+      ALL ROWS PER MATCH
+      PATTERN (A B{2})
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    got = {
+        x.event_id: (x.s_run, x.s_fin)
+        for x in match_recognize(df, all_rows).collect()
+    }
+    assert got == {0: (None, 30.0), 1: (10.0, 30.0), 2: (30.0, 30.0)}
