@@ -42,6 +42,17 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+# Stateful / CEP headliners — the engine's only non-JVM hot paths (Python
+# NFA, applyInPandasWithState). These execute their work inside fn() (real
+# Structured Streaming runs materialize there), so the timed region wraps
+# fn() + write instead of write alone. Tracked so an NFA or state-codec
+# regression shows up in BENCH_r*.json instead of shipping invisibly.
+STATEFUL_HEADLINE = [
+    "stream_cep_overlap_threshold",  # SS micro-batches -> keyed Python NFA
+    "stream_topn",                   # applyInPandasWithState bounded heap
+    "match_recognize_agg_measures",  # batch NFA + measures join-back
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +73,7 @@ def main() -> None:
     names += [
         n for n, s in QUERIES.items() if "headline" in s.tags and n not in names
     ]
+    names += [n for n in STATEFUL_HEADLINE if n in QUERIES and n not in names]
 
     # warm-up: pay JVM/codegen/scan-listing startup cost outside the timings
     from flink_1_12_2_spark.registry import load
@@ -72,15 +84,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
+        stateful = name in STATEFUL_HEADLINE
         best: float | None = None
         for _attempt in range(2):
             # drop persisted intermediates: Spark's cache manager matches by
             # analyzed-plan equality, so attempt 2 would otherwise read
             # attempt 1's cache and measure nothing
             spark.catalog.clearCache()
-            df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            if stateful:
+                # streaming queries do their work inside fn() (run_to_memory
+                # materializes the micro-batches) — time the whole thing
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            else:
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

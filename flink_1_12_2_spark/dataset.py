@@ -102,9 +102,11 @@ class DataSet:
         self, other: "DataSet", left_keys: list[str], right_keys: list[str],
         fn: Callable, schema,
     ) -> "DataSet":
+        from flink_1_12_2_spark.session import keyed_python_groups
+
         return DataSet(
-            self.df.groupBy(*left_keys)
-            .cogroup(other.df.groupBy(*right_keys))
+            keyed_python_groups(self.df, *left_keys)
+            .cogroup(keyed_python_groups(other.df, *right_keys))
             .applyInPandas(fn, schema)
         )
 
@@ -183,7 +185,13 @@ class GroupedDataSet:
             def fn(pdf):  # noqa: F811 — sorted-view wrapper
                 return inner(pdf.sort_values(sort_cols, kind="stable"))
 
-        return DataSet(self.df.groupBy(*self.keys).applyInPandas(fn, schema))
+        from flink_1_12_2_spark.session import keyed_python_groups
+
+        # pinned-parallelism grouping (byte-based AQE coalescing would
+        # starve the pandas stage — session.keyed_python_groups)
+        return DataSet(
+            keyed_python_groups(self.df, *self.keys).applyInPandas(fn, schema)
+        )
 
     def min_by(self, *order_cols: str) -> DataSet:
         """minBy parity; extra columns are deterministic tie-breaks

@@ -32,10 +32,15 @@ def cogroup_apply(
     fn: Callable,
     output_schema: str,
 ) -> DataFrame:
-    """coGroup: ``fn(key, left_pdf, right_pdf) -> pdf`` per key pair."""
+    """coGroup: ``fn(key, left_pdf, right_pdf) -> pdf`` per key pair.
+    Both sides pinned to the same full-parallelism hash partitioning
+    (session.keyed_python_groups) — co-partitioned, no second exchange,
+    and byte-based AQE coalescing can't starve the pandas stage."""
+    from flink_1_12_2_spark.session import keyed_python_groups
+
     return (
-        left.groupBy(*left_keys)
-        .cogroup(right.groupBy(*right_keys))
+        keyed_python_groups(left, *left_keys)
+        .cogroup(keyed_python_groups(right, *right_keys))
         .applyInPandas(fn, output_schema)
     )
 
@@ -43,8 +48,12 @@ def cogroup_apply(
 def flat_aggregate(
     df: DataFrame, keys: list[str], fn: Callable, output_schema: str
 ) -> DataFrame:
-    """Table aggregate: one group in → many rows out (flatAggregate)."""
-    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+    """Table aggregate: one group in → many rows out (flatAggregate).
+    Grouping pinned to full shuffle parallelism — byte-based AQE
+    coalescing would starve the pandas stage (session.keyed_python_groups)."""
+    from flink_1_12_2_spark.session import keyed_python_groups
+
+    return keyed_python_groups(df, *keys).applyInPandas(fn, output_schema)
 
 
 def cumulate_window(

@@ -122,4 +122,8 @@ def delta_trigger_fires(
                 anchor = v
         return pdf.iloc[fired]
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+    # pinned-parallelism grouping: byte-based AQE coalescing would starve
+    # the per-row-cost pandas stage (session.keyed_python_groups)
+    from flink_1_12_2_spark.session import keyed_python_groups
+
+    return keyed_python_groups(df, *key_cols).applyInPandas(fn, schema=schema)

@@ -77,6 +77,34 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def pinned_repartition(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition by ``keys`` at FULL shuffle parallelism, pinned
+    against AQE coalescing.
+
+    AQE's post-shuffle coalescing is byte-based (64 MB advisory / 1 MB
+    min); that's right for JVM operators but wrong for per-ROW-cost
+    stages (pandas UDF stages, Python NFA, and the windows feeding them):
+    a few-MB shuffle gets folded into 1-3 partitions and the expensive
+    stage runs on 1-3 cores (measured 3.5-6x slowdown on the CEP bench
+    queries). An explicit ``repartition(N, keys)`` is user-specified, so
+    AQE leaves it alone, and HashPartitioning(keys, N) satisfies the
+    clustering requirement of downstream groupBy / window over the same
+    keys — no second exchange appears. At cluster scale the pin keeps
+    such stages scaling with executors instead of with shuffle bytes."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto"
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
+def keyed_python_groups(df: DataFrame, *keys: str):
+    """``df.groupBy(*keys)`` pinned to full shuffle parallelism for a
+    Python (pandas) stage — see :func:`pinned_repartition` for why AQE's
+    byte-based coalescing must not size these stages."""
+    return pinned_repartition(df, *keys).groupBy(*keys)
+
+
 @dataclass
 class TableMeta:
     """Registry metadata for one table.

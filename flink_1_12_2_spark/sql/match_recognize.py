@@ -247,18 +247,70 @@ def _operand(tok: str, defined: str) -> tuple:
 _IS_NULL = re.compile(r"(?is)^(.*?)\s+IS\s+(NOT\s+)?NULL$")
 
 
+def _operand_col(tok: str, defined: str):
+    """Catalyst twin of :func:`_operand` for ROW-LOCAL operands: a pyspark
+    Column reading the same value the Python getter would, or None when the
+    operand needs match state (other-variable refs, FIRST/LAST, aggregates)
+    and therefore can't be evaluated before the NFA. Used by the
+    candidate pre-gate (:func:`_pregate`) to build per-variable UPPER-BOUND
+    predicates that Catalyst evaluates in the scan stage."""
+    import pyspark.sql.functions as F
+
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return F.lit(tok[1:-1])
+    if re.match(r"^-?\d", tok):
+        return F.lit(float(tok) if "." in tok else int(tok))
+    nv = _NAV_OPERAND.match(tok)
+    if nv:
+        fn, _var, col, off = nv.groups()
+        return F.col(_nav_col(fn.upper(), col, int(off) if off else 1))
+    if _AGG_OPERAND.match(tok):
+        return None
+    vm = _VARCOL.match(tok)
+    if vm and vm.group(1).upper() != defined.upper():
+        return None
+    if re.match(r"^\w+(?:\.\w+)?$", tok):
+        return F.col(tok.split(".")[-1])
+    return None
+
+
+_COL_OPS = {
+    # Column twins of _OPS: a NULL operand makes the comparison NULL,
+    # which filter() treats as not-true — same three-valued semantics
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
 def _parse_expr(expr: str, defined: str) -> tuple:
-    """Boolean DEFINE expression → (pred(row, ctx), needs_events, navs).
+    """Boolean DEFINE expression →
+    (pred(row, ctx), needs_events, navs, bound).
 
     Grammar: comparisons and ``<operand> IS [NOT] NULL`` atoms
     (MatchRecognizeITCase.scala:165 — ``LAST(A.nullField) IS NULL``)
     joined by AND / OR (OR binds looser, no parens) — the Flink
-    MATCH_RECOGNIZE DEFINE surface minus nested parentheses."""
+    MATCH_RECOGNIZE DEFINE surface minus nested parentheses.
+
+    ``bound`` is a pyspark Column UPPER BOUND of the predicate — true for
+    every row the Python predicate could accept in ANY match state — built
+    from the row-local atoms only (non-row-local atoms relax to TRUE:
+    dropped from conjunctions; a fully non-local disjunct makes the whole
+    bound None = unpruneable). The pre-gate filters on it JVM-side."""
+    import pyspark.sql.functions as F
+
     needs = False
     navs: set = set()
     disjuncts = []
+    bound_disjuncts: list = []
+    bound_ok = True
     for part in re.split(r"(?i)\s+OR\s+", expr.strip()):
         conj = []
+        conj_bounds: list = []
         for atom in re.split(r"(?i)\s+AND\s+", part.strip()):
             atom = atom.strip()
             nm = _IS_NULL.match(atom)
@@ -266,10 +318,15 @@ def _parse_expr(expr: str, defined: str) -> tuple:
                 gl, nl, vl = _operand(nm.group(1), defined)
                 needs = needs or nl
                 navs |= vl
+                cl = _operand_col(nm.group(1), defined)
                 if nm.group(2):  # IS NOT NULL
                     conj.append((gl, lambda a, b: a is not None, gl))
+                    if cl is not None:
+                        conj_bounds.append(cl.isNotNull())
                 else:
                     conj.append((gl, lambda a, b: a is None, gl))
+                    if cl is not None:
+                        conj_bounds.append(cl.isNull())
                 continue
             pieces = _CMP.split(atom)
             if len(pieces) != 3:
@@ -279,7 +336,20 @@ def _parse_expr(expr: str, defined: str) -> tuple:
             needs = needs or nl or nr
             navs |= vl | vr
             conj.append((gl, _OPS[pieces[1]], gr))
+            cl = _operand_col(pieces[0], defined)
+            cr = _operand_col(pieces[2], defined)
+            if cl is not None and cr is not None:
+                conj_bounds.append(_COL_OPS[pieces[1]](cl, cr))
         disjuncts.append(conj)
+        if conj_bounds:
+            b = conj_bounds[0]
+            for extra in conj_bounds[1:]:
+                b = b & extra
+            bound_disjuncts.append(b)
+        else:
+            # this disjunct has no row-local atom: it may accept any row,
+            # so the whole expression has no usable upper bound
+            bound_ok = False
 
     def pred(row, ctx, _d=disjuncts):
         return any(
@@ -287,25 +357,35 @@ def _parse_expr(expr: str, defined: str) -> tuple:
             for conj in _d
         )
 
-    return pred, needs, navs
+    bound = None
+    if bound_ok and bound_disjuncts:
+        bound = bound_disjuncts[0]
+        for extra in bound_disjuncts[1:]:
+            bound = bound | extra
+    return pred, needs, navs, bound
 
 
-def _parse_defines(text: str) -> tuple[dict[str, object], bool, set]:
-    """DEFINE clauses → ({VAR: pred}, needs_events, navs). Each definition
-    is a boolean expression over comparisons (see :func:`_parse_expr`);
-    ``needs_events`` reports whether any predicate aggregates over a
-    variable's full row set (→ the pattern must retain events); ``navs``
-    collects the (PREV|NEXT, col, n) physical-navigation columns the
-    front door must precompute as lag/lead windows."""
+def _parse_defines(text: str) -> tuple[dict[str, object], bool, set, dict]:
+    """DEFINE clauses → ({VAR: pred}, needs_events, navs, {VAR: bound}).
+    Each definition is a boolean expression over comparisons (see
+    :func:`_parse_expr`); ``needs_events`` reports whether any predicate
+    aggregates over a variable's full row set (→ the pattern must retain
+    events); ``navs`` collects the (PREV|NEXT, col, n) physical-navigation
+    columns the front door must precompute as lag/lead windows; ``bounds``
+    maps each variable to its Catalyst upper-bound Column (absent when
+    unpruneable)."""
     defs: dict[str, object] = {}
     needs_events = False
     navs: set = set()
+    bounds: dict = {}
     for name, expr in _DEF_ITEM.findall(text):
-        pred, needs, nv = _parse_expr(expr, name)
+        pred, needs, nv, bound = _parse_expr(expr, name)
         needs_events = needs_events or needs
         navs |= nv
         defs[name.upper()] = pred
-    return defs, needs_events, navs
+        if bound is not None:
+            bounds[name.upper()] = bound
+    return defs, needs_events, navs, bounds
 
 _STEP = re.compile(
     r"(?s)^(?P<name>\w+)(?P<quant>\+\??|\*\??|\?|\{\d+(?:,\s*\d+)?\})?$"
@@ -353,7 +433,7 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     (partition_col, order_col, Pattern). Rejects PREV/NEXT physical
     navigation — those need the batch front door (:func:`match_recognize`)
     which precomputes the lag/lead columns the predicates read."""
-    part, order, pat, navs = _parse_mr(sql)
+    part, order, pat, navs, _bounds = _parse_mr(sql)
     if navs:
         raise ValueError(
             "PREV/NEXT physical navigation requires the batch "
@@ -363,15 +443,16 @@ def parse_match_recognize(sql: str) -> tuple[str, str, Pattern]:
     return part, order, pat
 
 
-def _parse_mr(sql: str) -> tuple[str, str, Pattern, set]:
-    """Full parse → (partition_col, order_col, Pattern, navs) where
+def _parse_mr(sql: str) -> tuple[str, str, Pattern, set, dict]:
+    """Full parse → (partition_col, order_col, Pattern, navs, bounds).
     ``navs`` is the set of (PREV|NEXT, col, n) physical-navigation columns
     DEFINE predicates read (computed as lag/lead over the partition order
-    before rows enter the NFA)."""
+    before rows enter the NFA); ``bounds`` maps variables to Catalyst
+    upper-bound Columns for the candidate pre-gate."""
     m = _MR.search(sql)
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE syntax (see module doc)")
-    defines, needs_events, navs = _parse_defines(m.group("define"))
+    defines, needs_events, navs, bounds = _parse_defines(m.group("define"))
 
     def mk_pred(name: str):
         return defines[name.upper()]
@@ -432,7 +513,88 @@ def _parse_mr(sql: str) -> tuple[str, str, Pattern, set]:
         pat = pat.skip_to_last(skip_raw[2])
     if needs_events:  # DEFINE aggregates read the variable's full row set
         pat = pat.with_events()
-    return m.group("part"), m.group("order"), pat.validate(), navs
+    return m.group("part"), m.group("order"), pat.validate(), navs, bounds
+
+
+def _pregate(df: DataFrame, part: str, pat: Pattern, bounds: dict):
+    """Vectorized CEP candidate pre-gate: Catalyst filters evaluated BEFORE
+    rows reach the Python NFA, a pure optimization with byte-identical
+    output.
+
+    1. ROW gate — keep only rows satisfying the upper bound of AT LEAST
+       ONE pattern variable's DEFINE. A row matching no variable is never
+       consumed by any branch under relaxed contiguity, never enters
+       first/last/events state, and the SQL grammar produces no
+       kill/until/strict steps — so dropping it cannot change the match
+       set. Row-local bounds typically reach the parquet scan as
+       PushedFilters, so at 100 TB the non-candidate bulk never leaves
+       the scan stage.
+    2. KEY gate — keep only partitions with at least one row satisfying
+       the match-START upper bound (the leading optional prefix plus the
+       first mandatory step, across every PERMUTE sequence): a key with
+       no possible first row yields zero matches, so its rows need not be
+       shipped to Python at all. One window max over the same partition
+       key the NFA groups on — no extra exchange.
+
+    Both gates degrade to no-ops when a needed variable has no row-local
+    bound (iterative/aggregate-only DEFINEs). Defensively skipped for
+    step features the SQL grammar can't produce today (strict contiguity,
+    negatives, until, consecutive) whose semantics DO observe dropped
+    rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    step_lists = pat.seqs if pat.seqs else [pat.steps]
+    for steps in step_lists:
+        for s in steps:
+            if s.negative or s.strict or s.consecutive or s.until_pred:
+                return df
+    used: list[str] = []
+    starts: list[str] = []
+    for steps in step_lists:
+        for s in steps:
+            used.extend([n for n, _ in s.alts] if s.alts else [s.name])
+        for s in steps:
+            starts.extend(
+                [n for n, _ in s.alts] if s.alts else [s.name]
+            )
+            if s.min_times > 0:
+                break
+
+    def union_bound(names: list[str]):
+        cols = []
+        # sorted: deterministic OR order → stable plans across runs
+        for n in sorted(set(names)):
+            b = bounds.get(n.upper())
+            if b is None:
+                return None  # some variable unpruneable → gate off
+            cols.append(b)
+        out = cols[0]
+        for b in cols[1:]:
+            out = out | b
+        return out
+
+    row_bound = union_bound(used)
+    if row_bound is not None:
+        df = df.filter(row_bound)
+    start_bound = union_bound(starts)
+    if start_bound is not None:
+        from flink_1_12_2_spark.session import pinned_repartition
+
+        # pin the key partitioning BEFORE the window: the window's own
+        # ENSURE_REQUIREMENTS exchange is AQE-coalescible, and a later
+        # pin would collapse as a no-op — leaving the window AND the
+        # downstream Python NFA on the 1-3 byte-coalesced partitions
+        df = (
+            pinned_repartition(df, part)
+            .withColumn(
+                "__mr_has_start",
+                F.max(start_bound.cast("int")).over(Window.partitionBy(part)),
+            )
+            .filter(F.col("__mr_has_start") == 1)
+            .drop("__mr_has_start")
+        )
+    return df
 
 
 def _with_nav_columns(df: DataFrame, part: str, order: str, navs: set):
@@ -444,8 +606,14 @@ def _with_nav_columns(df: DataFrame, part: str, order: str, navs: set):
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
+    from flink_1_12_2_spark.session import pinned_repartition
+
     if not navs:
         return df
+    # pinned key partitioning: the lag/lead exchange feeds the Python NFA
+    # downstream, so byte-based AQE coalescing here would starve it (see
+    # session.pinned_repartition)
+    df = pinned_repartition(df, part)
     w = Window.partitionBy(part).orderBy(order, "event_id")
     for fn, col, n in sorted(navs):
         shift = F.lag(col, n) if fn == "PREV" else F.lead(col, n)
@@ -661,8 +829,9 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     from pyspark.sql import Window
 
     m = _MR.search(sql)
-    part, order, pat, navs = _parse_mr(sql)
+    part, order, pat, navs, bounds = _parse_mr(sql)
     nfa_in = _with_nav_columns(df, part, order, navs)
+    nfa_in = _pregate(nfa_in, part, pat, bounds)
     if (m.group("rows") or "").upper().startswith("ALL"):
         return _match_recognize_all_rows(df, nfa_in, sql, m, part, order, pat)
     items = _split_measures(m.group("measures"))

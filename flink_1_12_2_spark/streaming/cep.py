@@ -997,7 +997,16 @@ def cep_match_batch(
             out["vars_json"] = [m[4] for m in matches]
         return pd.DataFrame(out)
 
-    return events.groupBy(key_col).applyInPandas(fn, schema)
+    return _keyed_python_stage(events, key_col).applyInPandas(fn, schema)
+
+
+def _keyed_python_stage(events: DataFrame, key_col: str):
+    """Keyed groups for the NFA's pandas stage at full shuffle parallelism
+    (see session.keyed_python_groups — byte-based AQE coalescing would
+    starve the per-row-cost Python stage down to 1-3 cores)."""
+    from flink_1_12_2_spark.session import keyed_python_groups
+
+    return keyed_python_groups(events, key_col)
 
 
 def cep_timed_out_partials(
@@ -1034,7 +1043,7 @@ def cep_timed_out_partials(
             }
         )
 
-    return events.groupBy(key_col).applyInPandas(fn, CEP_OUTPUT)
+    return _keyed_python_stage(events, key_col).applyInPandas(fn, CEP_OUTPUT)
 
 
 def _json_safe(d: dict) -> dict:

