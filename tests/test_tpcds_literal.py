@@ -1,0 +1,33 @@
+"""The literal TPC-DS texts run UNMODIFIED: byte-equality against the
+reference's query files (when the checkout is present) plus end-to-end
+row sanity; value correctness is the DuckDB oracle's job."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+_REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
+
+
+@pytest.mark.parametrize("n", [3, 42, 52])
+def test_embedded_text_matches_reference_file(n):
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+
+    path = os.path.join(_REF, f"query{n}.sql")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with open(path) as f:
+        assert getattr(M, f"QUERY{n}_SQL") == f.read()
+
+
+@pytest.mark.parametrize(
+    "name", ["tpcds_literal_q3", "tpcds_literal_q42", "tpcds_literal_q52"]
+)
+def test_literal_query_runs(spark, sf_dir, name):
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES[name].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
