@@ -605,3 +605,89 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 15,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Exact-substring dedup, the windowed-hash variant of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array ExactSubstr, re-expressed as a bucketed MapReduce):
+    every ``window``-token span of every document hashes to a bucket;
+    documents sharing a bucket share an exact ``window``-token substring;
+    shared spans at consecutive positions EXTEND along the (pos_a - pos_b)
+    diagonal into the longest exact match.
+
+    Returns one row per document pair sharing at least one window:
+    (id_1, id_2, n_shared_windows, match_tokens) where ``match_tokens`` =
+    longest exact common token run = max diagonal run length + window - 1.
+
+    Scale design (never all-pairs):
+    - the span→hash expansion is pure Catalyst (sequence/slice/md5 in the
+      scan stage) — one row per token position, linear in corpus size;
+    - the candidate join is an equi-join on the window hash — high
+      cardinality, map-combinable counts;
+    - boilerplate guard: hashes appearing in more than ``max_bucket``
+      distinct docs are EXCLUDED before the self-join (deterministic,
+      mirrored in the oracle) — a viral snippet cannot create a quadratic
+      bucket; singleton hashes (nd < 2) are dropped for free by the same
+      aggregate;
+    - run extension windows partition by (pair, diagonal) — bounded by
+      document length, never by corpus size."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    spans = F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    spans = F.when(n >= window, spans).otherwise(
+        F.array().cast("array<string>")
+    )
+    wins = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(spans).alias("pos", "wh")
+    )
+    elig = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("__id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_bucket))
+        .select("wh")
+    )
+    w2 = wins.join(elig, "wh")
+    a = w2.select("wh", F.col("__id").alias("id_1"), F.col("pos").alias("pa"))
+    b = w2.select("wh", F.col("__id").alias("id_2"), F.col("pos").alias("pb"))
+    pr = a.join(b, "wh").filter(F.col("id_1") < F.col("id_2"))
+    cells = pr.select(
+        "id_1", "id_2", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
+    ).distinct()
+    order = Window.partitionBy("id_1", "id_2", "diag").orderBy("pa")
+    grouped = (
+        cells.withColumn(
+            "brk",
+            F.when(F.col("pa") - F.lag("pa").over(order) == 1, 0).otherwise(1),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    runs = grouped.groupBy("id_1", "id_2", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    best = runs.groupBy("id_1", "id_2").agg(F.max("run_len").alias("max_run"))
+    shared = pr.groupBy("id_1", "id_2").agg(
+        F.count_distinct("wh").alias("n_shared_windows")
+    )
+    return shared.join(best, ["id_1", "id_2"]).select(
+        "id_1",
+        "id_2",
+        "n_shared_windows",
+        (F.col("max_run") + F.lit(window - 1)).cast("bigint").alias(
+            "match_tokens"
+        ),
+    )

@@ -301,3 +301,59 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
     ).orderBy("doc_id")
+
+
+EXSUB_W = 15  # window length in tokens (Lee et al. use 50; driver docs avg ~54)
+EXSUB_MAXB = 100  # boilerplate guard: max distinct docs per window hash
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{EXSUB_W - 1}], ' ')) AS wh
+      FROM toks, UNNEST(generate_series(1, len(t) - {EXSUB_W} + 1)) AS u(i)),
+    elig AS (
+      SELECT wh FROM wins GROUP BY wh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {EXSUB_MAXB}),
+    w2 AS (SELECT w.* FROM wins w JOIN elig USING (wh)),
+    pr AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.wh,
+             a.pos AS pa, b.pos AS pb
+      FROM w2 a JOIN w2 b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+    cells AS (SELECT DISTINCT id_1, id_2, pa - pb AS diag, pa FROM pr),
+    flagged AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+      FROM cells WINDOW w AS (PARTITION BY id_1, id_2, diag ORDER BY pa)),
+    grp AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY id_1, id_2, diag
+                               ORDER BY pa) AS g
+      FROM flagged),
+    runs AS (SELECT id_1, id_2, diag, g, COUNT(*) AS run_len
+             FROM grp GROUP BY 1, 2, 3, 4),
+    best AS (SELECT id_1, id_2, MAX(run_len) AS max_run
+             FROM runs GROUP BY 1, 2),
+    shared AS (SELECT id_1, id_2, COUNT(DISTINCT wh) AS n_shared_windows
+               FROM pr GROUP BY 1, 2)
+    SELECT s.id_1 AS id_1, s.id_2 AS id_2,
+           s.n_shared_windows AS n_shared_windows,
+           CAST(b.max_run + {EXSUB_W} - 1 AS BIGINT) AS match_tokens
+    FROM shared s JOIN best b USING (id_1, id_2)
+    ORDER BY id_1, id_2
+    """,
+    tags=("llm", "dedup", "exact-substring"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, windowed-hash
+    variant): overlapping 15-token spans hash to buckets; docs sharing a
+    bucket share an exact 15-token substring; consecutive shared spans
+    extend along the (pos_a - pos_b) diagonal into ``match_tokens``, the
+    longest exact common token run. Bucketed equi-join with a boilerplate
+    frequency cap — never all-pairs (plan-asserted); the oracle replicates
+    the full algorithm including the cap."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_substring_pairs(
+        d, "doc_id", "text", window=EXSUB_W, max_bucket=EXSUB_MAXB
+    ).orderBy("id_1", "id_2")

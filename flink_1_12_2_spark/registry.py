@@ -158,13 +158,15 @@ GATE_ORDER: tuple[str, ...] = (
     "iterate_pagerank",
     "dataset_delta_cc",
     "graph_sssp_delta",
-    # LLM dedup operators (one slot each)
+    # LLM dedup operators (one slot each; cluster_canonical — a composition
+    # of the gated exact + minhash operators — rotates to locally-verified
+    # in favor of the r6 exact-substring dedup)
     "dedup_exact",
+    "dedup_exact_substring",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_cluster_canonical",
     # ANN similarity search (LSH bucket variant stays locally verified; the
     # freed slots cover the r4 IVM changelog join and sampling classes)
     "ann_cosine_topk",

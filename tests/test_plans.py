@@ -461,3 +461,11 @@ def test_match_recognize_prev_nav_one_keyed_exchange(spark, sf_dir):
         plan,
     )
     assert len(ex_args) >= 1
+
+
+def test_exact_substring_bucketed_no_cross_join(spark, sf_dir):
+    """Exact-substring dedup must stay a bucketed equi-join on the window
+    hash — no all-pairs comparison survives the plan."""
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
