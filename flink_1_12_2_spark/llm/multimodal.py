@@ -219,3 +219,154 @@ def resize_images(df: DataFrame, target: int, id_col: str = "doc_id") -> DataFra
             )
 
     return df.select(id_col, "image").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: BMP (BITMAPINFOHEADER, 24-bit BI_RGB). BMP is a header +
+# raw-pixel format decodable in pure numpy — no image libraries needed — so
+# this path is a REAL pixel transform end to end. JPEG/PNG remain behind the
+# NotImplementedError capability gate above.
+
+_BMP_FILE_FMT = "<2sIHHI"  # magic, file size, 2×reserved, pixel-data offset
+_BMP_INFO_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (bottom-up rows, BGR byte order, rows padded to 4 bytes — the classic
+    Windows 3.x layout every viewer accepts)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = struct.calcsize(_BMP_FILE_FMT) + struct.calcsize(_BMP_INFO_FMT)
+    head = struct.pack(_BMP_FILE_FMT, b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        _BMP_INFO_FMT, struct.calcsize(_BMP_INFO_FMT), w, h, 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    return head + info + data
+
+
+def decode_bmp(data: bytes):
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array.
+    Handles bottom-up (positive height) and top-down (negative height)
+    layouts and the 4-byte row padding. Raises NotImplementedError for
+    palettized/compressed variants (same capability-gate style as the
+    JPEG/PNG stub)."""
+    import numpy as np
+
+    fh = struct.calcsize(_BMP_FILE_FMT)
+    if data is None or len(data) < fh or data[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    _, _, _, _, off = struct.unpack(_BMP_FILE_FMT, data[:fh])
+    info = struct.unpack(_BMP_INFO_FMT, data[fh : fh + struct.calcsize(_BMP_INFO_FMT)])
+    _, w, h, _planes, bpp, comp = info[0], info[1], info[2], info[3], info[4], info[5]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=off)
+    rows = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _nn_index(dst: int, src_n: int, dst_n: int):
+    """EXACT-integer nearest-neighbor source index: floor((2·dst+1)·src /
+    (2·out)) — pure integer arithmetic so the DuckDB oracle reproduces the
+    mapping bit-for-bit (a float (dst+0.5)·src/out could round differently
+    across engines at boundaries)."""
+    return min(((2 * dst + 1) * src_n) // (2 * dst_n), src_n - 1)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, 3) array via numpy fancy
+    indexing (vectorized — no Python pixel loops)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.array([_nn_index(i, h, out_h) for i in range(out_h)])
+    xs = np.array([_nn_index(j, w, out_w) for j in range(out_w)])
+    return img[np.ix_(ys, xs)]
+
+
+def bmp_target_dims(w: int, h: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving target geometry in EXACT integer math:
+    round-half-up of dim·target/max(w,h) = (2·dim·target + mx) // (2·mx)."""
+    mx = max(w, h)
+    return (2 * w * target + mx) // (2 * mx), (2 * h * target + mx) // (2 * mx)
+
+
+def attach_fake_bmps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL BMP binary column whose pixel values follow the
+    SQL-expressible formula ``(x·7 + y·13 + id + 97·ch) % 256`` — so a
+    DuckDB oracle can verify the RESIZED PIXEL CONTENT (channel sums), not
+    just geometry. Dimensions: w = id%16+8, h = id%12+8."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            bmps = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 12 + 8
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((x * 7 + y * 13 + did + 97 * ch) % 256).astype("uint8")
+                bmps.append(encode_bmp(px))
+            out["image_bmp"] = bmps
+            yield out
+
+    fields = ", ".join(f"{c.name} {c.dataType.simpleString()}" for c in df.schema)
+    return df.mapInPandas(fn, f"{fields}, image_bmp binary")
+
+
+BMP_RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def bmp_resize_stats(
+    df: DataFrame, target: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel transform over mapInPandas: decode the BMP bytes (pure
+    numpy), nearest-neighbor resize to aspect-preserving ``target`` box,
+    emit the resized per-channel integer pixel sums — exact values a SQL
+    oracle can recompute from the generator formula + the integer index
+    mapping. Batches stay Arrow-columnar; per-image work is vectorized
+    numpy (no Python pixel loops)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, img in zip(pdf[id_col], pdf["image_bmp"]):
+                px = decode_bmp(bytes(img))
+                h, w = px.shape[0], px.shape[1]
+                ow, oh = bmp_target_dims(w, h, target)
+                small = resize_nearest(px, ow, oh).astype("int64")
+                sums = small.sum(axis=(0, 1))
+                rows.append(
+                    (int(did), ow, oh, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "out_width", "out_height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, "image_bmp").mapInPandas(fn, BMP_RESIZE_SCHEMA)

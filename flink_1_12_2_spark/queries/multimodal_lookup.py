@@ -189,3 +189,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, every=3, id_col="doc_id").orderBy(
         "doc_id", "frame_idx"
     )
+
+
+_BMP_T = 16  # aspect-preserving target box
+
+
+@query(
+    "multimodal_bmp_resize",
+    oracle=f"""
+    -- recompute the RESIZED PIXEL SUMS from the generator formula
+    -- pixel(ch, x, y, id) = (x*7 + y*13 + id + 97*ch) % 256 and the EXACT
+    -- integer nearest-neighbor mapping sx = (2j+1)*w // (2*ow) — the same
+    -- integer arithmetic the numpy path uses, so sums match bit-for-bit
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h,
+             GREATEST(doc_id % 16 + 8, doc_id % 12 + 8) AS mx
+      FROM documents),
+    dims AS (
+      SELECT doc_id, w, h,
+             (2 * w * {_BMP_T} + mx) // (2 * mx) AS ow,
+             (2 * h * {_BMP_T} + mx) // (2 * mx) AS oh
+      FROM g),
+    px AS (
+      SELECT d.doc_id, d.ow, d.oh,
+             LEAST((2 * xi.i + 1) * d.w // (2 * d.ow), d.w - 1) AS sx,
+             LEAST((2 * yi.i + 1) * d.h // (2 * d.oh), d.h - 1) AS sy
+      FROM dims d,
+           UNNEST(generate_series(0, d.ow - 1)) AS xi(i),
+           UNNEST(generate_series(0, d.oh - 1)) AS yi(i))
+    SELECT doc_id,
+           CAST(MAX(ow) AS INT) AS out_width, CAST(MAX(oh) AS INT) AS out_height,
+           SUM((sx * 7 + sy * 13 + doc_id) % 256)       AS sum_r,
+           SUM((sx * 7 + sy * 13 + doc_id + 97) % 256)  AS sum_g,
+           SUM((sx * 7 + sy * 13 + doc_id + 194) % 256) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "bmp", "real-codec"),
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel transform, un-stubbed codec: 24-bit BMP bytes decoded in
+    pure numpy, nearest-neighbor resized to an aspect-preserving 16-box,
+    per-channel integer pixel sums emitted. The oracle recomputes the
+    resized sums from the pixel-generator formula and the same
+    exact-integer index mapping — verifying decoded CONTENT end to end,
+    not just geometry. JPEG/PNG stay behind the capability gate."""
+    from flink_1_12_2_spark.llm.multimodal import (
+        attach_fake_bmps,
+        bmp_resize_stats,
+    )
+
+    d = attach_fake_bmps(
+        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return bmp_resize_stats(d, target=_BMP_T, id_col="doc_id").orderBy("doc_id")

@@ -1,5 +1,12 @@
 
 
+"""LLM-pipeline operator unit tests on crafted fixtures (algorithm
+arithmetic that the corpus-level DuckDB oracles can't pin one case at a
+time)."""
+
+from __future__ import annotations
+
+
 def test_exact_substring_extension_math(spark):
     """Two docs sharing an exact 20-token run (and nothing else aligned):
     with window=15 the run yields 6 consecutive shared spans on one

@@ -73,3 +73,47 @@ def test_udf_general_vs_pandas(spark):
         .collect()[0]
     )
     assert (row.sa, row.sb) == (0 + 1 + 2 + 3 + 4 + 5, 0 + 1 + 2 + 3 + 4 + 10)
+
+
+def test_bmp_roundtrip_and_topdown():
+    """encode→decode is identity; top-down BMPs (negative height) decode to
+    the same array as bottom-up."""
+    import struct
+
+    import numpy as np
+
+    from flink_1_12_2_spark.llm.multimodal import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(7).integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    data = encode_bmp(img)
+    assert (decode_bmp(data) == img).all()
+    # flip to top-down: negate biHeight and reorder rows
+    h = img.shape[0]
+    td = bytearray(data)
+    td[22:26] = struct.pack("<i", -h)
+    off = struct.unpack("<I", data[10:14])[0]
+    stride = (3 * img.shape[1] + 3) // 4 * 4
+    rows = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, stride)
+    td[off : off + h * stride] = rows[::-1].tobytes()
+    assert (decode_bmp(bytes(td)) == img).all()
+
+
+def test_bmp_capability_gate():
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.llm.multimodal import decode_bmp
+
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n----------------")
+
+
+def test_nearest_resize_mapping():
+    """The exact-integer nearest mapping: downscale 4x4 -> 2x2 picks source
+    indices floor((2d+1)*4/4) = 1,3 on both axes."""
+    import numpy as np
+
+    from flink_1_12_2_spark.llm.multimodal import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_nearest(img, 2, 2)
+    assert (out == img[np.ix_([1, 3], [1, 3])]).all()
