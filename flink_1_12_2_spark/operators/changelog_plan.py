@@ -14,7 +14,9 @@ Model (the subset the engine's operators span):
 - source modes: ``append`` (insert-only), ``upsert`` (+I/+U/-D keyed by PK,
   no -U — kafka-upsert/CDC-without-before), ``retract`` (full +I/-U/+U/-D).
 - ops: ``("agg",)`` group aggregate · ``("join", other_mode)`` two-changelog
-  join · terminal ``("sink", "append"|"upsert"|"retract")``.
+  join · ``("topn",)`` rank/top-N · ``("dedup", "first"|"last")`` ·
+  ``("window_agg",)`` group-window aggregate · terminal
+  ``("sink", "append"|"upsert"|"retract")``.
 
 Inference rules (each cites the Flink decision it mirrors):
 
@@ -33,6 +35,23 @@ Inference rules (each cites the Flink decision it mirrors):
    (DropUpdateBeforeFunction.java — a PK-keyed sink needs no -U) .
 6. append sink over an updating stream → raise, exactly Flink's
    "Table sink doesn't support consuming update changes" planner error.
+7. top-N over insert-only input → ``topn`` (AppendFastStrategy,
+   StreamExecRank.scala:141 — the engine's ``streaming_topn`` bounded
+   heap); over a retracting input → ``topn_retract``
+   (RetractStrategy → RetractableTopNFunction.java:53 — the engine's
+   ``streaming_topn_changelog``). EITHER WAY the output is updating
+   (rows leave the top-N → retractions), so mode becomes ``retract``.
+8. dedup requires insert-only input (StreamExecDeduplicate — Flink
+   raises "Deduplicate doesn't support consuming update changes"; an
+   upsert source is normalized first per rule 1). ``keep-first`` OUTPUT
+   is insert-only (the first row per key never changes —
+   DeduplicateKeepFirstRowFunction); ``keep-last`` emits +U/-U per key →
+   ``retract``.
+9. window_agg requires insert-only input (StreamExecGroupWindowAggregate
+   — "GroupWindowAggregate doesn't support consuming update changes");
+   watermark-closed windows emit each result ONCE → output stays
+   ``append`` (early/late firing variants would flip this to retract —
+   the engine's early-fire emulation lives in streaming/core.py).
 """
 
 from __future__ import annotations
@@ -88,6 +107,38 @@ def plan_changelog(source_mode: str, ops: list[tuple]) -> list[str]:
             else:
                 chain.append("join")
                 mode = "append"
+        elif kind == "topn":
+            mode = ensure_consumable(mode)
+            if mode == "append":
+                chain.append("topn")  # AppendFastStrategy / streaming_topn
+            else:
+                # RetractStrategy → RetractableTopNFunction parity
+                # (engine: streaming_topn_changelog)
+                chain.append("topn_retract")
+            mode = "retract"  # evictions retract previously-emitted ranks
+        elif kind == "dedup":
+            keep = op[1] if len(op) > 1 else "last"
+            if keep not in ("first", "last"):
+                raise ValueError(f"unknown dedup keep mode {keep!r}")
+            mode = ensure_consumable(mode)
+            if mode != "append":
+                raise ValueError(
+                    "Deduplicate doesn't support consuming update changes "
+                    f"(stream mode is {mode!r}) — StreamExecDeduplicate"
+                )
+            chain.append(f"dedup_keep_{keep}")
+            # keep-first output is insert-only; keep-last updates per key
+            mode = "append" if keep == "first" else "retract"
+        elif kind == "window_agg":
+            mode = ensure_consumable(mode)
+            if mode != "append":
+                raise ValueError(
+                    "GroupWindowAggregate doesn't support consuming update "
+                    f"changes (stream mode is {mode!r}) — "
+                    "StreamExecGroupWindowAggregate"
+                )
+            chain.append("window_agg")
+            mode = "append"  # watermark-closed windows emit once
         elif kind == "sink":
             target = op[1]
             if target not in MODES:
