@@ -647,7 +647,7 @@ def exact_substring_pairs(
     spans = F.when(n >= window, spans).otherwise(
         F.array().cast("array<string>")
     )
-    wins = df.select(
+    wins = fan_out(df).select(
         F.col(id_col).alias("__id"), F.posexplode(spans).alias("pos", "wh")
     )
     elig = (

@@ -233,3 +233,51 @@ def token_bigrams(text: Column) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def pack_concat_chunks(
+    df,
+    ctx: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """GPT-style sequence packing: per source shard, documents concatenate
+    in ``id_col`` order into one token stream that splits into fixed
+    ``ctx``-token context windows (docs straddle window boundaries — the
+    standard concat-then-chunk pretraining layout, not first-fit binning).
+
+    Returns one row per (doc, window) overlap:
+    (source, bin_id, doc_id, n_toks, toks_in_bin) — exact integer
+    arithmetic end to end (exclusive running sum + interval intersection),
+    so a SQL oracle reproduces it bit-for-bit.
+
+    Scale: the running sum partitions by SOURCE — the per-shard serial
+    prefix a sequential packing inherently needs; shards are the
+    parallelism unit (at 100 TB you pack per file/shard, thousands of
+    independent streams). Window state is O(1) per row; the bin explode
+    adds ceil(n/ctx) rows per doc — linear in corpus tokens."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = d.withColumn(
+        "start", F.sum("n_toks").over(w).cast("bigint") - F.col("n_toks")
+    )
+    first_bin = (F.col("start") / ctx).cast("bigint")
+    last_bin = ((F.col("start") + F.col("n_toks") - 1) / ctx).cast("bigint")
+    d = d.withColumn(
+        "bin_id", F.explode(F.sequence(first_bin, last_bin))
+    )
+    lo = F.greatest(F.col("bin_id") * ctx, F.col("start"))
+    hi = F.least(
+        (F.col("bin_id") + 1) * ctx, F.col("start") + F.col("n_toks")
+    )
+    return d.select(
+        "source", "bin_id", "doc_id", "n_toks",
+        (hi - lo).cast("bigint").alias("toks_in_bin"),
+    )

@@ -716,3 +716,130 @@ def pipeline_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("qs").alias("quality"))
         .orderBy("doc_id")
     )
+
+
+_PACK_CTX = 256  # context-window length in tokens
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_toks
+      FROM documents WHERE len({_TOKS}) > 0),
+    s AS (
+      SELECT *, SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id)
+                  - n_toks AS strt
+      FROM d),
+    b AS (
+      SELECT source, doc_id, n_toks, strt,
+             UNNEST(generate_series(CAST(strt // {_PACK_CTX} AS BIGINT),
+                                    CAST((strt + n_toks - 1) // {_PACK_CTX}
+                                         AS BIGINT)))
+               AS bin_id
+      FROM s),
+    per AS (
+      SELECT source, bin_id, doc_id,
+             LEAST((bin_id + 1) * {_PACK_CTX}, strt + n_toks)
+               - GREATEST(bin_id * {_PACK_CTX}, strt) AS tib
+      FROM b)
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           SUM(tib) AS bin_tokens
+    FROM per GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+    tags=("llm", "text", "packing", "pipeline"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): per source shard,
+    documents concatenate in doc_id order into one token stream split
+    into fixed 256-token context windows; docs straddle boundaries. Emits
+    the per-window composition (doc count, token count — every window
+    except each shard's last must hold exactly 256 tokens). Exact integer
+    arithmetic (exclusive running sum + interval intersection) keeps both
+    engines bit-identical. The per-shard running sum is the serial prefix
+    sequential packing inherently needs — shards are the parallelism
+    unit, exactly how a 100 TB corpus packs per file."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    per = T.pack_concat_chunks(d, ctx=_PACK_CTX)
+    return (
+        per.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks_in_bin").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+_MIX_ALPHA = 0.5  # mixing temperature (Gopher/Pile-style root-scaled weights)
+_MIX_BUDGET = 200  # total documents to draw across sources
+
+
+@query(
+    "mixing_temperature_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    wts AS (
+      SELECT source, n_docs,
+             POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})
+               / SUM(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) OVER ()
+               AS weight
+      FROM counts),
+    quota AS (
+      SELECT source, n_docs, weight,
+             CAST(FLOOR(weight * {_MIX_BUDGET}) AS BIGINT) AS base,
+             weight * {_MIX_BUDGET}
+               - FLOOR(weight * {_MIX_BUDGET}) AS frac
+      FROM wts),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+             {_MIX_BUDGET} - SUM(base) OVER () AS leftover
+      FROM quota)
+    SELECT source, n_docs, ROUND(weight, 6) AS weight,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_sampled
+    FROM ranked ORDER BY source
+    """,
+    tags=("llm", "text", "mixing", "pipeline"),
+)
+def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the Pile/Gopher data-mixing rule):
+    per-source sampling weight ∝ n_docs^alpha (alpha = 0.5 flattens the
+    source distribution toward small domains), then an exact
+    largest-remainder apportionment of a fixed document budget — floor of
+    each quota plus one for the largest fractional parts (ties broken by
+    source name), so the allocations sum EXACTLY to the budget on both
+    engines. Two tiny aggregates over source cardinality — a metadata-scale
+    computation at any corpus size."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = W.partitionBy()
+    wts = counts.withColumn(
+        "weight",
+        F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)
+        / F.sum(F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)).over(tot),
+    )
+    quota = wts.withColumn(
+        "base", F.floor(F.col("weight") * _MIX_BUDGET).cast("bigint")
+    ).withColumn(
+        "frac",
+        F.col("weight") * _MIX_BUDGET
+        - F.floor(F.col("weight") * _MIX_BUDGET),
+    )
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("frac"), F.asc("source")))
+    ).withColumn("leftover", F.lit(_MIX_BUDGET) - F.sum("base").over(tot))
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.round("weight", 6).alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("n_sampled"),
+    ).orderBy("source")

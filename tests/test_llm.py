@@ -40,3 +40,37 @@ def test_exact_substring_boilerplate_cap(spark):
     )
     assert exact_substring_pairs(df, window=15, max_bucket=3).count() == 0
     assert exact_substring_pairs(df, window=15, max_bucket=10).count() == 10
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-then-chunk packing: per source, every window except the last
+    holds exactly ctx tokens; total packed tokens equal the corpus total;
+    a doc longer than ctx spans multiple windows."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.text import pack_concat_chunks
+
+    rows = [
+        (0, "s1", " ".join(f"a{i}" for i in range(7))),
+        (1, "s1", " ".join(f"b{i}" for i in range(10))),  # straddles ctx=8
+        (2, "s2", " ".join(f"c{i}" for i in range(3))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    per = pack_concat_chunks(df, ctx=8)
+    bins = (
+        per.groupBy("source", "bin_id")
+        .agg(F.sum("toks_in_bin").alias("toks"))
+        .collect()
+    )
+    by_src = {}
+    for r in bins:
+        by_src.setdefault(r.source, {})[r.bin_id] = r.toks
+    # s1: 17 tokens -> bins of 8, 8, 1; s2: 3 tokens -> one partial bin
+    assert by_src["s1"] == {0: 8, 1: 8, 2: 1}
+    assert by_src["s2"] == {0: 3}
+    # doc 1 (10 tokens starting at offset 7) spans bins 0,1,2
+    spans = {
+        r.bin_id: r.toks_in_bin
+        for r in per.filter("doc_id = 1").collect()
+    }
+    assert spans == {0: 1, 1: 8, 2: 1}
