@@ -437,3 +437,57 @@ def test_repetition_signals_match_bruteforce(spark, texts):
         dlf, bigs = got[i]
         assert abs(dlf - exp_dlf) < 1e-12, (t, dlf, exp_dlf)
         assert bigs == exp_bigs, (t, bigs, exp_bigs)
+
+
+@SET
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=0, max_size=24),
+)
+def test_match_recognize_prev_nav_vs_bruteforce(spark, vals):
+    """PREV-navigation V-pattern (D1 D2 UP, all defined via PREV(value))
+    against a brute-force Python reference of the branch-NFA semantics
+    under SKIP PAST LAST ROW: from the resume position, the first down
+    row's chain (next down, then next up) is the earliest-completing
+    branch — ties impossible on a single diagonal chain. Small integer
+    values force plenty of equal-neighbor rows (neither down nor up),
+    exercising the relaxed-contiguity skipping and the pre-gate's
+    row-drop correctness."""
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    rows = [(1, i, float(i), float(v)) for i, v in enumerate(vals)]
+    # brute force: flags then the resume-position recursion
+    dn = [i for i in range(1, len(vals)) if vals[i] < vals[i - 1]]
+    up = {i for i in range(1, len(vals)) if vals[i] > vals[i - 1]}
+    expected = []
+    pos = -1
+    while True:
+        d1 = next((i for i in dn if i > pos), None)
+        if d1 is None:
+            break
+        d2 = next((i for i in dn if i > d1), None)
+        if d2 is None:
+            break
+        u = next((i for i in sorted(up) if i > d2), None)
+        if u is None:
+            break
+        expected.append((d1, u))
+        pos = u
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id long, ts double, value double"
+    )
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(value) AS v0
+      PATTERN (D1 D2 UP)
+      DEFINE D1 AS value < PREV(value),
+             D2 AS value < PREV(value),
+             UP AS value > PREV(value)
+    )"""
+    got = [
+        (r.first_event_id, r.last_event_id)
+        for r in match_recognize(df, sql).orderBy("first_event_id").collect()
+    ]
+    assert got == expected, (vals, got, expected)
