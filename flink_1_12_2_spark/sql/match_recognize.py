@@ -869,6 +869,14 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     out = cep_match_batch(
         nfa_in, pat, key_col=part, time_col=order, include_vars=need_vars
     )
+    if var_aggs:
+        # each per-variable aggregate joins `out` back against an
+        # aggregation DERIVED FROM `out` — without a lineage cut Spark
+        # recomputes the whole Python-NFA subtree once per reference
+        # (measured: 6.5 s vs 1.4 s single-pass at sf0.1). A lazy
+        # localCheckpoint materializes the (small, match-count-sized)
+        # NFA output exactly once; downstream joins read the pinned RDD.
+        out = out.localCheckpoint(eager=False)
     for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
         side = df.select(
