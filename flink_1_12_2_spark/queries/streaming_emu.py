@@ -1878,3 +1878,42 @@ def match_recognize_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_run").cast("double").alias("s_run"),
         F.col("s_fin").cast("double").alias("s_fin"),
     ).orderBy("user_id", "mn", "role")
+
+
+@query(
+    "stream_iterate_feedback",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+        AND CAST(ROUND(value * 100) AS BIGINT) > 0)
+    SELECT user_id, event_id,
+           (v + 2499) // 2500 AS n_iter,
+           v - ((v + 2499) // 2500) * 2500 AS final_cents
+    FROM src ORDER BY user_id, event_id
+    """,
+    tags=("stream", "iterate", "feedback"),
+)
+def stream_iterate_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ITERATION (DataStream.iterate, DataStream.java:624 — the
+    reference's feedback edge, exercised like flink-examples
+    IterateExample.java's countdown loop): every element loops through the
+    body (value_cents -= 2500) once per micro-batch via keyed state as the
+    feedback channel, exiting with its iteration count when the condition
+    fires — run over a REAL 4-micro-batch stream, so elements genuinely
+    re-enter the operator across batches. End-of-input sentinels (the
+    bounded-input MAX_WATERMARK) drain in-flight elements to their
+    fixpoint. The oracle pins n_iter = ceil(v/step) and the final
+    (non-positive) value per element — exact integers on both engines."""
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+    from flink_1_12_2_spark.streaming.stateful import (
+        streaming_iterate_countdown,
+    )
+
+    ev = stream_events_multibatch(
+        spark, sf_dir, n_files=4, flush_sentinels=True
+    )
+    out = run_to_memory(
+        streaming_iterate_countdown(ev, step_cents=2500), output_mode="append"
+    )
+    return out.orderBy("user_id", "event_id")

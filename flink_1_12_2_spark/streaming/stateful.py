@@ -638,3 +638,108 @@ def streaming_outer_join_changelog(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+ITERATE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("n_iter", LongType()),
+        StructField("final_cents", LongType()),
+    ]
+)
+
+ITERATE_STATE = StructType(
+    [
+        StructField("ids_csv", StringType()),
+        StructField("vals_csv", StringType()),
+        StructField("iters_csv", StringType()),
+    ]
+)
+
+
+def _iterate_fn(step_cents: int):
+    """Streaming ITERATION head+feedback (DataStream.iterate,
+    DataStream.java:624; the countdown body mirrors flink-examples
+    IterateExample.java): keyed state is the FEEDBACK CHANNEL. Each
+    micro-batch, every in-flight element receives exactly ONE body
+    application (value_cents -= step); elements whose exit condition
+    fires (value ≤ 0) leave through the output edge with their iteration
+    count, the rest loop back into state for the next batch — Flink's
+    asynchronous feedback edge, expressed on micro-batch time. A sentinel
+    row (event_id = -1, delivered by stream_events_multibatch's
+    flush_sentinels = the bounded-input MAX_WATERMARK) drains remaining
+    elements to their fixpoint — Flink's end-of-job flush, where feedback
+    residence time no longer matters.
+
+    Exact integer arithmetic throughout, so the oracle computes the same
+    n_iter = ceil(v/step) and final = v - n_iter·step bit-for-bit."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids_csv, vals_csv, iters_csv = state.get
+            ids = [int(x) for x in ids_csv.split(",")] if ids_csv else []
+            vals = [int(x) for x in vals_csv.split(",")] if vals_csv else []
+            iters = [int(x) for x in iters_csv.split(",")] if iters_csv else []
+        else:
+            ids, vals, iters = [], [], []
+        drain = False
+        for pdf in pdfs:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if int(eid) == -1:
+                    drain = True  # MAX_WATERMARK sentinel
+                    continue
+                fv = float(val)
+                if fv != fv:  # null → NaN in the Arrow batch
+                    continue
+                v = int(round(fv * 100))
+                if v > 0:
+                    ids.append(int(eid))
+                    vals.append(v)
+                    iters.append(0)
+        done: list[tuple] = []
+        keep_i: list[int] = []
+        for i in range(len(ids)):
+            # ONE body application per batch traversal of the loop
+            vals[i] -= step_cents
+            iters[i] += 1
+            if vals[i] <= 0:
+                done.append((key[0], ids[i], iters[i], vals[i]))
+            elif drain:
+                # end-of-input: iterate the leftover to its fixpoint
+                n_more = (vals[i] + step_cents - 1) // step_cents
+                done.append(
+                    (key[0], ids[i], iters[i] + n_more,
+                     vals[i] - n_more * step_cents)
+                )
+            else:
+                keep_i.append(i)
+        state.update(
+            (
+                ",".join(str(ids[i]) for i in keep_i),
+                ",".join(str(vals[i]) for i in keep_i),
+                ",".join(str(iters[i]) for i in keep_i),
+            )
+        )
+        yield pd.DataFrame(
+            done, columns=["user_id", "event_id", "n_iter", "final_cents"]
+        )
+
+    return fn
+
+
+def streaming_iterate_countdown(events: DataFrame, step_cents: int = 2500) -> DataFrame:
+    """DataStream.iterate emulation: per-key feedback loop over micro-batches
+    (see :func:`_iterate_fn`). Keyed state is bounded by the number of
+    in-flight elements per key (each element lives ceil(v/step) batches)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _iterate_fn(step_cents),
+        outputStructType=ITERATE_OUTPUT,
+        stateStructType=ITERATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,44 @@ def test_datastream_extended_surface(spark, sf_dir):
     assert sorted((r.id, r.tok) for r in out.df.collect()) == [
         (1, "x"), (1, "y"), (2, "z"),
     ]
+
+
+def test_streaming_iterate_cross_batch_feedback():
+    """Pure-function check of the feedback semantics: one body application
+    per micro-batch (an element with v=60.00 and step 25.00 lives THREE
+    batches: 6000 -> 3500 -> 1000 -> -1500), and the MAX_WATERMARK
+    sentinel drains in-flight elements to their fixpoint in one call."""
+    import pandas as pd
+
+    from flink_1_12_2_spark.streaming.stateful import _iterate_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        @property
+        def get(self):
+            return self._v
+
+    fn = _iterate_fn(2500)
+    st = FakeState()
+    batch = lambda rows: pd.DataFrame(  # noqa: E731
+        rows, columns=["event_id", "value"]
+    )
+    # batch 1: element enters, one application, stays in flight
+    out1 = next(fn((1,), iter([batch([(10, 60.0)])]), st))
+    assert len(out1) == 0 and st.get[0] == "10"
+    # batch 2: second application, still in flight
+    out2 = next(fn((1,), iter([batch([])]), st))
+    assert len(out2) == 0 and st.get[1] == "1000"
+    # batch 3: third application fires the exit condition
+    out3 = next(fn((1,), iter([batch([])]), st))
+    assert list(map(tuple, out3.itertuples(index=False))) == [(1, 10, 3, -1500)]
+    assert st.get[0] == ""
+    # drain: a fresh big element + the sentinel in the same batch finishes
+    # at its fixpoint immediately (end-of-input flush)
+    out4 = next(fn((1,), iter([batch([(11, 100.0), (-1, 0.0)])]), st))
+    assert list(map(tuple, out4.itertuples(index=False))) == [(1, 11, 4, 0)]

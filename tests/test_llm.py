@@ -74,3 +74,4 @@ def test_sequence_packing_invariants(spark):
         for r in per.filter("doc_id = 1").collect()
     }
     assert spans == {0: 1, 1: 8, 2: 1}
+
