@@ -943,7 +943,14 @@ def _rows_from_pdf(pdf, time_col: str) -> list[dict]:
     # _N fields, losing it for the predicates — and plain tuples are
     # faster to build anyway
     for vals in pdf.itertuples(index=False, name=None):
-        d = dict(zip(cols, vals))
+        # Arrow/pandas surfaces SQL NULL in double columns as NaN; the
+        # NFA's row model (and SQL three-valued logic: IS NULL atoms,
+        # null-rejecting comparisons incl. <>) needs real None — NaN
+        # would satisfy `a != b` and fail `IS NULL`
+        d = {
+            c: (None if isinstance(v, float) and v != v else v)
+            for c, v in zip(cols, vals)
+        }
         if "ts_us" not in d or d["ts_us"] is None:
             d["ts_us"] = int(pd.Timestamp(d[time_col]).value // 1000)
         d["ts_us"] = int(d["ts_us"])

@@ -1411,3 +1411,40 @@ def test_running_final_prefixes(spark):
         for x in match_recognize(df, all_rows).collect()
     }
     assert got == {0: (None, 30.0), 1: (10.0, 30.0), 2: (30.0, 30.0)}
+
+
+def test_last_is_null_on_matched_null_field(spark):
+    """MatchRecognizeITCase.scala:165 exact scenario: the variable MATCHED
+    but the referenced field is NULL — LAST(A.value) IS NULL must hold
+    (distinct from the unmatched-optional case)."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "a", None),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 2.0),
+        (2, 1, base + dt.timedelta(minutes=2), "a", 5.0),
+        (3, 1, base + dt.timedelta(minutes=3), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    sql = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(A.value) AS n_vals
+      PATTERN (A B)
+      DEFINE A AS event_type = 'a',
+             B AS event_type = 'b' AND LAST(A.value) IS NULL
+    )"""
+    got = [
+        (r.first_event_id, r.last_event_id, r.n_vals)
+        for r in match_recognize(df, sql).orderBy("first_event_id").collect()
+    ]
+    # only the null-valued A (e0) completes; e2's A has a value so B's
+    # IS NULL guard rejects, and COUNT skips the null
+    assert got == [(0, 1, 0)]
