@@ -1060,6 +1060,9 @@ def _json_safe(d: dict) -> dict:
     for k, v in d.items():
         if hasattr(v, "item"):  # numpy scalar
             v = v.item()
+        if isinstance(v, float) and v != v:
+            v = None  # pandas NULL→NaN: restore SQL NULL semantics (and
+            # strict JSON — NaN is not valid JSON state payload)
         if isinstance(v, (int, float, str, bool)) or v is None:
             out[k] = v
     return out
