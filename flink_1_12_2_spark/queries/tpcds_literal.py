@@ -29,7 +29,7 @@ Adapter views (TPC-H-ish driver tables → TPC-DS names):
 - ``item``       := part     (i_brand_id parsed from 'Brand#NN' —
   unique per brand, making every ORDER BY suffix a total order;
   i_manufact_id / i_manager_id derived from p_partkey residues chosen so
-  the spec's literal equality filters select non-empty subsets).
+  the spec's literal equality filters select non-empty subsets) — manager residue 30 covers both the q42/q52 value 1 and q55's 28).
 
 Scale: identical plan family to ds_q3_brand_year — the two dimension
 views broadcast, the fact view never shuffles before aggregation, and the
@@ -67,7 +67,7 @@ _ADAPTER_SPARK = {
                p_brand   AS i_brand,
                CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
                CAST(100 + p_partkey % 50 AS INT)  AS i_manufact_id,
-               CAST(p_partkey % 25 AS INT)        AS i_manager_id,
+               CAST(p_partkey % 30 AS INT)        AS i_manager_id,
                p_type    AS i_category,
                p_size    AS i_category_id
         FROM __tpch_part
@@ -91,7 +91,7 @@ _ADAPTER_DUCK = """
              p_brand   AS i_brand,
              CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
              CAST(100 + p_partkey % 50 AS INT)  AS i_manufact_id,
-             CAST(p_partkey % 25 AS INT)        AS i_manager_id,
+             CAST(p_partkey % 30 AS INT)        AS i_manager_id,
              p_type    AS i_category,
              p_size    AS i_category_id
       FROM part)
@@ -194,4 +194,32 @@ def tpcds_literal_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(rewrite(QUERY52_SQL)).toDF(
         "d_year", "brand_id", "brand", "ext_price"
+    )
+
+
+QUERY55_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\nselect  i_brand_id brand_id, i_brand brand,\n \tsum(ss_ext_sales_price) ext_price\n from date_dim, store_sales, item\n where d_date_sk = ss_sold_date_sk\n \tand ss_item_sk = i_item_sk\n \tand i_manager_id=28\n \tand d_moy=11\n \tand d_year=1999\n group by i_brand, i_brand_id\n order by ext_price desc, i_brand_id\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\n'
+
+
+@query(
+    "tpcds_literal_q55",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK}
+    SELECT item.i_brand_id AS brand_id, item.i_brand AS brand,
+           SUM(ss_ext_sales_price) AS ext_price
+    FROM date_dim, store_sales, item
+    WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+      AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+    GROUP BY 1, 2
+    ORDER BY ext_price DESC, brand_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query55.sql text, unmodified — UNQUALIFIED column references
+    resolved across the three comma-joined tables (the q3 family's other
+    parser shape)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(rewrite(QUERY55_SQL)).toDF(
+        "brand_id", "brand", "ext_price"
     )

@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [3, 42, 52])
+@pytest.mark.parametrize("n", [3, 42, 52, 55])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -23,7 +23,8 @@ def test_embedded_text_matches_reference_file(n):
 
 
 @pytest.mark.parametrize(
-    "name", ["tpcds_literal_q3", "tpcds_literal_q42", "tpcds_literal_q52"]
+    "name", ["tpcds_literal_q3", "tpcds_literal_q42", "tpcds_literal_q52",
+             "tpcds_literal_q55"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
