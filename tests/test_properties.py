@@ -491,3 +491,53 @@ def test_match_recognize_prev_nav_vs_bruteforce(spark, vals):
         for r in match_recognize(df, sql).orderBy("first_event_id").collect()
     ]
     assert got == expected, (vals, got, expected)
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=14),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_exact_substring_vs_lcs_bruteforce(spark, docs):
+    """Windowed-hash exact-substring dedup equals the token-level
+    longest-common-substring brute force: a diagonal run of R consecutive
+    shared W-windows IS a common substring of R+W-1 tokens and vice
+    versa. A 3-symbol vocabulary forces heavy window collisions and
+    repeated windows inside one document (the distinct-cells path)."""
+    from flink_1_12_2_spark.llm.dedup import exact_substring_pairs
+
+    W = 3
+    texts = [" ".join(t) for t in docs]
+
+    def wins(toks):
+        return [tuple(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            shared = set(wins(a)) & set(wins(b))
+            if not shared:
+                continue
+            # token-level longest common substring (DP)
+            best = 0
+            dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for x in range(1, len(a) + 1):
+                for y in range(1, len(b) + 1):
+                    if a[x - 1] == b[y - 1]:
+                        dp[x][y] = dp[x - 1][y - 1] + 1
+                        best = max(best, dp[x][y])
+            expected[(i, j)] = (len(shared), best)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_1, r.id_2): (r.n_shared_windows, r.match_tokens)
+        for r in exact_substring_pairs(
+            df, window=W, max_bucket=100
+        ).collect()
+    }
+    assert got == expected, (texts, got, expected)
