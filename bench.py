@@ -105,12 +105,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # continuity across rounds: the pre-r6 headline set's subtotal, so the
+    # r1-r5 baseline comparison stays like-for-like after the stateful
+    # queries joined the bench
+    core = round(
+        sum(v for n, v in timings.items() if n not in STATEFUL_HEADLINE), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "core_sec": core,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

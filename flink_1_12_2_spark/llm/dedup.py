@@ -656,10 +656,15 @@ def exact_substring_pairs(
         .filter((F.col("nd") >= 2) & (F.col("nd") <= max_bucket))
         .select("wh")
     )
-    w2 = wins.join(elig, "wh")
+    # persisted: both self-join sides consume the capped posting list —
+    # without the boundary each side re-runs the span explode + frequency
+    # join (same policy as ngram_jaccard_pairs's `cold`)
+    w2 = wins.join(elig, "wh").persist()
     a = w2.select("wh", F.col("__id").alias("id_1"), F.col("pos").alias("pa"))
     b = w2.select("wh", F.col("__id").alias("id_2"), F.col("pos").alias("pb"))
-    pr = a.join(b, "wh").filter(F.col("id_1") < F.col("id_2"))
+    # persisted: the pair stream feeds BOTH the run-extension windows and
+    # the shared-window count
+    pr = a.join(b, "wh").filter(F.col("id_1") < F.col("id_2")).persist()
     cells = pr.select(
         "id_1", "id_2", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
     ).distinct()

@@ -14,6 +14,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_1_12_2_spark.llm.dedup import fan_out
 from flink_1_12_2_spark.llm.multimodal import (
     attach_fake_images,
     decode_images,
@@ -42,7 +43,7 @@ from flink_1_12_2_spark.registry import load, query
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary image column → decode/feature-extract via Arrow-batched
     mapInPandas (codec stubbed; header+payload fully verified)."""
-    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    d = attach_fake_images(fan_out(load(spark, sf_dir, "documents")), "doc_id")
     out = decode_images(d, "doc_id")
     return out.withColumn("channels", F.col("channels").cast("int")).orderBy(
         "doc_id"
@@ -67,7 +68,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize geometry over mapInPandas (codec stubbed)."""
-    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    d = attach_fake_images(fan_out(load(spark, sf_dir, "documents")), "doc_id")
     return resize_images(d, target=32, id_col="doc_id").orderBy("doc_id")
 
 
@@ -83,7 +84,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_filter_before_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata pruning: the width filter applies to the metadata column
     BEFORE the decode UDF runs — only qualifying binaries cross into Python."""
-    d = attach_fake_images(load(spark, sf_dir, "documents"), "doc_id")
+    d = attach_fake_images(fan_out(load(spark, sf_dir, "documents")), "doc_id")
     pruned = d.filter(F.col("meta_width") >= 48)
     out = decode_images(pruned, "doc_id")
     return out.agg(
@@ -185,7 +186,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     just indices (codec stubbed: fake container, real batch plumbing)."""
     from flink_1_12_2_spark.llm.multimodal import attach_fake_videos, sample_frames
 
-    d = attach_fake_videos(load(spark, sf_dir, "documents"), "doc_id")
+    d = attach_fake_videos(fan_out(load(spark, sf_dir, "documents")), "doc_id")
     return sample_frames(d, every=3, id_col="doc_id").orderBy(
         "doc_id", "frame_idx"
     )
@@ -240,6 +241,6 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = attach_fake_bmps(
-        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+        fan_out(load(spark, sf_dir, "documents").select("doc_id")), "doc_id"
     )
     return bmp_resize_stats(d, target=_BMP_T, id_col="doc_id").orderBy("doc_id")
