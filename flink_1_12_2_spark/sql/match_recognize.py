@@ -871,12 +871,13 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     )
     if var_aggs:
         # each per-variable aggregate joins `out` back against an
-        # aggregation DERIVED FROM `out` — without a lineage cut Spark
+        # aggregation DERIVED FROM `out` — without a cache boundary Spark
         # recomputes the whole Python-NFA subtree once per reference
-        # (measured: 6.5 s vs 1.4 s single-pass at sf0.1). A lazy
-        # localCheckpoint materializes the (small, match-count-sized)
-        # NFA output exactly once; downstream joins read the pinned RDD.
-        out = out.localCheckpoint(eager=False)
+        # (measured: 6.5 s vs 1.4 s single-pass at sf0.1). persist() (not
+        # localCheckpoint) computes the (small, match-count-sized) NFA
+        # output once while keeping the subtree visible to EXPLAIN/plan
+        # tests and reclaimable via spark.catalog.clearCache().
+        out = out.persist()
     for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
         side = df.select(
