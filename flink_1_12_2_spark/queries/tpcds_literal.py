@@ -4,36 +4,61 @@ The reference gates its TPC-DS end-to-end run on the spec's 103 generated
 query files (flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/*.sql,
 executed by TpcdsTestProgram.java:118). The archetype modules
 (tpcds_like*.py) re-express those PLAN SHAPES on the driver tables; this
-module goes one step further for the q3 family and runs the ACTUAL
-BENCHMARK QUERY TEXT — byte-for-byte as shipped in the reference's
-tpcds-tool/query directory — through ``sql/rewriter.rewrite`` +
-``spark.sql`` against column-mapping adapter views over the driver
-parquet. That proves the SQL front door parses real TPC-DS query files
-(implicit comma joins, qualified dotted columns, unaliased aggregates in
-ORDER BY, LIMIT), not just DataFrame re-expressions.
+module goes one step further and runs ACTUAL BENCHMARK QUERY TEXT —
+byte-for-byte as shipped in the reference's tpcds-tool/query directory —
+through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
+adapter views over the driver parquet. That proves the SQL front door
+parses real TPC-DS query files, not just DataFrame re-expressions.
+
+Parser shapes covered by the ten files below:
+
+- q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
+  unaliased aggregates in ORDER BY, unqualified cross-table resolution;
+- q98/q12/q20 — window aggregate OVER a group aggregate
+  (``sum(sum(x)) over (partition by ...)``), DATE literals with
+  ``+ INTERVAL '30' day`` arithmetic, BETWEEN on dates, no-LIMIT (q98);
+- q7/q26 — five-table star with two demographic dims, ``avg(cast(x as
+  decimal(7,2)))``, OR-disjunction across dim columns;
+- q19 — six-table star with a ``substr(zip)<>substr(zip)`` anti-locality
+  theta residual on top of equi-joins.
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
 reference implementation code; ``tests/test_tpcds_literal.py`` asserts
-they equal the reference files byte-for-byte when the reference checkout
-is present.
+they equal the reference files byte-for-byte when the checkout is present.
 
-Adapter views (TPC-H-ish driver tables → TPC-DS names):
+Adapter views (TPC-H-ish driver tables → TPC-DS names) — one Spark-SQL
+and one DuckDB-SQL rendering of the SAME mapping, kept textually adjacent
+so they cannot drift:
 
-- ``date_dim``   := orders   (d_date_sk = o_orderkey, d_year/d_moy from
-  o_orderdate) — a "one row per sold-date key" dimension;
+- ``date_dim``   := orders   (d_date_sk = o_orderkey, d_date/d_year/d_moy
+  from o_orderdate — the driver's orders span 1995–2001, so the spec's
+  literal 1998/1999/2000 filters select non-empty subsets);
 - ``store_sales``:= lineitem (ss_sold_date_sk = l_orderkey, ss_item_sk =
-  l_partkey, ss_ext_sales_price = discounted price in INTEGER CENTS so
-  both engines sum exactly and the LIMIT-100 boundary is
-  deterministic — the repo's float-discipline rule);
-- ``item``       := part     (i_brand_id parsed from 'Brand#NN' —
-  unique per brand, making every ORDER BY suffix a total order;
-  i_manufact_id / i_manager_id derived from p_partkey residues chosen so
-  the spec's literal equality filters select non-empty subsets) — manager residue 30 covers both the q42/q52 value 1 and q55's 28).
+  l_partkey, all prices in INTEGER CENTS so both engines sum exactly and
+  every LIMIT-100 boundary is deterministic — the repo's float-discipline
+  rule). The RICH variant joins orders on the (N:1) orderkey to expose
+  customer/demographic FKs that TPC-DS store_sales carries natively —
+  an artifact of the testdata, not of the engine design;
+- ``web_sales`` / ``catalog_sales`` := disjoint channel slices of
+  lineitem (l_linenumber % 3), so the three fact views carry different
+  data;
+- ``item``       := part (i_brand_id parsed from 'Brand#NN'; i_item_id a
+  zero-padded unique key so every ORDER BY suffix is a total order;
+  i_category remapped onto the ten TPC-DS category names so the spec's
+  literal ``IN ('Sports','Books','Home')`` filters select non-empty
+  subsets; i_manufact_id/i_manager_id residues cover the spec's literal
+  equality values 128/8 and 1/28);
+- ``customer_demographics`` := customer (gender/marital/education from
+  custkey residues — CRT guarantees the spec's M/S/College conjunction is
+  non-empty); ``promotion`` := nation (channel flags from key residues);
+- ``customer``/``customer_address``/``store`` := customer/supplier with
+  synthetic 5-digit zips for q19's zip-mismatch predicate.
 
-Scale: identical plan family to ds_q3_brand_year — the two dimension
-views broadcast, the fact view never shuffles before aggregation, and the
-year×brand grain keeps the top-k tiny at any scale.
+Scale: identical plan families to the ds_q* archetypes — every dimension
+view broadcasts, the fact view never shuffles before aggregation, and the
+group grains keep the top-k tiny at any scale. The RICH store_sales
+adds a fact-fact orderkey join that real TPC-DS data would not need.
 """
 
 from __future__ import annotations
@@ -45,69 +70,242 @@ from flink_1_12_2_spark.registry import load, query
 from flink_1_12_2_spark.sql.rewriter import rewrite
 
 # ---------------------------------------------------------------------------
-# Adapter views: one Spark-SQL and one DuckDB-SQL rendering of the SAME
-# mapping (kept textually adjacent so they cannot drift).
+# Adapter views.
+
+_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+_CATEGORIES = (
+    "'Books','Children','Electronics','Home','Jewelry',"
+    "'Men','Music','Shoes','Sports','Women'"
+)
+
+_ITEM_SPARK = f"""
+        SELECT p_partkey AS i_item_sk,
+               LPAD(CAST(p_partkey AS STRING), 16, '0') AS i_item_id,
+               p_name    AS i_item_desc,
+               p_brand   AS i_brand,
+               CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
+               CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
+               CONCAT('M#', LPAD(CAST(p_partkey % 150 AS STRING), 3, '0'))
+                 AS i_manufact,
+               CAST(p_partkey % 30 AS INT)        AS i_manager_id,
+               element_at(array({_CATEGORIES}),
+                          CAST(1 + p_partkey % 10 AS INT)) AS i_category,
+               p_size    AS i_category_id,
+               p_type    AS i_class,
+               p_retailprice AS i_current_price
+        FROM __tpch_part
+    """
 
 _ADAPTER_SPARK = {
     "date_dim": """
         SELECT o_orderkey AS d_date_sk,
+               CAST(o_orderdate AS DATE)       AS d_date,
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
                CAST(MONTH(o_orderdate) AS INT) AS d_moy
         FROM __tpch_orders
     """,
-    "store_sales": """
+    "store_sales": f"""
         SELECT l_orderkey AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                 AS ss_ext_sales_price
+               {_CENTS} AS ss_ext_sales_price
         FROM __tpch_lineitem
     """,
-    "item": """
-        SELECT p_partkey AS i_item_sk,
-               p_brand   AS i_brand,
-               CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
-               CAST(100 + p_partkey % 50 AS INT)  AS i_manufact_id,
-               CAST(p_partkey % 30 AS INT)        AS i_manager_id,
-               p_type    AS i_category,
-               p_size    AS i_category_id
-        FROM __tpch_part
+    "web_sales": f"""
+        SELECT l_orderkey AS ws_sold_date_sk,
+               l_partkey  AS ws_item_sk,
+               {_CENTS} AS ws_ext_sales_price
+        FROM __tpch_lineitem WHERE l_linenumber % 3 = 1
+    """,
+    "catalog_sales": f"""
+        SELECT l_orderkey AS cs_sold_date_sk,
+               l_partkey  AS cs_item_sk,
+               {_CENTS} AS cs_ext_sales_price
+        FROM __tpch_lineitem WHERE l_linenumber % 3 = 2
+    """,
+    "item": _ITEM_SPARK,
+}
+
+_RICH_FACT_COLS_SPARK = """
+               o_custkey  AS {p}customer_sk,
+               o_custkey  AS {p}cdemo_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS {p}promo_sk,
+               l_suppkey  AS {p}store_sk,
+               CAST(l_quantity AS INT) AS {p}quantity,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS {p}list_price,
+               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS {p}coupon_amt,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 AS {p}sales_price
+"""
+
+_RICH_SPARK = {
+    "store_sales": f"""
+        SELECT l_orderkey AS ss_sold_date_sk,
+               l_partkey  AS ss_item_sk,
+               {_CENTS} AS ss_ext_sales_price,
+               {_RICH_FACT_COLS_SPARK.format(p="ss_")}
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+    """,
+    "catalog_sales": f"""
+        SELECT l_orderkey AS cs_sold_date_sk,
+               l_partkey  AS cs_item_sk,
+               {_CENTS} AS cs_ext_sales_price,
+               o_custkey  AS cs_bill_cdemo_sk,
+               {_RICH_FACT_COLS_SPARK.format(p="cs_")}
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 2
+    """,
+    "customer_demographics": """
+        SELECT c_custkey AS cd_demo_sk,
+               CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+               element_at(array('M','S','D','W','U'),
+                          CAST(1 + c_custkey % 5 AS INT)) AS cd_marital_status,
+               element_at(array('Primary','Secondary','College','2 yr Degree',
+                                '4 yr Degree','Advanced Degree','Unknown'),
+                          CAST(1 + c_custkey % 7 AS INT)) AS cd_education_status
+        FROM __tpch_customer
+    """,
+    "promotion": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS p_promo_sk,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'Y' END
+                 AS p_channel_email,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'Y' END
+                 AS p_channel_event
+        FROM __tpch_nation
+    """,
+    "customer": """
+        SELECT c_custkey AS c_customer_sk,
+               c_custkey AS c_current_addr_sk
+        FROM __tpch_customer
+    """,
+    "customer_address": """
+        SELECT c_custkey AS ca_address_sk,
+               LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip
+        FROM __tpch_customer
+    """,
+    "store": """
+        SELECT s_suppkey AS s_store_sk,
+               s_name    AS s_store_name,
+               LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip
+        FROM __tpch_supplier
     """,
 }
 
-_ADAPTER_DUCK = """
+_ITEM_DUCK = f"""
+    item AS (
+      SELECT p_partkey AS i_item_sk,
+             LPAD(CAST(p_partkey AS VARCHAR), 16, '0') AS i_item_id,
+             p_name    AS i_item_desc,
+             p_brand   AS i_brand,
+             CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
+             CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
+             'M#' || LPAD(CAST(p_partkey % 150 AS VARCHAR), 3, '0')
+               AS i_manufact,
+             CAST(p_partkey % 30 AS INT)        AS i_manager_id,
+             ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
+             p_size    AS i_category_id,
+             p_type    AS i_class,
+             p_retailprice AS i_current_price
+      FROM part)
+"""
+
+_ADAPTER_DUCK = f"""
     date_dim AS (
       SELECT o_orderkey AS d_date_sk,
+             CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-               AS ss_ext_sales_price
+             {_CENTS} AS ss_ext_sales_price
       FROM lineitem),
-    item AS (
-      SELECT p_partkey AS i_item_sk,
-             p_brand   AS i_brand,
-             CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
-             CAST(100 + p_partkey % 50 AS INT)  AS i_manufact_id,
-             CAST(p_partkey % 30 AS INT)        AS i_manager_id,
-             p_type    AS i_category,
-             p_size    AS i_category_id
-      FROM part)
+    web_sales AS (
+      SELECT l_orderkey AS ws_sold_date_sk,
+             l_partkey  AS ws_item_sk,
+             {_CENTS} AS ws_ext_sales_price
+      FROM lineitem WHERE l_linenumber % 3 = 1),
+    catalog_sales AS (
+      SELECT l_orderkey AS cs_sold_date_sk,
+             l_partkey  AS cs_item_sk,
+             {_CENTS} AS cs_ext_sales_price
+      FROM lineitem WHERE l_linenumber % 3 = 2),
+    {_ITEM_DUCK.strip()}
+"""
+
+_RICH_FACT_COLS_DUCK = _RICH_FACT_COLS_SPARK  # same SQL in both dialects
+
+_ADAPTER_DUCK_RICH = f"""
+    date_dim AS (
+      SELECT o_orderkey AS d_date_sk,
+             CAST(o_orderdate AS DATE)       AS d_date,
+             CAST(YEAR(o_orderdate) AS INT)  AS d_year,
+             CAST(MONTH(o_orderdate) AS INT) AS d_moy
+      FROM orders),
+    store_sales AS (
+      SELECT l_orderkey AS ss_sold_date_sk,
+             l_partkey  AS ss_item_sk,
+             {_CENTS} AS ss_ext_sales_price,
+             {_RICH_FACT_COLS_DUCK.format(p="ss_")}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    catalog_sales AS (
+      SELECT l_orderkey AS cs_sold_date_sk,
+             l_partkey  AS cs_item_sk,
+             {_CENTS} AS cs_ext_sales_price,
+             o_custkey  AS cs_bill_cdemo_sk,
+             {_RICH_FACT_COLS_DUCK.format(p="cs_")}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2),
+    {_ITEM_DUCK.strip()},
+    customer_demographics AS (
+      SELECT c_custkey AS cd_demo_sk,
+             CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+             (['M','S','D','W','U'])[CAST(1 + c_custkey % 5 AS INT)]
+               AS cd_marital_status,
+             (['Primary','Secondary','College','2 yr Degree','4 yr Degree',
+               'Advanced Degree','Unknown'])[CAST(1 + c_custkey % 7 AS INT)]
+               AS cd_education_status
+      FROM customer),
+    promotion AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS p_promo_sk,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'Y' END
+               AS p_channel_email,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'Y' END
+               AS p_channel_event
+      FROM nation),
+    customer_v AS (
+      SELECT c_custkey AS c_customer_sk,
+             c_custkey AS c_current_addr_sk
+      FROM customer),
+    customer_address AS (
+      SELECT c_custkey AS ca_address_sk,
+             LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip
+      FROM customer),
+    store AS (
+      SELECT s_suppkey AS s_store_sk,
+             s_name    AS s_store_name,
+             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip
+      FROM supplier)
 """
 
 
-def _register_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in ("orders", "lineitem", "part"):
+def _register_views(spark: SparkSession, sf_dir: str, rich: bool = False) -> None:
+    base = ("orders", "lineitem", "part")
+    extra = ("customer", "supplier", "nation") if rich else ()
+    for t in base + extra:
         load(spark, sf_dir, t).createOrReplaceTempView(f"__tpch_{t}")
     for name, body in _ADAPTER_SPARK.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if rich:
+        for name, body in _RICH_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
 # ---------------------------------------------------------------------------
 # The literal query files — byte-for-byte copies of
-# flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/query{3,42,52}.sql
+# flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/query{N}.sql
 # (TPC-DS spec queries; see module docstring). DO NOT REFORMAT.
 
 QUERY3_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query3.tpl\nselect  dt.d_year \n       ,item.i_brand_id brand_id \n       ,item.i_brand brand\n       ,sum(ss_ext_sales_price) sum_agg\n from  date_dim dt \n      ,store_sales\n      ,item\n where dt.d_date_sk = store_sales.ss_sold_date_sk\n   and store_sales.ss_item_sk = item.i_item_sk\n   and item.i_manufact_id = 128\n   and dt.d_moy=11\n group by dt.d_year\n      ,item.i_brand\n      ,item.i_brand_id\n order by dt.d_year\n         ,sum_agg desc\n         ,brand_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query3.tpl\n'
@@ -115,6 +313,20 @@ QUERY3_SQL = '-- start query 1 in stream 0 using template ../query_templates_qua
 QUERY42_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query42.tpl\nselect  dt.d_year\n \t,item.i_category_id\n \t,item.i_category\n \t,sum(ss_ext_sales_price)\n from \tdate_dim dt\n \t,store_sales\n \t,item\n where dt.d_date_sk = store_sales.ss_sold_date_sk\n \tand store_sales.ss_item_sk = item.i_item_sk\n \tand item.i_manager_id = 1  \t\n \tand dt.d_moy=11\n \tand dt.d_year=2000\n group by \tdt.d_year\n \t\t,item.i_category_id\n \t\t,item.i_category\n order by       sum(ss_ext_sales_price) desc,dt.d_year\n \t\t,item.i_category_id\n \t\t,item.i_category\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query42.tpl\n'
 
 QUERY52_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query52.tpl\nselect  dt.d_year\n \t,item.i_brand_id brand_id\n \t,item.i_brand brand\n \t,sum(ss_ext_sales_price) ext_price\n from date_dim dt\n     ,store_sales\n     ,item\n where dt.d_date_sk = store_sales.ss_sold_date_sk\n    and store_sales.ss_item_sk = item.i_item_sk\n    and item.i_manager_id = 1\n    and dt.d_moy=11\n    and dt.d_year=2000\n group by dt.d_year\n \t,item.i_brand\n \t,item.i_brand_id\n order by dt.d_year\n \t,ext_price desc\n \t,brand_id\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query52.tpl\n'
+
+QUERY55_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\nselect  i_brand_id brand_id, i_brand brand,\n \tsum(ss_ext_sales_price) ext_price\n from date_dim, store_sales, item\n where d_date_sk = ss_sold_date_sk\n \tand ss_item_sk = i_item_sk\n \tand i_manager_id=28\n \tand d_moy=11\n \tand d_year=1999\n group by i_brand, i_brand_id\n order by ext_price desc, i_brand_id\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\n'
+
+QUERY98_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query98.tpl\nselect i_item_id\n      ,i_item_desc \n      ,i_category \n      ,i_class \n      ,i_current_price\n      ,sum(ss_ext_sales_price) as itemrevenue \n      ,sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over\n          (partition by i_class) as revenueratio\nfrom\t\n\tstore_sales\n    \t,item \n    \t,date_dim\nwhere \n\tss_item_sk = i_item_sk \n  \tand i_category in ('Sports', 'Books', 'Home')\n  \tand ss_sold_date_sk = d_date_sk\n\tand d_date between cast('1999-02-22' as date) \n\t\t\t\tand (cast('1999-02-22' as date) + INTERVAL '30' day)\ngroup by \n\ti_item_id\n        ,i_item_desc \n        ,i_category\n        ,i_class\n        ,i_current_price\norder by \n\ti_category\n        ,i_class\n        ,i_item_id\n        ,i_item_desc\n        ,revenueratio\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query98.tpl\n"
+
+QUERY12_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query12.tpl\nselect  i_item_id\n      ,i_item_desc \n      ,i_category \n      ,i_class \n      ,i_current_price\n      ,sum(ws_ext_sales_price) as itemrevenue \n      ,sum(ws_ext_sales_price)*100/sum(sum(ws_ext_sales_price)) over\n          (partition by i_class) as revenueratio\nfrom\t\n\tweb_sales\n    \t,item \n    \t,date_dim\nwhere \n\tws_item_sk = i_item_sk \n  \tand i_category in ('Sports', 'Books', 'Home')\n  \tand ws_sold_date_sk = d_date_sk\n\tand d_date between cast('1999-02-22' as date) \n\t\t\t\tand (cast('1999-02-22' as date) + INTERVAL '30' day)\ngroup by \n\ti_item_id\n        ,i_item_desc \n        ,i_category\n        ,i_class\n        ,i_current_price\norder by \n\ti_category\n        ,i_class\n        ,i_item_id\n        ,i_item_desc\n        ,revenueratio\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query12.tpl\n"
+
+QUERY20_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query20.tpl\nselect  i_item_id\n       ,i_item_desc \n       ,i_category \n       ,i_class \n       ,i_current_price\n       ,sum(cs_ext_sales_price) as itemrevenue \n       ,sum(cs_ext_sales_price)*100/sum(sum(cs_ext_sales_price)) over\n           (partition by i_class) as revenueratio\n from\tcatalog_sales\n     ,item \n     ,date_dim\n where cs_item_sk = i_item_sk \n   and i_category in ('Sports', 'Books', 'Home')\n   and cs_sold_date_sk = d_date_sk\n and d_date between cast('1999-02-22' as date)\n \t\t\t\tand (cast('1999-02-22' as date) + INTERVAL '30' day)\n group by i_item_id\n         ,i_item_desc \n         ,i_category\n         ,i_class\n         ,i_current_price\n order by i_category\n         ,i_class\n         ,i_item_id\n         ,i_item_desc\n         ,revenueratio\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query20.tpl\n"
+
+QUERY7_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query7.tpl\nselect  i_item_id, \n        avg(cast(ss_quantity as decimal(7, 2))) agg1,\n        avg(ss_list_price) agg2,\n        avg(ss_coupon_amt) agg3,\n        avg(ss_sales_price) agg4 \n from store_sales, customer_demographics, date_dim, item, promotion\n where ss_sold_date_sk = d_date_sk and\n       ss_item_sk = i_item_sk and\n       ss_cdemo_sk = cd_demo_sk and\n       ss_promo_sk = p_promo_sk and\n       cd_gender = 'M' and\n       cd_marital_status = 'S' and\n       cd_education_status = 'College' and\n       (p_channel_email = 'N' or p_channel_event = 'N') and\n       d_year = 2000\n group by i_item_id\n order by i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query7.tpl\n"
+
+QUERY26_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query26.tpl\nselect  i_item_id, \n        avg(cast(cs_quantity as decimal(7, 2))) agg1,\n        avg(cs_list_price) agg2,\n        avg(cs_coupon_amt) agg3,\n        avg(cs_sales_price) agg4 \n from catalog_sales, customer_demographics, date_dim, item, promotion\n where cs_sold_date_sk = d_date_sk and\n       cs_item_sk = i_item_sk and\n       cs_bill_cdemo_sk = cd_demo_sk and\n       cs_promo_sk = p_promo_sk and\n       cd_gender = 'M' and\n       cd_marital_status = 'S' and\n       cd_education_status = 'College' and\n       (p_channel_email = 'N' or p_channel_event = 'N') and\n       d_year = 2000\n group by i_item_id\n order by i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query26.tpl\n"
+
+QUERY19_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query19.tpl\nselect  i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,\n \tsum(ss_ext_sales_price) ext_price\n from date_dim, store_sales, item,customer,customer_address,store\n where d_date_sk = ss_sold_date_sk\n   and ss_item_sk = i_item_sk\n   and i_manager_id=8\n   and d_moy=11\n   and d_year=1998\n   and ss_customer_sk = c_customer_sk \n   and c_current_addr_sk = ca_address_sk\n   and substr(ca_zip,1,5) <> substr(s_zip,1,5) \n   and ss_store_sk = s_store_sk \n group by i_brand\n      ,i_brand_id\n      ,i_manufact_id\n      ,i_manufact\n order by ext_price desc\n         ,i_brand\n         ,i_brand_id\n         ,i_manufact_id\n         ,i_manufact\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query19.tpl\n'
 
 
 @query(
@@ -197,9 +409,6 @@ def tpcds_literal_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERY55_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\nselect  i_brand_id brand_id, i_brand brand,\n \tsum(ss_ext_sales_price) ext_price\n from date_dim, store_sales, item\n where d_date_sk = ss_sold_date_sk\n \tand ss_item_sk = i_item_sk\n \tand i_manager_id=28\n \tand d_moy=11\n \tand d_year=1999\n group by i_brand, i_brand_id\n order by ext_price desc, i_brand_id\nlimit 100 \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query55.tpl\n'
-
-
 @query(
     "tpcds_literal_q55",
     oracle=f"""
@@ -222,4 +431,161 @@ def tpcds_literal_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(rewrite(QUERY55_SQL)).toDF(
         "brand_id", "brand", "ext_price"
+    )
+
+
+_Q98_COLS = (
+    "i_item_id", "i_item_desc", "i_category", "i_class",
+    "i_current_price", "itemrevenue", "revenueratio",
+)
+
+
+def _q98_oracle(fact: str, p: str, limit: str) -> str:
+    return f"""
+    WITH {_ADAPTER_DUCK}
+    SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+           SUM({p}_ext_sales_price) AS itemrevenue,
+           SUM({p}_ext_sales_price) * 100
+             / SUM(SUM({p}_ext_sales_price)) OVER (PARTITION BY i_class)
+             AS revenueratio
+    FROM {fact}, item, date_dim
+    WHERE {p}_item_sk = i_item_sk
+      AND i_category IN ('Sports', 'Books', 'Home')
+      AND {p}_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                     AND CAST('1999-02-22' AS DATE) + INTERVAL '30' DAY
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+    {limit}
+    """
+
+
+@query(
+    "tpcds_literal_q98",
+    oracle=_q98_oracle("store_sales", "ss", ""),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query98.sql text, unmodified — window aggregate OVER a group
+    aggregate (``sum(sum(x)) over (partition by i_class)``), DATE literal
+    ``+ INTERVAL '30' day`` arithmetic, BETWEEN on dates, and NO LIMIT.
+    revenueratio is a double quotient of two exact int64 sums, so both
+    engines compute the identical IEEE value."""
+    _register_views(spark, sf_dir)
+    return spark.sql(rewrite(QUERY98_SQL)).toDF(*_Q98_COLS)
+
+
+@query(
+    "tpcds_literal_q12",
+    oracle=_q98_oracle("web_sales", "ws", "LIMIT 100"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query12.sql text, unmodified — q98's shape over the web_sales
+    channel slice with LIMIT 100. The boundary is deterministic: every
+    group key is a function of p_partkey, so the ORDER BY prefix
+    (i_category, i_class, i_item_id) is a total order."""
+    _register_views(spark, sf_dir)
+    return spark.sql(rewrite(QUERY12_SQL)).toDF(*_Q98_COLS)
+
+
+@query(
+    "tpcds_literal_q20",
+    oracle=_q98_oracle("catalog_sales", "cs", "LIMIT 100"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query20.sql text, unmodified — q98's shape over the
+    catalog_sales channel slice."""
+    _register_views(spark, sf_dir)
+    return spark.sql(rewrite(QUERY20_SQL)).toDF(*_Q98_COLS)
+
+
+def _q7_oracle(fact: str, p: str, cdemo: str) -> str:
+    return f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id,
+           CAST(AVG(CAST({p}_quantity AS DECIMAL(7, 2))) AS DOUBLE) AS agg1,
+           AVG({p}_list_price) AS agg2,
+           AVG({p}_coupon_amt) AS agg3,
+           AVG({p}_sales_price) AS agg4
+    FROM {fact}, customer_demographics, date_dim, item, promotion
+    WHERE {p}_sold_date_sk = d_date_sk
+      AND {p}_item_sk = i_item_sk
+      AND {cdemo} = cd_demo_sk
+      AND {p}_promo_sk = p_promo_sk
+      AND cd_gender = 'M' AND cd_marital_status = 'S'
+      AND cd_education_status = 'College'
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+      AND d_year = 2000
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 100
+    """
+
+
+def _q7_result(df: DataFrame) -> DataFrame:
+    # the literal text's avg(cast(x as decimal(7,2))) yields DECIMAL(11,6)
+    # in Spark but DOUBLE in DuckDB — align post-hoc (rename-level fixup,
+    # same policy as q42's unaliased aggregate)
+    out = df.toDF("i_item_id", "agg1", "agg2", "agg3", "agg4")
+    return out.withColumn("agg1", F.col("agg1").cast("double"))
+
+
+@query(
+    "tpcds_literal_q7",
+    oracle=_q7_oracle("store_sales", "ss", "ss_cdemo_sk"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query7.sql text, unmodified — five-table star with the
+    customer_demographics triple-equality filter and the promotion channel
+    OR-disjunction; ``avg(cast(x as decimal(7,2)))`` exercises decimal
+    aggregate typing. AVGs are exact-int sums over exact counts, so both
+    engines emit the identical double."""
+    _register_views(spark, sf_dir, rich=True)
+    return _q7_result(spark.sql(rewrite(QUERY7_SQL)))
+
+
+@query(
+    "tpcds_literal_q26",
+    oracle=_q7_oracle("catalog_sales", "cs", "cs_bill_cdemo_sk"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query26.sql text, unmodified — q7's shape over the
+    catalog_sales channel slice (cs_bill_cdemo_sk FK name)."""
+    _register_views(spark, sf_dir, rich=True)
+    return _q7_result(spark.sql(rewrite(QUERY26_SQL)))
+
+
+@query(
+    "tpcds_literal_q19",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+           i_manufact, SUM(ss_ext_sales_price) AS ext_price
+    FROM date_dim, store_sales, item, customer_v, customer_address, store
+    WHERE d_date_sk = ss_sold_date_sk
+      AND ss_item_sk = i_item_sk
+      AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+      AND ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND SUBSTR(ca_zip, 1, 5) <> SUBSTR(s_zip, 1, 5)
+      AND ss_store_sk = s_store_sk
+    GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+    ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query19.sql text, unmodified — six-table star whose join
+    graph carries a non-equi residual (``substr(ca_zip,1,5) <>
+    substr(s_zip,1,5)`` customer-vs-store zip mismatch) on top of the
+    equi-joins. The ORDER BY suffix covers the whole group key, so the
+    LIMIT boundary is a total order."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY19_SQL)).toDF(
+        "brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"
     )

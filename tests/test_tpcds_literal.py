@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [3, 42, 52, 55])
+@pytest.mark.parametrize("n", [3, 7, 12, 19, 20, 26, 42, 52, 55, 98])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -24,7 +24,8 @@ def test_embedded_text_matches_reference_file(n):
 
 @pytest.mark.parametrize(
     "name", ["tpcds_literal_q3", "tpcds_literal_q42", "tpcds_literal_q52",
-             "tpcds_literal_q55"]
+             "tpcds_literal_q55", "tpcds_literal_q7", "tpcds_literal_q12",
+             "tpcds_literal_q19", "tpcds_literal_q20", "tpcds_literal_q26"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -32,3 +33,20 @@ def test_literal_query_runs(spark, sf_dir, name):
     load_all_query_modules()
     rows = QUERIES[name].fn(spark, sf_dir).collect()
     assert 0 < len(rows) <= 100
+
+
+def test_literal_q98_unlimited(spark, sf_dir):
+    """q98 has no LIMIT — the full grouped result set comes back and the
+    window ratio sums to ~100 within each i_class partition."""
+    from collections import defaultdict
+
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q98"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0  # 19 at sf0.001, 205 at sf0.01 — never truncated
+    by_class = defaultdict(float)
+    for r in rows:
+        by_class[r["i_class"]] += r["revenueratio"]
+    for cls, tot in by_class.items():
+        assert abs(tot - 100.0) < 1e-6, (cls, tot)
