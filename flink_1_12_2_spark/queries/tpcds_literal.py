@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the ten files below:
+Parser shapes covered by the twelve files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -20,7 +20,12 @@ Parser shapes covered by the ten files below:
 - q7/q26 — five-table star with two demographic dims, ``avg(cast(x as
   decimal(7,2)))``, OR-disjunction across dim columns;
 - q19 — six-table star with a ``substr(zip)<>substr(zip)`` anti-locality
-  theta residual on top of equi-joins.
+  theta residual on top of equi-joins;
+- q6 — an uncorrelated scalar subquery (single-value guarded DISTINCT)
+  and a correlated per-category-average scalar subquery in one WHERE,
+  plus HAVING on COUNT(*);
+- q96 — bare ``count(*)`` ordered by itself over a four-table star with
+  a generated (``range(86400)``) time-of-day dimension.
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -79,6 +84,11 @@ _CATEGORIES = (
     "'Men','Music','Shoes','Sports','Women'"
 )
 
+_STATES = (
+    "'AL','AR','AZ','CA','CO','CT','DE','FL','GA','IA','ID','IL','IN',"
+    "'KS','KY','LA','MA','MD','ME','MI','MN','MO','MS','MT','NC'"
+)
+
 _ITEM_SPARK = f"""
         SELECT p_partkey AS i_item_sk,
                LPAD(CAST(p_partkey AS STRING), 16, '0') AS i_item_id,
@@ -93,7 +103,7 @@ _ITEM_SPARK = f"""
                           CAST(1 + p_partkey % 10 AS INT)) AS i_category,
                p_size    AS i_category_id,
                p_type    AS i_class,
-               p_retailprice AS i_current_price
+               p_retailprice * (1 + p_partkey % 4) / 2 AS i_current_price
         FROM __tpch_part
     """
 
@@ -102,7 +112,9 @@ _ADAPTER_SPARK = {
         SELECT o_orderkey AS d_date_sk,
                CAST(o_orderdate AS DATE)       AS d_date,
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
-               CAST(MONTH(o_orderdate) AS INT) AS d_moy
+               CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+               CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+                    AS INT) AS d_month_seq
         FROM __tpch_orders
     """,
     "store_sales": f"""
@@ -129,6 +141,9 @@ _ADAPTER_SPARK = {
 _RICH_FACT_COLS_SPARK = """
                o_custkey  AS {p}customer_sk,
                o_custkey  AS {p}cdemo_sk,
+               o_custkey  AS {p}hdemo_sk,
+               (l_orderkey * 7919 + l_linenumber * 104729) % 86400
+                 AS {p}sold_time_sk,
                CAST(1 + l_partkey % 25 AS INT) AS {p}promo_sk,
                l_suppkey  AS {p}store_sk,
                CAST(l_quantity AS INT) AS {p}quantity,
@@ -179,16 +194,30 @@ _RICH_SPARK = {
                c_custkey AS c_current_addr_sk
         FROM __tpch_customer
     """,
-    "customer_address": """
+    "customer_address": f"""
         SELECT c_custkey AS ca_address_sk,
-               LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip
+               LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip,
+               element_at(array({_STATES}),
+                          CAST(1 + c_custkey % 25 AS INT)) AS ca_state
         FROM __tpch_customer
     """,
     "store": """
         SELECT s_suppkey AS s_store_sk,
-               s_name    AS s_store_name,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
+                 AS s_store_name,
                LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip
         FROM __tpch_supplier
+    """,
+    "household_demographics": """
+        SELECT c_custkey AS hd_demo_sk,
+               CAST(c_custkey % 10 AS INT) AS hd_dep_count
+        FROM __tpch_customer
+    """,
+    "time_dim": """
+        SELECT id AS t_time_sk,
+               CAST(FLOOR(id / 3600) AS INT) AS t_hour,
+               CAST(FLOOR(id % 3600 / 60) AS INT) AS t_minute
+        FROM range(86400)
     """,
 }
 
@@ -206,7 +235,7 @@ _ITEM_DUCK = f"""
              ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
              p_size    AS i_category_id,
              p_type    AS i_class,
-             p_retailprice AS i_current_price
+             p_retailprice * (1 + p_partkey % 4) / 2 AS i_current_price
       FROM part)
 """
 
@@ -215,7 +244,9 @@ _ADAPTER_DUCK = f"""
       SELECT o_orderkey AS d_date_sk,
              CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
-             CAST(MONTH(o_orderdate) AS INT) AS d_moy
+             CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+             CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+                  AS INT) AS d_month_seq
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -242,7 +273,9 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT o_orderkey AS d_date_sk,
              CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
-             CAST(MONTH(o_orderdate) AS INT) AS d_moy
+             CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+             CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+                  AS INT) AS d_month_seq
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -281,13 +314,24 @@ _ADAPTER_DUCK_RICH = f"""
       FROM customer),
     customer_address AS (
       SELECT c_custkey AS ca_address_sk,
-             LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip
+             LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip,
+             ([{_STATES}])[CAST(1 + c_custkey % 25 AS INT)] AS ca_state
       FROM customer),
     store AS (
       SELECT s_suppkey AS s_store_sk,
-             s_name    AS s_store_name,
+             CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
+               AS s_store_name,
              LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip
-      FROM supplier)
+      FROM supplier),
+    household_demographics AS (
+      SELECT c_custkey AS hd_demo_sk,
+             CAST(c_custkey % 10 AS INT) AS hd_dep_count
+      FROM customer),
+    time_dim AS (
+      SELECT range AS t_time_sk,
+             CAST(FLOOR(range / 3600) AS INT) AS t_hour,
+             CAST(FLOOR(range % 3600 / 60) AS INT) AS t_minute
+      FROM range(86400))
 """
 
 
@@ -589,3 +633,68 @@ def tpcds_literal_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY19_SQL)).toDF(
         "brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"
     )
+
+
+QUERY6_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query6.tpl\nselect  a.ca_state state, count(*) cnt\n from customer_address a\n     ,customer c\n     ,store_sales s\n     ,date_dim d\n     ,item i\n where       a.ca_address_sk = c.c_current_addr_sk\n \tand c.c_customer_sk = s.ss_customer_sk\n \tand s.ss_sold_date_sk = d.d_date_sk\n \tand s.ss_item_sk = i.i_item_sk\n \tand d.d_month_seq = \n \t     (select distinct (d_month_seq)\n \t      from date_dim\n               where d_year = 2001\n \t        and d_moy = 1 )\n \tand i.i_current_price > 1.2 *\n             (select avg(j.i_current_price)\n \t     from item j \n \t     where j.i_category = i.i_category)\n group by a.ca_state\n having count(*) >= 10\n order by cnt, a.ca_state\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query6.tpl\n'
+
+
+QUERY96_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query96.tpl\nselect  count(*) \nfrom store_sales\n    ,household_demographics \n    ,time_dim, store\nwhere ss_sold_time_sk = time_dim.t_time_sk   \n    and ss_hdemo_sk = household_demographics.hd_demo_sk \n    and ss_store_sk = s_store_sk\n    and time_dim.t_hour = 20\n    and time_dim.t_minute >= 30\n    and household_demographics.hd_dep_count = 7\n    and store.s_store_name = 'ese'\norder by count(*)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query96.tpl\n"
+
+
+@query(
+    "tpcds_literal_q6",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT a.ca_state AS state, COUNT(*) AS cnt
+    FROM customer_address a, customer_v c, store_sales s, date_dim d, item i
+    WHERE a.ca_address_sk = c.c_current_addr_sk
+      AND c.c_customer_sk = s.ss_customer_sk
+      AND s.ss_sold_date_sk = d.d_date_sk
+      AND s.ss_item_sk = i.i_item_sk
+      AND d.d_month_seq =
+          (SELECT DISTINCT d_month_seq FROM date_dim
+           WHERE d_year = 2001 AND d_moy = 1)
+      AND i.i_current_price > 1.2 *
+          (SELECT AVG(j.i_current_price) FROM item j
+           WHERE j.i_category = i.i_category)
+    GROUP BY a.ca_state
+    HAVING COUNT(*) >= 10
+    ORDER BY cnt, a.ca_state
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query6.sql text, unmodified — an uncorrelated scalar
+    subquery (``select distinct d_month_seq``) AND a correlated scalar
+    subquery (per-category average price) in the same WHERE, plus HAVING.
+    Group count <= 25 states, so the LIMIT never truncates and the
+    order-insensitive hash is total."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY6_SQL)).toDF("state", "cnt")
+
+
+@query(
+    "tpcds_literal_q96",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT COUNT(*) AS cnt
+    FROM store_sales, household_demographics, time_dim, store
+    WHERE ss_sold_time_sk = time_dim.t_time_sk
+      AND ss_hdemo_sk = household_demographics.hd_demo_sk
+      AND ss_store_sk = s_store_sk
+      AND time_dim.t_hour = 20 AND time_dim.t_minute >= 30
+      AND household_demographics.hd_dep_count = 7
+      AND store.s_store_name = 'ese'
+    ORDER BY cnt
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query96.sql text, unmodified — bare ``count(*)`` with
+    ``ORDER BY count(*)`` over a four-table star whose time_dim is a
+    synthesized ``range(86400)`` seconds-of-day dimension (both engines
+    generate it, no parquet backing)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY96_SQL)).toDF("cnt")

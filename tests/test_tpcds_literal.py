@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [3, 7, 12, 19, 20, 26, 42, 52, 55, 98])
+@pytest.mark.parametrize("n", [3, 6, 7, 12, 19, 20, 26, 42, 52, 55, 96, 98])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -25,7 +25,8 @@ def test_embedded_text_matches_reference_file(n):
 @pytest.mark.parametrize(
     "name", ["tpcds_literal_q3", "tpcds_literal_q42", "tpcds_literal_q52",
              "tpcds_literal_q55", "tpcds_literal_q7", "tpcds_literal_q12",
-             "tpcds_literal_q19", "tpcds_literal_q20", "tpcds_literal_q26"]
+             "tpcds_literal_q19", "tpcds_literal_q20", "tpcds_literal_q26",
+             "tpcds_literal_q96"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -50,3 +51,14 @@ def test_literal_q98_unlimited(spark, sf_dir):
         by_class[r["i_class"]] += r["revenueratio"]
     for cls, tot in by_class.items():
         assert abs(tot - 100.0) < 1e-6, (cls, tot)
+
+
+def test_literal_q6_scalar_subqueries(spark, sf_dir):
+    """q6 has a HAVING cnt >= 10 — empty at sf0.001 is legitimate; the
+    value gate at sf0.01 (22 rows) covers correctness. Here: it parses,
+    runs, and every surviving state meets the HAVING bound."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q6"].fn(spark, sf_dir).collect()
+    assert all(r["cnt"] >= 10 for r in rows)
