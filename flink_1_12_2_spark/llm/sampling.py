@@ -119,3 +119,79 @@ def weighted_mixture(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def dsir_logweight(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed bag-of-words
+    features, unigram multinomial LMs for the target and raw corpora with
+    Laplace smoothing, and the per-document importance log-weight
+
+        log w(x) = sum_b c_x[b] * (log p_target[b] - log p_raw[b]).
+
+    Cross-engine determinism: the per-bucket log-ratio is quantized to
+    integer MICRONATS (``round(1e6 * ln ratio)``) before the per-document
+    summation, so the doc weight is an exact BIGINT sum — immune to
+    floating-point addition order across partitions (the one place the
+    naive double formulation diverges run-to-run and engine-to-engine).
+
+    Scale: the token→bucket explode combines map-side into <= n_buckets
+    stats rows; the quantized stats broadcast back onto the exploded
+    stream; the per-doc weight is an exact-integer partial aggregate that
+    CARRIES the requested doc attributes through the groupBy (constant
+    per doc) instead of joining back against the corpus — no second
+    fact-sized join, no window, no driver collect; both shuffles are
+    map-combinable and the stats side stays O(n_buckets) regardless of
+    corpus size. Returns one row per document with >= 1 token:
+    (id, carry..., n_feat, logweight_micro).
+    """
+    from flink_1_12_2_spark.llm.text import tokens
+
+    carry = [F.col(c) for c in carry_cols]
+    ex = docs.select(
+        F.col(id_col),
+        *carry,
+        is_target.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        *carry_cols,
+        "__tgt",
+        (md5int60(F.col("__tok")) % n_buckets).alias("__b"),
+    )
+    stats = ex.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    tot = stats.agg(
+        F.sum("raw_c").alias("__R"), F.sum("tgt_c").alias("__T")
+    )
+    terms = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term_micro",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log((F.col("tgt_c") + 1) / (F.col("__T") + n_buckets))
+                    - F.log((F.col("raw_c") + 1) / (F.col("__R") + n_buckets))
+                )
+            ).cast("bigint"),
+        )
+        .select("__b", "term_micro")
+    )
+    return (
+        ex.join(F.broadcast(terms), "__b")
+        .groupBy(id_col, *carry_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("term_micro").alias("logweight_micro"),
+        )
+    )

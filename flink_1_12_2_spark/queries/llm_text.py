@@ -843,3 +843,71 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("n_sampled"),
     ).orderBy("source")
+
+
+@query(
+    "sample_dsir_weights",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    stats AS (
+      SELECT b, COUNT(*) AS raw_c,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_c
+      FROM ex GROUP BY b
+    ),
+    tot AS (SELECT SUM(raw_c) AS r_tot, SUM(tgt_c) AS t_tot FROM stats),
+    terms AS (
+      SELECT b,
+             CAST(ROUND(1e6 * (ln((tgt_c + 1) / (t_tot + 1024))
+                             - ln((raw_c + 1) / (r_tot + 1024)))) AS BIGINT)
+               AS term_micro
+      FROM stats, tot
+    ),
+    w AS (
+      SELECT doc_id, lang, source, COUNT(*) AS n_feat,
+             SUM(term_micro) AS logweight_micro
+      FROM (SELECT e.doc_id, d.lang, d.source, e.b
+            FROM ex e JOIN documents d USING (doc_id)) je
+      JOIN terms USING (b) GROUP BY doc_id, lang, source
+    )
+    SELECT doc_id, lang, source, logweight_micro,
+           CAST(FLOOR(logweight_micro / n_feat) AS BIGINT)
+             AS logweight_micro_per_tok
+    FROM w
+    ORDER BY logweight_micro_per_tok DESC, doc_id
+    LIMIT 200
+    """,
+    tags=("llm", "sampling", "dsir"),
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): per-doc importance
+    log-weights from hashed unigram LMs (target = lang='en' docs vs the
+    raw corpus), top-200 selection by LENGTH-NORMALIZED weight (the raw
+    sum is dominated by doc length through the smoothing bias; per-token
+    weight ranks the target language's docs to ~58% of the top-200 vs a
+    ~46% base rate on this corpus). Weights are exact integer micronats
+    and the normalization is FLOOR over an IEEE quotient of exactly
+    representable ints — deterministic in both engines. See
+    :func:`flink_1_12_2_spark.llm.sampling.dsir_logweight` for the
+    quantization argument and the 100-TB shuffle story."""
+    from flink_1_12_2_spark.llm.sampling import dsir_logweight
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_logweight(
+        d, is_target=F.col("lang") == "en", carry_cols=("lang", "source")
+    )
+    return (
+        w.withColumn(
+            "logweight_micro_per_tok",
+            F.floor(F.col("logweight_micro") / F.col("n_feat")).cast("bigint"),
+        )
+        .select(
+            "doc_id", "lang", "source", "logweight_micro",
+            "logweight_micro_per_tok",
+        )
+        .orderBy(F.desc("logweight_micro_per_tok"), "doc_id")
+        .limit(200)
+    )

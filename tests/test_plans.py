@@ -469,3 +469,16 @@ def test_exact_substring_bucketed_no_cross_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_exact_substring")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_broadcast_stats_no_window(spark, sf_dir):
+    """DSIR importance weights: the O(n_buckets) stats side broadcasts
+    (2 BHJ: totals onto stats, terms onto the token stream); the per-doc
+    weight carries doc attributes through the groupBy instead of joining
+    back against the corpus — no SortMergeJoin, no Window; the top-k is
+    a TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "sample_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
