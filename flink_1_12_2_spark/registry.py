@@ -175,14 +175,20 @@ GATE_ORDER: tuple[str, ...] = (
     # text pipeline + sampling + multimodal plumbing (pii scrub and the
     # single-shuffle corpus_clean pipeline stay locally verified — the r5
     # Gopher repetition filter covers the text class in the gate with a
-    # newer, wider shape: scan-stage array exprs + exploded gram counts)
-    "sample_stratified_exact",
+    # newer, wider shape: scan-stage array exprs + exploded gram counts.
+    # r6: stratified_exact — gate-proven in r5 — rotates to locally
+    # verified in favor of the DSIR importance-resampling weights, the
+    # sampling family's newest 100-TB shape)
+    "sample_dsir_weights",
     "text_repetition_filter",
     "multimodal_filter_before_decode",
     # TPC-H / TPC-DS composites (q21 semi+anti composite and the wider
-    # ds_* tranches stay locally verified; q4 is the r5 one-pass collapse)
+    # ds_* tranches stay locally verified; r6: ds_q4 — gate-proven in
+    # r5 — rotates out for the literal-SQL front-door proof: query98's
+    # actual TPC-DS file text, window-over-aggregate + date INTERVAL
+    # arithmetic, running unmodified through rewrite()+spark.sql)
     "q18_large_volume_customers",
-    "ds_q4_one_pass_growth",
+    "tpcds_literal_q98",
 )
 
 
