@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the twelve files below:
+Parser shapes covered by the eighteen files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -25,7 +25,17 @@ Parser shapes covered by the twelve files below:
   and a correlated per-category-average scalar subquery in one WHERE,
   plus HAVING on COUNT(*);
 - q96 — bare ``count(*)`` ordered by itself over a four-table star with
-  a generated (``range(86400)``) time-of-day dimension.
+  a generated (``range(86400)``) time-of-day dimension;
+- q43 — seven-way day-of-week CASE pivot (DATE_FORMAT/DAYNAME adapter);
+- q33 — three WITH CTEs (one per channel), each with an IN-subquery,
+  UNION ALL re-aggregated;
+- q61 — two single-row aggregate subqueries cross-joined into a
+  DECIMAL(15,4) promo-share ratio;
+- q88 — eight-way cross join of singleton COUNT(*) half-hour bands;
+- q90 — am/pm ratio with a backquoted ``at`` alias;
+- q18 — GROUP BY ROLLUP with seven decimal AVG measures and two
+  customer_demographics roles (NULLS-FIRST ordering pinned in the
+  oracle; Spark's ASC default).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -40,7 +50,9 @@ so they cannot drift:
   from o_orderdate — the driver's orders span 1995–2001, so the spec's
   literal 1998/1999/2000 filters select non-empty subsets);
 - ``store_sales``:= lineitem (ss_sold_date_sk = l_orderkey, ss_item_sk =
-  l_partkey, all prices in INTEGER CENTS so both engines sum exactly and
+  l_partkey, all prices in exact integers — ext prices in CENTS,
+  per-unit prices in whole DOLLARS (so the spec's DECIMAL(12,6) casts
+  in q18 never overflow) — so both engines sum exactly and
   every LIMIT-100 boundary is deterministic — the repo's float-discipline
   rule). The RICH variant joins orders on the (N:1) orderkey to expose
   customer/demographic FKs that TPC-DS store_sales carries natively —
@@ -114,7 +126,8 @@ _ADAPTER_SPARK = {
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
                CAST(MONTH(o_orderdate) AS INT) AS d_moy,
                CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
-                    AS INT) AS d_month_seq
+                    AS INT) AS d_month_seq,
+               DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name
         FROM __tpch_orders
     """,
     "store_sales": f"""
@@ -147,11 +160,18 @@ _RICH_FACT_COLS_SPARK = """
                CAST(1 + l_partkey % 25 AS INT) AS {p}promo_sk,
                l_suppkey  AS {p}store_sk,
                CAST(l_quantity AS INT) AS {p}quantity,
-               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS {p}list_price,
-               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS {p}list_price,
+               CAST(ROUND(l_extendedprice * l_discount) AS BIGINT)
                  AS {p}coupon_amt,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-                 AS {p}sales_price
+               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+                 AS {p}sales_price,
+               o_custkey  AS {p}addr_sk,
+               o_custkey  AS {p}bill_addr_sk,
+               o_custkey  AS {p}bill_customer_sk,
+               o_custkey  AS {p}ship_hdemo_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS {p}web_page_sk,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 0.1) AS BIGINT)
+                 AS {p}net_profit
 """
 
 _RICH_SPARK = {
@@ -171,6 +191,14 @@ _RICH_SPARK = {
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
     """,
+    "web_sales": f"""
+        SELECT l_orderkey AS ws_sold_date_sk,
+               l_partkey  AS ws_item_sk,
+               {_CENTS} AS ws_ext_sales_price,
+               {_RICH_FACT_COLS_SPARK.format(p="ws_")}
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 1
+    """,
     "customer_demographics": """
         SELECT c_custkey AS cd_demo_sk,
                CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -178,7 +206,8 @@ _RICH_SPARK = {
                           CAST(1 + c_custkey % 5 AS INT)) AS cd_marital_status,
                element_at(array('Primary','Secondary','College','2 yr Degree',
                                 '4 yr Degree','Advanced Degree','Unknown'),
-                          CAST(1 + c_custkey % 7 AS INT)) AS cd_education_status
+                          CAST(1 + c_custkey % 7 AS INT)) AS cd_education_status,
+               CAST(c_custkey % 10 AS INT) AS cd_dep_count
         FROM __tpch_customer
     """,
     "promotion": """
@@ -186,32 +215,51 @@ _RICH_SPARK = {
                CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'Y' END
                  AS p_channel_email,
                CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'Y' END
-                 AS p_channel_event
+                 AS p_channel_event,
+               CASE WHEN n_nationkey % 5 = 0 THEN 'Y' ELSE 'N' END
+                 AS p_channel_dmail,
+               CASE WHEN n_nationkey % 7 = 0 THEN 'Y' ELSE 'N' END
+                 AS p_channel_tv
         FROM __tpch_nation
     """,
     "customer": """
         SELECT c_custkey AS c_customer_sk,
-               c_custkey AS c_current_addr_sk
+               c_custkey AS c_current_addr_sk,
+               c_custkey AS c_current_cdemo_sk,
+               CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
+               CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
         FROM __tpch_customer
     """,
     "customer_address": f"""
         SELECT c_custkey AS ca_address_sk,
                LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip,
                element_at(array({_STATES}),
-                          CAST(1 + c_custkey % 25 AS INT)) AS ca_state
+                          CAST(1 + c_custkey % 25 AS INT)) AS ca_state,
+               CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
+               'United States' AS ca_country,
+               CONCAT('County#', LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
+                 AS ca_county
         FROM __tpch_customer
     """,
     "store": """
         SELECT s_suppkey AS s_store_sk,
                CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
                  AS s_store_name,
-               LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip
+               LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip,
+               LPAD(CAST(s_suppkey AS STRING), 16, '0') AS s_store_id,
+               CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
         FROM __tpch_supplier
     """,
     "household_demographics": """
         SELECT c_custkey AS hd_demo_sk,
-               CAST(c_custkey % 10 AS INT) AS hd_dep_count
+               CAST(c_custkey % 10 AS INT) AS hd_dep_count,
+               CAST(c_custkey % 6 AS INT) AS hd_vehicle_count
         FROM __tpch_customer
+    """,
+    "web_page": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS wp_web_page_sk,
+               CAST(5000 + n_nationkey * 10 AS INT) AS wp_char_count
+        FROM __tpch_nation
     """,
     "time_dim": """
         SELECT id AS t_time_sk,
@@ -246,7 +294,8 @@ _ADAPTER_DUCK = f"""
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
              CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
-                  AS INT) AS d_month_seq
+                  AS INT) AS d_month_seq,
+             DAYNAME(o_orderdate) AS d_day_name
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -275,7 +324,8 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
              CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
-                  AS INT) AS d_month_seq
+                  AS INT) AS d_month_seq,
+             DAYNAME(o_orderdate) AS d_day_name
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -291,6 +341,13 @@ _ADAPTER_DUCK_RICH = f"""
              {_RICH_FACT_COLS_DUCK.format(p="cs_")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 2),
+    web_sales AS (
+      SELECT l_orderkey AS ws_sold_date_sk,
+             l_partkey  AS ws_item_sk,
+             {_CENTS} AS ws_ext_sales_price,
+             {_RICH_FACT_COLS_DUCK.format(p="ws_")}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1),
     {_ITEM_DUCK.strip()},
     customer_demographics AS (
       SELECT c_custkey AS cd_demo_sk,
@@ -299,34 +356,53 @@ _ADAPTER_DUCK_RICH = f"""
                AS cd_marital_status,
              (['Primary','Secondary','College','2 yr Degree','4 yr Degree',
                'Advanced Degree','Unknown'])[CAST(1 + c_custkey % 7 AS INT)]
-               AS cd_education_status
+               AS cd_education_status,
+             CAST(c_custkey % 10 AS INT) AS cd_dep_count
       FROM customer),
     promotion AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS p_promo_sk,
              CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'Y' END
                AS p_channel_email,
              CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'Y' END
-               AS p_channel_event
+               AS p_channel_event,
+             CASE WHEN n_nationkey % 5 = 0 THEN 'Y' ELSE 'N' END
+               AS p_channel_dmail,
+             CASE WHEN n_nationkey % 7 = 0 THEN 'Y' ELSE 'N' END
+               AS p_channel_tv
       FROM nation),
     customer_v AS (
       SELECT c_custkey AS c_customer_sk,
-             c_custkey AS c_current_addr_sk
+             c_custkey AS c_current_addr_sk,
+             c_custkey AS c_current_cdemo_sk,
+             CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
+             CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
       FROM customer),
     customer_address AS (
       SELECT c_custkey AS ca_address_sk,
              LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip,
-             ([{_STATES}])[CAST(1 + c_custkey % 25 AS INT)] AS ca_state
+             ([{_STATES}])[CAST(1 + c_custkey % 25 AS INT)] AS ca_state,
+             CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
+             'United States' AS ca_country,
+             'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
+               AS ca_county
       FROM customer),
     store AS (
       SELECT s_suppkey AS s_store_sk,
              CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
                AS s_store_name,
-             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip
+             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
+             LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
+             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
       FROM supplier),
     household_demographics AS (
       SELECT c_custkey AS hd_demo_sk,
-             CAST(c_custkey % 10 AS INT) AS hd_dep_count
+             CAST(c_custkey % 10 AS INT) AS hd_dep_count,
+             CAST(c_custkey % 6 AS INT) AS hd_vehicle_count
       FROM customer),
+    web_page AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS wp_web_page_sk,
+             CAST(5000 + n_nationkey * 10 AS INT) AS wp_char_count
+      FROM nation),
     time_dim AS (
       SELECT range AS t_time_sk,
              CAST(FLOOR(range / 3600) AS INT) AS t_hour,
@@ -698,3 +774,268 @@ def tpcds_literal_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate it, no parquet backing)."""
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY96_SQL)).toDF("cnt")
+
+
+QUERY43_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query43.tpl\nselect  s_store_name, s_store_id,\n        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,\n        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,\n        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,\n        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,\n        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,\n        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,\n        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales\n from date_dim, store_sales, store\n where d_date_sk = ss_sold_date_sk and\n       s_store_sk = ss_store_sk and\n       s_gmt_offset = -5 and\n       d_year = 2000 \n group by s_store_name, s_store_id\n order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query43.tpl\n"
+
+
+QUERY33_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query33.tpl\nwith ss as (\n select\n          i_manufact_id,sum(ss_ext_sales_price) total_sales\n from\n \tstore_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_manufact_id in (select\n  i_manufact_id\nfrom\n item\nwhere i_category in ('Electronics'))\n and     ss_item_sk              = i_item_sk\n and     ss_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 5\n and     ss_addr_sk              = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_manufact_id),\n cs as (\n select\n          i_manufact_id,sum(cs_ext_sales_price) total_sales\n from\n \tcatalog_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_manufact_id               in (select\n  i_manufact_id\nfrom\n item\nwhere i_category in ('Electronics'))\n and     cs_item_sk              = i_item_sk\n and     cs_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 5\n and     cs_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_manufact_id),\n ws as (\n select\n          i_manufact_id,sum(ws_ext_sales_price) total_sales\n from\n \tweb_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_manufact_id               in (select\n  i_manufact_id\nfrom\n item\nwhere i_category in ('Electronics'))\n and     ws_item_sk              = i_item_sk\n and     ws_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 5\n and     ws_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5\n group by i_manufact_id)\n  select  i_manufact_id ,sum(total_sales) total_sales\n from  (select * from ss \n        union all\n        select * from cs \n        union all\n        select * from ws) tmp1\n group by i_manufact_id\n order by total_sales\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query33.tpl\n"
+
+
+QUERY61_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query61.tpl\nselect  promotions,total,cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100\nfrom\n  (select sum(ss_ext_sales_price) promotions\n   from  store_sales\n        ,store\n        ,promotion\n        ,date_dim\n        ,customer\n        ,customer_address \n        ,item\n   where ss_sold_date_sk = d_date_sk\n   and   ss_store_sk = s_store_sk\n   and   ss_promo_sk = p_promo_sk\n   and   ss_customer_sk= c_customer_sk\n   and   ca_address_sk = c_current_addr_sk\n   and   ss_item_sk = i_item_sk \n   and   ca_gmt_offset = -5\n   and   i_category = 'Jewelry'\n   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')\n   and   s_gmt_offset = -5\n   and   d_year = 1998\n   and   d_moy  = 11) promotional_sales,\n  (select sum(ss_ext_sales_price) total\n   from  store_sales\n        ,store\n        ,date_dim\n        ,customer\n        ,customer_address\n        ,item\n   where ss_sold_date_sk = d_date_sk\n   and   ss_store_sk = s_store_sk\n   and   ss_customer_sk= c_customer_sk\n   and   ca_address_sk = c_current_addr_sk\n   and   ss_item_sk = i_item_sk\n   and   ca_gmt_offset = -5\n   and   i_category = 'Jewelry'\n   and   s_gmt_offset = -5\n   and   d_year = 1998\n   and   d_moy  = 11) all_sales\norder by promotions, total\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query61.tpl\n"
+
+
+QUERY88_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query88.tpl\nselect  *\nfrom\n (select count(*) h8_30_to_9\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk   \n     and ss_hdemo_sk = household_demographics.hd_demo_sk \n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 8\n     and time_dim.t_minute >= 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2)) \n     and store.s_store_name = 'ese') s1,\n (select count(*) h9_to_9_30 \n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk \n     and time_dim.t_hour = 9 \n     and time_dim.t_minute < 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s2,\n (select count(*) h9_30_to_10 \n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 9\n     and time_dim.t_minute >= 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s3,\n (select count(*) h10_to_10_30\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 10 \n     and time_dim.t_minute < 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s4,\n (select count(*) h10_30_to_11\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 10 \n     and time_dim.t_minute >= 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s5,\n (select count(*) h11_to_11_30\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk \n     and time_dim.t_hour = 11\n     and time_dim.t_minute < 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s6,\n (select count(*) h11_30_to_12\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 11\n     and time_dim.t_minute >= 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s7,\n (select count(*) h12_to_12_30\n from store_sales, household_demographics , time_dim, store\n where ss_sold_time_sk = time_dim.t_time_sk\n     and ss_hdemo_sk = household_demographics.hd_demo_sk\n     and ss_store_sk = s_store_sk\n     and time_dim.t_hour = 12\n     and time_dim.t_minute < 30\n     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or\n          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or\n          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))\n     and store.s_store_name = 'ese') s8\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query88.tpl\n"
+
+
+QUERY90_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query90.tpl\nselect  cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio\n from ( select count(*) amc\n       from web_sales, household_demographics , time_dim, web_page\n       where ws_sold_time_sk = time_dim.t_time_sk\n         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk\n         and ws_web_page_sk = web_page.wp_web_page_sk\n         and time_dim.t_hour between 8 and 8+1\n         and household_demographics.hd_dep_count = 6\n         and web_page.wp_char_count between 5000 and 5200) `at`,\n      ( select count(*) pmc\n       from web_sales, household_demographics , time_dim, web_page\n       where ws_sold_time_sk = time_dim.t_time_sk\n         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk\n         and ws_web_page_sk = web_page.wp_web_page_sk\n         and time_dim.t_hour between 19 and 19+1\n         and household_demographics.hd_dep_count = 6\n         and web_page.wp_char_count between 5000 and 5200) pt\n order by am_pm_ratio\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query90.tpl\n'
+
+
+QUERY18_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query18.tpl\nselect  i_item_id,\n        ca_country,\n        ca_state, \n        ca_county,\n        avg( cast(cs_quantity as decimal(12,6))) agg1,\n        avg( cast(cs_list_price as decimal(12,6))) agg2,\n        avg( cast(cs_coupon_amt as decimal(12,6))) agg3,\n        avg( cast(cs_sales_price as decimal(12,6))) agg4,\n        avg( cast(cs_net_profit as decimal(12,6))) agg5,\n        avg( cast(c_birth_year as decimal(12,6))) agg6,\n        avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7\n from catalog_sales, customer_demographics cd1, \n      customer_demographics cd2, customer, customer_address, date_dim, item\n where cs_sold_date_sk = d_date_sk and\n       cs_item_sk = i_item_sk and\n       cs_bill_cdemo_sk = cd1.cd_demo_sk and\n       cs_bill_customer_sk = c_customer_sk and\n       cd1.cd_gender = 'F' and\n       cd1.cd_education_status = 'Unknown' and\n       c_current_cdemo_sk = cd2.cd_demo_sk and\n       c_current_addr_sk = ca_address_sk and\n       c_birth_month in (1,6,8,9,12,2) and\n       d_year = 1998 and\n       ca_state in ('MS','IN','ND','OK','NM','VA','MS')\n group by rollup (i_item_id, ca_country, ca_state, ca_county)\n order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query18.tpl\n"
+
+
+_DAYS = ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+_DAYNAMES = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday")
+
+
+@query(
+    "tpcds_literal_q43",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT s_store_name, s_store_id,
+           {", ".join(
+               f"SUM(CASE WHEN d_day_name = '{dn}' THEN ss_sales_price "
+               f"ELSE NULL END) AS {d}_sales"
+               for d, dn in zip(_DAYS, _DAYNAMES))}
+    FROM date_dim, store_sales, store
+    WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+      AND s_gmt_offset = -5 AND d_year = 2000
+    GROUP BY s_store_name, s_store_id
+    ORDER BY s_store_name, s_store_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query43.sql text, unmodified — seven-way CASE pivot on the
+    day-of-week name (d_day_name comes from DATE_FORMAT/DAYNAME in the
+    two adapter renderings). (s_store_name, s_store_id) is a total order
+    (store_id unique), so the LIMIT boundary is deterministic."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY43_SQL)).toDF(
+        "s_store_name", "s_store_id", *(f"{d}_sales" for d in _DAYS)
+    )
+
+
+@query(
+    "tpcds_literal_q33",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    chan AS (
+      SELECT i_manufact_id, ss_ext_sales_price AS price
+      FROM store_sales, date_dim, customer_address, item
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                              WHERE i_category IN ('Electronics'))
+        AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND d_year = 1998 AND d_moy = 5
+        AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+      UNION ALL
+      SELECT i_manufact_id, cs_ext_sales_price
+      FROM catalog_sales, date_dim, customer_address, item
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                              WHERE i_category IN ('Electronics'))
+        AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        AND d_year = 1998 AND d_moy = 5
+        AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+      UNION ALL
+      SELECT i_manufact_id, ws_ext_sales_price
+      FROM web_sales, date_dim, customer_address, item
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                              WHERE i_category IN ('Electronics'))
+        AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1998 AND d_moy = 5
+        AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+    )
+    SELECT i_manufact_id, SUM(price) AS total_sales
+    FROM chan GROUP BY i_manufact_id
+    ORDER BY total_sales LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query33.sql text, unmodified — three WITH CTEs (one per
+    sales channel), each with an IN-subquery over the item dimension,
+    UNION ALL re-aggregation. <= 15 Electronics manufact_ids exist under
+    the adapter mapping, so LIMIT 100 never truncates and the
+    ties-in-ORDER-BY cannot affect the result set."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY33_SQL)).toDF("i_manufact_id", "total_sales")
+
+
+@query(
+    "tpcds_literal_q61",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    promotional_sales AS (
+      SELECT SUM(ss_ext_sales_price) AS promotions
+      FROM store_sales, store, promotion, date_dim, customer_v,
+           customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+             OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11
+    ),
+    all_sales AS (
+      SELECT SUM(ss_ext_sales_price) AS total
+      FROM store_sales, store, date_dim, customer_v, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11
+    )
+    SELECT promotions, total,
+           CAST(CAST(promotions AS DECIMAL(15, 4))
+                / CAST(total AS DECIMAL(15, 4)) * 100 AS DOUBLE) AS ratio
+    FROM promotional_sales, all_sales
+    ORDER BY promotions, total LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query61.sql text, unmodified — two single-row aggregate
+    subqueries cross-joined into a promo-share ratio (the scalar
+    DECIMAL(15,4) division renamed + cast to double post-hoc, both
+    engines; the cent sums themselves are exact)."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY61_SQL)).toDF("promotions", "total", "ratio")
+    return out.withColumn("ratio", F.col("ratio").cast("double"))
+
+
+@query(
+    "tpcds_literal_q88",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT * FROM
+    {", ".join(
+        f'''(SELECT COUNT(*) AS {alias}
+         FROM store_sales, household_demographics, time_dim, store
+         WHERE ss_sold_time_sk = time_dim.t_time_sk
+           AND ss_hdemo_sk = household_demographics.hd_demo_sk
+           AND ss_store_sk = s_store_sk
+           AND time_dim.t_hour = {hour} AND time_dim.t_minute {mins}
+           AND ((household_demographics.hd_dep_count = 4
+                 AND household_demographics.hd_vehicle_count <= 6) OR
+                (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 4) OR
+                (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 2))
+           AND store.s_store_name = 'ese') s{i}'''
+        for i, (alias, hour, mins) in enumerate([
+            ("h8_30_to_9", 8, ">= 30"), ("h9_to_9_30", 9, "< 30"),
+            ("h9_30_to_10", 9, ">= 30"), ("h10_to_10_30", 10, "< 30"),
+            ("h10_30_to_11", 10, ">= 30"), ("h11_to_11_30", 11, "< 30"),
+            ("h11_30_to_12", 11, ">= 30"), ("h12_to_12_30", 12, "< 30"),
+        ], start=1))}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query88.sql text, unmodified — the eight-way cross join of
+    single-row COUNT(*) subqueries over half-hour time bands (the
+    singleton-BNLJ battery; ds_q88 is its archetype twin)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY88_SQL))
+
+
+@query(
+    "tpcds_literal_q90",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    amc_q AS (
+      SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 9
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200
+    ),
+    pmc_q AS (
+      SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 20
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200
+    )
+    SELECT CAST(CAST(amc AS DECIMAL(15, 4)) / CAST(pmc AS DECIMAL(15, 4))
+                AS DOUBLE) AS am_pm_ratio
+    FROM amc_q, pmc_q
+    ORDER BY am_pm_ratio LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query90.sql text, unmodified — am/pm traffic ratio over the
+    web channel (backquoted ``at`` alias, BETWEEN time bands, web_page
+    char-count band); ratio cast to double post-hoc on both sides."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY90_SQL)).toDF("am_pm_ratio")
+    return out.withColumn("am_pm_ratio", F.col("am_pm_ratio").cast("double"))
+
+
+@query(
+    "tpcds_literal_q18",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id, ca_country, ca_state, ca_county,
+           CAST(AVG(CAST(cs_quantity AS DECIMAL(12, 6))) AS DOUBLE) AS agg1,
+           CAST(AVG(CAST(cs_list_price AS DECIMAL(12, 6))) AS DOUBLE) AS agg2,
+           CAST(AVG(CAST(cs_coupon_amt AS DECIMAL(12, 6))) AS DOUBLE) AS agg3,
+           CAST(AVG(CAST(cs_sales_price AS DECIMAL(12, 6))) AS DOUBLE) AS agg4,
+           CAST(AVG(CAST(cs_net_profit AS DECIMAL(12, 6))) AS DOUBLE) AS agg5,
+           CAST(AVG(CAST(c_birth_year AS DECIMAL(12, 6))) AS DOUBLE) AS agg6,
+           CAST(AVG(CAST(cd1.cd_dep_count AS DECIMAL(12, 2))) AS DOUBLE)
+             AS agg7
+    FROM catalog_sales, customer_demographics cd1,
+         customer_demographics cd2, customer_v, customer_address,
+         date_dim, item
+    WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+      AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+      AND cs_bill_customer_sk = c_customer_sk
+      AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+      AND c_current_cdemo_sk = cd2.cd_demo_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND c_birth_month IN (1, 6, 8, 9, 12, 2) AND d_year = 1998
+      AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'MS')
+    GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+    ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+             ca_county NULLS FIRST, i_item_id NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query18.sql text, unmodified — GROUP BY ROLLUP through the
+    literal front door (7 decimal AVG measures over a seven-table star
+    with two customer_demographics roles). The rollup hierarchy makes
+    (ca_country, ca_state, ca_county, i_item_id) a total order across
+    levels; Spark sorts ASC NULLS FIRST by default, which the oracle pins
+    explicitly (DuckDB defaults NULLS LAST). AVGs cast to double
+    post-hoc on both sides (Spark yields DECIMAL, DuckDB DOUBLE)."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY18_SQL)).toDF(
+        "i_item_id", "ca_country", "ca_state", "ca_county",
+        *(f"agg{i}" for i in range(1, 8)),
+    )
+    for i in range(1, 8):
+        out = out.withColumn(f"agg{i}", F.col(f"agg{i}").cast("double"))
+    return out
