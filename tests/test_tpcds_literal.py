@@ -64,3 +64,65 @@ def test_literal_q6_scalar_subqueries(spark, sf_dir):
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q6"].fn(spark, sf_dir).collect()
     assert all(r["cnt"] >= 10 for r in rows)
+
+
+def test_adapter_renderings_agree(spark, sf_dir):
+    """Anti-drift guard: every adapter view's Spark rendering and DuckDB
+    rendering produce IDENTICAL rows on the same parquet — the one place
+    literal-query correctness could silently rot is the two renderings
+    diverging."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    M._register_views(spark, sf_dir, rich=True)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    # rich views win where both renderings define the name (same as
+    # _register_views ordering); customer is 'customer_v' duck-side
+    views = dict(M._ADAPTER_SPARK)
+    views.update(M._RICH_SPARK)
+    duck_name = {"customer": "customer_v"}
+    for name in views:
+        sdf = spark.sql(f"SELECT * FROM {name}")
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        dres = con.execute(
+            f"WITH {M._ADAPTER_DUCK_RICH} SELECT * FROM "
+            f"{duck_name.get(name, name)}"
+        )
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
+
+
+def test_adapter_lean_renderings_agree(spark, sf_dir):
+    """Same anti-drift guard for the LEAN adapter pair (a separate DuckDB
+    fragment that could rot independently of the rich one)."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    M._register_views(spark, sf_dir, rich=False)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in M._ADAPTER_SPARK:
+        sdf = spark.sql(f"SELECT * FROM {name}")
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        dres = con.execute(
+            f"WITH {M._ADAPTER_DUCK} SELECT * FROM {name}"
+        )
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
