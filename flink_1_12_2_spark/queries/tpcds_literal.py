@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the eighteen files below:
+Parser shapes covered by the nineteen files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -35,7 +35,10 @@ Parser shapes covered by the eighteen files below:
 - q90 — am/pm ratio with a backquoted ``at`` alias;
 - q18 — GROUP BY ROLLUP with seven decimal AVG measures and two
   customer_demographics roles (NULLS-FIRST ordering pinned in the
-  oracle; Spark's ASC default).
+  oracle; Spark's ASC default);
+- q59 — one WITH CTE consumed by two month-window subqueries self-joined
+  across a 52-week offset (the adapter's d_week_seq is a continuous
+  epoch-week counter).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -125,9 +128,12 @@ _ADAPTER_SPARK = {
                CAST(o_orderdate AS DATE)       AS d_date,
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
                CAST(MONTH(o_orderdate) AS INT) AS d_moy,
-               CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+               CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                     AS INT) AS d_month_seq,
-               DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name
+               DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name,
+               CAST(FLOOR(DATEDIFF(CAST(o_orderdate AS DATE),
+                                   DATE '1970-01-01') / 7) AS INT)
+                 AS d_week_seq
         FROM __tpch_orders
     """,
     "store_sales": f"""
@@ -293,9 +299,12 @@ _ADAPTER_DUCK = f"""
              CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
-             CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+             CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                   AS INT) AS d_month_seq,
-             DAYNAME(o_orderdate) AS d_day_name
+             DAYNAME(o_orderdate) AS d_day_name,
+             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) / 7) AS INT)
+               AS d_week_seq
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -323,9 +332,12 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
-             CAST((YEAR(o_orderdate) - 1900) * 12 + MONTH(o_orderdate) - 1
+             CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                   AS INT) AS d_month_seq,
-             DAYNAME(o_orderdate) AS d_day_name
+             DAYNAME(o_orderdate) AS d_day_name,
+             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) / 7) AS INT)
+               AS d_week_seq
       FROM orders),
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
@@ -1039,3 +1051,61 @@ def tpcds_literal_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, 8):
         out = out.withColumn(f"agg{i}", F.col(f"agg{i}").cast("double"))
     return out
+
+
+QUERY59_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query59.tpl\nwith wss as \n (select d_week_seq,\n        ss_store_sk,\n        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,\n        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,\n        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,\n        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,\n        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,\n        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,\n        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales\n from store_sales,date_dim\n where d_date_sk = ss_sold_date_sk\n group by d_week_seq,ss_store_sk\n )\n  select  s_store_name1,s_store_id1,d_week_seq1\n       ,sun_sales1/sun_sales2,mon_sales1/mon_sales2\n       ,tue_sales1/tue_sales2,wed_sales1/wed_sales2,thu_sales1/thu_sales2\n       ,fri_sales1/fri_sales2,sat_sales1/sat_sales2\n from\n (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1\n        ,s_store_id s_store_id1,sun_sales sun_sales1\n        ,mon_sales mon_sales1,tue_sales tue_sales1\n        ,wed_sales wed_sales1,thu_sales thu_sales1\n        ,fri_sales fri_sales1,sat_sales sat_sales1\n  from wss,store,date_dim d\n  where d.d_week_seq = wss.d_week_seq and\n        ss_store_sk = s_store_sk and \n        d_month_seq between 1212 and 1212 + 11) y,\n (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2\n        ,s_store_id s_store_id2,sun_sales sun_sales2\n        ,mon_sales mon_sales2,tue_sales tue_sales2\n        ,wed_sales wed_sales2,thu_sales thu_sales2\n        ,fri_sales fri_sales2,sat_sales sat_sales2\n  from wss,store,date_dim d\n  where d.d_week_seq = wss.d_week_seq and\n        ss_store_sk = s_store_sk and \n        d_month_seq between 1212+ 12 and 1212 + 23) x\n where s_store_id1=s_store_id2\n   and d_week_seq1=d_week_seq2-52\n order by s_store_name1,s_store_id1,d_week_seq1\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query59.tpl\n"
+
+
+@query(
+    "tpcds_literal_q59",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    wss AS (
+      SELECT d_week_seq, ss_store_sk,
+             {", ".join(
+                 f"SUM(CASE WHEN d_day_name = '{dn}' THEN ss_sales_price "
+                 f"ELSE NULL END) AS {d}_sales"
+                 for d, dn in zip(_DAYS, _DAYNAMES))}
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk
+      GROUP BY d_week_seq, ss_store_sk
+    ),
+    y AS (
+      SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1,
+             {", ".join(f"{d}_sales AS {d}_sales1" for d in _DAYS)}
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1212 AND 1212 + 11
+    ),
+    x AS (
+      SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+             s_store_id AS s_store_id2,
+             {", ".join(f"{d}_sales AS {d}_sales2" for d in _DAYS)}
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23
+    )
+    SELECT s_store_name1, s_store_id1, d_week_seq1,
+           {", ".join(f"{d}_sales1 / {d}_sales2 AS {d}_ratio" for d in _DAYS)}
+    FROM y, x
+    WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
+    ORDER BY s_store_name1, s_store_id1, d_week_seq1
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query59.sql text, unmodified — the shared WITH CTE consumed
+    by TWO month-window subqueries self-joined across a 52-week offset
+    (year-over-year same-week day-ratio report). The adapter's
+    d_week_seq is a continuous epoch-week counter, so `week - 52` aligns
+    same-season weeks exactly as the spec's calendar does. The ORDER BY
+    prefix is not a total order across the date-duplicate rows, but the
+    duplicates are bit-identical rows (same aggregates), so any LIMIT-100
+    prefix hashes equally."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY59_SQL)).toDF(
+        "s_store_name1", "s_store_id1", "d_week_seq1",
+        *(f"{d}_ratio" for d in _DAYS),
+    )
