@@ -224,6 +224,7 @@ def load_all_query_modules() -> None:
     import flink_1_12_2_spark.queries.tpcds_like4  # noqa: F401
     import flink_1_12_2_spark.queries.tpcds_like5  # noqa: F401
     import flink_1_12_2_spark.queries.tpcds_literal  # noqa: F401
+    import flink_1_12_2_spark.queries.tpch_literal  # noqa: F401
     import flink_1_12_2_spark.queries.dataset_api  # noqa: F401
     import flink_1_12_2_spark.queries.graph_ops  # noqa: F401
     import flink_1_12_2_spark.queries.cdc  # noqa: F401
