@@ -224,3 +224,144 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN scale path:
+# each 64-dim vector compresses to PQ_M codes (4 bytes here vs 256 bytes of
+# floats); query scoring is asymmetric distance computation (ADC) against a
+# tiny per-query lookup table, so the corpus is scanned as codes only.
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def _l2sq_lit(vec_col: Column, lit_vec: list[float]) -> Column:
+    """Squared L2 distance to a literal vector — index-ascending fold, the
+    same shape the DuckDB oracle's list arithmetic evaluates."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(c) for c in lit_vec]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_codebook(
+    n: DataFrame, id_col: str, num_codes: int = PQ_K, m: int = PQ_M
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks from the ``num_codes`` lowest-id normalized
+    vectors (the deterministic stand-in for k-means codebook training —
+    same policy as :func:`ivf_cells`; the encode/ADC machinery is
+    identical, only codeword quality differs). Returns
+    ``cb[s] = [(j, subvector)]``; k*dim doubles of index metadata that
+    lives driver-side in any PQ build."""
+    rows = sorted(
+        (r["cid"], list(r["v"]))
+        for r in n.filter(F.col(id_col) < num_codes)
+        .select(F.col(id_col).alias("cid"), F.col("vec_n").alias("v"))
+        .collect()
+    )
+    w = len(rows[0][1]) // m
+    return [
+        [(j, vec[s * w : (s + 1) * w]) for j, vec in rows] for s in range(m)
+    ]
+
+
+def pq_encode(
+    n: DataFrame, id_col: str, cb: list[list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """Corpus → PQ codes: per subspace, the codeword minimizing the
+    (rounded) squared L2 — ties to the LOWEST codeword id via struct
+    array_min. Pure per-row projection against literal codebooks: no
+    join, no shuffle, any scale."""
+    w = len(cb[0][0][1])
+    cols = []
+    for s, codes in enumerate(cb):
+        sub = F.slice(F.col("vec_n"), s * w + 1, w)
+        scores = F.array(
+            *[
+                F.struct(
+                    F.round(_l2sq_lit(sub, cvec), 6).alias("d"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for j, cvec in codes
+            ]
+        )
+        cols.append(F.array_min(scores)["j"].alias(f"code_{s}"))
+    return n.select(id_col, *cols)
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    num_codes: int = PQ_K,
+) -> DataFrame:
+    """PQ/ADC ANN top-k: corpus stored as PQ codes; each query builds a
+    per-subspace lookup table of (rounded) L2² terms to every codeword
+    IN-ENGINE, the tiny LUT (|Q|·m·k rows) broadcasts onto the unpivoted
+    code stream, and the ADC distance is the per-(query, vector) sum.
+
+    Scale: the corpus never moves as vectors — only as m small ints per
+    row — and never joins anything bigger than the broadcast LUT; the
+    one shuffle is the (query_id, neighbor_id) partial-sum aggregation.
+    Approximate by construction (quantization error); the oracle
+    reproduces codes, LUT, and ranking exactly."""
+    n = normalize_embeddings(df, id_col, vec_col)
+    cb = pq_codebook(n, id_col, num_codes, m)
+    w = len(cb[0][0][1])
+    enc = pq_encode(n, id_col, cb)
+    codes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.col(f"code_{s}").alias("j"),
+            )
+            for s in range(m)
+        ]
+    )
+    code_stream = enc.select(
+        F.col(id_col).alias("neighbor_id"), F.explode(codes_arr).alias("__c")
+    ).select("neighbor_id", F.col("__c.s").alias("s"), F.col("__c.j").alias("j"))
+
+    q = n.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec_n").alias("qv")
+    )
+    lut_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.lit(j).cast("long").alias("j"),
+                F.round(
+                    _l2sq_lit(F.slice(F.col("qv"), s * w + 1, w), cvec), 6
+                ).alias("term"),
+            )
+            for s in range(m)
+            for j, cvec in cb[s]
+        ]
+    )
+    lut = q.select("query_id", F.explode(lut_arr).alias("__t")).select(
+        "query_id",
+        F.col("__t.s").alias("s"),
+        F.col("__t.j").alias("j"),
+        F.col("__t.term").alias("term"),
+    )
+    scored = (
+        code_stream.join(F.broadcast(lut), ["s", "j"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("term"), 6).alias("adc_dist"))
+    )
+    rk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -131,3 +131,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", out["rank"].cast("int")).orderBy(
         "query_id", "rank"
     )
+
+
+_PQ_W = S.DIM // S.PQ_M  # 16 dims per subspace
+
+_PQ_ORACLE = f"""
+    WITH {_NORM_CTE},
+    sub AS (
+      SELECT vec_id, CAST(r.range AS INT) AS s,
+             v[(r.range * {_PQ_W} + 1):((r.range + 1) * {_PQ_W})] AS sv
+      FROM n CROSS JOIN range({S.PQ_M}) r),
+    cb AS (
+      SELECT vec_id AS j, s, sv AS cv FROM sub WHERE vec_id < {S.PQ_K}),
+    enc AS (
+      SELECT vec_id AS neighbor_id, s, j FROM (
+        SELECT c.vec_id, c.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+                 ORDER BY ROUND(list_sum(list_transform(list_zip(c.sv, cb.cv),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))), 6),
+                          cb.j) AS rn
+        FROM sub c JOIN cb ON cb.s = c.s)
+      WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.s, cb.j,
+             ROUND(list_sum(list_transform(list_zip(q.sv, cb.cv),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS term
+      FROM sub q JOIN cb ON cb.s = q.s
+      WHERE q.vec_id <= {max(QUERY_IDS)}),
+    scored AS (
+      SELECT l.query_id, e.neighbor_id, ROUND(SUM(l.term), 6) AS adc_dist
+      FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.j
+      WHERE l.query_id <> e.neighbor_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
+@query("ann_pq_topk", oracle=_PQ_ORACLE, tags=("llm", "similarity", "ann", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k: the corpus compresses to 4 codes
+    per vector (vs 64 floats — the 100-TB memory-compression scale path);
+    queries score via an in-engine ADC lookup table broadcast onto the
+    unpivoted code stream. Codebooks are the deterministic lowest-id
+    vectors (the same k-means-init stand-in policy as ann_ivf_topk), so
+    the DuckDB oracle reproduces codes, LUT terms, and ranking exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    out = S.ann_pq_topk(e, "vec_id", "embedding", QUERY_IDS, K)
+    return out.withColumn("rank", out["rank"].cast("int")).orderBy(
+        "query_id", "rank"
+    )

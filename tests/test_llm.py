@@ -75,3 +75,36 @@ def test_sequence_packing_invariants(spark):
     }
     assert spans == {0: 1, 1: 8, 2: 1}
 
+
+
+def test_pq_codes_and_recall(spark, sf_dir):
+    """PQ: codes are within [0, PQ_K); ADC top-k overlaps the exact
+    brute-force top-k (codebooks are untrained lowest-id samples, so we
+    assert a floor, not parity); every ADC distance is >= 0."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm import similarity as S
+    from flink_1_12_2_spark.llm.dedup import normalize_embeddings
+    from flink_1_12_2_spark.registry import load
+
+    e = load(spark, sf_dir, "embeddings")
+    n = normalize_embeddings(e, "vec_id", "embedding")
+    cb = S.pq_codebook(n, "vec_id")
+    enc = S.pq_encode(n, "vec_id", cb).collect()
+    assert enc
+    for r in enc:
+        for s in range(S.PQ_M):
+            assert 0 <= r[f"code_{s}"] < S.PQ_K
+    # the codebook vectors themselves must encode to their own id
+    # (distance 0 to their own codeword in every subspace)
+    for r in enc:
+        if r["vec_id"] < S.PQ_K:
+            assert all(r[f"code_{s}"] == r["vec_id"] for s in range(S.PQ_M))
+
+    qids = list(range(10))
+    pq = S.ann_pq_topk(e, "vec_id", "embedding", qids, 5).collect()
+    assert all(r["adc_dist"] >= 0 for r in pq)
+    bf = S.ann_bruteforce_topk(e, "vec_id", "embedding", qids, 5).collect()
+    pq_set = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    assert len(pq_set & bf_set) / len(bf_set) > 0.1

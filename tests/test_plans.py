@@ -482,3 +482,14 @@ def test_dsir_broadcast_stats_no_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_code_stream_broadcast_lut(spark, sf_dir):
+    """PQ ANN: the corpus moves only as unpivoted codes; the per-query ADC
+    lookup table broadcasts (no SortMergeJoin, no cartesian product); the
+    one shuffle is the (query, neighbor) partial-sum aggregate."""
+    plan = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
