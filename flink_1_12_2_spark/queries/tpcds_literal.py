@@ -118,7 +118,7 @@ _ITEM_SPARK = f"""
                           CAST(1 + p_partkey % 10 AS INT)) AS i_category,
                p_size    AS i_category_id,
                p_type    AS i_class,
-               p_retailprice * (1 + p_partkey % 4) / 2 AS i_current_price
+               ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
         FROM __tpch_part
     """
 
@@ -275,6 +275,19 @@ _RICH_SPARK = {
     """,
 }
 
+_DATE_DIM_DUCK = """date_dim AS (
+      SELECT o_orderkey AS d_date_sk,
+             CAST(o_orderdate AS DATE)       AS d_date,
+             CAST(YEAR(o_orderdate) AS INT)  AS d_year,
+             CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+             CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
+                  AS INT) AS d_month_seq,
+             DAYNAME(o_orderdate) AS d_day_name,
+             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) / 7) AS INT)
+               AS d_week_seq
+      FROM orders)"""
+
 _ITEM_DUCK = f"""
     item AS (
       SELECT p_partkey AS i_item_sk,
@@ -289,23 +302,12 @@ _ITEM_DUCK = f"""
              ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
              p_size    AS i_category_id,
              p_type    AS i_class,
-             p_retailprice * (1 + p_partkey % 4) / 2 AS i_current_price
+             ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
       FROM part)
 """
 
 _ADAPTER_DUCK = f"""
-    date_dim AS (
-      SELECT o_orderkey AS d_date_sk,
-             CAST(o_orderdate AS DATE)       AS d_date,
-             CAST(YEAR(o_orderdate) AS INT)  AS d_year,
-             CAST(MONTH(o_orderdate) AS INT) AS d_moy,
-             CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
-                  AS INT) AS d_month_seq,
-             DAYNAME(o_orderdate) AS d_day_name,
-             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
-                                 CAST(o_orderdate AS DATE)) / 7) AS INT)
-               AS d_week_seq
-      FROM orders),
+    {_DATE_DIM_DUCK},
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
@@ -327,18 +329,7 @@ _ADAPTER_DUCK = f"""
 _RICH_FACT_COLS_DUCK = _RICH_FACT_COLS_SPARK  # same SQL in both dialects
 
 _ADAPTER_DUCK_RICH = f"""
-    date_dim AS (
-      SELECT o_orderkey AS d_date_sk,
-             CAST(o_orderdate AS DATE)       AS d_date,
-             CAST(YEAR(o_orderdate) AS INT)  AS d_year,
-             CAST(MONTH(o_orderdate) AS INT) AS d_moy,
-             CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
-                  AS INT) AS d_month_seq,
-             DAYNAME(o_orderdate) AS d_day_name,
-             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
-                                 CAST(o_orderdate AS DATE)) / 7) AS INT)
-               AS d_week_seq
-      FROM orders),
+    {_DATE_DIM_DUCK},
     store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
@@ -423,7 +414,37 @@ _ADAPTER_DUCK_RICH = f"""
 """
 
 
-def _register_views(spark: SparkSession, sf_dir: str, rich: bool = False) -> None:
+_DATED_SPARK = {
+    # date-GRAIN tier (TPC-DS-faithful: one date_dim row per calendar date,
+    # so week_seq joins duplicate by a constant 7, not by orders-per-week —
+    # q59's y*x self-join volume stays linear in weeks at any scale)
+    "date_dim": """
+        SELECT DATEDIFF(d, DATE '1970-01-01') AS d_date_sk,
+               d AS d_date,
+               CAST(YEAR(d) AS INT)  AS d_year,
+               CAST(MONTH(d) AS INT) AS d_moy,
+               CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
+                 AS d_month_seq,
+               DATE_FORMAT(d, 'EEEE') AS d_day_name,
+               CAST(FLOOR(DATEDIFF(d, DATE '1970-01-01') / 7) AS INT)
+                 AS d_week_seq
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+              FROM __tpch_orders)
+    """,
+    "store_sales": f"""
+        SELECT DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+                 AS ss_sold_date_sk,
+               l_partkey  AS ss_item_sk,
+               {_CENTS} AS ss_ext_sales_price,
+               {_RICH_FACT_COLS_SPARK.format(p="ss_")}
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+    """,
+}
+
+
+def _register_views(
+    spark: SparkSession, sf_dir: str, rich: bool = False, dated: bool = False
+) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
     for t in base + extra:
@@ -432,6 +453,9 @@ def _register_views(spark: SparkSession, sf_dir: str, rich: bool = False) -> Non
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     if rich:
         for name, body in _RICH_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if dated:
+        for name, body in _DATED_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
@@ -637,7 +661,10 @@ def _q7_oracle(fact: str, p: str, cdemo: str) -> str:
     return f"""
     WITH {_ADAPTER_DUCK_RICH}
     SELECT i_item_id,
-           CAST(AVG(CAST({p}_quantity AS DECIMAL(7, 2))) AS DOUBLE) AS agg1,
+           -- Spark: avg(decimal(7,2)) -> decimal(11,6) HALF_UP; replicated
+           -- exactly as integer half-up so no engine's float path is trusted
+           CAST((2 * SUM({p}_quantity) * 1000000 + COUNT({p}_quantity))
+                // (2 * COUNT({p}_quantity)) AS DOUBLE) / 1000000 AS agg1,
            AVG({p}_list_price) AS agg2,
            AVG({p}_coupon_amt) AS agg3,
            AVG({p}_sales_price) AS agg4
@@ -1009,14 +1036,23 @@ def tpcds_literal_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ADAPTER_DUCK_RICH}
     SELECT i_item_id, ca_country, ca_state, ca_county,
-           CAST(AVG(CAST(cs_quantity AS DECIMAL(12, 6))) AS DOUBLE) AS agg1,
-           CAST(AVG(CAST(cs_list_price AS DECIMAL(12, 6))) AS DOUBLE) AS agg2,
-           CAST(AVG(CAST(cs_coupon_amt AS DECIMAL(12, 6))) AS DOUBLE) AS agg3,
-           CAST(AVG(CAST(cs_sales_price AS DECIMAL(12, 6))) AS DOUBLE) AS agg4,
-           CAST(AVG(CAST(cs_net_profit AS DECIMAL(12, 6))) AS DOUBLE) AS agg5,
-           CAST(AVG(CAST(c_birth_year AS DECIMAL(12, 6))) AS DOUBLE) AS agg6,
-           CAST(AVG(CAST(cd1.cd_dep_count AS DECIMAL(12, 2))) AS DOUBLE)
-             AS agg7
+           -- Spark: avg(decimal(12,6)) -> decimal(16,10) HALF_UP (agg1-6),
+           -- avg(decimal(12,2)) -> decimal(16,6) (agg7); replicated exactly
+           -- as integer half-up over the (integer-valued) inputs
+           CAST((2 * SUM(cs_quantity) * 10000000000 + COUNT(cs_quantity))
+                // (2 * COUNT(cs_quantity)) AS DOUBLE) / 10000000000 AS agg1,
+           CAST((2 * SUM(cs_list_price) * 10000000000 + COUNT(cs_list_price))
+                // (2 * COUNT(cs_list_price)) AS DOUBLE) / 10000000000 AS agg2,
+           CAST((2 * SUM(cs_coupon_amt) * 10000000000 + COUNT(cs_coupon_amt))
+                // (2 * COUNT(cs_coupon_amt)) AS DOUBLE) / 10000000000 AS agg3,
+           CAST((2 * SUM(cs_sales_price) * 10000000000 + COUNT(cs_sales_price))
+                // (2 * COUNT(cs_sales_price)) AS DOUBLE) / 10000000000 AS agg4,
+           CAST((2 * SUM(cs_net_profit) * 10000000000 + COUNT(cs_net_profit))
+                // (2 * COUNT(cs_net_profit)) AS DOUBLE) / 10000000000 AS agg5,
+           CAST((2 * SUM(c_birth_year) * 10000000000 + COUNT(c_birth_year))
+                // (2 * COUNT(c_birth_year)) AS DOUBLE) / 10000000000 AS agg6,
+           CAST((2 * SUM(cd1.cd_dep_count) * 1000000 + COUNT(cd1.cd_dep_count))
+                // (2 * COUNT(cd1.cd_dep_count)) AS DOUBLE) / 1000000 AS agg7
     FROM catalog_sales, customer_demographics cd1,
          customer_demographics cd2, customer_v, customer_address,
          date_dim, item
@@ -1053,13 +1089,43 @@ def tpcds_literal_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ADAPTER_DUCK_DATED = f"""
+    date_dim AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01', d) AS d_date_sk,
+             d AS d_date,
+             CAST(YEAR(d) AS INT)  AS d_year,
+             CAST(MONTH(d) AS INT) AS d_moy,
+             CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
+               AS d_month_seq,
+             DAYNAME(d) AS d_day_name,
+             CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01', d) / 7) AS INT)
+               AS d_week_seq
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
+    store_sales AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS ss_sold_date_sk,
+             l_partkey  AS ss_item_sk,
+             {_CENTS} AS ss_ext_sales_price,
+             {_RICH_FACT_COLS_DUCK.format(p="ss_")}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    store AS (
+      SELECT s_suppkey AS s_store_sk,
+             CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
+               AS s_store_name,
+             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
+             LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
+             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
+      FROM supplier)
+"""
+
+
 QUERY59_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query59.tpl\nwith wss as \n (select d_week_seq,\n        ss_store_sk,\n        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,\n        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,\n        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,\n        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,\n        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,\n        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,\n        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales\n from store_sales,date_dim\n where d_date_sk = ss_sold_date_sk\n group by d_week_seq,ss_store_sk\n )\n  select  s_store_name1,s_store_id1,d_week_seq1\n       ,sun_sales1/sun_sales2,mon_sales1/mon_sales2\n       ,tue_sales1/tue_sales2,wed_sales1/wed_sales2,thu_sales1/thu_sales2\n       ,fri_sales1/fri_sales2,sat_sales1/sat_sales2\n from\n (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1\n        ,s_store_id s_store_id1,sun_sales sun_sales1\n        ,mon_sales mon_sales1,tue_sales tue_sales1\n        ,wed_sales wed_sales1,thu_sales thu_sales1\n        ,fri_sales fri_sales1,sat_sales sat_sales1\n  from wss,store,date_dim d\n  where d.d_week_seq = wss.d_week_seq and\n        ss_store_sk = s_store_sk and \n        d_month_seq between 1212 and 1212 + 11) y,\n (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2\n        ,s_store_id s_store_id2,sun_sales sun_sales2\n        ,mon_sales mon_sales2,tue_sales tue_sales2\n        ,wed_sales wed_sales2,thu_sales thu_sales2\n        ,fri_sales fri_sales2,sat_sales sat_sales2\n  from wss,store,date_dim d\n  where d.d_week_seq = wss.d_week_seq and\n        ss_store_sk = s_store_sk and \n        d_month_seq between 1212+ 12 and 1212 + 23) x\n where s_store_id1=s_store_id2\n   and d_week_seq1=d_week_seq2-52\n order by s_store_name1,s_store_id1,d_week_seq1\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query59.tpl\n"
 
 
 @query(
     "tpcds_literal_q59",
     oracle=f"""
-    WITH {_ADAPTER_DUCK_RICH},
+    WITH {_ADAPTER_DUCK_DATED},
     wss AS (
       SELECT d_week_seq, ss_store_sk,
              {", ".join(
@@ -1103,8 +1169,9 @@ def tpcds_literal_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-season weeks exactly as the spec's calendar does. The ORDER BY
     prefix is not a total order across the date-duplicate rows, but the
     duplicates are bit-identical rows (same aggregates), so any LIMIT-100
-    prefix hashes equally."""
-    _register_views(spark, sf_dir, rich=True)
+    prefix hashes equally — and the DATED tier keeps the duplication a
+    constant 7 per week (date-grain date_dim), not orders-per-week."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
     return spark.sql(rewrite(QUERY59_SQL)).toDF(
         "s_store_name1", "s_store_id1", "d_week_seq1",
         *(f"{d}_ratio" for d in _DAYS),

@@ -146,6 +146,21 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
+def _literal_df(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run literal text over the adapter views, then RESTORE the raw-table
+    bindings: the adapter must shadow the real table names (the literal
+    text demands them) but spark.sql analysis is eager — the returned
+    DataFrame has already resolved the adapter views — so rebinding the
+    names to the raw parquet immediately keeps the shared gate/replay
+    session from ever observing shifted dates or remapped nations through
+    spark.table("lineitem") after a tpch_literal query runs."""
+    _register_views(spark, sf_dir)
+    df = spark.sql(rewrite(text))
+    for t in ("lineitem", "nation", "supplier", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return df
+
+
 QUERY6_SQL = "-- database: presto; groups: tpch; tables: lineitem\nSELECT sum(l_extendedprice * l_discount) AS revenue\nFROM\n  lineitem\nWHERE\n  l_shipdate >= DATE '1994-01-01'\n  AND l_shipdate < DATE '1994-01-01' + INTERVAL '1' YEAR\n-- AND l_discount BETWEEN decimal '0.06' - decimal '0.01' AND decimal '0.06' + decimal '0.01'\n-- Blink currently does not support the above feature\nAND l_discount BETWEEN 0.06 - 0.01 AND 0.06 + 0.01\nAND l_quantity < 24\n"
 
 
@@ -179,8 +194,7 @@ def tpch_literal_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q6.sql (the reference's modified-query file), unmodified —
     scan-aggregate with float-literal discount band; the revenue sum is
     order-free exact (dollars x sixteenths, see module docstring)."""
-    _register_views(spark, sf_dir)
-    return spark.sql(rewrite(QUERY6_SQL)).toDF("revenue")
+    return _literal_df(spark, sf_dir, QUERY6_SQL).toDF("revenue")
 
 
 @query(
@@ -205,8 +219,7 @@ def tpch_literal_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11.sql, unmodified (backquoted ``value`` identifier) —
     HAVING against an uncorrelated scalar subquery; products are exact
     int64, so the 0.0001-fraction threshold is deterministic."""
-    _register_views(spark, sf_dir)
-    return spark.sql(rewrite(QUERY11_SQL)).toDF("ps_partkey", "value")
+    return _literal_df(spark, sf_dir, QUERY11_SQL).toDF("ps_partkey", "value")
 
 
 @query(
@@ -233,8 +246,7 @@ def tpch_literal_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     float equality against MAX over a repeated subquery. Safe here by
     construction: revenue sums are exact multiples of 1/16 (order-free),
     so both evaluations produce identical doubles."""
-    _register_views(spark, sf_dir)
-    return spark.sql(rewrite(QUERY15_SQL)).toDF(
+    return _literal_df(spark, sf_dir, QUERY15_SQL).toDF(
         "s_suppkey", "s_name", "s_address", "s_phone", "total_revenue"
     )
 
@@ -265,5 +277,4 @@ def tpch_literal_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter). NULL comparison semantics (no matching lineitems →
     NULL > threshold is false... actually availqty > NULL is NULL)
     match across engines."""
-    _register_views(spark, sf_dir)
-    return spark.sql(rewrite(QUERY20_SQL)).toDF("s_name", "s_address")
+    return _literal_df(spark, sf_dir, QUERY20_SQL).toDF("s_name", "s_address")

@@ -126,3 +126,29 @@ def test_adapter_lean_renderings_agree(spark, sf_dir):
         drows = dres.fetchall()
         assert sorted(scols) == sorted(dcols), (name, scols, dcols)
         assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
+
+
+def test_adapter_dated_renderings_agree(spark, sf_dir):
+    """Anti-drift guard for the DATED (date-grain) tier used by q59."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    M._register_views(spark, sf_dir, rich=True, dated=True)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in ("date_dim", "store_sales", "store"):
+        sdf = spark.sql(f"SELECT * FROM {name}")
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        dres = con.execute(
+            f"WITH {M._ADAPTER_DUCK_DATED} SELECT * FROM {name}"
+        )
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
