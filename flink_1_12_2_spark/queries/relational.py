@@ -767,3 +767,78 @@ def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+_TOKS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+@query(
+    "lateral_table_udtf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ex AS (SELECT doc_id,
+                  unnest(list_transform(toks,
+                    (x, i) -> {{'w': x, 'p': i - 1}})) AS u
+           FROM tk)
+    SELECT doc_id, u.w AS word, CAST(u.p AS INT) AS pos
+    FROM ex WHERE u.p < 2
+    ORDER BY doc_id, pos
+    """,
+    tags=("batch", "correlate", "udtf", "lateral-table"),
+)
+def lateral_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's ``LATERAL TABLE(udtf(...)) AS T(cols)`` SQL front door
+    (docs/dev/table/sql/queries.md UDTF join; StreamExecCorrelate) —
+    rewritten to Spark's ``LATERAL VIEW inline(...)`` over the engine's
+    array<struct> UDTF convention. The literal Flink-dialect text runs
+    through rewrite()+spark.sql against a SQL-registered Python UDTF."""
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+    def split_words(text):
+        return [(w, i) for i, w in enumerate(text.split())]
+
+    spark.udf.register(
+        "split_words", split_words, "array<struct<word:string,pos:int>>"
+    )
+    sql = """
+    SELECT doc_id, word, pos
+    FROM documents, LATERAL TABLE(split_words(text)) AS T(word, pos)
+    WHERE pos < 2
+    ORDER BY doc_id, pos
+    """
+    return spark.sql(rewrite(sql))
+
+
+@query(
+    "lateral_table_left_outer",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lw AS (SELECT doc_id,
+                  unnest(list_filter(toks, x -> length(x) >= 8)) AS word
+           FROM tk)
+    SELECT d.doc_id, lw.word
+    FROM documents d LEFT JOIN lw ON d.doc_id = lw.doc_id
+    ORDER BY d.doc_id, word
+    """,
+    tags=("batch", "correlate", "udtf", "lateral-table"),
+)
+def lateral_table_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's ``LEFT JOIN LATERAL TABLE(f(x)) ON TRUE`` — empty UDTF
+    expansions keep the left row with NULLs (Correlate LEFT semantics,
+    SqlToRelConverter) → Spark ``LATERAL VIEW OUTER``."""
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+    def long_words(text):
+        return [(w,) for w in text.split() if len(w) >= 8]
+
+    spark.udf.register("long_words", long_words, "array<struct<word:string>>")
+    sql = """
+    SELECT doc_id, word
+    FROM documents LEFT JOIN LATERAL TABLE(long_words(text)) AS T(word) ON TRUE
+    ORDER BY doc_id, word
+    """
+    return spark.sql(rewrite(sql))

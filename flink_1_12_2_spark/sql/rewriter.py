@@ -78,6 +78,16 @@ def _tvf_subquery(table: str, col: str, size: str, slide: str | None = None) -> 
     )
 
 
+_LATERAL_CROSS = re.compile(
+    r"(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(([^)]*)\)\s*\)"
+    r"\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?"
+)
+_LATERAL_LEFT = re.compile(
+    r"(?is)\bLEFT\s+JOIN\s+LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(([^)]*)\)\s*\)"
+    r"\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?\s+ON\s+TRUE"
+)
+
+
 def rewrite(query: str) -> str:
     """Rewrite Flink SQL idioms into Spark SQL. Pass-through otherwise."""
     q = query
@@ -118,6 +128,25 @@ def rewrite(query: str) -> str:
 
     # Time attributes.
     q = re.sub(r"(?is)\bPROCTIME\s*\(\s*\)", "current_timestamp()", q)
+
+    # Correlate: Flink's LATERAL TABLE(udtf(args)) — the 1.12 UDTF join
+    # idiom (docs/dev/table/sql/queries "Expanding arrays into a relation";
+    # planner StreamExecCorrelate). The engine's udtf surface returns
+    # array<struct> (functions/udf.py), so the Spark form is LATERAL VIEW
+    # inline(...). `LEFT JOIN LATERAL TABLE(f()) ON TRUE` keeps empty
+    # expansions as NULL rows → LATERAL VIEW OUTER.
+    q = _LATERAL_LEFT.sub(
+        lambda m: f" LATERAL VIEW OUTER inline({m.group(1)}({m.group(2)})) "
+        + m.group(3)
+        + (f" AS {m.group(4)}" if m.group(4) else ""),
+        q,
+    )
+    q = _LATERAL_CROSS.sub(
+        lambda m: f" LATERAL VIEW inline({m.group(1)}({m.group(2)})) "
+        + m.group(3)
+        + (f" AS {m.group(4)}" if m.group(4) else ""),
+        q,
+    )
 
     return q
 

@@ -260,3 +260,30 @@ def test_new_scalar_shims(spark):
     assert df.ov is True and df.no_ov is False
     assert df.td == 5
     assert df.ic == "Hello World"
+
+
+def test_rewrite_lateral_table_cross():
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    out = rewrite(
+        "SELECT a, w FROM t, LATERAL TABLE(f(x)) AS T(w) WHERE w <> ''"
+    )
+    assert "LATERAL VIEW inline(f(x)) T AS w" in out
+    assert "," not in out.split("FROM t")[1].split("WHERE")[0]
+
+
+def test_rewrite_lateral_table_left_outer():
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    out = rewrite(
+        "SELECT a, w FROM t LEFT JOIN LATERAL TABLE(f(x, y)) AS T(w, p) ON TRUE"
+    )
+    assert "LATERAL VIEW OUTER inline(f(x, y)) T AS w, p" in out
+    assert "ON TRUE" not in out
+
+
+def test_rewrite_lateral_table_no_alias_cols():
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    out = rewrite("SELECT * FROM t, LATERAL TABLE(f(x)) AS T")
+    assert "LATERAL VIEW inline(f(x)) T" in out
