@@ -29,8 +29,9 @@ columns pass through):
 - ``partsupp`` (absent from the driver tables): synthesized as
   part × range(4) with integer ps_availqty / ps_supplycost (exact int64
   products — q11's HAVING threshold is deterministic) and ps_suppkey
-  spread across the actual supplier-key range via a scalar-subquery
-  modulus, so the synthesis is scale-factor-independent.
+  spread across the actual supplier-key range via MIN + a scalar-subquery
+  modulus (the driver's keys are 0-based), so the synthesis is
+  scale-factor-independent and every supplier is reachable.
 
 Scale: q6 is a pure scan-aggregate; q11/q20 join the synthesized
 partsupp (4 rows per part — same cardinality class as real TPC-H's 4
@@ -90,7 +91,8 @@ _ADAPTER_SPARK = {
     """,
     "partsupp": """
         SELECT p_partkey AS ps_partkey,
-               CAST(1 + (p_partkey * 7 + r.id * 13)
+               CAST((SELECT MIN(s_suppkey) FROM __tpch_supplier)
+                    + (p_partkey * 7 + r.id * 13)
                     % (SELECT COUNT(*) FROM __tpch_supplier) AS BIGINT)
                  AS ps_suppkey,
                CAST(10 + (p_partkey * 3 + r.id * 17) % 990 AS INT)
@@ -129,7 +131,8 @@ _ADAPTER_DUCK = f"""
       FROM part),
     ps AS (
       SELECT p_partkey AS ps_partkey,
-             CAST(1 + (p_partkey * 7 + r.range * 13)
+             CAST((SELECT MIN(s_suppkey) FROM supplier)
+                  + (p_partkey * 7 + r.range * 13)
                   % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
              CAST(10 + (p_partkey * 3 + r.range * 17) % 990 AS INT)
                AS ps_availqty,
@@ -158,6 +161,7 @@ def _literal_df(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     df = spark.sql(rewrite(text))
     for t in ("lineitem", "nation", "supplier", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.catalog.dropTempView("partsupp")  # synthetic — must not outlive df
     return df
 
 

@@ -78,13 +78,18 @@ def _tvf_subquery(table: str, col: str, size: str, slide: str | None = None) -> 
     )
 
 
+# UDTF arguments may nest one level of calls (f(lower(x), substr(y,1,2)));
+# the alias is optional in Flink — a default is generated — and must not
+# swallow a following clause keyword.
+_ARGS = r"((?:[^()]|\([^()]*\))*)"
+_KW = r"(?!(?:WHERE|GROUP|ORDER|HAVING|LIMIT|ON|LEFT|RIGHT|INNER|CROSS|JOIN|UNION)\b)"
 _LATERAL_CROSS = re.compile(
-    r"(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(([^)]*)\)\s*\)"
-    r"\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?"
+    r"(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(" + _ARGS + r"\)\s*\)"
+    r"(?:\s+(?:AS\s+)?" + _KW + r"(\w+)\s*(?:\(([^)]*)\))?)?"
 )
 _LATERAL_LEFT = re.compile(
-    r"(?is)\bLEFT\s+JOIN\s+LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(([^)]*)\)\s*\)"
-    r"\s+(?:AS\s+)?(\w+)\s*(?:\(([^)]*)\))?\s+ON\s+TRUE"
+    r"(?is)\bLEFT\s+JOIN\s+LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(" + _ARGS + r"\)\s*\)"
+    r"(?:\s+(?:AS\s+)?" + _KW + r"(\w+)\s*(?:\(([^)]*)\))?)?\s+ON\s+TRUE"
 )
 
 
@@ -135,18 +140,21 @@ def rewrite(query: str) -> str:
     # array<struct> (functions/udf.py), so the Spark form is LATERAL VIEW
     # inline(...). `LEFT JOIN LATERAL TABLE(f()) ON TRUE` keeps empty
     # expansions as NULL rows → LATERAL VIEW OUTER.
-    q = _LATERAL_LEFT.sub(
-        lambda m: f" LATERAL VIEW OUTER inline({m.group(1)}({m.group(2)})) "
-        + m.group(3)
-        + (f" AS {m.group(4)}" if m.group(4) else ""),
-        q,
-    )
-    q = _LATERAL_CROSS.sub(
-        lambda m: f" LATERAL VIEW inline({m.group(1)}({m.group(2)})) "
-        + m.group(3)
-        + (f" AS {m.group(4)}" if m.group(4) else ""),
-        q,
-    )
+    def _lateral(outer: bool):
+        kw = "OUTER " if outer else ""
+
+        def sub(m: "re.Match") -> str:
+            alias = m.group(3) or "__lt"
+            cols = f" AS {m.group(4)}" if m.group(4) else ""
+            return (
+                f" LATERAL VIEW {kw}inline({m.group(1)}({m.group(2)})) "
+                + alias + cols
+            )
+
+        return sub
+
+    q = _LATERAL_LEFT.sub(_lateral(outer=True), q)
+    q = _LATERAL_CROSS.sub(_lateral(outer=False), q)
 
     return q
 
