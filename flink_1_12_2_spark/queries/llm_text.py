@@ -911,3 +911,57 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("logweight_micro_per_tok"), "doc_id")
         .limit(200)
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Mirror of llm/bpe.bpe_train: the SAME unrolled merge rounds in pure
+    SQL — every round's argmax and replace computed inside DuckDB, so the
+    oracle encodes the algorithm, not precomputed literals."""
+    parts = [
+        f"""w0 AS (
+      SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
+               || ' </w> ' AS sp, cnt
+      FROM (SELECT tok AS word, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY tok))"""
+    ]
+    for k in range(1, rounds + 1):
+        i = k - 1
+        parts.append(f"""c{i} AS (
+      SELECT p[1] AS l, p[2] AS r, SUM(cnt) AS pair_cnt
+      FROM (SELECT cnt,
+                   unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)]))
+                     AS p
+            FROM (SELECT cnt,
+                         list_filter(string_split(trim(sp), ' '),
+                                     x -> x <> '') AS syms
+                  FROM w{i}))
+      GROUP BY 1, 2)""")
+        parts.append(f"""b{i} AS (
+      SELECT {k} AS rank, l AS lhs, r AS rhs, pair_cnt
+      FROM c{i} ORDER BY pair_cnt DESC, l, r LIMIT 1)""")
+        parts.append(f"""w{k} AS (
+      SELECT replace(sp, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                     ' ' || b.lhs || b.rhs || ' ') AS sp, cnt
+      FROM w{i}, b{i} b)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(rank AS INT) AS rank, lhs, rhs, pair_cnt FROM b{i}"
+        for i in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}\n    ORDER BY rank"
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(8),
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the first 8 merge
+    rules learned from the corpus — exact integer pair counts over the
+    distinct-word grain, deterministic lexicographic tie-breaks, merges
+    applied by literal replace. One Catalyst plan, no driver loop; the
+    oracle re-derives every round's argmax inside DuckDB."""
+    from flink_1_12_2_spark.llm.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), "text", rounds=8)

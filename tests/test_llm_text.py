@@ -58,3 +58,48 @@ def test_dsir_weight_exactness_and_signal(spark, sf_dir):
     en = sum(by_lang["en"]) / len(by_lang["en"])
     rest = [v for k, vs in by_lang.items() if k != "en" for v in vs]
     assert en > sum(rest) / len(rest)
+
+
+def test_bpe_train_matches_bruteforce(spark, sf_dir):
+    """The one-plan BPE trainer equals a straightforward Python BPE
+    (Sennrich alg.) on the same word counts: identical pairs, counts,
+    and order for every round."""
+    from collections import Counter
+
+    from flink_1_12_2_spark.llm.bpe import bpe_train
+    from flink_1_12_2_spark.registry import load
+
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
+        for r in bpe_train(
+            load(spark, sf_dir, "documents"), "text", rounds=6
+        ).collect()
+    ]
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    words: Counter = Counter()
+    for r in docs:
+        for w in r["text"].split():
+            words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    expect = []
+    for k in range(1, 7):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((k, l, r, c))
+        merged = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + cnt
+        vocab = merged
+    assert got == expect
