@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the nineteen files below:
+Parser shapes covered by the twenty-two files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -38,7 +38,11 @@ Parser shapes covered by the nineteen files below:
   oracle; Spark's ASC default);
 - q59 — one WITH CTE consumed by two month-window subqueries self-joined
   across a 52-week offset (the adapter's d_week_seq is a continuous
-  epoch-week counter).
+  epoch-week counter);
+- q15/q45 — three-way OR across zip IN-list / state IN-list / measure
+  threshold, and OR-with-IN-SUBQUERY over the item dimension;
+- q65 — shared per-(store,item) aggregate consumed at two grains with a
+  0.1x-store-average threshold (exact integer revenues).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -107,7 +111,9 @@ _STATES = (
 _ITEM_SPARK = f"""
         SELECT p_partkey AS i_item_sk,
                LPAD(CAST(p_partkey AS STRING), 16, '0') AS i_item_id,
-               p_name    AS i_item_desc,
+               CONCAT(p_name, ' #', CAST(p_partkey AS STRING))
+                 AS i_item_desc,
+               ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
                p_brand   AS i_brand,
                CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
                CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
@@ -128,6 +134,7 @@ _ADAPTER_SPARK = {
                CAST(o_orderdate AS DATE)       AS d_date,
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
                CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+               CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1 AS INT) AS d_qoy,
                CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                     AS INT) AS d_month_seq,
                DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name,
@@ -244,7 +251,9 @@ _RICH_SPARK = {
                CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
                'United States' AS ca_country,
                CONCAT('County#', LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
-                 AS ca_county
+                 AS ca_county,
+               CONCAT('City#', LPAD(CAST(c_custkey % 200 AS STRING), 3, '0'))
+                 AS ca_city
         FROM __tpch_customer
     """,
     "store": """
@@ -280,6 +289,7 @@ _DATE_DIM_DUCK = """date_dim AS (
              CAST(o_orderdate AS DATE)       AS d_date,
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+             CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1 AS INT) AS d_qoy,
              CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                   AS INT) AS d_month_seq,
              DAYNAME(o_orderdate) AS d_day_name,
@@ -292,7 +302,8 @@ _ITEM_DUCK = f"""
     item AS (
       SELECT p_partkey AS i_item_sk,
              LPAD(CAST(p_partkey AS VARCHAR), 16, '0') AS i_item_id,
-             p_name    AS i_item_desc,
+             p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_item_desc,
+             ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
              p_brand   AS i_brand,
              CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
              CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
@@ -387,7 +398,9 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
              'United States' AS ca_country,
              'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
-               AS ca_county
+               AS ca_county,
+             'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
+               AS ca_city
       FROM customer),
     store AS (
       SELECT s_suppkey AS s_store_sk,
@@ -423,6 +436,7 @@ _DATED_SPARK = {
                d AS d_date,
                CAST(YEAR(d) AS INT)  AS d_year,
                CAST(MONTH(d) AS INT) AS d_moy,
+               CAST(FLOOR((MONTH(d) - 1) / 3) + 1 AS INT) AS d_qoy,
                CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
                  AS d_month_seq,
                DATE_FORMAT(d, 'EEEE') AS d_day_name,
@@ -1095,6 +1109,7 @@ _ADAPTER_DUCK_DATED = f"""
              d AS d_date,
              CAST(YEAR(d) AS INT)  AS d_year,
              CAST(MONTH(d) AS INT) AS d_moy,
+             CAST(FLOOR((MONTH(d) - 1) / 3) + 1 AS INT) AS d_qoy,
              CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
                AS d_month_seq,
              DAYNAME(d) AS d_day_name,
@@ -1175,4 +1190,114 @@ def tpcds_literal_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY59_SQL)).toDF(
         "s_store_name1", "s_store_id1", "d_week_seq1",
         *(f"{d}_ratio" for d in _DAYS),
+    )
+
+
+QUERY15_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query15.tpl\nselect  ca_zip\n       ,sum(cs_sales_price)\n from catalog_sales\n     ,customer\n     ,customer_address\n     ,date_dim\n where cs_bill_customer_sk = c_customer_sk\n \tand c_current_addr_sk = ca_address_sk \n \tand ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',\n                                   '85392', '85460', '80348', '81792')\n \t      or ca_state in ('CA','WA','GA')\n \t      or cs_sales_price > 500)\n \tand cs_sold_date_sk = d_date_sk\n \tand d_qoy = 2 and d_year = 2001\n group by ca_zip\n order by ca_zip\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query15.tpl\n"
+
+
+QUERY45_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query45.tpl\nselect  ca_zip, ca_city, sum(ws_sales_price)\n from web_sales, customer, customer_address, date_dim, item\n where ws_bill_customer_sk = c_customer_sk\n \tand c_current_addr_sk = ca_address_sk \n \tand ws_item_sk = i_item_sk \n \tand ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475', '85392', '85460', '80348', '81792')\n \t      or \n \t      i_item_id in (select i_item_id\n                             from item\n                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)\n                             )\n \t    )\n \tand ws_sold_date_sk = d_date_sk\n \tand d_qoy = 2 and d_year = 2001\n group by ca_zip, ca_city\n order by ca_zip, ca_city\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query45.tpl\n"
+
+
+QUERY65_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query65.tpl\nselect \n\ts_store_name,\n\ti_item_desc,\n\tsc.revenue,\n\ti_current_price,\n\ti_wholesale_cost,\n\ti_brand\n from store, item,\n     (select ss_store_sk, avg(revenue) as ave\n \tfrom\n \t    (select  ss_store_sk, ss_item_sk, \n \t\t     sum(ss_sales_price) as revenue\n \t\tfrom store_sales, date_dim\n \t\twhere ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11\n \t\tgroup by ss_store_sk, ss_item_sk) sa\n \tgroup by ss_store_sk) sb,\n     (select  ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue\n \tfrom store_sales, date_dim\n \twhere ss_sold_date_sk = d_date_sk and d_month_seq between 1176 and 1176+11\n \tgroup by ss_store_sk, ss_item_sk) sc\n where sb.ss_store_sk = sc.ss_store_sk and \n       sc.revenue <= 0.1 * sb.ave and\n       s_store_sk = sc.ss_store_sk and\n       i_item_sk = sc.ss_item_sk\n order by s_store_name, i_item_desc\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query65.tpl\n'
+
+
+_Q15_ZIPS = ("'85669', '86197','88274','83405','86475', '85392', '85460', "
+             "'80348', '81792'")
+
+
+@query(
+    "tpcds_literal_q15",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT ca_zip, SUM(cs_sales_price) AS sum_sales
+    FROM catalog_sales, customer_v, customer_address, date_dim
+    WHERE cs_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND (SUBSTR(ca_zip, 1, 5) IN ({_Q15_ZIPS})
+           OR ca_state IN ('CA', 'WA', 'GA')
+           OR cs_sales_price > 500)
+      AND cs_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 2001
+    GROUP BY ca_zip
+    ORDER BY ca_zip
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query15.sql text, unmodified — a three-way OR across a zip
+    prefix IN-list, a state IN-list, and a fact-measure threshold,
+    quarter-of-year filter. ca_zip is a total order, so the LIMIT
+    boundary is deterministic."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY15_SQL)).toDF("ca_zip", "sum_sales")
+
+
+@query(
+    "tpcds_literal_q45",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT ca_zip, ca_city, SUM(ws_sales_price) AS sum_sales
+    FROM web_sales, customer_v, customer_address, date_dim, item
+    WHERE ws_bill_customer_sk = c_customer_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND ws_item_sk = i_item_sk
+      AND (SUBSTR(ca_zip, 1, 5) IN ({_Q15_ZIPS})
+           OR i_item_id IN (SELECT i_item_id FROM item
+                            WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17,
+                                                19, 23, 29)))
+      AND ws_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 2001
+    GROUP BY ca_zip, ca_city
+    ORDER BY ca_zip, ca_city
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query45.sql text, unmodified — OR between a geography
+    IN-list and an item-dimension IN-SUBQUERY (the decorrelated
+    semi-join-into-disjunction shape)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY45_SQL)).toDF(
+        "ca_zip", "ca_city", "sum_sales"
+    )
+
+
+@query(
+    "tpcds_literal_q65",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    sa AS (
+      SELECT ss_store_sk, ss_item_sk, SUM(ss_sales_price) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1176 AND 1176 + 11
+      GROUP BY ss_store_sk, ss_item_sk),
+    sb AS (
+      SELECT ss_store_sk, AVG(revenue) AS ave FROM sa GROUP BY ss_store_sk)
+    SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
+           i_wholesale_cost, i_brand
+    FROM store, item, sb, sa sc
+    WHERE sb.ss_store_sk = sc.ss_store_sk
+      AND sc.revenue <= 0.1 * sb.ave
+      AND s_store_sk = sc.ss_store_sk
+      AND i_item_sk = sc.ss_item_sk
+    ORDER BY s_store_name, i_item_desc
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query65.sql text, unmodified — the below-10%%-of-store-average
+    laggard-item report: a shared per-(store,item) aggregate consumed at
+    two grains. Revenues are exact integer dollar sums, so the 0.1*avg
+    threshold is deterministic; the adapter's i_item_desc is unique
+    (p_name + partkey suffix), making (s_store_name, i_item_desc) a total
+    order for the LIMIT."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY65_SQL)).toDF(
+        "s_store_name", "i_item_desc", "revenue", "i_current_price",
+        "i_wholesale_cost", "i_brand",
     )
