@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the twenty-two files below:
+Parser shapes covered by the twenty-four files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -42,7 +42,12 @@ Parser shapes covered by the twenty-two files below:
 - q15/q45 — three-way OR across zip IN-list / state IN-list / measure
   threshold, and OR-with-IN-SUBQUERY over the item dimension;
 - q65 — shared per-(store,item) aggregate consumed at two grains with a
-  0.1x-store-average threshold (exact integer revenues).
+  0.1x-store-average threshold (exact integer revenues);
+- q71 — three-channel UNION ALL by-meal-time breakdown (derived
+  t_meal_time bands), no LIMIT;
+- q89 — window-over-group-aggregate monthly deviation with the paired
+  (category, class) OR filter (verified: no tied sort keys at the
+  LIMIT boundary on the gate fixtures).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -103,6 +108,14 @@ _CATEGORIES = (
     "'Men','Music','Shoes','Sports','Women'"
 )
 
+# index-aligned with _CATEGORIES so q89's literal (category, class) pairs
+# (Books+computers, Electronics+football, Jewelry+birdal, Men+dresses)
+# select non-empty subsets
+_CLASSES = (
+    "'computers','classical','football','glassware','birdal',"
+    "'dresses','pop','loafers','stereo','maternity'"
+)
+
 _STATES = (
     "'AL','AR','AZ','CA','CO','CT','DE','FL','GA','IA','ID','IL','IN',"
     "'KS','KY','LA','MA','MD','ME','MI','MN','MO','MS','MT','NC'"
@@ -123,7 +136,8 @@ _ITEM_SPARK = f"""
                element_at(array({_CATEGORIES}),
                           CAST(1 + p_partkey % 10 AS INT)) AS i_category,
                p_size    AS i_category_id,
-               p_type    AS i_class,
+               element_at(array({_CLASSES}),
+                          CAST(1 + p_partkey % 10 AS INT)) AS i_class,
                ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
         FROM __tpch_part
     """
@@ -262,7 +276,9 @@ _RICH_SPARK = {
                  AS s_store_name,
                LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip,
                LPAD(CAST(s_suppkey AS STRING), 16, '0') AS s_store_id,
-               CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
+               CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
+               CONCAT('Company#', CAST(s_suppkey % 5 AS STRING))
+                 AS s_company_name
         FROM __tpch_supplier
     """,
     "household_demographics": """
@@ -279,7 +295,10 @@ _RICH_SPARK = {
     "time_dim": """
         SELECT id AS t_time_sk,
                CAST(FLOOR(id / 3600) AS INT) AS t_hour,
-               CAST(FLOOR(id % 3600 / 60) AS INT) AS t_minute
+               CAST(FLOOR(id % 3600 / 60) AS INT) AS t_minute,
+               CASE WHEN FLOOR(id / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
+                    WHEN FLOOR(id / 3600) BETWEEN 17 AND 19 THEN 'dinner'
+               END AS t_meal_time
         FROM range(86400)
     """,
 }
@@ -312,7 +331,7 @@ _ITEM_DUCK = f"""
              CAST(p_partkey % 30 AS INT)        AS i_manager_id,
              ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
              p_size    AS i_category_id,
-             p_type    AS i_class,
+             ([{_CLASSES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_class,
              ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
       FROM part)
 """
@@ -408,7 +427,8 @@ _ADAPTER_DUCK_RICH = f"""
                AS s_store_name,
              LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
              LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
-             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
+             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
+             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name
       FROM supplier),
     household_demographics AS (
       SELECT c_custkey AS hd_demo_sk,
@@ -422,7 +442,10 @@ _ADAPTER_DUCK_RICH = f"""
     time_dim AS (
       SELECT range AS t_time_sk,
              CAST(FLOOR(range / 3600) AS INT) AS t_hour,
-             CAST(FLOOR(range % 3600 / 60) AS INT) AS t_minute
+             CAST(FLOOR(range % 3600 / 60) AS INT) AS t_minute,
+             CASE WHEN FLOOR(range / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
+                  WHEN FLOOR(range / 3600) BETWEEN 17 AND 19 THEN 'dinner'
+             END AS t_meal_time
       FROM range(86400))
 """
 
@@ -1129,7 +1152,8 @@ _ADAPTER_DUCK_DATED = f"""
                AS s_store_name,
              LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
              LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
-             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset
+             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
+             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name
       FROM supplier)
 """
 
@@ -1300,4 +1324,92 @@ def tpcds_literal_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY65_SQL)).toDF(
         "s_store_name", "i_item_desc", "revenue", "i_current_price",
         "i_wholesale_cost", "i_brand",
+    )
+
+
+QUERY71_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query71.tpl\nselect i_brand_id brand_id, i_brand brand,t_hour,t_minute,\n \tsum(ext_price) ext_price\n from item, (select ws_ext_sales_price as ext_price, \n                        ws_sold_date_sk as sold_date_sk,\n                        ws_item_sk as sold_item_sk,\n                        ws_sold_time_sk as time_sk  \n                 from web_sales,date_dim\n                 where d_date_sk = ws_sold_date_sk\n                   and d_moy=11\n                   and d_year=1999\n                 union all\n                 select cs_ext_sales_price as ext_price,\n                        cs_sold_date_sk as sold_date_sk,\n                        cs_item_sk as sold_item_sk,\n                        cs_sold_time_sk as time_sk\n                 from catalog_sales,date_dim\n                 where d_date_sk = cs_sold_date_sk\n                   and d_moy=11\n                   and d_year=1999\n                 union all\n                 select ss_ext_sales_price as ext_price,\n                        ss_sold_date_sk as sold_date_sk,\n                        ss_item_sk as sold_item_sk,\n                        ss_sold_time_sk as time_sk\n                 from store_sales,date_dim\n                 where d_date_sk = ss_sold_date_sk\n                   and d_moy=11\n                   and d_year=1999\n                 ) tmp,time_dim\n where\n   sold_item_sk = i_item_sk\n   and i_manager_id=1\n   and time_sk = t_time_sk\n   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')\n group by i_brand, i_brand_id,t_hour,t_minute\n order by ext_price desc, i_brand_id\n \n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query71.tpl\n"
+
+
+QUERY89_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query89.tpl\nselect  *\nfrom(\nselect i_category, i_class, i_brand,\n       s_store_name, s_company_name,\n       d_moy,\n       sum(ss_sales_price) sum_sales,\n       avg(sum(ss_sales_price)) over\n         (partition by i_category, i_brand, s_store_name, s_company_name)\n         avg_monthly_sales\nfrom item, store_sales, date_dim, store\nwhere ss_item_sk = i_item_sk and\n      ss_sold_date_sk = d_date_sk and\n      ss_store_sk = s_store_sk and\n      d_year in (1999) and\n        ((i_category in ('Books','Electronics','Sports') and\n          i_class in ('computers','stereo','football')\n         )\n      or (i_category in ('Men','Jewelry','Women') and\n          i_class in ('shirts','birdal','dresses') \n        ))\ngroup by i_category, i_class, i_brand,\n         s_store_name, s_company_name, d_moy) tmp1\nwhere case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1\norder by sum_sales - avg_monthly_sales, s_store_name\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query89.tpl\n"
+
+
+@query(
+    "tpcds_literal_q71",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    tmp AS (
+      SELECT ws_ext_sales_price AS ext_price, ws_item_sk AS sold_item_sk,
+             ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price, cs_item_sk, cs_sold_time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price, ss_item_sk, ss_sold_time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999
+    )
+    SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+           SUM(ext_price) AS ext_price
+    FROM item, tmp, time_dim
+    WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+      AND time_sk = t_time_sk
+      AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+    GROUP BY i_brand, i_brand_id, t_hour, t_minute
+    ORDER BY ext_price DESC, brand_id
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query71.sql text, unmodified — three-channel UNION ALL into a
+    by-meal-time breakdown (derived t_meal_time bands on the generated
+    time dimension). No LIMIT: the full result set hashes
+    order-insensitively, so the ORDER BY needs no total-order argument."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY71_SQL)).toDF(
+        "brand_id", "brand", "t_hour", "t_minute", "ext_price"
+    )
+
+
+@query(
+    "tpcds_literal_q89",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    tmp1 AS (
+      SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+             d_moy, SUM(ss_sales_price) AS sum_sales,
+             AVG(SUM(ss_sales_price)) OVER
+               (PARTITION BY i_category, i_brand, s_store_name,
+                             s_company_name) AS avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk AND d_year IN (1999)
+        AND ((i_category IN ('Books', 'Electronics', 'Sports')
+              AND i_class IN ('computers', 'stereo', 'football'))
+          OR (i_category IN ('Men', 'Jewelry', 'Women')
+              AND i_class IN ('shirts', 'birdal', 'dresses')))
+      GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+               d_moy)
+    SELECT * FROM tmp1
+    WHERE CASE WHEN avg_monthly_sales <> 0
+               THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, s_store_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query89.sql text, unmodified — monthly deviation vs the
+    (category, brand, store) average via a window over a group aggregate,
+    with the spec's paired (category, class) OR filter (the adapter's
+    class names are index-aligned with categories so both branches select
+    non-empty subsets). Sums are exact integer dollars; the window
+    average is an exact-int/count division, identical in both engines."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY89_SQL)).toDF(
+        "i_category", "i_class", "i_brand", "s_store_name",
+        "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales",
     )

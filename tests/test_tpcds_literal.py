@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [3, 6, 7, 12, 15, 18, 19, 20, 26, 33, 42, 43, 45, 52, 55, 59, 61, 65, 88, 90, 96, 98])
+@pytest.mark.parametrize("n", [3, 6, 7, 12, 15, 18, 19, 20, 26, 33, 42, 43, 45, 52, 55, 59, 61, 65, 71, 88, 89, 90, 96, 98])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -29,7 +29,7 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q96", "tpcds_literal_q43", "tpcds_literal_q33",
              "tpcds_literal_q61", "tpcds_literal_q88", "tpcds_literal_q90",
              "tpcds_literal_q18", "tpcds_literal_q59", "tpcds_literal_q15",
-             "tpcds_literal_q45", "tpcds_literal_q65"]
+             "tpcds_literal_q45", "tpcds_literal_q65", "tpcds_literal_q89"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -153,3 +153,15 @@ def test_adapter_dated_renderings_agree(spark, sf_dir):
         drows = dres.fetchall()
         assert sorted(scols) == sorted(dcols), (name, scols, dcols)
         assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
+
+
+def test_literal_q71_meal_time_bands(spark, sf_dir):
+    """q71 has no LIMIT and thin filters (manager 1 x Nov-1999 x 6 meal
+    hours) — empty at sf0.001 is legitimate; the value gate at sf0.01
+    covers correctness. Here: it parses, runs, and every row's hour is
+    inside a meal band."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q71"].fn(spark, sf_dir).collect()
+    assert all(6 <= r["t_hour"] <= 8 or 17 <= r["t_hour"] <= 19 for r in rows)
