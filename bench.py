@@ -53,6 +53,20 @@ STATEFUL_HEADLINE = [
     "match_recognize_agg_measures",  # batch NFA + measures join-back
 ]
 
+# r6 LLM-pipeline headliners: the hashed-LM importance weights (two
+# map-combinable shuffles + broadcast stats) and the one-plan BPE trainer
+# (8 unrolled vocabulary-grain rounds) — both new-shape plans whose
+# regressions should be bench-visible.
+LLM_HEADLINE = [
+    "sample_dsir_weights",
+    "bpe_train_merges",
+]
+
+# Queries whose work executes inside fn() (streaming materialization, or
+# BPE's per-round 1-row merge collects) — the timed region must wrap
+# fn() + write, not write alone.
+TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {"bpe_train_merges"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +88,7 @@ def main() -> None:
         n for n, s in QUERIES.items() if "headline" in s.tags and n not in names
     ]
     names += [n for n in STATEFUL_HEADLINE if n in QUERIES and n not in names]
+    names += [n for n in LLM_HEADLINE if n in QUERIES and n not in names]
 
     # warm-up: pay JVM/codegen/scan-listing startup cost outside the timings
     from flink_1_12_2_spark.registry import load
@@ -84,7 +99,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        stateful = name in STATEFUL_HEADLINE
+        stateful = name in TIMED_INSIDE_FN
         best: float | None = None
         for _attempt in range(2):
             # drop persisted intermediates: Spark's cache manager matches by
@@ -108,9 +123,7 @@ def main() -> None:
     # continuity across rounds: the pre-r6 headline set's subtotal, so the
     # r1-r5 baseline comparison stays like-for-like after the stateful
     # queries joined the bench
-    core = round(
-        sum(v for n, v in timings.items() if n not in STATEFUL_HEADLINE), 3
-    )
+    core = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     print(
         json.dumps(
             {

@@ -55,9 +55,18 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, text_col: str, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """Train ``rounds`` BPE merges; returns (rank, lhs, rhs, pair_cnt)."""
+    """Train ``rounds`` BPE merges; returns (rank, lhs, rhs, pair_cnt).
+
+    Each round aggregates pair counts over the cached vocabulary table and
+    collects exactly ONE row — the winning merge rule. Merge rules are
+    index metadata (they ARE the trained tokenizer), so the per-round
+    1-row collect is the same policy as IVF centroid collection; the
+    merge application stays a distributed literal replace. This keeps
+    every round a single small job instead of a deepening plan that the
+    final union would re-execute once per round."""
     from flink_1_12_2_spark.llm.text import tokens
 
+    spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -65,35 +74,26 @@ def bpe_train(docs: DataFrame, text_col: str, rounds: int = BPE_ROUNDS) -> DataF
         .select(spaced_symbols(F.col("w")).alias("sp"), "cnt")
         .persist()
     )
-    bests: list[DataFrame] = []
+    merges: list[tuple[int, str, str, int]] = []
     for k in range(1, rounds + 1):
         best = (
             _pair_counts(words)
             .orderBy(F.desc("pair_cnt"), "l", "r")
             .limit(1)
-            .select(
-                F.lit(k).cast("int").alias("rank"),
-                F.col("l").alias("lhs"),
-                F.col("r").alias("rhs"),
-                "pair_cnt",
-            )
+            .collect()[0]
         )
-        bests.append(best)
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .select(
-                F.replace(
-                    F.col("sp"),
-                    F.concat(F.lit(" "), F.col("lhs"), F.lit(" "),
-                             F.col("rhs"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"),
-                             F.lit(" ")),
-                ).alias("sp"),
-                "cnt",
-            )
-            .persist()
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("rank")
+        merges.append((k, best["l"], best["r"], best["pair_cnt"]))
+        nxt = words.select(
+            F.replace(
+                F.col("sp"),
+                F.lit(f" {best['l']} {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("sp"),
+            "cnt",
+        ).persist()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_cnt bigint"
+    )
