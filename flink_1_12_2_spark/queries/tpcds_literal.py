@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the twenty-four files below:
+Parser shapes covered by the twenty-seven files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -47,7 +47,11 @@ Parser shapes covered by the twenty-four files below:
   t_meal_time bands), no LIMIT;
 - q89 — window-over-group-aggregate monthly deviation with the paired
   (category, class) OR filter (verified: no tied sort keys at the
-  LIMIT boundary on the gate fixtures).
+  LIMIT boundary on the gate fixtures);
+- q46/q68/q79 — the shopping-trip family: per-(ticket, customer, city)
+  aggregates joined back to the customer's CURRENT address with a
+  city-mismatch theta filter (the rich facts mix the trip address off
+  the home address so the mismatch branch is non-empty).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -149,6 +153,8 @@ _ADAPTER_SPARK = {
                CAST(YEAR(o_orderdate) AS INT)  AS d_year,
                CAST(MONTH(o_orderdate) AS INT) AS d_moy,
                CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1 AS INT) AS d_qoy,
+               CAST(DAYOFWEEK(o_orderdate) - 1 AS INT) AS d_dow,
+               CAST(DAY(o_orderdate) AS INT) AS d_dom,
                CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                     AS INT) AS d_month_seq,
                DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name,
@@ -192,9 +198,16 @@ _RICH_FACT_COLS_SPARK = """
                  AS {p}coupon_amt,
                CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
                  AS {p}sales_price,
-               o_custkey  AS {p}addr_sk,
-               o_custkey  AS {p}bill_addr_sk,
+               (o_custkey + l_suppkey % 5)
+                 % (SELECT COUNT(*) FROM {cust}) AS {p}addr_sk,
+               (o_custkey + l_suppkey % 5)
+                 % (SELECT COUNT(*) FROM {cust}) AS {p}bill_addr_sk,
                o_custkey  AS {p}bill_customer_sk,
+               l_orderkey AS {p}ticket_number,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 AS {p}ext_list_price,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                    AS BIGINT) AS {p}ext_tax,
                o_custkey  AS {p}ship_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS {p}web_page_sk,
                CAST(ROUND(l_extendedprice * (1 - l_discount) * 0.1) AS BIGINT)
@@ -206,7 +219,7 @@ _RICH_SPARK = {
         SELECT l_orderkey AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
                {_CENTS} AS ss_ext_sales_price,
-               {_RICH_FACT_COLS_SPARK.format(p="ss_")}
+               {_RICH_FACT_COLS_SPARK.format(p="ss_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
     "catalog_sales": f"""
@@ -214,7 +227,7 @@ _RICH_SPARK = {
                l_partkey  AS cs_item_sk,
                {_CENTS} AS cs_ext_sales_price,
                o_custkey  AS cs_bill_cdemo_sk,
-               {_RICH_FACT_COLS_SPARK.format(p="cs_")}
+               {_RICH_FACT_COLS_SPARK.format(p="cs_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
     """,
@@ -222,7 +235,7 @@ _RICH_SPARK = {
         SELECT l_orderkey AS ws_sold_date_sk,
                l_partkey  AS ws_item_sk,
                {_CENTS} AS ws_ext_sales_price,
-               {_RICH_FACT_COLS_SPARK.format(p="ws_")}
+               {_RICH_FACT_COLS_SPARK.format(p="ws_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 1
     """,
@@ -253,6 +266,8 @@ _RICH_SPARK = {
         SELECT c_custkey AS c_customer_sk,
                c_custkey AS c_current_addr_sk,
                c_custkey AS c_current_cdemo_sk,
+               c_name AS c_last_name,
+               CONCAT('F', CAST(c_custkey % 97 AS STRING)) AS c_first_name,
                CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
                CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
         FROM __tpch_customer
@@ -278,7 +293,11 @@ _RICH_SPARK = {
                LPAD(CAST(s_suppkey AS STRING), 16, '0') AS s_store_id,
                CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
                CONCAT('Company#', CAST(s_suppkey % 5 AS STRING))
-                 AS s_company_name
+                 AS s_company_name,
+               element_at(array('Fairview','Midway','Concord','Spring Hill',
+                                'Oakland'),
+                          CAST(1 + s_suppkey % 5 AS INT)) AS s_city,
+               CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
         FROM __tpch_supplier
     """,
     "household_demographics": """
@@ -309,6 +328,8 @@ _DATE_DIM_DUCK = """date_dim AS (
              CAST(YEAR(o_orderdate) AS INT)  AS d_year,
              CAST(MONTH(o_orderdate) AS INT) AS d_moy,
              CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1 AS INT) AS d_qoy,
+             CAST(DAYOFWEEK(o_orderdate) AS INT) AS d_dow,
+             CAST(DAYOFMONTH(o_orderdate) AS INT) AS d_dom,
              CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                   AS INT) AS d_month_seq,
              DAYNAME(o_orderdate) AS d_day_name,
@@ -364,21 +385,21 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT l_orderkey AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
              {_CENTS} AS ss_ext_sales_price,
-             {_RICH_FACT_COLS_DUCK.format(p="ss_")}
+             {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     catalog_sales AS (
       SELECT l_orderkey AS cs_sold_date_sk,
              l_partkey  AS cs_item_sk,
              {_CENTS} AS cs_ext_sales_price,
              o_custkey  AS cs_bill_cdemo_sk,
-             {_RICH_FACT_COLS_DUCK.format(p="cs_")}
+             {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 2),
     web_sales AS (
       SELECT l_orderkey AS ws_sold_date_sk,
              l_partkey  AS ws_item_sk,
              {_CENTS} AS ws_ext_sales_price,
-             {_RICH_FACT_COLS_DUCK.format(p="ws_")}
+             {_RICH_FACT_COLS_DUCK.format(p="ws_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1),
     {_ITEM_DUCK.strip()},
@@ -407,6 +428,8 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT c_custkey AS c_customer_sk,
              c_custkey AS c_current_addr_sk,
              c_custkey AS c_current_cdemo_sk,
+             c_name AS c_last_name,
+             'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
              CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
              CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
       FROM customer),
@@ -428,7 +451,10 @@ _ADAPTER_DUCK_RICH = f"""
              LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
              LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
              CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
-             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name
+             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
+             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
+               [CAST(1 + s_suppkey % 5 AS INT)] AS s_city,
+             CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
       FROM supplier),
     household_demographics AS (
       SELECT c_custkey AS hd_demo_sk,
@@ -460,6 +486,8 @@ _DATED_SPARK = {
                CAST(YEAR(d) AS INT)  AS d_year,
                CAST(MONTH(d) AS INT) AS d_moy,
                CAST(FLOOR((MONTH(d) - 1) / 3) + 1 AS INT) AS d_qoy,
+               CAST(DAYOFWEEK(d) - 1 AS INT) AS d_dow,
+               CAST(DAY(d) AS INT) AS d_dom,
                CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
                  AS d_month_seq,
                DATE_FORMAT(d, 'EEEE') AS d_day_name,
@@ -473,7 +501,7 @@ _DATED_SPARK = {
                  AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
                {_CENTS} AS ss_ext_sales_price,
-               {_RICH_FACT_COLS_SPARK.format(p="ss_")}
+               {_RICH_FACT_COLS_SPARK.format(p="ss_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
 }
@@ -1133,6 +1161,8 @@ _ADAPTER_DUCK_DATED = f"""
              CAST(YEAR(d) AS INT)  AS d_year,
              CAST(MONTH(d) AS INT) AS d_moy,
              CAST(FLOOR((MONTH(d) - 1) / 3) + 1 AS INT) AS d_qoy,
+             CAST(DAYOFWEEK(d) AS INT) AS d_dow,
+             CAST(DAYOFMONTH(d) AS INT) AS d_dom,
              CAST((YEAR(d) - 1898) * 12 + MONTH(d) - 1 AS INT)
                AS d_month_seq,
              DAYNAME(d) AS d_day_name,
@@ -1144,7 +1174,7 @@ _ADAPTER_DUCK_DATED = f"""
                AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
              {_CENTS} AS ss_ext_sales_price,
-             {_RICH_FACT_COLS_DUCK.format(p="ss_")}
+             {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     store AS (
       SELECT s_suppkey AS s_store_sk,
@@ -1153,7 +1183,10 @@ _ADAPTER_DUCK_DATED = f"""
              LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
              LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
              CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
-             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name
+             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
+             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
+               [CAST(1 + s_suppkey % 5 AS INT)] AS s_city,
+             CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
       FROM supplier)
 """
 
@@ -1412,4 +1445,147 @@ def tpcds_literal_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY89_SQL)).toDF(
         "i_category", "i_class", "i_brand", "s_store_name",
         "s_company_name", "d_moy", "sum_sales", "avg_monthly_sales",
+    )
+
+
+QUERY46_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query46.tpl\nselect  c_last_name\n       ,c_first_name\n       ,ca_city\n       ,bought_city\n       ,ss_ticket_number\n       ,amt,profit \n from\n   (select ss_ticket_number\n          ,ss_customer_sk\n          ,ca_city bought_city\n          ,sum(ss_coupon_amt) amt\n          ,sum(ss_net_profit) profit\n    from store_sales,date_dim,store,household_demographics,customer_address \n    where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n    and store_sales.ss_store_sk = store.s_store_sk  \n    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk\n    and store_sales.ss_addr_sk = customer_address.ca_address_sk\n    and (household_demographics.hd_dep_count = 4 or\n         household_demographics.hd_vehicle_count= 3)\n    and date_dim.d_dow in (6,0)\n    and date_dim.d_year in (1999,1999+1,1999+2) \n    and store.s_city in ('Fairview','Midway','Fairview','Fairview','Fairview')\n    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr\n    where ss_customer_sk = c_customer_sk\n      and customer.c_current_addr_sk = current_addr.ca_address_sk\n      and current_addr.ca_city <> bought_city\n  order by c_last_name\n          ,c_first_name\n          ,ca_city\n          ,bought_city\n          ,ss_ticket_number\n  limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query46.tpl\n"
+
+
+QUERY68_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query68.tpl\nselect  c_last_name\n       ,c_first_name\n       ,ca_city\n       ,bought_city\n       ,ss_ticket_number\n       ,extended_price\n       ,extended_tax\n       ,list_price\n from (select ss_ticket_number\n             ,ss_customer_sk\n             ,ca_city bought_city\n             ,sum(ss_ext_sales_price) extended_price \n             ,sum(ss_ext_list_price) list_price\n             ,sum(ss_ext_tax) extended_tax \n       from store_sales\n           ,date_dim\n           ,store\n           ,household_demographics\n           ,customer_address \n       where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n         and store_sales.ss_store_sk = store.s_store_sk  \n        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk\n        and store_sales.ss_addr_sk = customer_address.ca_address_sk\n        and date_dim.d_dom between 1 and 2 \n        and (household_demographics.hd_dep_count = 4 or\n             household_demographics.hd_vehicle_count= 3)\n        and date_dim.d_year in (1999,1999+1,1999+2)\n        and store.s_city in ('Fairview','Midway')\n       group by ss_ticket_number\n               ,ss_customer_sk\n               ,ss_addr_sk,ca_city) dn\n      ,customer\n      ,customer_address current_addr\n where ss_customer_sk = c_customer_sk\n   and customer.c_current_addr_sk = current_addr.ca_address_sk\n   and current_addr.ca_city <> bought_city\n   and bought_city is not null\n order by c_last_name\n         ,ss_ticket_number\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query68.tpl\n"
+
+
+QUERY79_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query79.tpl\nselect \n  c_last_name,c_first_name,substr(s_city,1,30),ss_ticket_number,amt,profit\n  from\n   (select ss_ticket_number\n          ,ss_customer_sk\n          ,store.s_city\n          ,sum(ss_coupon_amt) amt\n          ,sum(ss_net_profit) profit\n    from store_sales,date_dim,store,household_demographics\n    where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n    and store_sales.ss_store_sk = store.s_store_sk  \n    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk\n    and (household_demographics.hd_dep_count = 6 or household_demographics.hd_vehicle_count > 2)\n    and date_dim.d_dow = 1\n    and date_dim.d_year in (1999,1999+1,1999+2) \n    and store.s_number_employees between 200 and 295\n    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,store.s_city) ms,customer\n    where ss_customer_sk = c_customer_sk\n order by c_last_name,c_first_name,substr(s_city,1,30), profit\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query79.tpl\n'
+
+
+_TRIP_DN = """
+      SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_dow IN (6, 0)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('Fairview', 'Midway')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+"""
+
+
+@query(
+    "tpcds_literal_q46",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    dn AS ({_TRIP_DN})
+    SELECT c_last_name, c_first_name, current_addr.ca_city, bought_city,
+           ss_ticket_number, amt, profit
+    FROM dn, customer_v, customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+    ORDER BY c_last_name, c_first_name, current_addr.ca_city, bought_city,
+             ss_ticket_number
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query46.sql text, unmodified — the weekend shopping-trip
+    report: per-(ticket, customer, bought-city) aggregate joined back to
+    the customer's CURRENT address with a city-mismatch theta filter.
+    c_last_name is unique per customer and the ticket closes the ORDER BY,
+    so the LIMIT boundary is a total order."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY46_SQL)).toDF(
+        "c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "amt", "profit",
+    )
+
+
+@query(
+    "tpcds_literal_q68",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    dn AS (
+      SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             SUM(ss_ext_sales_price) AS extended_price,
+             SUM(ss_ext_list_price) AS list_price,
+             SUM(ss_ext_tax) AS extended_tax
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('Fairview', 'Midway')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city)
+    SELECT c_last_name, c_first_name, current_addr.ca_city, bought_city,
+           ss_ticket_number, extended_price, extended_tax, list_price
+    FROM dn, customer_v, customer_address current_addr
+    WHERE ss_customer_sk = c_customer_sk
+      AND c_current_addr_sk = current_addr.ca_address_sk
+      AND current_addr.ca_city <> bought_city
+      AND bought_city IS NOT NULL
+    ORDER BY c_last_name, ss_ticket_number
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query68.sql text, unmodified — q46's family on
+    first-days-of-month trips with three exact-cent measures."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY68_SQL)).toDF(
+        "c_last_name", "c_first_name", "ca_city", "bought_city",
+        "ss_ticket_number", "extended_price", "extended_tax", "list_price",
+    )
+
+
+@query(
+    "tpcds_literal_q79",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ms AS (
+      SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count > 2)
+        AND date_dim.d_dow = 1
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city)
+    SELECT c_last_name, c_first_name, SUBSTR(s_city, 1, 30) AS s_city_30,
+           ss_ticket_number, amt, profit
+    FROM ms, customer_v
+    WHERE ss_customer_sk = c_customer_sk
+    ORDER BY c_last_name, c_first_name, SUBSTR(s_city, 1, 30), profit,
+             ss_ticket_number
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query79.sql text, unmodified — Monday trip profitability.
+    NOTE the spec's ORDER BY (last, first, city, profit) does not close
+    the group key (two tickets by one customer can tie on profit); the
+    oracle appends the ticket tiebreak — legal because the compare is
+    order-insensitive, so the oracle's extra sort column only pins WHICH
+    100 rows survive the LIMIT, and Spark ties are broken identically by
+    the total order's prefix equality (verified tie-free at the gate
+    boundary on the fixtures)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY79_SQL)).toDF(
+        "c_last_name", "c_first_name", "s_city_30", "ss_ticket_number",
+        "amt", "profit",
     )
