@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the twenty-seven files below:
+Parser shapes covered by the thirty files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -51,7 +51,13 @@ Parser shapes covered by the twenty-seven files below:
 - q46/q68/q79 — the shopping-trip family: per-(ticket, customer, city)
   aggregates joined back to the customer's CURRENT address with a
   city-mismatch theta filter (the rich facts mix the trip address off
-  the home address so the mismatch branch is non-empty).
+  the home address so the mismatch branch is non-empty);
+- q1/q93/q50 — the RETURNS family (store_returns synthesizes from the
+  l_returnflag='R' slice): the benchmark's opening query with its
+  CTE-plus-correlated-average threshold, the outer-join-then-
+  null-rejecting-WHERE returns adjustment, and the sale-to-return
+  day-lag histogram on the DATED tier (order epoch-day vs ship
+  epoch-day gives real positive lags).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -239,6 +245,24 @@ _RICH_SPARK = {
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 1
     """,
+    "store_returns": f"""
+        SELECT l_orderkey AS sr_returned_date_sk,
+               l_orderkey AS sr_ticket_number,
+               l_partkey  AS sr_item_sk,
+               o_custkey  AS sr_customer_sk,
+               l_suppkey  AS sr_store_sk,
+               {_CENTS} AS sr_return_amt,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+               CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+    """,
+    "reason": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
+               CONCAT('reason ', CAST(n_nationkey + 20 AS STRING))
+                 AS r_reason_desc
+        FROM __tpch_nation
+    """,
     "customer_demographics": """
         SELECT c_custkey AS cd_demo_sk,
                CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -266,7 +290,8 @@ _RICH_SPARK = {
         SELECT c_custkey AS c_customer_sk,
                c_custkey AS c_current_addr_sk,
                c_custkey AS c_current_cdemo_sk,
-               c_name AS c_last_name,
+               LPAD(CAST(c_custkey AS STRING), 16, '0') AS c_customer_id,
+             c_name AS c_last_name,
                CONCAT('F', CAST(c_custkey % 97 AS STRING)) AS c_first_name,
                CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
                CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
@@ -297,7 +322,17 @@ _RICH_SPARK = {
                element_at(array('Fairview','Midway','Concord','Spring Hill',
                                 'Oakland'),
                           CAST(1 + s_suppkey % 5 AS INT)) AS s_city,
-               CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
+               CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees,
+               CAST(s_suppkey % 5 AS INT) AS s_company_id,
+               CAST(100 + s_suppkey AS STRING) AS s_street_number,
+               'Main' AS s_street_name,
+               'St' AS s_street_type,
+               CONCAT('Suite ', CAST(s_suppkey % 20 AS STRING))
+                 AS s_suite_number,
+               CONCAT('County#', LPAD(CAST(s_suppkey % 50 AS STRING), 2, '0'))
+                 AS s_county,
+               element_at(array('TN','SC','AL','GA','KY'),
+                          CAST(1 + s_suppkey % 5 AS INT)) AS s_state
         FROM __tpch_supplier
     """,
     "household_demographics": """
@@ -321,6 +356,28 @@ _RICH_SPARK = {
         FROM range(86400)
     """,
 }
+
+_STORE_DUCK = """store AS (
+      SELECT s_suppkey AS s_store_sk,
+             CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
+               AS s_store_name,
+             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
+             LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
+             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
+             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
+             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
+               [CAST(1 + s_suppkey % 5 AS INT)] AS s_city,
+             CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees,
+             CAST(s_suppkey % 5 AS INT) AS s_company_id,
+             CAST(100 + s_suppkey AS VARCHAR) AS s_street_number,
+             'Main' AS s_street_name,
+             'St' AS s_street_type,
+             'Suite ' || CAST(s_suppkey % 20 AS VARCHAR) AS s_suite_number,
+             'County#' || LPAD(CAST(s_suppkey % 50 AS VARCHAR), 2, '0')
+               AS s_county,
+             (['TN','SC','AL','GA','KY'])[CAST(1 + s_suppkey % 5 AS INT)]
+               AS s_state
+      FROM supplier)"""
 
 _DATE_DIM_DUCK = """date_dim AS (
       SELECT o_orderkey AS d_date_sk,
@@ -402,6 +459,21 @@ _ADAPTER_DUCK_RICH = f"""
              {_RICH_FACT_COLS_DUCK.format(p="ws_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1),
+    store_returns AS (
+      SELECT l_orderkey AS sr_returned_date_sk,
+             l_orderkey AS sr_ticket_number,
+             l_partkey  AS sr_item_sk,
+             o_custkey  AS sr_customer_sk,
+             l_suppkey  AS sr_store_sk,
+             {_CENTS} AS sr_return_amt,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+             CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'),
+    reason AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
+             'reason ' || CAST(n_nationkey + 20 AS VARCHAR) AS r_reason_desc
+      FROM nation),
     {_ITEM_DUCK.strip()},
     customer_demographics AS (
       SELECT c_custkey AS cd_demo_sk,
@@ -428,6 +500,7 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT c_custkey AS c_customer_sk,
              c_custkey AS c_current_addr_sk,
              c_custkey AS c_current_cdemo_sk,
+             LPAD(CAST(c_custkey AS VARCHAR), 16, '0') AS c_customer_id,
              c_name AS c_last_name,
              'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
              CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
@@ -444,18 +517,7 @@ _ADAPTER_DUCK_RICH = f"""
              'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
                AS ca_city
       FROM customer),
-    store AS (
-      SELECT s_suppkey AS s_store_sk,
-             CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
-               AS s_store_name,
-             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
-             LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
-             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
-             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
-             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
-               [CAST(1 + s_suppkey % 5 AS INT)] AS s_city,
-             CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
-      FROM supplier),
+    {_STORE_DUCK},
     household_demographics AS (
       SELECT c_custkey AS hd_demo_sk,
              CAST(c_custkey % 10 AS INT) AS hd_dep_count,
@@ -505,6 +567,21 @@ _DATED_SPARK = {
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
 }
+
+
+_DATED_SPARK["store_returns"] = f"""
+        SELECT DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01')
+                 AS sr_returned_date_sk,
+               l_orderkey AS sr_ticket_number,
+               l_partkey  AS sr_item_sk,
+               o_custkey  AS sr_customer_sk,
+               l_suppkey  AS sr_store_sk,
+               {_CENTS} AS sr_return_amt,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+               CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+    """
 
 
 def _register_views(
@@ -1176,18 +1253,19 @@ _ADAPTER_DUCK_DATED = f"""
              {_CENTS} AS ss_ext_sales_price,
              {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    store AS (
-      SELECT s_suppkey AS s_store_sk,
-             CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
-               AS s_store_name,
-             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
-             LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
-             CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
-             'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
-             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
-               [CAST(1 + s_suppkey % 5 AS INT)] AS s_city,
-             CAST(200 + s_suppkey % 96 AS INT) AS s_number_employees
-      FROM supplier)
+    store_returns AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS sr_returned_date_sk,
+             l_orderkey AS sr_ticket_number,
+             l_partkey  AS sr_item_sk,
+             o_custkey  AS sr_customer_sk,
+             l_suppkey  AS sr_store_sk,
+             {_CENTS} AS sr_return_amt,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+             CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'),
+    {_STORE_DUCK}
 """
 
 
@@ -1589,3 +1667,127 @@ def tpcds_literal_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_last_name", "c_first_name", "s_city_30", "ss_ticket_number",
         "amt", "profit",
     )
+
+
+QUERY1_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query1.tpl\nwith customer_total_return as\n(select sr_customer_sk as ctr_customer_sk\n,sr_store_sk as ctr_store_sk\n,sum(sr_return_amt) as ctr_total_return\nfrom store_returns\n,date_dim\nwhere sr_returned_date_sk = d_date_sk\nand d_year = 2000\ngroup by sr_customer_sk\n,sr_store_sk)\n select  c_customer_id\nfrom customer_total_return ctr1\n,store\n,customer\nwhere ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2\nfrom customer_total_return ctr2\nwhere ctr1.ctr_store_sk = ctr2.ctr_store_sk)\nand s_store_sk = ctr1.ctr_store_sk\nand s_state = 'TN'\nand ctr1.ctr_customer_sk = c_customer_sk\norder by c_customer_id\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query1.tpl\n"
+
+
+QUERY93_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query93.tpl\nselect  ss_customer_sk\n            ,sum(act_sales) sumsales\n      from (select ss_item_sk\n                  ,ss_ticket_number\n                  ,ss_customer_sk\n                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price\n                                                            else (ss_quantity*ss_sales_price) end act_sales\n            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk\n                                                               and sr_ticket_number = ss_ticket_number)\n                ,reason\n            where sr_reason_sk = r_reason_sk\n              and r_reason_desc = 'reason 28') t\n      group by ss_customer_sk\n      order by sumsales, ss_customer_sk\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query93.tpl\n"
+
+
+QUERY50_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query50.tpl\nselect  \n   s_store_name\n  ,s_company_id\n  ,s_street_number\n  ,s_street_name\n  ,s_street_type\n  ,s_suite_number\n  ,s_city\n  ,s_county\n  ,s_state\n  ,s_zip\n  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days`\n  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and \n                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days`\n  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and \n                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days`\n  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and\n                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days`\n  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days`\nfrom\n   store_sales\n  ,store_returns\n  ,store\n  ,date_dim d1\n  ,date_dim d2\nwhere\n    d2.d_year = 2001\nand d2.d_moy  = 8\nand ss_ticket_number = sr_ticket_number\nand ss_item_sk = sr_item_sk\nand ss_sold_date_sk   = d1.d_date_sk\nand sr_returned_date_sk   = d2.d_date_sk\nand ss_customer_sk = sr_customer_sk\nand ss_store_sk = s_store_sk\ngroup by\n   s_store_name\n  ,s_company_id\n  ,s_street_number\n  ,s_street_name\n  ,s_street_type\n  ,s_suite_number\n  ,s_city\n  ,s_county\n  ,s_state\n  ,s_zip\norder by s_store_name\n        ,s_company_id\n        ,s_street_number\n        ,s_street_name\n        ,s_street_type\n        ,s_suite_number\n        ,s_city\n        ,s_county\n        ,s_state\n        ,s_zip\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query50.tpl\n'
+
+
+@query(
+    "tpcds_literal_q1",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    customer_total_return AS (
+      SELECT sr_customer_sk AS ctr_customer_sk,
+             sr_store_sk AS ctr_store_sk,
+             SUM(sr_return_amt) AS ctr_total_return
+      FROM store_returns, date_dim
+      WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+      GROUP BY sr_customer_sk, sr_store_sk)
+    SELECT c_customer_id
+    FROM customer_total_return ctr1, store, customer_v
+    WHERE ctr1.ctr_total_return >
+          (SELECT AVG(ctr_total_return) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      AND s_store_sk = ctr1.ctr_store_sk AND s_state = 'TN'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query1.sql text, unmodified — the benchmark's opening query:
+    a WITH CTE consumed both as the driving relation and inside a
+    CORRELATED scalar subquery (per-store 1.2x-average return threshold).
+    Returns synthesize from the l_returnflag='R' slice; totals are exact
+    cents, so the threshold compare is an exact-int-vs-exact-division
+    comparison. c_customer_id is unique, so the LIMIT is a total order."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY1_SQL)).toDF("c_customer_id")
+
+
+@query(
+    "tpcds_literal_q93",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT ss_customer_sk, SUM(act_sales) AS sumsales
+    FROM (SELECT ss_customer_sk,
+                 CASE WHEN sr_return_quantity IS NOT NULL
+                      THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                      ELSE ss_quantity * ss_sales_price END AS act_sales
+          FROM store_sales LEFT OUTER JOIN store_returns
+               ON (sr_item_sk = ss_item_sk
+                   AND sr_ticket_number = ss_ticket_number),
+               reason
+          WHERE sr_reason_sk = r_reason_sk
+            AND r_reason_desc = 'reason 28') t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales, ss_customer_sk
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query93.sql text, unmodified — returns-adjusted sales with
+    the spec's outer-join-then-null-rejecting-WHERE shape (the reason
+    filter collapses the LEFT OUTER to inner — both engines agree on
+    that three-valued logic). act_sales is exact integer arithmetic."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY93_SQL)).toDF("ss_customer_sk", "sumsales")
+
+
+_Q50_BUCKETS = ("d30", "d31_60", "d61_90", "d91_120", "dgt120")
+
+
+@query(
+    "tpcds_literal_q50",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED}
+    SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+           s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+           SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30
+                    THEN 1 ELSE 0 END) AS d30,
+           SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 60
+                    THEN 1 ELSE 0 END) AS d31_60,
+           SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 90
+                    THEN 1 ELSE 0 END) AS d61_90,
+           SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+                     AND sr_returned_date_sk - ss_sold_date_sk <= 120
+                    THEN 1 ELSE 0 END) AS d91_120,
+           SUM(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120
+                    THEN 1 ELSE 0 END) AS dgt120
+    FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+    WHERE d2.d_year = 2001 AND d2.d_moy = 8
+      AND ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = sr_item_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_store_sk = s_store_sk
+    GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+             s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query50.sql text, unmodified — the sale-to-return day-lag
+    histogram (backquoted bucket aliases renamed post-hoc). Runs on the
+    DATED tier: sold dates key by order epoch-day and return dates by
+    ship epoch-day, so lags are real positive day counts. One group per
+    store (<= LIMIT), so truncation never happens."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    out = spark.sql(rewrite(QUERY50_SQL))
+    cols = out.columns[:10] + list(_Q50_BUCKETS)
+    return out.toDF(*cols)
