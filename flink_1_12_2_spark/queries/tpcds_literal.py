@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the thirty files below:
+Parser shapes covered by the thirty-three files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -57,7 +57,12 @@ Parser shapes covered by the thirty files below:
   CTE-plus-correlated-average threshold, the outer-join-then-
   null-rejecting-WHERE returns adjustment, and the sale-to-return
   day-lag histogram on the DATED tier (order epoch-day vs ship
-  epoch-day gives real positive lags).
+  epoch-day gives real positive lags);
+- q74/q11/q4 — the year-over-year growth family up to its apex: one CTE
+  consumed as FOUR then SIX aliases across two/three channels, growth
+  ratio compares on exact-integer (or exact-half) measures, backquoted
+  ``year``, ORDER BY ordinals (the +1y calendar shift lands the
+  2001/2002 pair on the driver's 2000/2001 data).
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -68,9 +73,11 @@ Adapter views (TPC-H-ish driver tables → TPC-DS names) — one Spark-SQL
 and one DuckDB-SQL rendering of the SAME mapping, kept textually adjacent
 so they cannot drift:
 
-- ``date_dim``   := orders   (d_date_sk = o_orderkey, d_date/d_year/d_moy
-  from o_orderdate — the driver's orders span 1995–2001, so the spec's
-  literal 1998/1999/2000 filters select non-empty subsets);
+- ``date_dim``   := orders   (d_date_sk = o_orderkey; d_date/d_year/...
+  derive from o_orderdate SHIFTED +1 YEAR — the driver's orders span
+  1995–2001, so the shifted calendar covers 1996–2002 and every literal
+  year filter, including the YoY family's 2001/2002 pair, selects a
+  non-empty subset);
 - ``store_sales``:= lineitem (ss_sold_date_sk = l_orderkey, ss_item_sk =
   l_partkey, all prices in exact integers — ext prices in CENTS,
   per-unit prices in whole DOLLARS (so the spec's DECIMAL(12,6) casts
@@ -167,7 +174,9 @@ _ADAPTER_SPARK = {
                CAST(FLOOR(DATEDIFF(CAST(o_orderdate AS DATE),
                                    DATE '1970-01-01') / 7) AS INT)
                  AS d_week_seq
-        FROM __tpch_orders
+        FROM (SELECT o_orderkey,
+                     o_orderdate + INTERVAL 1 YEAR AS o_orderdate
+              FROM __tpch_orders)
     """,
     "store_sales": f"""
         SELECT l_orderkey AS ss_sold_date_sk,
@@ -214,10 +223,16 @@ _RICH_FACT_COLS_SPARK = """
                  AS {p}ext_list_price,
                CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax * 100)
                     AS BIGINT) AS {p}ext_tax,
+               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS {p}ext_discount_amt,
+               CAST(ROUND(l_extendedprice * 70) AS BIGINT)
+                 AS {p}ext_wholesale_cost,
                o_custkey  AS {p}ship_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS {p}web_page_sk,
                CAST(ROUND(l_extendedprice * (1 - l_discount) * 0.1) AS BIGINT)
-                 AS {p}net_profit
+                 AS {p}net_profit,
+               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+                 AS {p}net_paid
 """
 
 _RICH_SPARK = {
@@ -293,6 +308,15 @@ _RICH_SPARK = {
                LPAD(CAST(c_custkey AS STRING), 16, '0') AS c_customer_id,
              c_name AS c_last_name,
                CONCAT('F', CAST(c_custkey % 97 AS STRING)) AS c_first_name,
+               CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
+                 AS c_preferred_cust_flag,
+               element_at(array('US','DE','FR','JP','CN','IN','BR','CA',
+                                'GB','AU'),
+                          CAST(1 + c_custkey % 10 AS INT))
+                 AS c_birth_country,
+               CONCAT('login', CAST(c_custkey AS STRING)) AS c_login,
+               CONCAT('c', CAST(c_custkey AS STRING), '@example.com')
+                 AS c_email_address,
                CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
                CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
         FROM __tpch_customer
@@ -393,7 +417,9 @@ _DATE_DIM_DUCK = """date_dim AS (
              CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
                                  CAST(o_orderdate AS DATE)) / 7) AS INT)
                AS d_week_seq
-      FROM orders)"""
+      FROM (SELECT o_orderkey,
+                   o_orderdate + INTERVAL 1 YEAR AS o_orderdate
+            FROM orders))"""
 
 _ITEM_DUCK = f"""
     item AS (
@@ -503,6 +529,13 @@ _ADAPTER_DUCK_RICH = f"""
              LPAD(CAST(c_custkey AS VARCHAR), 16, '0') AS c_customer_id,
              c_name AS c_last_name,
              'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
+             CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
+               AS c_preferred_cust_flag,
+             (['US','DE','FR','JP','CN','IN','BR','CA','GB','AU'])
+               [CAST(1 + c_custkey % 10 AS INT)] AS c_birth_country,
+             'login' || CAST(c_custkey AS VARCHAR) AS c_login,
+             'c' || CAST(c_custkey AS VARCHAR) || '@example.com'
+               AS c_email_address,
              CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
              CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
       FROM customer),
@@ -555,11 +588,13 @@ _DATED_SPARK = {
                DATE_FORMAT(d, 'EEEE') AS d_day_name,
                CAST(FLOOR(DATEDIFF(d, DATE '1970-01-01') / 7) AS INT)
                  AS d_week_seq
-        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+        FROM (SELECT DISTINCT
+                     CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS d
               FROM __tpch_orders)
     """,
     "store_sales": f"""
-        SELECT DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+        SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01')
                  AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
                {_CENTS} AS ss_ext_sales_price,
@@ -570,7 +605,8 @@ _DATED_SPARK = {
 
 
 _DATED_SPARK["store_returns"] = f"""
-        SELECT DATEDIFF(CAST(l_shipdate AS DATE), DATE '1970-01-01')
+        SELECT DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01')
                  AS sr_returned_date_sk,
                l_orderkey AS sr_ticket_number,
                l_partkey  AS sr_item_sk,
@@ -1245,16 +1281,20 @@ _ADAPTER_DUCK_DATED = f"""
              DAYNAME(d) AS d_day_name,
              CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01', d) / 7) AS INT)
                AS d_week_seq
-      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
+      FROM (SELECT DISTINCT
+                   CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS d
+            FROM orders)),
     store_sales AS (
-      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
                AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
              {_CENTS} AS ss_ext_sales_price,
              {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     store_returns AS (
-      SELECT DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
                AS sr_returned_date_sk,
              l_orderkey AS sr_ticket_number,
              l_partkey  AS sr_item_sk,
@@ -1791,3 +1831,210 @@ def tpcds_literal_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(rewrite(QUERY50_SQL))
     cols = out.columns[:10] + list(_Q50_BUCKETS)
     return out.toDF(*cols)
+
+
+QUERY74_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query74.tpl\nwith year_total as (\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,d_year as `year`\n       ,sum(ss_net_paid) year_total\n       ,'s' sale_type\n from customer\n     ,store_sales\n     ,date_dim\n where c_customer_sk = ss_customer_sk\n   and ss_sold_date_sk = d_date_sk\n   and d_year in (2001,2001+1)\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,d_year\n union all\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,d_year as `year`\n       ,sum(ws_net_paid) year_total\n       ,'w' sale_type\n from customer\n     ,web_sales\n     ,date_dim\n where c_customer_sk = ws_bill_customer_sk\n   and ws_sold_date_sk = d_date_sk\n   and d_year in (2001,2001+1)\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,d_year\n         )\n  select \n        t_s_secyear.customer_id, t_s_secyear.customer_first_name, t_s_secyear.customer_last_name\n from year_total t_s_firstyear\n     ,year_total t_s_secyear\n     ,year_total t_w_firstyear\n     ,year_total t_w_secyear\n where t_s_secyear.customer_id = t_s_firstyear.customer_id\n         and t_s_firstyear.customer_id = t_w_secyear.customer_id\n         and t_s_firstyear.customer_id = t_w_firstyear.customer_id\n         and t_s_firstyear.sale_type = 's'\n         and t_w_firstyear.sale_type = 'w'\n         and t_s_secyear.sale_type = 's'\n         and t_w_secyear.sale_type = 'w'\n         and t_s_firstyear.`year` = 2001\n         and t_s_secyear.`year` = 2001+1\n         and t_w_firstyear.`year` = 2001\n         and t_w_secyear.`year` = 2001+1\n         and t_s_firstyear.year_total > 0\n         and t_w_firstyear.year_total > 0\n         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end\n           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end\n order by 1, 1, 1\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query74.tpl\n"
+
+
+@query(
+    "tpcds_literal_q74",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    year_total AS (
+      SELECT c_customer_id AS customer_id,
+             c_first_name AS customer_first_name,
+             c_last_name AS customer_last_name,
+             d_year AS yr, SUM(ss_net_paid) AS year_total, 's' AS sale_type
+      FROM customer_v, store_sales, date_dim
+      WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+        AND d_year IN (2001, 2002)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+      UNION ALL
+      SELECT c_customer_id, c_first_name, c_last_name,
+             d_year, SUM(ws_net_paid), 'w'
+      FROM customer_v, web_sales, date_dim
+      WHERE c_customer_sk = ws_bill_customer_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year IN (2001, 2002)
+      GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+    SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.yr = 2001 AND t_s_secyear.yr = 2002
+      AND t_w_firstyear.yr = 2001 AND t_w_secyear.yr = 2002
+      AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE NULL END
+    ORDER BY 1, 1, 1
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query74.sql text, unmodified — the year-over-year growth
+    family: one CTE consumed as FOUR aliases (store/web x first/second
+    year), growth-ratio compare (exact-int sums, identical IEEE
+    quotients), backquoted ``year`` identifier, and the spec's
+    ORDER BY 1,1,1 ordinal form. customer_id is unique, so the LIMIT is
+    a total order. The +1y calendar shift makes the 2001/2002 pair land
+    on the driver's 2000/2001 data."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY74_SQL)).toDF(
+        "customer_id", "customer_first_name", "customer_last_name"
+    )
+
+
+QUERY11_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query11.tpl\nwith year_total as (\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,c_preferred_cust_flag customer_preferred_cust_flag\n       ,c_birth_country customer_birth_country\n       ,c_login customer_login\n       ,c_email_address customer_email_address\n       ,d_year dyear\n       ,sum(ss_ext_list_price-ss_ext_discount_amt) year_total\n       ,'s' sale_type\n from customer\n     ,store_sales\n     ,date_dim\n where c_customer_sk = ss_customer_sk\n   and ss_sold_date_sk = d_date_sk\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,c_preferred_cust_flag \n         ,c_birth_country\n         ,c_login\n         ,c_email_address\n         ,d_year \n union all\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,c_preferred_cust_flag customer_preferred_cust_flag\n       ,c_birth_country customer_birth_country\n       ,c_login customer_login\n       ,c_email_address customer_email_address\n       ,d_year dyear\n       ,sum(ws_ext_list_price-ws_ext_discount_amt) year_total\n       ,'w' sale_type\n from customer\n     ,web_sales\n     ,date_dim\n where c_customer_sk = ws_bill_customer_sk\n   and ws_sold_date_sk = d_date_sk\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,c_preferred_cust_flag \n         ,c_birth_country\n         ,c_login\n         ,c_email_address\n         ,d_year\n         )\n  select  \n                  t_s_secyear.customer_id\n                 ,t_s_secyear.customer_first_name\n                 ,t_s_secyear.customer_last_name\n                 ,t_s_secyear.customer_preferred_cust_flag\n from year_total t_s_firstyear\n     ,year_total t_s_secyear\n     ,year_total t_w_firstyear\n     ,year_total t_w_secyear\n where t_s_secyear.customer_id = t_s_firstyear.customer_id\n         and t_s_firstyear.customer_id = t_w_secyear.customer_id\n         and t_s_firstyear.customer_id = t_w_firstyear.customer_id\n         and t_s_firstyear.sale_type = 's'\n         and t_w_firstyear.sale_type = 'w'\n         and t_s_secyear.sale_type = 's'\n         and t_w_secyear.sale_type = 'w'\n         and t_s_firstyear.dyear = 2001\n         and t_s_secyear.dyear = 2001+1\n         and t_w_firstyear.dyear = 2001\n         and t_w_secyear.dyear = 2001+1\n         and t_s_firstyear.year_total > 0\n         and t_w_firstyear.year_total > 0\n         and case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else 0.0 end\n             > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else 0.0 end\n order by t_s_secyear.customer_id\n         ,t_s_secyear.customer_first_name\n         ,t_s_secyear.customer_last_name\n         ,t_s_secyear.customer_preferred_cust_flag\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query11.tpl\n"
+
+
+QUERY4_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query4.tpl\nwith year_total as (\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,c_preferred_cust_flag customer_preferred_cust_flag\n       ,c_birth_country customer_birth_country\n       ,c_login customer_login\n       ,c_email_address customer_email_address\n       ,d_year dyear\n       ,sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total\n       ,'s' sale_type\n from customer\n     ,store_sales\n     ,date_dim\n where c_customer_sk = ss_customer_sk\n   and ss_sold_date_sk = d_date_sk\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,c_preferred_cust_flag\n         ,c_birth_country\n         ,c_login\n         ,c_email_address\n         ,d_year\n union all\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,c_preferred_cust_flag customer_preferred_cust_flag\n       ,c_birth_country customer_birth_country\n       ,c_login customer_login\n       ,c_email_address customer_email_address\n       ,d_year dyear\n       ,sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2) ) year_total\n       ,'c' sale_type\n from customer\n     ,catalog_sales\n     ,date_dim\n where c_customer_sk = cs_bill_customer_sk\n   and cs_sold_date_sk = d_date_sk\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,c_preferred_cust_flag\n         ,c_birth_country\n         ,c_login\n         ,c_email_address\n         ,d_year\nunion all\n select c_customer_id customer_id\n       ,c_first_name customer_first_name\n       ,c_last_name customer_last_name\n       ,c_preferred_cust_flag customer_preferred_cust_flag\n       ,c_birth_country customer_birth_country\n       ,c_login customer_login\n       ,c_email_address customer_email_address\n       ,d_year dyear\n       ,sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2) ) year_total\n       ,'w' sale_type\n from customer\n     ,web_sales\n     ,date_dim\n where c_customer_sk = ws_bill_customer_sk\n   and ws_sold_date_sk = d_date_sk\n group by c_customer_id\n         ,c_first_name\n         ,c_last_name\n         ,c_preferred_cust_flag\n         ,c_birth_country\n         ,c_login\n         ,c_email_address\n         ,d_year\n         )\n  select  \n                  t_s_secyear.customer_id\n                 ,t_s_secyear.customer_first_name\n                 ,t_s_secyear.customer_last_name\n                 ,t_s_secyear.customer_preferred_cust_flag\n from year_total t_s_firstyear\n     ,year_total t_s_secyear\n     ,year_total t_c_firstyear\n     ,year_total t_c_secyear\n     ,year_total t_w_firstyear\n     ,year_total t_w_secyear\n where t_s_secyear.customer_id = t_s_firstyear.customer_id\n   and t_s_firstyear.customer_id = t_c_secyear.customer_id\n   and t_s_firstyear.customer_id = t_c_firstyear.customer_id\n   and t_s_firstyear.customer_id = t_w_firstyear.customer_id\n   and t_s_firstyear.customer_id = t_w_secyear.customer_id\n   and t_s_firstyear.sale_type = 's'\n   and t_c_firstyear.sale_type = 'c'\n   and t_w_firstyear.sale_type = 'w'\n   and t_s_secyear.sale_type = 's'\n   and t_c_secyear.sale_type = 'c'\n   and t_w_secyear.sale_type = 'w'\n   and t_s_firstyear.dyear = 2001\n   and t_s_secyear.dyear = 2001+1\n   and t_c_firstyear.dyear =  2001\n   and t_c_secyear.dyear =  2001+1\n   and t_w_firstyear.dyear = 2001\n   and t_w_secyear.dyear = 2001+1\n   and t_s_firstyear.year_total > 0\n   and t_c_firstyear.year_total > 0\n   and t_w_firstyear.year_total > 0\n   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end\n           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end\n   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end\n           > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end\n order by t_s_secyear.customer_id\n         ,t_s_secyear.customer_first_name\n         ,t_s_secyear.customer_last_name\n         ,t_s_secyear.customer_preferred_cust_flag\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query4.tpl\n"
+
+
+_CUST_ATTRS = """c_customer_id AS customer_id,
+             c_first_name AS customer_first_name,
+             c_last_name AS customer_last_name,
+             c_preferred_cust_flag AS customer_preferred_cust_flag,
+             c_birth_country AS customer_birth_country,
+             c_login AS customer_login,
+             c_email_address AS customer_email_address"""
+
+_CUST_GROUP = ("c_customer_id, c_first_name, c_last_name, "
+               "c_preferred_cust_flag, c_birth_country, c_login, "
+               "c_email_address, d_year")
+
+
+def _yt_channel(fact: str, p: str, cust_fk: str, stype: str, measure: str) -> str:
+    return f"""
+      SELECT {_CUST_ATTRS},
+             d_year AS dyear, SUM({measure}) AS year_total,
+             '{stype}' AS sale_type
+      FROM customer_v, {fact}, date_dim
+      WHERE c_customer_sk = {cust_fk} AND {p}_sold_date_sk = d_date_sk
+      GROUP BY {_CUST_GROUP}"""
+
+
+_Q11_YT = (
+    _yt_channel("store_sales", "ss", "ss_customer_sk", "s",
+                "ss_ext_list_price - ss_ext_discount_amt")
+    + "\n      UNION ALL"
+    + _yt_channel("web_sales", "ws", "ws_bill_customer_sk", "w",
+                  "ws_ext_list_price - ws_ext_discount_amt")
+)
+
+_Q4_MEASURE = ("(({p}_ext_list_price - {p}_ext_wholesale_cost "
+               "- {p}_ext_discount_amt) + {p}_ext_sales_price) / 2")
+
+_Q4_YT = (
+    _yt_channel("store_sales", "ss", "ss_customer_sk", "s",
+                _Q4_MEASURE.format(p="ss"))
+    + "\n      UNION ALL"
+    + _yt_channel("catalog_sales", "cs", "cs_bill_customer_sk", "c",
+                  _Q4_MEASURE.format(p="cs"))
+    + "\n      UNION ALL"
+    + _yt_channel("web_sales", "ws", "ws_bill_customer_sk", "w",
+                  _Q4_MEASURE.format(p="ws"))
+)
+
+_YOY_OUT = ("customer_id", "customer_first_name", "customer_last_name",
+            "customer_preferred_cust_flag")
+
+
+@query(
+    "tpcds_literal_q11",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    year_total AS ({_Q11_YT})
+    SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name,
+           t_s_secyear.customer_preferred_cust_flag
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+      AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2001 AND t_s_secyear.dyear = 2002
+      AND t_w_firstyear.dyear = 2001 AND t_w_secyear.dyear = 2002
+      AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE 0.0 END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE 0.0 END
+    ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+             t_s_secyear.customer_last_name,
+             t_s_secyear.customer_preferred_cust_flag
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query11.sql text, unmodified — q74's family with the full
+    customer attribute grain and list-minus-discount measures (exact
+    integer cents)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY11_SQL)).toDF(*_YOY_OUT)
+
+
+@query(
+    "tpcds_literal_q4",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    year_total AS ({_Q4_YT})
+    SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+           t_s_secyear.customer_last_name,
+           t_s_secyear.customer_preferred_cust_flag
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_c_firstyear, year_total t_c_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+      AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+      AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+      AND t_s_firstyear.dyear = 2001 AND t_s_secyear.dyear = 2002
+      AND t_c_firstyear.dyear = 2001 AND t_c_secyear.dyear = 2002
+      AND t_w_firstyear.dyear = 2001 AND t_w_secyear.dyear = 2002
+      AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE NULL END
+      AND CASE WHEN t_c_firstyear.year_total > 0
+               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE NULL END
+    ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+             t_s_secyear.customer_last_name,
+             t_s_secyear.customer_preferred_cust_flag
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query4.sql text, unmodified — the family's apex: one CTE
+    consumed as SIX aliases across three channels, dual growth-ratio
+    compares. The half-dollar measures are exact multiples of 1/2
+    (exactly representable doubles), so the sums are order-free."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY4_SQL)).toDF(*_YOY_OUT)

@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 3, 6, 7, 12, 15, 18, 19, 20, 26, 33, 42, 43, 45, 46, 50, 52, 55, 59, 61, 65, 68, 71, 79, 88, 89, 90, 93, 96, 98])
+@pytest.mark.parametrize("n", [1, 3, 4, 6, 7, 11, 12, 15, 18, 19, 20, 26, 33, 42, 43, 45, 46, 50, 52, 55, 59, 61, 65, 68, 71, 74, 79, 88, 89, 90, 93, 96, 98])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -31,7 +31,8 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q18", "tpcds_literal_q59", "tpcds_literal_q15",
              "tpcds_literal_q45", "tpcds_literal_q65", "tpcds_literal_q89",
              "tpcds_literal_q46", "tpcds_literal_q68", "tpcds_literal_q79",
-             "tpcds_literal_q1", "tpcds_literal_q93", "tpcds_literal_q50"]
+             "tpcds_literal_q1", "tpcds_literal_q93", "tpcds_literal_q50",
+             "tpcds_literal_q74", "tpcds_literal_q11", "tpcds_literal_q4"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
