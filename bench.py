@@ -54,7 +54,7 @@ STATEFUL_HEADLINE = [
 ]
 
 # r6 LLM-pipeline headliners: the hashed-LM importance weights (two
-# map-combinable shuffles + broadcast stats) and the one-plan BPE trainer
+# map-combinable shuffles + broadcast stats) and the BPE trainer
 # (8 unrolled vocabulary-grain rounds) — both new-shape plans whose
 # regressions should be bench-visible.
 LLM_HEADLINE = [

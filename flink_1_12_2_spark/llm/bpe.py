@@ -1,4 +1,4 @@
-"""BPE merge-rule training as ONE Catalyst plan (no driver loop).
+"""BPE merge-rule training: vocabulary-grain rounds, 1-row merge collects.
 
 Byte-pair-encoding training (Sennrich et al. 2016; the tokenizer-training
 step of every LLM data pipeline): start from characters (+ an end-of-word
@@ -13,9 +13,11 @@ application; verified identical in Spark and DuckDB).
 Scale (100 TB): the corpus-sized work is ONE map-combinable word-count
 aggregation; every merge round then operates on the distinct-word table
 (vocabulary-sized — millions of rows regardless of corpus size) with a
-single tiny all-to-one aggregate for the argmax and a broadcast of the
-1-row winner. Each round's word table persists (vocabulary-sized cache)
-so round k is not recomputed by rounds k+1..n.
+single tiny all-to-one aggregate whose 1-row winner is collected (merge
+rules ARE the trained tokenizer — index metadata, the IVF-centroid
+policy). Round k's vocabulary cache is materialized by round k+1's
+aggregate BEFORE round k-1's cache is dropped, so the corpus is scanned
+exactly once.
 
 Cross-engine determinism: counts are exact ints; ties break
 lexicographically; the symbol-string replace is literal (no regex, no
@@ -57,13 +59,11 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 def bpe_train(docs: DataFrame, text_col: str, rounds: int = BPE_ROUNDS) -> DataFrame:
     """Train ``rounds`` BPE merges; returns (rank, lhs, rhs, pair_cnt).
 
-    Each round aggregates pair counts over the cached vocabulary table and
-    collects exactly ONE row — the winning merge rule. Merge rules are
-    index metadata (they ARE the trained tokenizer), so the per-round
-    1-row collect is the same policy as IVF centroid collection; the
-    merge application stays a distributed literal replace. This keeps
-    every round a single small job instead of a deepening plan that the
-    final union would re-execute once per round."""
+    Each round aggregates pair counts over the cached vocabulary table
+    and collects exactly ONE row — the winning merge rule; training ends
+    early if the pair stream runs dry. The previous round's cache is
+    dropped only AFTER the current aggregate has materialized its
+    successor, so no round ever recomputes back to the corpus."""
     from flink_1_12_2_spark.llm.text import tokens
 
     spark = docs.sparkSession
@@ -75,13 +75,22 @@ def bpe_train(docs: DataFrame, text_col: str, rounds: int = BPE_ROUNDS) -> DataF
         .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
     for k in range(1, rounds + 1):
-        best = (
+        top = (
             _pair_counts(words)
             .orderBy(F.desc("pair_cnt"), "l", "r")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        # the collect just materialized `words`' cache, so its parent's
+        # cache is no longer needed by anything downstream
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if not top:  # vocabulary ran out of adjacent pairs
+            break
+        best = top[0]
         merges.append((k, best["l"], best["r"], best["pair_cnt"]))
         nxt = words.select(
             F.replace(
@@ -91,9 +100,11 @@ def bpe_train(docs: DataFrame, text_col: str, rounds: int = BPE_ROUNDS) -> DataF
             ).alias("sp"),
             "cnt",
         ).persist()
-        words.unpersist()
+        prev = words
         words = nxt
     words.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_cnt bigint"
     )

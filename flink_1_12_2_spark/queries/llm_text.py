@@ -960,8 +960,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): the first 8 merge
     rules learned from the corpus — exact integer pair counts over the
     distinct-word grain, deterministic lexicographic tie-breaks, merges
-    applied by literal replace. One Catalyst plan, no driver loop; the
-    oracle re-derives every round's argmax inside DuckDB."""
+    applied by literal replace. Vocabulary-grain rounds with 1-row merge
+    collects (see llm/bpe.py for the cache-handoff design); the oracle
+    re-derives every round's argmax inside DuckDB."""
     from flink_1_12_2_spark.llm.bpe import bpe_train
 
     return bpe_train(load(spark, sf_dir, "documents"), "text", rounds=8)

@@ -146,7 +146,7 @@ def test_adapter_dated_renderings_agree(spark, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    for name in ("date_dim", "store_sales", "store"):
+    for name in ("date_dim", "store_sales", "store_returns", "store"):
         sdf = spark.sql(f"SELECT * FROM {name}")
         scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
         dres = con.execute(
