@@ -121,6 +121,143 @@ def weighted_mixture(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Engine-portable fixed-point natural log.
+#
+# IEEE 754 guarantees that +, -, *, / (and decimal-literal parsing) are
+# CORRECTLY ROUNDED in both the JVM (Spark) and C/C++ (DuckDB, Python);
+# only the transcendental library calls (ln/exp/pow) are
+# implementation-defined and may differ in the last ulp between libms —
+# which is exactly the 1-ulp flip that turned the r6 driver gate red on
+# `sample_dsir_weights` (round(1e6*ln ratio) at a .5 boundary).
+#
+# `portable_ln_stages` therefore expresses ln(n) for integer n in
+# [1, 2^52] as a FIXED SEQUENCE of those exact / correctly-rounded
+# operations only:
+#
+#   1. b  = bit length of n              (integer CASE ladder — exact);
+#   2. m0 = n / 2^b  in [0.5, 1)         (cast + power-of-two divide — exact);
+#   3. m  = m0 or 2*m0 in [sqrt(.5), sqrt(2)), e = b or b-1   (exact);
+#   4. z  = (m-1)/(m+1), |z| <= 0.1716   (correctly rounded);
+#   5. ln(m) ~= z*(2 + z^2*(2/3 + z^2*(2/5 + ... + z^2*(2/15))))  (Horner,
+#      truncation < 1.2e-14 — 1e-8 micronats, far inside the 0.5 grid);
+#   6. ln(n) = ln(m) + e * 0.6931471805599453.
+#
+# The stages are generated ONCE as SQL text that parses identically in
+# Spark SQL and DuckDB: both engines evaluate the SAME operation sequence
+# on the SAME inputs, so the resulting double is BIT-IDENTICAL by
+# construction — no libm call anywhere. Each stage is a named column so
+# Catalyst/DuckDB never see (or reassociate) one giant expression; neither
+# engine fuses a*b+c across separate SQL operators, so no FMA hazard.
+
+_SQRT_HALF = "0.7071067811865476"  # nearest double to sqrt(0.5)
+_LN2 = "0.6931471805599453"  # nearest double to ln(2)
+
+
+def _bitlen_sql(n: str) -> str:
+    """Bit length of a positive integer SQL expression (<= 2^52)."""
+    whens = " ".join(
+        f"WHEN ({n}) >= {1 << k} THEN {k + 1}" for k in range(52, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 1 END)"
+
+
+def _pow2_sql(b: str) -> str:
+    """2^b as an exact double literal, b in [1, 53] (no pow() call)."""
+    whens = " ".join(f"WHEN {k} THEN {float(1 << k)!r}" for k in range(1, 54))
+    return f"(CASE ({b}) {whens} END)"
+
+
+def portable_ln_stages(prefix: str, n: str) -> list[tuple[str, str]]:
+    """(column, sql) stages computing ``{prefix}_ln`` = ln(n) portably.
+
+    ``n`` must be an integer-valued SQL expression in [1, 2^52]. Later
+    stages reference earlier ones by name: apply with sequential
+    ``withColumn`` (Spark) or chained ``SELECT *, expr AS name`` CTEs
+    (DuckDB) — see :func:`staged_select_sql`.
+    """
+    p = prefix
+    horner = f"{p}_z2 * (2.0/15.0)"
+    for c in (13, 11, 9, 7, 5, 3):
+        horner = f"{p}_z2 * (2.0/{c}.0 + {horner})"
+    return [
+        (f"{p}_b", _bitlen_sql(n)),
+        (f"{p}_m0", f"CAST({n} AS DOUBLE) / {_pow2_sql(p + '_b')}"),
+        (
+            f"{p}_m",
+            f"CASE WHEN {p}_m0 < {_SQRT_HALF} THEN {p}_m0 * 2.0 "
+            f"ELSE {p}_m0 END",
+        ),
+        (
+            f"{p}_e",
+            f"CASE WHEN {p}_m0 < {_SQRT_HALF} THEN {p}_b - 1 ELSE {p}_b END",
+        ),
+        (f"{p}_z", f"({p}_m - 1.0) / ({p}_m + 1.0)"),
+        (f"{p}_z2", f"{p}_z * {p}_z"),
+        (
+            f"{p}_ln",
+            f"{p}_z * (2.0 + {horner}) + CAST({p}_e AS DOUBLE) * {_LN2}",
+        ),
+    ]
+
+
+def dsir_term_stages(n_buckets: int) -> list[tuple[str, str]]:
+    """Stages computing ``term_micro`` — the DSIR per-bucket quantized
+    log-ratio ``round(1e6 * (ln p_tgt[b] - ln p_raw[b]))`` — from exact
+    integer columns (tgt_c, raw_c, t_tot, r_tot) using only portable ops.
+
+    The final ROUND/CAST also agree across engines: the input double is
+    bit-identical (above), Java HALF_UP and C++ round() both round
+    half-away-from-zero, and the cast truncates an already-integral value.
+    """
+    stages: list[tuple[str, str]] = [
+        ("nt", "tgt_c + 1"),
+        ("dt", f"t_tot + {n_buckets}"),
+        ("nr", "raw_c + 1"),
+        ("dr", f"r_tot + {n_buckets}"),
+    ]
+    for p in ("nt", "dt", "nr", "dr"):
+        stages.extend(portable_ln_stages(p, p))
+    stages.append(
+        (
+            "term_micro",
+            "CAST(ROUND(1000000.0 * ((nt_ln - dt_ln) - (nr_ln - dr_ln))) "
+            "AS BIGINT)",
+        )
+    )
+    return stages
+
+
+def staged_select_sql(src: str, stages: list[tuple[str, str]], tag: str) -> str:
+    """Render stages as chained DuckDB/Spark CTE text ``<tag>0 AS
+    (SELECT *, expr AS name FROM src), <tag>1 AS (...), ...``; the last
+    CTE is named ``{tag}{len(stages) - 1}``."""
+    ctes, prev = [], src
+    for i, (name, expr) in enumerate(stages):
+        cur = f"{tag}{i}"
+        ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
+    return ",\n    ".join(ctes)
+
+
+def portable_ln_py(n: int) -> float:
+    """Bit-exact Python mirror of :func:`portable_ln_stages` (Python floats
+    are IEEE doubles with correctly-rounded arithmetic, so this reproduces
+    the engines' value exactly — used by tests)."""
+    b = n.bit_length()
+    m0 = float(n) / float(1 << b)
+    if m0 < 0.7071067811865476:
+        m, e = m0 * 2.0, b - 1
+    else:
+        m, e = m0, b
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    horner = z2 * (2.0 / 15.0)
+    for c in (13.0, 11.0, 9.0, 7.0, 5.0, 3.0):
+        horner = z2 * (2.0 / c + horner)
+    return z * (2.0 + horner) + float(e) * 0.6931471805599453
+
+
 def dsir_logweight(
     docs: DataFrame,
     is_target: Column,
@@ -136,11 +273,16 @@ def dsir_logweight(
 
         log w(x) = sum_b c_x[b] * (log p_target[b] - log p_raw[b]).
 
-    Cross-engine determinism: the per-bucket log-ratio is quantized to
-    integer MICRONATS (``round(1e6 * ln ratio)``) before the per-document
-    summation, so the doc weight is an exact BIGINT sum — immune to
-    floating-point addition order across partitions (the one place the
-    naive double formulation diverges run-to-run and engine-to-engine).
+    Cross-engine determinism (two layers): the per-bucket log-ratio is
+    quantized to integer MICRONATS (``round(1e6 * ln ratio)``) before the
+    per-document summation, so the doc weight is an exact BIGINT sum —
+    immune to floating-point addition order across partitions; and the
+    ``ln`` itself is the PORTABLE fixed-sequence formulation
+    (:func:`portable_ln_stages` — no libm call), so the micronat table is
+    bit-identical on any engine/libm/OS combination. The r6 driver gate
+    proved the naive ``F.log`` version is NOT portable: a 1-ulp libm
+    difference at a ``.5`` rounding boundary flips a micronat and with it
+    every affected document sum.
 
     Scale: the token→bucket explode combines map-side into <= n_buckets
     stats rows; the quantized stats broadcast back onto the exploded
@@ -171,22 +313,12 @@ def dsir_logweight(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
     )
     tot = stats.agg(
-        F.sum("raw_c").alias("__R"), F.sum("tgt_c").alias("__T")
+        F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot")
     )
-    terms = (
-        stats.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "term_micro",
-            F.round(
-                F.lit(1e6)
-                * (
-                    F.log((F.col("tgt_c") + 1) / (F.col("__T") + n_buckets))
-                    - F.log((F.col("raw_c") + 1) / (F.col("__R") + n_buckets))
-                )
-            ).cast("bigint"),
-        )
-        .select("__b", "term_micro")
-    )
+    terms = stats.crossJoin(F.broadcast(tot))
+    for col, expr in dsir_term_stages(n_buckets):
+        terms = terms.withColumn(col, F.expr(expr))
+    terms = terms.select("__b", "term_micro")
     return (
         ex.join(F.broadcast(terms), "__b")
         .groupBy(id_col, *carry_cols)

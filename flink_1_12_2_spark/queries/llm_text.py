@@ -845,6 +845,26 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _dsir_terms_cte() -> str:
+    """The per-bucket quantized log-ratio table, rendered from the SAME
+    engine-portable stage generator the Spark implementation applies
+    (:func:`flink_1_12_2_spark.llm.sampling.dsir_term_stages`) — both
+    engines evaluate an identical correctly-rounded operation sequence, no
+    libm ``ln`` anywhere (the r6 driver-red lesson)."""
+    from flink_1_12_2_spark.llm.sampling import (
+        dsir_term_stages,
+        staged_select_sql,
+    )
+
+    stages = dsir_term_stages(1024)
+    last = f"dls{len(stages) - 1}"
+    return (
+        "dsrc AS (SELECT b, raw_c, tgt_c, t_tot, r_tot FROM stats, tot),\n    "
+        + staged_select_sql("dsrc", stages, "dls")
+        + f",\n    terms AS (SELECT b, term_micro FROM {last})"
+    )
+
+
 @query(
     "sample_dsir_weights",
     oracle=f"""
@@ -859,13 +879,7 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex GROUP BY b
     ),
     tot AS (SELECT SUM(raw_c) AS r_tot, SUM(tgt_c) AS t_tot FROM stats),
-    terms AS (
-      SELECT b,
-             CAST(ROUND(1e6 * (ln((tgt_c + 1) / (t_tot + 1024))
-                             - ln((raw_c + 1) / (r_tot + 1024)))) AS BIGINT)
-               AS term_micro
-      FROM stats, tot
-    ),
+    {_dsir_terms_cte()},
     w AS (
       SELECT doc_id, lang, source, COUNT(*) AS n_feat,
              SUM(term_micro) AS logweight_micro

@@ -35,16 +35,33 @@ def test_dsir_weight_exactness_and_signal(spark, sf_dir):
                 tgt_c[b] += 1
             doc_buckets[r["doc_id"]].append(b)
     R, T = sum(raw_c.values()), sum(tgt_c.values())
+    # mirror of llm/sampling.dsir_term_stages: the engine-portable ln (no
+    # libm) + half-away-from-zero rounding on the EXACT binary double —
+    # bit-identical to both Spark and DuckDB by construction
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_1_12_2_spark.llm.sampling import portable_ln_py
+
+    def _round_half_away(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
     term = {
-        b: round(
-            1e6
+        b: _round_half_away(
+            1000000.0
             * (
-                math.log((tgt_c[b] + 1) / (T + B))
-                - math.log((raw_c[b] + 1) / (R + B))
+                (portable_ln_py(tgt_c[b] + 1) - portable_ln_py(T + B))
+                - (portable_ln_py(raw_c[b] + 1) - portable_ln_py(R + B))
             )
         )
         for b in raw_c
     }
+    # the portable ln stays within 1e-9 of libm ln on every input seen here
+    for n in set(
+        [T + B, R + B]
+        + [c + 1 for c in raw_c.values()]
+        + [c + 1 for c in tgt_c.values()]
+    ):
+        assert abs(portable_ln_py(n) - math.log(n)) < 1e-9, n
     for doc_id, bs in doc_buckets.items():
         n, lw = got[doc_id]
         assert n == len(bs)

@@ -43,20 +43,38 @@ def test_literal_query_runs(spark, sf_dir, name):
 
 
 def test_literal_q98_unlimited(spark, sf_dir):
-    """q98 has no LIMIT — the full grouped result set comes back and the
-    window ratio sums to ~100 within each i_class partition."""
+    """q98 has no LIMIT — the full grouped result set comes back, the
+    exact integer micro-shares sum to ~1e6 (floor truncation only) within
+    each i_class partition, and the literal text's double revenueratio
+    agrees with the re-derived exact ratio to within 1 micro-unit."""
     from collections import defaultdict
 
+    import flink_1_12_2_spark.queries.tpcds_literal as M
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+    from flink_1_12_2_spark.sql.rewriter import rewrite
 
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q98"].fn(spark, sf_dir).collect()
     assert len(rows) > 0  # 19 at sf0.001, 205 at sf0.01 — never truncated
-    by_class = defaultdict(float)
+    by_class: dict[str, int] = defaultdict(int)
+    n_class: dict[str, int] = defaultdict(int)
     for r in rows:
-        by_class[r["i_class"]] += r["revenueratio"]
+        by_class[r["i_class"]] += r["revenueratio_micro"]
+        n_class[r["i_class"]] += 1
     for cls, tot in by_class.items():
-        assert abs(tot - 100.0) < 1e-6, (cls, tot)
+        assert 1_000_000 - n_class[cls] <= tot <= 1_000_000, (cls, tot)
+
+    # fidelity: the literal query's window double (percent) matches the
+    # exact integer micro-share within floor truncation
+    M._register_views(spark, sf_dir)
+    raw = {
+        r["i_item_id"]: r["revenueratio"]
+        for r in spark.sql(rewrite(M.QUERY98_SQL))
+        .toDF(*M._Q98_COLS)
+        .collect()
+    }
+    for r in rows:
+        assert abs(raw[r["i_item_id"]] * 10_000 - r["revenueratio_micro"]) <= 1
 
 
 def test_literal_q6_scalar_subqueries(spark, sf_dir):

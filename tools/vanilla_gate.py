@@ -46,15 +46,31 @@ def main() -> int:
             res = con.execute(osql[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            sc = canonical_rows(sdf.columns, srows)
+            dc = canonical_rows(dcols, drows)
             ok = (
                 len(srows) == len(drows)
                 and sorted(sdf.columns) == sorted(dcols)
-                and canonical_rows(sdf.columns, srows)
-                == canonical_rows(dcols, drows)
+                and sc == dc
             )
             print(("PASS " if ok else "FAIL ") + name, flush=True)
             if not ok:
                 fails.append((name, len(srows), len(drows)))
+                # pinpoint the divergence: sorted column order + the first
+                # differing canonical rows, so a red driver artifact can be
+                # traced to specific values, not just a hash
+                print(f"  cols(sorted): {sorted(sdf.columns)}")
+                if sorted(sdf.columns) != sorted(dcols):
+                    print(f"  oracle cols : {sorted(dcols)}")
+                shown = 0
+                for i in range(max(len(sc), len(dc))):
+                    a = sc[i] if i < len(sc) else "<missing>"
+                    b = dc[i] if i < len(dc) else "<missing>"
+                    if a != b:
+                        print(f"  row[{i}] spark ={a}\n  row[{i}] oracle={b}")
+                        shown += 1
+                        if shown >= 5:
+                            break
             spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             print(f"ERR  {name}: {str(e)[:160]}", flush=True)
