@@ -637,7 +637,14 @@ def exact_substring_pairs(
       bucket; singleton hashes (nd < 2) are dropped for free by the same
       aggregate;
     - run extension windows partition by (pair, diagonal) — bounded by
-      document length, never by corpus size."""
+      document length, never by corpus size.
+
+    Cache contract: the corpus-scale intermediates are persisted only for
+    the duration of this call — the final pair-grain aggregate is
+    materialized eagerly (it is the small output of the dedup), the
+    intermediates are unpersisted before returning, and the RETURNED frame
+    is the only thing left cached; ``.unpersist()`` it when done (the
+    registry harness clears caches between queries)."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     spans = F.transform(
@@ -688,11 +695,19 @@ def exact_substring_pairs(
     shared = pr.groupBy("id_1", "id_2").agg(
         F.count_distinct("wh").alias("n_shared_windows")
     )
-    return shared.join(best, ["id_1", "id_2"]).select(
-        "id_1",
-        "id_2",
-        "n_shared_windows",
-        (F.col("max_run") + F.lit(window - 1)).cast("bigint").alias(
-            "match_tokens"
-        ),
+    out = (
+        shared.join(best, ["id_1", "id_2"])
+        .select(
+            "id_1",
+            "id_2",
+            "n_shared_windows",
+            (F.col("max_run") + F.lit(window - 1)).cast("bigint").alias(
+                "match_tokens"
+            ),
+        )
+        .persist()
     )
+    out.count()  # materialize the pair-grain result off the cached inputs
+    w2.unpersist()
+    pr.unpersist()
+    return out

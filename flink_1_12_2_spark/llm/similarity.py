@@ -339,9 +339,16 @@ def ann_pq_topk(
             F.struct(
                 F.lit(s).cast("int").alias("s"),
                 F.lit(j).cast("long").alias("j"),
+                # quantize each LUT term to integer MICRO-units BEFORE the
+                # distributed sum (the DSIR discipline): summing 6dp-rounded
+                # doubles is partition-order-dependent in the last ulp,
+                # while a bigint sum is exact under any partitioning
                 F.round(
-                    _l2sq_lit(F.slice(F.col("qv"), s * w + 1, w), cvec), 6
-                ).alias("term"),
+                    _l2sq_lit(F.slice(F.col("qv"), s * w + 1, w), cvec)
+                    * F.lit(1000000.0)
+                )
+                .cast("bigint")
+                .alias("term_micro"),
             )
             for s in range(m)
             for j, cvec in cb[s]
@@ -351,17 +358,17 @@ def ann_pq_topk(
         "query_id",
         F.col("__t.s").alias("s"),
         F.col("__t.j").alias("j"),
-        F.col("__t.term").alias("term"),
+        F.col("__t.term_micro").alias("term_micro"),
     )
     scored = (
         code_stream.join(F.broadcast(lut), ["s", "j"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("term"), 6).alias("adc_dist"))
+        .agg(F.sum("term_micro").alias("adc_dist_micro"))
     )
-    rk = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    rk = Window.partitionBy("query_id").orderBy("adc_dist_micro", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(rk))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .select("query_id", "neighbor_id", "adc_dist_micro", "rank")
     )

@@ -268,8 +268,10 @@ def pack_concat_chunks(
     d = d.withColumn(
         "start", F.sum("n_toks").over(w).cast("bigint") - F.col("n_toks")
     )
-    first_bin = (F.col("start") / ctx).cast("bigint")
-    last_bin = ((F.col("start") + F.col("n_toks") - 1) / ctx).cast("bigint")
+    # integer division (DIV), not a double quotient: beyond 2^53 cumulative
+    # tokens per shard a cast double division loses integer exactness
+    first_bin = F.expr(f"start DIV {int(ctx)}")
+    last_bin = F.expr(f"(start + n_toks - 1) DIV {int(ctx)}")
     d = d.withColumn(
         "bin_id", F.explode(F.sequence(first_bin, last_bin))
     )

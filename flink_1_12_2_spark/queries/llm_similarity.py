@@ -154,20 +154,22 @@ _PQ_ORACLE = f"""
       WHERE rn = 1),
     lut AS (
       SELECT q.vec_id AS query_id, q.s, cb.j,
-             ROUND(list_sum(list_transform(list_zip(q.sv, cb.cv),
-                      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS term
+             CAST(ROUND(list_sum(list_transform(list_zip(q.sv, cb.cv),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1000000.0)
+                  AS BIGINT) AS term_micro
       FROM sub q JOIN cb ON cb.s = q.s
       WHERE q.vec_id <= {max(QUERY_IDS)}),
     scored AS (
-      SELECT l.query_id, e.neighbor_id, ROUND(SUM(l.term), 6) AS adc_dist
+      SELECT l.query_id, e.neighbor_id,
+             CAST(SUM(l.term_micro) AS BIGINT) AS adc_dist_micro
       FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.j
       WHERE l.query_id <> e.neighbor_id
       GROUP BY 1, 2),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY adc_dist, neighbor_id) AS rank
+                                   ORDER BY adc_dist_micro, neighbor_id) AS rank
       FROM scored)
-    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    SELECT query_id, neighbor_id, adc_dist_micro, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
     """
 

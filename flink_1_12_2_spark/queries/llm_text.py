@@ -782,21 +782,24 @@ _MIX_BUDGET = 200  # total documents to draw across sources
       SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
     wts AS (
       SELECT source, n_docs,
-             POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})
-               / SUM(POW(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) OVER ()
-               AS weight
+             CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS s_micro
       FROM counts),
     quota AS (
-      SELECT source, n_docs, weight,
-             CAST(FLOOR(weight * {_MIX_BUDGET}) AS BIGINT) AS base,
-             weight * {_MIX_BUDGET}
-               - FLOOR(weight * {_MIX_BUDGET}) AS frac
+      SELECT source, n_docs, s_micro,
+             SUM(s_micro) OVER () AS denom
       FROM wts),
     ranked AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
-             {_MIX_BUDGET} - SUM(base) OVER () AS leftover
+      SELECT source, n_docs,
+             CAST((s_micro * 1000000) // denom AS BIGINT) AS weight_ppm,
+             CAST((s_micro * {_MIX_BUDGET}) // denom AS BIGINT) AS base,
+             (s_micro * {_MIX_BUDGET}) % denom AS rem,
+             ROW_NUMBER() OVER (
+               ORDER BY (s_micro * {_MIX_BUDGET}) % denom DESC, source) AS rk,
+             {_MIX_BUDGET} - SUM(CAST((s_micro * {_MIX_BUDGET}) // denom
+                                      AS BIGINT)) OVER () AS leftover
       FROM quota)
-    SELECT source, n_docs, ROUND(weight, 6) AS weight,
+    SELECT source, n_docs, weight_ppm,
            base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_sampled
     FROM ranked ORDER BY source
     """,
@@ -806,11 +809,18 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (the Pile/Gopher data-mixing rule):
     per-source sampling weight ∝ n_docs^alpha (alpha = 0.5 flattens the
     source distribution toward small domains), then an exact
-    largest-remainder apportionment of a fixed document budget — floor of
-    each quota plus one for the largest fractional parts (ties broken by
-    source name), so the allocations sum EXACTLY to the budget on both
-    engines. Two tiny aggregates over source cardinality — a metadata-scale
-    computation at any corpus size."""
+    largest-remainder apportionment of a fixed document budget.
+
+    Engine-proof arithmetic (the r6 lesson, applied before it reaches a
+    gate): alpha = 0.5 means the scaled mass is SQRT — the one power IEEE
+    754 requires to be CORRECTLY ROUNDED (unlike libm ``pow``) — and the
+    per-source mass is quantized to integer micro-units BEFORE any sum, so
+    the normalization denominator, the displayed ``weight_ppm``, and the
+    largest-remainder apportionment (integer quotient, integer remainder
+    rank, ties by source) are exact bigint arithmetic that both engines
+    reproduce bit-for-bit; no double is compared. Two tiny aggregates over
+    source cardinality — a metadata-scale computation at any corpus
+    size."""
     from pyspark.sql import Window as W
 
     counts = (
@@ -819,25 +829,24 @@ def mixing_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     tot = W.partitionBy()
-    wts = counts.withColumn(
-        "weight",
-        F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)
-        / F.sum(F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)).over(tot),
-    )
-    quota = wts.withColumn(
-        "base", F.floor(F.col("weight") * _MIX_BUDGET).cast("bigint")
-    ).withColumn(
-        "frac",
-        F.col("weight") * _MIX_BUDGET
-        - F.floor(F.col("weight") * _MIX_BUDGET),
+    s = counts.withColumn(
+        "s_micro",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    ).withColumn("denom", F.sum("s_micro").over(tot))
+    quota = (
+        s.withColumn("weight_ppm", F.expr("(s_micro * 1000000) DIV denom"))
+        .withColumn("base", F.expr(f"(s_micro * {_MIX_BUDGET}) DIV denom"))
+        .withColumn("rem", F.expr(f"(s_micro * {_MIX_BUDGET}) % denom"))
     )
     ranked = quota.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.desc("frac"), F.asc("source")))
+        "rk", F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source")))
     ).withColumn("leftover", F.lit(_MIX_BUDGET) - F.sum("base").over(tot))
     return ranked.select(
         "source",
         "n_docs",
-        F.round("weight", 6).alias("weight"),
+        "weight_ppm",
         (
             F.col("base")
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
@@ -930,7 +939,13 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle(rounds: int) -> str:
     """Mirror of llm/bpe.bpe_train: the SAME unrolled merge rounds in pure
     SQL — every round's argmax and replace computed inside DuckDB, so the
-    oracle encodes the algorithm, not precomputed literals."""
+    oracle encodes the algorithm, not precomputed literals. The merge
+    application renders through :func:`flink_1_12_2_spark.llm.bpe.
+    merge_pair_sql` — the identical greedy-left space-doubling replace the
+    engine applies (a full recount per round here; the engine maintains
+    the pair table incrementally — same result by construction)."""
+    from flink_1_12_2_spark.llm.bpe import merge_pair_sql
+
     parts = [
         f"""w0 AS (
       SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g'))
@@ -955,8 +970,7 @@ def _bpe_oracle(rounds: int) -> str:
       SELECT {k} AS rank, l AS lhs, r AS rhs, pair_cnt
       FROM c{i} ORDER BY pair_cnt DESC, l, r LIMIT 1)""")
         parts.append(f"""w{k} AS (
-      SELECT replace(sp, ' ' || b.lhs || ' ' || b.rhs || ' ',
-                     ' ' || b.lhs || b.rhs || ' ') AS sp, cnt
+      SELECT {merge_pair_sql("sp", "b.lhs", "b.rhs")} AS sp, cnt
       FROM w{i}, b{i} b)""")
     union = "\n    UNION ALL ".join(
         f"SELECT CAST(rank AS INT) AS rank, lhs, rhs, pair_cnt FROM b{i}"

@@ -824,7 +824,14 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     assignment (``vars_json``); per-variable measures posexplode the id
     list and join back to the input on (partition, event_id) — both sides
     key-partitioned, aggregate state bounded by match length. The NFA
-    itself stays measure-agnostic."""
+    itself stays measure-agnostic.
+
+    Cache contract: when the MEASURES reference per-variable aggregates,
+    the (match-count-sized) NFA output is persisted so each aggregate
+    join does not recompute the Python-NFA subtree; the cache lives until
+    the caller unpersists the result or runs
+    ``spark.catalog.clearCache()`` (the registry harness does between
+    queries)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 

@@ -103,8 +103,17 @@ def test_pq_codes_and_recall(spark, sf_dir):
 
     qids = list(range(10))
     pq = S.ann_pq_topk(e, "vec_id", "embedding", qids, 5).collect()
-    assert all(r["adc_dist"] >= 0 for r in pq)
+    assert all(r["adc_dist_micro"] >= 0 for r in pq)
     bf = S.ann_bruteforce_topk(e, "vec_id", "embedding", qids, 5).collect()
     pq_set = {(r["query_id"], r["neighbor_id"]) for r in pq}
     bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
     assert len(pq_set & bf_set) / len(bf_set) > 0.1
+
+    # the ADC distance is an exact bigint sum of micro-quantized LUT terms:
+    # bit-identical under any input partitioning (the r6 float-sum hazard)
+    base = sorted(tuple(r) for r in pq)
+    for parts in (3, 17):
+        again = S.ann_pq_topk(
+            e.repartition(parts), "vec_id", "embedding", qids, 5
+        ).collect()
+        assert sorted(tuple(r) for r in again) == base, parts
