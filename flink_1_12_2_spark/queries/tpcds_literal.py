@@ -248,6 +248,7 @@ _RICH_SPARK = {
                l_partkey  AS cs_item_sk,
                {_CENTS} AS cs_ext_sales_price,
                o_custkey  AS cs_bill_cdemo_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
                {_RICH_FACT_COLS_SPARK.format(p="cs_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
@@ -256,6 +257,8 @@ _RICH_SPARK = {
         SELECT l_orderkey AS ws_sold_date_sk,
                l_partkey  AS ws_item_sk,
                {_CENTS} AS ws_ext_sales_price,
+               CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
+               l_orderkey AS ws_order_number,
                {_RICH_FACT_COLS_SPARK.format(p="ws_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 1
@@ -267,10 +270,47 @@ _RICH_SPARK = {
                o_custkey  AS sr_customer_sk,
                l_suppkey  AS sr_store_sk,
                {_CENTS} AS sr_return_amt,
+               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS sr_net_loss,
                CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
                CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
+    """,
+    "catalog_returns": f"""
+        SELECT l_orderkey AS cr_returned_date_sk,
+               l_orderkey AS cr_order_number,
+               l_partkey  AS cr_item_sk,
+               o_custkey  AS cr_returning_customer_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
+               {_CENTS} AS cr_return_amount,
+               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS cr_net_loss
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+    """,
+    "web_returns": f"""
+        SELECT l_orderkey AS wr_returned_date_sk,
+               l_orderkey AS wr_order_number,
+               l_partkey  AS wr_item_sk,
+               o_custkey  AS wr_returning_customer_sk,
+               {_CENTS} AS wr_return_amt,
+               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS wr_net_loss
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+    """,
+    "catalog_page": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS cp_catalog_page_sk,
+               CONCAT('CP', LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0'))
+                 AS cp_catalog_page_id
+        FROM __tpch_nation
+    """,
+    "web_site": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
+               CONCAT('WS', LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0'))
+                 AS web_site_id
+        FROM __tpch_nation
     """,
     "reason": """
         SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
@@ -475,6 +515,7 @@ _ADAPTER_DUCK_RICH = f"""
              l_partkey  AS cs_item_sk,
              {_CENTS} AS cs_ext_sales_price,
              o_custkey  AS cs_bill_cdemo_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
              {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 2),
@@ -482,6 +523,8 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT l_orderkey AS ws_sold_date_sk,
              l_partkey  AS ws_item_sk,
              {_CENTS} AS ws_ext_sales_price,
+             CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
+             l_orderkey AS ws_order_number,
              {_RICH_FACT_COLS_DUCK.format(p="ws_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1),
@@ -492,10 +535,43 @@ _ADAPTER_DUCK_RICH = f"""
              o_custkey  AS sr_customer_sk,
              l_suppkey  AS sr_store_sk,
              {_CENTS} AS sr_return_amt,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS sr_net_loss,
              CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
              CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
+    catalog_returns AS (
+      SELECT l_orderkey AS cr_returned_date_sk,
+             l_orderkey AS cr_order_number,
+             l_partkey  AS cr_item_sk,
+             o_custkey  AS cr_returning_customer_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
+             {_CENTS} AS cr_return_amount,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS cr_net_loss
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2),
+    web_returns AS (
+      SELECT l_orderkey AS wr_returned_date_sk,
+             l_orderkey AS wr_order_number,
+             l_partkey  AS wr_item_sk,
+             o_custkey  AS wr_returning_customer_sk,
+             {_CENTS} AS wr_return_amt,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS wr_net_loss
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1),
+    catalog_page AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS cp_catalog_page_sk,
+             'CP' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
+               AS cp_catalog_page_id
+      FROM nation),
+    web_site AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
+             'WS' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
+               AS web_site_id
+      FROM nation),
     reason AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
              'reason ' || CAST(n_nationkey + 20 AS VARCHAR) AS r_reason_desc
