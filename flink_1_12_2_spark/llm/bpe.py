@@ -39,8 +39,9 @@ many-million-word vocabulary. The 1-row argmax collect per round is the
 irreducible sequential dependency of BPE (merge k+1's counts depend on
 merge k); lineage is cut by a persist-rotate of generation caches plus a
 localCheckpoint every ``_CKPT_EVERY`` rounds so round k's plan never
-re-derives round k-1 (measured budget: 64 merges in ~16 s warm at sf0.1
-on local[32]; see SCALE.md).
+re-derives round k-1 (measured budget: 64 merges in 15.6 s warm at sf0.1
+on local[32], batch-recount — pinned in SCALE.md "Round-8 pinned
+headliner budgets").
 
 Cross-engine determinism: counts are exact ints; ties break
 lexicographically; the symbol-string replace is literal (no regex, no
@@ -157,6 +158,15 @@ def bpe_train(
     live: deque[tuple[DataFrame, ...]] = deque(
         [(words, pairs) if incremental else (words,)]
     )
+    # DataFrame.unpersist() does NOT free localCheckpoint RDD blocks (only
+    # the CacheManager entry); left to the lazy ContextCleaner they pile up
+    # across a 30k-merge run. Track checkpointed frames and explicitly
+    # rdd.unpersist() a checkpoint GENERATION once the next one has
+    # materialized — only then do no live cached frames root their lineage
+    # at the old checkpoint, so dropping its blocks can never strand a
+    # cache-evicted recompute.
+    ckpt_prev: list[DataFrame] = []
+    ckpt_cur: list[DataFrame] = []
     for k in range(1, rounds + 1):
         words = live[-1][0]
         cur_pairs = live[-1][1] if incremental else _pair_counts(words)
@@ -209,10 +219,18 @@ def bpe_train(
                 if k % _CKPT_EVERY == 0
                 else (new_words.persist(),)
             )
+        if k % _CKPT_EVERY == 0:
+            # the new checkpoint generation is materialized (eager=True):
+            # free the generation-before-last's blocks, rotate
+            for df in ckpt_prev:
+                df.rdd.unpersist()
+            ckpt_prev, ckpt_cur = ckpt_cur, list(gen)
         live.append(gen)
     for g in live:
         for df in g:
             df.unpersist()
+    for df in ckpt_prev + ckpt_cur:
+        df.rdd.unpersist()
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_cnt bigint"
     )

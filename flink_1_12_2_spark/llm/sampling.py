@@ -149,9 +149,27 @@ def weighted_mixture(
 # construction — no libm call anywhere. Each stage is a named column so
 # Catalyst/DuckDB never see (or reassociate) one giant expression; neither
 # engine fuses a*b+c across separate SQL operators, so no FMA hazard.
+#
+# LITERAL TYPING (the r7 driver-red root cause): a bare decimal literal
+# like ``2.0`` parses as DECIMAL(2,1) in Spark SQL but DOUBLE in DuckDB,
+# so ``2.0/15.0`` was DECIMAL(8,6) division (0.133333) in Spark and
+# correctly-rounded DOUBLE division (0.13333333333333333) in DuckDB —
+# 204/210 test inputs bit-differed. Every non-integer constant below is
+# therefore emitted through :func:`_dlit`: the shortest-round-trip repr of
+# the nearest double, with an explicit exponent suffix, which BOTH engines
+# parse as DOUBLE. ``tests/test_llm_text.py`` carries a 210-input bit-sweep
+# (Spark staged ln vs the Python mirror) that fails on the old emission.
 
-_SQRT_HALF = "0.7071067811865476"  # nearest double to sqrt(0.5)
-_LN2 = "0.6931471805599453"  # nearest double to ln(2)
+_SQRT_HALF = "0.7071067811865476E0"  # nearest double to sqrt(0.5)
+_LN2 = "0.6931471805599453E0"  # nearest double to ln(2)
+
+
+def _dlit(x: float) -> str:
+    """Render ``x`` as a SQL literal that parses as DOUBLE (not DECIMAL) in
+    both Spark and DuckDB: shortest round-trip repr + explicit exponent
+    (exponent-form numeric literals are DOUBLE in both grammars)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "E0"
 
 
 def _bitlen_sql(n: str) -> str:
@@ -164,39 +182,53 @@ def _bitlen_sql(n: str) -> str:
 
 def _pow2_sql(b: str) -> str:
     """2^b as an exact double literal, b in [1, 53] (no pow() call)."""
-    whens = " ".join(f"WHEN {k} THEN {float(1 << k)!r}" for k in range(1, 54))
+    whens = " ".join(
+        f"WHEN {k} THEN {_dlit(float(1 << k))}" for k in range(1, 54)
+    )
     return f"(CASE ({b}) {whens} END)"
+
+
+#: Largest integer input portable_ln handles: the bit-length ladder tops out
+#: at 53 bits, so the [sqrt(.5), sqrt(2)) range reduction (and with it the
+#: series) silently breaks beyond 2^52. Guarded loudly in both the SQL
+#: stages (NULL, which the callers' exact-integer sums would surface as a
+#: NULL weight) and the Python mirror (ValueError).
+PORTABLE_LN_MAX = 1 << 52
 
 
 def portable_ln_stages(prefix: str, n: str) -> list[tuple[str, str]]:
     """(column, sql) stages computing ``{prefix}_ln`` = ln(n) portably.
 
-    ``n`` must be an integer-valued SQL expression in [1, 2^52]. Later
-    stages reference earlier ones by name: apply with sequential
+    ``n`` must be an integer-valued SQL expression in [1, 2^52]; inputs
+    beyond :data:`PORTABLE_LN_MAX` yield NULL (loud, not plausible-wrong).
+    Later stages reference earlier ones by name: apply with sequential
     ``withColumn`` (Spark) or chained ``SELECT *, expr AS name`` CTEs
     (DuckDB) — see :func:`staged_select_sql`.
     """
     p = prefix
-    horner = f"{p}_z2 * (2.0/15.0)"
+    two = _dlit(2.0)
+    horner = f"{p}_z2 * {_dlit(2.0 / 15.0)}"
     for c in (13, 11, 9, 7, 5, 3):
-        horner = f"{p}_z2 * (2.0/{c}.0 + {horner})"
+        horner = f"{p}_z2 * ({_dlit(2.0 / c)} + {horner})"
     return [
         (f"{p}_b", _bitlen_sql(n)),
         (f"{p}_m0", f"CAST({n} AS DOUBLE) / {_pow2_sql(p + '_b')}"),
         (
             f"{p}_m",
-            f"CASE WHEN {p}_m0 < {_SQRT_HALF} THEN {p}_m0 * 2.0 "
+            f"CASE WHEN {p}_m0 < {_SQRT_HALF} THEN {p}_m0 * {two} "
             f"ELSE {p}_m0 END",
         ),
         (
             f"{p}_e",
             f"CASE WHEN {p}_m0 < {_SQRT_HALF} THEN {p}_b - 1 ELSE {p}_b END",
         ),
-        (f"{p}_z", f"({p}_m - 1.0) / ({p}_m + 1.0)"),
+        (f"{p}_z", f"({p}_m - {_dlit(1.0)}) / ({p}_m + {_dlit(1.0)})"),
         (f"{p}_z2", f"{p}_z * {p}_z"),
         (
             f"{p}_ln",
-            f"{p}_z * (2.0 + {horner}) + CAST({p}_e AS DOUBLE) * {_LN2}",
+            f"CASE WHEN ({n}) > {PORTABLE_LN_MAX} THEN NULL ELSE "
+            f"{p}_z * ({two} + {horner}) + CAST({p}_e AS DOUBLE) * {_LN2} "
+            f"END",
         ),
     ]
 
@@ -221,8 +253,8 @@ def dsir_term_stages(n_buckets: int) -> list[tuple[str, str]]:
     stages.append(
         (
             "term_micro",
-            "CAST(ROUND(1000000.0 * ((nt_ln - dt_ln) - (nr_ln - dr_ln))) "
-            "AS BIGINT)",
+            f"CAST(ROUND({_dlit(1000000.0)} * "
+            "((nt_ln - dt_ln) - (nr_ln - dr_ln))) AS BIGINT)",
         )
     )
     return stages
@@ -243,7 +275,16 @@ def staged_select_sql(src: str, stages: list[tuple[str, str]], tag: str) -> str:
 def portable_ln_py(n: int) -> float:
     """Bit-exact Python mirror of :func:`portable_ln_stages` (Python floats
     are IEEE doubles with correctly-rounded arithmetic, so this reproduces
-    the engines' value exactly — used by tests)."""
+    the engines' value exactly). Since r8 this is also the PRODUCTION
+    evaluation for DSIR: the O(n_buckets) term table is computed once on
+    the driver with this function and broadcast as literal rows, so the
+    transcendental is evaluated in exactly one runtime (see
+    :func:`dsir_term_table_py`)."""
+    if not 1 <= n <= PORTABLE_LN_MAX:
+        raise ValueError(
+            f"portable_ln domain is [1, 2^52]; got {n} — raise the bucket "
+            "quantum or pre-scale the counts"
+        )
     b = n.bit_length()
     m0 = float(n) / float(1 << b)
     if m0 < 0.7071067811865476:
@@ -256,6 +297,57 @@ def portable_ln_py(n: int) -> float:
     for c in (13.0, 11.0, 9.0, 7.0, 5.0, 3.0):
         horner = z2 * (2.0 / c + horner)
     return z * (2.0 + horner) + float(e) * 0.6931471805599453
+
+
+def _round_half_away_py(v: float) -> int:
+    """Round-half-away-from-zero on a double, matching DuckDB ``ROUND()``
+    (C++ ``std::round``) and Spark ``round()`` (BigDecimal HALF_UP) without
+    the ``floor(v + 0.5)`` hazard (``v + 0.5`` can itself round at a tie).
+    ``v - floor(v)`` is exact for IEEE doubles (Sterbenz), so the .5
+    comparison is exact."""
+    import math
+
+    if v >= 0.0:
+        f = math.floor(v)
+        return int(f) + 1 if (v - f) >= 0.5 else int(f)
+    c = math.ceil(v)
+    return int(c) - 1 if (c - v) >= 0.5 else int(c)
+
+
+def dsir_term_micro_py(
+    tgt_c: int, raw_c: int, t_tot: int, r_tot: int, n_buckets: int
+) -> int:
+    """Python mirror of :func:`dsir_term_stages` for ONE bucket: the
+    quantized micronat log-ratio from exact integer counts. Every operation
+    is a correctly-rounded IEEE double op (portable_ln_py is the staged
+    sequence), so this is bit-for-bit the value the staged SQL produces in
+    DuckDB — and since r8 it is also the value the engine USES (computed
+    here, broadcast as literals), making cross-engine agreement
+    unconditional rather than argued."""
+    nt, dt = tgt_c + 1, t_tot + n_buckets
+    nr, dr = raw_c + 1, r_tot + n_buckets
+    v = 1000000.0 * (
+        (portable_ln_py(nt) - portable_ln_py(dt))
+        - (portable_ln_py(nr) - portable_ln_py(dr))
+    )
+    return _round_half_away_py(v)
+
+
+def dsir_term_table_py(
+    stats_rows, n_buckets: int
+) -> list[tuple[int, int]]:
+    """(bucket, term_micro) literal table from collected stats rows
+    ``(__b, raw_c, tgt_c)``; the corpus totals are exact-integer sums of
+    the rows themselves. O(n_buckets) rows — index metadata on the
+    driver, the same pattern as the IVF centroid table."""
+    r_tot = sum(int(r["raw_c"]) for r in stats_rows)
+    t_tot = sum(int(r["tgt_c"]) for r in stats_rows)
+    return [
+        (int(r["__b"]), dsir_term_micro_py(
+            int(r["tgt_c"]), int(r["raw_c"]), t_tot, r_tot, n_buckets,
+        ))
+        for r in stats_rows
+    ]
 
 
 def dsir_logweight(
@@ -277,21 +369,30 @@ def dsir_logweight(
     quantized to integer MICRONATS (``round(1e6 * ln ratio)``) before the
     per-document summation, so the doc weight is an exact BIGINT sum —
     immune to floating-point addition order across partitions; and the
-    ``ln`` itself is the PORTABLE fixed-sequence formulation
-    (:func:`portable_ln_stages` — no libm call), so the micronat table is
-    bit-identical on any engine/libm/OS combination. The r6 driver gate
-    proved the naive ``F.log`` version is NOT portable: a 1-ulp libm
-    difference at a ``.5`` rounding boundary flips a micronat and with it
-    every affected document sum.
+    micronat table itself is computed EXACTLY ONCE, on the driver, from
+    the collected exact-integer stats via the portable fixed-sequence ln
+    (:func:`dsir_term_table_py`), then broadcast into the plan as literal
+    rows. The transcendental is therefore evaluated in one runtime only —
+    cross-engine agreement is unconditional, not a portability argument.
+    History: r6's ``F.log`` died to a 1-ulp libm difference at a ``.5``
+    micronat boundary; r7's in-plan staged SQL ln died to Spark typing the
+    Horner coefficients DECIMAL(8,6) (the oracle's DuckDB staged ln and
+    :func:`portable_ln_py` agree bit-for-bit — the engine side now simply
+    reuses the Python value).
 
     Scale: the token→bucket explode combines map-side into <= n_buckets
-    stats rows; the quantized stats broadcast back onto the exploded
-    stream; the per-doc weight is an exact-integer partial aggregate that
-    CARRIES the requested doc attributes through the groupBy (constant
-    per doc) instead of joining back against the corpus — no second
-    fact-sized join, no window, no driver collect; both shuffles are
-    map-combinable and the stats side stays O(n_buckets) regardless of
-    corpus size. Returns one row per document with >= 1 token:
+    stats rows; the O(1024) quantized term table rides to the driver and
+    broadcasts back onto the exploded stream (index-metadata-on-driver,
+    the IVF-centroid pattern — NOT a corpus-sized collect); the per-doc
+    weight is an exact-integer partial aggregate that CARRIES the
+    requested doc attributes through the groupBy (constant per doc)
+    instead of joining back against the corpus — no second fact-sized
+    join, no window; both shuffles are map-combinable and the stats side
+    stays O(n_buckets) regardless of corpus size. The exploded stream is
+    scanned twice (stats pass, weight pass) — deliberately NOT
+    materialized: at 100 TB a cache of the explode is larger than the
+    corpus, while the second scan is a cheap map-combined re-read.
+    Returns one row per document with >= 1 token:
     (id, carry..., n_feat, logweight_micro).
     """
     from flink_1_12_2_spark.llm.text import tokens
@@ -308,17 +409,19 @@ def dsir_logweight(
         "__tgt",
         (md5int60(F.col("__tok")) % n_buckets).alias("__b"),
     )
-    stats = ex.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
+    stats_rows = (
+        ex.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
+        )
+        .collect()  # bounded: <= n_buckets rows of exact integers
     )
-    tot = stats.agg(
-        F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot")
+    spark = docs.sparkSession
+    terms = spark.createDataFrame(
+        dsir_term_table_py(stats_rows, n_buckets),
+        schema="__b BIGINT, term_micro BIGINT",
     )
-    terms = stats.crossJoin(F.broadcast(tot))
-    for col, expr in dsir_term_stages(n_buckets):
-        terms = terms.withColumn(col, F.expr(expr))
-    terms = terms.select("__b", "term_micro")
     return (
         ex.join(F.broadcast(terms), "__b")
         .groupBy(id_col, *carry_cols)

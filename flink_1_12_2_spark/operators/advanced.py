@@ -185,20 +185,30 @@ def iterate(
 ) -> DataFrame:
     """Bulk iteration: apply ``step`` until convergence or max_iterations.
 
-    Caches each iterate and materializes it (count) so lineage stays bounded
-    — the driver-loop analogue of Flink's iterate operator. ``converged``
-    receives (previous, current); default stops only at max_iterations.
-    """
-    current = initial.cache()
-    current.count()
+    Each iterate is ``localCheckpoint(eager=True)``-materialized: unlike
+    ``cache()`` this TRUNCATES the logical plan to a leaf, so the driver
+    never holds an O(iterations)-deep lineage (r7 postmortem: the
+    cache-only version's unrolled PageRank plan OOM'd a default-1-GiB
+    driver heap at ``collectToPython`` — the executors were fine, the
+    *plan* wasn't). Retired generations' checkpoint blocks are freed
+    explicitly via ``rdd.unpersist()`` (DataFrame.unpersist does not
+    release localCheckpoint blocks; the ContextCleaner only reclaims them
+    lazily on GC) with a 2-generation lag so the frame a step/convergence
+    check may still reference stays live. ``converged`` receives
+    (previous, current); default stops only at max_iterations. On a real
+    cluster swap localCheckpoint for reliable ``checkpoint`` if executor
+    loss matters mid-iteration."""
+    current = initial.localCheckpoint(eager=True)
+    retired: list = []
     for _ in range(max_iterations):
-        nxt = step(current).cache()
-        nxt.count()
-        if converged is not None and converged(current, nxt):
-            current.unpersist()
-            return nxt
-        current.unpersist()
+        nxt = step(current).localCheckpoint(eager=True)
+        done = converged is not None and converged(current, nxt)
+        retired.append(current)
+        if len(retired) > 2:
+            retired.pop(0).rdd.unpersist()
         current = nxt
+        if done:
+            break
     return current
 
 

@@ -77,6 +77,143 @@ def test_dsir_weight_exactness_and_signal(spark, sf_dir):
     assert en > sum(rest) / len(rest)
 
 
+def _ln_sweep_inputs() -> list[int]:
+    """210 integers spanning the portable-ln domain: small counts, values
+    around every power of two (range-reduction boundaries), and the 2^52
+    ceiling. The r7 staged SQL failed BIT-equality on 204 of these (Spark
+    typed the Horner coefficients DECIMAL(8,6))."""
+    ns = set(range(1, 171))
+    for k in (10, 20, 30, 40, 50, 52):
+        ns.update({(1 << k) - 1, 1 << k, (1 << k) + 1})
+    ns.update({999983, 10**9 + 7, 10**12 + 39, (1 << 52) - 12345})
+    return sorted(n for n in ns if 1 <= n <= (1 << 52))[:210]
+
+
+def test_portable_ln_bit_sweep_spark_vs_python(spark):
+    """Regression for the r7 driver-red: the staged SQL ln evaluated BY
+    SPARK must be bit-identical (struct.pack) to portable_ln_py on every
+    sweep input — not merely close. Fails on the pre-r8 emission where
+    bare decimal literals parsed as DECIMAL, not DOUBLE."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.sampling import (
+        portable_ln_py,
+        portable_ln_stages,
+    )
+
+    ns = _ln_sweep_inputs()
+    df = spark.createDataFrame([(n,) for n in ns], "n BIGINT")
+    for col, expr in portable_ln_stages("p", "n"):
+        df = df.withColumn(col, F.expr(expr))
+    got = {r["n"]: r["p_ln"] for r in df.select("n", "p_ln").collect()}
+    bad = [
+        n
+        for n in ns
+        if struct.pack("<d", got[n])
+        != struct.pack("<d", portable_ln_py(n))
+    ]
+    assert not bad, f"{len(bad)} bit mismatches, first: {bad[:5]}"
+
+
+def test_portable_ln_bit_sweep_duckdb_vs_python():
+    """The oracle engine half of the same sweep: DuckDB's evaluation of
+    the staged SQL must bit-match portable_ln_py (this is what makes the
+    driver-side DSIR term table unconditionally oracle-consistent)."""
+    import struct
+
+    import duckdb
+
+    from flink_1_12_2_spark.llm.sampling import (
+        portable_ln_py,
+        portable_ln_stages,
+        staged_select_sql,
+    )
+
+    ns = _ln_sweep_inputs()
+    stages = portable_ln_stages("p", "n")
+    vals = ", ".join(f"({n})" for n in ns)
+    sql = (
+        f"WITH src AS (SELECT CAST(n AS BIGINT) AS n FROM (VALUES {vals}) "
+        f"t(n)),\n    {staged_select_sql('src', stages, 's')}\n"
+        f"SELECT n, p_ln FROM s{len(stages) - 1}"
+    )
+    got = dict(duckdb.sql(sql).fetchall())
+    bad = [
+        n
+        for n in ns
+        if struct.pack("<d", got[n])
+        != struct.pack("<d", portable_ln_py(n))
+    ]
+    assert not bad, f"{len(bad)} bit mismatches, first: {bad[:5]}"
+
+
+def test_portable_ln_domain_guard(spark):
+    """Inputs beyond 2^52 fail LOUDLY: ValueError in the Python mirror,
+    NULL (not a plausible-wrong double) in the staged SQL."""
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.sampling import (
+        PORTABLE_LN_MAX,
+        portable_ln_py,
+        portable_ln_stages,
+    )
+
+    with _pytest.raises(ValueError):
+        portable_ln_py(PORTABLE_LN_MAX + 1)
+    with _pytest.raises(ValueError):
+        portable_ln_py(0)
+    df = spark.createDataFrame(
+        [(PORTABLE_LN_MAX + 1,), (PORTABLE_LN_MAX,)], "n BIGINT"
+    )
+    for col, expr in portable_ln_stages("p", "n"):
+        df = df.withColumn(col, F.expr(expr))
+    rows = {r["n"]: r["p_ln"] for r in df.collect()}
+    assert rows[PORTABLE_LN_MAX + 1] is None
+    assert rows[PORTABLE_LN_MAX] is not None
+
+
+def test_dsir_term_table_matches_duckdb_staged():
+    """The driver-computed micronat term table (dsir_term_micro_py — what
+    the engine now broadcasts) must equal DuckDB's evaluation of the
+    staged dsir_term_stages SQL (what the oracle runs) on a grid of
+    synthetic exact-integer stats, including counts adversarially near
+    .5-micronat rounding boundaries."""
+    import duckdb
+
+    from flink_1_12_2_spark.llm.sampling import (
+        dsir_term_micro_py,
+        dsir_term_stages,
+        staged_select_sql,
+    )
+
+    B = 1024
+    cases = []
+    t_tot, r_tot = 987654, 3456789
+    for tgt_c in (0, 1, 2, 3, 17, 100, 999, 5000, 65536):
+        for raw_c in (tgt_c, tgt_c + 1, tgt_c * 3 + 7, 10**6):
+            cases.append((tgt_c, raw_c))
+    vals = ", ".join(
+        f"({t}, {r}, {t_tot}, {r_tot})" for t, r in cases
+    )
+    stages = dsir_term_stages(B)
+    sql = (
+        "WITH src AS (SELECT * FROM (VALUES "
+        f"{vals}) t(tgt_c, raw_c, t_tot, r_tot)),\n    "
+        + staged_select_sql("src", stages, "s")
+        + f"\nSELECT tgt_c, raw_c, term_micro FROM s{len(stages) - 1}"
+    )
+    got = {(t, r): m for t, r, m in duckdb.sql(sql).fetchall()}
+    for t, r in cases:
+        assert got[(t, r)] == dsir_term_micro_py(t, r, t_tot, r_tot, B), (
+            t,
+            r,
+        )
+
+
 def test_bpe_train_matches_bruteforce(spark, sf_dir):
     """The one-plan BPE trainer equals a straightforward Python BPE
     (Sennrich alg.) on the same word counts: identical pairs, counts,

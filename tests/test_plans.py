@@ -472,13 +472,15 @@ def test_exact_substring_bucketed_no_cross_join(spark, sf_dir):
 
 
 def test_dsir_broadcast_stats_no_window(spark, sf_dir):
-    """DSIR importance weights: the O(n_buckets) stats side broadcasts
-    (2 BHJ: totals onto stats, terms onto the token stream); the per-doc
-    weight carries doc attributes through the groupBy instead of joining
-    back against the corpus — no SortMergeJoin, no Window; the top-k is
-    a TakeOrderedAndProject, never a global sort."""
+    """DSIR importance weights: the O(n_buckets) micronat term table is
+    literal driver-computed metadata that BROADCASTS onto the token
+    stream (r8: the IVF-centroid pattern — the stats collect is bounded
+    at n_buckets rows and happens before this plan); the per-doc weight
+    carries doc attributes through the groupBy instead of joining back
+    against the corpus — no SortMergeJoin, no Window; the top-k is a
+    TakeOrderedAndProject, never a global sort."""
     plan = _plan(spark, sf_dir, "sample_dsir_weights")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
