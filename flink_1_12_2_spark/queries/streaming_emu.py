@@ -1771,6 +1771,58 @@ _PREV_NAV_ORACLE = f"""
 
 
 @query(
+    "match_recognize_rowtime_window",
+    oracle=_cep_oracle(
+        error_kill=False,
+        final="""
+    SELECT (m_last_ts // 3600000000) * 3600000000 AS win_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM state WHERE m_first IS NOT NULL
+    GROUP BY 1 ORDER BY win_start_us
+    """,
+    ),
+    tags=("batch", "cep", "sql", "rowtime", "window"),
+)
+def match_recognize_rowtime_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_ROWTIME() — the match output's event-time attribute
+    (FlinkSqlOperatorTable MATCH_ROWTIME; MatchRecognizeITCase.scala):
+    what lets a WINDOW AGGREGATE chain after MATCH_RECOGNIZE. The MR
+    block emits one row per click→purchase match carrying
+    ``MATCH_ROWTIME() AS mrt`` (the last row's rowtime, epoch micros);
+    a tumbling 1-hour window then aggregates the MATCHES (not the raw
+    events) — match count and distinct users per window, all exact
+    integer arithmetic (``DIV`` bucketing mirrors the oracle's ``//``).
+    Scale: the window agg adds one map-combinable shuffle over the
+    match-count-sized MR output — never over the event stream."""
+    from flink_1_12_2_spark.registry import load as _load
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    ev = _load(spark, sf_dir, "events")
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES MATCH_ROWTIME() AS mrt
+      PATTERN (A B)
+      WITHIN INTERVAL '6' HOUR
+      DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+    )"""
+    out = match_recognize(ev, sql)
+    return (
+        out.withColumn(
+            "win_start_us", F.expr("(mrt DIV 3600000000) * 3600000000")
+        )
+        .groupBy("win_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_start_us")
+    )
+
+
+@query(
     "match_recognize_prev_nav",
     oracle=_PREV_NAV_ORACLE,
     tags=("batch", "cep", "sql", "navigation"),

@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the thirty-three files below:
+Parser shapes covered by the thirty-nine files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -62,7 +62,22 @@ Parser shapes covered by the thirty-three files below:
   consumed as FOUR then SIX aliases across two/three channels, growth
   ratio compares on exact-integer (or exact-half) measures, backquoted
   ``year``, ORDER BY ordinals (the +1y calendar shift lands the
-  2001/2002 pair on the driver's 2000/2001 data).
+  2001/2002 pair on the driver's 2000/2001 data);
+- q5/q77/q80 — the multi-fact returns rollups: per-channel sales+returns
+  combination by UNION ALL (q5, with the web_returns→web_sales bridge
+  join), LEFT JOIN of aggregate CTEs plus the spec's bare catalog CROSS
+  JOIN (q77), and fact-to-returns LEFT OUTER JOIN on the sale identity
+  (q80) — each feeding GROUP BY ROLLUP(channel, id) with backquoted
+  ``returns`` aliases;
+- q51 — the windowed FULL OUTER cumulative CTE (window-over-group-agg
+  running totals, FULL OUTER join, running MAX over the coalesced
+  stream), on the SPLIT tier (store := the %3=0 slice) so the channels
+  are disjoint and the web>store predicate is non-vacuous;
+- q23a/q23b — the WITH-chained apex: frequent-item cells, a scalar-max
+  CTE referenced through ``(50/100.0) * (SELECT * FROM ...)`` inside a
+  HAVING, and IN-subquery fan-in under two-channel UNION ALL, on the
+  DENSE tier (folded item space, week-grain d_date) so the
+  ``HAVING count(*) > 4`` tail is non-empty as TPC-DS skew makes it.
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -235,20 +250,30 @@ _RICH_FACT_COLS_SPARK = """
                  AS {p}net_paid
 """
 
-_RICH_SPARK = {
-    "store_sales": f"""
+def _ss_rich_spark(where: str = "") -> str:
+    """The rich store_sales body; ``where`` lets the SPLIT tier reuse the
+    exact same column derivations with a channel-slice predicate (one
+    source of truth — a drift between tiers would silently skew q51)."""
+    return f"""
         SELECT l_orderkey AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
                {_CENTS} AS ss_ext_sales_price,
                {_RICH_FACT_COLS_SPARK.format(p="ss_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
-    """,
+        {where}
+    """
+
+
+_RICH_SPARK = {
+    "store_sales": _ss_rich_spark(),
     "catalog_sales": f"""
         SELECT l_orderkey AS cs_sold_date_sk,
                l_partkey  AS cs_item_sk,
                {_CENTS} AS cs_ext_sales_price,
                o_custkey  AS cs_bill_cdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
+               l_orderkey AS cs_order_number,
+               CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
                {_RICH_FACT_COLS_SPARK.format(p="cs_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
@@ -283,6 +308,7 @@ _RICH_SPARK = {
                l_partkey  AS cr_item_sk,
                o_custkey  AS cr_returning_customer_sk,
                CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
+               CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
                {_CENTS} AS cr_return_amount,
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                  AS cr_net_loss
@@ -294,6 +320,7 @@ _RICH_SPARK = {
                l_orderkey AS wr_order_number,
                l_partkey  AS wr_item_sk,
                o_custkey  AS wr_returning_customer_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
                {_CENTS} AS wr_return_amt,
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                  AS wr_net_loss
@@ -502,24 +529,39 @@ _ADAPTER_DUCK = f"""
 
 _RICH_FACT_COLS_DUCK = _RICH_FACT_COLS_SPARK  # same SQL in both dialects
 
-_ADAPTER_DUCK_RICH = f"""
-    {_DATE_DIM_DUCK},
-    store_sales AS (
+
+_CUSTOMER_V_DUCK = """customer_v AS (
+      SELECT c_custkey AS c_customer_sk,
+             c_custkey AS c_current_addr_sk,
+             c_custkey AS c_current_cdemo_sk,
+             LPAD(CAST(c_custkey AS VARCHAR), 16, '0') AS c_customer_id,
+             c_name AS c_last_name,
+             'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
+             CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
+               AS c_preferred_cust_flag,
+             (['US','DE','FR','JP','CN','IN','BR','CA','GB','AU'])
+               [CAST(1 + c_custkey % 10 AS INT)] AS c_birth_country,
+             'login' || CAST(c_custkey AS VARCHAR) AS c_login,
+             'c' || CAST(c_custkey AS VARCHAR) || '@example.com'
+               AS c_email_address,
+             CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
+             CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
+      FROM customer)"""
+
+
+def _ss_rich_duck(where: str = "") -> str:
+    """DuckDB twin of :func:`_ss_rich_spark` — same single-source reuse
+    for the SPLIT tier."""
+    return f"""store_sales AS (
       SELECT l_orderkey AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
              {_CENTS} AS ss_ext_sales_price,
              {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    catalog_sales AS (
-      SELECT l_orderkey AS cs_sold_date_sk,
-             l_partkey  AS cs_item_sk,
-             {_CENTS} AS cs_ext_sales_price,
-             o_custkey  AS cs_bill_cdemo_sk,
-             CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
-             {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_linenumber % 3 = 2),
-    web_sales AS (
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey{where})"""
+
+
+def _ws_rich_duck() -> str:
+    return f"""web_sales AS (
       SELECT l_orderkey AS ws_sold_date_sk,
              l_partkey  AS ws_item_sk,
              {_CENTS} AS ws_ext_sales_price,
@@ -527,7 +569,24 @@ _ADAPTER_DUCK_RICH = f"""
              l_orderkey AS ws_order_number,
              {_RICH_FACT_COLS_DUCK.format(p="ws_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_linenumber % 3 = 1),
+      WHERE l_linenumber % 3 = 1)"""
+
+
+_ADAPTER_DUCK_RICH = f"""
+    {_DATE_DIM_DUCK},
+    {_ss_rich_duck()},
+    catalog_sales AS (
+      SELECT l_orderkey AS cs_sold_date_sk,
+             l_partkey  AS cs_item_sk,
+             {_CENTS} AS cs_ext_sales_price,
+             o_custkey  AS cs_bill_cdemo_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
+             l_orderkey AS cs_order_number,
+             CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
+             {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2),
+    {_ws_rich_duck()},
     store_returns AS (
       SELECT l_orderkey AS sr_returned_date_sk,
              l_orderkey AS sr_ticket_number,
@@ -547,6 +606,7 @@ _ADAPTER_DUCK_RICH = f"""
              l_partkey  AS cr_item_sk,
              o_custkey  AS cr_returning_customer_sk,
              CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
+             CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
              {_CENTS} AS cr_return_amount,
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                AS cr_net_loss
@@ -557,6 +617,7 @@ _ADAPTER_DUCK_RICH = f"""
              l_orderkey AS wr_order_number,
              l_partkey  AS wr_item_sk,
              o_custkey  AS wr_returning_customer_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
              {_CENTS} AS wr_return_amt,
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                AS wr_net_loss
@@ -598,23 +659,7 @@ _ADAPTER_DUCK_RICH = f"""
              CASE WHEN n_nationkey % 7 = 0 THEN 'Y' ELSE 'N' END
                AS p_channel_tv
       FROM nation),
-    customer_v AS (
-      SELECT c_custkey AS c_customer_sk,
-             c_custkey AS c_current_addr_sk,
-             c_custkey AS c_current_cdemo_sk,
-             LPAD(CAST(c_custkey AS VARCHAR), 16, '0') AS c_customer_id,
-             c_name AS c_last_name,
-             'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
-             CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
-               AS c_preferred_cust_flag,
-             (['US','DE','FR','JP','CN','IN','BR','CA','GB','AU'])
-               [CAST(1 + c_custkey % 10 AS INT)] AS c_birth_country,
-             'login' || CAST(c_custkey AS VARCHAR) AS c_login,
-             'c' || CAST(c_custkey AS VARCHAR) || '@example.com'
-               AS c_email_address,
-             CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
-             CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
-      FROM customer),
+    {_CUSTOMER_V_DUCK},
     customer_address AS (
       SELECT c_custkey AS ca_address_sk,
              LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip,
@@ -696,8 +741,116 @@ _DATED_SPARK["store_returns"] = f"""
     """
 
 
+_SPLIT_SPARK = {
+    # DISJOINT-channel tier (q51): in the default mapping store_sales is
+    # ALL of lineitem, so web_sales (the %3=1 slice) is a SUBSET of it and
+    # q51's "web cumulative > store cumulative" predicate is vacuously
+    # empty. This tier gives store the third slice (%3=0) so the two
+    # channels are disjoint — as they are in real TPC-DS data — and the
+    # windowed FULL OUTER comparison exercises both sides. Same column
+    # derivations as the rich tier (shared body, see _ss_rich_spark).
+    "store_sales": _ss_rich_spark("WHERE l_linenumber % 3 = 0"),
+}
+
+_ADAPTER_DUCK_SPLIT = f"""
+    {_DATE_DIM_DUCK},
+    {_ss_rich_duck(chr(10) + "      WHERE l_linenumber % 3 = 0")},
+    {_ws_rich_duck()}
+"""
+
+# DENSE tier (q23a/b): frequent_ss_items keeps (item, date) cells with
+# >4 sales. Real TPC-DS data is skewed enough that some cells qualify;
+# the adapter's uniform lineitem→store_sales mapping at test SF never
+# reaches 5 sales of one part on one calendar day, so the apex queries
+# would be vacuously empty. This tier densifies the cell grid the same
+# way TPC-DS density does — NOT by changing the query: item space folds
+# to 100 keys and d_date is the ISO week start, so a cell is (item-class,
+# week) with mean occupancy >1 and a real >4 tail. d_year/d_moy stay on
+# the true (shifted) calendar so the literal year/month filters behave.
+_DENSE_SPARK = {
+    "date_dim": """
+        SELECT o_orderkey AS d_date_sk,
+               CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS d_date,
+               CAST(YEAR(o_orderdate) AS INT)  AS d_year,
+               CAST(MONTH(o_orderdate) AS INT) AS d_moy
+        FROM (SELECT o_orderkey,
+                     o_orderdate + INTERVAL 1 YEAR AS o_orderdate
+              FROM __tpch_orders)
+    """,
+    "store_sales": """
+        SELECT l_orderkey AS ss_sold_date_sk,
+               CAST(1 + l_partkey % 100 AS BIGINT) AS ss_item_sk,
+               o_custkey AS ss_customer_sk,
+               CAST(l_quantity AS INT) AS ss_quantity,
+               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+                 AS ss_sales_price
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+    """,
+    "catalog_sales": """
+        SELECT l_orderkey AS cs_sold_date_sk,
+               CAST(1 + l_partkey % 100 AS BIGINT) AS cs_item_sk,
+               o_custkey AS cs_bill_customer_sk,
+               CAST(l_quantity AS INT) AS cs_quantity,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS cs_list_price
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 2
+    """,
+    "web_sales": """
+        SELECT l_orderkey AS ws_sold_date_sk,
+               CAST(1 + l_partkey % 100 AS BIGINT) AS ws_item_sk,
+               o_custkey AS ws_bill_customer_sk,
+               CAST(l_quantity AS INT) AS ws_quantity,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS ws_list_price
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 1
+    """,
+}
+
+_ADAPTER_DUCK_DENSE = f"""
+    date_dim AS (
+      SELECT o_orderkey AS d_date_sk,
+             CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS d_date,
+             CAST(YEAR(o_orderdate) AS INT)  AS d_year,
+             CAST(MONTH(o_orderdate) AS INT) AS d_moy
+      FROM (SELECT o_orderkey,
+                   o_orderdate + INTERVAL 1 YEAR AS o_orderdate
+            FROM orders)),
+    store_sales AS (
+      SELECT l_orderkey AS ss_sold_date_sk,
+             CAST(1 + l_partkey % 100 AS BIGINT) AS ss_item_sk,
+             o_custkey AS ss_customer_sk,
+             CAST(l_quantity AS INT) AS ss_quantity,
+             CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               AS ss_sales_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    catalog_sales AS (
+      SELECT l_orderkey AS cs_sold_date_sk,
+             CAST(1 + l_partkey % 100 AS BIGINT) AS cs_item_sk,
+             o_custkey AS cs_bill_customer_sk,
+             CAST(l_quantity AS INT) AS cs_quantity,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS cs_list_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2),
+    web_sales AS (
+      SELECT l_orderkey AS ws_sold_date_sk,
+             CAST(1 + l_partkey % 100 AS BIGINT) AS ws_item_sk,
+             o_custkey AS ws_bill_customer_sk,
+             CAST(l_quantity AS INT) AS ws_quantity,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS ws_list_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1),
+    {_ITEM_DUCK.strip()},
+    {_CUSTOMER_V_DUCK}
+"""
+
+
 def _register_views(
-    spark: SparkSession, sf_dir: str, rich: bool = False, dated: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    rich: bool = False,
+    dated: bool = False,
+    split: bool = False,
+    dense: bool = False,
 ) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
@@ -710,6 +863,12 @@ def _register_views(
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     if dated:
         for name, body in _DATED_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if split:
+        for name, body in _SPLIT_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if dense:
+        for name, body in _DENSE_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
@@ -2160,3 +2319,449 @@ def tpcds_literal_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly representable doubles), so the sums are order-free."""
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY4_SQL)).toDF(*_YOY_OUT)
+QUERY5_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query5.tpl\nwith ssr as\n (select s_store_id,\n        sum(sales_price) as sales,\n        sum(profit) as profit,\n        sum(return_amt) as `returns`,\n        sum(net_loss) as profit_loss\n from\n  ( select  ss_store_sk as store_sk,\n            ss_sold_date_sk  as date_sk,\n            ss_ext_sales_price as sales_price,\n            ss_net_profit as profit,\n            cast(0 as decimal(7,2)) as return_amt,\n            cast(0 as decimal(7,2)) as net_loss\n    from store_sales\n    union all\n    select sr_store_sk as store_sk,\n           sr_returned_date_sk as date_sk,\n           cast(0 as decimal(7,2)) as sales_price,\n           cast(0 as decimal(7,2)) as profit,\n           sr_return_amt as return_amt,\n           sr_net_loss as net_loss\n    from store_returns\n   ) salesreturns,\n     date_dim,\n     store\n where date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date) \n                  and (cast('2000-08-23' as date) + INTERVAL '14' day)\n       and store_sk = s_store_sk\n group by s_store_id)\n ,\n csr as\n (select cp_catalog_page_id,\n        sum(sales_price) as sales,\n        sum(profit) as profit,\n        sum(return_amt) as `returns`,\n        sum(net_loss) as profit_loss\n from\n  ( select  cs_catalog_page_sk as page_sk,\n            cs_sold_date_sk  as date_sk,\n            cs_ext_sales_price as sales_price,\n            cs_net_profit as profit,\n            cast(0 as decimal(7,2)) as return_amt,\n            cast(0 as decimal(7,2)) as net_loss\n    from catalog_sales\n    union all\n    select cr_catalog_page_sk as page_sk,\n           cr_returned_date_sk as date_sk,\n           cast(0 as decimal(7,2)) as sales_price,\n           cast(0 as decimal(7,2)) as profit,\n           cr_return_amount as return_amt,\n           cr_net_loss as net_loss\n    from catalog_returns\n   ) salesreturns,\n     date_dim,\n     catalog_page\n where date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '14' day)\n       and page_sk = cp_catalog_page_sk\n group by cp_catalog_page_id)\n ,\n wsr as\n (select web_site_id,\n        sum(sales_price) as sales,\n        sum(profit) as profit,\n        sum(return_amt) as `returns`,\n        sum(net_loss) as profit_loss\n from\n  ( select  ws_web_site_sk as wsr_web_site_sk,\n            ws_sold_date_sk  as date_sk,\n            ws_ext_sales_price as sales_price,\n            ws_net_profit as profit,\n            cast(0 as decimal(7,2)) as return_amt,\n            cast(0 as decimal(7,2)) as net_loss\n    from web_sales\n    union all\n    select ws_web_site_sk as wsr_web_site_sk,\n           wr_returned_date_sk as date_sk,\n           cast(0 as decimal(7,2)) as sales_price,\n           cast(0 as decimal(7,2)) as profit,\n           wr_return_amt as return_amt,\n           wr_net_loss as net_loss\n    from web_returns left outer join web_sales on\n         ( wr_item_sk = ws_item_sk\n           and wr_order_number = ws_order_number)\n   ) salesreturns,\n     date_dim,\n     web_site\n where date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '14' day)\n       and wsr_web_site_sk = web_site_sk\n group by web_site_id)\n  select  channel\n        , id\n        , sum(sales) as sales\n        , sum(`returns`) as `returns`\n        , sum(profit) as profit\n from \n (select 'store channel' as channel\n        , 'store' || s_store_id as id\n        , sales\n        , `returns`\n        , (profit - profit_loss) as profit\n from   ssr\n union all\n select 'catalog channel' as channel\n        , 'catalog_page' || cp_catalog_page_id as id\n        , sales\n        , `returns`\n        , (profit - profit_loss) as profit\n from  csr\n union all\n select 'web channel' as channel\n        , 'web_site' || web_site_id as id\n        , sales\n        , `returns`\n        , (profit - profit_loss) as profit\n from   wsr\n ) x\n group by rollup (channel, id)\n order by channel\n         ,id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query5.tpl\n"
+
+QUERY51_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query51.tpl\nWITH web_v1 as (\nselect\n  ws_item_sk item_sk, d_date,\n  sum(sum(ws_sales_price))\n      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales\nfrom web_sales\n    ,date_dim\nwhere ws_sold_date_sk=d_date_sk\n  and d_month_seq between 1200 and 1200+11\n  and ws_item_sk is not NULL\ngroup by ws_item_sk, d_date),\nstore_v1 as (\nselect\n  ss_item_sk item_sk, d_date,\n  sum(sum(ss_sales_price))\n      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales\nfrom store_sales\n    ,date_dim\nwhere ss_sold_date_sk=d_date_sk\n  and d_month_seq between 1200 and 1200+11\n  and ss_item_sk is not NULL\ngroup by ss_item_sk, d_date)\n select  *\nfrom (select item_sk\n     ,d_date\n     ,web_sales\n     ,store_sales\n     ,max(web_sales)\n         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative\n     ,max(store_sales)\n         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative\n     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk\n                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date\n                 ,web.cume_sales web_sales\n                 ,store.cume_sales store_sales\n           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk\n                                                          and web.d_date = store.d_date)\n          )x )y\nwhere web_cumulative > store_cumulative\norder by item_sk\n        ,d_date\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query51.tpl\n'
+
+QUERY77_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query77.tpl\nwith ss as\n (select s_store_sk,\n         sum(ss_ext_sales_price) as sales,\n         sum(ss_net_profit) as profit\n from store_sales,\n      date_dim,\n      store\n where ss_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date) \n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n       and ss_store_sk = s_store_sk\n group by s_store_sk)\n ,\n sr as\n (select s_store_sk,\n         sum(sr_return_amt) as `returns`,\n         sum(sr_net_loss) as profit_loss\n from store_returns,\n      date_dim,\n      store\n where sr_returned_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n       and sr_store_sk = s_store_sk\n group by s_store_sk), \n cs as\n (select cs_call_center_sk,\n        sum(cs_ext_sales_price) as sales,\n        sum(cs_net_profit) as profit\n from catalog_sales,\n      date_dim\n where cs_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n group by cs_call_center_sk \n ), \n cr as\n (select cr_call_center_sk,\n         sum(cr_return_amount) as `returns`,\n         sum(cr_net_loss) as profit_loss\n from catalog_returns,\n      date_dim\n where cr_returned_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n group by cr_call_center_sk\n ), \n ws as\n ( select wp_web_page_sk,\n        sum(ws_ext_sales_price) as sales,\n        sum(ws_net_profit) as profit\n from web_sales,\n      date_dim,\n      web_page\n where ws_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n       and ws_web_page_sk = wp_web_page_sk\n group by wp_web_page_sk), \n wr as\n (select wp_web_page_sk,\n        sum(wr_return_amt) as `returns`,\n        sum(wr_net_loss) as profit_loss\n from web_returns,\n      date_dim,\n      web_page\n where wr_returned_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n       and wr_web_page_sk = wp_web_page_sk\n group by wp_web_page_sk)\n  select  channel\n        , id\n        , sum(sales) as sales\n        , sum(`returns`) as `returns`\n        , sum(profit) as profit\n from \n (select 'store channel' as channel\n        , ss.s_store_sk as id\n        , sales\n        , coalesce(`returns`, 0) as `returns`\n        , (profit - coalesce(profit_loss,0)) as profit\n from   ss left join sr\n        on  ss.s_store_sk = sr.s_store_sk\n union all\n select 'catalog channel' as channel\n        , cs_call_center_sk as id\n        , sales\n        , `returns`\n        , (profit - profit_loss) as profit\n from  cs\n       , cr\n union all\n select 'web channel' as channel\n        , ws.wp_web_page_sk as id\n        , sales\n        , coalesce(`returns`, 0) `returns`\n        , (profit - coalesce(profit_loss,0)) as profit\n from   ws left join wr\n        on  ws.wp_web_page_sk = wr.wp_web_page_sk\n ) x\n group by rollup (channel, id)\n order by channel\n         ,id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query77.tpl\n"
+
+QUERY80_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query80.tpl\nwith ssr as\n (select  s_store_id as store_id,\n          sum(ss_ext_sales_price) as sales,\n          sum(coalesce(sr_return_amt, 0)) as `returns`,\n          sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit\n  from store_sales left outer join store_returns on\n         (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),\n     date_dim,\n     store,\n     item,\n     promotion\n where ss_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date) \n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n       and ss_store_sk = s_store_sk\n       and ss_item_sk = i_item_sk\n       and i_current_price > 50\n       and ss_promo_sk = p_promo_sk\n       and p_channel_tv = 'N'\n group by s_store_id)\n ,\n csr as\n (select  cp_catalog_page_id as catalog_page_id,\n          sum(cs_ext_sales_price) as sales,\n          sum(coalesce(cr_return_amount, 0)) as `returns`,\n          sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit\n  from catalog_sales left outer join catalog_returns on\n         (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),\n     date_dim,\n     catalog_page,\n     item,\n     promotion\n where cs_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n        and cs_catalog_page_sk = cp_catalog_page_sk\n       and cs_item_sk = i_item_sk\n       and i_current_price > 50\n       and cs_promo_sk = p_promo_sk\n       and p_channel_tv = 'N'\ngroup by cp_catalog_page_id)\n ,\n wsr as\n (select  web_site_id,\n          sum(ws_ext_sales_price) as sales,\n          sum(coalesce(wr_return_amt, 0)) as `returns`,\n          sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit\n  from web_sales left outer join web_returns on\n         (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),\n     date_dim,\n     web_site,\n     item,\n     promotion\n where ws_sold_date_sk = d_date_sk\n       and d_date between cast('2000-08-23' as date)\n                  and (cast('2000-08-23' as date) + INTERVAL '30' day)\n        and ws_web_site_sk = web_site_sk\n       and ws_item_sk = i_item_sk\n       and i_current_price > 50\n       and ws_promo_sk = p_promo_sk\n       and p_channel_tv = 'N'\ngroup by web_site_id)\n  select  channel\n        , id\n        , sum(sales) as sales\n        , sum(`returns`) as `returns`\n        , sum(profit) as profit\n from \n (select 'store channel' as channel\n        , 'store' || store_id as id\n        , sales\n        , `returns`\n        , profit\n from   ssr\n union all\n select 'catalog channel' as channel\n        , 'catalog_page' || catalog_page_id as id\n        , sales\n        , `returns`\n        , profit\n from  csr\n union all\n select 'web channel' as channel\n        , 'web_site' || web_site_id as id\n        , sales\n        , `returns`\n        , profit\n from   wsr\n ) x\n group by rollup (channel, id)\n order by channel\n         ,id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query80.tpl\n"
+
+QUERY23A_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query23a.tpl\nwith frequent_ss_items as \n (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt\n  from store_sales\n      ,date_dim \n      ,item\n  where ss_sold_date_sk = d_date_sk\n    and ss_item_sk = i_item_sk \n    and d_year in (2000,2000+1,2000+2,2000+3)\n  group by substr(i_item_desc,1,30),i_item_sk,d_date\n  having count(*) >4),\n max_store_sales as\n (select max(csales) tpcds_cmax \n  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales\n        from store_sales\n            ,customer\n            ,date_dim \n        where ss_customer_sk = c_customer_sk\n         and ss_sold_date_sk = d_date_sk\n         and d_year in (2000,2000+1,2000+2,2000+3) \n        group by c_customer_sk)),\n best_ss_customer as\n (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales\n  from store_sales\n      ,customer\n  where ss_customer_sk = c_customer_sk\n  group by c_customer_sk\n  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select\n  *\nfrom\n max_store_sales))\n  select  sum(sales)\n from (select cs_quantity*cs_list_price sales\n       from catalog_sales\n           ,date_dim \n       where d_year = 2000 \n         and d_moy = 2 \n         and cs_sold_date_sk = d_date_sk \n         and cs_item_sk in (select item_sk from frequent_ss_items)\n         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)\n      union all\n      select ws_quantity*ws_list_price sales\n       from web_sales \n           ,date_dim \n       where d_year = 2000 \n         and d_moy = 2 \n         and ws_sold_date_sk = d_date_sk \n         and ws_item_sk in (select item_sk from frequent_ss_items)\n         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) \n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query23a.tpl\n'
+
+QUERY23B_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query23b.tpl\nwith frequent_ss_items as\n (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt\n  from store_sales\n      ,date_dim\n      ,item\n  where ss_sold_date_sk = d_date_sk\n    and ss_item_sk = i_item_sk\n    and d_year in (2000,2000 + 1,2000 + 2,2000 + 3)\n  group by substr(i_item_desc,1,30),i_item_sk,d_date\n  having count(*) >4),\n max_store_sales as\n (select max(csales) tpcds_cmax\n  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales\n        from store_sales\n            ,customer\n            ,date_dim \n        where ss_customer_sk = c_customer_sk\n         and ss_sold_date_sk = d_date_sk\n         and d_year in (2000,2000+1,2000+2,2000+3)\n        group by c_customer_sk)),\n best_ss_customer as\n (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales\n  from store_sales\n      ,customer\n  where ss_customer_sk = c_customer_sk\n  group by c_customer_sk\n  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select\n  *\n from max_store_sales))\n  select  c_last_name,c_first_name,sales\n from (select c_last_name,c_first_name,sum(cs_quantity*cs_list_price) sales\n        from catalog_sales\n            ,customer\n            ,date_dim \n        where d_year = 2000 \n         and d_moy = 2 \n         and cs_sold_date_sk = d_date_sk \n         and cs_item_sk in (select item_sk from frequent_ss_items)\n         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)\n         and cs_bill_customer_sk = c_customer_sk \n       group by c_last_name,c_first_name\n      union all\n      select c_last_name,c_first_name,sum(ws_quantity*ws_list_price) sales\n       from web_sales\n           ,customer\n           ,date_dim \n       where d_year = 2000 \n         and d_moy = 2 \n         and ws_sold_date_sk = d_date_sk \n         and ws_item_sk in (select item_sk from frequent_ss_items)\n         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)\n         and ws_bill_customer_sk = c_customer_sk\n       group by c_last_name,c_first_name) \n     order by c_last_name,c_first_name,sales\n  limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query23b.tpl\n'
+
+
+_CHAN_COLS = ("channel", "id", "sales", "returns", "profit")
+
+_Q5_DATES = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'"
+_Q77_DATES = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'"
+
+
+@query(
+    "tpcds_literal_q5",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ssr AS (
+      SELECT s_store_id,
+             SUM(sales_price) AS sales, SUM(profit) AS profit,
+             SUM(return_amt) AS rtns, SUM(net_loss) AS profit_loss
+      FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+                   ss_ext_sales_price AS sales_price,
+                   ss_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM store_sales
+            UNION ALL
+            SELECT sr_store_sk, sr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   sr_return_amt, sr_net_loss
+            FROM store_returns) salesreturns, date_dim, store
+      WHERE date_sk = d_date_sk AND {_Q5_DATES}
+        AND store_sk = s_store_sk
+      GROUP BY s_store_id),
+    csr AS (
+      SELECT cp_catalog_page_id,
+             SUM(sales_price) AS sales, SUM(profit) AS profit,
+             SUM(return_amt) AS rtns, SUM(net_loss) AS profit_loss
+      FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+                   cs_ext_sales_price AS sales_price,
+                   cs_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM catalog_sales
+            UNION ALL
+            SELECT cr_catalog_page_sk, cr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   cr_return_amount, cr_net_loss
+            FROM catalog_returns) salesreturns, date_dim, catalog_page
+      WHERE date_sk = d_date_sk AND {_Q5_DATES}
+        AND page_sk = cp_catalog_page_sk
+      GROUP BY cp_catalog_page_id),
+    wsr AS (
+      SELECT web_site_id,
+             SUM(sales_price) AS sales, SUM(profit) AS profit,
+             SUM(return_amt) AS rtns, SUM(net_loss) AS profit_loss
+      FROM (SELECT ws_web_site_sk AS wsr_web_site_sk,
+                   ws_sold_date_sk AS date_sk,
+                   ws_ext_sales_price AS sales_price,
+                   ws_net_profit AS profit,
+                   CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                   CAST(0 AS DECIMAL(7,2)) AS net_loss
+            FROM web_sales
+            UNION ALL
+            SELECT ws.ws_web_site_sk, wr_returned_date_sk,
+                   CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+                   wr_return_amt, wr_net_loss
+            FROM web_returns wr LEFT OUTER JOIN web_sales ws
+              ON (wr.wr_item_sk = ws.ws_item_sk
+                  AND wr.wr_order_number = ws.ws_order_number))
+             salesreturns, date_dim, web_site
+      WHERE date_sk = d_date_sk AND {_Q5_DATES}
+        AND wsr_web_site_sk = web_site_sk
+      GROUP BY web_site_id)
+    SELECT channel, id,
+           CAST(SUM(sales) AS DECIMAL(38,2)) AS sales,
+           CAST(SUM(rtns) AS DECIMAL(38,2)) AS "returns",
+           CAST(SUM(profit) AS DECIMAL(38,2)) AS profit
+    FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+                 sales, rtns, (profit - profit_loss) AS profit FROM ssr
+          UNION ALL
+          SELECT 'catalog channel', 'catalog_page' || cp_catalog_page_id,
+                 sales, rtns, (profit - profit_loss) FROM csr
+          UNION ALL
+          SELECT 'web channel', 'web_site' || web_site_id,
+                 sales, rtns, (profit - profit_loss) FROM wsr) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query5.sql text, unmodified — the three-channel
+    sales-plus-returns rollup: per channel a UNION ALL of the sales fact
+    with its returns fact (returns joined back through the web_sales
+    bridge on (item, order_number) for the web channel), re-joined to
+    date/dimension and GROUP BY ROLLUP(channel, id). All measures are
+    exact integer cents widened by the spec's DECIMAL(7,2) zero literals,
+    so the DECIMAL(38,2) sums are exact in both engines; (channel, id) is
+    a total order with NULLS FIRST pinned to Spark's ASC default.
+    Reference: tpcds-tool/query/query5.sql; TpcdsTestProgram.java:118."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY5_SQL)).toDF(*_CHAN_COLS)
+
+
+@query(
+    "tpcds_literal_q77",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ss AS (
+      SELECT s_store_sk, SUM(ss_ext_sales_price) AS sales,
+             SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store
+      WHERE ss_sold_date_sk = d_date_sk AND {_Q77_DATES}
+        AND ss_store_sk = s_store_sk
+      GROUP BY s_store_sk),
+    sr AS (
+      SELECT s_store_sk, SUM(sr_return_amt) AS rtns,
+             SUM(sr_net_loss) AS profit_loss
+      FROM store_returns, date_dim, store
+      WHERE sr_returned_date_sk = d_date_sk AND {_Q77_DATES}
+        AND sr_store_sk = s_store_sk
+      GROUP BY s_store_sk),
+    cs AS (
+      SELECT cs_call_center_sk, SUM(cs_ext_sales_price) AS sales,
+             SUM(cs_net_profit) AS profit
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND {_Q77_DATES}
+      GROUP BY cs_call_center_sk),
+    cr AS (
+      SELECT cr_call_center_sk, SUM(cr_return_amount) AS rtns,
+             SUM(cr_net_loss) AS profit_loss
+      FROM catalog_returns, date_dim
+      WHERE cr_returned_date_sk = d_date_sk AND {_Q77_DATES}
+      GROUP BY cr_call_center_sk),
+    ws AS (
+      SELECT wp_web_page_sk, SUM(ws_ext_sales_price) AS sales,
+             SUM(ws_net_profit) AS profit
+      FROM web_sales, date_dim, web_page
+      WHERE ws_sold_date_sk = d_date_sk AND {_Q77_DATES}
+        AND ws_web_page_sk = wp_web_page_sk
+      GROUP BY wp_web_page_sk),
+    wr AS (
+      SELECT wp_web_page_sk, SUM(wr_return_amt) AS rtns,
+             SUM(wr_net_loss) AS profit_loss
+      FROM web_returns, date_dim, web_page
+      WHERE wr_returned_date_sk = d_date_sk AND {_Q77_DATES}
+        AND wr_web_page_sk = wp_web_page_sk
+      GROUP BY wp_web_page_sk)
+    SELECT channel, id, SUM(sales) AS sales, SUM(rtns) AS "returns",
+           SUM(profit) AS profit
+    FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+                 COALESCE(rtns, 0) AS rtns,
+                 (profit - COALESCE(profit_loss, 0)) AS profit
+          FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+          UNION ALL
+          SELECT 'catalog channel', cs_call_center_sk, sales,
+                 rtns, (profit - profit_loss)
+          FROM cs, cr
+          UNION ALL
+          SELECT 'web channel', ws.wp_web_page_sk, sales,
+                 COALESCE(rtns, 0),
+                 (profit - COALESCE(profit_loss, 0))
+          FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query77.sql text, unmodified — six per-channel CTEs
+    (sales + returns at three different grains) combined by LEFT JOIN
+    (store/web) and the spec's bare CROSS JOIN (catalog: every cs row
+    pairs every cr row — kept verbatim, mirrored in the oracle), then
+    ROLLUP over (channel, id). Backquoted ``returns`` aliases pass
+    through the front door unmodified. Exact integer cents throughout;
+    NULLS FIRST pinned. Reference: tpcds-tool/query/query77.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY77_SQL)).toDF(*_CHAN_COLS)
+
+
+@query(
+    "tpcds_literal_q80",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ssr AS (
+      SELECT s_store_id AS store_id, SUM(ss_ext_sales_price) AS sales,
+             SUM(COALESCE(sr_return_amt, 0)) AS rtns,
+             SUM(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+      FROM store_sales LEFT OUTER JOIN store_returns
+             ON (ss_item_sk = sr_item_sk
+                 AND ss_ticket_number = sr_ticket_number),
+           date_dim, store, item, promotion
+      WHERE ss_sold_date_sk = d_date_sk AND {_Q77_DATES}
+        AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+        AND i_current_price > 50 AND ss_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY s_store_id),
+    csr AS (
+      SELECT cp_catalog_page_id AS catalog_page_id,
+             SUM(cs_ext_sales_price) AS sales,
+             SUM(COALESCE(cr_return_amount, 0)) AS rtns,
+             SUM(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+      FROM catalog_sales LEFT OUTER JOIN catalog_returns
+             ON (cs_item_sk = cr_item_sk
+                 AND cs_order_number = cr_order_number),
+           date_dim, catalog_page, item, promotion
+      WHERE cs_sold_date_sk = d_date_sk AND {_Q77_DATES}
+        AND cs_catalog_page_sk = cp_catalog_page_sk
+        AND cs_item_sk = i_item_sk
+        AND i_current_price > 50 AND cs_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY cp_catalog_page_id),
+    wsr AS (
+      SELECT web_site_id, SUM(ws_ext_sales_price) AS sales,
+             SUM(COALESCE(wr_return_amt, 0)) AS rtns,
+             SUM(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+      FROM web_sales LEFT OUTER JOIN web_returns
+             ON (ws_item_sk = wr_item_sk
+                 AND ws_order_number = wr_order_number),
+           date_dim, web_site, item, promotion
+      WHERE ws_sold_date_sk = d_date_sk AND {_Q77_DATES}
+        AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+        AND i_current_price > 50 AND ws_promo_sk = p_promo_sk
+        AND p_channel_tv = 'N'
+      GROUP BY web_site_id)
+    SELECT channel, id, SUM(sales) AS sales, SUM(rtns) AS "returns",
+           SUM(profit) AS profit
+    FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+                 sales, rtns, profit FROM ssr
+          UNION ALL
+          SELECT 'catalog channel', 'catalog_page' || catalog_page_id,
+                 sales, rtns, profit FROM csr
+          UNION ALL
+          SELECT 'web channel', 'web_site' || web_site_id,
+                 sales, rtns, profit FROM wsr) x
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query80.sql text, unmodified — per channel a fact-to-returns
+    LEFT OUTER JOIN on the sale identity (item, ticket/order number)
+    filtered through item-price, promotion-channel and 30-day date
+    windows, then ROLLUP(channel, id). The returns adjustment rides
+    COALESCE inside the sums (exact integer cents); NULLS FIRST pinned.
+    Reference: tpcds-tool/query/query80.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY80_SQL)).toDF(*_CHAN_COLS)
+
+
+_Q51_COLS = (
+    "item_sk", "d_date", "web_sales", "store_sales",
+    "web_cumulative", "store_cumulative",
+)
+
+
+@query(
+    "tpcds_literal_q51",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_SPLIT},
+    web_v1 AS (
+      SELECT ws_item_sk AS item_sk, d_date,
+             SUM(SUM(ws_sales_price)) OVER (
+               PARTITION BY ws_item_sk ORDER BY d_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cume_sales
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11
+        AND ws_item_sk IS NOT NULL
+      GROUP BY ws_item_sk, d_date),
+    store_v1 AS (
+      SELECT ss_item_sk AS item_sk, d_date,
+             SUM(SUM(ss_sales_price)) OVER (
+               PARTITION BY ss_item_sk ORDER BY d_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cume_sales
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11
+        AND ss_item_sk IS NOT NULL
+      GROUP BY ss_item_sk, d_date)
+    SELECT * FROM (
+      SELECT item_sk, d_date, web_sales, store_sales,
+             MAX(web_sales) OVER (
+               PARTITION BY item_sk ORDER BY d_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_cumulative,
+             MAX(store_sales) OVER (
+               PARTITION BY item_sk ORDER BY d_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_cumulative
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END AS item_sk,
+                   CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                        ELSE store.d_date END AS d_date,
+                   web.cume_sales AS web_sales,
+                   store.cume_sales AS store_sales
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+              ON (web.item_sk = store.item_sk
+                  AND web.d_date = store.d_date)) x) y
+    WHERE web_cumulative > store_cumulative
+    ORDER BY item_sk, d_date
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query51.sql text, unmodified — the windowed FULL OUTER
+    cumulative CTE: per-channel daily sums turned into running totals by
+    a window-over-group-aggregate, FULL OUTER joined on (item, date),
+    then running MAX over the coalesced stream, keeping item-days where
+    the web cumulative overtakes store. Runs on the SPLIT tier (store :=
+    the third lineitem slice) so the channels are disjoint as in real
+    TPC-DS data — under the default store ⊇ web containment the
+    predicate is vacuously empty. Exact bigint sums; (item_sk, d_date)
+    is a total order. Reference: tpcds-tool/query/query51.sql."""
+    _register_views(spark, sf_dir, rich=True, split=True)
+    return spark.sql(rewrite(QUERY51_SQL)).toDF(*_Q51_COLS)
+
+
+_Q23_FREQ = """
+      SELECT SUBSTR(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+             d_date AS solddate, COUNT(*) AS cnt
+      FROM store_sales, date_dim, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+        AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
+      GROUP BY SUBSTR(i_item_desc, 1, 30), i_item_sk, d_date
+      HAVING COUNT(*) > 4"""
+
+_Q23_MAX = """
+      SELECT MAX(csales) AS tpcds_cmax
+      FROM (SELECT c_customer_sk,
+                   SUM(ss_quantity * ss_sales_price) AS csales
+            FROM store_sales, customer_v, date_dim
+            WHERE ss_customer_sk = c_customer_sk
+              AND ss_sold_date_sk = d_date_sk
+              AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
+            GROUP BY c_customer_sk) t"""
+
+_Q23_BEST = """
+      SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS ssales
+      FROM store_sales, customer_v
+      WHERE ss_customer_sk = c_customer_sk
+      GROUP BY c_customer_sk
+      HAVING SUM(ss_quantity * ss_sales_price) >
+             (50 / 100.0) * (SELECT * FROM max_store_sales)"""
+
+
+@query(
+    "tpcds_literal_q23a",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DENSE},
+    frequent_ss_items AS ({_Q23_FREQ}),
+    max_store_sales AS ({_Q23_MAX}),
+    best_ss_customer AS ({_Q23_BEST})
+    SELECT SUM(sales) AS sales_total
+    FROM (SELECT cs_quantity * cs_list_price AS sales
+          FROM catalog_sales, date_dim
+          WHERE d_year = 2000 AND d_moy = 2
+            AND cs_sold_date_sk = d_date_sk
+            AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+            AND cs_bill_customer_sk IN
+                (SELECT c_customer_sk FROM best_ss_customer)
+          UNION ALL
+          SELECT ws_quantity * ws_list_price AS sales
+          FROM web_sales, date_dim
+          WHERE d_year = 2000 AND d_moy = 2
+            AND ws_sold_date_sk = d_date_sk
+            AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+            AND ws_bill_customer_sk IN
+                (SELECT c_customer_sk FROM best_ss_customer)) t
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q23a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query23a.sql text, unmodified — the WITH-chained apex: a
+    frequent-item CTE (HAVING cnt > 4 per item/date cell), a scalar-max
+    CTE, and a best-customer CTE whose HAVING references the scalar max
+    through ``(50/100.0) * (SELECT * FROM ...)``, all three consumed by
+    IN-subqueries under a two-channel UNION ALL. Runs on the DENSE tier
+    (folded item space, week-grain d_date) so the >4 cell tail is
+    non-empty, as TPC-DS skew makes it on real data. The 50%-of-max
+    threshold compares exact integers against an exact half. Reference:
+    tpcds-tool/query/query23a.sql."""
+    _register_views(spark, sf_dir, rich=True, dense=True)
+    return spark.sql(rewrite(QUERY23A_SQL)).toDF("sales_total")
+
+
+@query(
+    "tpcds_literal_q23b",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DENSE},
+    frequent_ss_items AS ({_Q23_FREQ}),
+    max_store_sales AS ({_Q23_MAX}),
+    best_ss_customer AS ({_Q23_BEST})
+    SELECT c_last_name, c_first_name, sales
+    FROM (SELECT c_last_name, c_first_name,
+                 SUM(cs_quantity * cs_list_price) AS sales
+          FROM catalog_sales, customer_v, date_dim
+          WHERE d_year = 2000 AND d_moy = 2
+            AND cs_sold_date_sk = d_date_sk
+            AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+            AND cs_bill_customer_sk IN
+                (SELECT c_customer_sk FROM best_ss_customer)
+            AND cs_bill_customer_sk = c_customer_sk
+          GROUP BY c_last_name, c_first_name
+          UNION ALL
+          SELECT c_last_name, c_first_name,
+                 SUM(ws_quantity * ws_list_price) AS sales
+          FROM web_sales, customer_v, date_dim
+          WHERE d_year = 2000 AND d_moy = 2
+            AND ws_sold_date_sk = d_date_sk
+            AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+            AND ws_bill_customer_sk IN
+                (SELECT c_customer_sk FROM best_ss_customer)
+            AND ws_bill_customer_sk = c_customer_sk
+          GROUP BY c_last_name, c_first_name) t
+    ORDER BY c_last_name, c_first_name, sales
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query23b.sql text, unmodified — same three-CTE apex as
+    q23a but resolving the best customers to names through a per-channel
+    GROUP BY before the UNION. DENSE tier; exact integer measures; the
+    (last, first, sales) sort is total up to identical duplicate rows.
+    Reference: tpcds-tool/query/query23b.sql."""
+    _register_views(spark, sf_dir, rich=True, dense=True)
+    return spark.sql(rewrite(QUERY23B_SQL)).toDF(
+        "c_last_name", "c_first_name", "sales"
+    )

@@ -136,10 +136,12 @@ GATE_ORDER: tuple[str, ...] = (
     # (alternation, FIRST/LAST measures, and the r5 trailing loop stay
     # locally verified — trailing-loop NFA mechanics are also exercised
     # by prev_nav's recursion and overlap_threshold)
+    # (r8: match_recognize_final and stream_cep_quantified rotate out to
+    # local verification — their NFA surfaces are covered by the three
+    # remaining MR/CEP gate rows — making room for the r7-verdict literal
+    # TPC-DS apex queries q5 and q23b below)
     "match_recognize_agg_measures",
     "match_recognize_prev_nav",
-    "match_recognize_final",
-    "stream_cep_quantified",
     "stream_cep_overlap_threshold",
     # changelog pipeline: the kafka+debezium query subsumes
     # changelog_normalize_batch (same normalize, plus CDC decode and real
@@ -164,7 +166,10 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_exact",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # (r8: dedup_simhash rotates to local verification — five dedup
+    # families stay gated — freeing a slot for the MATCH_ROWTIME()
+    # window-after-MATCH_RECOGNIZE chain, r7 verdict task #3)
+    "match_recognize_rowtime_window",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     # ANN similarity search (LSH bucket variant stays locally verified; the
@@ -189,6 +194,10 @@ GATE_ORDER: tuple[str, ...] = (
     # arithmetic, running unmodified through rewrite()+spark.sql)
     "q18_large_volume_customers",
     "tpcds_literal_q98",
+    # r8 literal TPC-DS landings: the multi-fact returns rollup (q5) and
+    # the WITH-chained apex on the DENSE tier (q23b)
+    "tpcds_literal_q5",
+    "tpcds_literal_q23b",
 )
 
 

@@ -638,6 +638,12 @@ _M_PLAIN = re.compile(
 )
 _M_CLS = re.compile(r"(?is)^CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)$")
 _M_MN = re.compile(r"(?is)^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)$")
+# Flink time attributes of the MATCH output (FlinkSqlOperatorTable
+# MATCH_ROWTIME/MATCH_PROCTIME; MatchRecognizeITCase.scala): the match's
+# event-time (its LAST row's rowtime — what lets a window aggregate chain
+# after MATCH_RECOGNIZE) and a processing-time marker.
+_M_MRT = re.compile(r"(?is)^MATCH_ROWTIME\s*\(\s*\)\s+AS\s+(\w+)$")
+_M_MPT = re.compile(r"(?is)^MATCH_PROCTIME\s*\(\s*\)\s+AS\s+(\w+)$")
 _SUBSET_ITEM = re.compile(r"(\w+)\s*=\s*\(([\w\s,]*)\)")
 
 
@@ -717,7 +723,7 @@ def _match_recognize_all_rows(
     # (fn, var, col, alias, final) — final=True pins the whole-match value
     # on every row (SQL:2016 FINAL keyword; default here is RUNNING)
     specs: list[tuple[str, str, str, str, bool]] = []
-    cls_alias = mn_alias = None
+    cls_alias = mn_alias = mrt_alias = mpt_alias = None
     for it in items:
         am = _M_AGG.match(it)
         if am:
@@ -740,6 +746,14 @@ def _match_recognize_all_rows(
         nm = _M_MN.match(it)
         if nm:
             mn_alias = nm.group(1)
+            continue
+        rt = _M_MRT.match(it)
+        if rt:
+            mrt_alias = rt.group(1)
+            continue
+        pt = _M_MPT.match(it)
+        if pt:
+            mpt_alias = pt.group(1)
             continue
         raise ValueError(f"ALL ROWS PER MATCH: unsupported MEASURES item: {it!r}")
 
@@ -798,6 +812,12 @@ def _match_recognize_all_rows(
         proj.append(F.col("__var").alias(cls_alias))
     if mn_alias is not None:
         proj.append(F.col("__mn").alias(mn_alias))
+    if mrt_alias is not None:
+        # RUNNING rowtime: the CURRENT row's order value (row-grain
+        # output advances the match rowtime row by row)
+        proj.append(F.col(order).alias(mrt_alias))
+    if mpt_alias is not None:
+        proj.append(F.current_timestamp().alias(mpt_alias))
     return joined.select(*proj)
 
 
@@ -845,7 +865,7 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
     plain: list[tuple[str, str, str]] = []
     # per variable: (fn, col, alias, offset)
     var_aggs: dict[str, list[tuple[str, str, str, int]]] = {}
-    cls_alias = mn_alias = None
+    cls_alias = mn_alias = mrt_alias = mpt_alias = None
     for it in items:
         am = _M_AGG.match(it)
         if am:
@@ -870,6 +890,14 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         nm = _M_MN.match(it)
         if nm:
             mn_alias = nm.group(1)
+            continue
+        rt = _M_MRT.match(it)
+        if rt:
+            mrt_alias = rt.group(1)
+            continue
+        pt = _M_MPT.match(it)
+        if pt:
+            mpt_alias = pt.group(1)
             continue
         raise ValueError(f"unsupported MEASURES item: {it!r}")
     need_vars = bool(var_aggs) or cls_alias is not None
@@ -1006,6 +1034,18 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
             "first_ts_us", "first_event_id", "last_ts_us", "last_event_id"
         )
         out = out.withColumn(mn_alias, F.row_number().over(w))
+    if mrt_alias is not None:
+        # MATCH_ROWTIME(): the match's event-time attribute — its LAST
+        # row's rowtime, in this surface's epoch-micros convention (same
+        # unit as first_ts_us/last_ts_us), so a downstream window
+        # aggregate can tumble over MATCH_RECOGNIZE output exactly as
+        # Flink chains windows after MATCH_ROWTIME()
+        out = out.withColumn(mrt_alias, F.col("last_ts_us"))
+    if mpt_alias is not None:
+        # MATCH_PROCTIME(): processing-time marker — inherently
+        # nondeterministic (wall clock), same contract as the engine's
+        # PROCTIME() rewrite; excluded from value-hash oracles
+        out = out.withColumn(mpt_alias, F.current_timestamp())
     # vars_json also appears when DEFINE aggregates forced event retention
     # without any var-anchored measure — always scrub the internals
     return out.drop("__vars", "vars_json")

@@ -1448,3 +1448,57 @@ def test_last_is_null_on_matched_null_field(spark):
     # only the null-valued A (e0) completes; e2's A has a value so B's
     # IS NULL guard rejects, and COUNT skips the null
     assert got == [(0, 1, 0)]
+
+
+def test_match_rowtime_and_proctime_measures(spark):
+    """MATCH_ROWTIME() = the match's last-row rowtime (epoch micros, same
+    unit as last_ts_us) so a window aggregate can chain after
+    MATCH_RECOGNIZE; MATCH_PROCTIME() = a wall-clock timestamp marker.
+    ALL ROWS PER MATCH: MATCH_ROWTIME advances with the current row."""
+    import datetime as dt
+
+    from flink_1_12_2_spark.sql.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "a", 1.0),
+        (1, 1, base + dt.timedelta(minutes=1), "b", 10.0),
+        (2, 1, base + dt.timedelta(hours=2), "a", 2.0),
+        (3, 1, base + dt.timedelta(hours=2, minutes=1), "b", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id int, ts timestamp, event_type string, "
+        "value double",
+    )
+    one_row = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES MATCH_ROWTIME() AS mrt, MATCH_PROCTIME() AS mpt
+      PATTERN (A B)
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    got = match_recognize(df, one_row).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.mrt == r.last_ts_us  # rowtime of the match's last row
+        assert isinstance(r.mpt, dt.datetime)  # proctime marker
+    # the chained-window shape: matches bucket by their rowtime hour
+    hours = sorted({r.mrt // 3_600_000_000 for r in got})
+    assert len(hours) == 2 and hours[1] - hours[0] == 2
+
+    all_rows = """
+    SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES MATCH_ROWTIME() AS mrt
+      ALL ROWS PER MATCH
+      PATTERN (A B)
+      DEFINE A AS event_type = 'a', B AS event_type = 'b'
+    )"""
+    per_row = {
+        r.event_id: r.mrt for r in match_recognize(df, all_rows).collect()
+    }
+    # RUNNING: each emitted row carries ITS OWN rowtime
+    assert per_row == {
+        eid: ts for eid, _, ts, _, _ in rows
+    }
