@@ -297,7 +297,9 @@ def stream_cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
         .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
         .within(6 * 3600 * 1_000_000)
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
@@ -512,7 +514,9 @@ def stream_cep_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
         .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
         .within(6 * 3600 * 1_000_000)
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
@@ -806,7 +810,9 @@ def stream_cep_buffered_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
         .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
         .within(_6H_US)
     )
     out = run_to_memory(
@@ -845,7 +851,9 @@ def stream_cep_no_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
         .followed_by("purchase", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
         .within(_6H_US)
         .no_skip()
     )
@@ -1007,7 +1015,9 @@ def stream_cep_overlap_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("mid", lambda r: r["value"] > 50)
+        .bound("value > 50")
         .followed_by("high", lambda r: r["value"] > 150)
+        .bound("value > 150")
         .within(_24H_US)
     )
     out = run_to_memory(cep_pattern_matches(ev, pat), output_mode="append")
@@ -1482,7 +1492,9 @@ def stream_cep_trailing_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     pat = (
         Pattern.begin("click", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
         .followed_by("view", lambda r: r["event_type"] == "view")
+        .bound("event_type = 'view'")
         .one_or_more()
         .within(_6H_US)
         .no_skip()

@@ -183,6 +183,15 @@ class Step:
     # fires on a row, the loop stops accepting elements — the row itself is
     # NOT consumed into the loop (it may match the successor step)
     until_pred: Predicate | None = None
+    # optional Catalyst UPPER BOUND of this step's predicate (a SQL
+    # expression string over the event columns, e.g. "value > 50"): a
+    # necessary condition the user PROMISES is implied by ``pred`` (rows
+    # failing it can never match the step, for any match context). Enables
+    # the vectorized candidate pre-gate (:func:`cep_pregate`) — the same
+    # optimization the SQL MATCH_RECOGNIZE front door derives automatically
+    # from DEFINE clauses (sql/match_recognize._pregate). A string, not a
+    # Column, so the Step stays picklable into the pandas workers.
+    bound_sql: str | None = None
 
     @property
     def is_loop(self) -> bool:
@@ -404,6 +413,20 @@ class Pattern:
     def consecutive(self) -> "Pattern":
         """Strict contiguity inside the loop: a non-matching row closes it."""
         self.steps[-1].consecutive = True
+        return self
+
+    def bound(self, sql: str) -> "Pattern":
+        """Declare a Catalyst UPPER BOUND for the last-added step: a SQL
+        expression over the event columns that is IMPLIED by the step's
+        Python predicate (rows failing it can never match the step). The
+        runtime uses it only to pre-filter candidates JVM-side before the
+        Python NFA (:func:`cep_pregate`) — declared bounds never change the
+        match set, provided the implication holds. The programmatic analogue
+        of what the SQL front door derives from DEFINE clauses
+        (sql/match_recognize._pregate); Flink's Pattern API has no such
+        hook, so every row crosses into the CEP operator there
+        (CepOperator.java processElement)."""
+        self.steps[-1].bound_sql = sql
         return self
 
     def within(self, duration_us: int) -> "Pattern":
@@ -959,6 +982,101 @@ def _rows_from_pdf(pdf, time_col: str) -> list[dict]:
     return rows
 
 
+def cep_pregate(
+    events: DataFrame,
+    pattern: Pattern,
+    key_col: str,
+    key_gate: bool = False,
+    sentinel_exempt: bool = False,
+) -> DataFrame:
+    """Vectorized candidate pre-gate for the programmatic ``Pattern`` path:
+    Catalyst filters evaluated BEFORE rows cross into the Python NFA, built
+    from the per-step upper bounds declared via :meth:`Pattern.bound`.
+    Byte-identical match output by construction (bounds are necessary
+    conditions of the predicates); a pure optimization, a no-op when no/not
+    enough bounds are declared.
+
+    1. ROW gate — keep only rows satisfying at least one step's bound.
+       Requires EVERY step of every sequence to carry a bound (a row
+       matching an unbounded step must survive) and is defensively skipped
+       when any step's semantics OBSERVE non-matching rows (strict
+       contiguity, negatives, ``until``, ``consecutive``). Under relaxed
+       contiguity a row matching no step is ignored by every branch and
+       can never complete, advance, or kill a match, and ``within`` expiry
+       only retires branches that the gated run retires at their next
+       consuming row with the same match set. The filter is a plain
+       scan-stage predicate — at 100 TB it reaches the parquet reader as a
+       PushedFilter and the non-candidate bulk never leaves the scan.
+       In streaming this also subsumes the key gate: a key none of whose
+       rows pass the filter never reaches ``applyInPandasWithState`` and
+       allocates no state.
+    2. KEY gate (batch only, ``key_gate=True``) — drop whole partitions
+       with no row satisfying the match-START bound (leading optional
+       positive steps plus the first mandatory positive step, across all
+       sequences). Sound even with strict/negative/until steps: a match's
+       first consumed row always matches a start step, so a key with no
+       such row yields zero matches regardless of what the other steps
+       observe. One window max over the NFA's own partitioning key — no
+       extra exchange (mirrors sql/match_recognize._pregate).
+
+    NOT applied to :func:`cep_timed_out_partials`: the row gate can
+    reclassify an expired partial as pending-at-end-of-input (both are
+    emitted, but keeping the operator gate-free is simpler to reason
+    about), and timeout rows are the query's actual payload there."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    step_lists = pattern.seqs if pattern.seqs else [pattern.steps]
+
+    def union_bound(bounds: list[str]):
+        # sorted+deduped: deterministic OR order → stable plans across runs
+        return F.expr(" OR ".join(f"({b})" for b in sorted(set(bounds))))
+
+    row_gate_safe = not any(
+        s.negative or s.strict or s.consecutive or s.until_pred
+        for steps in step_lists
+        for s in steps
+    )
+    if row_gate_safe:
+        bounds = [s.bound_sql for steps in step_lists for s in steps]
+        if all(b is not None for b in bounds):
+            gate = union_bound(bounds)
+            if sentinel_exempt:
+                # watermark flush sentinels (event_id < 0, streaming/core
+                # flush_sentinels) must reach the NFA to trigger buffered
+                # flushes — they carry no data and match no step
+                gate = gate | F.expr("event_id < 0")
+            events = events.filter(gate)
+
+    if key_gate:
+        starts: list[str | None] = []
+        for steps in step_lists:
+            for s in steps:
+                if s.negative:
+                    continue  # negatives never consume a match's first row
+                starts.append(s.bound_sql)
+                if s.min_times > 0:
+                    break
+        if starts and all(b is not None for b in starts):
+            from flink_1_12_2_spark.session import pinned_repartition
+
+            # pin the key partitioning BEFORE the window (see
+            # sql/match_recognize._pregate — AQE byte-coalescing must not
+            # size the downstream Python stage)
+            return (
+                pinned_repartition(events, key_col)
+                .withColumn(
+                    "__cep_has_start",
+                    F.max(union_bound(starts).cast("int")).over(
+                        Window.partitionBy(key_col)
+                    ),
+                )
+                .filter(F.col("__cep_has_start") == 1)
+                .drop("__cep_has_start")
+            )
+    return events
+
+
 def cep_match_batch(
     events: DataFrame,
     pattern: Pattern,
@@ -1004,6 +1122,7 @@ def cep_match_batch(
             out["vars_json"] = [m[4] for m in matches]
         return pd.DataFrame(out)
 
+    events = cep_pregate(events, pattern, key_col, key_gate=True)
     return _keyed_python_stage(events, key_col).applyInPandas(fn, schema)
 
 
@@ -1089,6 +1208,12 @@ def cep_pattern_matches(
     whenever batches arrive in event-time order, e.g. the time-split
     harness source."""
     pattern.validate()
+    # streaming-safe row gate only (the window-max key gate needs a bounded
+    # partition; in streaming the row gate subsumes it — ungated keys never
+    # reach applyInPandasWithState and allocate no state)
+    events = cep_pregate(
+        events, pattern, key_col, key_gate=False, sentinel_exempt=True
+    )
 
     def fn(
         key: tuple[Any, ...],

@@ -1502,3 +1502,149 @@ def test_match_rowtime_and_proctime_measures(spark):
     assert per_row == {
         eid: ts for eid, _, ts, _, _ in rows
     }
+
+
+# ---------------------------------------------------------------------------
+# Vectorized candidate pre-gate for the programmatic Pattern path
+# (Pattern.bound → cep_pregate): the analogue of sql/match_recognize._pregate
+# for CEP.java-style fluent patterns, which Flink itself does not optimize
+# (CepOperator.java processElement sees every row).
+
+
+def _events_df(spark, sf_dir):
+    from flink_1_12_2_spark.registry import load
+
+    return load(spark, sf_dir, "events")
+
+
+def test_pregate_batch_outputs_identical(spark, sf_dir):
+    """Bounds are a pure optimization: gated and ungated batch NFA runs
+    produce byte-identical match sets, and the gated plan pushes the bound
+    disjunction into the parquet scan BELOW the pandas NFA stage."""
+    from flink_1_12_2_spark.streaming.cep import cep_match_batch
+
+    ev = _events_df(spark, sf_dir)
+
+    def pat(with_bounds):
+        p = Pattern.begin("c", lambda r: r["event_type"] == "click")
+        if with_bounds:
+            p = p.bound("event_type = 'click'")
+        p = p.followed_by("p", lambda r: r["event_type"] == "purchase")
+        if with_bounds:
+            p = p.bound("event_type = 'purchase'")
+        return p.within(6 * 3600 * 1_000_000)
+
+    ungated = cep_match_batch(ev, pat(False)).collect()
+    gated_df = cep_match_batch(ev, pat(True))
+    gated = gated_df.collect()
+    assert sorted(map(tuple, gated)) == sorted(map(tuple, ungated))
+    assert len(gated) > 0
+    plan = gated_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "Or(" in ln
+        and "EqualTo(event_type,click)" in ln
+        and "EqualTo(event_type,purchase)" in ln
+        for ln in pushed
+    ), pushed
+
+
+def test_pregate_streaming_equals_batch(spark, sf_dir):
+    """The streaming operator with bounds (row gate, sentinel-exempt)
+    matches the ungated batch NFA — gate queries stream_cep_click_purchase
+    et al. rely on this equivalence."""
+    from flink_1_12_2_spark.streaming.cep import (
+        cep_match_batch,
+        cep_pattern_matches,
+    )
+    from flink_1_12_2_spark.streaming.core import run_to_memory, stream_events
+
+    pat = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
+        .followed_by("p", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
+        .within(6 * 3600 * 1_000_000)
+    )
+    ev = stream_events(spark, sf_dir)
+    streamed = run_to_memory(
+        cep_pattern_matches(ev, pat), output_mode="append"
+    ).collect()
+    batch = cep_match_batch(_events_df(spark, sf_dir), pat).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
+
+
+def test_pregate_row_gate_off_when_semantics_observe_rows(spark, sf_dir):
+    """Strict/negative/until/consecutive steps OBSERVE non-matching rows —
+    the row gate must stay off even with full bounds (only the batch key
+    gate may apply). Output equality with the ungated run is the proof."""
+    from flink_1_12_2_spark.streaming.cep import cep_match_batch, cep_pregate
+
+    ev = _events_df(spark, sf_dir)
+    pat = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
+        .not_followed_by("e", lambda r: r["event_type"] == "error")
+        .followed_by("p", lambda r: r["event_type"] == "purchase")
+        .bound("event_type = 'purchase'")
+        .within(6 * 3600 * 1_000_000)
+    )
+    # row gate refused: no Filter added on the un-keyed path
+    gated = cep_pregate(ev, pat, "user_id", key_gate=False)
+    assert gated is ev
+    # negative step lacks a bound on purpose — with key_gate the start
+    # bound alone gates keys; outputs must still match the ungated run
+    pat_nobound = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .not_followed_by("e", lambda r: r["event_type"] == "error")
+        .followed_by("p", lambda r: r["event_type"] == "purchase")
+        .within(6 * 3600 * 1_000_000)
+    )
+    a = cep_match_batch(ev, pat).collect()
+    b = cep_match_batch(ev, pat_nobound).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pregate_partial_bounds_are_noop_for_row_gate(spark, sf_dir):
+    """A pattern where only SOME steps carry bounds must not row-filter (a
+    row matching the unbounded step has to survive)."""
+    from flink_1_12_2_spark.streaming.cep import cep_pregate
+
+    ev = _events_df(spark, sf_dir)
+    pat = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
+        .followed_by("any", lambda r: True)
+        .within(6 * 3600 * 1_000_000)
+    )
+    assert cep_pregate(ev, pat, "user_id", key_gate=False) is ev
+
+
+def test_pregate_key_gate_drops_startless_keys(spark):
+    """Batch key gate: keys whose rows never satisfy the start bound are
+    dropped before the Python stage, keys with a start survive intact."""
+    from flink_1_12_2_spark.streaming.cep import cep_pregate
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10, "click"),
+            (1, 2, 20, "purchase"),
+            (2, 3, 10, "view"),  # key 2: no possible start
+            (2, 4, 20, "purchase"),
+        ],
+        "user_id long, event_id long, ts_us long, event_type string",
+    )
+    pat = (
+        Pattern.begin("c", lambda r: r["event_type"] == "click")
+        .bound("event_type = 'click'")
+        .followed_by("p", lambda r: r["event_type"] == "purchase")
+        .within(1_000_000)
+    )
+    got = cep_pregate(df, pat, "user_id", key_gate=True)
+    assert sorted(r.user_id for r in got.collect()) == [1, 1]
