@@ -10,7 +10,7 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the thirty-nine files below:
+Parser shapes covered by the forty-six files below:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -77,7 +77,20 @@ Parser shapes covered by the thirty-nine files below:
   CTE referenced through ``(50/100.0) * (SELECT * FROM ...)`` inside a
   HAVING, and IN-subquery fan-in under two-channel UNION ALL, on the
   DENSE tier (folded item space, week-grain d_date) so the
-  ``HAVING count(*) > 4`` tail is non-empty as TPC-DS skew makes it.
+  ``HAVING count(*) > 4`` tail is non-empty as TPC-DS skew makes it;
+- q53/q63 — manufacturer-quarterly / manager-monthly deviation: window
+  AVG over a grouped SUM with a CASE deviation filter in the outer WHERE
+  (the scholaramalgamalg brand family and the (Children, personal)
+  class pair make the literal OR ladder non-empty);
+- q36/q86 — ROLLUP with GROUPING()-keyed RANK partitions (rank resets
+  per hierarchy level, and per category at the leaf level);
+- q97 — two per-channel DISTINCT (customer, item) CTEs FULL OUTER
+  joined into a single three-way overlap census row;
+- q28 — six quantity-band bucket subqueries cross-joined into one row
+  (avg / count / count-distinct under three-way OR band filters);
+- q9 — fifteen scalar subqueries (count-thresholded CASE per quantity
+  band) hung off a single reason row, oracle re-derived from ONE
+  grouped pass.
 
 The embedded strings are TPC-DS SPECIFICATION queries (the public
 benchmark's templates qualified at the standard parameter set) — data, not
@@ -104,7 +117,9 @@ so they cannot drift:
 - ``web_sales`` / ``catalog_sales`` := disjoint channel slices of
   lineitem (l_linenumber % 3), so the three fact views carry different
   data;
-- ``item``       := part (i_brand_id parsed from 'Brand#NN'; i_item_id a
+- ``item``       := part (i_brand from a 16-name TPC-DS-styled brand
+  list on an independent %16 residue, 1:1 with i_brand_id — covers
+  q53/q63's literal scholaramalgamalg/amalgimporto filters; i_item_id a
   zero-padded unique key so every ORDER BY suffix is a total order;
   i_category remapped onto the ten TPC-DS category names so the spec's
   literal ``IN ('Sports','Books','Home')`` filters select non-empty
@@ -142,10 +157,30 @@ _CATEGORIES = (
 
 # index-aligned with _CATEGORIES so q89's literal (category, class) pairs
 # (Books+computers, Electronics+football, Jewelry+birdal, Men+dresses)
-# select non-empty subsets
+# select non-empty subsets; index 1 is 'personal' (not a music class) so
+# q53/q63's first branch — category in (Books,Children,Electronics) AND
+# class in (personal,portable,reference,self-help) — hits (Children,
+# personal); q89 never references index 1
 _CLASSES = (
-    "'computers','classical','football','glassware','birdal',"
+    "'computers','personal','football','glassware','birdal',"
     "'dresses','pop','loafers','stereo','maternity'"
+)
+
+# i_brand: TPC-DS-styled brand names on an independent %16 residue,
+# 1:1 with i_brand_id (so every ORDER BY ... , brand_id suffix stays a
+# total order per brand). Indices 1-4 are the scholaramalgamalg family
+# q53/q63's first branch filters on; CRT with the %10 category residue
+# guarantees (Children, personal, scholaramalgamalg) parts exist
+# (p ≡ 1 or 51 mod 80 — 2.5% of the part space).
+_BRANDS = (
+    "'scholaramalgamalg #14','scholaramalgamalg #7',"
+    "'exportiunivamalg #9','scholaramalgamalg #9',"
+    "'amalgimporto #1','edu packscholar #1',"
+    "'exportiimporto #1','importoamalg #1',"
+    "'amalgamalg #2','edu packamalg #2',"
+    "'exportischolar #2','importonameless #3',"
+    "'edu packexporti #2','amalgmaxi #4',"
+    "'univunivamalg #5','namelesscorp #6'"
 )
 
 _STATES = (
@@ -159,8 +194,9 @@ _ITEM_SPARK = f"""
                CONCAT(p_name, ' #', CAST(p_partkey AS STRING))
                  AS i_item_desc,
                ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
-               p_brand   AS i_brand,
-               CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
+               element_at(array({_BRANDS}),
+                          CAST(1 + p_partkey % 16 AS INT)) AS i_brand,
+               CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
                CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
                CONCAT('M#', LPAD(CAST(p_partkey % 150 AS STRING), 3, '0'))
                  AS i_manufact,
@@ -223,7 +259,10 @@ _RICH_FACT_COLS_SPARK = """
                CAST(1 + l_partkey % 25 AS INT) AS {p}promo_sk,
                l_suppkey  AS {p}store_sk,
                CAST(l_quantity AS INT) AS {p}quantity,
-               CAST(ROUND(l_extendedprice) AS BIGINT) AS {p}list_price,
+               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+                 AS {p}list_price,
+               CAST(1 + ROUND(l_extendedprice * 0.7) % 100 AS BIGINT)
+                 AS {p}wholesale_cost,
                CAST(ROUND(l_extendedprice * l_discount) AS BIGINT)
                  AS {p}coupon_amt,
                CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
@@ -494,8 +533,8 @@ _ITEM_DUCK = f"""
              LPAD(CAST(p_partkey AS VARCHAR), 16, '0') AS i_item_id,
              p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_item_desc,
              ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
-             p_brand   AS i_brand,
-             CAST(SUBSTRING(p_brand, 7) AS INT) AS i_brand_id,
+             ([{_BRANDS}])[CAST(1 + p_partkey % 16 AS INT)] AS i_brand,
+             CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
              CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
              'M#' || LPAD(CAST(p_partkey % 150 AS VARCHAR), 3, '0')
                AS i_manufact,
@@ -2764,4 +2803,297 @@ def tpcds_literal_q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, rich=True, dense=True)
     return spark.sql(rewrite(QUERY23B_SQL)).toDF(
         "c_last_name", "c_first_name", "sales"
+    )
+QUERY53_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query53.tpl\nselect  * from \n(select i_manufact_id,\nsum(ss_sales_price) sum_sales,\navg(sum(ss_sales_price)) over (partition by i_manufact_id) avg_quarterly_sales\nfrom item, store_sales, date_dim, store\nwhere ss_item_sk = i_item_sk and\nss_sold_date_sk = d_date_sk and\nss_store_sk = s_store_sk and\nd_month_seq in (1200,1200+1,1200+2,1200+3,1200+4,1200+5,1200+6,1200+7,1200+8,1200+9,1200+10,1200+11) and\n((i_category in ('Books','Children','Electronics') and\ni_class in ('personal','portable','reference','self-help') and\ni_brand in ('scholaramalgamalg #14','scholaramalgamalg #7',\n\t\t'exportiunivamalg #9','scholaramalgamalg #9'))\nor(i_category in ('Women','Music','Men') and\ni_class in ('accessories','classical','fragrances','pants') and\ni_brand in ('amalgimporto #1','edu packscholar #1','exportiimporto #1',\n\t\t'importoamalg #1')))\ngroup by i_manufact_id, d_qoy ) tmp1\nwhere case when avg_quarterly_sales > 0 \n\tthen abs (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales \n\telse null end > 0.1\norder by avg_quarterly_sales,\n\t sum_sales,\n\t i_manufact_id\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query53.tpl\n"
+
+QUERY63_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query63.tpl\nselect  * \nfrom (select i_manager_id\n             ,sum(ss_sales_price) sum_sales\n             ,avg(sum(ss_sales_price)) over (partition by i_manager_id) avg_monthly_sales\n      from item\n          ,store_sales\n          ,date_dim\n          ,store\n      where ss_item_sk = i_item_sk\n        and ss_sold_date_sk = d_date_sk\n        and ss_store_sk = s_store_sk\n        and d_month_seq in (1200,1200+1,1200+2,1200+3,1200+4,1200+5,1200+6,1200+7,1200+8,1200+9,1200+10,1200+11)\n        and ((    i_category in ('Books','Children','Electronics')\n              and i_class in ('personal','portable','reference','self-help')\n              and i_brand in ('scholaramalgamalg #14','scholaramalgamalg #7',\n\t\t                  'exportiunivamalg #9','scholaramalgamalg #9'))\n           or(    i_category in ('Women','Music','Men')\n              and i_class in ('accessories','classical','fragrances','pants')\n              and i_brand in ('amalgimporto #1','edu packscholar #1','exportiimporto #1',\n\t\t                 'importoamalg #1')))\ngroup by i_manager_id, d_moy) tmp1\nwhere case when avg_monthly_sales > 0 then abs (sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1\norder by i_manager_id\n        ,avg_monthly_sales\n        ,sum_sales\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query63.tpl\n"
+
+QUERY36_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query36.tpl\nselect  \n    sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin\n   ,i_category\n   ,i_class\n   ,grouping(i_category)+grouping(i_class) as lochierarchy\n   ,rank() over (\n \tpartition by grouping(i_category)+grouping(i_class),\n \tcase when grouping(i_class) = 0 then i_category end \n \torder by sum(ss_net_profit)/sum(ss_ext_sales_price) asc) as rank_within_parent\n from\n    store_sales\n   ,date_dim       d1\n   ,item\n   ,store\n where\n    d1.d_year = 2001 \n and d1.d_date_sk = ss_sold_date_sk\n and i_item_sk  = ss_item_sk \n and s_store_sk  = ss_store_sk\n and s_state in ('TN','TN','TN','TN','TN','TN','TN','TN')\n group by rollup(i_category,i_class)\n order by\n   lochierarchy desc\n  ,case when lochierarchy = 0 then i_category end\n  ,rank_within_parent\n  limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query36.tpl\n"
+
+QUERY86_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query86.tpl\nselect   \n    sum(ws_net_paid) as total_sum\n   ,i_category\n   ,i_class\n   ,grouping(i_category)+grouping(i_class) as lochierarchy\n   ,rank() over (\n \tpartition by grouping(i_category)+grouping(i_class),\n \tcase when grouping(i_class) = 0 then i_category end \n \torder by sum(ws_net_paid) desc) as rank_within_parent\n from\n    web_sales\n   ,date_dim       d1\n   ,item\n where\n    d1.d_month_seq between 1200 and 1200+11\n and d1.d_date_sk = ws_sold_date_sk\n and i_item_sk  = ws_item_sk\n group by rollup(i_category,i_class)\n order by\n   lochierarchy desc,\n   case when lochierarchy = 0 then i_category end,\n   rank_within_parent\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query86.tpl\n'
+
+QUERY97_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query97.tpl\nwith ssci as (\nselect ss_customer_sk customer_sk\n      ,ss_item_sk item_sk\nfrom store_sales,date_dim\nwhere ss_sold_date_sk = d_date_sk\n  and d_month_seq between 1200 and 1200 + 11\ngroup by ss_customer_sk\n        ,ss_item_sk),\ncsci as(\n select cs_bill_customer_sk customer_sk\n      ,cs_item_sk item_sk\nfrom catalog_sales,date_dim\nwhere cs_sold_date_sk = d_date_sk\n  and d_month_seq between 1200 and 1200 + 11\ngroup by cs_bill_customer_sk\n        ,cs_item_sk)\n select  sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only\n      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only\n      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog\nfrom ssci full outer join csci on (ssci.customer_sk=csci.customer_sk\n                               and ssci.item_sk = csci.item_sk)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query97.tpl\n'
+
+QUERY28_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query28.tpl\nselect  *\nfrom (select avg(ss_list_price) B1_LP\n            ,count(ss_list_price) B1_CNT\n            ,count(distinct ss_list_price) B1_CNTD\n      from store_sales\n      where ss_quantity between 0 and 5\n        and (ss_list_price between 8 and 8+10 \n             or ss_coupon_amt between 459 and 459+1000\n             or ss_wholesale_cost between 57 and 57+20)) B1,\n     (select avg(ss_list_price) B2_LP\n            ,count(ss_list_price) B2_CNT\n            ,count(distinct ss_list_price) B2_CNTD\n      from store_sales\n      where ss_quantity between 6 and 10\n        and (ss_list_price between 90 and 90+10\n          or ss_coupon_amt between 2323 and 2323+1000\n          or ss_wholesale_cost between 31 and 31+20)) B2,\n     (select avg(ss_list_price) B3_LP\n            ,count(ss_list_price) B3_CNT\n            ,count(distinct ss_list_price) B3_CNTD\n      from store_sales\n      where ss_quantity between 11 and 15\n        and (ss_list_price between 142 and 142+10\n          or ss_coupon_amt between 12214 and 12214+1000\n          or ss_wholesale_cost between 79 and 79+20)) B3,\n     (select avg(ss_list_price) B4_LP\n            ,count(ss_list_price) B4_CNT\n            ,count(distinct ss_list_price) B4_CNTD\n      from store_sales\n      where ss_quantity between 16 and 20\n        and (ss_list_price between 135 and 135+10\n          or ss_coupon_amt between 6071 and 6071+1000\n          or ss_wholesale_cost between 38 and 38+20)) B4,\n     (select avg(ss_list_price) B5_LP\n            ,count(ss_list_price) B5_CNT\n            ,count(distinct ss_list_price) B5_CNTD\n      from store_sales\n      where ss_quantity between 21 and 25\n        and (ss_list_price between 122 and 122+10\n          or ss_coupon_amt between 836 and 836+1000\n          or ss_wholesale_cost between 17 and 17+20)) B5,\n     (select avg(ss_list_price) B6_LP\n            ,count(ss_list_price) B6_CNT\n            ,count(distinct ss_list_price) B6_CNTD\n      from store_sales\n      where ss_quantity between 26 and 30\n        and (ss_list_price between 154 and 154+10\n          or ss_coupon_amt between 7326 and 7326+1000\n          or ss_wholesale_cost between 7 and 7+20)) B6\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query28.tpl\n'
+
+QUERY9_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query9.tpl\nselect case when (select count(*) \n                  from store_sales \n                  where ss_quantity between 1 and 20) > 74129\n            then (select avg(ss_ext_discount_amt) \n                  from store_sales \n                  where ss_quantity between 1 and 20) \n            else (select avg(ss_net_paid)\n                  from store_sales\n                  where ss_quantity between 1 and 20) end bucket1 ,\n       case when (select count(*)\n                  from store_sales\n                  where ss_quantity between 21 and 40) > 122840\n            then (select avg(ss_ext_discount_amt)\n                  from store_sales\n                  where ss_quantity between 21 and 40) \n            else (select avg(ss_net_paid)\n                  from store_sales\n                  where ss_quantity between 21 and 40) end bucket2,\n       case when (select count(*)\n                  from store_sales\n                  where ss_quantity between 41 and 60) > 56580\n            then (select avg(ss_ext_discount_amt)\n                  from store_sales\n                  where ss_quantity between 41 and 60)\n            else (select avg(ss_net_paid)\n                  from store_sales\n                  where ss_quantity between 41 and 60) end bucket3,\n       case when (select count(*)\n                  from store_sales\n                  where ss_quantity between 61 and 80) > 10097\n            then (select avg(ss_ext_discount_amt)\n                  from store_sales\n                  where ss_quantity between 61 and 80)\n            else (select avg(ss_net_paid)\n                  from store_sales\n                  where ss_quantity between 61 and 80) end bucket4,\n       case when (select count(*)\n                  from store_sales\n                  where ss_quantity between 81 and 100) > 165306\n            then (select avg(ss_ext_discount_amt)\n                  from store_sales\n                  where ss_quantity between 81 and 100)\n            else (select avg(ss_net_paid)\n                  from store_sales\n                  where ss_quantity between 81 and 100) end bucket5\nfrom reason\nwhere r_reason_sk = 1\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query9.tpl\n'
+
+_Q53_ORACLE_BODY = """
+    SELECT {key}, sum_sales, {avg_alias}
+    FROM (SELECT {key}, SUM(ss_sales_price) AS sum_sales,
+                 AVG(SUM(ss_sales_price)) OVER (PARTITION BY {key})
+                   AS {avg_alias}
+          FROM item, store_sales, date_dim, store
+          WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+            AND ss_store_sk = s_store_sk
+            AND d_month_seq IN (1200,1201,1202,1203,1204,1205,1206,1207,
+                                1208,1209,1210,1211)
+            AND ((i_category IN ('Books','Children','Electronics')
+                  AND i_class IN ('personal','portable','reference',
+                                  'self-help')
+                  AND i_brand IN ('scholaramalgamalg #14',
+                                  'scholaramalgamalg #7',
+                                  'exportiunivamalg #9',
+                                  'scholaramalgamalg #9'))
+              OR (i_category IN ('Women','Music','Men')
+                  AND i_class IN ('accessories','classical','fragrances',
+                                  'pants')
+                  AND i_brand IN ('amalgimporto #1','edu packscholar #1',
+                                  'exportiimporto #1','importoamalg #1')))
+          GROUP BY {key}, {grain}) tmp1
+    WHERE CASE WHEN {avg_alias} > 0
+               THEN ABS(sum_sales - {avg_alias}) / {avg_alias}
+               ELSE NULL END > 0.1
+"""
+
+
+@query(
+    "tpcds_literal_q53",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q53_ORACLE_BODY.format(key="i_manufact_id",
+                             avg_alias="avg_quarterly_sales", grain="d_qoy")}
+    ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query53.sql text, unmodified — manufacturer quarterly
+    deviation: window AVG over a grouped SUM, deviation CASE filter in the
+    outer WHERE. The adapter's scholaramalgamalg brand family (i_brand
+    indices 1-4) and the (Children, personal) category/class pair make the
+    first OR branch non-empty (p ≡ 1 or 51 mod 80). The quarterly window
+    spans ≤4 rows of exact-integer dollar sums, so the double AVG is exact
+    in both engines. Reference: tpcds-tool/query/query53.sql
+    (TpcdsTestProgram.java:118 runs all 103 files)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY53_SQL)).toDF(
+        "i_manufact_id", "sum_sales", "avg_quarterly_sales"
+    )
+
+
+@query(
+    "tpcds_literal_q63",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q53_ORACLE_BODY.format(key="i_manager_id",
+                             avg_alias="avg_monthly_sales", grain="d_moy")}
+    ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query63.sql text, unmodified — the monthly manager twin of
+    q53 (same deviation shape at (i_manager_id, d_moy) grain; the monthly
+    window spans ≤12 exact-integer sums). Reference:
+    tpcds-tool/query/query63.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY63_SQL)).toDF(
+        "i_manager_id", "sum_sales", "avg_monthly_sales"
+    )
+
+
+_Q36_ORACLE = f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+           i_category, i_class,
+           GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+           RANK() OVER (
+             PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                          CASE WHEN GROUPING(i_class) = 0
+                               THEN i_category END
+             ORDER BY SUM(ss_net_profit) / SUM(ss_ext_sales_price) ASC)
+             AS rank_within_parent
+    FROM store_sales, date_dim d1, item, store
+    WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+      AND s_state IN ('TN')
+    GROUP BY ROLLUP(i_category, i_class)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN i_category END,
+             rank_within_parent
+    LIMIT 100
+"""
+
+
+@query(
+    "tpcds_literal_q36",
+    oracle=_Q36_ORACLE,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query36.sql text, unmodified — gross-margin ROLLUP with
+    GROUPING()-keyed RANK partitions (rank resets per hierarchy level and
+    per category for the leaf level). Both engines compute the bigint/
+    bigint margin as IEEE double division on exact sums. ≤21 rollup rows
+    (classes align 1:1 with the ten categories), so the LIMIT never
+    truncates. Reference: tpcds-tool/query/query36.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY36_SQL)).toDF(
+        "gross_margin", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent",
+    )
+
+
+@query(
+    "tpcds_literal_q86",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
+           GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+           RANK() OVER (
+             PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                          CASE WHEN GROUPING(i_class) = 0
+                               THEN i_category END
+             ORDER BY SUM(ws_net_paid) DESC) AS rank_within_parent
+    FROM web_sales, date_dim d1, item
+    WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+      AND d1.d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+    GROUP BY ROLLUP(i_category, i_class)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN i_category END,
+             rank_within_parent
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query86.sql text, unmodified — the web-channel ROLLUP/RANK
+    twin of q36 on an exact-integer SUM measure (no division at all).
+    Reference: tpcds-tool/query/query86.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY86_SQL)).toDF(
+        "total_sum", "i_category", "i_class", "lochierarchy",
+        "rank_within_parent",
+    )
+
+
+@query(
+    "tpcds_literal_q97",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ssci AS (
+      SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1200 AND 1211
+      GROUP BY ss_customer_sk, ss_item_sk),
+    csci AS (
+      SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1200 AND 1211
+      GROUP BY cs_bill_customer_sk, cs_item_sk)
+    SELECT SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                     AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+             AS store_only,
+           SUM(CASE WHEN ssci.customer_sk IS NULL
+                     AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+             AS catalog_only,
+           SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                     AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+             AS store_and_catalog
+    FROM ssci FULL OUTER JOIN csci
+      ON ssci.customer_sk = csci.customer_sk
+     AND ssci.item_sk = csci.item_sk
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query97.sql text, unmodified — two per-channel DISTINCT
+    (customer, item) CTEs FULL OUTER joined into a single three-way
+    overlap census row (exact integer counts). Reference:
+    tpcds-tool/query/query97.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY97_SQL)).toDF(
+        "store_only", "catalog_only", "store_and_catalog"
+    )
+
+
+def _q28_bucket_duck(b: int, lo: int, lp: int, cp: int, wc: int) -> str:
+    return f"""(SELECT AVG(ss_list_price) AS b{b}_lp,
+            COUNT(ss_list_price) AS b{b}_cnt,
+            COUNT(DISTINCT ss_list_price) AS b{b}_cntd
+     FROM store_sales
+     WHERE ss_quantity BETWEEN {lo} AND {lo + 4 + (b == 1)}
+       AND (ss_list_price BETWEEN {lp} AND {lp} + 10
+            OR ss_coupon_amt BETWEEN {cp} AND {cp} + 1000
+            OR ss_wholesale_cost BETWEEN {wc} AND {wc} + 20)) B{b}"""
+
+
+@query(
+    "tpcds_literal_q28",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT b1_lp, b1_cnt, b1_cntd, b2_lp, b2_cnt, b2_cntd,
+           b3_lp, b3_cnt, b3_cntd, b4_lp, b4_cnt, b4_cntd,
+           b5_lp, b5_cnt, b5_cntd, b6_lp, b6_cnt, b6_cntd
+    FROM {_q28_bucket_duck(1, 0, 8, 459, 57)},
+         {_q28_bucket_duck(2, 6, 90, 2323, 31)},
+         {_q28_bucket_duck(3, 11, 142, 12214, 79)},
+         {_q28_bucket_duck(4, 16, 135, 6071, 38)},
+         {_q28_bucket_duck(5, 21, 122, 836, 17)},
+         {_q28_bucket_duck(6, 26, 154, 7326, 7)}
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query28.sql text, unmodified — six quantity-band bucket
+    subqueries (avg / count / count-distinct of list price under a
+    three-way OR band filter) cross-joined into one row. The adapter's
+    ss_list_price (1-200) and ss_wholesale_cost (1-100) land inside the
+    spec's literal bands so every bucket is non-empty. AVG of bigints
+    stays exact in double in both engines (sums far below 2^53).
+    Reference: tpcds-tool/query/query28.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY28_SQL)).toDF(
+        "b1_lp", "b1_cnt", "b1_cntd", "b2_lp", "b2_cnt", "b2_cntd",
+        "b3_lp", "b3_cnt", "b3_cntd", "b4_lp", "b4_cnt", "b4_cntd",
+        "b5_lp", "b5_cnt", "b5_cntd", "b6_lp", "b6_cnt", "b6_cntd",
+    )
+
+
+@query(
+    "tpcds_literal_q9",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    b AS (SELECT
+      CASE WHEN ss_quantity BETWEEN 1 AND 20 THEN 1
+           WHEN ss_quantity BETWEEN 21 AND 40 THEN 2
+           WHEN ss_quantity BETWEEN 41 AND 60 THEN 3
+           WHEN ss_quantity BETWEEN 61 AND 80 THEN 4
+           WHEN ss_quantity BETWEEN 81 AND 100 THEN 5 END AS bkt,
+      ss_ext_discount_amt, ss_net_paid FROM store_sales),
+    s AS (SELECT bkt, COUNT(*) AS cnt, AVG(ss_ext_discount_amt) AS a_disc,
+                 AVG(ss_net_paid) AS a_paid
+          FROM b WHERE bkt IS NOT NULL GROUP BY bkt)
+    SELECT
+      (SELECT CASE WHEN cnt > 74129 THEN a_disc ELSE a_paid END
+       FROM s WHERE bkt = 1) AS bucket1,
+      (SELECT CASE WHEN cnt > 122840 THEN a_disc ELSE a_paid END
+       FROM s WHERE bkt = 2) AS bucket2,
+      (SELECT CASE WHEN cnt > 56580 THEN a_disc ELSE a_paid END
+       FROM s WHERE bkt = 3) AS bucket3,
+      (SELECT CASE WHEN cnt > 10097 THEN a_disc ELSE a_paid END
+       FROM s WHERE bkt = 4) AS bucket4,
+      (SELECT CASE WHEN cnt > 165306 THEN a_disc ELSE a_paid END
+       FROM s WHERE bkt = 5) AS bucket5
+    FROM reason WHERE r_reason_sk = 1
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query9.sql text, unmodified — fifteen scalar subqueries (a
+    count-thresholded CASE per quantity band choosing between two AVG
+    measures) hung off a single reason row. The oracle re-derives the same
+    five buckets from ONE grouped pass (independent derivation, not a
+    transliteration); both reduce to identical exact-integer counts and
+    in-double-exact AVGs. Reference: tpcds-tool/query/query9.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY9_SQL)).toDF(
+        "bucket1", "bucket2", "bucket3", "bucket4", "bucket5"
     )
