@@ -183,6 +183,23 @@ _BRANDS = (
     "'univunivamalg #5','namelesscorp #6'"
 )
 
+# i_manufact_id: the literal equality/IN values the landed queries filter
+# on (q3: 128; q37: 677,940,694,808; q82: 129,270,821,423) on a %17
+# residue — every value selects ~6% of the part space at every SF, so the
+# IN-filters stay non-empty even on the 200-part sf0.001 fixture (a plain
+# %1000 TPC-DS-faithful id would make them empty there).
+_MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,100,101,102,103,104,105,106,107"
+
+# i_current_price: a 20-value quarter-grid list (exact doubles in both
+# engines). Two values sit in q21's literal [0.99,1.49] band, four in
+# q82's [62,92], four in q37's [68,98] — each literal band keeps ≥10% of
+# the part space so band∧manufact∧inventory-window conjunctions survive
+# sf0.001.
+_PRICES = (
+    "0.25,1.0,1.25,2.5,5.75,9.0,14.5,22.0,29.75,37.0,"
+    "45.25,51.5,58.0,62.25,68.5,75.0,84.25,92.0,97.75,99.5"
+)
+
 _STATES = (
     "'AL','AR','AZ','CA','CO','CT','DE','FL','GA','IA','ID','IL','IN',"
     "'KS','KY','LA','MA','MD','ME','MI','MN','MO','MS','MT','NC'"
@@ -197,16 +214,21 @@ _ITEM_SPARK = f"""
                element_at(array({_BRANDS}),
                           CAST(1 + p_partkey % 16 AS INT)) AS i_brand,
                CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
-               CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
-               CONCAT('M#', LPAD(CAST(p_partkey % 150 AS STRING), 3, '0'))
-                 AS i_manufact,
+               element_at(array({_MANUFACT_IDS}),
+                          CAST(1 + p_partkey % 17 AS INT)) AS i_manufact_id,
+               CONCAT('M#', LPAD(CAST(element_at(array({_MANUFACT_IDS}),
+                          CAST(1 + p_partkey % 17 AS INT)) AS STRING),
+                          3, '0')) AS i_manufact,
                CAST(p_partkey % 30 AS INT)        AS i_manager_id,
                element_at(array({_CATEGORIES}),
                           CAST(1 + p_partkey % 10 AS INT)) AS i_category,
                p_size    AS i_category_id,
                element_at(array({_CLASSES}),
                           CAST(1 + p_partkey % 10 AS INT)) AS i_class,
-               ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
+               p_name AS i_product_name,
+               CAST(element_at(array({_PRICES}),
+                          CAST(1 + p_partkey % 20 AS INT)) AS DOUBLE)
+                 AS i_current_price
         FROM __tpch_part
     """
 
@@ -365,6 +387,28 @@ _RICH_SPARK = {
                  AS wr_net_loss
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+    """,
+    "inventory": """
+        SELECT l_orderkey AS inv_date_sk,
+               l_partkey  AS inv_item_sk,
+               CAST(1 + l_suppkey % 5 AS INT) AS inv_warehouse_sk,
+               CAST(50 + (l_partkey * 31 + l_orderkey * 7 + l_suppkey) % 550
+                    AS INT) AS inv_quantity_on_hand
+        FROM __tpch_lineitem
+    """,
+    "warehouse": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS w_warehouse_sk,
+               n_name AS w_warehouse_name,
+               CAST(50000 + n_nationkey * 12345 AS INT) AS w_warehouse_sq_ft,
+               CONCAT('County#', LPAD(CAST(n_nationkey % 50 AS STRING),
+                                      2, '0')) AS w_county,
+               element_at(array('TN','SC','AL','GA','KY'),
+                          CAST(1 + n_nationkey % 5 AS INT)) AS w_state,
+               element_at(array('Fairview','Midway','Concord','Spring Hill',
+                                'Oakland'),
+                          CAST(1 + n_nationkey % 5 AS INT)) AS w_city,
+               'United States' AS w_country
+        FROM __tpch_nation WHERE n_nationkey < 5
     """,
     "catalog_page": """
         SELECT CAST(n_nationkey + 1 AS INT) AS cp_catalog_page_sk,
@@ -535,14 +579,18 @@ _ITEM_DUCK = f"""
              ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
              ([{_BRANDS}])[CAST(1 + p_partkey % 16 AS INT)] AS i_brand,
              CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
-             CAST(p_partkey % 150 AS INT)       AS i_manufact_id,
-             'M#' || LPAD(CAST(p_partkey % 150 AS VARCHAR), 3, '0')
-               AS i_manufact,
+             ([{_MANUFACT_IDS}])[CAST(1 + p_partkey % 17 AS INT)]
+               AS i_manufact_id,
+             'M#' || LPAD(CAST(([{_MANUFACT_IDS}])
+                          [CAST(1 + p_partkey % 17 AS INT)] AS VARCHAR),
+                          3, '0') AS i_manufact,
              CAST(p_partkey % 30 AS INT)        AS i_manager_id,
              ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
              p_size    AS i_category_id,
              ([{_CLASSES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_class,
-             ROUND(p_retailprice) * (1 + p_partkey % 4) / 2 AS i_current_price
+             p_name AS i_product_name,
+             CAST(([{_PRICES}])[CAST(1 + p_partkey % 20 AS INT)] AS DOUBLE)
+               AS i_current_price
       FROM part)
 """
 
@@ -611,6 +659,19 @@ def _ws_rich_duck() -> str:
       WHERE l_linenumber % 3 = 1)"""
 
 
+_WAREHOUSE_DUCK = """warehouse AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS w_warehouse_sk,
+             n_name AS w_warehouse_name,
+             CAST(50000 + n_nationkey * 12345 AS INT) AS w_warehouse_sq_ft,
+             'County#' || LPAD(CAST(n_nationkey % 50 AS VARCHAR), 2, '0')
+               AS w_county,
+             (['TN','SC','AL','GA','KY'])[CAST(1 + n_nationkey % 5 AS INT)]
+               AS w_state,
+             (['Fairview','Midway','Concord','Spring Hill','Oakland'])
+               [CAST(1 + n_nationkey % 5 AS INT)] AS w_city,
+             'United States' AS w_country
+      FROM nation WHERE n_nationkey < 5)"""
+
 _ADAPTER_DUCK_RICH = f"""
     {_DATE_DIM_DUCK},
     {_ss_rich_duck()},
@@ -662,6 +723,14 @@ _ADAPTER_DUCK_RICH = f"""
                AS wr_net_loss
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1),
+    inventory AS (
+      SELECT l_orderkey AS inv_date_sk,
+             l_partkey  AS inv_item_sk,
+             CAST(1 + l_suppkey % 5 AS INT) AS inv_warehouse_sk,
+             CAST(50 + (l_partkey * 31 + l_orderkey * 7 + l_suppkey) % 550
+                  AS INT) AS inv_quantity_on_hand
+      FROM lineitem),
+    {_WAREHOUSE_DUCK},
     catalog_page AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS cp_catalog_page_sk,
              'CP' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
@@ -763,6 +832,37 @@ _DATED_SPARK = {
     """,
 }
 
+
+# q21's before/after inventory split: the rich inventory (one row per
+# lineitem at the order's date key) is too sparse for a ±30-day window at
+# sf0.001 — the DATED tier quadruples snapshot density with four
+# week-shifted copies per lineitem on epoch-day keys (TPC-DS inventory is
+# itself a periodic snapshot, so density-not-query is the same fixture
+# philosophy as the DENSE tier). Warehouse is constant per item so the
+# (warehouse, item) cell collects the item's full window.
+_DATED_SPARK["inventory"] = """
+        SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') + s.shift AS inv_date_sk,
+               l_partkey AS inv_item_sk,
+               CAST(1 + l_partkey % 5 AS INT) AS inv_warehouse_sk,
+               CAST(150 + (l_partkey * 31 + l_orderkey * 7 + l_suppkey
+                           + (s.shift + 14) * 13) % 300 AS INT)
+                 AS inv_quantity_on_hand
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        CROSS JOIN (SELECT explode(array(-14, -7, 0, 7)) AS shift) s
+    """
+
+_INVENTORY_DATED_DUCK = """inventory AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
+               + s.shift AS inv_date_sk,
+             l_partkey AS inv_item_sk,
+             CAST(1 + l_partkey % 5 AS INT) AS inv_warehouse_sk,
+             CAST(150 + (l_partkey * 31 + l_orderkey * 7 + l_suppkey
+                         + (s.shift + 14) * 13) % 300 AS INT)
+               AS inv_quantity_on_hand
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      CROSS JOIN (SELECT UNNEST([-14, -7, 0, 7]) AS shift) s)"""
 
 _DATED_SPARK["store_returns"] = f"""
         SELECT DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
@@ -1625,6 +1725,7 @@ _ADAPTER_DUCK_DATED = f"""
              CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
+    {_INVENTORY_DATED_DUCK},
     {_STORE_DUCK}
 """
 
@@ -3096,4 +3197,148 @@ def tpcds_literal_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY9_SQL)).toDF(
         "bucket1", "bucket2", "bucket3", "bucket4", "bucket5"
+    )
+QUERY22_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query22.tpl\nselect  i_product_name\n             ,i_brand\n             ,i_class\n             ,i_category\n             ,avg(cast(inv_quantity_on_hand as decimal(7, 2))) qoh\n       from inventory\n           ,date_dim\n           ,item\n       where inv_date_sk=d_date_sk\n              and inv_item_sk=i_item_sk\n              and d_month_seq between 1200 and 1200 + 11\n       group by rollup(i_product_name\n                       ,i_brand\n                       ,i_class\n                       ,i_category)\norder by qoh, i_product_name, i_brand, i_class, i_category\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query22.tpl\n'
+
+QUERY37_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query37.tpl\nselect  i_item_id\n       ,i_item_desc\n       ,i_current_price\n from item, inventory, date_dim, catalog_sales\n where i_current_price between 68 and 68 + 30\n and inv_item_sk = i_item_sk\n and d_date_sk=inv_date_sk\n and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) +  INTERVAL '60' day)\n and i_manufact_id in (677,940,694,808)\n and inv_quantity_on_hand between 100 and 500\n and cs_item_sk = i_item_sk\n group by i_item_id,i_item_desc,i_current_price\n order by i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query37.tpl\n"
+
+QUERY82_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query82.tpl\nselect  i_item_id\n       ,i_item_desc\n       ,i_current_price\n from item, inventory, date_dim, store_sales\n where i_current_price between 62 and 62+30\n and inv_item_sk = i_item_sk\n and d_date_sk=inv_date_sk\n and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + INTERVAL '60' day)\n and i_manufact_id in (129, 270, 821, 423)\n and inv_quantity_on_hand between 100 and 500\n and ss_item_sk = i_item_sk\n group by i_item_id,i_item_desc,i_current_price\n order by i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query82.tpl\n"
+
+QUERY21_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query21.tpl\nselect  *\n from(select w_warehouse_name\n            ,i_item_id\n            ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))\n\t                then inv_quantity_on_hand \n                      else 0 end) as inv_before\n            ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))\n                      then inv_quantity_on_hand \n                      else 0 end) as inv_after\n   from inventory\n       ,warehouse\n       ,item\n       ,date_dim\n   where i_current_price between 0.99 and 1.49\n     and i_item_sk          = inv_item_sk\n     and inv_warehouse_sk   = w_warehouse_sk\n     and inv_date_sk    = d_date_sk\n     and d_date between (cast ('2000-03-11' as date) - INTERVAL '30' day)\n                    and (cast ('2000-03-11' as date) + INTERVAL '30' day)\n   group by w_warehouse_name, i_item_id) x\n where (case when inv_before > 0 \n             then cast(inv_after as decimal(7, 2)) / cast(inv_before as decimal(7, 2))\n             else null\n             end) between 2.0/3.0 and 3.0/2.0\n order by w_warehouse_name\n         ,i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query21.tpl\n"
+
+@query(
+    "tpcds_literal_q22",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_product_name, i_brand, i_class, i_category,
+           AVG(CAST(inv_quantity_on_hand AS DECIMAL(7, 2))) AS qoh
+    FROM inventory, date_dim, item
+    WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+      AND d_month_seq BETWEEN 1200 AND 1211
+    GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+    ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+             i_class NULLS FIRST, i_category NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query22.sql text, unmodified — four-level ROLLUP of average
+    quantity-on-hand. LIMIT-100 boundary safety: qoh values are rationals
+    S/n with n bounded by rows-per-item (tiny vs the 1e-6 decimal scale),
+    so Spark's DECIMAL(11,6) ordering equals DuckDB's double ordering, and
+    exact ties (a product's four identical rollup levels) break on the
+    name columns with NULLS FIRST pinned in the oracle (Spark's ASC
+    default). qoh cast to double post-hoc (q7's decimal-vs-double
+    policy). Reference: tpcds-tool/query/query22.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY22_SQL)).toDF(
+        "i_product_name", "i_brand", "i_class", "i_category", "qoh"
+    )
+    return out.withColumn("qoh", F.col("qoh").cast("double"))
+
+
+_Q37_ORACLE_BODY = """
+    SELECT i_item_id, i_item_desc, i_current_price
+    FROM item, inventory, date_dim, {fact}
+    WHERE i_current_price BETWEEN {lo} AND {hi}
+      AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+      AND d_date BETWEEN CAST('{d0}' AS DATE)
+                     AND CAST('{d0}' AS DATE) + INTERVAL 60 DAY
+      AND i_manufact_id IN ({ids})
+      AND inv_quantity_on_hand BETWEEN 100 AND 500
+      AND {pfx}_item_sk = i_item_sk
+    GROUP BY i_item_id, i_item_desc, i_current_price
+    ORDER BY i_item_id
+    LIMIT 100
+"""
+
+
+@query(
+    "tpcds_literal_q37",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q37_ORACLE_BODY.format(fact="catalog_sales", lo=68, hi="68 + 30",
+                             d0="2000-02-01", ids="677,940,694,808",
+                             pfx="cs")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query37.sql text, unmodified — item availability probe:
+    price band x manufacturer IN-list x in-window inventory x catalog
+    channel. The adapter's %17 manufact-id list carries the literal
+    677/940/694/808 values and four price-list entries sit in [68,98], so
+    the conjunction is non-empty at sf0.001. ORDER BY the unique
+    i_item_id is total. Reference: tpcds-tool/query/query37.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY37_SQL)).toDF(
+        "i_item_id", "i_item_desc", "i_current_price"
+    )
+
+
+@query(
+    "tpcds_literal_q82",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q37_ORACLE_BODY.format(fact="store_sales", lo=62, hi="62+30",
+                             d0="2000-05-25", ids="129, 270, 821, 423",
+                             pfx="ss")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query82.sql text, unmodified — q37's store-channel twin
+    (different price band, manufacturer list and window). Reference:
+    tpcds-tool/query/query82.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY82_SQL)).toDF(
+        "i_item_id", "i_item_desc", "i_current_price"
+    )
+
+
+@query(
+    "tpcds_literal_q21",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED}, {_ITEM_DUCK.strip()}, {_WAREHOUSE_DUCK}
+    SELECT w_warehouse_name, i_item_id, inv_before, inv_after
+    FROM (SELECT w_warehouse_name, i_item_id,
+                 SUM(CASE WHEN CAST(d_date AS DATE)
+                               < CAST('2000-03-11' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END)
+                   AS inv_before,
+                 SUM(CASE WHEN CAST(d_date AS DATE)
+                               >= CAST('2000-03-11' AS DATE)
+                          THEN inv_quantity_on_hand ELSE 0 END)
+                   AS inv_after
+          FROM inventory, warehouse, item, date_dim
+          WHERE i_current_price BETWEEN 0.99 AND 1.49
+            AND i_item_sk = inv_item_sk
+            AND inv_warehouse_sk = w_warehouse_sk
+            AND inv_date_sk = d_date_sk
+            AND d_date BETWEEN CAST('2000-03-11' AS DATE) - INTERVAL 30 DAY
+                           AND CAST('2000-03-11' AS DATE) + INTERVAL 30 DAY
+          GROUP BY w_warehouse_name, i_item_id) x
+    WHERE (CASE WHEN inv_before > 0
+                THEN CAST(inv_after AS DECIMAL(7, 2))
+                     / CAST(inv_before AS DECIMAL(7, 2))
+                ELSE NULL END) BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+    ORDER BY w_warehouse_name, i_item_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query21.sql text, unmodified — per-(warehouse, item)
+    inventory split around a pivot date with a 2/3..3/2 ratio band. Runs
+    on the DATED tier's week-shifted snapshot inventory (see
+    _DATED_SPARK['inventory']); the fixture's ratios all sit >= 0.0096
+    from the band boundaries (probed at sf0.001 and sf0.01), so the
+    decimal-vs-double band-edge typing (Spark rounds 2.0/3.0 to
+    DECIMAL(8,6)) cannot flip membership. Output columns are exact
+    integers; (warehouse, item) is the group key so the order is total.
+    Reference: tpcds-tool/query/query21.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY21_SQL)).toDF(
+        "w_warehouse_name", "i_item_id", "inv_before", "inv_after"
     )
