@@ -188,7 +188,8 @@ _BRANDS = (
 # residue — every value selects ~6% of the part space at every SF, so the
 # IN-filters stay non-empty even on the 200-part sf0.001 fixture (a plain
 # %1000 TPC-DS-faithful id would make them empty there).
-_MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,100,101,102,103,104,105,106,107"
+# q3: 128; q37: 677,940,694,808; q82: 129,270,821,423; q32: 977; q92: 350
+_MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,977,350,102,103,104,105,106,107"
 
 # i_current_price: a 20-value quarter-grid list (exact doubles in both
 # engines). Two values sit in q21's literal [0.99,1.49] band, four in
@@ -419,8 +420,30 @@ _RICH_SPARK = {
     "web_site": """
         SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
                CONCAT('WS', LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0'))
-                 AS web_site_id
+                 AS web_site_id,
+               CONCAT('site_', CAST(n_nationkey % 6 AS STRING)) AS web_name
         FROM __tpch_nation
+    """,
+    "ship_mode": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS sm_ship_mode_sk,
+               element_at(array('EXPRESS','NEXT DAY','OVERNIGHT','REGULAR',
+                                'LIBRARY'),
+                          CAST(1 + n_nationkey % 5 AS INT)) AS sm_type,
+               element_at(array('AIR','SURFACE','SEA'),
+                          CAST(1 + n_nationkey % 3 AS INT)) AS sm_code,
+               CONCAT('carrier_', CAST(n_nationkey % 7 AS STRING))
+                 AS sm_carrier
+        FROM __tpch_nation
+    """,
+    "call_center": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS cc_call_center_sk,
+               element_at(array('NY Metro','Mid Atlantic','North Midwest',
+                                'California'),
+                          CAST(1 + n_nationkey AS INT)) AS cc_name,
+               CONCAT('mgr_', CAST(n_nationkey % 8 AS STRING)) AS cc_manager,
+               CONCAT('County#', LPAD(CAST(n_nationkey % 50 AS STRING),
+                                      2, '0')) AS cc_county
+        FROM __tpch_nation WHERE n_nationkey < 4
     """,
     "reason": """
         SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
@@ -659,6 +682,31 @@ def _ws_rich_duck() -> str:
       WHERE l_linenumber % 3 = 1)"""
 
 
+_WEB_SITE_DUCK = """web_site AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
+             'WS' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
+               AS web_site_id,
+             'site_' || CAST(n_nationkey % 6 AS VARCHAR) AS web_name
+      FROM nation)"""
+
+_SHIP_MODE_DUCK = """ship_mode AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS sm_ship_mode_sk,
+             (['EXPRESS','NEXT DAY','OVERNIGHT','REGULAR','LIBRARY'])
+               [CAST(1 + n_nationkey % 5 AS INT)] AS sm_type,
+             (['AIR','SURFACE','SEA'])[CAST(1 + n_nationkey % 3 AS INT)]
+               AS sm_code,
+             'carrier_' || CAST(n_nationkey % 7 AS VARCHAR) AS sm_carrier
+      FROM nation)"""
+
+_CALL_CENTER_DUCK = """call_center AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS cc_call_center_sk,
+             (['NY Metro','Mid Atlantic','North Midwest','California'])
+               [CAST(1 + n_nationkey AS INT)] AS cc_name,
+             'mgr_' || CAST(n_nationkey % 8 AS VARCHAR) AS cc_manager,
+             'County#' || LPAD(CAST(n_nationkey % 50 AS VARCHAR), 2, '0')
+               AS cc_county
+      FROM nation WHERE n_nationkey < 4)"""
+
 _WAREHOUSE_DUCK = """warehouse AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS w_warehouse_sk,
              n_name AS w_warehouse_name,
@@ -736,11 +784,9 @@ _ADAPTER_DUCK_RICH = f"""
              'CP' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
                AS cp_catalog_page_id
       FROM nation),
-    web_site AS (
-      SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
-             'WS' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
-               AS web_site_id
-      FROM nation),
+    {_WEB_SITE_DUCK},
+    {_SHIP_MODE_DUCK},
+    {_CALL_CENTER_DUCK},
     reason AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
              'reason ' || CAST(n_nationkey + 20 AS VARCHAR) AS r_reason_desc
@@ -851,6 +897,68 @@ _DATED_SPARK["inventory"] = """
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         CROSS JOIN (SELECT explode(array(-14, -7, 0, 7)) AS shift) s
     """
+
+# q62/q99's day-lag histograms subtract date KEYS (ship - sold), so they
+# need the DATED tier's epoch-day keys: sold = o_orderdate+1y, ship =
+# l_shipdate+1y — the TPC-H ship lag (1..121 days) becomes a real
+# day-difference histogram. Ship modes spread over the 25-row ship_mode
+# dim; warehouse/call-center/web-site keys reuse the rich residues.
+_DATED_SPARK["catalog_sales"] = """
+        SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS cs_sold_date_sk,
+               DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS cs_ship_date_sk,
+               l_partkey AS cs_item_sk,
+               CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
+               CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+                 AS cs_ship_mode_sk,
+               CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 2
+    """
+
+_DATED_SPARK["web_sales"] = """
+        SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS ws_sold_date_sk,
+               DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS ws_ship_date_sk,
+               l_partkey AS ws_item_sk,
+               CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
+               CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+                 AS ws_ship_mode_sk,
+               CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 1
+    """
+
+_CS_WS_DATED_DUCK = """catalog_sales AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
+               AS cs_sold_date_sk,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
+               AS cs_ship_date_sk,
+             l_partkey AS cs_item_sk,
+             CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
+             CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+               AS cs_ship_mode_sk,
+             CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2),
+    web_sales AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
+               AS ws_sold_date_sk,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
+               AS ws_ship_date_sk,
+             l_partkey AS ws_item_sk,
+             CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
+             CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+               AS ws_ship_mode_sk,
+             CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1)"""
 
 _INVENTORY_DATED_DUCK = """inventory AS (
       SELECT DATEDIFF('day', DATE '1970-01-01',
@@ -1725,6 +1833,7 @@ _ADAPTER_DUCK_DATED = f"""
              CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
+    {_CS_WS_DATED_DUCK},
     {_INVENTORY_DATED_DUCK},
     {_STORE_DUCK}
 """
@@ -3341,4 +3450,138 @@ def tpcds_literal_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, rich=True, dated=True)
     return spark.sql(rewrite(QUERY21_SQL)).toDF(
         "w_warehouse_name", "i_item_id", "inv_before", "inv_after"
+    )
+QUERY32_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query32.tpl\nselect  sum(cs_ext_discount_amt)  as `excess discount amount`\nfrom \n   catalog_sales \n   ,item \n   ,date_dim\nwhere\ni_manufact_id = 977\nand i_item_sk = cs_item_sk \nand d_date between '2000-01-27' and \n        (cast('2000-01-27' as date) + INTERVAL '90' day)\nand d_date_sk = cs_sold_date_sk \nand cs_ext_discount_amt  \n     > ( \n         select \n            1.3 * avg(cs_ext_discount_amt) \n         from \n            catalog_sales \n           ,date_dim\n         where \n              cs_item_sk = i_item_sk \n          and d_date between '2000-01-27' and\n                             (cast('2000-01-27' as date) + INTERVAL '90' day)\n          and d_date_sk = cs_sold_date_sk \n      ) \nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query32.tpl\n"
+
+QUERY92_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query92.tpl\nselect  \n   sum(ws_ext_discount_amt)  as `Excess Discount Amount`\nfrom \n    web_sales \n   ,item \n   ,date_dim\nwhere\ni_manufact_id = 350\nand i_item_sk = ws_item_sk \nand d_date between '2000-01-27' and \n        (cast('2000-01-27' as date) + INTERVAL '90' day)\nand d_date_sk = ws_sold_date_sk \nand ws_ext_discount_amt  \n     > ( \n         SELECT \n            1.3 * avg(ws_ext_discount_amt) \n         FROM \n            web_sales \n           ,date_dim\n         WHERE \n              ws_item_sk = i_item_sk \n          and d_date between '2000-01-27' and\n                             (cast('2000-01-27' as date) + INTERVAL '90' day)\n          and d_date_sk = ws_sold_date_sk \n      ) \norder by sum(ws_ext_discount_amt)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query92.tpl\n"
+
+QUERY62_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query62.tpl\nselect  \n   substr(w_warehouse_name,1,20)\n  ,sm_type\n  ,web_name\n  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days`\n  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and \n                 (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days`\n  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and \n                 (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days`\n  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and\n                 (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days`\n  ,sum(case when (ws_ship_date_sk - ws_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days`\nfrom\n   web_sales\n  ,warehouse\n  ,ship_mode\n  ,web_site\n  ,date_dim\nwhere\n    d_month_seq between 1200 and 1200 + 11\nand ws_ship_date_sk   = d_date_sk\nand ws_warehouse_sk   = w_warehouse_sk\nand ws_ship_mode_sk   = sm_ship_mode_sk\nand ws_web_site_sk    = web_site_sk\ngroup by\n   substr(w_warehouse_name,1,20)\n  ,sm_type\n  ,web_name\norder by substr(w_warehouse_name,1,20)\n        ,sm_type\n       ,web_name\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query62.tpl\n'
+
+QUERY99_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query99.tpl\nselect  \n   substr(w_warehouse_name,1,20)\n  ,sm_type\n  ,cc_name\n  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end)  as `30 days`\n  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and \n                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end )  as `31-60 days`\n  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and \n                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end)  as `61-90 days`\n  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and\n                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end)  as `91-120 days`\n  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end)  as `>120 days`\nfrom\n   catalog_sales\n  ,warehouse\n  ,ship_mode\n  ,call_center\n  ,date_dim\nwhere\n    d_month_seq between 1200 and 1200 + 11\nand cs_ship_date_sk   = d_date_sk\nand cs_warehouse_sk   = w_warehouse_sk\nand cs_ship_mode_sk   = sm_ship_mode_sk\nand cs_call_center_sk = cc_call_center_sk\ngroup by\n   substr(w_warehouse_name,1,20)\n  ,sm_type\n  ,cc_name\norder by substr(w_warehouse_name,1,20)\n        ,sm_type\n        ,cc_name\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query99.tpl\n'
+
+_Q32_ORACLE_BODY = """
+    SELECT SUM({p}_ext_discount_amt) AS excess_discount_amount
+    FROM {fact} f, item, date_dim
+    WHERE i_manufact_id = {mid}
+      AND i_item_sk = f.{p}_item_sk
+      AND d_date BETWEEN '2000-01-27'
+                     AND CAST('2000-01-27' AS DATE) + INTERVAL 90 DAY
+      AND d_date_sk = f.{p}_sold_date_sk
+      AND f.{p}_ext_discount_amt >
+          (SELECT 1.3 * AVG(g.{p}_ext_discount_amt)
+           FROM {fact} g, date_dim
+           WHERE g.{p}_item_sk = i_item_sk
+             AND d_date BETWEEN '2000-01-27'
+                            AND CAST('2000-01-27' AS DATE) + INTERVAL 90 DAY
+             AND d_date_sk = g.{p}_sold_date_sk)
+    LIMIT 100
+"""
+
+
+@query(
+    "tpcds_literal_q32",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q32_ORACLE_BODY.format(fact="catalog_sales", p="cs", mid=977)}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query32.sql text, unmodified — "excess discount": rows whose
+    discount exceeds 1.3x their item's windowed average (correlated scalar
+    subquery re-scanning the same fact), summed to one row with a
+    backquoted multi-word alias. i_manufact_id 977 is on the adapter's
+    id list. The 1.3x threshold is double in both engines (decimal 1.3
+    times double AVG promotes). Reference: tpcds-tool/query/query32.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY32_SQL)).toDF("excess_discount_amount")
+
+
+@query(
+    "tpcds_literal_q92",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q32_ORACLE_BODY.format(fact="web_sales", p="ws", mid=350)}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query92.sql text, unmodified — q32's web-channel twin
+    (manufacturer 350, plus an ORDER BY over the single aggregate row).
+    Reference: tpcds-tool/query/query92.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY92_SQL)).toDF("excess_discount_amount")
+
+
+_Q62_ORACLE_BODY = """
+    SELECT SUBSTR(w_warehouse_name, 1, 20) AS w_substr, sm_type, {grp},
+           SUM(CASE WHEN ({p}_ship_date_sk - {p}_sold_date_sk <= 30)
+                    THEN 1 ELSE 0 END) AS days_30,
+           SUM(CASE WHEN ({p}_ship_date_sk - {p}_sold_date_sk > 30)
+                     AND ({p}_ship_date_sk - {p}_sold_date_sk <= 60)
+                    THEN 1 ELSE 0 END) AS days_31_60,
+           SUM(CASE WHEN ({p}_ship_date_sk - {p}_sold_date_sk > 60)
+                     AND ({p}_ship_date_sk - {p}_sold_date_sk <= 90)
+                    THEN 1 ELSE 0 END) AS days_61_90,
+           SUM(CASE WHEN ({p}_ship_date_sk - {p}_sold_date_sk > 90)
+                     AND ({p}_ship_date_sk - {p}_sold_date_sk <= 120)
+                    THEN 1 ELSE 0 END) AS days_91_120,
+           SUM(CASE WHEN ({p}_ship_date_sk - {p}_sold_date_sk > 120)
+                    THEN 1 ELSE 0 END) AS days_over_120
+    FROM {fact}, warehouse, ship_mode, {dim}, date_dim
+    WHERE d_month_seq BETWEEN 1200 AND 1211
+      AND {p}_ship_date_sk = d_date_sk
+      AND {p}_warehouse_sk = w_warehouse_sk
+      AND {p}_ship_mode_sk = sm_ship_mode_sk
+      AND {joink}
+    GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, {grp}
+    ORDER BY SUBSTR(w_warehouse_name, 1, 20), sm_type, {grp}
+    LIMIT 100
+"""
+
+
+@query(
+    "tpcds_literal_q62",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED}, {_WAREHOUSE_DUCK}, {_SHIP_MODE_DUCK},
+    {_WEB_SITE_DUCK}
+    {_Q62_ORACLE_BODY.format(fact="web_sales", dim="web_site", p="ws",
+                             grp="web_name",
+                             joink="ws_web_site_sk = web_site_sk")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query62.sql text, unmodified — web shipping day-lag
+    histogram: the five banded counts subtract date KEYS (ship - sold),
+    so it runs on the DATED tier where keys are epoch days and the lag is
+    the real TPC-H ship lag (1..121 days — every band lands rows). Group
+    key (warehouse-prefix, ship-mode type, site name) makes the ORDER BY
+    total. Reference: tpcds-tool/query/query62.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY62_SQL)).toDF(
+        "w_substr", "sm_type", "web_name", "days_30", "days_31_60",
+        "days_61_90", "days_91_120", "days_over_120",
+    )
+
+
+@query(
+    "tpcds_literal_q99",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED}, {_WAREHOUSE_DUCK}, {_SHIP_MODE_DUCK},
+    {_CALL_CENTER_DUCK}
+    {_Q62_ORACLE_BODY.format(fact="catalog_sales", dim="call_center",
+                             p="cs", grp="cc_name",
+                             joink="cs_call_center_sk = cc_call_center_sk")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query99.sql text, unmodified — q62's catalog twin over the
+    four-row call_center dimension. Reference:
+    tpcds-tool/query/query99.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY99_SQL)).toDF(
+        "w_substr", "sm_type", "cc_name", "days_30", "days_31_60",
+        "days_61_90", "days_91_120", "days_over_120",
     )

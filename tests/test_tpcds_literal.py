@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 3, 4, 5, 6, 7, 9, 11, 12, 21, 22, 15, 18, 19, 20, "23a", "23b", 26, 28, 33, 36, 37, 42, 43, 45, 46, 50, 51, 52, 53, 55, 59, 61, 63, 65, 68, 71, 74, 77, 79, 80, 82, 86, 88, 89, 90, 93, 96, 97, 98])
+@pytest.mark.parametrize("n", [1, 3, 4, 5, 6, 7, 9, 11, 12, 21, 22, 15, 18, 19, 20, "23a", "23b", 26, 28, 32, 33, 36, 37, 42, 43, 45, 46, 50, 51, 52, 53, 55, 59, 61, 62, 63, 65, 68, 71, 74, 77, 79, 80, 82, 86, 88, 89, 90, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -37,7 +37,9 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q51", "tpcds_literal_q53", "tpcds_literal_q63",
              "tpcds_literal_q36", "tpcds_literal_q86", "tpcds_literal_q97",
              "tpcds_literal_q28", "tpcds_literal_q9", "tpcds_literal_q22",
-             "tpcds_literal_q37", "tpcds_literal_q82", "tpcds_literal_q21"]
+             "tpcds_literal_q37", "tpcds_literal_q82", "tpcds_literal_q21",
+             "tpcds_literal_q32", "tpcds_literal_q92", "tpcds_literal_q62",
+             "tpcds_literal_q99"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -252,7 +254,7 @@ def test_adapter_dated_renderings_agree(spark, sf_dir):
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     for name in ("date_dim", "store_sales", "store_returns", "store",
-                 "inventory"):
+                 "inventory", "catalog_sales", "web_sales"):
         sdf = spark.sql(f"SELECT * FROM {name}")
         scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
         dres = con.execute(
