@@ -288,8 +288,8 @@ _RICH_FACT_COLS_SPARK = """
                  AS {p}wholesale_cost,
                CAST(ROUND(l_extendedprice * l_discount) AS BIGINT)
                  AS {p}coupon_amt,
-               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
-                 AS {p}sales_price,
+               CAST(1 + ROUND(l_extendedprice * (1 - l_discount)) % 200
+                    AS BIGINT) AS {p}sales_price,
                (o_custkey + l_suppkey % 5)
                  % (SELECT COUNT(*) FROM {cust}) AS {p}addr_sk,
                (o_custkey + l_suppkey % 5)
@@ -481,6 +481,8 @@ _RICH_SPARK = {
                LPAD(CAST(c_custkey AS STRING), 16, '0') AS c_customer_id,
              c_name AS c_last_name,
                CONCAT('F', CAST(c_custkey % 97 AS STRING)) AS c_first_name,
+               element_at(array('Mr.','Mrs.','Ms.','Dr.','Sir'),
+                          CAST(1 + c_custkey % 5 AS INT)) AS c_salutation,
                CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
                  AS c_preferred_cust_flag,
                element_at(array('US','DE','FR','JP','CN','IN','BR','CA',
@@ -526,8 +528,7 @@ _RICH_SPARK = {
                'St' AS s_street_type,
                CONCAT('Suite ', CAST(s_suppkey % 20 AS STRING))
                  AS s_suite_number,
-               CONCAT('County#', LPAD(CAST(s_suppkey % 50 AS STRING), 2, '0'))
-                 AS s_county,
+               'Williamson County' AS s_county,
                element_at(array('TN','SC','AL','GA','KY'),
                           CAST(1 + s_suppkey % 5 AS INT)) AS s_state
         FROM __tpch_supplier
@@ -535,7 +536,10 @@ _RICH_SPARK = {
     "household_demographics": """
         SELECT c_custkey AS hd_demo_sk,
                CAST(c_custkey % 10 AS INT) AS hd_dep_count,
-               CAST(c_custkey % 6 AS INT) AS hd_vehicle_count
+               CAST(c_custkey % 6 AS INT) AS hd_vehicle_count,
+               element_at(array('>10000','Unknown','1001-5000','5001-10000',
+                                '501-1000','0-500'),
+                          CAST(1 + c_custkey % 6 AS INT)) AS hd_buy_potential
         FROM __tpch_customer
     """,
     "web_page": """
@@ -570,8 +574,7 @@ _STORE_DUCK = """store AS (
              'Main' AS s_street_name,
              'St' AS s_street_type,
              'Suite ' || CAST(s_suppkey % 20 AS VARCHAR) AS s_suite_number,
-             'County#' || LPAD(CAST(s_suppkey % 50 AS VARCHAR), 2, '0')
-               AS s_county,
+             'Williamson County' AS s_county,
              (['TN','SC','AL','GA','KY'])[CAST(1 + s_suppkey % 5 AS INT)]
                AS s_state
       FROM supplier)"""
@@ -647,6 +650,8 @@ _CUSTOMER_V_DUCK = """customer_v AS (
              LPAD(CAST(c_custkey AS VARCHAR), 16, '0') AS c_customer_id,
              c_name AS c_last_name,
              'F' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
+             (['Mr.','Mrs.','Ms.','Dr.','Sir'])
+               [CAST(1 + c_custkey % 5 AS INT)] AS c_salutation,
              CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END
                AS c_preferred_cust_flag,
              (['US','DE','FR','JP','CN','IN','BR','CA','GB','AU'])
@@ -681,6 +686,14 @@ def _ws_rich_duck() -> str:
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1)"""
 
+
+_HD_DUCK = """household_demographics AS (
+      SELECT c_custkey AS hd_demo_sk,
+             CAST(c_custkey % 10 AS INT) AS hd_dep_count,
+             CAST(c_custkey % 6 AS INT) AS hd_vehicle_count,
+             (['>10000','Unknown','1001-5000','5001-10000','501-1000',
+               '0-500'])[CAST(1 + c_custkey % 6 AS INT)] AS hd_buy_potential
+      FROM customer)"""
 
 _WEB_SITE_DUCK = """web_site AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
@@ -826,11 +839,7 @@ _ADAPTER_DUCK_RICH = f"""
                AS ca_city
       FROM customer),
     {_STORE_DUCK},
-    household_demographics AS (
-      SELECT c_custkey AS hd_demo_sk,
-             CAST(c_custkey % 10 AS INT) AS hd_dep_count,
-             CAST(c_custkey % 6 AS INT) AS hd_vehicle_count
-      FROM customer),
+    {_HD_DUCK},
     web_page AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS wp_web_page_sk,
              CAST(5000 + n_nationkey * 10 AS INT) AS wp_char_count
@@ -1091,6 +1100,40 @@ _ADAPTER_DUCK_DENSE = f"""
 """
 
 
+# TRIPS tier (q34): TPC-H orders carry 1-7 lines, so a natural ticket can
+# never reach q34's literal ``cnt between 15 and 20`` — real TPC-DS
+# tickets bundle 10-20 items. This tier pools 40 consecutive orderkeys
+# into one ticket with a ticket-derived customer (density-not-query, the
+# DENSE-tier fixture philosophy); the pooled count distribution straddles
+# the 15-20 band at every SF (probed: 1 row at sf0.001, 13 at sf0.01).
+_TRIPS_SPARK = {
+    "store_sales": """
+        SELECT l_orderkey AS ss_sold_date_sk,
+               CAST(FLOOR(l_orderkey / 40) AS BIGINT) AS ss_ticket_number,
+               CAST(1 + (FLOOR(l_orderkey / 40) * 7919)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS ss_customer_sk,
+               CAST(1 + (FLOOR(l_orderkey / 40) * 7919)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS ss_hdemo_sk,
+               l_suppkey AS ss_store_sk
+        FROM __tpch_lineitem
+    """,
+}
+
+_TRIPS_SS_DUCK = """store_sales AS (
+      SELECT l_orderkey AS ss_sold_date_sk,
+             CAST(FLOOR(l_orderkey / 40) AS BIGINT) AS ss_ticket_number,
+             CAST(1 + (FLOOR(l_orderkey / 40) * 7919)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS ss_customer_sk,
+             CAST(1 + (FLOOR(l_orderkey / 40) * 7919)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS ss_hdemo_sk,
+             l_suppkey AS ss_store_sk
+      FROM lineitem)"""
+
+
 def _register_views(
     spark: SparkSession,
     sf_dir: str,
@@ -1098,6 +1141,7 @@ def _register_views(
     dated: bool = False,
     split: bool = False,
     dense: bool = False,
+    trips: bool = False,
 ) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
@@ -1116,6 +1160,9 @@ def _register_views(
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     if dense:
         for name, body in _DENSE_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if trips:
+        for name, body in _TRIPS_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
@@ -3584,4 +3631,239 @@ def tpcds_literal_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY99_SQL)).toDF(
         "w_substr", "sm_type", "cc_name", "days_30", "days_31_60",
         "days_61_90", "days_91_120", "days_over_120",
+    )
+QUERY38_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query38.tpl\nselect  count(*) from (\n    select distinct c_last_name, c_first_name, d_date\n    from store_sales, date_dim, customer\n          where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n      and store_sales.ss_customer_sk = customer.c_customer_sk\n      and d_month_seq between 1200 and 1200 + 11\n  intersect\n    select distinct c_last_name, c_first_name, d_date\n    from catalog_sales, date_dim, customer\n          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk\n      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk\n      and d_month_seq between 1200 and 1200 + 11\n  intersect\n    select distinct c_last_name, c_first_name, d_date\n    from web_sales, date_dim, customer\n          where web_sales.ws_sold_date_sk = date_dim.d_date_sk\n      and web_sales.ws_bill_customer_sk = customer.c_customer_sk\n      and d_month_seq between 1200 and 1200 + 11\n) hot_cust\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query38.tpl\n'
+
+QUERY87_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query87.tpl\nselect count(*) \nfrom ((select distinct c_last_name, c_first_name, d_date\n       from store_sales, date_dim, customer\n       where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n         and store_sales.ss_customer_sk = customer.c_customer_sk\n         and d_month_seq between 1200 and 1200+11)\n       except\n      (select distinct c_last_name, c_first_name, d_date\n       from catalog_sales, date_dim, customer\n       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk\n         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk\n         and d_month_seq between 1200 and 1200+11)\n       except\n      (select distinct c_last_name, c_first_name, d_date\n       from web_sales, date_dim, customer\n       where web_sales.ws_sold_date_sk = date_dim.d_date_sk\n         and web_sales.ws_bill_customer_sk = customer.c_customer_sk\n         and d_month_seq between 1200 and 1200+11)\n) cool_cust\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query87.tpl\n'
+
+QUERY48_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query48.tpl\nselect sum (ss_quantity)\n from store_sales, store, customer_demographics, customer_address, date_dim\n where s_store_sk = ss_store_sk\n and  ss_sold_date_sk = d_date_sk and d_year = 2000\n and\n (\n  (\n   cd_demo_sk = ss_cdemo_sk\n   and\n   cd_marital_status = 'M'\n   and\n   cd_education_status = '4 yr Degree'\n   and\n   ss_sales_price between 100.00 and 150.00\n   )\n or\n  (\n  cd_demo_sk = ss_cdemo_sk\n   and\n   cd_marital_status = 'D'\n   and\n   cd_education_status = '2 yr Degree'\n   and\n   ss_sales_price between 50.00 and 100.00\n  )\n or\n (\n  cd_demo_sk = ss_cdemo_sk\n   and\n   cd_marital_status = 'S'\n   and\n   cd_education_status = 'College'\n   and\n   ss_sales_price between 150.00 and 200.00\n )\n )\n and\n (\n  (\n  ss_addr_sk = ca_address_sk\n  and\n  ca_country = 'United States'\n  and\n  ca_state in ('CO', 'OH', 'TX')\n  and ss_net_profit between 0 and 2000\n  )\n or\n  (ss_addr_sk = ca_address_sk\n  and\n  ca_country = 'United States'\n  and\n  ca_state in ('OR', 'MN', 'KY')\n  and ss_net_profit between 150 and 3000\n  )\n or\n  (ss_addr_sk = ca_address_sk\n  and\n  ca_country = 'United States'\n  and\n  ca_state in ('VA', 'CA', 'MS')\n  and ss_net_profit between 50 and 25000\n  )\n )\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query48.tpl\n"
+
+QUERY13_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query13.tpl\nselect avg(ss_quantity)\n       ,avg(ss_ext_sales_price)\n       ,avg(ss_ext_wholesale_cost)\n       ,sum(ss_ext_wholesale_cost)\n from store_sales\n     ,store\n     ,customer_demographics\n     ,household_demographics\n     ,customer_address\n     ,date_dim\n where s_store_sk = ss_store_sk\n and  ss_sold_date_sk = d_date_sk and d_year = 2001\n and((ss_hdemo_sk=hd_demo_sk\n  and cd_demo_sk = ss_cdemo_sk\n  and cd_marital_status = 'M'\n  and cd_education_status = 'Advanced Degree'\n  and ss_sales_price between 100.00 and 150.00\n  and hd_dep_count = 3   \n     )or\n     (ss_hdemo_sk=hd_demo_sk\n  and cd_demo_sk = ss_cdemo_sk\n  and cd_marital_status = 'S'\n  and cd_education_status = 'College'\n  and ss_sales_price between 50.00 and 100.00   \n  and hd_dep_count = 1\n     ) or \n     (ss_hdemo_sk=hd_demo_sk\n  and cd_demo_sk = ss_cdemo_sk\n  and cd_marital_status = 'W'\n  and cd_education_status = '2 yr Degree'\n  and ss_sales_price between 150.00 and 200.00 \n  and hd_dep_count = 1  \n     ))\n and((ss_addr_sk = ca_address_sk\n  and ca_country = 'United States'\n  and ca_state in ('TX', 'OH', 'TX')\n  and ss_net_profit between 100 and 200  \n     ) or\n     (ss_addr_sk = ca_address_sk\n  and ca_country = 'United States'\n  and ca_state in ('OR', 'NM', 'KY')\n  and ss_net_profit between 150 and 300  \n     ) or\n     (ss_addr_sk = ca_address_sk\n  and ca_country = 'United States'\n  and ca_state in ('VA', 'TX', 'MS')\n  and ss_net_profit between 50 and 250  \n     ))\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query13.tpl\n"
+
+QUERY73_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query73.tpl\nselect c_last_name\n       ,c_first_name\n       ,c_salutation\n       ,c_preferred_cust_flag \n       ,ss_ticket_number\n       ,cnt from\n   (select ss_ticket_number\n          ,ss_customer_sk\n          ,count(*) cnt\n    from store_sales,date_dim,store,household_demographics\n    where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n    and store_sales.ss_store_sk = store.s_store_sk  \n    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk\n    and date_dim.d_dom between 1 and 2 \n    and (household_demographics.hd_buy_potential = '>10000' or\n         household_demographics.hd_buy_potential = 'Unknown')\n    and household_demographics.hd_vehicle_count > 0\n    and case when household_demographics.hd_vehicle_count > 0 then \n             cast(household_demographics.hd_dep_count as decimal(7, 2))/ cast(household_demographics.hd_vehicle_count as decimal(7, 2)) else null end > 1\n    and date_dim.d_year in (1999,1999+1,1999+2)\n    and store.s_county in ('Williamson County','Franklin Parish','Bronx County','Orange County')\n    group by ss_ticket_number,ss_customer_sk) dj,customer\n    where ss_customer_sk = c_customer_sk\n      and cnt between 1 and 5\n    order by cnt desc, c_last_name asc\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query73.tpl\n"
+
+QUERY34_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query34.tpl\nselect c_last_name\n       ,c_first_name\n       ,c_salutation\n       ,c_preferred_cust_flag\n       ,ss_ticket_number\n       ,cnt from\n   (select ss_ticket_number\n          ,ss_customer_sk\n          ,count(*) cnt\n    from store_sales,date_dim,store,household_demographics\n    where store_sales.ss_sold_date_sk = date_dim.d_date_sk\n    and store_sales.ss_store_sk = store.s_store_sk  \n    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk\n    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)\n    and (household_demographics.hd_buy_potential = '>10000' or\n         household_demographics.hd_buy_potential = 'Unknown')\n    and household_demographics.hd_vehicle_count > 0\n    and (case when household_demographics.hd_vehicle_count > 0 \n\tthen cast(household_demographics.hd_dep_count as decimal(7, 2))/ cast(household_demographics.hd_vehicle_count as decimal(7, 2))\n\telse null \n\tend)  > 1.2\n    and date_dim.d_year in (1999,1999+1,1999+2)\n    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',\n                           'Williamson County','Williamson County','Williamson County','Williamson County')\n    group by ss_ticket_number,ss_customer_sk) dn,customer\n    where ss_customer_sk = c_customer_sk\n      and cnt between 15 and 20\n    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query34.tpl\n"
+
+_Q38_CHANNEL = """
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM {fact}, date_dim, customer_v
+      WHERE {fact}.{k} = date_dim.d_date_sk
+        AND {fact}.{c} = customer_v.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1211
+"""
+
+
+def _q38_oracle(setop: str) -> str:
+    chans = [
+        _Q38_CHANNEL.format(fact="store_sales", k="ss_sold_date_sk",
+                            c="ss_customer_sk"),
+        _Q38_CHANNEL.format(fact="catalog_sales", k="cs_sold_date_sk",
+                            c="cs_bill_customer_sk"),
+        _Q38_CHANNEL.format(fact="web_sales", k="ws_sold_date_sk",
+                            c="ws_bill_customer_sk"),
+    ]
+    body = setop.join(f"({c})" for c in chans)
+    return f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT COUNT(*) AS cnt FROM ({body}) t
+    LIMIT 100
+    """
+
+
+@query(
+    "tpcds_literal_q38",
+    oracle=_q38_oracle(" INTERSECT "),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query38.sql text, unmodified — three-channel INTERSECT of
+    DISTINCT (last, first, sale date) identities counted to one row. The
+    channel slices partition each order's lines, so a multi-line order
+    puts the same customer-date in several channels and the intersection
+    is non-empty. Reference: tpcds-tool/query/query38.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY38_SQL)).toDF("cnt")
+
+
+@query(
+    "tpcds_literal_q87",
+    oracle=_q38_oracle(" EXCEPT "),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query87.sql text, unmodified — q38's EXCEPT-chain twin
+    (left-associative (store EXCEPT catalog) EXCEPT web). Reference:
+    tpcds-tool/query/query87.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY87_SQL)).toDF("cnt")
+
+
+@query(
+    "tpcds_literal_q48",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT SUM(ss_quantity) AS sum_qty
+    FROM store_sales, store, customer_demographics, customer_address,
+         date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+      AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+            AND cd_education_status = '4 yr Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00)
+        OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 50.00 AND 100.00)
+        OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+            AND cd_education_status = 'College'
+            AND ss_sales_price BETWEEN 150.00 AND 200.00))
+      AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('CO', 'OH', 'TX')
+            AND ss_net_profit BETWEEN 0 AND 2000)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('OR', 'MN', 'KY')
+            AND ss_net_profit BETWEEN 150 AND 3000)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('VA', 'CA', 'MS')
+            AND ss_net_profit BETWEEN 50 AND 25000))
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query48.sql text, unmodified — one scalar SUM under two
+    OR-of-AND band ladders (marital/education x sales-price band, state
+    triple x net-profit band). ss_sales_price is rescaled into the spec's
+    0-200 band range so every demographic branch is non-empty; the state
+    lists each contain at least one adapter state. Reference:
+    tpcds-tool/query/query48.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY48_SQL)).toDF("sum_qty")
+
+
+@query(
+    "tpcds_literal_q13",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT AVG(ss_quantity) AS avg_qty,
+           AVG(ss_ext_sales_price) AS avg_ext_sales,
+           AVG(ss_ext_wholesale_cost) AS avg_ext_wholesale,
+           SUM(ss_ext_wholesale_cost) AS sum_ext_wholesale
+    FROM store_sales, store, customer_demographics,
+         household_demographics, customer_address, date_dim
+    WHERE s_store_sk = ss_store_sk
+      AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+      AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'M'
+            AND cd_education_status = 'Advanced Degree'
+            AND ss_sales_price BETWEEN 100.00 AND 150.00
+            AND hd_dep_count = 3)
+        OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'S'
+            AND cd_education_status = 'College'
+            AND ss_sales_price BETWEEN 50.00 AND 100.00
+            AND hd_dep_count = 1)
+        OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+            AND cd_marital_status = 'W'
+            AND cd_education_status = '2 yr Degree'
+            AND ss_sales_price BETWEEN 150.00 AND 200.00
+            AND hd_dep_count = 1))
+      AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('TX', 'OH', 'TX')
+            AND ss_net_profit BETWEEN 100 AND 200)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('OR', 'NM', 'KY')
+            AND ss_net_profit BETWEEN 150 AND 300)
+        OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+            AND ca_state IN ('VA', 'TX', 'MS')
+            AND ss_net_profit BETWEEN 50 AND 250))
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query13.sql text, unmodified — q48's shape with household
+    dep-count conjuncts and three AVG measures plus a SUM (exact-int
+    sums; AVGs exact in double). The spec's first state triple
+    (TX,OH,TX) has no adapter state — the other two branches carry the
+    result, matching TPC-DS's own partially-empty OR ladders. Reference:
+    tpcds-tool/query/query13.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY13_SQL)).toDF(
+        "avg_qty", "avg_ext_sales", "avg_ext_wholesale", "sum_ext_wholesale"
+    )
+
+
+_Q73_ORACLE_BODY = """
+    SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+           ss_ticket_number, cnt
+    FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+          FROM store_sales, date_dim, store, household_demographics
+          WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+            AND store_sales.ss_store_sk = store.s_store_sk
+            AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+            AND {dom}
+            AND (household_demographics.hd_buy_potential = '>10000' OR
+                 household_demographics.hd_buy_potential = 'Unknown')
+            AND household_demographics.hd_vehicle_count > 0
+            AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                 THEN CAST(household_demographics.hd_dep_count
+                           AS DECIMAL(7, 2))
+                      / CAST(household_demographics.hd_vehicle_count
+                             AS DECIMAL(7, 2))
+                 ELSE NULL END) > {ratio}
+            AND date_dim.d_year IN (1999, 2000, 2001)
+            AND store.s_county IN ({counties})
+          GROUP BY ss_ticket_number, ss_customer_sk) dn, customer_v
+    WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN {clo} AND {chi}
+"""
+
+
+@query(
+    "tpcds_literal_q73",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    {_Q73_ORACLE_BODY.format(
+        dom="date_dim.d_dom BETWEEN 1 AND 2", ratio=1,
+        counties="'Williamson County','Franklin Parish','Bronx County',"
+                 "'Orange County'", clo=1, chi=5)}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query73.sql text, unmodified — shopping-trip frequency:
+    per-(ticket, customer) line counts under start-of-month/demographic
+    filters, joined back to the customer. Natural TPC-H tickets (1-7
+    lines) land inside the literal ``cnt between 1 and 5`` band.
+    s_county is the constant 'Williamson County' (faithful to small-SF
+    TPC-DS data, and inside the literal IN-list). No LIMIT; the hash
+    compare is order-insensitive. Reference:
+    tpcds-tool/query/query73.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY73_SQL)).toDF(
+        "c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt",
+    )
+
+
+@query(
+    "tpcds_literal_q34",
+    oracle=f"""
+    WITH {_DATE_DIM_DUCK}, {_TRIPS_SS_DUCK}, {_STORE_DUCK}, {_HD_DUCK},
+    {_CUSTOMER_V_DUCK}
+    {_Q73_ORACLE_BODY.format(
+        dom="(date_dim.d_dom BETWEEN 1 AND 3 OR "
+            "date_dim.d_dom BETWEEN 25 AND 28)",
+        ratio=1.2, counties=("'Williamson County'," * 8)[:-1],
+        clo=15, chi=20)}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query34.sql text, unmodified — q73's shape with the
+    15-20-line ticket band, on the TRIPS tier (see _TRIPS_SPARK: 40
+    pooled orderkeys per ticket with a ticket-derived customer, because a
+    natural 1-7-line TPC-H order can never reach the literal band).
+    Reference: tpcds-tool/query/query34.sql."""
+    _register_views(spark, sf_dir, rich=True, trips=True)
+    return spark.sql(rewrite(QUERY34_SQL)).toDF(
+        "c_last_name", "c_first_name", "c_salutation",
+        "c_preferred_cust_flag", "ss_ticket_number", "cnt",
     )
