@@ -245,6 +245,9 @@ _ADAPTER_SPARK = {
                CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                     AS INT) AS d_month_seq,
                DATE_FORMAT(o_orderdate, 'EEEE') AS d_day_name,
+               CONCAT(CAST(YEAR(o_orderdate) AS STRING), 'Q',
+                      CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1
+                           AS STRING)) AS d_quarter_name,
                CAST(FLOOR(DATEDIFF(CAST(o_orderdate AS DATE),
                                    DATE '1970-01-01') / 7) AS INT)
                  AS d_week_seq
@@ -590,6 +593,9 @@ _DATE_DIM_DUCK = """date_dim AS (
              CAST((YEAR(o_orderdate) - 1898) * 12 + MONTH(o_orderdate) - 1
                   AS INT) AS d_month_seq,
              DAYNAME(o_orderdate) AS d_day_name,
+             CAST(YEAR(o_orderdate) AS VARCHAR) || 'Q' ||
+               CAST(CAST(FLOOR((MONTH(o_orderdate) - 1) / 3) + 1 AS INT)
+                    AS VARCHAR) AS d_quarter_name,
              CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01',
                                  CAST(o_orderdate AS DATE)) / 7) AS INT)
                AS d_week_seq
@@ -3867,3 +3873,171 @@ def tpcds_literal_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_last_name", "c_first_name", "c_salutation",
         "c_preferred_cust_flag", "ss_ticket_number", "cnt",
     )
+QUERY17_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query17.tpl\nselect  i_item_id\n       ,i_item_desc\n       ,s_state\n       ,count(ss_quantity) as store_sales_quantitycount\n       ,avg(ss_quantity) as store_sales_quantityave\n       ,stddev_samp(ss_quantity) as store_sales_quantitystdev\n       ,stddev_samp(ss_quantity)/avg(ss_quantity) as store_sales_quantitycov\n       ,count(sr_return_quantity) as store_returns_quantitycount\n       ,avg(sr_return_quantity) as store_returns_quantityave\n       ,stddev_samp(sr_return_quantity) as store_returns_quantitystdev\n       ,stddev_samp(sr_return_quantity)/avg(sr_return_quantity) as store_returns_quantitycov\n       ,count(cs_quantity) as catalog_sales_quantitycount ,avg(cs_quantity) as catalog_sales_quantityave\n       ,stddev_samp(cs_quantity) as catalog_sales_quantitystdev\n       ,stddev_samp(cs_quantity)/avg(cs_quantity) as catalog_sales_quantitycov\n from store_sales\n     ,store_returns\n     ,catalog_sales\n     ,date_dim d1\n     ,date_dim d2\n     ,date_dim d3\n     ,store\n     ,item\n where d1.d_quarter_name = '2001Q1'\n   and d1.d_date_sk = ss_sold_date_sk\n   and i_item_sk = ss_item_sk\n   and s_store_sk = ss_store_sk\n   and ss_customer_sk = sr_customer_sk\n   and ss_item_sk = sr_item_sk\n   and ss_ticket_number = sr_ticket_number\n   and sr_returned_date_sk = d2.d_date_sk\n   and d2.d_quarter_name in ('2001Q1','2001Q2','2001Q3')\n   and sr_customer_sk = cs_bill_customer_sk\n   and sr_item_sk = cs_item_sk\n   and cs_sold_date_sk = d3.d_date_sk\n   and d3.d_quarter_name in ('2001Q1','2001Q2','2001Q3')\n group by i_item_id\n         ,i_item_desc\n         ,s_state\n order by i_item_id\n         ,i_item_desc\n         ,s_state\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query17.tpl\n"
+
+QUERY25_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query25.tpl\nselect  \n i_item_id\n ,i_item_desc\n ,s_store_id\n ,s_store_name\n ,sum(ss_net_profit) as store_sales_profit\n ,sum(sr_net_loss) as store_returns_loss\n ,sum(cs_net_profit) as catalog_sales_profit\n from\n store_sales\n ,store_returns\n ,catalog_sales\n ,date_dim d1\n ,date_dim d2\n ,date_dim d3\n ,store\n ,item\n where\n d1.d_moy = 4\n and d1.d_year = 2001\n and d1.d_date_sk = ss_sold_date_sk\n and i_item_sk = ss_item_sk\n and s_store_sk = ss_store_sk\n and ss_customer_sk = sr_customer_sk\n and ss_item_sk = sr_item_sk\n and ss_ticket_number = sr_ticket_number\n and sr_returned_date_sk = d2.d_date_sk\n and d2.d_moy               between 4 and  10\n and d2.d_year              = 2001\n and sr_customer_sk = cs_bill_customer_sk\n and sr_item_sk = cs_item_sk\n and cs_sold_date_sk = d3.d_date_sk\n and d3.d_moy               between 4 and  10 \n and d3.d_year              = 2001\n group by\n i_item_id\n ,i_item_desc\n ,s_store_id\n ,s_store_name\n order by\n i_item_id\n ,i_item_desc\n ,s_store_id\n ,s_store_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query25.tpl\n'
+
+QUERY29_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query29.tpl\nselect   \n     i_item_id\n    ,i_item_desc\n    ,s_store_id\n    ,s_store_name\n    ,sum(ss_quantity)        as store_sales_quantity\n    ,sum(sr_return_quantity) as store_returns_quantity\n    ,sum(cs_quantity)        as catalog_sales_quantity\n from\n    store_sales\n   ,store_returns\n   ,catalog_sales\n   ,date_dim             d1\n   ,date_dim             d2\n   ,date_dim             d3\n   ,store\n   ,item\n where\n     d1.d_moy               = 9 \n and d1.d_year              = 1999\n and d1.d_date_sk           = ss_sold_date_sk\n and i_item_sk              = ss_item_sk\n and s_store_sk             = ss_store_sk\n and ss_customer_sk         = sr_customer_sk\n and ss_item_sk             = sr_item_sk\n and ss_ticket_number       = sr_ticket_number\n and sr_returned_date_sk    = d2.d_date_sk\n and d2.d_moy               between 9 and  9 + 3 \n and d2.d_year              = 1999\n and sr_customer_sk         = cs_bill_customer_sk\n and sr_item_sk             = cs_item_sk\n and cs_sold_date_sk        = d3.d_date_sk     \n and d3.d_year              in (1999,1999+1,1999+2)\n group by\n    i_item_id\n   ,i_item_desc\n   ,s_store_id\n   ,s_store_name\n order by\n    i_item_id \n   ,i_item_desc\n   ,s_store_id\n   ,s_store_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query29.tpl\n'
+
+QUERY27_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query27.tpl\nselect  i_item_id,\n        s_state, grouping(s_state) g_state,\n        avg(cast(ss_quantity as decimal(7, 2))) agg1,\n        avg(ss_list_price) agg2,\n        avg(ss_coupon_amt) agg3,\n        avg(ss_sales_price) agg4\n from store_sales, customer_demographics, date_dim, store, item\n where ss_sold_date_sk = d_date_sk and\n       ss_item_sk = i_item_sk and\n       ss_store_sk = s_store_sk and\n       ss_cdemo_sk = cd_demo_sk and\n       cd_gender = 'M' and\n       cd_marital_status = 'S' and\n       cd_education_status = 'College' and\n       d_year = 2002 and\n       s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')\n group by rollup (i_item_id, s_state)\n order by i_item_id\n         ,s_state\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query27.tpl\n"
+
+_Q25_JOIN_CHAIN = """
+    FROM store_sales, store_returns, catalog_sales,
+         date_dim d1, date_dim d2, date_dim d3, store, item
+    WHERE {d1}
+      AND d1.d_date_sk = ss_sold_date_sk
+      AND i_item_sk = ss_item_sk
+      AND s_store_sk = ss_store_sk
+      AND ss_customer_sk = sr_customer_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND sr_returned_date_sk = d2.d_date_sk
+      AND {d2}
+      AND sr_customer_sk = cs_bill_customer_sk
+      AND sr_item_sk = cs_item_sk
+      AND cs_sold_date_sk = d3.d_date_sk
+      AND {d3}
+"""
+
+
+@query(
+    "tpcds_literal_q17",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id, i_item_desc, s_state,
+           COUNT(ss_quantity) AS store_sales_quantitycount,
+           AVG(ss_quantity) AS store_sales_quantityave,
+           STDDEV_SAMP(ss_quantity) AS store_sales_quantitystdev,
+           STDDEV_SAMP(ss_quantity) / AVG(ss_quantity)
+             AS store_sales_quantitycov,
+           COUNT(sr_return_quantity) AS store_returns_quantitycount,
+           AVG(sr_return_quantity) AS store_returns_quantityave,
+           STDDEV_SAMP(sr_return_quantity) AS store_returns_quantitystdev,
+           STDDEV_SAMP(sr_return_quantity) / AVG(sr_return_quantity)
+             AS store_returns_quantitycov,
+           COUNT(cs_quantity) AS catalog_sales_quantitycount,
+           AVG(cs_quantity) AS catalog_sales_quantityave,
+           STDDEV_SAMP(cs_quantity) AS catalog_sales_quantitystdev,
+           STDDEV_SAMP(cs_quantity) / AVG(cs_quantity)
+             AS catalog_sales_quantitycov
+    {_Q25_JOIN_CHAIN.format(
+        d1="d1.d_quarter_name = '2001Q1'",
+        d2="d2.d_quarter_name IN ('2001Q1','2001Q2','2001Q3')",
+        d3="d3.d_quarter_name IN ('2001Q1','2001Q2','2001Q3')")}
+    GROUP BY i_item_id, i_item_desc, s_state
+    ORDER BY i_item_id, i_item_desc, s_state
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query17.sql text, unmodified — the sale→return→repurchase
+    triple chain (ss joins sr on customer+item+ticket, sr joins cs on
+    customer+item) with quarter-name date filters (new d_quarter_name
+    adapter column) and a stddev/avg coefficient-of-variation battery
+    per channel. (i_item_id, i_item_desc, s_state) is the group key, so
+    the ORDER BY is total. Reference: tpcds-tool/query/query17.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY17_SQL)).toDF(
+        "i_item_id", "i_item_desc", "s_state",
+        "store_sales_quantitycount", "store_sales_quantityave",
+        "store_sales_quantitystdev", "store_sales_quantitycov",
+        "store_returns_quantitycount", "store_returns_quantityave",
+        "store_returns_quantitystdev", "store_returns_quantitycov",
+        "catalog_sales_quantitycount", "catalog_sales_quantityave",
+        "catalog_sales_quantitystdev", "catalog_sales_quantitycov",
+    )
+
+
+@query(
+    "tpcds_literal_q25",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           SUM(ss_net_profit) AS store_sales_profit,
+           SUM(sr_net_loss) AS store_returns_loss,
+           SUM(cs_net_profit) AS catalog_sales_profit
+    {_Q25_JOIN_CHAIN.format(
+        d1="d1.d_moy = 4 AND d1.d_year = 2001",
+        d2="d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2001",
+        d3="d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2001")}
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query25.sql text, unmodified — the q17 chain summing
+    exact-integer profit/loss measures per (item, store) over an
+    April-to-October window. Reference: tpcds-tool/query/query25.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY25_SQL)).toDF(
+        "i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_profit", "store_returns_loss", "catalog_sales_profit",
+    )
+
+
+@query(
+    "tpcds_literal_q29",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+           SUM(ss_quantity) AS store_sales_quantity,
+           SUM(sr_return_quantity) AS store_returns_quantity,
+           SUM(cs_quantity) AS catalog_sales_quantity
+    {_Q25_JOIN_CHAIN.format(
+        d1="d1.d_moy = 9 AND d1.d_year = 1999",
+        d2="d2.d_moy BETWEEN 9 AND 12 AND d2.d_year = 1999",
+        d3="d3.d_year IN (1999, 2000, 2001)")}
+    GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+    ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query29.sql text, unmodified — the q25 chain on quantity
+    sums with a September window and a three-year repurchase horizon.
+    Reference: tpcds-tool/query/query29.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY29_SQL)).toDF(
+        "i_item_id", "i_item_desc", "s_store_id", "s_store_name",
+        "store_sales_quantity", "store_returns_quantity",
+        "catalog_sales_quantity",
+    )
+
+
+@query(
+    "tpcds_literal_q27",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT i_item_id, s_state, GROUPING(s_state) AS g_state,
+           AVG(CAST(ss_quantity AS DECIMAL(7, 2))) AS agg1,
+           AVG(ss_list_price) AS agg2,
+           AVG(ss_coupon_amt) AS agg3,
+           AVG(ss_sales_price) AS agg4
+    FROM store_sales, customer_demographics, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+      AND cd_gender = 'M' AND cd_marital_status = 'S'
+      AND cd_education_status = 'College'
+      AND d_year = 2002 AND s_state IN ('TN')
+    GROUP BY ROLLUP(i_item_id, s_state)
+    ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query27.sql text, unmodified — q7's demographic star with a
+    (item, state) ROLLUP and GROUPING() flag. NULLS FIRST pinned in the
+    oracle (Spark's ASC default); (i_item_id, s_state) is unique per
+    rollup row so the LIMIT boundary is total. agg1's decimal cast is
+    aligned to double post-hoc (q7 policy). Reference:
+    tpcds-tool/query/query27.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY27_SQL)).toDF(
+        "i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3", "agg4"
+    )
+    return out.withColumn("agg1", F.col("agg1").cast("double"))
