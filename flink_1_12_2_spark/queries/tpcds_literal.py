@@ -201,9 +201,38 @@ _PRICES = (
     "45.25,51.5,58.0,62.25,68.5,75.0,84.25,92.0,97.75,99.5"
 )
 
+# Positions are residue-significant: ca_state = list[1 + c%25], marital
+# = list5[1 + c%5], education = list15[1 + c%15]. A (marital, education)
+# filter pins c%5 AND c%15 jointly — each marital status owns exactly
+# the three education slots whose (position-1)%5 matches its residue,
+# and the slots are placed so EVERY (marital, education) pair a literal
+# query names is live: M->{Advanced Degree@1, 4 yr Degree@6, Unknown@11},
+# S->{College@2,7,12}, D->{2 yr Degree@3}, W->{2 yr Degree@4,
+# Advanced Degree@14 ((14-1)%3 == 1, so q91's W+Advanced branch coexists
+# with its c%3==1 gmt/buy-potential pins; Unknown@11 has (11-1)%3 == 1
+# for the M+Unknown branch likewise)}. Gender is c%2, coprime with 15,
+# so gendered pairs (q7/q18/q26/q27) stay live. hd_dep_count stays
+# c%10 (so dep_count ≡ marital mod 5): q13's live branch is
+# S+College+dep_count=1 (1≡1 mod 5); its M+dep=3 and W+dep=1 branches
+# are structurally empty here, which the TPC-DS spec tolerates (the OR
+# needs one live arm) and which keeps q34/q73's ticket-band knife-edge
+# deterministic. On the state side 'IN' sits at position
+# 6 ((6-1)%5 == 0, the M/Unknown class) for q18's F+Unknown+IN, and 'VA'
+# at position 7 ((7-1)%5 == 1, the S/College class) for q13's
+# S+College+VA branch. All five of q18's in-list states (NM, IN, ND,
+# OK, MS) occupy the five %5==0 positions {1,6,11,16,21} so every
+# F+Unknown customer-residue class can satisfy the state filter — one
+# %5==0 position alone left q18 empty at sf0.001 (1/150 of customers).
 _STATES = (
-    "'AL','AR','AZ','CA','CO','CT','DE','FL','GA','IA','ID','IL','IN',"
-    "'KS','KY','LA','MA','MD','ME','MI','MN','MO','MS','MT','NC'"
+    "'NM','AR','AZ','CA','CO','IN','VA','FL','GA','IA','ND','IL','CT',"
+    "'KS','KY','OK','MA','MD','ME','MI','MS','MO','MN','MT','NC'"
+)
+
+_EDUCATIONS = (
+    "'Advanced Degree','College','2 yr Degree','2 yr Degree',"
+    "'4 yr Degree','4 yr Degree','College','Primary','Secondary',"
+    "'Secondary','Unknown','College','Primary','Advanced Degree',"
+    "'4 yr Degree'"
 )
 
 _ITEM_SPARK = f"""
@@ -309,8 +338,8 @@ _RICH_FACT_COLS_SPARK = """
                  AS {p}ext_wholesale_cost,
                o_custkey  AS {p}ship_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS {p}web_page_sk,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * 0.1) AS BIGINT)
-                 AS {p}net_profit,
+               CAST(1 + ROUND(l_extendedprice * (1 - l_discount)) % 400
+                    AS BIGINT) AS {p}net_profit,
                CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
                  AS {p}net_paid
 """
@@ -372,6 +401,11 @@ _RICH_SPARK = {
                l_orderkey AS cr_order_number,
                l_partkey  AS cr_item_sk,
                o_custkey  AS cr_returning_customer_sk,
+               CAST(1 + (o_custkey + l_partkey)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS cr_returning_addr_sk,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100) AS BIGINT) AS cr_return_amt_inc_tax,
                CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
                CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
                {_CENTS} AS cr_return_amount,
@@ -385,6 +419,9 @@ _RICH_SPARK = {
                l_orderkey AS wr_order_number,
                l_partkey  AS wr_item_sk,
                o_custkey  AS wr_returning_customer_sk,
+               CAST(1 + (o_custkey + l_partkey)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS wr_returning_addr_sk,
                CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
                {_CENTS} AS wr_return_amt,
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
@@ -440,6 +477,8 @@ _RICH_SPARK = {
     """,
     "call_center": """
         SELECT CAST(n_nationkey + 1 AS INT) AS cc_call_center_sk,
+               LPAD(CAST(n_nationkey + 1 AS STRING), 16, '0')
+                 AS cc_call_center_id,
                element_at(array('NY Metro','Mid Atlantic','North Midwest',
                                 'California'),
                           CAST(1 + n_nationkey AS INT)) AS cc_name,
@@ -454,14 +493,14 @@ _RICH_SPARK = {
                  AS r_reason_desc
         FROM __tpch_nation
     """,
-    "customer_demographics": """
+    "customer_demographics": f"""
         SELECT c_custkey AS cd_demo_sk,
                CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
                element_at(array('M','S','D','W','U'),
                           CAST(1 + c_custkey % 5 AS INT)) AS cd_marital_status,
-               element_at(array('Primary','Secondary','College','2 yr Degree',
-                                '4 yr Degree','Advanced Degree','Unknown'),
-                          CAST(1 + c_custkey % 7 AS INT)) AS cd_education_status,
+               element_at(array({_EDUCATIONS}),
+                          CAST(1 + c_custkey % 15 AS INT))
+                 AS cd_education_status,
                CAST(c_custkey % 10 AS INT) AS cd_dep_count
         FROM __tpch_customer
     """,
@@ -496,7 +535,11 @@ _RICH_SPARK = {
                CONCAT('c', CAST(c_custkey AS STRING), '@example.com')
                  AS c_email_address,
                CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
-               CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
+               CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year,
+               CAST(1 + c_custkey % 28 AS INT) AS c_birth_day,
+               CAST(2450000 + c_custkey % 1000 AS BIGINT)
+                 AS c_last_review_date_sk,
+               c_custkey AS c_current_hdemo_sk
         FROM __tpch_customer
     """,
     "customer_address": f"""
@@ -504,8 +547,16 @@ _RICH_SPARK = {
                LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip,
                element_at(array({_STATES}),
                           CAST(1 + c_custkey % 25 AS INT)) AS ca_state,
-               CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
+               CAST(-5 - (c_custkey * 2) % 3 AS INT) AS ca_gmt_offset,
                'United States' AS ca_country,
+               CAST(100 + c_custkey % 900 AS STRING) AS ca_street_number,
+               'Main' AS ca_street_name,
+               'St' AS ca_street_type,
+               CONCAT('Suite ', CAST(c_custkey % 20 AS STRING))
+                 AS ca_suite_number,
+               element_at(array('apartment','condo','single family'),
+                          CAST(1 + c_custkey % 3 AS INT))
+                 AS ca_location_type,
                CONCAT('County#', LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
                  AS ca_county,
                CONCAT('City#', LPAD(CAST(c_custkey % 200 AS STRING), 3, '0'))
@@ -666,7 +717,11 @@ _CUSTOMER_V_DUCK = """customer_v AS (
              'c' || CAST(c_custkey AS VARCHAR) || '@example.com'
                AS c_email_address,
              CAST(1 + c_custkey % 12 AS INT) AS c_birth_month,
-             CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year
+             CAST(1920 + c_custkey % 70 AS INT) AS c_birth_year,
+             CAST(1 + c_custkey % 28 AS INT) AS c_birth_day,
+             CAST(2450000 + c_custkey % 1000 AS BIGINT)
+               AS c_last_review_date_sk,
+             c_custkey AS c_current_hdemo_sk
       FROM customer)"""
 
 
@@ -719,6 +774,8 @@ _SHIP_MODE_DUCK = """ship_mode AS (
 
 _CALL_CENTER_DUCK = """call_center AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS cc_call_center_sk,
+             LPAD(CAST(n_nationkey + 1 AS VARCHAR), 16, '0')
+               AS cc_call_center_id,
              (['NY Metro','Mid Atlantic','North Midwest','California'])
                [CAST(1 + n_nationkey AS INT)] AS cc_name,
              'mgr_' || CAST(n_nationkey % 8 AS VARCHAR) AS cc_manager,
@@ -772,6 +829,11 @@ _ADAPTER_DUCK_RICH = f"""
              l_orderkey AS cr_order_number,
              l_partkey  AS cr_item_sk,
              o_custkey  AS cr_returning_customer_sk,
+             CAST(1 + (o_custkey + l_partkey)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS cr_returning_addr_sk,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100) AS BIGINT) AS cr_return_amt_inc_tax,
              CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
              CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
              {_CENTS} AS cr_return_amount,
@@ -784,6 +846,9 @@ _ADAPTER_DUCK_RICH = f"""
              l_orderkey AS wr_order_number,
              l_partkey  AS wr_item_sk,
              o_custkey  AS wr_returning_customer_sk,
+             CAST(1 + (o_custkey + l_partkey)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS wr_returning_addr_sk,
              CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
              {_CENTS} AS wr_return_amt,
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
@@ -816,8 +881,7 @@ _ADAPTER_DUCK_RICH = f"""
              CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
              (['M','S','D','W','U'])[CAST(1 + c_custkey % 5 AS INT)]
                AS cd_marital_status,
-             (['Primary','Secondary','College','2 yr Degree','4 yr Degree',
-               'Advanced Degree','Unknown'])[CAST(1 + c_custkey % 7 AS INT)]
+             ([{_EDUCATIONS}])[CAST(1 + c_custkey % 15 AS INT)]
                AS cd_education_status,
              CAST(c_custkey % 10 AS INT) AS cd_dep_count
       FROM customer),
@@ -837,8 +901,14 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT c_custkey AS ca_address_sk,
              LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip,
              ([{_STATES}])[CAST(1 + c_custkey % 25 AS INT)] AS ca_state,
-             CAST(-(c_custkey % 8) AS INT) AS ca_gmt_offset,
+             CAST(-5 - (c_custkey * 2) % 3 AS INT) AS ca_gmt_offset,
              'United States' AS ca_country,
+             CAST(100 + c_custkey % 900 AS VARCHAR) AS ca_street_number,
+             'Main' AS ca_street_name,
+             'St' AS ca_street_type,
+             'Suite ' || CAST(c_custkey % 20 AS VARCHAR) AS ca_suite_number,
+             (['apartment','condo','single family'])
+               [CAST(1 + c_custkey % 3 AS INT)] AS ca_location_type,
              'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
                AS ca_county,
              'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
@@ -4041,3 +4111,142 @@ def tpcds_literal_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3", "agg4"
     )
     return out.withColumn("agg1", F.col("agg1").cast("double"))
+QUERY30_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query30.tpl\nwith customer_total_return as\n (select wr_returning_customer_sk as ctr_customer_sk\n        ,ca_state as ctr_state, \n \tsum(wr_return_amt) as ctr_total_return\n from web_returns\n     ,date_dim\n     ,customer_address\n where wr_returned_date_sk = d_date_sk \n   and d_year =2002\n   and wr_returning_addr_sk = ca_address_sk \n group by wr_returning_customer_sk\n         ,ca_state)\n  select  c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag\n       ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address\n       ,c_last_review_date_sk,ctr_total_return\n from customer_total_return ctr1\n     ,customer_address\n     ,customer\n where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2\n \t\t\t  from customer_total_return ctr2 \n                  \t  where ctr1.ctr_state = ctr2.ctr_state)\n       and ca_address_sk = c_current_addr_sk\n       and ca_state = 'GA'\n       and ctr1.ctr_customer_sk = c_customer_sk\n order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag\n                  ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address\n                  ,c_last_review_date_sk,ctr_total_return\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query30.tpl\n"
+
+QUERY81_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query81.tpl\nwith customer_total_return as\n (select cr_returning_customer_sk as ctr_customer_sk\n        ,ca_state as ctr_state, \n \tsum(cr_return_amt_inc_tax) as ctr_total_return\n from catalog_returns\n     ,date_dim\n     ,customer_address\n where cr_returned_date_sk = d_date_sk \n   and d_year =2000\n   and cr_returning_addr_sk = ca_address_sk \n group by cr_returning_customer_sk\n         ,ca_state )\n  select  c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name\n                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset\n                  ,ca_location_type,ctr_total_return\n from customer_total_return ctr1\n     ,customer_address\n     ,customer\n where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2\n \t\t\t  from customer_total_return ctr2 \n                  \t  where ctr1.ctr_state = ctr2.ctr_state)\n       and ca_address_sk = c_current_addr_sk\n       and ca_state = 'GA'\n       and ctr1.ctr_customer_sk = c_customer_sk\n order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name\n                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset\n                  ,ca_location_type,ctr_total_return\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query81.tpl\n"
+
+QUERY91_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query91.tpl\nselect  \n        cc_call_center_id Call_Center,\n        cc_name Call_Center_Name,\n        cc_manager Manager,\n        sum(cr_net_loss) Returns_Loss\nfrom\n        call_center,\n        catalog_returns,\n        date_dim,\n        customer,\n        customer_address,\n        customer_demographics,\n        household_demographics\nwhere\n        cr_call_center_sk       = cc_call_center_sk\nand     cr_returned_date_sk     = d_date_sk\nand     cr_returning_customer_sk= c_customer_sk\nand     cd_demo_sk              = c_current_cdemo_sk\nand     hd_demo_sk              = c_current_hdemo_sk\nand     ca_address_sk           = c_current_addr_sk\nand     d_year                  = 1998 \nand     d_moy                   = 11\nand     ( (cd_marital_status       = 'M' and cd_education_status     = 'Unknown')\n        or(cd_marital_status       = 'W' and cd_education_status     = 'Advanced Degree'))\nand     hd_buy_potential like 'Unknown%'\nand     ca_gmt_offset           = -7\ngroup by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status\norder by sum(cr_net_loss) desc\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query91.tpl\n"
+
+_Q30_CTR = """
+    customer_total_return AS (
+      SELECT {ck} AS ctr_customer_sk, ca_state AS ctr_state,
+             SUM({amt}) AS ctr_total_return
+      FROM {tbl}, date_dim, customer_address
+      WHERE {dk} = d_date_sk AND d_year = {yr}
+        AND {ak} = ca_address_sk
+      GROUP BY {ck}, ca_state)
+"""
+
+_Q30_THRESH = """
+    FROM customer_total_return ctr1, customer_address, customer_v
+    WHERE ctr1.ctr_total_return >
+          (SELECT AVG(ctr_total_return) * 1.2
+           FROM customer_total_return ctr2
+           WHERE ctr1.ctr_state = ctr2.ctr_state)
+      AND ca_address_sk = c_current_addr_sk
+      AND ca_state = 'GA'
+      AND ctr1.ctr_customer_sk = c_customer_sk
+"""
+
+
+@query(
+    "tpcds_literal_q30",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q30_CTR.format(ck="wr_returning_customer_sk", amt="wr_return_amt",
+                     tbl="web_returns", dk="wr_returned_date_sk",
+                     ak="wr_returning_addr_sk", yr=2002)}
+    SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+           c_birth_country, c_login, c_email_address,
+           c_last_review_date_sk, ctr_total_return
+    {_Q30_THRESH}
+    ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+             c_preferred_cust_flag, c_birth_day, c_birth_month,
+             c_birth_year, c_birth_country, c_login, c_email_address,
+             c_last_review_date_sk, ctr_total_return
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query30.sql text, unmodified — q1's above-1.2x-state-average
+    returns shape on the WEB channel with the returner's ADDRESS state as
+    the correlation key (new wr_returning_addr_sk) and a twelve-column
+    customer payload (new c_birth_day / c_last_review_date_sk).
+    c_customer_id is unique so the ORDER BY is total. Reference:
+    tpcds-tool/query/query30.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY30_SQL)).toDF(
+        "c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_login", "c_email_address",
+        "c_last_review_date_sk", "ctr_total_return",
+    )
+
+
+@query(
+    "tpcds_literal_q81",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q30_CTR.format(ck="cr_returning_customer_sk",
+                     amt="cr_return_amt_inc_tax", tbl="catalog_returns",
+                     dk="cr_returned_date_sk", ak="cr_returning_addr_sk",
+                     yr=2000)}
+    SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+           ca_street_number, ca_street_name, ca_street_type,
+           ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
+           ca_country, ca_gmt_offset, ca_location_type, ctr_total_return
+    {_Q30_THRESH}
+    ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+             ca_street_number, ca_street_name, ca_street_type,
+             ca_suite_number, ca_city, ca_county, ca_state, ca_zip,
+             ca_country, ca_gmt_offset, ca_location_type, ctr_total_return
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query81.sql text, unmodified — the catalog twin of q30 on
+    the tax-inclusive return amount (new cr_return_amt_inc_tax exact
+    cents) with the customer's full current-address payload (new street /
+    location-type columns). Reference: tpcds-tool/query/query81.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY81_SQL)).toDF(
+        "c_customer_id", "c_salutation", "c_first_name", "c_last_name",
+        "ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type",
+        "ctr_total_return",
+    )
+
+
+@query(
+    "tpcds_literal_q91",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+           cc_manager AS manager, SUM(cr_net_loss) AS returns_loss
+    FROM call_center, catalog_returns, date_dim, customer_v,
+         customer_address, customer_demographics, household_demographics
+    WHERE cr_call_center_sk = cc_call_center_sk
+      AND cr_returned_date_sk = d_date_sk
+      AND cr_returning_customer_sk = c_customer_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND ca_address_sk = c_current_addr_sk
+      AND d_year = 1998 AND d_moy = 11
+      AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+        OR (cd_marital_status = 'W'
+            AND cd_education_status = 'Advanced Degree'))
+      AND hd_buy_potential LIKE 'Unknown%'
+      AND ca_gmt_offset = -7
+    GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+             cd_education_status
+    ORDER BY SUM(cr_net_loss) DESC
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query91.sql text, unmodified — call-center November return
+    losses under a marital/education pair filter, an hd LIKE, and a GMT
+    band. The education list is residue-ALIGNED with marital (M pairs
+    with Unknown, W with Advanced Degree) and ca_gmt_offset uses the
+    (c*2)%3 twist so -7 co-occurs with hd 'Unknown' — without both, the
+    spec's conjunction is provably empty on independent residues. Sparse
+    at sf0.001 (see tests); 3 fact rows at sf0.01. No LIMIT; hash is
+    order-insensitive. Reference: tpcds-tool/query/query91.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY91_SQL)).toDF(
+        "call_center", "call_center_name", "manager", "returns_loss"
+    )
