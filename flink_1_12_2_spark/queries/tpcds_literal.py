@@ -341,7 +341,8 @@ _RICH_FACT_COLS_SPARK = """
                CAST(1 + ROUND(l_extendedprice * (1 - l_discount)) % 400
                     AS BIGINT) AS {p}net_profit,
                CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
-                 AS {p}net_paid
+                 AS {p}net_paid,
+               CAST(1 + l_suppkey % 5 AS INT) AS {p}warehouse_sk
 """
 
 def _ss_rich_spark(where: str = "") -> str:
@@ -392,6 +393,7 @@ _RICH_SPARK = {
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                  AS sr_net_loss,
                CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+               o_custkey  AS sr_cdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
@@ -410,7 +412,9 @@ _RICH_SPARK = {
                CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
                {_CENTS} AS cr_return_amount,
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
-                 AS cr_net_loss
+                 AS cr_net_loss,
+               CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+                 AS cr_refunded_cash
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
     """,
@@ -425,7 +429,17 @@ _RICH_SPARK = {
                CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
                {_CENTS} AS wr_return_amt,
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
-                 AS wr_net_loss
+                 AS wr_net_loss,
+               o_custkey  AS wr_refunded_cdemo_sk,
+               o_custkey  AS wr_returning_cdemo_sk,
+               CAST(1 + (o_custkey + l_partkey)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS wr_refunded_addr_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS wr_reason_sk,
+               CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+                 AS wr_refunded_cash,
+               CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
+                 AS wr_fee
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
     """,
@@ -493,6 +507,12 @@ _RICH_SPARK = {
                  AS r_reason_desc
         FROM __tpch_nation
     """,
+    "income_band": """
+        SELECT CAST(n_nationkey + 1 AS INT) AS ib_income_band_sk,
+               CAST(n_nationkey * 10000 AS INT) AS ib_lower_bound,
+               CAST((n_nationkey + 1) * 10000 AS INT) AS ib_upper_bound
+        FROM __tpch_nation WHERE n_nationkey < 20
+    """,
     "customer_demographics": f"""
         SELECT c_custkey AS cd_demo_sk,
                CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -559,8 +579,10 @@ _RICH_SPARK = {
                  AS ca_location_type,
                CONCAT('County#', LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
                  AS ca_county,
-               CONCAT('City#', LPAD(CAST(c_custkey % 200 AS STRING), 3, '0'))
-                 AS ca_city
+               CASE WHEN c_custkey % 200 = 7 THEN 'Edgewood'
+                    ELSE CONCAT('City#',
+                                LPAD(CAST(c_custkey % 200 AS STRING), 3, '0'))
+               END AS ca_city
         FROM __tpch_customer
     """,
     "store": """
@@ -593,7 +615,8 @@ _RICH_SPARK = {
                CAST(c_custkey % 6 AS INT) AS hd_vehicle_count,
                element_at(array('>10000','Unknown','1001-5000','5001-10000',
                                 '501-1000','0-500'),
-                          CAST(1 + c_custkey % 6 AS INT)) AS hd_buy_potential
+                          CAST(1 + c_custkey % 6 AS INT)) AS hd_buy_potential,
+               CAST(1 + c_custkey % 20 AS INT) AS hd_income_band_sk
         FROM __tpch_customer
     """,
     "web_page": """
@@ -753,8 +776,17 @@ _HD_DUCK = """household_demographics AS (
              CAST(c_custkey % 10 AS INT) AS hd_dep_count,
              CAST(c_custkey % 6 AS INT) AS hd_vehicle_count,
              (['>10000','Unknown','1001-5000','5001-10000','501-1000',
-               '0-500'])[CAST(1 + c_custkey % 6 AS INT)] AS hd_buy_potential
+               '0-500'])[CAST(1 + c_custkey % 6 AS INT)] AS hd_buy_potential,
+             CAST(1 + c_custkey % 20 AS INT) AS hd_income_band_sk
       FROM customer)"""
+
+# TPC-DS income_band: 20 contiguous 10k bands ((k-1)*10000, k*10000] —
+# hd_income_band_sk = 1 + c%20 spreads households uniformly across them.
+_INCOME_BAND_DUCK = """income_band AS (
+      SELECT CAST(n_nationkey + 1 AS INT) AS ib_income_band_sk,
+             CAST(n_nationkey * 10000 AS INT) AS ib_lower_bound,
+             CAST((n_nationkey + 1) * 10000 AS INT) AS ib_upper_bound
+      FROM nation WHERE n_nationkey < 20)"""
 
 _WEB_SITE_DUCK = """web_site AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
@@ -821,6 +853,7 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                AS sr_net_loss,
              CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+             o_custkey  AS sr_cdemo_sk,
              CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
@@ -838,7 +871,9 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
              {_CENTS} AS cr_return_amount,
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
-               AS cr_net_loss
+               AS cr_net_loss,
+             CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+               AS cr_refunded_cash
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2),
     web_returns AS (
@@ -852,7 +887,17 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
              {_CENTS} AS wr_return_amt,
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
-               AS wr_net_loss
+               AS wr_net_loss,
+             o_custkey  AS wr_refunded_cdemo_sk,
+             o_custkey  AS wr_returning_cdemo_sk,
+             CAST(1 + (o_custkey + l_partkey)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS wr_refunded_addr_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS wr_reason_sk,
+             CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+               AS wr_refunded_cash,
+             CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
+               AS wr_fee
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1),
     inventory AS (
@@ -875,6 +920,7 @@ _ADAPTER_DUCK_RICH = f"""
       SELECT CAST(n_nationkey + 1 AS INT) AS r_reason_sk,
              'reason ' || CAST(n_nationkey + 20 AS VARCHAR) AS r_reason_desc
       FROM nation),
+    {_INCOME_BAND_DUCK},
     {_ITEM_DUCK.strip()},
     customer_demographics AS (
       SELECT c_custkey AS cd_demo_sk,
@@ -911,8 +957,9 @@ _ADAPTER_DUCK_RICH = f"""
                [CAST(1 + c_custkey % 3 AS INT)] AS ca_location_type,
              'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
                AS ca_county,
-             'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
-               AS ca_city
+             CASE WHEN c_custkey % 200 = 7 THEN 'Edgewood'
+                  ELSE 'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
+             END AS ca_city
       FROM customer),
     {_STORE_DUCK},
     {_HD_DUCK},
@@ -1067,6 +1114,7 @@ _DATED_SPARK["store_returns"] = f"""
                l_suppkey  AS sr_store_sk,
                {_CENTS} AS sr_return_amt,
                CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+               o_custkey  AS sr_cdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
@@ -1953,6 +2001,7 @@ _ADAPTER_DUCK_DATED = f"""
              l_suppkey  AS sr_store_sk,
              {_CENTS} AS sr_return_amt,
              CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
+             o_custkey  AS sr_cdemo_sk,
              CAST(1 + l_partkey % 25 AS INT) AS sr_reason_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
@@ -4249,4 +4298,140 @@ def tpcds_literal_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY91_SQL)).toDF(
         "call_center", "call_center_name", "manager", "returns_loss"
+    )
+QUERY40_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query40.tpl\nselect  \n   w_state\n  ,i_item_id\n  ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date)) \n \t\tthen cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before\n  ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date)) \n \t\tthen cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after\n from\n   catalog_sales left outer join catalog_returns on\n       (cs_order_number = cr_order_number \n        and cs_item_sk = cr_item_sk)\n  ,warehouse \n  ,item\n  ,date_dim\n where\n     i_current_price between 0.99 and 1.49\n and i_item_sk          = cs_item_sk\n and cs_warehouse_sk    = w_warehouse_sk \n and cs_sold_date_sk    = d_date_sk\n and d_date between (cast ('2000-03-11' as date) - INTERVAL '30' day)\n                and (cast ('2000-03-11' as date) + INTERVAL '30' day)\n group by\n    w_state,i_item_id\n order by w_state,i_item_id\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query40.tpl\n"
+
+QUERY84_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query84.tpl\nselect  c_customer_id as customer_id\n       , coalesce(c_last_name,'') || ', ' || coalesce(c_first_name,'') as customername\n from customer\n     ,customer_address\n     ,customer_demographics\n     ,household_demographics\n     ,income_band\n     ,store_returns\n where ca_city\t        =  'Edgewood'\n   and c_current_addr_sk = ca_address_sk\n   and ib_lower_bound   >=  38128\n   and ib_upper_bound   <=  38128 + 50000\n   and ib_income_band_sk = hd_income_band_sk\n   and cd_demo_sk = c_current_cdemo_sk\n   and hd_demo_sk = c_current_hdemo_sk\n   and sr_cdemo_sk = cd_demo_sk\n order by c_customer_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query84.tpl\n"
+
+QUERY85_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query85.tpl\nselect  substr(r_reason_desc,1,20)\n       ,avg(ws_quantity)\n       ,avg(wr_refunded_cash)\n       ,avg(wr_fee)\n from web_sales, web_returns, web_page, customer_demographics cd1,\n      customer_demographics cd2, customer_address, date_dim, reason \n where ws_web_page_sk = wp_web_page_sk\n   and ws_item_sk = wr_item_sk\n   and ws_order_number = wr_order_number\n   and ws_sold_date_sk = d_date_sk and d_year = 2000\n   and cd1.cd_demo_sk = wr_refunded_cdemo_sk \n   and cd2.cd_demo_sk = wr_returning_cdemo_sk\n   and ca_address_sk = wr_refunded_addr_sk\n   and r_reason_sk = wr_reason_sk\n   and\n   (\n    (\n     cd1.cd_marital_status = 'M'\n     and\n     cd1.cd_marital_status = cd2.cd_marital_status\n     and\n     cd1.cd_education_status = 'Advanced Degree'\n     and \n     cd1.cd_education_status = cd2.cd_education_status\n     and\n     ws_sales_price between 100.00 and 150.00\n    )\n   or\n    (\n     cd1.cd_marital_status = 'S'\n     and\n     cd1.cd_marital_status = cd2.cd_marital_status\n     and\n     cd1.cd_education_status = 'College'\n     and\n     cd1.cd_education_status = cd2.cd_education_status\n     and\n     ws_sales_price between 50.00 and 100.00\n    )\n   or\n    (\n     cd1.cd_marital_status = 'W'\n     and\n     cd1.cd_marital_status = cd2.cd_marital_status\n     and\n     cd1.cd_education_status = '2 yr Degree'\n     and\n     cd1.cd_education_status = cd2.cd_education_status\n     and\n     ws_sales_price between 150.00 and 200.00\n    )\n   )\n   and\n   (\n    (\n     ca_country = 'United States'\n     and\n     ca_state in ('IN', 'OH', 'NJ')\n     and ws_net_profit between 100 and 200  \n    )\n    or\n    (\n     ca_country = 'United States'\n     and\n     ca_state in ('WI', 'CT', 'KY')\n     and ws_net_profit between 150 and 300  \n    )\n    or\n    (\n     ca_country = 'United States'\n     and\n     ca_state in ('LA', 'IA', 'AR')\n     and ws_net_profit between 50 and 250  \n    )\n   )\ngroup by r_reason_desc\norder by substr(r_reason_desc,1,20)\n        ,avg(ws_quantity)\n        ,avg(wr_refunded_cash)\n        ,avg(wr_fee)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query85.tpl\n"
+
+@query(
+    "tpcds_literal_q40",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT w_state, i_item_id,
+           SUM(CASE WHEN CAST(d_date AS DATE) < CAST('2000-03-11' AS DATE)
+                    THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                    ELSE 0 END) AS sales_before,
+           SUM(CASE WHEN CAST(d_date AS DATE) >= CAST('2000-03-11' AS DATE)
+                    THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                    ELSE 0 END) AS sales_after
+    FROM catalog_sales LEFT OUTER JOIN catalog_returns
+      ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+      warehouse, item, date_dim
+    WHERE i_current_price BETWEEN 0.99 AND 1.49
+      AND i_item_sk = cs_item_sk
+      AND cs_warehouse_sk = w_warehouse_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN (CAST('2000-03-11' AS DATE) - INTERVAL '30' DAY)
+                     AND (CAST('2000-03-11' AS DATE) + INTERVAL '30' DAY)
+    GROUP BY w_state, i_item_id
+    ORDER BY w_state, i_item_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query40.sql text, unmodified — catalog sales net of refunds
+    (new cr_refunded_cash) split before/after a pivot date, by warehouse
+    state (cs_warehouse_sk now on the shared rich fact template) for
+    items in a price band. The LEFT OUTER + date-interval window runs
+    as-is through the rewriter. Reference: tpcds-tool/query/query40.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY40_SQL)).toDF(
+        "w_state", "i_item_id", "sales_before", "sales_after"
+    )
+
+
+@query(
+    "tpcds_literal_q84",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT c_customer_id AS customer_id,
+           COALESCE(c_last_name, '') || ', '
+             || COALESCE(c_first_name, '') AS customername
+    FROM customer_v, customer_address, customer_demographics,
+         household_demographics, income_band, store_returns
+    WHERE ca_city = 'Edgewood'
+      AND c_current_addr_sk = ca_address_sk
+      AND ib_lower_bound >= 38128
+      AND ib_upper_bound <= 38128 + 50000
+      AND ib_income_band_sk = hd_income_band_sk
+      AND cd_demo_sk = c_current_cdemo_sk
+      AND hd_demo_sk = c_current_hdemo_sk
+      AND sr_cdemo_sk = cd_demo_sk
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query84.sql text, unmodified — customers of one city whose
+    household income band sits in a 50k window, with at least one store
+    return (new income_band dim, hd_income_band_sk, sr_cdemo_sk).
+    'Edgewood' is the c%200==7 city class, which pins c%20==7 = income
+    band 8 (70k-80k), inside the literal [38128, 88128] window by
+    construction. ORDER BY c_customer_id is total (unique); LIMIT 100.
+    Reference: tpcds-tool/query/query84.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY84_SQL)).toDF("customer_id", "customername")
+
+
+@query(
+    "tpcds_literal_q85",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT SUBSTR(r_reason_desc, 1, 20) AS r_substr,
+           AVG(ws_quantity) AS avg_qty,
+           AVG(wr_refunded_cash) AS avg_refunded,
+           AVG(wr_fee) AS avg_fee
+    FROM web_sales, web_returns, web_page, customer_demographics cd1,
+         customer_demographics cd2, customer_address, date_dim, reason
+    WHERE ws_web_page_sk = wp_web_page_sk
+      AND ws_item_sk = wr_item_sk
+      AND ws_order_number = wr_order_number
+      AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+      AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+      AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+      AND ca_address_sk = wr_refunded_addr_sk
+      AND r_reason_sk = wr_reason_sk
+      AND ((cd1.cd_marital_status = 'M'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'Advanced Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 100.00 AND 150.00)
+        OR (cd1.cd_marital_status = 'S'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = 'College'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 50.00 AND 100.00)
+        OR (cd1.cd_marital_status = 'W'
+            AND cd1.cd_marital_status = cd2.cd_marital_status
+            AND cd1.cd_education_status = '2 yr Degree'
+            AND cd1.cd_education_status = cd2.cd_education_status
+            AND ws_sales_price BETWEEN 150.00 AND 200.00))
+      AND ((ca_country = 'United States' AND ca_state IN ('IN','OH','NJ')
+            AND ws_net_profit BETWEEN 100 AND 200)
+        OR (ca_country = 'United States' AND ca_state IN ('WI','CT','KY')
+            AND ws_net_profit BETWEEN 150 AND 300)
+        OR (ca_country = 'United States' AND ca_state IN ('LA','IA','AR')
+            AND ws_net_profit BETWEEN 50 AND 250))
+    GROUP BY r_reason_desc
+    ORDER BY SUBSTR(r_reason_desc, 1, 20), AVG(ws_quantity),
+             AVG(wr_refunded_cash), AVG(wr_fee)
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query85.sql text, unmodified — web-returns reason averages
+    under a dual-demographic (refunding + returning) marital/education
+    OR-block and a state/net-profit OR-block. wr carries the refunded
+    cdemo/addr keys and refund economics (wr_refunded_cash, wr_fee); both
+    cdemo keys are the order's customer so the cd1=cd2 equalities hold
+    row-wise, and all three marital/education pairs are live %15 slots.
+    Reference: tpcds-tool/query/query85.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY85_SQL)).toDF(
+        "r_substr", "avg_qty", "avg_refunded", "avg_fee"
     )
