@@ -366,6 +366,7 @@ _RICH_SPARK = {
                l_partkey  AS cs_item_sk,
                {_CENTS} AS cs_ext_sales_price,
                o_custkey  AS cs_bill_cdemo_sk,
+               o_custkey  AS cs_ship_customer_sk,
                CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
                l_orderkey AS cs_order_number,
                CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
@@ -521,7 +522,13 @@ _RICH_SPARK = {
                element_at(array({_EDUCATIONS}),
                           CAST(1 + c_custkey % 15 AS INT))
                  AS cd_education_status,
-               CAST(c_custkey % 10 AS INT) AS cd_dep_count
+               CAST(c_custkey % 10 AS INT) AS cd_dep_count,
+               CAST(500 * (1 + c_custkey % 20) AS INT)
+                 AS cd_purchase_estimate,
+               element_at(array('Low Risk','High Risk','Good','Unknown'),
+                          CAST(1 + c_custkey % 4 AS INT)) AS cd_credit_rating,
+               CAST(c_custkey % 7 AS INT) AS cd_dep_employed_count,
+               CAST(c_custkey % 4 AS INT) AS cd_dep_college_count
         FROM __tpch_customer
     """,
     "promotion": """
@@ -577,8 +584,15 @@ _RICH_SPARK = {
                element_at(array('apartment','condo','single family'),
                           CAST(1 + c_custkey % 3 AS INT))
                  AS ca_location_type,
-               CONCAT('County#', LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
-                 AS ca_county,
+               CASE CAST(c_custkey % 50 AS INT)
+                 WHEN 1 THEN 'Rush County'
+                 WHEN 2 THEN 'Toole County'
+                 WHEN 3 THEN 'Jefferson County'
+                 WHEN 4 THEN 'Dona Ana County'
+                 WHEN 5 THEN 'La Porte County'
+                 ELSE CONCAT('County#',
+                             LPAD(CAST(c_custkey % 50 AS STRING), 2, '0'))
+               END AS ca_county,
                CASE WHEN c_custkey % 200 = 7 THEN 'Edgewood'
                     ELSE CONCAT('City#',
                                 LPAD(CAST(c_custkey % 200 AS STRING), 3, '0'))
@@ -836,6 +850,7 @@ _ADAPTER_DUCK_RICH = f"""
              l_partkey  AS cs_item_sk,
              {_CENTS} AS cs_ext_sales_price,
              o_custkey  AS cs_bill_cdemo_sk,
+             o_custkey  AS cs_ship_customer_sk,
              CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
              l_orderkey AS cs_order_number,
              CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
@@ -929,7 +944,12 @@ _ADAPTER_DUCK_RICH = f"""
                AS cd_marital_status,
              ([{_EDUCATIONS}])[CAST(1 + c_custkey % 15 AS INT)]
                AS cd_education_status,
-             CAST(c_custkey % 10 AS INT) AS cd_dep_count
+             CAST(c_custkey % 10 AS INT) AS cd_dep_count,
+             CAST(500 * (1 + c_custkey % 20) AS INT) AS cd_purchase_estimate,
+             (['Low Risk','High Risk','Good','Unknown'])
+               [CAST(1 + c_custkey % 4 AS INT)] AS cd_credit_rating,
+             CAST(c_custkey % 7 AS INT) AS cd_dep_employed_count,
+             CAST(c_custkey % 4 AS INT) AS cd_dep_college_count
       FROM customer),
     promotion AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS p_promo_sk,
@@ -955,8 +975,14 @@ _ADAPTER_DUCK_RICH = f"""
              'Suite ' || CAST(c_custkey % 20 AS VARCHAR) AS ca_suite_number,
              (['apartment','condo','single family'])
                [CAST(1 + c_custkey % 3 AS INT)] AS ca_location_type,
-             'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
-               AS ca_county,
+             CASE CAST(c_custkey % 50 AS INT)
+               WHEN 1 THEN 'Rush County'
+               WHEN 2 THEN 'Toole County'
+               WHEN 3 THEN 'Jefferson County'
+               WHEN 4 THEN 'Dona Ana County'
+               WHEN 5 THEN 'La Porte County'
+               ELSE 'County#' || LPAD(CAST(c_custkey % 50 AS VARCHAR), 2, '0')
+             END AS ca_county,
              CASE WHEN c_custkey % 200 = 7 THEN 'Edgewood'
                   ELSE 'City#' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
              END AS ca_city
@@ -4434,4 +4460,138 @@ def tpcds_literal_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY85_SQL)).toDF(
         "r_substr", "avg_qty", "avg_refunded", "avg_fee"
+    )
+QUERY10_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query10.tpl\nselect  \n  cd_gender,\n  cd_marital_status,\n  cd_education_status,\n  count(*) cnt1,\n  cd_purchase_estimate,\n  count(*) cnt2,\n  cd_credit_rating,\n  count(*) cnt3,\n  cd_dep_count,\n  count(*) cnt4,\n  cd_dep_employed_count,\n  count(*) cnt5,\n  cd_dep_college_count,\n  count(*) cnt6\n from\n  customer c,customer_address ca,customer_demographics\n where\n  c.c_current_addr_sk = ca.ca_address_sk and\n  ca_county in ('Rush County','Toole County','Jefferson County','Dona Ana County','La Porte County') and\n  cd_demo_sk = c.c_current_cdemo_sk and \n  exists (select *\n          from store_sales,date_dim\n          where c.c_customer_sk = ss_customer_sk and\n                ss_sold_date_sk = d_date_sk and\n                d_year = 2002 and\n                d_moy between 1 and 1+3) and\n   (exists (select *\n            from web_sales,date_dim\n            where c.c_customer_sk = ws_bill_customer_sk and\n                  ws_sold_date_sk = d_date_sk and\n                  d_year = 2002 and\n                  d_moy between 1 ANd 1+3) or \n    exists (select * \n            from catalog_sales,date_dim\n            where c.c_customer_sk = cs_ship_customer_sk and\n                  cs_sold_date_sk = d_date_sk and\n                  d_year = 2002 and\n                  d_moy between 1 and 1+3))\n group by cd_gender,\n          cd_marital_status,\n          cd_education_status,\n          cd_purchase_estimate,\n          cd_credit_rating,\n          cd_dep_count,\n          cd_dep_employed_count,\n          cd_dep_college_count\n order by cd_gender,\n          cd_marital_status,\n          cd_education_status,\n          cd_purchase_estimate,\n          cd_credit_rating,\n          cd_dep_count,\n          cd_dep_employed_count,\n          cd_dep_college_count\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query10.tpl\n"
+
+QUERY35_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query35.tpl\nselect   \n  ca_state,\n  cd_gender,\n  cd_marital_status,\n  cd_dep_count,\n  count(*) cnt1,\n  min(cd_dep_count),\n  max(cd_dep_count),\n  avg(cd_dep_count),\n  cd_dep_employed_count,\n  count(*) cnt2,\n  min(cd_dep_employed_count),\n  max(cd_dep_employed_count),\n  avg(cd_dep_employed_count),\n  cd_dep_college_count,\n  count(*) cnt3,\n  min(cd_dep_college_count),\n  max(cd_dep_college_count),\n  avg(cd_dep_college_count)\n from\n  customer c,customer_address ca,customer_demographics\n where\n  c.c_current_addr_sk = ca.ca_address_sk and\n  cd_demo_sk = c.c_current_cdemo_sk and \n  exists (select *\n          from store_sales,date_dim\n          where c.c_customer_sk = ss_customer_sk and\n                ss_sold_date_sk = d_date_sk and\n                d_year = 2002 and\n                d_qoy < 4) and\n   (exists (select *\n            from web_sales,date_dim\n            where c.c_customer_sk = ws_bill_customer_sk and\n                  ws_sold_date_sk = d_date_sk and\n                  d_year = 2002 and\n                  d_qoy < 4) or \n    exists (select * \n            from catalog_sales,date_dim\n            where c.c_customer_sk = cs_ship_customer_sk and\n                  cs_sold_date_sk = d_date_sk and\n                  d_year = 2002 and\n                  d_qoy < 4))\n group by ca_state,\n          cd_gender,\n          cd_marital_status,\n          cd_dep_count,\n          cd_dep_employed_count,\n          cd_dep_college_count\n order by ca_state,\n          cd_gender,\n          cd_marital_status,\n          cd_dep_count,\n          cd_dep_employed_count,\n          cd_dep_college_count\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query35.tpl\n'
+
+QUERY69_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query69.tpl\nselect  \n  cd_gender,\n  cd_marital_status,\n  cd_education_status,\n  count(*) cnt1,\n  cd_purchase_estimate,\n  count(*) cnt2,\n  cd_credit_rating,\n  count(*) cnt3\n from\n  customer c,customer_address ca,customer_demographics\n where\n  c.c_current_addr_sk = ca.ca_address_sk and\n  ca_state in ('KY','GA','NM') and\n  cd_demo_sk = c.c_current_cdemo_sk and \n  exists (select *\n          from store_sales,date_dim\n          where c.c_customer_sk = ss_customer_sk and\n                ss_sold_date_sk = d_date_sk and\n                d_year = 2001 and\n                d_moy between 4 and 4+2) and\n   (not exists (select *\n            from web_sales,date_dim\n            where c.c_customer_sk = ws_bill_customer_sk and\n                  ws_sold_date_sk = d_date_sk and\n                  d_year = 2001 and\n                  d_moy between 4 and 4+2) and\n    not exists (select * \n            from catalog_sales,date_dim\n            where c.c_customer_sk = cs_ship_customer_sk and\n                  cs_sold_date_sk = d_date_sk and\n                  d_year = 2001 and\n                  d_moy between 4 and 4+2))\n group by cd_gender,\n          cd_marital_status,\n          cd_education_status,\n          cd_purchase_estimate,\n          cd_credit_rating\n order by cd_gender,\n          cd_marital_status,\n          cd_education_status,\n          cd_purchase_estimate,\n          cd_credit_rating\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query69.tpl\n"
+
+_Q10_EXISTS = """
+    FROM customer_v c, customer_address ca, customer_demographics
+    WHERE c.c_current_addr_sk = ca.ca_address_sk
+      AND {geo}
+      AND cd_demo_sk = c.c_current_cdemo_sk
+      AND EXISTS (SELECT * FROM store_sales, date_dim
+                  WHERE c.c_customer_sk = ss_customer_sk
+                    AND ss_sold_date_sk = d_date_sk AND {win})
+      AND ({neg}EXISTS (SELECT * FROM web_sales, date_dim
+                   WHERE c.c_customer_sk = ws_bill_customer_sk
+                     AND ws_sold_date_sk = d_date_sk AND {win})
+        {conj} {neg}EXISTS (SELECT * FROM catalog_sales, date_dim
+                   WHERE c.c_customer_sk = cs_ship_customer_sk
+                     AND cs_sold_date_sk = d_date_sk AND {win}))
+"""
+
+
+@query(
+    "tpcds_literal_q10",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT cd_gender, cd_marital_status, cd_education_status,
+           COUNT(*) AS cnt1, cd_purchase_estimate, COUNT(*) AS cnt2,
+           cd_credit_rating, COUNT(*) AS cnt3, cd_dep_count,
+           COUNT(*) AS cnt4, cd_dep_employed_count, COUNT(*) AS cnt5,
+           cd_dep_college_count, COUNT(*) AS cnt6
+    {_Q10_EXISTS.format(
+        geo="ca_county IN ('Rush County','Toole County','Jefferson County',"
+            "'Dona Ana County','La Porte County')",
+        win="d_year = 2002 AND d_moy BETWEEN 1 AND 1+3", neg="", conj="OR")}
+    GROUP BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    ORDER BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query10.sql text, unmodified — demographic census of
+    named-county customers active in-store AND on (web OR catalog) in a
+    4-month window (decorrelated EXISTS pair). New cd profile columns
+    (purchase_estimate / credit_rating / dep_employed / dep_college) and
+    the five named counties at c%50 in 1..5. The 8-key ORDER BY equals
+    the GROUP BY so the LIMIT cut is total. Reference:
+    tpcds-tool/query/query10.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY10_SQL)).toDF(
+        "cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
+        "cd_dep_count", "cnt4", "cd_dep_employed_count", "cnt5",
+        "cd_dep_college_count", "cnt6",
+    )
+
+
+@query(
+    "tpcds_literal_q35",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+           COUNT(*) AS cnt1, MIN(cd_dep_count) AS min_dep,
+           MAX(cd_dep_count) AS max_dep, AVG(cd_dep_count) AS avg_dep,
+           cd_dep_employed_count, COUNT(*) AS cnt2,
+           MIN(cd_dep_employed_count) AS min_emp,
+           MAX(cd_dep_employed_count) AS max_emp,
+           AVG(cd_dep_employed_count) AS avg_emp,
+           cd_dep_college_count, COUNT(*) AS cnt3,
+           MIN(cd_dep_college_count) AS min_col,
+           MAX(cd_dep_college_count) AS max_col,
+           AVG(cd_dep_college_count) AS avg_col
+    {_Q10_EXISTS.format(geo="1=1", win="d_year = 2002 AND d_qoy < 4",
+                        neg="", conj="OR")}
+    GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+             cd_dep_employed_count, cd_dep_college_count
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query35.sql text, unmodified — q10's EXISTS shape without
+    the county gate, by state, with min/max/avg over each dependent
+    count (the aggregate-of-grouping-key pattern: min=max=avg=key).
+    6-key ORDER BY equals the GROUP BY so the LIMIT cut is total.
+    Reference: tpcds-tool/query/query35.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY35_SQL)).toDF(
+        "ca_state", "cd_gender", "cd_marital_status", "cd_dep_count",
+        "cnt1", "min_dep", "max_dep", "avg_dep",
+        "cd_dep_employed_count", "cnt2", "min_emp", "max_emp", "avg_emp",
+        "cd_dep_college_count", "cnt3", "min_col", "max_col", "avg_col",
+    )
+
+
+@query(
+    "tpcds_literal_q69",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT cd_gender, cd_marital_status, cd_education_status,
+           COUNT(*) AS cnt1, cd_purchase_estimate, COUNT(*) AS cnt2,
+           cd_credit_rating, COUNT(*) AS cnt3
+    {_Q10_EXISTS.format(
+        geo="ca_state IN ('KY','GA','NM')",
+        win="d_year = 2001 AND d_moy BETWEEN 4 AND 4+2",
+        neg="NOT ", conj="AND")}
+    GROUP BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating
+    ORDER BY cd_gender, cd_marital_status, cd_education_status,
+             cd_purchase_estimate, cd_credit_rating
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query69.sql text, unmodified — q10's anti-profile: store
+    shoppers with NO web and NO catalog activity in the window
+    (decorrelated NOT EXISTS pair -> left-anti joins in Spark). Sparse
+    by construction (store-only shoppers are rows whose order's
+    lineitems all fall in the %3==0 channel slice). Reference:
+    tpcds-tool/query/query69.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY69_SQL)).toDF(
+        "cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
+        "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
     )
