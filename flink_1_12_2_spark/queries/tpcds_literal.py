@@ -342,7 +342,12 @@ _RICH_FACT_COLS_SPARK = """
                     AS BIGINT) AS {p}net_profit,
                CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
                  AS {p}net_paid,
-               CAST(1 + l_suppkey % 5 AS INT) AS {p}warehouse_sk
+               CAST(1 + l_suppkey % 5 AS INT) AS {p}warehouse_sk,
+               l_orderkey AS {p}ship_date_sk,
+               (o_custkey + l_suppkey % 5)
+                 % (SELECT COUNT(*) FROM {cust}) AS {p}ship_addr_sk,
+               CAST(ROUND(l_extendedprice * 15) AS BIGINT)
+                 AS {p}ext_ship_cost
 """
 
 def _ss_rich_spark(where: str = "") -> str:
@@ -476,7 +481,10 @@ _RICH_SPARK = {
         SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
                CONCAT('WS', LPAD(CAST(n_nationkey + 1 AS STRING), 4, '0'))
                  AS web_site_id,
-               CONCAT('site_', CAST(n_nationkey % 6 AS STRING)) AS web_name
+               CONCAT('site_', CAST(n_nationkey % 6 AS STRING)) AS web_name,
+               element_at(array('pri','able','ese','ought','anti','cally'),
+                          CAST(1 + n_nationkey % 6 AS INT))
+                 AS web_company_name
         FROM __tpch_nation
     """,
     "ship_mode": """
@@ -498,8 +506,7 @@ _RICH_SPARK = {
                                 'California'),
                           CAST(1 + n_nationkey AS INT)) AS cc_name,
                CONCAT('mgr_', CAST(n_nationkey % 8 AS STRING)) AS cc_manager,
-               CONCAT('County#', LPAD(CAST(n_nationkey % 50 AS STRING),
-                                      2, '0')) AS cc_county
+               'Williamson County' AS cc_county
         FROM __tpch_nation WHERE n_nationkey < 4
     """,
     "reason": """
@@ -806,7 +813,9 @@ _WEB_SITE_DUCK = """web_site AS (
       SELECT CAST(n_nationkey + 1 AS INT) AS web_site_sk,
              'WS' || LPAD(CAST(n_nationkey + 1 AS VARCHAR), 4, '0')
                AS web_site_id,
-             'site_' || CAST(n_nationkey % 6 AS VARCHAR) AS web_name
+             'site_' || CAST(n_nationkey % 6 AS VARCHAR) AS web_name,
+             (['pri','able','ese','ought','anti','cally'])
+               [CAST(1 + n_nationkey % 6 AS INT)] AS web_company_name
       FROM nation)"""
 
 _SHIP_MODE_DUCK = """ship_mode AS (
@@ -825,8 +834,7 @@ _CALL_CENTER_DUCK = """call_center AS (
              (['NY Metro','Mid Atlantic','North Midwest','California'])
                [CAST(1 + n_nationkey AS INT)] AS cc_name,
              'mgr_' || CAST(n_nationkey % 8 AS VARCHAR) AS cc_manager,
-             'County#' || LPAD(CAST(n_nationkey % 50 AS VARCHAR), 2, '0')
-               AS cc_county
+             'Williamson County' AS cc_county
       FROM nation WHERE n_nationkey < 4)"""
 
 _WAREHOUSE_DUCK = """warehouse AS (
@@ -4594,4 +4602,123 @@ def tpcds_literal_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY69_SQL)).toDF(
         "cd_gender", "cd_marital_status", "cd_education_status", "cnt1",
         "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
+    )
+QUERY16_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query16.tpl\nselect  \n   count(distinct cs_order_number) as `order count`\n  ,sum(cs_ext_ship_cost) as `total shipping cost`\n  ,sum(cs_net_profit) as `total net profit`\nfrom\n   catalog_sales cs1\n  ,date_dim\n  ,customer_address\n  ,call_center\nwhere\n    d_date between '2002-2-01' and\n           (cast('2002-2-01' as date) + INTERVAL '60' day)\nand cs1.cs_ship_date_sk = d_date_sk\nand cs1.cs_ship_addr_sk = ca_address_sk\nand ca_state = 'GA'\nand cs1.cs_call_center_sk = cc_call_center_sk\nand cc_county in ('Williamson County','Williamson County','Williamson County','Williamson County',\n                  'Williamson County'\n)\nand exists (select *\n            from catalog_sales cs2\n            where cs1.cs_order_number = cs2.cs_order_number\n              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)\nand not exists(select *\n               from catalog_returns cr1\n               where cs1.cs_order_number = cr1.cr_order_number)\norder by count(distinct cs_order_number)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query16.tpl\n"
+
+QUERY94_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query94.tpl\nselect  \n   count(distinct ws_order_number) as `order count`\n  ,sum(ws_ext_ship_cost) as `total shipping cost`\n  ,sum(ws_net_profit) as `total net profit`\nfrom\n   web_sales ws1\n  ,date_dim\n  ,customer_address\n  ,web_site\nwhere\n    d_date between '1999-2-01' and \n           (cast('1999-2-01' as date) + INTERVAL '60' day)\nand ws1.ws_ship_date_sk = d_date_sk\nand ws1.ws_ship_addr_sk = ca_address_sk\nand ca_state = 'IL'\nand ws1.ws_web_site_sk = web_site_sk\nand web_company_name = 'pri'\nand exists (select *\n            from web_sales ws2\n            where ws1.ws_order_number = ws2.ws_order_number\n              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)\nand not exists(select *\n               from web_returns wr1\n               where ws1.ws_order_number = wr1.wr_order_number)\norder by count(distinct ws_order_number)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query94.tpl\n"
+
+QUERY95_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query95.tpl\nwith ws_wh as\n(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2\n from web_sales ws1,web_sales ws2\n where ws1.ws_order_number = ws2.ws_order_number\n   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)\n select  \n   count(distinct ws_order_number) as `order count`\n  ,sum(ws_ext_ship_cost) as `total shipping cost`\n  ,sum(ws_net_profit) as `total net profit`\nfrom\n   web_sales ws1\n  ,date_dim\n  ,customer_address\n  ,web_site\nwhere\n    d_date between '1999-2-01' and \n           (cast('1999-2-01' as date) + INTERVAL '60' day)\nand ws1.ws_ship_date_sk = d_date_sk\nand ws1.ws_ship_addr_sk = ca_address_sk\nand ca_state = 'IL'\nand ws1.ws_web_site_sk = web_site_sk\nand web_company_name = 'pri'\nand ws1.ws_order_number in (select ws_order_number\n                            from ws_wh)\nand ws1.ws_order_number in (select wr_order_number\n                            from web_returns,ws_wh\n                            where wr_order_number = ws_wh.ws_order_number)\norder by count(distinct ws_order_number)\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query95.tpl\n"
+
+@query(
+    "tpcds_literal_q16",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT COUNT(DISTINCT cs_order_number) AS order_count,
+           SUM(cs_ext_ship_cost) AS total_shipping_cost,
+           SUM(cs_net_profit) AS total_net_profit
+    FROM catalog_sales cs1, date_dim, customer_address, call_center
+    WHERE d_date BETWEEN '2002-2-01'
+                     AND (CAST('2002-2-01' AS DATE) + INTERVAL '60' DAY)
+      AND cs1.cs_ship_date_sk = d_date_sk
+      AND cs1.cs_ship_addr_sk = ca_address_sk
+      AND ca_state = 'GA'
+      AND cs1.cs_call_center_sk = cc_call_center_sk
+      AND cc_county = 'Williamson County'
+      AND EXISTS (SELECT * FROM catalog_sales cs2
+                  WHERE cs1.cs_order_number = cs2.cs_order_number
+                    AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+      AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                      WHERE cs1.cs_order_number = cr1.cr_order_number)
+    ORDER BY COUNT(DISTINCT cs_order_number)
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query16.sql text, unmodified — unreturned multi-warehouse
+    catalog orders shipped to one state in a 60-day window: correlated
+    EXISTS on a second warehouse (same order, different cs_warehouse_sk
+    -> live because an order's lineitems span suppkeys) and NOT EXISTS
+    on catalog_returns. New shared ship_date_sk / ship_addr_sk /
+    ext_ship_cost fact columns; cc_county mirrors the store dim's
+    constant 'Williamson County' (faithful to small-SF TPC-DS).
+    Reference: tpcds-tool/query/query16.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY16_SQL)).toDF(
+        "order_count", "total_shipping_cost", "total_net_profit"
+    )
+
+
+@query(
+    "tpcds_literal_q94",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+           SUM(ws_ext_ship_cost) AS total_shipping_cost,
+           SUM(ws_net_profit) AS total_net_profit
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN '1999-2-01'
+                     AND (CAST('1999-2-01' AS DATE) + INTERVAL '60' DAY)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'IL'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND EXISTS (SELECT * FROM web_sales ws2
+                  WHERE ws1.ws_order_number = ws2.ws_order_number
+                    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+      AND NOT EXISTS (SELECT * FROM web_returns wr1
+                      WHERE ws1.ws_order_number = wr1.wr_order_number)
+    ORDER BY COUNT(DISTINCT ws_order_number)
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query94.sql text, unmodified — q16's shape on the web
+    channel (web_site dim gains the TPC-DS six company names; 'pri' is
+    the n%6==0 class). Reference: tpcds-tool/query/query94.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY94_SQL)).toDF(
+        "order_count", "total_shipping_cost", "total_net_profit"
+    )
+
+
+@query(
+    "tpcds_literal_q95",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ws_wh AS (SELECT ws1.ws_order_number,
+                     ws1.ws_warehouse_sk wh1, ws2.ws_warehouse_sk wh2
+              FROM web_sales ws1, web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+           SUM(ws_ext_ship_cost) AS total_shipping_cost,
+           SUM(ws_net_profit) AS total_net_profit
+    FROM web_sales ws1, date_dim, customer_address, web_site
+    WHERE d_date BETWEEN '1999-2-01'
+                     AND (CAST('1999-2-01' AS DATE) + INTERVAL '60' DAY)
+      AND ws1.ws_ship_date_sk = d_date_sk
+      AND ws1.ws_ship_addr_sk = ca_address_sk
+      AND ca_state = 'IL'
+      AND ws1.ws_web_site_sk = web_site_sk
+      AND web_company_name = 'pri'
+      AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+      AND ws1.ws_order_number IN (SELECT wr_order_number
+                                  FROM web_returns, ws_wh
+                                  WHERE wr_order_number = ws_wh.ws_order_number)
+    ORDER BY COUNT(DISTINCT ws_order_number)
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query95.sql text, unmodified — q94's complement: RETURNED
+    multi-warehouse web orders, with the multi-warehouse pair set lifted
+    into a WITH CTE (ws_wh self-join) consumed by two IN subqueries.
+    Reference: tpcds-tool/query/query95.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY95_SQL)).toDF(
+        "order_count", "total_shipping_cost", "total_net_profit"
     )
