@@ -189,7 +189,10 @@ _BRANDS = (
 # IN-filters stay non-empty even on the 200-part sf0.001 fixture (a plain
 # %1000 TPC-DS-faithful id would make them empty there).
 # q3: 128; q37: 677,940,694,808; q82: 129,270,821,423; q32: 977; q92: 350
-_MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,977,350,102,103,104,105,106,107"
+# 738 and 770 sit inside q41's literal [738, 778] manufact band; the
+# named singles/quads (128/350/977, 129+270+821+423, 677+940+694+808)
+# are the other queries' literal ids.
+_MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,977,350,738,770,104,105,106,107"
 
 # i_current_price: a 20-value quarter-grid list (exact doubles in both
 # engines). Two values sit in q21's literal [0.99,1.49] band, four in
@@ -228,6 +231,28 @@ _STATES = (
     "'KS','KY','OK','MA','MD','ME','MI','MS','MO','MN','MT','NC'"
 )
 
+# 19 colors = the 16 q41 pair-colors + q56's three, one slot each; 13
+# units cover one member of every q41 OR-pair; 9 sizes cover all seven
+# TPC-DS sizes (medium/large doubled). Moduli 19/13/9 are pairwise
+# coprime and coprime with the category (10) and manufact (17) cycles,
+# so every (category, color, units, size, manufact) conjunction a
+# literal query names has CRT solutions in the part key space.
+_COLORS = (
+    "'powder','khaki','brown','honeydew','floral','deep','light',"
+    "'cornflower','midnight','snow','cyan','papaya','orange','frosted',"
+    "'forest','ghost','slate','blanched','burnished'"
+)
+
+_UNITS = (
+    "'Ounce','Bunch','N/A','Box','Pallet','Cup','Each','Lb',"
+    "'Ton','Dozen','Pound','Gross','Dram'"
+)
+
+_SIZES = (
+    "'petite','small','medium','large','extra large','N/A','economy',"
+    "'medium','large'"
+)
+
 _EDUCATIONS = (
     "'Advanced Degree','College','2 yr Degree','2 yr Degree',"
     "'4 yr Degree','4 yr Degree','College','Primary','Secondary',"
@@ -258,7 +283,13 @@ _ITEM_SPARK = f"""
                p_name AS i_product_name,
                CAST(element_at(array({_PRICES}),
                           CAST(1 + p_partkey % 20 AS INT)) AS DOUBLE)
-                 AS i_current_price
+                 AS i_current_price,
+               element_at(array({_COLORS}),
+                          CAST(1 + p_partkey % 19 AS INT)) AS i_color,
+               element_at(array({_UNITS}),
+                          CAST(1 + p_partkey % 13 AS INT)) AS i_units,
+               element_at(array({_SIZES}),
+                          CAST(1 + p_partkey % 9 AS INT)) AS i_size
         FROM __tpch_part
     """
 
@@ -717,7 +748,10 @@ _ITEM_DUCK = f"""
              ([{_CLASSES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_class,
              p_name AS i_product_name,
              CAST(([{_PRICES}])[CAST(1 + p_partkey % 20 AS INT)] AS DOUBLE)
-               AS i_current_price
+               AS i_current_price,
+             ([{_COLORS}])[CAST(1 + p_partkey % 19 AS INT)] AS i_color,
+             ([{_UNITS}])[CAST(1 + p_partkey % 13 AS INT)] AS i_units,
+             ([{_SIZES}])[CAST(1 + p_partkey % 9 AS INT)] AS i_size
       FROM part)
 """
 
@@ -4722,3 +4756,128 @@ def tpcds_literal_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY95_SQL)).toDF(
         "order_count", "total_shipping_cost", "total_net_profit"
     )
+QUERY41_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query41.tpl\nselect  distinct(i_product_name)\n from item i1\n where i_manufact_id between 738 and 738+40 \n   and (select count(*) as item_cnt\n        from item\n        where (i_manufact = i1.i_manufact and\n        ((i_category = 'Women' and\n        (i_color = 'powder' or i_color = 'khaki') and\n        (i_units = 'Ounce' or i_units = 'Oz') and\n        (i_size = 'medium' or i_size = 'extra large')\n        ) or\n        (i_category = 'Women' and\n        (i_color = 'brown' or i_color = 'honeydew') and\n        (i_units = 'Bunch' or i_units = 'Ton') and\n        (i_size = 'N/A' or i_size = 'small')\n        ) or\n        (i_category = 'Men' and\n        (i_color = 'floral' or i_color = 'deep') and\n        (i_units = 'N/A' or i_units = 'Dozen') and\n        (i_size = 'petite' or i_size = 'large')\n        ) or\n        (i_category = 'Men' and\n        (i_color = 'light' or i_color = 'cornflower') and\n        (i_units = 'Box' or i_units = 'Pound') and\n        (i_size = 'medium' or i_size = 'extra large')\n        ))) or\n       (i_manufact = i1.i_manufact and\n        ((i_category = 'Women' and\n        (i_color = 'midnight' or i_color = 'snow') and\n        (i_units = 'Pallet' or i_units = 'Gross') and\n        (i_size = 'medium' or i_size = 'extra large')\n        ) or\n        (i_category = 'Women' and\n        (i_color = 'cyan' or i_color = 'papaya') and\n        (i_units = 'Cup' or i_units = 'Dram') and\n        (i_size = 'N/A' or i_size = 'small')\n        ) or\n        (i_category = 'Men' and\n        (i_color = 'orange' or i_color = 'frosted') and\n        (i_units = 'Each' or i_units = 'Tbl') and\n        (i_size = 'petite' or i_size = 'large')\n        ) or\n        (i_category = 'Men' and\n        (i_color = 'forest' or i_color = 'ghost') and\n        (i_units = 'Lb' or i_units = 'Bundle') and\n        (i_size = 'medium' or i_size = 'extra large')\n        )))) > 0\n order by i_product_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query41.tpl\n"
+
+QUERY56_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query56.tpl\nwith ss as (\n select i_item_id,sum(ss_ext_sales_price) total_sales\n from\n \tstore_sales,\n \tdate_dim,\n         customer_address,\n         item\n where i_item_id in (select\n     i_item_id\nfrom item\nwhere i_color in ('slate','blanched','burnished'))\n and     ss_item_sk              = i_item_sk\n and     ss_sold_date_sk         = d_date_sk\n and     d_year                  = 2001\n and     d_moy                   = 2\n and     ss_addr_sk              = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_item_id),\n cs as (\n select i_item_id,sum(cs_ext_sales_price) total_sales\n from\n \tcatalog_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_item_id               in (select\n  i_item_id\nfrom item\nwhere i_color in ('slate','blanched','burnished'))\n and     cs_item_sk              = i_item_sk\n and     cs_sold_date_sk         = d_date_sk\n and     d_year                  = 2001\n and     d_moy                   = 2\n and     cs_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_item_id),\n ws as (\n select i_item_id,sum(ws_ext_sales_price) total_sales\n from\n \tweb_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_item_id               in (select\n  i_item_id\nfrom item\nwhere i_color in ('slate','blanched','burnished'))\n and     ws_item_sk              = i_item_sk\n and     ws_sold_date_sk         = d_date_sk\n and     d_year                  = 2001\n and     d_moy                   = 2\n and     ws_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5\n group by i_item_id)\n  select  i_item_id ,sum(total_sales) total_sales\n from  (select * from ss \n        union all\n        select * from cs \n        union all\n        select * from ws) tmp1\n group by i_item_id\n order by total_sales,\n          i_item_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query56.tpl\n"
+
+QUERY60_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query60.tpl\nwith ss as (\n select\n          i_item_id,sum(ss_ext_sales_price) total_sales\n from\n \tstore_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_item_id in (select\n  i_item_id\nfrom\n item\nwhere i_category in ('Music'))\n and     ss_item_sk              = i_item_sk\n and     ss_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 9\n and     ss_addr_sk              = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_item_id),\n cs as (\n select\n          i_item_id,sum(cs_ext_sales_price) total_sales\n from\n \tcatalog_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_item_id               in (select\n  i_item_id\nfrom\n item\nwhere i_category in ('Music'))\n and     cs_item_sk              = i_item_sk\n and     cs_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 9\n and     cs_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5 \n group by i_item_id),\n ws as (\n select\n          i_item_id,sum(ws_ext_sales_price) total_sales\n from\n \tweb_sales,\n \tdate_dim,\n         customer_address,\n         item\n where\n         i_item_id               in (select\n  i_item_id\nfrom\n item\nwhere i_category in ('Music'))\n and     ws_item_sk              = i_item_sk\n and     ws_sold_date_sk         = d_date_sk\n and     d_year                  = 1998\n and     d_moy                   = 9\n and     ws_bill_addr_sk         = ca_address_sk\n and     ca_gmt_offset           = -5\n group by i_item_id)\n  select   \n  i_item_id\n,sum(total_sales) total_sales\n from  (select * from ss \n        union all\n        select * from cs \n        union all\n        select * from ws) tmp1\n group by i_item_id\n order by i_item_id\n      ,total_sales\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query60.tpl\n"
+
+_Q56_CHANNEL = """
+    {alias} AS (
+      SELECT i_item_id, SUM({p}_ext_sales_price) AS total_sales
+      FROM {tbl}, date_dim, customer_address, item
+      WHERE i_item_id IN (SELECT i_item_id FROM item WHERE {item_gate})
+        AND {p}_item_sk = i_item_sk
+        AND {p}_sold_date_sk = d_date_sk
+        AND d_year = {yr} AND d_moy = {moy}
+        AND {addr} = ca_address_sk
+        AND ca_gmt_offset = -5
+      GROUP BY i_item_id)
+"""
+
+
+def _q56_oracle(item_gate: str, yr: int, moy: int, order: str) -> str:
+    chans = [
+        _Q56_CHANNEL.format(alias="ss", tbl="store_sales", p="ss",
+                            addr="ss_addr_sk", item_gate=item_gate,
+                            yr=yr, moy=moy),
+        _Q56_CHANNEL.format(alias="cs", tbl="catalog_sales", p="cs",
+                            addr="cs_bill_addr_sk", item_gate=item_gate,
+                            yr=yr, moy=moy),
+        _Q56_CHANNEL.format(alias="ws", tbl="web_sales", p="ws",
+                            addr="ws_bill_addr_sk", item_gate=item_gate,
+                            yr=yr, moy=moy),
+    ]
+    return f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {",".join(chans)}
+    SELECT i_item_id, SUM(total_sales) AS total_sales
+    FROM (SELECT * FROM ss UNION ALL
+          SELECT * FROM cs UNION ALL
+          SELECT * FROM ws) tmp1
+    GROUP BY i_item_id
+    ORDER BY {order}
+    LIMIT 100
+    """
+
+
+@query(
+    "tpcds_literal_q56",
+    oracle=_q56_oracle("i_color IN ('slate','blanched','burnished')",
+                       2001, 2, "total_sales, i_item_id"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query56.sql text, unmodified — per-item three-channel
+    UNION ALL of a one-month GMT-band slice, gated by an item-id IN
+    subquery over three colors (new i_color, 19-slot cycle). The
+    (total_sales, i_item_id) ORDER BY is total. Reference:
+    tpcds-tool/query/query56.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY56_SQL)).toDF("i_item_id", "total_sales")
+
+
+@query(
+    "tpcds_literal_q60",
+    oracle=_q56_oracle("i_category IN ('Music')", 1998, 9,
+                       "i_item_id, total_sales"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query60.sql text, unmodified — q56's shape with a category
+    gate ('Music') and the item-id-first ORDER BY. Reference:
+    tpcds-tool/query/query60.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY60_SQL)).toDF("i_item_id", "total_sales")
+
+
+@query(
+    "tpcds_literal_q41",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT DISTINCT(i_product_name) AS i_product_name
+    FROM item i1
+    WHERE i_manufact_id BETWEEN 738 AND 738+40
+      AND (SELECT count(*) AS item_cnt FROM item
+           WHERE (i_manufact = i1.i_manufact AND
+             ((i_category = 'Women' AND (i_color = 'powder' OR i_color = 'khaki')
+               AND (i_units = 'Ounce' OR i_units = 'Oz')
+               AND (i_size = 'medium' OR i_size = 'extra large'))
+           OR (i_category = 'Women' AND (i_color = 'brown' OR i_color = 'honeydew')
+               AND (i_units = 'Bunch' OR i_units = 'Ton')
+               AND (i_size = 'N/A' OR i_size = 'small'))
+           OR (i_category = 'Men' AND (i_color = 'floral' OR i_color = 'deep')
+               AND (i_units = 'N/A' OR i_units = 'Dozen')
+               AND (i_size = 'petite' OR i_size = 'large'))
+           OR (i_category = 'Men' AND (i_color = 'light' OR i_color = 'cornflower')
+               AND (i_units = 'Box' OR i_units = 'Pound')
+               AND (i_size = 'medium' OR i_size = 'extra large'))))
+           OR (i_manufact = i1.i_manufact AND
+             ((i_category = 'Women' AND (i_color = 'midnight' OR i_color = 'snow')
+               AND (i_units = 'Pallet' OR i_units = 'Gross')
+               AND (i_size = 'medium' OR i_size = 'extra large'))
+           OR (i_category = 'Women' AND (i_color = 'cyan' OR i_color = 'papaya')
+               AND (i_units = 'Cup' OR i_units = 'Dram')
+               AND (i_size = 'N/A' OR i_size = 'small'))
+           OR (i_category = 'Men' AND (i_color = 'orange' OR i_color = 'frosted')
+               AND (i_units = 'Each' OR i_units = 'Tbl')
+               AND (i_size = 'petite' OR i_size = 'large'))
+           OR (i_category = 'Men' AND (i_color = 'forest' OR i_color = 'ghost')
+               AND (i_units = 'Lb' OR i_units = 'Bundle')
+               AND (i_size = 'medium' OR i_size = 'extra large'))))) > 0
+    ORDER BY i_product_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query41.sql text, unmodified — pure item-dim self-join: in
+    a manufact-id band (738/770 are the in-band %17 classes), product
+    names whose manufacturer makes at least one of 8 named
+    category/color/units/size combos. The correlated scalar COUNT
+    subquery decorrelates to an aggregated self-join; color/units/size
+    cycles (19/13/9) are pairwise coprime with the category and
+    manufact cycles so every named combo is reachable. Reference:
+    tpcds-tool/query/query41.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY41_SQL)).toDF("i_product_name")
