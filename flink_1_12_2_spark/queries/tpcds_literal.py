@@ -4881,3 +4881,94 @@ def tpcds_literal_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     tpcds-tool/query/query41.sql."""
     _register_views(spark, sf_dir, rich=True)
     return spark.sql(rewrite(QUERY41_SQL)).toDF("i_product_name")
+QUERY47_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query47.tpl\nwith v1 as(\n select i_category, i_brand,\n        s_store_name, s_company_name,\n        d_year, d_moy,\n        sum(ss_sales_price) sum_sales,\n        avg(sum(ss_sales_price)) over\n          (partition by i_category, i_brand,\n                     s_store_name, s_company_name, d_year)\n          avg_monthly_sales,\n        rank() over\n          (partition by i_category, i_brand,\n                     s_store_name, s_company_name\n           order by d_year, d_moy) rn\n from item, store_sales, date_dim, store\n where ss_item_sk = i_item_sk and\n       ss_sold_date_sk = d_date_sk and\n       ss_store_sk = s_store_sk and\n       (\n         d_year = 1999 or\n         ( d_year = 1999-1 and d_moy =12) or\n         ( d_year = 1999+1 and d_moy =1)\n       )\n group by i_category, i_brand,\n          s_store_name, s_company_name,\n          d_year, d_moy),\n v2 as(\n select v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name\n        ,v1.d_year, v1.d_moy\n        ,v1.avg_monthly_sales\n        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum\n from v1, v1 v1_lag, v1 v1_lead\n where v1.i_category = v1_lag.i_category and\n       v1.i_category = v1_lead.i_category and\n       v1.i_brand = v1_lag.i_brand and\n       v1.i_brand = v1_lead.i_brand and\n       v1.s_store_name = v1_lag.s_store_name and\n       v1.s_store_name = v1_lead.s_store_name and\n       v1.s_company_name = v1_lag.s_company_name and\n       v1.s_company_name = v1_lead.s_company_name and\n       v1.rn = v1_lag.rn + 1 and\n       v1.rn = v1_lead.rn - 1)\n  select  *\n from v2\n where  d_year = 1999 and    \n        avg_monthly_sales > 0 and\n        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1\n order by sum_sales - avg_monthly_sales, s_store_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query47.tpl\n'
+
+QUERY57_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query57.tpl\nwith v1 as(\n select i_category, i_brand,\n        cc_name,\n        d_year, d_moy,\n        sum(cs_sales_price) sum_sales,\n        avg(sum(cs_sales_price)) over\n          (partition by i_category, i_brand,\n                     cc_name, d_year)\n          avg_monthly_sales,\n        rank() over\n          (partition by i_category, i_brand,\n                     cc_name\n           order by d_year, d_moy) rn\n from item, catalog_sales, date_dim, call_center\n where cs_item_sk = i_item_sk and\n       cs_sold_date_sk = d_date_sk and\n       cc_call_center_sk= cs_call_center_sk and\n       (\n         d_year = 1999 or\n         ( d_year = 1999-1 and d_moy =12) or\n         ( d_year = 1999+1 and d_moy =1)\n       )\n group by i_category, i_brand,\n          cc_name , d_year, d_moy),\n v2 as(\n select v1.i_category, v1.i_brand, v1.cc_name\n        ,v1.d_year, v1.d_moy\n        ,v1.avg_monthly_sales\n        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum\n from v1, v1 v1_lag, v1 v1_lead\n where v1.i_category = v1_lag.i_category and\n       v1.i_category = v1_lead.i_category and\n       v1.i_brand = v1_lag.i_brand and\n       v1.i_brand = v1_lead.i_brand and\n       v1. cc_name = v1_lag. cc_name and\n       v1. cc_name = v1_lead. cc_name and\n       v1.rn = v1_lag.rn + 1 and\n       v1.rn = v1_lead.rn - 1)\n  select  *\n from v2\n where  d_year = 1999 and\n        avg_monthly_sales > 0 and\n        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1\n order by sum_sales - avg_monthly_sales, cc_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query57.tpl\n'
+
+_Q47_V1 = """
+    v1 AS (
+      SELECT i_category, i_brand, {keys}, d_year, d_moy,
+             SUM({sp}) sum_sales,
+             AVG(SUM({sp})) OVER (PARTITION BY i_category, i_brand,
+                                  {keys}, d_year) avg_monthly_sales,
+             RANK() OVER (PARTITION BY i_category, i_brand, {keys}
+                          ORDER BY d_year, d_moy) rn
+      FROM item, {fact}, date_dim, {dim}
+      WHERE {ik} = i_item_sk AND {dk} = d_date_sk AND {jk}
+        AND (d_year = 1999 OR (d_year = 1999-1 AND d_moy = 12)
+             OR (d_year = 1999+1 AND d_moy = 1))
+      GROUP BY i_category, i_brand, {keys}, d_year, d_moy),
+    v2 AS (
+      SELECT v1.i_category, v1.i_brand, {v2keys}, v1.d_year, v1.d_moy,
+             v1.avg_monthly_sales, v1.sum_sales,
+             v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+      FROM v1, v1 v1_lag, v1 v1_lead
+      WHERE v1.i_category = v1_lag.i_category
+        AND v1.i_category = v1_lead.i_category
+        AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+        AND {keyeq}
+        AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+    SELECT * FROM v2
+    WHERE d_year = 1999 AND avg_monthly_sales > 0
+      AND CASE WHEN avg_monthly_sales > 0
+               THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+               ELSE NULL END > 0.1
+    ORDER BY sum_sales - avg_monthly_sales, {ordkey}
+    LIMIT 100
+"""
+
+
+@query(
+    "tpcds_literal_q47",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q47_V1.format(keys="s_store_name, s_company_name",
+                    sp="ss_sales_price", fact="store_sales", dim="store",
+                    ik="ss_item_sk", dk="ss_sold_date_sk",
+                    jk="ss_store_sk = s_store_sk",
+                    v2keys="v1.s_store_name, v1.s_company_name",
+                    keyeq="v1.s_store_name = v1_lag.s_store_name AND "
+                          "v1.s_store_name = v1_lead.s_store_name AND "
+                          "v1.s_company_name = v1_lag.s_company_name AND "
+                          "v1.s_company_name = v1_lead.s_company_name",
+                    ordkey="s_store_name")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query47.sql text, unmodified — monthly store/brand sales
+    vs the year average (nested AVG-over-SUM window), with prev/next
+    month via a rank-offset triple self-join of the windowed CTE.
+    Measured at sf0.01: the LIMIT-100 boundary falls between distinct
+    (diff, store) keys (.0 vs .22 diffs), so the order-insensitive hash
+    is stable across engines. Reference: tpcds-tool/query/query47.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY47_SQL)).toDF(
+        "i_category", "i_brand", "s_store_name", "s_company_name",
+        "d_year", "d_moy", "avg_monthly_sales", "sum_sales", "psum", "nsum",
+    )
+
+
+@query(
+    "tpcds_literal_q57",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q47_V1.format(keys="cc_name", sp="cs_sales_price",
+                    fact="catalog_sales", dim="call_center",
+                    ik="cs_item_sk", dk="cs_sold_date_sk",
+                    jk="cc_call_center_sk = cs_call_center_sk",
+                    v2keys="v1.cc_name",
+                    keyeq="v1.cc_name = v1_lag.cc_name AND "
+                          "v1.cc_name = v1_lead.cc_name",
+                    ordkey="cc_name")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query57.sql text, unmodified — q47's shape on the catalog
+    channel by call center. Reference: tpcds-tool/query/query57.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY57_SQL)).toDF(
+        "i_category", "i_brand", "cc_name", "d_year", "d_moy",
+        "avg_monthly_sales", "sum_sales", "psum", "nsum",
+    )
