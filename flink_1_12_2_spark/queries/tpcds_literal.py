@@ -4972,3 +4972,120 @@ def tpcds_literal_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i_category", "i_brand", "cc_name", "d_year", "d_moy",
         "avg_monthly_sales", "sum_sales", "psum", "nsum",
     )
+QUERY2_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query2.tpl\nwith wscs as\n (select sold_date_sk\n        ,sales_price\n  from (select ws_sold_date_sk sold_date_sk\n              ,ws_ext_sales_price sales_price\n        from web_sales \n        union all\n        select cs_sold_date_sk sold_date_sk\n              ,cs_ext_sales_price sales_price\n        from catalog_sales)),\n wswscs as \n (select d_week_seq,\n        sum(case when (d_day_name='Sunday') then sales_price else null end) sun_sales,\n        sum(case when (d_day_name='Monday') then sales_price else null end) mon_sales,\n        sum(case when (d_day_name='Tuesday') then sales_price else  null end) tue_sales,\n        sum(case when (d_day_name='Wednesday') then sales_price else null end) wed_sales,\n        sum(case when (d_day_name='Thursday') then sales_price else null end) thu_sales,\n        sum(case when (d_day_name='Friday') then sales_price else null end) fri_sales,\n        sum(case when (d_day_name='Saturday') then sales_price else null end) sat_sales\n from wscs\n     ,date_dim\n where d_date_sk = sold_date_sk\n group by d_week_seq)\n select d_week_seq1\n       ,round(sun_sales1/sun_sales2,2)\n       ,round(mon_sales1/mon_sales2,2)\n       ,round(tue_sales1/tue_sales2,2)\n       ,round(wed_sales1/wed_sales2,2)\n       ,round(thu_sales1/thu_sales2,2)\n       ,round(fri_sales1/fri_sales2,2)\n       ,round(sat_sales1/sat_sales2,2)\n from\n (select wswscs.d_week_seq d_week_seq1\n        ,sun_sales sun_sales1\n        ,mon_sales mon_sales1\n        ,tue_sales tue_sales1\n        ,wed_sales wed_sales1\n        ,thu_sales thu_sales1\n        ,fri_sales fri_sales1\n        ,sat_sales sat_sales1\n  from wswscs,date_dim \n  where date_dim.d_week_seq = wswscs.d_week_seq and\n        d_year = 2001) y,\n (select wswscs.d_week_seq d_week_seq2\n        ,sun_sales sun_sales2\n        ,mon_sales mon_sales2\n        ,tue_sales tue_sales2\n        ,wed_sales wed_sales2\n        ,thu_sales thu_sales2\n        ,fri_sales fri_sales2\n        ,sat_sales sat_sales2\n  from wswscs\n      ,date_dim \n  where date_dim.d_week_seq = wswscs.d_week_seq and\n        d_year = 2001+1) z\n where d_week_seq1=d_week_seq2-53\n order by d_week_seq1\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query2.tpl\n"
+
+QUERY31_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query31.tpl\nwith ss as\n (select ca_county,d_qoy, d_year,sum(ss_ext_sales_price) as store_sales\n from store_sales,date_dim,customer_address\n where ss_sold_date_sk = d_date_sk\n  and ss_addr_sk=ca_address_sk\n group by ca_county,d_qoy, d_year),\n ws as\n (select ca_county,d_qoy, d_year,sum(ws_ext_sales_price) as web_sales\n from web_sales,date_dim,customer_address\n where ws_sold_date_sk = d_date_sk\n  and ws_bill_addr_sk=ca_address_sk\n group by ca_county,d_qoy, d_year)\n select \n        ss1.ca_county\n       ,ss1.d_year\n       ,ws2.web_sales/ws1.web_sales web_q1_q2_increase\n       ,ss2.store_sales/ss1.store_sales store_q1_q2_increase\n       ,ws3.web_sales/ws2.web_sales web_q2_q3_increase\n       ,ss3.store_sales/ss2.store_sales store_q2_q3_increase\n from\n        ss ss1\n       ,ss ss2\n       ,ss ss3\n       ,ws ws1\n       ,ws ws2\n       ,ws ws3\n where\n    ss1.d_qoy = 1\n    and ss1.d_year = 2000\n    and ss1.ca_county = ss2.ca_county\n    and ss2.d_qoy = 2\n    and ss2.d_year = 2000\n and ss2.ca_county = ss3.ca_county\n    and ss3.d_qoy = 3\n    and ss3.d_year = 2000\n    and ss1.ca_county = ws1.ca_county\n    and ws1.d_qoy = 1\n    and ws1.d_year = 2000\n    and ws1.ca_county = ws2.ca_county\n    and ws2.d_qoy = 2\n    and ws2.d_year = 2000\n    and ws1.ca_county = ws3.ca_county\n    and ws3.d_qoy = 3\n    and ws3.d_year =2000\n    and case when ws1.web_sales > 0 then ws2.web_sales/ws1.web_sales else null end \n       > case when ss1.store_sales > 0 then ss2.store_sales/ss1.store_sales else null end\n    and case when ws2.web_sales > 0 then ws3.web_sales/ws2.web_sales else null end\n       > case when ss2.store_sales > 0 then ss3.store_sales/ss2.store_sales else null end\n order by ss1.ca_county\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query31.tpl\n'
+
+_Q2_DAYS = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday")
+_Q2_SUMS = ",\n        ".join(
+    f"SUM(CASE WHEN (d_day_name='{d}') THEN sales_price ELSE NULL END) "
+    f"{d[:3].lower()}_sales" for d in _Q2_DAYS)
+_Q2_PICK = lambda n: ",\n          ".join(
+    f"{d[:3].lower()}_sales {d[:3].lower()}_sales{n}" for d in _Q2_DAYS)
+_Q2_RATIOS = ",\n        ".join(
+    f"ROUND({d[:3].lower()}_sales1/{d[:3].lower()}_sales2, 2) "
+    f"AS {d[:3].lower()}_ratio" for d in _Q2_DAYS)
+
+
+@query(
+    "tpcds_literal_q2",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    wscs AS (
+      SELECT sold_date_sk, sales_price FROM
+        (SELECT ws_sold_date_sk sold_date_sk,
+                ws_ext_sales_price sales_price FROM web_sales
+         UNION ALL
+         SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales)),
+    wswscs AS (
+      SELECT d_week_seq,
+        {_Q2_SUMS}
+      FROM wscs, date_dim WHERE d_date_sk = sold_date_sk
+      GROUP BY d_week_seq)
+    SELECT d_week_seq1,
+        {_Q2_RATIOS}
+    FROM
+      (SELECT wswscs.d_week_seq d_week_seq1,
+          {_Q2_PICK(1)}
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001) y,
+      (SELECT wswscs.d_week_seq d_week_seq2,
+          {_Q2_PICK(2)}
+       FROM wswscs, date_dim
+       WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001+1) z
+    WHERE d_week_seq1 = d_week_seq2 - 53
+    ORDER BY d_week_seq1
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query2.sql text, unmodified — week-over-week (53-seq
+    offset, i.e. year+1 plus the leap-week carry) day-of-week sales
+    ratios over the web+catalog UNION. The per-week day rows fan out
+    through the date_dim re-join exactly as in real TPC-DS (every row
+    of a week duplicates the week's ratios), and the hash compare is
+    multiset-stable because both engines produce the identical
+    duplicate counts. Reference: tpcds-tool/query/query2.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY2_SQL)).toDF(
+        "d_week_seq1", "sun_ratio", "mon_ratio", "tue_ratio", "wed_ratio",
+        "thu_ratio", "fri_ratio", "sat_ratio",
+    )
+
+
+@query(
+    "tpcds_literal_q31",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    ss AS (SELECT ca_county, d_qoy, d_year,
+                  SUM(ss_ext_sales_price) AS store_sales
+           FROM store_sales, date_dim, customer_address
+           WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+           GROUP BY ca_county, d_qoy, d_year),
+    ws AS (SELECT ca_county, d_qoy, d_year,
+                  SUM(ws_ext_sales_price) AS web_sales
+           FROM web_sales, date_dim, customer_address
+           WHERE ws_sold_date_sk = d_date_sk
+             AND ws_bill_addr_sk = ca_address_sk
+           GROUP BY ca_county, d_qoy, d_year)
+    SELECT ss1.ca_county, ss1.d_year,
+           ws2.web_sales/ws1.web_sales AS web_q1_q2_increase,
+           ss2.store_sales/ss1.store_sales AS store_q1_q2_increase,
+           ws3.web_sales/ws2.web_sales AS web_q2_q3_increase,
+           ss3.store_sales/ss2.store_sales AS store_q2_q3_increase
+    FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+    WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+      AND ss1.ca_county = ss2.ca_county
+      AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+      AND ss2.ca_county = ss3.ca_county
+      AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+      AND ss1.ca_county = ws1.ca_county
+      AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+      AND ws1.ca_county = ws2.ca_county
+      AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+      AND ws1.ca_county = ws3.ca_county
+      AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+      AND CASE WHEN ws1.web_sales > 0
+               THEN ws2.web_sales/ws1.web_sales ELSE NULL END
+        > CASE WHEN ss1.store_sales > 0
+               THEN ss2.store_sales/ss1.store_sales ELSE NULL END
+      AND CASE WHEN ws2.web_sales > 0
+               THEN ws3.web_sales/ws2.web_sales ELSE NULL END
+        > CASE WHEN ss2.store_sales > 0
+               THEN ss3.store_sales/ss2.store_sales ELSE NULL END
+    ORDER BY ss1.ca_county
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query31.sql text, unmodified — counties where web sales
+    grew faster than store sales across Q1->Q2->Q3 of one year: a
+    six-way self-join of two channel/quarter CTEs with CASE-guarded
+    ratio comparisons. One output row per county -> total order.
+    Reference: tpcds-tool/query/query31.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY31_SQL)).toDF(
+        "ca_county", "d_year", "web_q1_q2_increase", "store_q1_q2_increase",
+        "web_q2_q3_increase", "store_q2_q3_increase",
+    )
