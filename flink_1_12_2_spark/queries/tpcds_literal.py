@@ -5089,3 +5089,94 @@ def tpcds_literal_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ca_county", "d_year", "web_q1_q2_increase", "store_q1_q2_increase",
         "web_q2_q3_increase", "store_q2_q3_increase",
     )
+QUERY67_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query67.tpl\nselect  *\nfrom (select i_category\n            ,i_class\n            ,i_brand\n            ,i_product_name\n            ,d_year\n            ,d_qoy\n            ,d_moy\n            ,s_store_id\n            ,sumsales\n            ,rank() over (partition by i_category order by sumsales desc) rk\n      from (select i_category\n                  ,i_class\n                  ,i_brand\n                  ,i_product_name\n                  ,d_year\n                  ,d_qoy\n                  ,d_moy\n                  ,s_store_id\n                  ,sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales\n            from store_sales\n                ,date_dim\n                ,store\n                ,item\n       where  ss_sold_date_sk=d_date_sk\n          and ss_item_sk=i_item_sk\n          and ss_store_sk = s_store_sk\n          and d_month_seq between 1200 and 1200+11\n       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2\nwhere rk <= 100\norder by i_category\n        ,i_class\n        ,i_brand\n        ,i_product_name\n        ,d_year\n        ,d_qoy\n        ,d_moy\n        ,s_store_id\n        ,sumsales\n        ,rk\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query67.tpl\n'
+
+QUERY70_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query70.tpl\nselect  \n    sum(ss_net_profit) as total_sum\n   ,s_state\n   ,s_county\n   ,grouping(s_state)+grouping(s_county) as lochierarchy\n   ,rank() over (\n \tpartition by grouping(s_state)+grouping(s_county),\n \tcase when grouping(s_county) = 0 then s_state end \n \torder by sum(ss_net_profit) desc) as rank_within_parent\n from\n    store_sales\n   ,date_dim       d1\n   ,store\n where\n    d1.d_month_seq between 1200 and 1200+11\n and d1.d_date_sk = ss_sold_date_sk\n and s_store_sk  = ss_store_sk\n and s_state in\n             ( select s_state\n               from  (select s_state as s_state,\n \t\t\t    rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking\n                      from   store_sales, store, date_dim\n                      where  d_month_seq between 1200 and 1200+11\n \t\t\t    and d_date_sk = ss_sold_date_sk\n \t\t\t    and s_store_sk  = ss_store_sk\n                      group by s_state\n                     ) tmp1 \n               where ranking <= 5\n             )\n group by rollup(s_state,s_county)\n order by\n   lochierarchy desc\n  ,case when lochierarchy = 0 then s_state end\n  ,rank_within_parent\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query70.tpl\n'
+
+@query(
+    "tpcds_literal_q67",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT * FROM (
+      SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+             d_moy, s_store_id, sumsales,
+             RANK() OVER (PARTITION BY i_category
+                          ORDER BY sumsales DESC) rk
+      FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   SUM(COALESCE(ss_sales_price*ss_quantity, 0)) sumsales
+            FROM store_sales, date_dim, store, item
+            WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 1200 AND 1200+11
+            GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                            d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+    WHERE rk <= 100
+    ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+             i_brand NULLS FIRST, i_product_name NULLS FIRST,
+             d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+             s_store_id NULLS FIRST, sumsales, rk
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query67.sql text, unmodified — 8-key ROLLUP over a year of
+    store sales with a per-category rank gate. The oracle mirrors
+    Spark's ASC NULLS FIRST default explicitly (DuckDB defaults NULLS
+    LAST and the LIMIT cut would differ); the 10-key ORDER BY is total
+    because rollup prefix rows carry NULLs where leaf rows carry
+    values. d_month_seq 1200-1211 is adapter year 1998. Reference:
+    tpcds-tool/query/query67.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY67_SQL)).toDF(
+        "i_category", "i_class", "i_brand", "i_product_name", "d_year",
+        "d_qoy", "d_moy", "s_store_id", "sumsales", "rk",
+    )
+
+
+@query(
+    "tpcds_literal_q70",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT SUM(ss_net_profit) AS total_sum, s_state, s_county,
+           GROUPING(s_state) + GROUPING(s_county) AS lochierarchy,
+           RANK() OVER (
+             PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+                          CASE WHEN GROUPING(s_county) = 0
+                               THEN s_state END
+             ORDER BY SUM(ss_net_profit) DESC) AS rank_within_parent
+    FROM store_sales, date_dim d1, store
+    WHERE d1.d_month_seq BETWEEN 1200 AND 1200+11
+      AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+      AND s_state IN
+          (SELECT s_state FROM
+             (SELECT s_state AS s_state,
+                     RANK() OVER (PARTITION BY s_state
+                                  ORDER BY SUM(ss_net_profit) DESC)
+                       AS ranking
+              FROM store_sales, store, date_dim
+              WHERE d_month_seq BETWEEN 1200 AND 1200+11
+                AND d_date_sk = ss_sold_date_sk
+                AND s_store_sk = ss_store_sk
+              GROUP BY s_state) tmp1
+           WHERE ranking <= 5)
+    GROUP BY ROLLUP(s_state, s_county)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN s_state END,
+             rank_within_parent
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query70.sql text, unmodified — q36/q86's lochierarchy
+    ROLLUP/RANK shape over store geography, with the state list gated by
+    a windowed top-5 IN subquery. Result set (5 store states x 1 county
+    + levels) is far below the LIMIT so the cut never bites and the
+    hash is order-insensitive. Reference: tpcds-tool/query/query70.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY70_SQL)).toDF(
+        "total_sum", "s_state", "s_county", "lochierarchy",
+        "rank_within_parent",
+    )

@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 45, 46, 47, 48, 56, 57, 60, 50, 51, 52, 53, 55, 59, 61, 62, 63, 65, 68, 71, 73, 74, 77, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 45, 46, 47, 48, 56, 57, 60, 50, 51, 52, 53, 55, 59, 61, 62, 63, 65, 67, 68, 70, 71, 73, 74, 77, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -47,7 +47,7 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q10", "tpcds_literal_q35", "tpcds_literal_q16",
              "tpcds_literal_q94", "tpcds_literal_q95",
              "tpcds_literal_q56", "tpcds_literal_q60", "tpcds_literal_q47",
-             "tpcds_literal_q57"]
+             "tpcds_literal_q57", "tpcds_literal_q67", "tpcds_literal_q70"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
