@@ -1072,7 +1072,8 @@ _DATED_SPARK = {
                         DATE '1970-01-01')
                  AS ss_sold_date_sk,
                l_partkey  AS ss_item_sk,
-               {_CENTS} AS ss_ext_sales_price,
+               CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+                 AS ss_ext_sales_price,
                {_RICH_FACT_COLS_SPARK.format(p="ss_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
@@ -1103,35 +1104,60 @@ _DATED_SPARK["inventory"] = """
 # l_shipdate+1y — the TPC-H ship lag (1..121 days) becomes a real
 # day-difference histogram. Ship modes spread over the 25-row ship_mode
 # dim; warehouse/call-center/web-site keys reuse the rich residues.
-_DATED_SPARK["catalog_sales"] = """
+_DATED_SPARK["catalog_sales"] = f"""
         SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
                         DATE '1970-01-01') AS cs_sold_date_sk,
                DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
                         DATE '1970-01-01') AS cs_ship_date_sk,
                l_partkey AS cs_item_sk,
+               CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+                 AS cs_ext_sales_price,
                CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
                CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                  AS cs_ship_mode_sk,
                CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
-        WHERE l_linenumber % 3 = 2
+        WHERE l_linenumber <> 1
     """
 
-_DATED_SPARK["web_sales"] = """
+_DATED_SPARK["web_sales"] = f"""
         SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
                         DATE '1970-01-01') AS ws_sold_date_sk,
                DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
                         DATE '1970-01-01') AS ws_ship_date_sk,
                l_partkey AS ws_item_sk,
+               CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+                 AS ws_ext_sales_price,
                CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
                CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                  AS ws_ship_mode_sk,
                CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
-        WHERE l_linenumber % 3 = 1
+        WHERE l_linenumber <> 2
     """
 
-_CS_WS_DATED_DUCK = """catalog_sales AS (
+# q83's three-channel return-quantity comparison needs returns at the
+# same epoch-day date keys; return events land on the lineitem's ship
+# date (+1y), matching the dated store_returns convention.
+_DATED_SPARK["catalog_returns"] = """
+        SELECT DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS cr_returned_date_sk,
+               l_partkey AS cr_item_sk,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
+        FROM __tpch_lineitem
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+    """
+
+_DATED_SPARK["web_returns"] = """
+        SELECT DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') AS wr_returned_date_sk,
+               l_partkey AS wr_item_sk,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
+        FROM __tpch_lineitem
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+    """
+
+_CS_WS_DATED_DUCK = f"""catalog_sales AS (
       SELECT DATEDIFF('day', DATE '1970-01-01',
                       CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
                AS cs_sold_date_sk,
@@ -1139,12 +1165,14 @@ _CS_WS_DATED_DUCK = """catalog_sales AS (
                       CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
                AS cs_ship_date_sk,
              l_partkey AS cs_item_sk,
+             CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+               AS cs_ext_sales_price,
              CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
              CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                AS cs_ship_mode_sk,
              CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_linenumber % 3 = 2),
+      WHERE l_linenumber <> 1),
     web_sales AS (
       SELECT DATEDIFF('day', DATE '1970-01-01',
                       CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
@@ -1153,12 +1181,14 @@ _CS_WS_DATED_DUCK = """catalog_sales AS (
                       CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
                AS ws_ship_date_sk,
              l_partkey AS ws_item_sk,
+             CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+               AS ws_ext_sales_price,
              CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
              CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                AS ws_ship_mode_sk,
              CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      WHERE l_linenumber % 3 = 1)"""
+      WHERE l_linenumber <> 2)"""
 
 _INVENTORY_DATED_DUCK = """inventory AS (
       SELECT DATEDIFF('day', DATE '1970-01-01',
@@ -2056,7 +2086,8 @@ _ADAPTER_DUCK_DATED = f"""
                       CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
                AS ss_sold_date_sk,
              l_partkey  AS ss_item_sk,
-             {_CENTS} AS ss_ext_sales_price,
+             CAST((1 + l_partkey % 100) * 100 AS BIGINT)
+               AS ss_ext_sales_price,
              {_RICH_FACT_COLS_DUCK.format(p="ss_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     store_returns AS (
@@ -2074,7 +2105,22 @@ _ADAPTER_DUCK_DATED = f"""
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'),
     {_CS_WS_DATED_DUCK},
+    catalog_returns AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
+               AS cr_returned_date_sk,
+             l_partkey AS cr_item_sk,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
+      FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2),
+    web_returns AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
+               AS wr_returned_date_sk,
+             l_partkey AS wr_item_sk,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
+      FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1),
     {_INVENTORY_DATED_DUCK},
+    {_ITEM_DUCK.strip()},
     {_STORE_DUCK}
 """
 
@@ -3649,7 +3695,7 @@ def tpcds_literal_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpcds_literal_q21",
     oracle=f"""
-    WITH {_ADAPTER_DUCK_DATED}, {_ITEM_DUCK.strip()}, {_WAREHOUSE_DUCK}
+    WITH {_ADAPTER_DUCK_DATED}, {_WAREHOUSE_DUCK}
     SELECT w_warehouse_name, i_item_id, inv_before, inv_after
     FROM (SELECT w_warehouse_name, i_item_id,
                  SUM(CASE WHEN CAST(d_date AS DATE)
@@ -5180,3 +5226,124 @@ def tpcds_literal_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_sum", "s_state", "s_county", "lochierarchy",
         "rank_within_parent",
     )
+QUERY58_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\nwith ss_items as\n (select i_item_id item_id\n        ,sum(ss_ext_sales_price) ss_item_rev \n from store_sales\n     ,item\n     ,date_dim\n where ss_item_sk = i_item_sk\n   and d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n   and ss_sold_date_sk   = d_date_sk\n group by i_item_id),\n cs_items as\n (select i_item_id item_id\n        ,sum(cs_ext_sales_price) cs_item_rev\n  from catalog_sales\n      ,item\n      ,date_dim\n where cs_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n  and  cs_sold_date_sk = d_date_sk\n group by i_item_id),\n ws_items as\n (select i_item_id item_id\n        ,sum(ws_ext_sales_price) ws_item_rev\n  from web_sales\n      ,item\n      ,date_dim\n where ws_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq =(select d_week_seq \n                                     from date_dim\n                                     where d_date = '2000-01-03'))\n  and ws_sold_date_sk   = d_date_sk\n group by i_item_id)\n  select  ss_items.item_id\n       ,ss_item_rev\n       ,ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev\n       ,cs_item_rev\n       ,cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev\n       ,ws_item_rev\n       ,ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev\n       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average\n from ss_items,cs_items,ws_items\n where ss_items.item_id=cs_items.item_id\n   and ss_items.item_id=ws_items.item_id \n   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n order by item_id\n         ,ss_item_rev\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\n"
+
+QUERY83_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query83.tpl\nwith sr_items as\n (select i_item_id item_id,\n        sum(cast(sr_return_quantity as decimal(7, 2))) sr_item_qty\n from store_returns,\n      item,\n      date_dim\n where sr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   sr_returned_date_sk   = d_date_sk\n group by i_item_id),\n cr_items as\n (select i_item_id item_id,\n        sum(cr_return_quantity) cr_item_qty\n from catalog_returns,\n      item,\n      date_dim\n where cr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   cr_returned_date_sk   = d_date_sk\n group by i_item_id),\n wr_items as\n (select i_item_id item_id,\n        sum(wr_return_quantity) wr_item_qty\n from web_returns,\n      item,\n      date_dim\n where wr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t\twhere d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   wr_returned_date_sk   = d_date_sk\n group by i_item_id)\n  select  sr_items.item_id\n       ,sr_item_qty\n       ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev\n       ,cr_item_qty\n       ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev\n       ,wr_item_qty\n       ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev\n       ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average\n from sr_items\n     ,cr_items\n     ,wr_items\n where sr_items.item_id=cr_items.item_id\n   and sr_items.item_id=wr_items.item_id \n order by sr_items.item_id\n         ,sr_item_qty\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query83.tpl\n"
+
+_Q58_CHANNEL = """
+    {alias} AS (
+      SELECT i_item_id item_id, SUM({p}_ext_sales_price) {p}_item_rev
+      FROM {tbl}, item, date_dim
+      WHERE {p}_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim WHERE d_week_seq =
+             (SELECT d_week_seq FROM date_dim WHERE d_date = '2000-01-03'))
+        AND {p}_sold_date_sk = d_date_sk
+      GROUP BY i_item_id)
+"""
+
+
+@query(
+    "tpcds_literal_q58",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED},
+    {_Q58_CHANNEL.format(alias="ss_items", tbl="store_sales", p="ss")},
+    {_Q58_CHANNEL.format(alias="cs_items", tbl="catalog_sales", p="cs")},
+    {_Q58_CHANNEL.format(alias="ws_items", tbl="web_sales", p="ws")}
+    SELECT ss_items.item_id AS item_id, ss_item_rev,
+           ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+             AS ss_dev,
+           cs_item_rev,
+           cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+             AS cs_dev,
+           ws_item_rev,
+           ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+             AS ws_dev,
+           (ss_item_rev+cs_item_rev+ws_item_rev)/3 AS average
+    FROM ss_items, cs_items, ws_items
+    WHERE ss_items.item_id = cs_items.item_id
+      AND ss_items.item_id = ws_items.item_id
+      AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+      AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+      AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+      AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+      AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+      AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+    ORDER BY item_id, ss_item_rev
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query58.sql text, unmodified — items whose one-week revenue
+    is balanced (pairwise within 10%) across all three channels. Runs on
+    the DATED tier: its one-row-per-date date_dim makes the
+    '2000-01-03' scalar week subquery single-row (the rich orders-keyed
+    date_dim would raise a cardinality error in both engines), its
+    channels are overlapping line-number slices so the band
+    discriminates without starving, and its per-part quantized prices
+    make revenue ratios count-driven. item_id grouping makes the ORDER
+    BY total. Reference: tpcds-tool/query/query58.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY58_SQL)).toDF(
+        "item_id", "ss_item_rev", "ss_dev", "cs_item_rev", "cs_dev",
+        "ws_item_rev", "ws_dev", "average",
+    )
+
+
+_Q83_CHANNEL = """
+    {alias} AS (
+      SELECT i_item_id item_id, SUM({qty}) {p}_item_qty
+      FROM {tbl}, item, date_dim
+      WHERE {p}_item_sk = i_item_sk
+        AND d_date IN (SELECT d_date FROM date_dim WHERE d_week_seq IN
+             (SELECT d_week_seq FROM date_dim
+              WHERE d_date IN ('2000-06-30','2000-09-27','2000-11-17')))
+        AND {p}_returned_date_sk = d_date_sk
+      GROUP BY i_item_id)
+"""
+
+
+@query(
+    "tpcds_literal_q83",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED},
+    {_Q83_CHANNEL.format(alias="sr_items", tbl="store_returns", p="sr",
+                         qty="CAST(sr_return_quantity AS DECIMAL(7, 2))")},
+    {_Q83_CHANNEL.format(alias="cr_items", tbl="catalog_returns", p="cr",
+                         qty="cr_return_quantity")},
+    {_Q83_CHANNEL.format(alias="wr_items", tbl="web_returns", p="wr",
+                         qty="wr_return_quantity")}
+    SELECT sr_items.item_id AS item_id,
+           CAST(sr_item_qty AS DOUBLE) AS sr_item_qty,
+           CAST(sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100
+                AS DOUBLE) AS sr_dev,
+           cr_item_qty,
+           CAST(cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100
+                AS DOUBLE) AS cr_dev,
+           wr_item_qty,
+           CAST(wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100
+                AS DOUBLE) AS wr_dev,
+           CAST((sr_item_qty+cr_item_qty+wr_item_qty)/3.0 AS DOUBLE)
+             AS average
+    FROM sr_items, cr_items, wr_items
+    WHERE sr_items.item_id = cr_items.item_id
+      AND sr_items.item_id = wr_items.item_id
+    ORDER BY sr_items.item_id, sr_item_qty
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query83.sql text, unmodified — return quantities compared
+    across the three return channels for the weeks of three pivot
+    dates. Runs on the DATED tier (new dated catalog/web returns at
+    ship-date epoch keys). item_id grouping keys the ORDER BY total.
+    Reference: tpcds-tool/query/query83.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    out = spark.sql(rewrite(QUERY83_SQL)).toDF(
+        "item_id", "sr_item_qty", "sr_dev", "cr_item_qty", "cr_dev",
+        "wr_item_qty", "wr_dev", "average",
+    )
+    for c in ("sr_item_qty", "sr_dev", "cr_dev", "wr_dev", "average"):
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out

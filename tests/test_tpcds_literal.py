@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 45, 46, 47, 48, 56, 57, 60, 50, 51, 52, 53, 55, 59, 61, 62, 63, 65, 67, 68, 70, 71, 73, 74, 77, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 45, 46, 47, 48, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 77, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -355,3 +355,26 @@ def test_literal_q31_sparse_at_tiny_sf(spark, sf_dir):
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q31"].fn(spark, sf_dir).collect()
     assert all(r["d_year"] == 2000 for r in rows)
+
+
+def test_literal_q83_sparse_at_tiny_sf(spark, sf_dir):
+    """q83 needs an item returned in all three channels across three
+    pivot weeks — 2 items at sf0.01 (value-gated there), possibly none
+    at sf0.001."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q83"].fn(spark, sf_dir).collect()
+    assert len(rows) <= 100
+
+
+def test_literal_q58_sparse_at_tiny_sf(spark, sf_dir):
+    """q58's three-channel one-week +-10% revenue band keeps 153 items
+    at sf0.01 (value-gated there); at sf0.001 the pivot week is too thin.
+    The scalar week subquery must still be single-row (dated tier) so
+    the query runs without a cardinality error."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q58"].fn(spark, sf_dir).collect()
+    assert len(rows) <= 100
