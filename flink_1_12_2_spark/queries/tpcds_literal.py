@@ -280,6 +280,7 @@ _ITEM_SPARK = f"""
                p_size    AS i_category_id,
                element_at(array({_CLASSES}),
                           CAST(1 + p_partkey % 10 AS INT)) AS i_class,
+               CAST(1 + p_partkey % 10 AS INT) AS i_class_id,
                p_name AS i_product_name,
                CAST(element_at(array({_PRICES}),
                           CAST(1 + p_partkey % 20 AS INT)) AS DOUBLE)
@@ -451,7 +452,12 @@ _RICH_SPARK = {
                CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                  AS cr_net_loss,
                CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
-                 AS cr_refunded_cash
+                 AS cr_refunded_cash,
+               CAST(ROUND(l_extendedprice * l_discount * 30) AS BIGINT)
+                 AS cr_reversed_charge,
+               CAST(ROUND(l_extendedprice * l_discount * 20) AS BIGINT)
+                 AS cr_store_credit,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
     """,
@@ -476,7 +482,8 @@ _RICH_SPARK = {
                CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
                  AS wr_refunded_cash,
                CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
-                 AS wr_fee
+                 AS wr_fee,
+               CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
     """,
@@ -746,6 +753,7 @@ _ITEM_DUCK = f"""
              ([{_CATEGORIES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_category,
              p_size    AS i_category_id,
              ([{_CLASSES}])[CAST(1 + p_partkey % 10 AS INT)] AS i_class,
+             CAST(1 + p_partkey % 10 AS INT) AS i_class_id,
              p_name AS i_product_name,
              CAST(([{_PRICES}])[CAST(1 + p_partkey % 20 AS INT)] AS DOUBLE)
                AS i_current_price,
@@ -930,7 +938,12 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
                AS cr_net_loss,
              CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
-               AS cr_refunded_cash
+               AS cr_refunded_cash,
+             CAST(ROUND(l_extendedprice * l_discount * 30) AS BIGINT)
+               AS cr_reversed_charge,
+             CAST(ROUND(l_extendedprice * l_discount * 20) AS BIGINT)
+               AS cr_store_credit,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2),
     web_returns AS (
@@ -954,7 +967,8 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
                AS wr_refunded_cash,
              CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
-               AS wr_fee
+               AS wr_fee,
+             CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1),
     inventory AS (
@@ -1322,6 +1336,79 @@ _ADAPTER_DUCK_DENSE = f"""
 """
 
 
+# NULLS tier (q44/q76): real TPC-DS fact rows carry NULL foreign keys
+# (unknown store, unshipped customer, missing address) and q44/q76 filter
+# ON those NULLs — the rich tier's always-present keys would make both
+# queries vacuously empty. This tier's lean facts inject NULLs on fixed
+# key residues (~1/7-1/11 of rows), and q44's rank column uses the
+# dollar-grain net profit so per-item averages are distinct enough that
+# rank ties (and the LIMIT boundary) stay deterministic.
+_NULLS_SPARK = {
+    "store_sales": f"""
+        SELECT l_orderkey AS ss_sold_date_sk,
+               l_partkey  AS ss_item_sk,
+               {_CENTS} AS ss_ext_sales_price,
+               CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN NULL
+                    ELSE l_suppkey END AS ss_store_sk,
+               CASE WHEN (l_orderkey + l_partkey) % 7 = 0 THEN NULL
+                    ELSE o_custkey END AS ss_addr_sk,
+               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+                 AS ss_net_profit
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+    """,
+    "web_sales": f"""
+        SELECT l_orderkey AS ws_sold_date_sk,
+               l_partkey  AS ws_item_sk,
+               {_CENTS} AS ws_ext_sales_price,
+               CASE WHEN (l_orderkey + o_custkey) % 9 = 0 THEN NULL
+                    ELSE o_custkey END AS ws_ship_customer_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 1
+    """,
+    "catalog_sales": f"""
+        SELECT l_orderkey AS cs_sold_date_sk,
+               l_partkey  AS cs_item_sk,
+               {_CENTS} AS cs_ext_sales_price,
+               CASE WHEN (l_orderkey + l_suppkey) % 8 = 0 THEN NULL
+                    ELSE o_custkey END AS cs_ship_addr_sk
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 2
+    """,
+}
+
+_ADAPTER_DUCK_NULLS = f"""
+    {_DATE_DIM_DUCK},
+    store_sales AS (
+      SELECT l_orderkey AS ss_sold_date_sk,
+             l_partkey  AS ss_item_sk,
+             {_CENTS} AS ss_ext_sales_price,
+             CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN NULL
+                  ELSE l_suppkey END AS ss_store_sk,
+             CASE WHEN (l_orderkey + l_partkey) % 7 = 0 THEN NULL
+                  ELSE o_custkey END AS ss_addr_sk,
+             CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               AS ss_net_profit
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    web_sales AS (
+      SELECT l_orderkey AS ws_sold_date_sk,
+             l_partkey  AS ws_item_sk,
+             {_CENTS} AS ws_ext_sales_price,
+             CASE WHEN (l_orderkey + o_custkey) % 9 = 0 THEN NULL
+                  ELSE o_custkey END AS ws_ship_customer_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 1),
+    catalog_sales AS (
+      SELECT l_orderkey AS cs_sold_date_sk,
+             l_partkey  AS cs_item_sk,
+             {_CENTS} AS cs_ext_sales_price,
+             CASE WHEN (l_orderkey + l_suppkey) % 8 = 0 THEN NULL
+                  ELSE o_custkey END AS cs_ship_addr_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber % 3 = 2),
+    {_ITEM_DUCK.strip()}
+"""
+
+
 # TRIPS tier (q34): TPC-H orders carry 1-7 lines, so a natural ticket can
 # never reach q34's literal ``cnt between 15 and 20`` — real TPC-DS
 # tickets bundle 10-20 items. This tier pools 40 consecutive orderkeys
@@ -1364,6 +1451,7 @@ def _register_views(
     split: bool = False,
     dense: bool = False,
     trips: bool = False,
+    nulls: bool = False,
 ) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
@@ -1385,6 +1473,9 @@ def _register_views(
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     if trips:
         for name, body in _TRIPS_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if nulls:
+        for name, body in _NULLS_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
@@ -5347,3 +5438,334 @@ def tpcds_literal_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("sr_item_qty", "sr_dev", "cr_dev", "wr_dev", "average"):
         out = out.withColumn(c, F.col(c).cast("double"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q49 / q75 / q78 — the per-channel RETURNS-RATIO family: every channel's
+# sales LEFT OUTER JOINed to its returns on the sale identity
+# (order_number/ticket_number + item), feeding ratio ranks (q49), a
+# year-over-year multi-channel UNION with returns netted out (q75), and a
+# store-vs-other-channel quantity ratio for never-returned sales (q78).
+
+_Q49_CHANNEL = """{alias} AS (
+      SELECT '{ch}' AS channel, item, return_ratio, return_rank,
+             currency_rank FROM (
+        SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+        FROM (
+          SELECT s.{p}_item_sk AS item,
+                 CAST(SUM(COALESCE(r.{rp}_return_quantity, 0))
+                      AS DECIMAL(15, 4)) /
+                 CAST(SUM(COALESCE(s.{p}_quantity, 0))
+                      AS DECIMAL(15, 4)) AS return_ratio,
+                 CAST(SUM(COALESCE(r.{amt}, 0))
+                      AS DECIMAL(15, 4)) /
+                 CAST(SUM(COALESCE(s.{p}_net_paid, 0))
+                      AS DECIMAL(15, 4)) AS currency_ratio
+          FROM {stbl} s LEFT OUTER JOIN {rtbl} r
+            ON (s.{p}_{onum} = r.{rp}_{ronum}
+                AND s.{p}_item_sk = r.{rp}_item_sk), date_dim
+          WHERE r.{amt} > 10000 AND s.{p}_net_profit > 1
+            AND s.{p}_net_paid > 0 AND s.{p}_quantity > 0
+            AND s.{p}_sold_date_sk = d_date_sk
+            AND d_year = 2001 AND d_moy = 12
+          GROUP BY s.{p}_item_sk) in_ch) ranked
+      WHERE return_rank <= 10 OR currency_rank <= 10)"""
+
+
+QUERY49_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query49.tpl\nselect  channel, item, return_ratio, return_rank, currency_rank from\n (select\n 'web' as channel\n ,web.item\n ,web.return_ratio\n ,web.return_rank\n ,web.currency_rank\n from (\n \tselect \n \t item\n \t,return_ratio\n \t,currency_ratio\n \t,rank() over (order by return_ratio) as return_rank\n \t,rank() over (order by currency_ratio) as currency_rank\n \tfrom\n \t(\tselect ws.ws_item_sk as item\n \t\t,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio\n \t\t,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio\n \t\tfrom \n \t\t web_sales ws left outer join web_returns wr \n \t\t\ton (ws.ws_order_number = wr.wr_order_number and \n \t\t\tws.ws_item_sk = wr.wr_item_sk)\n                 ,date_dim\n \t\twhere \n \t\t\twr.wr_return_amt > 10000 \n \t\t\tand ws.ws_net_profit > 1\n                         and ws.ws_net_paid > 0\n                         and ws.ws_quantity > 0\n                         and ws_sold_date_sk = d_date_sk\n                         and d_year = 2001\n                         and d_moy = 12\n \t\tgroup by ws.ws_item_sk\n \t) in_web\n ) web\n where \n (\n web.return_rank <= 10\n or\n web.currency_rank <= 10\n )\n union\n select \n 'catalog' as channel\n ,catalog.item\n ,catalog.return_ratio\n ,catalog.return_rank\n ,catalog.currency_rank\n from (\n \tselect \n \t item\n \t,return_ratio\n \t,currency_ratio\n \t,rank() over (order by return_ratio) as return_rank\n \t,rank() over (order by currency_ratio) as currency_rank\n \tfrom\n \t(\tselect \n \t\tcs.cs_item_sk as item\n \t\t,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio\n \t\t,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/\n \t\tcast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio\n \t\tfrom \n \t\tcatalog_sales cs left outer join catalog_returns cr\n \t\t\ton (cs.cs_order_number = cr.cr_order_number and \n \t\t\tcs.cs_item_sk = cr.cr_item_sk)\n                ,date_dim\n \t\twhere \n \t\t\tcr.cr_return_amount > 10000 \n \t\t\tand cs.cs_net_profit > 1\n                         and cs.cs_net_paid > 0\n                         and cs.cs_quantity > 0\n                         and cs_sold_date_sk = d_date_sk\n                         and d_year = 2001\n                         and d_moy = 12\n                 group by cs.cs_item_sk\n \t) in_cat\n ) catalog\n where \n (\n catalog.return_rank <= 10\n or\n catalog.currency_rank <=10\n )\n union\n select \n 'store' as channel\n ,store.item\n ,store.return_ratio\n ,store.return_rank\n ,store.currency_rank\n from (\n \tselect \n \t item\n \t,return_ratio\n \t,currency_ratio\n \t,rank() over (order by return_ratio) as return_rank\n \t,rank() over (order by currency_ratio) as currency_rank\n \tfrom\n \t(\tselect sts.ss_item_sk as item\n \t\t,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio\n \t\t,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio\n \t\tfrom \n \t\tstore_sales sts left outer join store_returns sr\n \t\t\ton (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)\n                ,date_dim\n \t\twhere \n \t\t\tsr.sr_return_amt > 10000 \n \t\t\tand sts.ss_net_profit > 1\n                         and sts.ss_net_paid > 0 \n                         and sts.ss_quantity > 0\n                         and ss_sold_date_sk = d_date_sk\n                         and d_year = 2001\n                         and d_moy = 12\n \t\tgroup by sts.ss_item_sk\n \t) in_store\n ) store\n where  (\n store.return_rank <= 10\n or \n store.currency_rank <= 10\n )\n )\n order by 1,4,5,2\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query49.tpl\n"
+
+
+@query(
+    "tpcds_literal_q49",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q49_CHANNEL.format(alias="web_ch", ch="web", p="ws", rp="wr",
+                         stbl="web_sales", rtbl="web_returns",
+                         onum="order_number", ronum="order_number",
+                         amt="wr_return_amt")},
+    {_Q49_CHANNEL.format(alias="cat_ch", ch="catalog", p="cs", rp="cr",
+                         stbl="catalog_sales", rtbl="catalog_returns",
+                         onum="order_number", ronum="order_number",
+                         amt="cr_return_amount")},
+    {_Q49_CHANNEL.format(alias="sto_ch", ch="store", p="ss", rp="sr",
+                         stbl="store_sales", rtbl="store_returns",
+                         onum="ticket_number", ronum="ticket_number",
+                         amt="sr_return_amt")}
+    SELECT channel, item, CAST(return_ratio AS DOUBLE) AS return_ratio,
+           return_rank, currency_rank
+    FROM (SELECT * FROM web_ch UNION
+          SELECT * FROM cat_ch UNION
+          SELECT * FROM sto_ch) u
+    ORDER BY 1, 4, 5, 2
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query49.sql text, unmodified — per-channel "worst return
+    ratios": sales LEFT OUTER JOIN returns on the sale identity, quantity
+    and currency return ratios ranked per channel, rank<=10 survivors
+    unioned. The ratio ranks are deterministic across engines: ratios are
+    rationals with denominators bounded by one item-month's sums, so
+    distinct ratios differ by >> both engines' rounding error (see
+    DECIMAL(15,4) notes in the module docstring). ORDER BY includes the
+    per-channel-unique item key, so the LIMIT boundary is a total order.
+    Reference: tpcds-tool/query/query49.sql (run by
+    TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY49_SQL)).toDF(
+        "channel", "item", "return_ratio", "return_rank", "currency_rank"
+    )
+    return out.withColumn(
+        "return_ratio", F.col("return_ratio").cast("double")
+    )
+
+
+QUERY75_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query75.tpl\nWITH all_sales AS (\n SELECT d_year\n       ,i_brand_id\n       ,i_class_id\n       ,i_category_id\n       ,i_manufact_id\n       ,SUM(sales_cnt) AS sales_cnt\n       ,SUM(sales_amt) AS sales_amt\n FROM (SELECT d_year\n             ,i_brand_id\n             ,i_class_id\n             ,i_category_id\n             ,i_manufact_id\n             ,cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt\n             ,cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt\n       FROM catalog_sales JOIN item ON i_item_sk=cs_item_sk\n                          JOIN date_dim ON d_date_sk=cs_sold_date_sk\n                          LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number \n                                                    AND cs_item_sk=cr_item_sk)\n       WHERE i_category='Books'\n       UNION\n       SELECT d_year\n             ,i_brand_id\n             ,i_class_id\n             ,i_category_id\n             ,i_manufact_id\n             ,ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt\n             ,ss_ext_sales_price - COALESCE(sr_return_amt,0.0) AS sales_amt\n       FROM store_sales JOIN item ON i_item_sk=ss_item_sk\n                        JOIN date_dim ON d_date_sk=ss_sold_date_sk\n                        LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number \n                                                AND ss_item_sk=sr_item_sk)\n       WHERE i_category='Books'\n       UNION\n       SELECT d_year\n             ,i_brand_id\n             ,i_class_id\n             ,i_category_id\n             ,i_manufact_id\n             ,ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt\n             ,ws_ext_sales_price - COALESCE(wr_return_amt,0.0) AS sales_amt\n       FROM web_sales JOIN item ON i_item_sk=ws_item_sk\n                      JOIN date_dim ON d_date_sk=ws_sold_date_sk\n                      LEFT JOIN web_returns ON (ws_order_number=wr_order_number \n                                            AND ws_item_sk=wr_item_sk)\n       WHERE i_category='Books') sales_detail\n GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)\n SELECT  prev_yr.d_year AS prev_year\n                          ,curr_yr.d_year AS `year`\n                          ,curr_yr.i_brand_id\n                          ,curr_yr.i_class_id\n                          ,curr_yr.i_category_id\n                          ,curr_yr.i_manufact_id\n                          ,prev_yr.sales_cnt AS prev_yr_cnt\n                          ,curr_yr.sales_cnt AS curr_yr_cnt\n                          ,curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff\n                          ,curr_yr.sales_amt-prev_yr.sales_amt AS sales_amt_diff\n FROM all_sales curr_yr, all_sales prev_yr\n WHERE curr_yr.i_brand_id=prev_yr.i_brand_id\n   AND curr_yr.i_class_id=prev_yr.i_class_id\n   AND curr_yr.i_category_id=prev_yr.i_category_id\n   AND curr_yr.i_manufact_id=prev_yr.i_manufact_id\n   AND curr_yr.d_year=2002\n   AND prev_yr.d_year=2002-1\n   AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))/CAST(prev_yr.sales_cnt AS DECIMAL(17,2))<0.9\n ORDER BY sales_cnt_diff,sales_amt_diff\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query75.tpl\n"
+
+_Q75_CHANNEL = """
+        SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               {p}_quantity - COALESCE({rp}_return_quantity, 0) AS sales_cnt,
+               {p}_ext_sales_price - COALESCE({rp}_return_am{amt}, 0.0)
+                 AS sales_amt
+        FROM {stbl} JOIN item ON i_item_sk = {p}_item_sk
+             JOIN date_dim ON d_date_sk = {p}_sold_date_sk
+             LEFT JOIN {rtbl} ON ({p}_{onum} = {rp}_{ronum}
+                                  AND {p}_item_sk = {rp}_item_sk)
+        WHERE i_category = 'Books'"""
+
+
+@query(
+    "tpcds_literal_q75",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    all_sales AS (
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+      FROM ({_Q75_CHANNEL.format(p="cs", rp="cr", stbl="catalog_sales",
+                                 rtbl="catalog_returns", onum="order_number",
+                                 ronum="order_number", amt="ount")}
+            UNION
+            {_Q75_CHANNEL.format(p="ss", rp="sr", stbl="store_sales",
+                                 rtbl="store_returns", onum="ticket_number",
+                                 ronum="ticket_number", amt="t")}
+            UNION
+            {_Q75_CHANNEL.format(p="ws", rp="wr", stbl="web_sales",
+                                 rtbl="web_returns", onum="order_number",
+                                 ronum="order_number", amt="t")}) sales_detail
+      GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+    SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS "year",
+           curr_yr.i_brand_id AS i_brand_id,
+           curr_yr.i_class_id AS i_class_id,
+           curr_yr.i_category_id AS i_category_id,
+           curr_yr.i_manufact_id AS i_manufact_id,
+           prev_yr.sales_cnt AS prev_yr_cnt,
+           curr_yr.sales_cnt AS curr_yr_cnt,
+           curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+           CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE)
+             AS sales_amt_diff
+    FROM all_sales curr_yr, all_sales prev_yr
+    WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+      AND curr_yr.i_class_id = prev_yr.i_class_id
+      AND curr_yr.i_category_id = prev_yr.i_category_id
+      AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+      AND curr_yr.d_year = 2002 AND prev_yr.d_year = 2001
+      AND CAST(curr_yr.sales_cnt AS DECIMAL(17, 2)) /
+          CAST(prev_yr.sales_cnt AS DECIMAL(17, 2)) < 0.9
+    ORDER BY sales_cnt_diff, sales_amt_diff
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query75.sql text, unmodified — year-over-year Books sales
+    with returns netted out, per (brand, class, category, manufact) cell,
+    shrunk cells only (curr/prev < 0.9). The driver's partial final year
+    (orders end mid-2002 on the +1y calendar) makes the <0.9 filter
+    naturally selective. sales_amt is integer-valued double (cents minus
+    cents), so the distributed SUM is order-exact. Reference:
+    tpcds-tool/query/query75.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY75_SQL)).toDF(
+        "prev_year", "year", "i_brand_id", "i_class_id", "i_category_id",
+        "i_manufact_id", "prev_yr_cnt", "curr_yr_cnt", "sales_cnt_diff",
+        "sales_amt_diff",
+    )
+    return out.withColumn(
+        "sales_amt_diff", F.col("sales_amt_diff").cast("double")
+    )
+
+
+QUERY78_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query78.tpl\nwith ws as\n  (select d_year AS ws_sold_year, ws_item_sk,\n    ws_bill_customer_sk ws_customer_sk,\n    sum(cast(ws_quantity as decimal(7, 2))) ws_qty,\n    sum(ws_wholesale_cost) ws_wc,\n    sum(ws_sales_price) ws_sp\n   from web_sales\n   left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk\n   join date_dim on ws_sold_date_sk = d_date_sk\n   where wr_order_number is null\n   group by d_year, ws_item_sk, ws_bill_customer_sk\n   ),\ncs as\n  (select d_year AS cs_sold_year, cs_item_sk,\n    cs_bill_customer_sk cs_customer_sk,\n    sum(cs_quantity) cs_qty,\n    sum(cs_wholesale_cost) cs_wc,\n    sum(cs_sales_price) cs_sp\n   from catalog_sales\n   left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk\n   join date_dim on cs_sold_date_sk = d_date_sk\n   where cr_order_number is null\n   group by d_year, cs_item_sk, cs_bill_customer_sk\n   ),\nss as\n  (select d_year AS ss_sold_year, ss_item_sk,\n    ss_customer_sk,\n    sum(ss_quantity) ss_qty,\n    sum(ss_wholesale_cost) ss_wc,\n    sum(ss_sales_price) ss_sp\n   from store_sales\n   left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk\n   join date_dim on ss_sold_date_sk = d_date_sk\n   where sr_ticket_number is null\n   group by d_year, ss_item_sk, ss_customer_sk\n   )\n select \nss_sold_year, ss_item_sk, ss_customer_sk,\nround(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,\nss_qty store_qty, ss_wc store_wholesale_cost, ss_sp store_sales_price,\ncoalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,\ncoalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,\ncoalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price\nfrom ss\nleft join ws on (ws_sold_year=ss_sold_year and ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)\nleft join cs on (cs_sold_year=ss_sold_year and cs_item_sk=ss_item_sk and cs_customer_sk=ss_customer_sk)\nwhere (coalesce(ws_qty,0)>0 or coalesce(cs_qty, 0)>0) and ss_sold_year=2000\norder by \n  ss_sold_year, ss_item_sk, ss_customer_sk,\n  ss_qty desc, ss_wc desc, ss_sp desc,\n  other_chan_qty,\n  other_chan_wholesale_cost,\n  other_chan_sales_price,\n  ratio\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query78.tpl\n'
+
+_Q78_CHANNEL = """{alias} AS (
+      SELECT d_year AS {p}_sold_year, {p}_item_sk,
+             {cust} AS {p}_customer_sk,
+             {qty} AS {p}_qty,
+             SUM({p}_wholesale_cost) AS {p}_wc,
+             SUM({p}_sales_price) AS {p}_sp
+      FROM {stbl}
+      LEFT JOIN {rtbl} ON {rp}_{ronum} = {p}_{onum}
+                          AND {p}_item_sk = {rp}_item_sk
+      JOIN date_dim ON {p}_sold_date_sk = d_date_sk
+      WHERE {rp}_{ronum} IS NULL
+      GROUP BY d_year, {p}_item_sk, {cust})"""
+
+
+@query(
+    "tpcds_literal_q78",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    {_Q78_CHANNEL.format(alias="ws", p="ws", rp="wr", stbl="web_sales",
+                         rtbl="web_returns", onum="order_number",
+                         ronum="order_number", cust="ws_bill_customer_sk",
+                         qty="SUM(CAST(ws_quantity AS DECIMAL(7, 2)))")},
+    {_Q78_CHANNEL.format(alias="cs", p="cs", rp="cr", stbl="catalog_sales",
+                         rtbl="catalog_returns", onum="order_number",
+                         ronum="order_number", cust="cs_bill_customer_sk",
+                         qty="SUM(cs_quantity)")},
+    {_Q78_CHANNEL.format(alias="ss", p="ss", rp="sr", stbl="store_sales",
+                         rtbl="store_returns", onum="ticket_number",
+                         ronum="ticket_number", cust="ss_customer_sk",
+                         qty="SUM(ss_quantity)")}
+    SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+           -- Spark rounds its exact decimal quotient HALF_UP at scale 2;
+           -- FLOOR((200a + b) / (2b)) is that rounding in exact integers
+           FLOOR((200 * ss_qty
+                  + CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS BIGINT))
+                 / (2 * CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)
+                             AS BIGINT))) / 100.0 AS ratio,
+           ss_qty AS store_qty, ss_wc AS store_wholesale_cost,
+           ss_sp AS store_sales_price,
+           CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE)
+             AS other_chan_qty,
+           COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0)
+             AS other_chan_wholesale_cost,
+           COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS other_chan_sales_price
+    FROM ss
+    LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+                    AND ws_customer_sk = ss_customer_sk
+    LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+                    AND cs_customer_sk = ss_customer_sk
+    WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+      AND ss_sold_year = 2000
+    ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+             ss_wc DESC, ss_sp DESC, other_chan_qty,
+             other_chan_wholesale_cost, other_chan_sales_price, ratio
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query78.sql text, unmodified — per (year, item, customer)
+    store-channel quantities for NEVER-RETURNED sales (left-anti via
+    "wr_order_number is null"), against the other two channels' combined
+    quantity. The literal ratio is Spark decimal division + round(,2)
+    HALF_UP; the oracle mirrors it with exact integer FLOOR((200a+b)/2b)
+    so the .xx5 midpoints agree unconditionally. ORDER BY starts with the
+    unique (year, item, customer) triple — the LIMIT boundary is a total
+    order. Reference: tpcds-tool/query/query78.sql."""
+    _register_views(spark, sf_dir, rich=True)
+    out = spark.sql(rewrite(QUERY78_SQL)).toDF(
+        "ss_sold_year", "ss_item_sk", "ss_customer_sk", "ratio",
+        "store_qty", "store_wholesale_cost", "store_sales_price",
+        "other_chan_qty", "other_chan_wholesale_cost",
+        "other_chan_sales_price",
+    )
+    for c in ("ratio", "other_chan_qty"):
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q44 / q76 — the NULL-foreign-key family (NULLS tier: fact rows with
+# genuinely missing store/address/customer keys, as TPC-DS data has).
+
+QUERY44_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query44.tpl\nselect  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing\nfrom(select *\n     from (select item_sk,rank() over (order by rank_col asc) rnk\n           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col \n                 from store_sales ss1\n                 where ss_store_sk = 4\n                 group by ss_item_sk\n                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col\n                                                  from store_sales\n                                                  where ss_store_sk = 4\n                                                    and ss_addr_sk is null\n                                                  group by ss_store_sk))V1)V11\n     where rnk  < 11) asceding,\n    (select *\n     from (select item_sk,rank() over (order by rank_col desc) rnk\n           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col\n                 from store_sales ss1\n                 where ss_store_sk = 4\n                 group by ss_item_sk\n                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col\n                                                  from store_sales\n                                                  where ss_store_sk = 4\n                                                    and ss_addr_sk is null\n                                                  group by ss_store_sk))V2)V21\n     where rnk  < 11) descending,\nitem i1,\nitem i2\nwhere asceding.rnk = descending.rnk \n  and i1.i_item_sk=asceding.item_sk\n  and i2.i_item_sk=descending.item_sk\norder by asceding.rnk\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query44.tpl\n'
+
+
+@query(
+    "tpcds_literal_q44",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_NULLS},
+    base AS (
+      SELECT ss_item_sk AS item_sk, AVG(ss_net_profit) AS rank_col
+      FROM store_sales WHERE ss_store_sk = 4
+      GROUP BY ss_item_sk
+      HAVING AVG(ss_net_profit) > 0.9 * (
+        SELECT AVG(ss_net_profit) FROM store_sales
+        WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL
+        GROUP BY ss_store_sk)),
+    asc_r AS (SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC) AS rnk
+              FROM base),
+    desc_r AS (SELECT item_sk, RANK() OVER (ORDER BY rank_col DESC) AS rnk
+               FROM base)
+    SELECT a.rnk AS rnk, i1.i_product_name AS best_performing,
+           i2.i_product_name AS worst_performing
+    FROM asc_r a JOIN desc_r d ON a.rnk = d.rnk
+         JOIN item i1 ON i1.i_item_sk = a.item_sk
+         JOIN item i2 ON i2.i_item_sk = d.item_sk
+    WHERE a.rnk < 11 AND d.rnk < 11
+    ORDER BY a.rnk
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query44.sql text, unmodified — best/worst performing items
+    by average net profit at one store, ranked ascending and descending
+    and zipped by rank. Runs on the NULLS tier: the correlated scalar
+    threshold averages the store's NULL-address rows, which exist only
+    there. Dollar-grain profits keep per-item averages distinct (no rank
+    ties on the gate fixtures), so the rank-join fan-out and the LIMIT
+    boundary are deterministic. Reference: tpcds-tool/query/query44.sql
+    (run by TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True, nulls=True)
+    return spark.sql(rewrite(QUERY44_SQL)).toDF(
+        "rnk", "best_performing", "worst_performing"
+    )
+
+
+QUERY76_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query76.tpl\nselect  channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt, SUM(ext_sales_price) sales_amt FROM (\n        SELECT 'store' as channel, 'ss_store_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price\n         FROM store_sales, item, date_dim\n         WHERE ss_store_sk IS NULL\n           AND ss_sold_date_sk=d_date_sk\n           AND ss_item_sk=i_item_sk\n        UNION ALL\n        SELECT 'web' as channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price\n         FROM web_sales, item, date_dim\n         WHERE ws_ship_customer_sk IS NULL\n           AND ws_sold_date_sk=d_date_sk\n           AND ws_item_sk=i_item_sk\n        UNION ALL\n        SELECT 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price\n         FROM catalog_sales, item, date_dim\n         WHERE cs_ship_addr_sk IS NULL\n           AND cs_sold_date_sk=d_date_sk\n           AND cs_item_sk=i_item_sk) foo\nGROUP BY channel, col_name, d_year, d_qoy, i_category\nORDER BY channel, col_name, d_year, d_qoy, i_category\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query76.tpl\n"
+
+_Q76_ARM = """
+        SELECT '{ch}' AS channel, '{col}' AS col_name, d_year, d_qoy,
+               i_category, {p}_ext_sales_price AS ext_sales_price
+        FROM {tbl}, item, date_dim
+        WHERE {col} IS NULL
+          AND {p}_sold_date_sk = d_date_sk AND {p}_item_sk = i_item_sk"""
+
+
+@query(
+    "tpcds_literal_q76",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_NULLS}
+    SELECT channel, col_name, d_year, d_qoy, i_category,
+           COUNT(*) AS sales_cnt, SUM(ext_sales_price) AS sales_amt
+    FROM ({_Q76_ARM.format(ch="store", col="ss_store_sk", p="ss",
+                           tbl="store_sales")}
+          UNION ALL
+          {_Q76_ARM.format(ch="web", col="ws_ship_customer_sk", p="ws",
+                           tbl="web_sales")}
+          UNION ALL
+          {_Q76_ARM.format(ch="catalog", col="cs_ship_addr_sk", p="cs",
+                           tbl="catalog_sales")}) foo
+    GROUP BY channel, col_name, d_year, d_qoy, i_category
+    ORDER BY channel, col_name, d_year, d_qoy, i_category
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query76.sql text, unmodified — the "lost sales" census:
+    per-channel counts/amounts of fact rows whose channel-critical
+    foreign key IS NULL, by year, quarter, and category. NULLS tier.
+    The ORDER BY is the full group key — a total order, so the LIMIT
+    boundary is deterministic. Reference: tpcds-tool/query/query76.sql."""
+    _register_views(spark, sf_dir, rich=True, nulls=True)
+    return spark.sql(rewrite(QUERY76_SQL)).toDF(
+        "channel", "col_name", "d_year", "d_qoy", "i_category",
+        "sales_cnt", "sales_amt",
+    )

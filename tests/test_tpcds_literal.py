@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 45, 46, 47, 48, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 77, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -47,7 +47,9 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q10", "tpcds_literal_q35", "tpcds_literal_q16",
              "tpcds_literal_q94", "tpcds_literal_q95",
              "tpcds_literal_q56", "tpcds_literal_q60", "tpcds_literal_q47",
-             "tpcds_literal_q57", "tpcds_literal_q67", "tpcds_literal_q70"]
+             "tpcds_literal_q57", "tpcds_literal_q67", "tpcds_literal_q70",
+             "tpcds_literal_q49", "tpcds_literal_q75", "tpcds_literal_q78",
+             "tpcds_literal_q44", "tpcds_literal_q76"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -272,6 +274,39 @@ def test_adapter_dated_renderings_agree(spark, sf_dir):
         drows = dres.fetchall()
         assert sorted(scols) == sorted(dcols), (name, scols, dcols)
         assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
+
+
+def test_adapter_nulls_renderings_agree(spark, sf_dir):
+    """Anti-drift guard for the NULLS tier (q44/q76's NULL-foreign-key
+    facts)."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    M._register_views(spark, sf_dir, rich=True, nulls=True)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in ("store_sales", "web_sales", "catalog_sales"):
+        sdf = spark.sql(f"SELECT * FROM {name}")
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        dres = con.execute(
+            f"WITH {M._ADAPTER_DUCK_NULLS} SELECT * FROM {name}"
+        )
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
+        # the tier's reason for existing: every nullable key has real NULLs
+        nullable = {"store_sales": "ss_store_sk", "web_sales":
+                    "ws_ship_customer_sk", "catalog_sales": "cs_ship_addr_sk"}
+        n_null = sum(1 for r in srows
+                     if r[scols.index(nullable[name])] is None)
+        assert 0 < n_null < len(srows), (name, n_null)
 
 
 def test_literal_q71_meal_time_bands(spark, sf_dir):
