@@ -407,6 +407,10 @@ _RICH_SPARK = {
                CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
                l_orderkey AS cs_order_number,
                CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
+               CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+                 AS cs_ship_mode_sk,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                    AS BIGINT) AS cs_net_paid_inc_tax,
                {_RICH_FACT_COLS_SPARK.format(p="cs_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
@@ -417,6 +421,8 @@ _RICH_SPARK = {
                {_CENTS} AS ws_ext_sales_price,
                CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
                l_orderkey AS ws_order_number,
+               CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+                 AS ws_ship_mode_sk,
                {_RICH_FACT_COLS_SPARK.format(p="ws_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 1
@@ -532,8 +538,9 @@ _RICH_SPARK = {
                           CAST(1 + n_nationkey % 5 AS INT)) AS sm_type,
                element_at(array('AIR','SURFACE','SEA'),
                           CAST(1 + n_nationkey % 3 AS INT)) AS sm_code,
-               CONCAT('carrier_', CAST(n_nationkey % 7 AS STRING))
-                 AS sm_carrier
+               element_at(array('DHL','BARIAN','UPS','FEDEX','AIRBORNE',
+                                'USPS','ALLIANCE'),
+                          CAST(1 + n_nationkey % 7 AS INT)) AS sm_carrier
         FROM __tpch_nation
     """,
     "call_center": """
@@ -685,6 +692,7 @@ _RICH_SPARK = {
     """,
     "time_dim": """
         SELECT id AS t_time_sk,
+               id AS t_time,
                CAST(FLOOR(id / 3600) AS INT) AS t_hour,
                CAST(FLOOR(id % 3600 / 60) AS INT) AS t_minute,
                CASE WHEN FLOOR(id / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
@@ -829,6 +837,8 @@ def _ws_rich_duck() -> str:
              {_CENTS} AS ws_ext_sales_price,
              CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
              l_orderkey AS ws_order_number,
+             CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+               AS ws_ship_mode_sk,
              {_RICH_FACT_COLS_DUCK.format(p="ws_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1)"""
@@ -866,7 +876,8 @@ _SHIP_MODE_DUCK = """ship_mode AS (
                [CAST(1 + n_nationkey % 5 AS INT)] AS sm_type,
              (['AIR','SURFACE','SEA'])[CAST(1 + n_nationkey % 3 AS INT)]
                AS sm_code,
-             'carrier_' || CAST(n_nationkey % 7 AS VARCHAR) AS sm_carrier
+             (['DHL','BARIAN','UPS','FEDEX','AIRBORNE','USPS','ALLIANCE'])
+               [CAST(1 + n_nationkey % 7 AS INT)] AS sm_carrier
       FROM nation)"""
 
 _CALL_CENTER_DUCK = """call_center AS (
@@ -904,6 +915,10 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(1 + l_partkey % 25 AS INT) AS cs_catalog_page_sk,
              l_orderkey AS cs_order_number,
              CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
+             CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
+               AS cs_ship_mode_sk,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                  AS BIGINT) AS cs_net_paid_inc_tax,
              {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 2),
@@ -1051,6 +1066,7 @@ _ADAPTER_DUCK_RICH = f"""
       FROM nation),
     time_dim AS (
       SELECT range AS t_time_sk,
+             range AS t_time,
              CAST(FLOOR(range / 3600) AS INT) AS t_hour,
              CAST(FLOOR(range % 3600 / 60) AS INT) AS t_minute,
              CASE WHEN FLOOR(range / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
@@ -1129,7 +1145,12 @@ _DATED_SPARK["catalog_sales"] = f"""
                CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
                CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                  AS cs_ship_mode_sk,
-               CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
+               CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
+               o_custkey AS cs_bill_cdemo_sk,
+               o_custkey AS cs_bill_hdemo_sk,
+               CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
+               CAST(l_quantity AS INT) AS cs_quantity,
+               l_orderkey AS cs_order_number
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber <> 1
     """
@@ -1157,6 +1178,7 @@ _DATED_SPARK["catalog_returns"] = """
         SELECT DATEDIFF(CAST(l_shipdate + INTERVAL 1 YEAR AS DATE),
                         DATE '1970-01-01') AS cr_returned_date_sk,
                l_partkey AS cr_item_sk,
+               l_orderkey AS cr_order_number,
                CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
         FROM __tpch_lineitem
         WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
@@ -1184,7 +1206,12 @@ _CS_WS_DATED_DUCK = f"""catalog_sales AS (
              CAST(1 + l_suppkey % 5 AS INT) AS cs_warehouse_sk,
              CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                AS cs_ship_mode_sk,
-             CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk
+             CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
+             o_custkey AS cs_bill_cdemo_sk,
+             o_custkey AS cs_bill_hdemo_sk,
+             CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
+             CAST(l_quantity AS INT) AS cs_quantity,
+             l_orderkey AS cs_order_number
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber <> 1),
     web_sales AS (
@@ -1336,6 +1363,53 @@ _ADAPTER_DUCK_DENSE = f"""
 """
 
 
+# VOL tier (q39a/b, q72): a volatile-quantity inventory. q39's inv CTE
+# keeps (warehouse, item, month) cells whose stdev/mean EXCEEDS 1 — with
+# the dated tier's mid-band quantities (150-449) the coefficient of
+# variation tops out near 0.5 and the query is vacuously empty; q72 needs
+# "inv_quantity_on_hand < cs_quantity" (quantities 1-50), impossible
+# there too. This tier reuses the dated snapshot grid (epoch-day keys,
+# four week-shifted copies, warehouse a function of item) but draws
+# quantities from a two-regime distribution: 7/8 small (1-29, satisfying
+# q72's stockout comparison), 1/8 spike (900-996) — per-cell cov lands
+# both above and below 1 so q39's filter discriminates. q21 keeps the
+# dated tier's calmer inventory (its 2/3..3/2 band margins are probed
+# against those values).
+_VOL_SPARK = {
+    "inventory": """
+        SELECT DATEDIFF(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE),
+                        DATE '1970-01-01') + s.shift AS inv_date_sk,
+               l_partkey AS inv_item_sk,
+               CAST(1 + l_partkey % 5 AS INT) AS inv_warehouse_sk,
+               CAST(CASE WHEN (l_partkey * 31 + l_orderkey * 7 + l_suppkey
+                               + (s.shift + 14) * 13) % 8 = 0
+                         THEN 900 + (l_partkey * 31 + l_orderkey * 7
+                                     + l_suppkey + (s.shift + 14) * 13) % 97
+                         ELSE 1 + (l_partkey * 31 + l_orderkey * 7
+                                   + l_suppkey + (s.shift + 14) * 13) % 29
+                    END AS INT) AS inv_quantity_on_hand
+        FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
+        CROSS JOIN (SELECT explode(array(-14, -7, 0, 7)) AS shift) s
+    """,
+}
+
+_INVENTORY_VOL_DUCK = """inventory AS (
+      SELECT DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate + INTERVAL 1 YEAR AS DATE))
+               + s.shift AS inv_date_sk,
+             l_partkey AS inv_item_sk,
+             CAST(1 + l_partkey % 5 AS INT) AS inv_warehouse_sk,
+             CAST(CASE WHEN (l_partkey * 31 + l_orderkey * 7 + l_suppkey
+                             + (s.shift + 14) * 13) % 8 = 0
+                       THEN 900 + (l_partkey * 31 + l_orderkey * 7
+                                   + l_suppkey + (s.shift + 14) * 13) % 97
+                       ELSE 1 + (l_partkey * 31 + l_orderkey * 7
+                                 + l_suppkey + (s.shift + 14) * 13) % 29
+                  END AS INT) AS inv_quantity_on_hand
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      CROSS JOIN (SELECT UNNEST([-14, -7, 0, 7]) AS shift) s)"""
+
+
 # NULLS tier (q44/q76): real TPC-DS fact rows carry NULL foreign keys
 # (unknown store, unshipped customer, missing address) and q44/q76 filter
 # ON those NULLs — the rich tier's always-present keys would make both
@@ -1452,6 +1526,7 @@ def _register_views(
     dense: bool = False,
     trips: bool = False,
     nulls: bool = False,
+    vol: bool = False,
 ) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
@@ -1476,6 +1551,9 @@ def _register_views(
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
     if nulls:
         for name, body in _NULLS_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if vol:
+        for name, body in _VOL_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
 
 
@@ -2201,6 +2279,7 @@ _ADAPTER_DUCK_DATED = f"""
                       CAST(l_shipdate + INTERVAL 1 YEAR AS DATE))
                AS cr_returned_date_sk,
              l_partkey AS cr_item_sk,
+             l_orderkey AS cr_order_number,
              CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
       FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2),
     web_returns AS (
@@ -5768,4 +5847,246 @@ def tpcds_literal_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY76_SQL)).toDF(
         "channel", "col_name", "d_year", "d_qoy", "i_category",
         "sales_cnt", "sales_amt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — warehouse-by-month shipping pivot over two channels.
+
+QUERY66_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query66.tpl\nselect   \n         w_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n        ,ship_carriers\n        ,`year`\n \t,sum(jan_sales) as jan_sales\n \t,sum(feb_sales) as feb_sales\n \t,sum(mar_sales) as mar_sales\n \t,sum(apr_sales) as apr_sales\n \t,sum(may_sales) as may_sales\n \t,sum(jun_sales) as jun_sales\n \t,sum(jul_sales) as jul_sales\n \t,sum(aug_sales) as aug_sales\n \t,sum(sep_sales) as sep_sales\n \t,sum(oct_sales) as oct_sales\n \t,sum(nov_sales) as nov_sales\n \t,sum(dec_sales) as dec_sales\n \t,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot\n \t,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot\n \t,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot\n \t,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot\n \t,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot\n \t,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot\n \t,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot\n \t,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot\n \t,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot\n \t,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot\n \t,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot\n \t,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot\n \t,sum(jan_net) as jan_net\n \t,sum(feb_net) as feb_net\n \t,sum(mar_net) as mar_net\n \t,sum(apr_net) as apr_net\n \t,sum(may_net) as may_net\n \t,sum(jun_net) as jun_net\n \t,sum(jul_net) as jul_net\n \t,sum(aug_net) as aug_net\n \t,sum(sep_net) as sep_net\n \t,sum(oct_net) as oct_net\n \t,sum(nov_net) as nov_net\n \t,sum(dec_net) as dec_net\n from (\n     select \n \tw_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n \t,'DHL' || ',' || 'BARIAN' as ship_carriers\n       ,d_year as `year`\n \t,sum(case when d_moy = 1 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as jan_sales\n \t,sum(case when d_moy = 2 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as feb_sales\n \t,sum(case when d_moy = 3 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as mar_sales\n \t,sum(case when d_moy = 4 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as apr_sales\n \t,sum(case when d_moy = 5 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as may_sales\n \t,sum(case when d_moy = 6 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as jun_sales\n \t,sum(case when d_moy = 7 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as jul_sales\n \t,sum(case when d_moy = 8 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as aug_sales\n \t,sum(case when d_moy = 9 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as sep_sales\n \t,sum(case when d_moy = 10 \n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as oct_sales\n \t,sum(case when d_moy = 11\n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as nov_sales\n \t,sum(case when d_moy = 12\n \t\tthen ws_ext_sales_price* ws_quantity else 0 end) as dec_sales\n \t,sum(case when d_moy = 1 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as jan_net\n \t,sum(case when d_moy = 2\n \t\tthen ws_net_paid * ws_quantity else 0 end) as feb_net\n \t,sum(case when d_moy = 3 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as mar_net\n \t,sum(case when d_moy = 4 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as apr_net\n \t,sum(case when d_moy = 5 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as may_net\n \t,sum(case when d_moy = 6 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as jun_net\n \t,sum(case when d_moy = 7 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as jul_net\n \t,sum(case when d_moy = 8 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as aug_net\n \t,sum(case when d_moy = 9 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as sep_net\n \t,sum(case when d_moy = 10 \n \t\tthen ws_net_paid * ws_quantity else 0 end) as oct_net\n \t,sum(case when d_moy = 11\n \t\tthen ws_net_paid * ws_quantity else 0 end) as nov_net\n \t,sum(case when d_moy = 12\n \t\tthen ws_net_paid * ws_quantity else 0 end) as dec_net\n     from\n          web_sales\n         ,warehouse\n         ,date_dim\n         ,time_dim\n \t  ,ship_mode\n     where\n            ws_warehouse_sk =  w_warehouse_sk\n        and ws_sold_date_sk = d_date_sk\n        and ws_sold_time_sk = t_time_sk\n \tand ws_ship_mode_sk = sm_ship_mode_sk\n        and d_year = 2001\n \tand t_time between 30838 and 30838+28800 \n \tand sm_carrier in ('DHL','BARIAN')\n     group by \n        w_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n       ,d_year\n union all\n     select \n \tw_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n \t,'DHL' || ',' || 'BARIAN' as ship_carriers\n       ,d_year as `year`\n \t,sum(case when d_moy = 1 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as jan_sales\n \t,sum(case when d_moy = 2 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as feb_sales\n \t,sum(case when d_moy = 3 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as mar_sales\n \t,sum(case when d_moy = 4 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as apr_sales\n \t,sum(case when d_moy = 5 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as may_sales\n \t,sum(case when d_moy = 6 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as jun_sales\n \t,sum(case when d_moy = 7 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as jul_sales\n \t,sum(case when d_moy = 8 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as aug_sales\n \t,sum(case when d_moy = 9 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as sep_sales\n \t,sum(case when d_moy = 10 \n \t\tthen cs_sales_price* cs_quantity else 0 end) as oct_sales\n \t,sum(case when d_moy = 11\n \t\tthen cs_sales_price* cs_quantity else 0 end) as nov_sales\n \t,sum(case when d_moy = 12\n \t\tthen cs_sales_price* cs_quantity else 0 end) as dec_sales\n \t,sum(case when d_moy = 1 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net\n \t,sum(case when d_moy = 2 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net\n \t,sum(case when d_moy = 3 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net\n \t,sum(case when d_moy = 4 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net\n \t,sum(case when d_moy = 5 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net\n \t,sum(case when d_moy = 6 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net\n \t,sum(case when d_moy = 7 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net\n \t,sum(case when d_moy = 8 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net\n \t,sum(case when d_moy = 9 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net\n \t,sum(case when d_moy = 10 \n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net\n \t,sum(case when d_moy = 11\n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net\n \t,sum(case when d_moy = 12\n \t\tthen cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net\n     from\n          catalog_sales\n         ,warehouse\n         ,date_dim\n         ,time_dim\n \t ,ship_mode\n     where\n            cs_warehouse_sk =  w_warehouse_sk\n        and cs_sold_date_sk = d_date_sk\n        and cs_sold_time_sk = t_time_sk\n \tand cs_ship_mode_sk = sm_ship_mode_sk\n        and d_year = 2001\n \tand t_time between 30838 AND 30838+28800 \n \tand sm_carrier in ('DHL','BARIAN')\n     group by \n        w_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n       ,d_year\n ) x\n group by \n        w_warehouse_name\n \t,w_warehouse_sq_ft\n \t,w_city\n \t,w_county\n \t,w_state\n \t,w_country\n \t,ship_carriers\n       ,`year`\n order by w_warehouse_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query66.tpl\n"
+
+_Q66_MONTHS = ("jan", "feb", "mar", "apr", "may", "jun",
+               "jul", "aug", "sep", "oct", "nov", "dec")
+
+
+def _q66_channel_duck(fact: str, p: str, price: str, net: str) -> str:
+    """One inner arm of the q66 oracle: monthly CASE-pivot sums for one
+    channel, grouped by warehouse and year."""
+    sales = "".join(
+        f",\n             SUM(CASE WHEN d_moy = {i} THEN {price} * "
+        f"{p}_quantity ELSE 0 END) AS {m}_sales"
+        for i, m in enumerate(_Q66_MONTHS, 1)
+    )
+    nets = "".join(
+        f",\n             SUM(CASE WHEN d_moy = {i} THEN {net} * "
+        f"{p}_quantity ELSE 0 END) AS {m}_net"
+        for i, m in enumerate(_Q66_MONTHS, 1)
+    )
+    return f"""
+      SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+             w_country, 'DHL' || ',' || 'BARIAN' AS ship_carriers,
+             d_year AS "year"{sales}{nets}
+      FROM {fact}, warehouse, date_dim, time_dim, ship_mode
+      WHERE {p}_warehouse_sk = w_warehouse_sk
+        AND {p}_sold_date_sk = d_date_sk
+        AND {p}_sold_time_sk = t_time_sk
+        AND {p}_ship_mode_sk = sm_ship_mode_sk
+        AND d_year = 2001
+        AND t_time BETWEEN 30838 AND 30838 + 28800
+        AND sm_carrier IN ('DHL', 'BARIAN')
+      GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+               w_state, w_country, d_year"""
+
+
+_Q66_OUTER = "".join(
+    f",\n           SUM({m}_sales) AS {m}_sales" for m in _Q66_MONTHS
+) + "".join(
+    f",\n           SUM({m}_sales / w_warehouse_sq_ft) AS {m}_sales_per_sq_foot"
+    for m in _Q66_MONTHS
+) + "".join(
+    f",\n           SUM({m}_net) AS {m}_net" for m in _Q66_MONTHS
+)
+
+_Q66_COLS = tuple(
+    ["w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county",
+     "w_state", "w_country", "ship_carriers", "year"]
+    + [f"{m}_sales" for m in _Q66_MONTHS]
+    + [f"{m}_sales_per_sq_foot" for m in _Q66_MONTHS]
+    + [f"{m}_net" for m in _Q66_MONTHS]
+)
+
+
+@query(
+    "tpcds_literal_q66",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH}
+    SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, ship_carriers, "year"{_Q66_OUTER}
+    FROM ({_q66_channel_duck("web_sales", "ws", "ws_ext_sales_price",
+                             "ws_net_paid")}
+          UNION ALL
+          {_q66_channel_duck("catalog_sales", "cs", "cs_sales_price",
+                             "cs_net_paid_inc_tax")}) x
+    GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+             w_state, w_country, ship_carriers, "year"
+    ORDER BY w_warehouse_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query66.sql text, unmodified — per-warehouse monthly sales
+    and net pivots for two carriers across the web and catalog channels,
+    per square foot. The 24 pivot sums per channel are exact integers
+    (prices x quantities); each outer per-sq-foot SUM spans at most two
+    doubles (one per channel arm), so IEEE commutativity makes the result
+    partition-order-proof. Five warehouses — the LIMIT never truncates.
+    Reference: tpcds-tool/query/query66.sql (run by
+    TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY66_SQL)).toDF(*_Q66_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q39a/q39b/q72 — the inventory-volatility family (VOL tier).
+
+QUERY39A_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query39a.tpl\nwith inv as\n(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy\n       ,stdev,mean, case mean when 0 then null else stdev/mean end cov\n from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy\n            ,stddev_samp(cast(inv_quantity_on_hand as decimal(7, 2))) stdev,avg(cast(inv_quantity_on_hand as decimal(7, 2))) mean\n      from inventory\n          ,item\n          ,warehouse\n          ,date_dim\n      where inv_item_sk = i_item_sk\n        and inv_warehouse_sk = w_warehouse_sk\n        and inv_date_sk = d_date_sk\n        and d_year =2001\n      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo\n where case mean when 0 then 0 else stdev/mean end > 1)\nselect inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov\n        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov\nfrom inv inv1,inv inv2\nwhere inv1.i_item_sk = inv2.i_item_sk\n  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk\n  and inv1.d_moy=1\n  and inv2.d_moy=1+1\norder by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov\n        ,inv2.d_moy,inv2.mean, inv2.cov\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query39a.tpl\n'
+
+QUERY39B_SQL = '-- start query 1 in stream 0 using template ../query_templates_qualified/query39b.tpl\nwith inv as\n(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy\n       ,stdev,mean, case mean when 0 then null else stdev/mean end cov\n from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy\n            ,stddev_samp(cast(inv_quantity_on_hand as decimal(7, 2))) stdev,avg(cast(inv_quantity_on_hand as decimal(7, 2))) mean\n      from inventory\n          ,item\n          ,warehouse\n          ,date_dim\n      where inv_item_sk = i_item_sk\n        and inv_warehouse_sk = w_warehouse_sk\n        and inv_date_sk = d_date_sk\n        and d_year =2001\n      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo\n where case mean when 0 then 0 else stdev/mean end > 1)\nselect inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov\n        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov\nfrom inv inv1,inv inv2\nwhere inv1.i_item_sk = inv2.i_item_sk\n  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk\n  and inv1.d_moy=1\n  and inv2.d_moy=1+1\n  and inv1.cov > 1.5\norder by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov\n        ,inv2.d_moy,inv2.mean, inv2.cov\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query39b.tpl\n'
+
+_Q39_INV_DUCK = """inv AS (
+      SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+             stdev, mean,
+             CASE mean WHEN 0 THEN NULL ELSE stdev / mean END AS cov
+      FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                   STDDEV_SAMP(CAST(inv_quantity_on_hand AS DECIMAL(7, 2)))
+                     AS stdev,
+                   AVG(CAST(inv_quantity_on_hand AS DECIMAL(7, 2))) AS mean
+            FROM inventory, item, warehouse, date_dim
+            WHERE inv_item_sk = i_item_sk
+              AND inv_warehouse_sk = w_warehouse_sk
+              AND inv_date_sk = d_date_sk AND d_year = 2001
+            GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+      WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1)"""
+
+_Q39_SELECT_DUCK = """
+    SELECT inv1.w_warehouse_sk AS w_warehouse_sk_1,
+           inv1.i_item_sk AS i_item_sk_1, inv1.d_moy AS d_moy_1,
+           CAST(inv1.mean AS DOUBLE) AS mean_1,
+           CAST(inv1.cov AS DOUBLE) AS cov_1,
+           inv2.w_warehouse_sk AS w_warehouse_sk_2,
+           inv2.i_item_sk AS i_item_sk_2, inv2.d_moy AS d_moy_2,
+           CAST(inv2.mean AS DOUBLE) AS mean_2,
+           CAST(inv2.cov AS DOUBLE) AS cov_2
+    FROM inv inv1, inv inv2
+    WHERE inv1.i_item_sk = inv2.i_item_sk
+      AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+      AND inv1.d_moy = 1 AND inv2.d_moy = 2{extra}
+    ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+             inv1.cov, inv2.d_moy, inv2.mean, inv2.cov"""
+
+_Q39_COLS = ("w_warehouse_sk_1", "i_item_sk_1", "d_moy_1", "mean_1",
+             "cov_1", "w_warehouse_sk_2", "i_item_sk_2", "d_moy_2",
+             "mean_2", "cov_2")
+
+
+def _q39_family(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    _register_views(spark, sf_dir, rich=True, dated=True, vol=True)
+    out = spark.sql(rewrite(text)).toDF(*_Q39_COLS)
+    for c in ("mean_1", "cov_1", "mean_2", "cov_2"):
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
+@query(
+    "tpcds_literal_q39a",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED.replace(_INVENTORY_DATED_DUCK,
+                                      _INVENTORY_VOL_DUCK)},
+    {_WAREHOUSE_DUCK},
+    {_Q39_INV_DUCK}
+    {_Q39_SELECT_DUCK.format(extra="")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q39a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query39a.sql text, unmodified — consecutive-month inventory
+    volatility: (warehouse, item, month) cells with coefficient of
+    variation > 1 in BOTH January and February 2001, self-joined. VOL
+    tier (two-regime quantities make cov straddle 1). No LIMIT; the
+    ORDER BY's (warehouse, item) prefix is unique per row (warehouse is
+    a function of item in the fixture), so ordering is total. mean/cov
+    are double-cast on both sides; cov margins from the 1.0 filter
+    boundary are probed in tests. Reference:
+    tpcds-tool/query/query39a.sql (run by TpcdsTestProgram.java:118)."""
+    return _q39_family(spark, sf_dir, QUERY39A_SQL)
+
+
+@query(
+    "tpcds_literal_q39b",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED.replace(_INVENTORY_DATED_DUCK,
+                                      _INVENTORY_VOL_DUCK)},
+    {_WAREHOUSE_DUCK},
+    {_Q39_INV_DUCK}
+    {_Q39_SELECT_DUCK.format(extra=chr(10) + "      AND inv1.cov > 1.5")}
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q39b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query39b.sql text, unmodified — q39a restricted to January
+    cells with cov > 1.5. Same VOL-tier determinism argument as q39a.
+    Reference: tpcds-tool/query/query39b.sql."""
+    return _q39_family(spark, sf_dir, QUERY39B_SQL)
+
+
+QUERY72_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query72.tpl\nselect  i_item_desc\n      ,w_warehouse_name\n      ,d1.d_week_seq\n      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo\n      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo\n      ,count(*) total_cnt\nfrom catalog_sales\njoin inventory on (cs_item_sk = inv_item_sk)\njoin warehouse on (w_warehouse_sk=inv_warehouse_sk)\njoin item on (i_item_sk = cs_item_sk)\njoin customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)\njoin household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)\njoin date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)\njoin date_dim d2 on (inv_date_sk = d2.d_date_sk)\njoin date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)\nleft outer join promotion on (cs_promo_sk=p_promo_sk)\nleft outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)\nwhere d1.d_week_seq = d2.d_week_seq\n  and inv_quantity_on_hand < cs_quantity \n  and d3.d_date > d1.d_date + INTERVAL '5' day\n  and hd_buy_potential = '>10000'\n  and d1.d_year = 1999\n  and cd_marital_status = 'D'\ngroup by i_item_desc,w_warehouse_name,d1.d_week_seq\norder by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq\nlimit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query72.tpl\n"
+
+
+@query(
+    "tpcds_literal_q72",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED.replace(_INVENTORY_DATED_DUCK,
+                                      _INVENTORY_VOL_DUCK)},
+    {_WAREHOUSE_DUCK}, {_HD_DUCK},
+    customer_demographics AS (
+      SELECT c_custkey AS cd_demo_sk,
+             (['M','S','D','W','U'])[CAST(1 + c_custkey % 5 AS INT)]
+               AS cd_marital_status
+      FROM customer),
+    promotion AS (SELECT CAST(n_nationkey + 1 AS INT) AS p_promo_sk
+                  FROM nation)
+    SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS d_week_seq,
+           SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
+           SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+           COUNT(*) AS total_cnt
+    FROM catalog_sales
+    JOIN inventory ON (cs_item_sk = inv_item_sk)
+    JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+    JOIN item ON (i_item_sk = cs_item_sk)
+    JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+    JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+    JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+    JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+    JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+    LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+    LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                        AND cr_order_number = cs_order_number)
+    WHERE d1.d_week_seq = d2.d_week_seq
+      AND inv_quantity_on_hand < cs_quantity
+      AND d3.d_date > d1.d_date + INTERVAL 5 DAY
+      AND hd_buy_potential = '>10000'
+      AND d1.d_year = 1999
+      AND cd_marital_status = 'D'
+    GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+    ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query72.sql text, unmodified — catalog stockouts: sold
+    quantity exceeding same-week on-hand inventory, for high-potential
+    divorced buyers, with promo split and a >5-day ship lag. VOL-tier
+    inventory (small-regime quantities land under the 1-50 sold
+    quantities); DATED catalog_sales carries real epoch-day sold/ship
+    keys so the INTERVAL '5' day lag is a true date comparison. The
+    dated catalog_returns joins on (item, order_number) — a LEFT join
+    that can fan out, identically in both engines. ORDER BY includes the
+    full group key — total order. Reference:
+    tpcds-tool/query/query72.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True, vol=True)
+    return spark.sql(rewrite(QUERY72_SQL)).toDF(
+        "i_item_desc", "w_warehouse_name", "d_week_seq", "no_promo",
+        "promo", "total_cnt",
     )

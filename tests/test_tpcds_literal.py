@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, "39a", "39b", 66, 72, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -49,7 +49,8 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q56", "tpcds_literal_q60", "tpcds_literal_q47",
              "tpcds_literal_q57", "tpcds_literal_q67", "tpcds_literal_q70",
              "tpcds_literal_q49", "tpcds_literal_q75", "tpcds_literal_q78",
-             "tpcds_literal_q44", "tpcds_literal_q76"]
+             "tpcds_literal_q44", "tpcds_literal_q76",
+             "tpcds_literal_q66", "tpcds_literal_q72"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -276,6 +277,32 @@ def test_adapter_dated_renderings_agree(spark, sf_dir):
         assert canonical_rows(scols, srows) == canonical_rows(dcols, drows), name
 
 
+def test_adapter_vol_renderings_agree(spark, sf_dir):
+    """Anti-drift guard for the VOL tier's volatile inventory (q39/q72),
+    plus its reason for existing: per-cell cov straddles 1."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    M._register_views(spark, sf_dir, rich=True, dated=True, vol=True)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sdf = spark.sql("SELECT * FROM inventory")
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    dres = con.execute(f"WITH {M._INVENTORY_VOL_DUCK} SELECT * FROM inventory")
+    dcols = [d[0] for d in dres.description]
+    assert canonical_rows(scols, srows) == canonical_rows(
+        dcols, dres.fetchall()
+    )
+    qtys = [r[scols.index("inv_quantity_on_hand")] for r in srows]
+    assert any(q < 50 for q in qtys) and any(q >= 900 for q in qtys)
+
+
 def test_adapter_nulls_renderings_agree(spark, sf_dir):
     """Anti-drift guard for the NULLS tier (q44/q76's NULL-foreign-key
     facts)."""
@@ -319,6 +346,23 @@ def test_literal_q71_meal_time_bands(spark, sf_dir):
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q71"].fn(spark, sf_dir).collect()
     assert all(6 <= r["t_hour"] <= 8 or 17 <= r["t_hour"] <= 19 for r in rows)
+
+
+def test_literal_q39_sparse_at_tiny_sf(spark, sf_dir):
+    """q39a/b need a (warehouse, item) cell with cov>1 in BOTH January
+    and February 2001 — present at sf0.01 (75/55 rows, where the value
+    gate covers correctness; cov margins from the 1.0/1.5 boundaries
+    probed at 0.0027/0.0040, far above cross-engine stddev noise) and
+    legitimately absent at sf0.001. Here: both parse, run, and respect
+    the cov filters."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows_a = QUERIES["tpcds_literal_q39a"].fn(spark, sf_dir).collect()
+    rows_b = QUERIES["tpcds_literal_q39b"].fn(spark, sf_dir).collect()
+    assert all(r["cov_1"] > 1 and r["cov_2"] > 1 for r in rows_a)
+    assert all(r["cov_1"] > 1.5 for r in rows_b)
+    assert len(rows_b) <= len(rows_a)
 
 
 def test_literal_q91_sparse_at_tiny_sf(spark, sf_dir):
