@@ -10,7 +10,8 @@ through ``sql/rewriter.rewrite`` + ``spark.sql`` against column-mapping
 adapter views over the driver parquet. That proves the SQL front door
 parses real TPC-DS query files, not just DataFrame re-expressions.
 
-Parser shapes covered by the forty-six files below:
+ALL 103 of the reference's TPC-DS query files run here (complete as of
+r8). Parser shapes covered include:
 
 - q3/q42/q52/q55 — implicit comma joins, qualified dotted columns,
   unaliased aggregates in ORDER BY, unqualified cross-table resolution;
@@ -195,13 +196,13 @@ _BRANDS = (
 _MANUFACT_IDS = "677,940,694,808,129,270,821,423,128,977,350,738,770,104,105,106,107"
 
 # i_current_price: a 20-value quarter-grid list (exact doubles in both
-# engines). Two values sit in q21's literal [0.99,1.49] band, four in
-# q82's [62,92], four in q37's [68,98] — each literal band keeps ≥10% of
-# the part space so band∧manufact∧inventory-window conjunctions survive
-# sf0.001.
+# engines). Two values sit in q21's literal [0.99,1.49] band, five in
+# q82's [62,92], six in q37's [68,98], and two (68.0, 68.5) in q64's
+# double-BETWEEN [65,74] — each literal band keeps ≥10% of the part
+# space so band∧manufact∧inventory-window conjunctions survive sf0.001.
 _PRICES = (
     "0.25,1.0,1.25,2.5,5.75,9.0,14.5,22.0,29.75,37.0,"
-    "45.25,51.5,58.0,62.25,68.5,75.0,84.25,92.0,97.75,99.5"
+    "45.25,51.5,58.0,68.0,68.5,75.0,84.25,92.0,97.75,99.5"
 )
 
 # Positions are residue-significant: ca_state = list[1 + c%25], marital
@@ -231,16 +232,18 @@ _STATES = (
     "'KS','KY','OK','MA','MD','ME','MI','MS','MO','MN','MT','NC'"
 )
 
-# 19 colors = the 16 q41 pair-colors + q56's three, one slot each; 13
-# units cover one member of every q41 OR-pair; 9 sizes cover all seven
-# TPC-DS sizes (medium/large doubled). Moduli 19/13/9 are pairwise
-# coprime and coprime with the category (10) and manufact (17) cycles,
-# so every (category, color, units, size, manufact) conjunction a
-# literal query names has CRT solutions in the part key space.
+# 23 colors = the 16 q41 pair-colors + q56's three + q24's peach/saddle
+# + two fillers (prime length); 13 units cover one member of every q41
+# OR-pair; 9 sizes cover all seven TPC-DS sizes (medium/large doubled).
+# Moduli 23/13/9 are pairwise coprime and coprime with the category (10)
+# and manufact (17) cycles, so every (category, color, units, size,
+# manufact) conjunction a literal query names has CRT solutions in the
+# part key space.
 _COLORS = (
     "'powder','khaki','brown','honeydew','floral','deep','light',"
     "'cornflower','midnight','snow','cyan','papaya','orange','frosted',"
-    "'forest','ghost','slate','blanched','burnished'"
+    "'forest','ghost','slate','blanched','burnished','peach','saddle',"
+    "'pale','medium'"
 )
 
 _UNITS = (
@@ -252,6 +255,23 @@ _SIZES = (
     "'petite','small','medium','large','extra large','N/A','economy',"
     "'medium','large'"
 )
+
+# 23 customer zips (prime cycle, coprime with the %3 preferred flag so
+# every zip slot carries ~1/3 preferred customers — q8's HAVING count>10
+# needs that per-zip volume at sf0.01). 19 come from q8's literal 400-zip
+# IN-list, clustered on the two-digit prefixes 24/57/69/36/18 so the
+# substr(s_zip,1,2) join hits; 4 come from q15/q45's literal list so
+# their zip OR-arms are live. Store zips draw 4 of the SAME values, which
+# also gives q24's exact s_zip = ca_zip join real matches (~1/23 of
+# sale-return pairs) while keeping q19's zip-mismatch filter non-vacuous
+# (22/23 of rows mismatch).
+_CA_ZIPS = (
+    "'24128','24676','24610','24317','57834','57647','57665','57855',"
+    "'69399','69913','69035','69952','36233','36446','36495','36634',"
+    "'18376','18840','18842','85669','86197','88274','83405'"
+)
+
+_S_ZIPS = "'24128','57834','69399','36233'"
 
 _EDUCATIONS = (
     "'Advanced Degree','College','2 yr Degree','2 yr Degree',"
@@ -286,7 +306,7 @@ _ITEM_SPARK = f"""
                           CAST(1 + p_partkey % 20 AS INT)) AS DOUBLE)
                  AS i_current_price,
                element_at(array({_COLORS}),
-                          CAST(1 + p_partkey % 19 AS INT)) AS i_color,
+                          CAST(1 + p_partkey % 23 AS INT)) AS i_color,
                element_at(array({_UNITS}),
                           CAST(1 + p_partkey % 13 AS INT)) AS i_units,
                element_at(array({_SIZES}),
@@ -623,7 +643,8 @@ _RICH_SPARK = {
     """,
     "customer_address": f"""
         SELECT c_custkey AS ca_address_sk,
-               LPAD(CAST(c_custkey * 7 % 100000 AS STRING), 5, '0') AS ca_zip,
+               element_at(array({_CA_ZIPS}),
+                          CAST(1 + c_custkey % 23 AS INT)) AS ca_zip,
                element_at(array({_STATES}),
                           CAST(1 + c_custkey % 25 AS INT)) AS ca_state,
                CAST(-5 - (c_custkey * 2) % 3 AS INT) AS ca_gmt_offset,
@@ -651,11 +672,14 @@ _RICH_SPARK = {
                END AS ca_city
         FROM __tpch_customer
     """,
-    "store": """
+    "store": f"""
         SELECT s_suppkey AS s_store_sk,
                CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
                  AS s_store_name,
-               LPAD(CAST(s_suppkey * 13 % 100000 AS STRING), 5, '0') AS s_zip,
+               element_at(array({_S_ZIPS}),
+                          CAST(1 + s_suppkey % 4 AS INT)) AS s_zip,
+               CAST(CASE WHEN s_suppkey % 2 = 0 THEN 8 ELSE 5 END AS INT)
+                 AS s_market_id,
                LPAD(CAST(s_suppkey AS STRING), 16, '0') AS s_store_id,
                CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
                CONCAT('Company#', CAST(s_suppkey % 5 AS STRING))
@@ -702,11 +726,13 @@ _RICH_SPARK = {
     """,
 }
 
-_STORE_DUCK = """store AS (
+_STORE_DUCK = f"""store AS (
       SELECT s_suppkey AS s_store_sk,
              CASE WHEN s_suppkey % 2 = 0 THEN 'ese' ELSE 'bar' END
                AS s_store_name,
-             LPAD(CAST(s_suppkey * 13 % 100000 AS VARCHAR), 5, '0') AS s_zip,
+             ([{_S_ZIPS}])[CAST(1 + s_suppkey % 4 AS INT)] AS s_zip,
+             CAST(CASE WHEN s_suppkey % 2 = 0 THEN 8 ELSE 5 END AS INT)
+               AS s_market_id,
              LPAD(CAST(s_suppkey AS VARCHAR), 16, '0') AS s_store_id,
              CAST(-(s_suppkey % 8) AS INT) AS s_gmt_offset,
              'Company#' || CAST(s_suppkey % 5 AS VARCHAR) AS s_company_name,
@@ -765,7 +791,7 @@ _ITEM_DUCK = f"""
              p_name AS i_product_name,
              CAST(([{_PRICES}])[CAST(1 + p_partkey % 20 AS INT)] AS DOUBLE)
                AS i_current_price,
-             ([{_COLORS}])[CAST(1 + p_partkey % 19 AS INT)] AS i_color,
+             ([{_COLORS}])[CAST(1 + p_partkey % 23 AS INT)] AS i_color,
              ([{_UNITS}])[CAST(1 + p_partkey % 13 AS INT)] AS i_units,
              ([{_SIZES}])[CAST(1 + p_partkey % 9 AS INT)] AS i_size
       FROM part)
@@ -1036,7 +1062,7 @@ _ADAPTER_DUCK_RICH = f"""
     {_CUSTOMER_V_DUCK},
     customer_address AS (
       SELECT c_custkey AS ca_address_sk,
-             LPAD(CAST(c_custkey * 7 % 100000 AS VARCHAR), 5, '0') AS ca_zip,
+             ([{_CA_ZIPS}])[CAST(1 + c_custkey % 23 AS INT)] AS ca_zip,
              ([{_STATES}])[CAST(1 + c_custkey % 25 AS INT)] AS ca_state,
              CAST(-5 - (c_custkey * 2) % 3 AS INT) AS ca_gmt_offset,
              'United States' AS ca_country,
@@ -1150,6 +1176,8 @@ _DATED_SPARK["catalog_sales"] = f"""
                o_custkey AS cs_bill_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
                CAST(l_quantity AS INT) AS cs_quantity,
+               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+                 AS cs_list_price,
                l_orderkey AS cs_order_number
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber <> 1
@@ -1166,7 +1194,11 @@ _DATED_SPARK["web_sales"] = f"""
                CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
                CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                  AS ws_ship_mode_sk,
-               CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
+               CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
+               CAST(l_quantity AS INT) AS ws_quantity,
+               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+                 AS ws_list_price,
+               o_custkey AS ws_bill_customer_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber <> 2
     """
@@ -1211,6 +1243,8 @@ _CS_WS_DATED_DUCK = f"""catalog_sales AS (
              o_custkey AS cs_bill_hdemo_sk,
              CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
              CAST(l_quantity AS INT) AS cs_quantity,
+             CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+               AS cs_list_price,
              l_orderkey AS cs_order_number
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber <> 1),
@@ -1227,7 +1261,11 @@ _CS_WS_DATED_DUCK = f"""catalog_sales AS (
              CAST(1 + l_suppkey % 5 AS INT) AS ws_warehouse_sk,
              CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                AS ws_ship_mode_sk,
-             CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk
+             CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
+             CAST(l_quantity AS INT) AS ws_quantity,
+             CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+               AS ws_list_price,
+             o_custkey AS ws_bill_customer_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber <> 2)"""
 
@@ -1361,6 +1399,109 @@ _ADAPTER_DUCK_DENSE = f"""
     {_ITEM_DUCK.strip()},
     {_CUSTOMER_V_DUCK}
 """
+
+
+# CROSS tier (q64): three fixture holes would make the cross-sales apex
+# vacuously empty on the rich tier — (a) ss_cdemo_sk = o_custkey =
+# c_current_cdemo_sk, so the literal "cd1.cd_marital_status <>
+# cd2.cd_marital_status" never holds; (b) customer lacks the
+# first-sales/first-shipto date keys; (c) 100 stores spread the
+# per-(item, store, year) returned-sale density so thin that no item
+# recurs in both 1999 and 2000. This tier re-keys ss_cdemo_sk off the
+# (customer, ticket) pair (~80% marital mismatch), derives the customer's
+# first-sale/first-shipto keys from their own orders (MIN/MAX orderkey —
+# valid rich date_dim keys by construction), and folds all store sales
+# into store 1. Both renderings wrap the SHARED rich bodies (star-EXCEPT
+# on the Spark side, star-EXCLUDE on the DuckDB side) so the base
+# columns cannot drift.
+_Q64_FIRST_DATES_SPARK = """
+        LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS __first_sk,
+                          MAX(o_orderkey) AS __last_sk
+                   FROM __tpch_orders GROUP BY o_custkey) f
+          ON c.c_customer_sk = f.o_custkey
+"""
+
+_CROSS_SPARK = {
+    "store_sales": f"""
+        SELECT * EXCEPT (ss_cdemo_sk, ss_store_sk),
+               CAST(1 + (ss_customer_sk * 13 + ss_ticket_number)
+                    % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
+                 AS ss_cdemo_sk,
+               CAST(1 AS BIGINT) AS ss_store_sk
+        FROM ({_ss_rich_spark()})
+    """,
+}
+
+_CROSS_CUSTOMER_SPARK = """
+        SELECT c.*, f.__first_sk AS c_first_sales_date_sk,
+               f.__last_sk AS c_first_shipto_date_sk
+        FROM ({body}) c
+        {dates}
+"""
+
+
+def _cross_duck_adapter() -> str:
+    """The rich DuckDB adapter with the CROSS tier's store_sales and
+    customer_v substituted (string surgery over the SHARED fragments, so
+    the wrapped bodies stay single-source)."""
+    ss = f"""store_sales AS (
+      SELECT * EXCLUDE (ss_cdemo_sk, ss_store_sk),
+             CAST(1 + (ss_customer_sk * 13 + ss_ticket_number)
+                  % (SELECT COUNT(*) FROM customer) AS BIGINT)
+               AS ss_cdemo_sk,
+             CAST(1 AS BIGINT) AS ss_store_sk
+      FROM ({_ss_rich_duck()[len("store_sales AS ("):-1]}))"""
+    cust_inner = _CUSTOMER_V_DUCK[len("customer_v AS ("):-1]
+    cust = f"""customer_v AS (
+      SELECT c.*, f.__first_sk AS c_first_sales_date_sk,
+             f.__last_sk AS c_first_shipto_date_sk
+      FROM ({cust_inner}) c
+      LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS __first_sk,
+                        MAX(o_orderkey) AS __last_sk
+                 FROM orders GROUP BY o_custkey) f
+        ON c.c_customer_sk = f.o_custkey)"""
+    return _ADAPTER_DUCK_RICH.replace(_ss_rich_duck(), ss).replace(
+        _CUSTOMER_V_DUCK, cust
+    )
+
+
+# GEO tier (q54): the rich store's constant 'Williamson County' never
+# equals a customer county, so q54's address-to-store county+state match
+# would be vacuously empty. This tier redraws the store's county/state
+# from the SAME residue formulas customer_address uses — a store matches
+# exactly the customers with c_custkey = s_suppkey (mod 50) (mod 50
+# implies mod 25, so the state condition follows). Lean: q54 touches no
+# other store column.
+_GEO_SPARK = {
+    "store": f"""
+        SELECT s_suppkey AS s_store_sk,
+               CASE CAST(s_suppkey % 50 AS INT)
+                 WHEN 1 THEN 'Rush County'
+                 WHEN 2 THEN 'Toole County'
+                 WHEN 3 THEN 'Jefferson County'
+                 WHEN 4 THEN 'Dona Ana County'
+                 WHEN 5 THEN 'La Porte County'
+                 ELSE CONCAT('County#',
+                             LPAD(CAST(s_suppkey % 50 AS STRING), 2, '0'))
+               END AS s_county,
+               element_at(array({_STATES}),
+                          CAST(1 + s_suppkey % 25 AS INT)) AS s_state
+        FROM __tpch_supplier
+    """,
+}
+
+_STORE_GEO_DUCK = f"""store AS (
+      SELECT s_suppkey AS s_store_sk,
+             CASE CAST(s_suppkey % 50 AS INT)
+               WHEN 1 THEN 'Rush County'
+               WHEN 2 THEN 'Toole County'
+               WHEN 3 THEN 'Jefferson County'
+               WHEN 4 THEN 'Dona Ana County'
+               WHEN 5 THEN 'La Porte County'
+               ELSE 'County#' || LPAD(CAST(s_suppkey % 50 AS VARCHAR), 2, '0')
+             END AS s_county,
+             ([{_STATES}])[CAST(1 + s_suppkey % 25 AS INT)] AS s_state
+      FROM supplier)"""
 
 
 # VOL tier (q39a/b, q72): a volatile-quantity inventory. q39's inv CTE
@@ -1527,6 +1668,8 @@ def _register_views(
     trips: bool = False,
     nulls: bool = False,
     vol: bool = False,
+    geo: bool = False,
+    cross: bool = False,
 ) -> None:
     base = ("orders", "lineitem", "part")
     extra = ("customer", "supplier", "nation") if rich else ()
@@ -1555,6 +1698,18 @@ def _register_views(
     if vol:
         for name, body in _VOL_SPARK.items():
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if geo:
+        for name, body in _GEO_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+    if cross:
+        for name, body in _CROSS_SPARK.items():
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW customer AS "
+            + _CROSS_CUSTOMER_SPARK.format(
+                body=_RICH_SPARK["customer"], dates=_Q64_FIRST_DATES_SPARK
+            )
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -6089,4 +6244,457 @@ def tpcds_literal_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite(QUERY72_SQL)).toDF(
         "i_item_desc", "w_warehouse_name", "d_week_seq", "no_promo",
         "promo", "total_cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 / q24a / q24b — the store-geography family: zip-prefix store
+# affinity (q8) and the exact s_zip = ca_zip cross-shopper probe (q24).
+
+QUERY8_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query8.tpl\nselect  s_store_name\n      ,sum(ss_net_profit)\n from store_sales\n     ,date_dim\n     ,store,\n     (select ca_zip\n     from (\n      SELECT substr(ca_zip,1,5) ca_zip\n      FROM customer_address\n      WHERE substr(ca_zip,1,5) IN (\n                          '24128','57834','13354','15734','78668',\n                          '76232','62878','45375','63435','22245',\n                          '65084','49130','40558','25733','15798',\n                          '87816','81096','56458','35474','27156',\n                          '83926','18840','28286','24676','37930',\n                          '77556','27700','45266','94627','62971',\n                          '20548','23470','47305','53535','21337',\n                          '26231','50412','69399','17879','51622',\n                          '43848','21195','83921','15559','67853',\n                          '15126','16021','26233','53268','10567',\n                          '91137','76107','11101','59166','38415',\n                          '61265','71954','15371','11928','15455',\n                          '98294','68309','69913','59402','58263',\n                          '25782','18119','35942','33282','42029',\n                          '17920','98359','15882','45721','60279',\n                          '18426','64544','25631','43933','37125',\n                          '98235','10336','24610','68101','56240',\n                          '40081','86379','44165','33515','88190',\n                          '84093','27068','99076','36634','50308',\n                          '28577','39736','33786','71286','26859',\n                          '55565','98569','70738','19736','64457',\n                          '17183','28915','26653','58058','89091',\n                          '54601','24206','14328','55253','82136',\n                          '67897','56529','72305','67473','62377',\n                          '22752','57647','62496','41918','36233',\n                          '86284','54917','22152','19515','63837',\n                          '18376','42961','10144','36495','58078',\n                          '38607','91110','64147','19430','17043',\n                          '45200','63981','48425','22351','30010',\n                          '21756','14922','14663','77191','60099',\n                          '29741','36420','21076','91393','28810',\n                          '96765','23006','18799','49156','98025',\n                          '23932','67467','30450','50298','29178',\n                          '89360','32754','63089','87501','87343',\n                          '29839','30903','81019','18652','73273',\n                          '25989','20260','68893','53179','30469',\n                          '28898','31671','24996','18767','64034',\n                          '91068','51798','51200','63193','39516',\n                          '72550','72325','51211','23968','86057',\n                          '10390','85816','45692','65164','21309',\n                          '18845','68621','92712','68880','90257',\n                          '47770','13955','70466','21286','67875',\n                          '82636','36446','79994','72823','40162',\n                          '41367','41766','22437','58470','11356',\n                          '76638','68806','25280','67301','73650',\n                          '86198','16725','38935','13394','61810',\n                          '81312','15146','71791','31016','72013',\n                          '37126','22744','73134','70372','30431',\n                          '39192','35850','56571','67030','22461',\n                          '88424','88086','14060','40604','19512',\n                          '72175','51649','19505','24317','13375',\n                          '81426','18270','72425','45748','55307',\n                          '53672','52867','56575','39127','30625',\n                          '10445','39972','74351','26065','83849',\n                          '42666','96976','68786','77721','68908',\n                          '66864','63792','51650','31029','26689',\n                          '66708','11376','20004','31880','96451',\n                          '41248','94898','18383','60576','38193',\n                          '48583','13595','76614','24671','46820',\n                          '82276','10516','11634','45549','88885',\n                          '18842','90225','18906','13376','84935',\n                          '78890','58943','15765','50016','69035',\n                          '49448','39371','41368','33123','83144',\n                          '14089','94945','73241','19769','47537',\n                          '38122','28587','76698','22927','56616',\n                          '34425','96576','78567','97789','94983',\n                          '79077','57855','97189','46081','48033',\n                          '19849','28488','28545','72151','69952',\n                          '43285','26105','76231','15723','25486',\n                          '39861','83933','75691','46136','61547',\n                          '66162','25858','22246','51949','27385',\n                          '77610','34322','51061','68100','61860',\n                          '13695','44438','90578','96888','58048',\n                          '99543','73171','56691','64528','56910',\n                          '83444','30122','68014','14171','16807',\n                          '83041','34102','51103','79777','17871',\n                          '12305','22685','94167','28709','35258',\n                          '57665','71256','57047','11489','31387',\n                          '68341','78451','14867','25103','35458',\n                          '25003','54364','73520','32213','35576')\n     intersect\n      select ca_zip\n      from (SELECT substr(ca_zip,1,5) ca_zip,count(*) cnt\n            FROM customer_address, customer\n            WHERE ca_address_sk = c_current_addr_sk and\n                  c_preferred_cust_flag='Y'\n            group by ca_zip\n            having count(*) > 10)A1)A2) V1\n where ss_store_sk = s_store_sk\n  and ss_sold_date_sk = d_date_sk\n  and d_qoy = 2 and d_year = 1998\n  and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))\n group by s_store_name\n order by s_store_name\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query8.tpl\n"
+
+# the literal 400-zip IN-list, byte-identical to the embedded text above
+# (test_literal_q8_inlist_extracted pins the extraction)
+_Q8_INLIST = QUERY8_SQL[QUERY8_SQL.index("'24128'"):QUERY8_SQL.index("'35576'") + 7]
+
+
+@query(
+    "tpcds_literal_q8",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH},
+    v1 AS (
+      SELECT ca_zip FROM (
+        SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip FROM customer_address
+        WHERE SUBSTR(ca_zip, 1, 5) IN ({_Q8_INLIST})
+        INTERSECT
+        SELECT ca_zip FROM (
+          SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
+          FROM customer_address, customer_v
+          WHERE ca_address_sk = c_current_addr_sk
+            AND c_preferred_cust_flag = 'Y'
+          GROUP BY ca_zip HAVING COUNT(*) > 10) a1) a2)
+    SELECT s_store_name, SUM(ss_net_profit) AS sum_profit
+    FROM store_sales, date_dim, store, v1
+    WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+      AND d_qoy = 2 AND d_year = 1998
+      AND SUBSTR(s_zip, 1, 2) = SUBSTR(v1.ca_zip, 1, 2)
+    GROUP BY s_store_name
+    ORDER BY s_store_name
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query8.sql text, unmodified — store net profit restricted
+    to stores whose two-digit zip prefix matches a "good" customer zip:
+    one of the literal 400 zips that also has >10 preferred customers.
+    The adapter's 23-zip cycle places 19 of the literal zips in clusters
+    on the store prefixes (24/57/69/36/18), and the prime cycle keeps
+    ~1/3 preferred customers per zip (>10 at sf0.01; the INTERSECT is
+    legitimately empty at sf0.001 — both engines agree). s_store_name is
+    a total order over its two values after grouping. q8's fan-out
+    (several V1 zips share a store prefix) multiplies profit identically
+    in both engines. Reference: tpcds-tool/query/query8.sql (run by
+    TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(QUERY8_SQL)).toDF("s_store_name", "sum_profit")
+
+
+QUERY24A_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query24a.tpl\nwith ssales as\n(select c_last_name\n      ,c_first_name\n      ,s_store_name\n      ,ca_state\n      ,s_state\n      ,i_color\n      ,i_current_price\n      ,i_manager_id\n      ,i_units\n      ,i_size\n      ,sum(ss_net_paid) netpaid\nfrom store_sales\n    ,store_returns\n    ,store\n    ,item\n    ,customer\n    ,customer_address\nwhere ss_ticket_number = sr_ticket_number\n  and ss_item_sk = sr_item_sk\n  and ss_customer_sk = c_customer_sk\n  and ss_item_sk = i_item_sk\n  and ss_store_sk = s_store_sk\n  and c_current_addr_sk = ca_address_sk\n  and c_birth_country <> upper(ca_country)\n  and s_zip = ca_zip\nand s_market_id=8\ngroup by c_last_name\n        ,c_first_name\n        ,s_store_name\n        ,ca_state\n        ,s_state\n        ,i_color\n        ,i_current_price\n        ,i_manager_id\n        ,i_units\n        ,i_size)\nselect c_last_name\n      ,c_first_name\n      ,s_store_name\n      ,sum(netpaid) paid\nfrom ssales\nwhere i_color = 'peach'\ngroup by c_last_name\n        ,c_first_name\n        ,s_store_name\nhaving sum(netpaid) > (select 0.05*avg(netpaid)\n                                 from ssales)\norder by c_last_name\n        ,c_first_name\n        ,s_store_name\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query24a.tpl\n"
+
+QUERY24B_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query24b.tpl\nwith ssales as\n(select c_last_name\n      ,c_first_name\n      ,s_store_name\n      ,ca_state\n      ,s_state\n      ,i_color\n      ,i_current_price\n      ,i_manager_id\n      ,i_units\n      ,i_size\n      ,sum(ss_net_paid) netpaid\nfrom store_sales\n    ,store_returns\n    ,store\n    ,item\n    ,customer\n    ,customer_address\nwhere ss_ticket_number = sr_ticket_number\n  and ss_item_sk = sr_item_sk\n  and ss_customer_sk = c_customer_sk\n  and ss_item_sk = i_item_sk\n  and ss_store_sk = s_store_sk\n  and c_current_addr_sk = ca_address_sk\n  and c_birth_country <> upper(ca_country)\n  and s_zip = ca_zip\n  and s_market_id = 8\ngroup by c_last_name\n        ,c_first_name\n        ,s_store_name\n        ,ca_state\n        ,s_state\n        ,i_color\n        ,i_current_price\n        ,i_manager_id\n        ,i_units\n        ,i_size)\nselect c_last_name\n      ,c_first_name\n      ,s_store_name\n      ,sum(netpaid) paid\nfrom ssales\nwhere i_color = 'saddle'\ngroup by c_last_name\n        ,c_first_name\n        ,s_store_name\nhaving sum(netpaid) > (select 0.05*avg(netpaid)\n                           from ssales)\norder by c_last_name\n        ,c_first_name\n        ,s_store_name\n\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query24b.tpl\n"
+
+_Q24_ORACLE = f"""
+    WITH {{_ADAPTER_DUCK_RICH}},
+    ssales AS (
+      SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+             i_color, i_current_price, i_manager_id, i_units, i_size,
+             SUM(ss_net_paid) AS netpaid
+      FROM store_sales, store_returns, store, item, customer_v,
+           customer_address
+      WHERE ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND c_current_addr_sk = ca_address_sk
+        AND c_birth_country <> UPPER(ca_country)
+        AND s_zip = ca_zip
+        AND s_market_id = 8
+      GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+               i_color, i_current_price, i_manager_id, i_units, i_size)
+    SELECT c_last_name, c_first_name, s_store_name, SUM(netpaid) AS paid
+    FROM ssales
+    WHERE i_color = '{{color}}'
+    GROUP BY c_last_name, c_first_name, s_store_name
+    HAVING SUM(netpaid) > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+    ORDER BY c_last_name, c_first_name, s_store_name
+"""
+
+
+def _q24_family(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    _register_views(spark, sf_dir, rich=True)
+    return spark.sql(rewrite(text)).toDF(
+        "c_last_name", "c_first_name", "s_store_name", "paid"
+    )
+
+
+@query(
+    "tpcds_literal_q24a",
+    oracle=_Q24_ORACLE.format(_ADAPTER_DUCK_RICH=_ADAPTER_DUCK_RICH,
+                              color="peach"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q24a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query24a.sql text, unmodified — returned peach-colored
+    store purchases by customers whose current address zip EXACTLY equals
+    the store zip but whose birth country differs: the store zips draw 4
+    of the 23 customer-zip values, so the equality keeps ~1/23 of
+    sale-return pairs; half the stores carry the literal s_market_id 8.
+    The CTE's scalar 0.05*AVG threshold spans all colors. No LIMIT;
+    (last, first, store_name) is the full group key so ordering is
+    total. Reference: tpcds-tool/query/query24a.sql."""
+    return _q24_family(spark, sf_dir, QUERY24A_SQL)
+
+
+@query(
+    "tpcds_literal_q24b",
+    oracle=_Q24_ORACLE.format(_ADAPTER_DUCK_RICH=_ADAPTER_DUCK_RICH,
+                              color="saddle"),
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q24b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query24b.sql text, unmodified — q24a for saddle-colored
+    items. Reference: tpcds-tool/query/query24b.sql."""
+    return _q24_family(spark, sf_dir, QUERY24B_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q54 — revenue segmentation of cross-channel maternity buyers (GEO tier).
+
+QUERY54_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query54.tpl\nwith my_customers as (\n select distinct c_customer_sk\n        , c_current_addr_sk\n from   \n        ( select cs_sold_date_sk sold_date_sk,\n                 cs_bill_customer_sk customer_sk,\n                 cs_item_sk item_sk\n          from   catalog_sales\n          union all\n          select ws_sold_date_sk sold_date_sk,\n                 ws_bill_customer_sk customer_sk,\n                 ws_item_sk item_sk\n          from   web_sales\n         ) cs_or_ws_sales,\n         item,\n         date_dim,\n         customer\n where   sold_date_sk = d_date_sk\n         and item_sk = i_item_sk\n         and i_category = 'Women'\n         and i_class = 'maternity'\n         and c_customer_sk = cs_or_ws_sales.customer_sk\n         and d_moy = 12\n         and d_year = 1998\n )\n , my_revenue as (\n select c_customer_sk,\n        sum(ss_ext_sales_price) as revenue\n from   my_customers,\n        store_sales,\n        customer_address,\n        store,\n        date_dim\n where  c_current_addr_sk = ca_address_sk\n        and ca_county = s_county\n        and ca_state = s_state\n        and ss_sold_date_sk = d_date_sk\n        and c_customer_sk = ss_customer_sk\n        and d_month_seq between (select distinct d_month_seq+1\n                                 from   date_dim where d_year = 1998 and d_moy = 12)\n                           and  (select distinct d_month_seq+3\n                                 from   date_dim where d_year = 1998 and d_moy = 12)\n group by c_customer_sk\n )\n , segments as\n (select cast((revenue/50) as int) as segment\n  from   my_revenue\n )\n  select  segment, count(*) as num_customers, segment*50 as segment_base\n from segments\n group by segment\n order by segment, num_customers\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query54.tpl\n"
+
+
+@query(
+    "tpcds_literal_q54",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_RICH.replace(_STORE_DUCK, _STORE_GEO_DUCK)},
+    my_customers AS (
+      SELECT DISTINCT c_customer_sk, c_current_addr_sk
+      FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+                   cs_bill_customer_sk AS customer_sk,
+                   cs_item_sk AS item_sk
+            FROM catalog_sales
+            UNION ALL
+            SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+            FROM web_sales) cs_or_ws_sales, item, date_dim, customer_v
+      WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+        AND i_category = 'Women' AND i_class = 'maternity'
+        AND c_customer_sk = cs_or_ws_sales.customer_sk
+        AND d_moy = 12 AND d_year = 1998),
+    my_revenue AS (
+      SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+      FROM my_customers, store_sales, customer_address, store, date_dim
+      WHERE c_current_addr_sk = ca_address_sk
+        AND ca_county = s_county AND ca_state = s_state
+        AND ss_sold_date_sk = d_date_sk
+        AND c_customer_sk = ss_customer_sk
+        AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+                                 FROM date_dim
+                                 WHERE d_year = 1998 AND d_moy = 12)
+                            AND (SELECT DISTINCT d_month_seq + 3
+                                 FROM date_dim
+                                 WHERE d_year = 1998 AND d_moy = 12)
+      GROUP BY c_customer_sk),
+    -- the literal text's cast((revenue/50) as int) truncates toward zero
+    -- in Spark; FLOOR mirrors that for the non-negative revenue
+    segments AS (SELECT CAST(FLOOR(revenue / 50.0) AS INT) AS segment
+                 FROM my_revenue)
+    SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+    FROM segments
+    GROUP BY segment
+    ORDER BY segment, num_customers
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query54.sql text, unmodified — customers who bought
+    Women/maternity items from catalog or web in Dec 1998, segmented by
+    their next-quarter revenue at stores in their home county+state (GEO
+    tier aligns store counties with the address formulas). The literal
+    ``cast((revenue/50) as int)`` truncates in Spark while DuckDB's
+    double->int cast rounds; the oracle mirrors Spark with FLOOR (revenue
+    is non-negative). Segment is the group key, so ordering is total.
+    Reference: tpcds-tool/query/query54.sql (run by
+    TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True, geo=True)
+    return spark.sql(rewrite(QUERY54_SQL)).toDF(
+        "segment", "num_customers", "segment_base"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14a / q14b — the cross-channel apex: items whose (brand, class,
+# category) cell sells in ALL THREE channels (two-way INTERSECT chain),
+# thresholded by the global average basket value. DATED tier (q14b's
+# d_week_seq scalar subquery needs the one-row-per-date date_dim).
+
+QUERY14A_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query14a.tpl\nwith  cross_items as\n (select i_item_sk ss_item_sk\n from item,\n (select iss.i_brand_id brand_id\n     ,iss.i_class_id class_id\n     ,iss.i_category_id category_id\n from store_sales\n     ,item iss\n     ,date_dim d1\n where ss_item_sk = iss.i_item_sk\n   and ss_sold_date_sk = d1.d_date_sk\n   and d1.d_year between 1999 AND 1999 + 2\n intersect \n select ics.i_brand_id\n     ,ics.i_class_id\n     ,ics.i_category_id\n from catalog_sales\n     ,item ics\n     ,date_dim d2\n where cs_item_sk = ics.i_item_sk\n   and cs_sold_date_sk = d2.d_date_sk\n   and d2.d_year between 1999 AND 1999 + 2\n intersect\n select iws.i_brand_id\n     ,iws.i_class_id\n     ,iws.i_category_id\n from web_sales\n     ,item iws\n     ,date_dim d3\n where ws_item_sk = iws.i_item_sk\n   and ws_sold_date_sk = d3.d_date_sk\n   and d3.d_year between 1999 AND 1999 + 2)\n where i_brand_id = brand_id\n      and i_class_id = class_id\n      and i_category_id = category_id\n),\n avg_sales as\n (select avg(quantity*list_price) average_sales\n  from (select ss_quantity quantity\n             ,ss_list_price list_price\n       from store_sales\n           ,date_dim\n       where ss_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2\n       union all \n       select cs_quantity quantity \n             ,cs_list_price list_price\n       from catalog_sales\n           ,date_dim\n       where cs_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2 \n       union all\n       select ws_quantity quantity\n             ,ws_list_price list_price\n       from web_sales\n           ,date_dim\n       where ws_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2) x)\n  select  channel, i_brand_id,i_class_id,i_category_id,sum(sales), sum(number_sales)\n from(\n       select 'store' channel, i_brand_id,i_class_id\n             ,i_category_id,sum(ss_quantity*ss_list_price) sales\n             , count(*) number_sales\n       from store_sales\n           ,item\n           ,date_dim\n       where ss_item_sk in (select ss_item_sk from cross_items)\n         and ss_item_sk = i_item_sk\n         and ss_sold_date_sk = d_date_sk\n         and d_year = 1999+2 \n         and d_moy = 11\n       group by i_brand_id,i_class_id,i_category_id\n       having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)\n       union all\n       select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales\n       from catalog_sales\n           ,item\n           ,date_dim\n       where cs_item_sk in (select ss_item_sk from cross_items)\n         and cs_item_sk = i_item_sk\n         and cs_sold_date_sk = d_date_sk\n         and d_year = 1999+2 \n         and d_moy = 11\n       group by i_brand_id,i_class_id,i_category_id\n       having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)\n       union all\n       select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales\n       from web_sales\n           ,item\n           ,date_dim\n       where ws_item_sk in (select ss_item_sk from cross_items)\n         and ws_item_sk = i_item_sk\n         and ws_sold_date_sk = d_date_sk\n         and d_year = 1999+2\n         and d_moy = 11\n       group by i_brand_id,i_class_id,i_category_id\n       having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)\n ) y\n group by rollup (channel, i_brand_id,i_class_id,i_category_id)\n order by channel,i_brand_id,i_class_id,i_category_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query14a.tpl\n"
+
+QUERY14B_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query14b.tpl\nwith  cross_items as\n (select i_item_sk ss_item_sk\n from item,\n (select iss.i_brand_id brand_id\n     ,iss.i_class_id class_id\n     ,iss.i_category_id category_id\n from store_sales\n     ,item iss\n     ,date_dim d1\n where ss_item_sk = iss.i_item_sk\n   and ss_sold_date_sk = d1.d_date_sk\n   and d1.d_year between 1999 AND 1999 + 2\n intersect\n select ics.i_brand_id\n     ,ics.i_class_id\n     ,ics.i_category_id\n from catalog_sales\n     ,item ics\n     ,date_dim d2\n where cs_item_sk = ics.i_item_sk\n   and cs_sold_date_sk = d2.d_date_sk\n   and d2.d_year between 1999 AND 1999 + 2\n intersect\n select iws.i_brand_id\n     ,iws.i_class_id\n     ,iws.i_category_id\n from web_sales\n     ,item iws\n     ,date_dim d3\n where ws_item_sk = iws.i_item_sk\n   and ws_sold_date_sk = d3.d_date_sk\n   and d3.d_year between 1999 AND 1999 + 2) x\n where i_brand_id = brand_id\n      and i_class_id = class_id\n      and i_category_id = category_id\n),\n avg_sales as\n(select avg(quantity*list_price) average_sales\n  from (select ss_quantity quantity\n             ,ss_list_price list_price\n       from store_sales\n           ,date_dim\n       where ss_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2\n       union all\n       select cs_quantity quantity\n             ,cs_list_price list_price\n       from catalog_sales\n           ,date_dim\n       where cs_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2\n       union all\n       select ws_quantity quantity\n             ,ws_list_price list_price\n       from web_sales\n           ,date_dim\n       where ws_sold_date_sk = d_date_sk\n         and d_year between 1999 and 1999 + 2) x)\n  select  this_year.channel ty_channel\n                           ,this_year.i_brand_id ty_brand\n                           ,this_year.i_class_id ty_class\n                           ,this_year.i_category_id ty_category\n                           ,this_year.sales ty_sales\n                           ,this_year.number_sales ty_number_sales\n                           ,last_year.channel ly_channel\n                           ,last_year.i_brand_id ly_brand\n                           ,last_year.i_class_id ly_class\n                           ,last_year.i_category_id ly_category\n                           ,last_year.sales ly_sales\n                           ,last_year.number_sales ly_number_sales \n from\n (select 'store' channel, i_brand_id,i_class_id,i_category_id\n        ,sum(ss_quantity*ss_list_price) sales, count(*) number_sales\n from store_sales \n     ,item\n     ,date_dim\n where ss_item_sk in (select ss_item_sk from cross_items)\n   and ss_item_sk = i_item_sk\n   and ss_sold_date_sk = d_date_sk\n   and d_week_seq = (select d_week_seq\n                     from date_dim\n                     where d_year = 1999 + 1\n                       and d_moy = 12\n                       and d_dom = 11)\n group by i_brand_id,i_class_id,i_category_id\n having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) this_year,\n (select 'store' channel, i_brand_id,i_class_id\n        ,i_category_id, sum(ss_quantity*ss_list_price) sales, count(*) number_sales\n from store_sales\n     ,item\n     ,date_dim\n where ss_item_sk in (select ss_item_sk from cross_items)\n   and ss_item_sk = i_item_sk\n   and ss_sold_date_sk = d_date_sk\n   and d_week_seq = (select d_week_seq\n                     from date_dim\n                     where d_year = 1999\n                       and d_moy = 12\n                       and d_dom = 11)\n group by i_brand_id,i_class_id,i_category_id\n having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) last_year\n where this_year.i_brand_id= last_year.i_brand_id\n   and this_year.i_class_id = last_year.i_class_id\n   and this_year.i_category_id = last_year.i_category_id\n order by this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query14b.tpl\n"
+
+_Q14_CROSS_ITEMS = """cross_items AS (
+      SELECT i_item_sk AS ss_item_sk
+      FROM item,
+           (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+                   iss.i_category_id AS category_id
+            FROM store_sales, item iss, date_dim d1
+            WHERE ss_item_sk = iss.i_item_sk
+              AND ss_sold_date_sk = d1.d_date_sk
+              AND d1.d_year BETWEEN 1999 AND 2001
+            INTERSECT
+            SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+            FROM catalog_sales, item ics, date_dim d2
+            WHERE cs_item_sk = ics.i_item_sk
+              AND cs_sold_date_sk = d2.d_date_sk
+              AND d2.d_year BETWEEN 1999 AND 2001
+            INTERSECT
+            SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+            FROM web_sales, item iws, date_dim d3
+            WHERE ws_item_sk = iws.i_item_sk
+              AND ws_sold_date_sk = d3.d_date_sk
+              AND d3.d_year BETWEEN 1999 AND 2001) x
+      WHERE i_brand_id = brand_id AND i_class_id = class_id
+        AND i_category_id = category_id)"""
+
+_Q14_AVG_SALES = """avg_sales AS (
+      SELECT AVG(quantity * list_price) AS average_sales
+      FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 2001
+            UNION ALL
+            SELECT cs_quantity, cs_list_price
+            FROM catalog_sales, date_dim
+            WHERE cs_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 2001
+            UNION ALL
+            SELECT ws_quantity, ws_list_price
+            FROM web_sales, date_dim
+            WHERE ws_sold_date_sk = d_date_sk
+              AND d_year BETWEEN 1999 AND 2001) x)"""
+
+_Q14A_ARM = """
+            SELECT '{ch}' AS channel, i_brand_id, i_class_id,
+                   i_category_id,
+                   SUM({p}_quantity * {p}_list_price) AS sales,
+                   COUNT(*) AS number_sales
+            FROM {tbl}, item, date_dim
+            WHERE {p}_item_sk IN (SELECT ss_item_sk FROM cross_items)
+              AND {p}_item_sk = i_item_sk
+              AND {p}_sold_date_sk = d_date_sk
+              AND d_year = 2001 AND d_moy = 11
+            GROUP BY i_brand_id, i_class_id, i_category_id
+            HAVING SUM({p}_quantity * {p}_list_price) >
+                   (SELECT average_sales FROM avg_sales)"""
+
+_Q14B_WEEK_ARM = """
+      SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ss_quantity * ss_list_price) AS sales,
+             COUNT(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                          WHERE d_year = {yr} AND d_moy = 12 AND d_dom = 11)
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(ss_quantity * ss_list_price) >
+             (SELECT average_sales FROM avg_sales)"""
+
+
+@query(
+    "tpcds_literal_q14a",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED},
+    {_Q14_CROSS_ITEMS},
+    {_Q14_AVG_SALES}
+    SELECT channel, i_brand_id, i_class_id, i_category_id,
+           SUM(sales) AS sum_sales, SUM(number_sales) AS sum_number_sales
+    FROM ({_Q14A_ARM.format(ch="store", p="ss", tbl="store_sales")}
+          UNION ALL
+          {_Q14A_ARM.format(ch="catalog", p="cs", tbl="catalog_sales")}
+          UNION ALL
+          {_Q14A_ARM.format(ch="web", p="ws", tbl="web_sales")}) y
+    GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+    ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+             i_class_id NULLS FIRST, i_category_id NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q14a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query14a.sql text, unmodified — the cross-channel apex:
+    per-channel November sales of items whose (brand, class, category)
+    sold in all three channels over 1999-2001, thresholded by the global
+    average basket value, rolled up. All measures are exact integers
+    (quantity x list_price; Spark's double-summed AVG stays exact below
+    2^53). The ROLLUP NULL rows sort NULLS FIRST in both (pinned in the
+    oracle); the sort covers every group column, so the LIMIT boundary
+    is total. Reference: tpcds-tool/query/query14a.sql (run by
+    TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY14A_SQL)).toDF(
+        "channel", "i_brand_id", "i_class_id", "i_category_id",
+        "sum_sales", "sum_number_sales",
+    )
+
+
+@query(
+    "tpcds_literal_q14b",
+    oracle=f"""
+    WITH {_ADAPTER_DUCK_DATED},
+    {_Q14_CROSS_ITEMS},
+    {_Q14_AVG_SALES}
+    SELECT this_year.channel AS ty_channel,
+           this_year.i_brand_id AS ty_brand,
+           this_year.i_class_id AS ty_class,
+           this_year.i_category_id AS ty_category,
+           this_year.sales AS ty_sales,
+           this_year.number_sales AS ty_number_sales,
+           last_year.channel AS ly_channel,
+           last_year.i_brand_id AS ly_brand,
+           last_year.i_class_id AS ly_class,
+           last_year.i_category_id AS ly_category,
+           last_year.sales AS ly_sales,
+           last_year.number_sales AS ly_number_sales
+    FROM ({_Q14B_WEEK_ARM.format(yr=2000)}) this_year,
+         ({_Q14B_WEEK_ARM.format(yr=1999)}) last_year
+    WHERE this_year.i_brand_id = last_year.i_brand_id
+      AND this_year.i_class_id = last_year.i_class_id
+      AND this_year.i_category_id = last_year.i_category_id
+    ORDER BY this_year.channel, this_year.i_brand_id,
+             this_year.i_class_id, this_year.i_category_id
+    LIMIT 100
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q14b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query14b.sql text, unmodified — q14a's store-channel
+    week-over-year twin: the same cross-channel item cells compared
+    between the week of Dec 11 1999 and Dec 11 2000 (the DATED tier's
+    one-row-per-date date_dim keeps the d_week_seq scalar subqueries
+    single-row). ORDER BY covers the full join key (channel is
+    constant), so the LIMIT boundary is total. Reference:
+    tpcds-tool/query/query14b.sql."""
+    _register_views(spark, sf_dir, rich=True, dated=True)
+    return spark.sql(rewrite(QUERY14B_SQL)).toDF(
+        "ty_channel", "ty_brand", "ty_class", "ty_category", "ty_sales",
+        "ty_number_sales", "ly_channel", "ly_brand", "ly_class",
+        "ly_category", "ly_sales", "ly_number_sales",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — the cross-sales apex (CROSS tier).
+
+QUERY64_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query64.tpl\nwith cs_ui as\n (select cs_item_sk\n        ,sum(cs_ext_list_price) as sale,sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) as refund\n  from catalog_sales\n      ,catalog_returns\n  where cs_item_sk = cr_item_sk\n    and cs_order_number = cr_order_number\n  group by cs_item_sk\n  having sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),\ncross_sales as\n (select i_product_name product_name\n     ,i_item_sk item_sk\n     ,s_store_name store_name\n     ,s_zip store_zip\n     ,ad1.ca_street_number b_street_number\n     ,ad1.ca_street_name b_street_name\n     ,ad1.ca_city b_city\n     ,ad1.ca_zip b_zip\n     ,ad2.ca_street_number c_street_number\n     ,ad2.ca_street_name c_street_name\n     ,ad2.ca_city c_city\n     ,ad2.ca_zip c_zip\n     ,d1.d_year as syear\n     ,d2.d_year as fsyear\n     ,d3.d_year s2year\n     ,count(*) cnt\n     ,sum(ss_wholesale_cost) s1\n     ,sum(ss_list_price) s2\n     ,sum(ss_coupon_amt) s3\n  FROM   store_sales\n        ,store_returns\n        ,cs_ui\n        ,date_dim d1\n        ,date_dim d2\n        ,date_dim d3\n        ,store\n        ,customer\n        ,customer_demographics cd1\n        ,customer_demographics cd2\n        ,promotion\n        ,household_demographics hd1\n        ,household_demographics hd2\n        ,customer_address ad1\n        ,customer_address ad2\n        ,income_band ib1\n        ,income_band ib2\n        ,item\n  WHERE  ss_store_sk = s_store_sk AND\n         ss_sold_date_sk = d1.d_date_sk AND\n         ss_customer_sk = c_customer_sk AND\n         ss_cdemo_sk= cd1.cd_demo_sk AND\n         ss_hdemo_sk = hd1.hd_demo_sk AND\n         ss_addr_sk = ad1.ca_address_sk and\n         ss_item_sk = i_item_sk and\n         ss_item_sk = sr_item_sk and\n         ss_ticket_number = sr_ticket_number and\n         ss_item_sk = cs_ui.cs_item_sk and\n         c_current_cdemo_sk = cd2.cd_demo_sk AND\n         c_current_hdemo_sk = hd2.hd_demo_sk AND\n         c_current_addr_sk = ad2.ca_address_sk and\n         c_first_sales_date_sk = d2.d_date_sk and\n         c_first_shipto_date_sk = d3.d_date_sk and\n         ss_promo_sk = p_promo_sk and\n         hd1.hd_income_band_sk = ib1.ib_income_band_sk and\n         hd2.hd_income_band_sk = ib2.ib_income_band_sk and\n         cd1.cd_marital_status <> cd2.cd_marital_status and\n         i_color in ('purple','burlywood','indian','spring','floral','medium') and\n         i_current_price between 64 and 64 + 10 and\n         i_current_price between 64 + 1 and 64 + 15\ngroup by i_product_name\n       ,i_item_sk\n       ,s_store_name\n       ,s_zip\n       ,ad1.ca_street_number\n       ,ad1.ca_street_name\n       ,ad1.ca_city\n       ,ad1.ca_zip\n       ,ad2.ca_street_number\n       ,ad2.ca_street_name\n       ,ad2.ca_city\n       ,ad2.ca_zip\n       ,d1.d_year\n       ,d2.d_year\n       ,d3.d_year\n)\nselect cs1.product_name\n     ,cs1.store_name\n     ,cs1.store_zip\n     ,cs1.b_street_number\n     ,cs1.b_street_name\n     ,cs1.b_city\n     ,cs1.b_zip\n     ,cs1.c_street_number\n     ,cs1.c_street_name\n     ,cs1.c_city\n     ,cs1.c_zip\n     ,cs1.syear\n     ,cs1.cnt\n     ,cs1.s1 as s11\n     ,cs1.s2 as s21\n     ,cs1.s3 as s31\n     ,cs2.s1 as s12\n     ,cs2.s2 as s22\n     ,cs2.s3 as s32\n     ,cs2.syear\n     ,cs2.cnt\nfrom cross_sales cs1,cross_sales cs2\nwhere cs1.item_sk=cs2.item_sk and\n     cs1.syear = 1999 and\n     cs2.syear = 1999 + 1 and\n     cs2.cnt <= cs1.cnt and\n     cs1.store_name = cs2.store_name and\n     cs1.store_zip = cs2.store_zip\norder by cs1.product_name\n       ,cs1.store_name\n       ,cs2.cnt\n       ,cs1.s1\n       ,cs2.s1\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query64.tpl\n"
+
+
+@query(
+    "tpcds_literal_q64",
+    oracle=f"""
+    WITH {_cross_duck_adapter()},
+    cs_ui AS (
+      SELECT cs_item_sk, SUM(cs_ext_list_price) AS sale,
+             SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+               AS refund
+      FROM catalog_sales, catalog_returns
+      WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+      GROUP BY cs_item_sk
+      HAVING SUM(cs_ext_list_price) >
+             2 * SUM(cr_refunded_cash + cr_reversed_charge
+                     + cr_store_credit)),
+    cross_sales AS (
+      SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+             s_store_name AS store_name, s_zip AS store_zip,
+             ad1.ca_street_number AS b_street_number,
+             ad1.ca_street_name AS b_street_name,
+             ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+             ad2.ca_street_number AS c_street_number,
+             ad2.ca_street_name AS c_street_name,
+             ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+             d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+             COUNT(*) AS cnt, SUM(ss_wholesale_cost) AS s1,
+             SUM(ss_list_price) AS s2, SUM(ss_coupon_amt) AS s3
+      FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
+           date_dim d3, store, customer_v,
+           customer_demographics cd1, customer_demographics cd2,
+           promotion, household_demographics hd1,
+           household_demographics hd2, customer_address ad1,
+           customer_address ad2, income_band ib1, income_band ib2, item
+      WHERE ss_store_sk = s_store_sk
+        AND ss_sold_date_sk = d1.d_date_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ss_cdemo_sk = cd1.cd_demo_sk
+        AND ss_hdemo_sk = hd1.hd_demo_sk
+        AND ss_addr_sk = ad1.ca_address_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_item_sk = sr_item_sk
+        AND ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = cs_ui.cs_item_sk
+        AND c_current_cdemo_sk = cd2.cd_demo_sk
+        AND c_current_hdemo_sk = hd2.hd_demo_sk
+        AND c_current_addr_sk = ad2.ca_address_sk
+        AND c_first_sales_date_sk = d2.d_date_sk
+        AND c_first_shipto_date_sk = d3.d_date_sk
+        AND ss_promo_sk = p_promo_sk
+        AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+        AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+        AND cd1.cd_marital_status <> cd2.cd_marital_status
+        AND i_color IN ('purple', 'burlywood', 'indian', 'spring',
+                        'floral', 'medium')
+        AND i_current_price BETWEEN 64 AND 74
+        AND i_current_price BETWEEN 65 AND 79
+      GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+               ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+               ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+               ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+    SELECT cs1.product_name AS product_name, cs1.store_name AS store_name,
+           cs1.store_zip AS store_zip,
+           cs1.b_street_number AS b_street_number,
+           cs1.b_street_name AS b_street_name, cs1.b_city AS b_city,
+           cs1.b_zip AS b_zip, cs1.c_street_number AS c_street_number,
+           cs1.c_street_name AS c_street_name, cs1.c_city AS c_city,
+           cs1.c_zip AS c_zip, cs1.syear AS syear, cs1.cnt AS cnt,
+           cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+           cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32,
+           cs2.syear AS syear2, cs2.cnt AS cnt2
+    FROM cross_sales cs1, cross_sales cs2
+    WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 1999
+      AND cs2.syear = 2000 AND cs2.cnt <= cs1.cnt
+      AND cs1.store_name = cs2.store_name
+      AND cs1.store_zip = cs2.store_zip
+    ORDER BY cs1.product_name, cs1.store_name, cs2.cnt, cs1.s1, cs2.s1
+    """,
+    tags=("batch", "tpcds", "literal-sql"),
+)
+def tpcds_literal_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query64.sql text, unmodified — the 17-relation cross-sales
+    apex: returned store purchases of cross-channel items (cs_ui: catalog
+    items whose list-price sales exceed twice their refunds), with both
+    the purchase-time and current demographics/address/income-band of the
+    buyer, compared between 1999 and 2000 for the same item and store.
+    CROSS tier (varied purchase-time cdemo, order-derived first-sale
+    keys, single folded store). All measures are exact integers; no
+    LIMIT, so the ORDER BY never gates row membership and the canonical
+    compare is order-insensitive. Reference: tpcds-tool/query/query64.sql
+    (run by TpcdsTestProgram.java:118)."""
+    _register_views(spark, sf_dir, rich=True, cross=True)
+    return spark.sql(rewrite(QUERY64_SQL)).toDF(
+        "product_name", "store_name", "store_zip", "b_street_number",
+        "b_street_name", "b_city", "b_zip", "c_street_number",
+        "c_street_name", "c_city", "c_zip", "syear", "cnt",
+        "s11", "s21", "s31", "s12", "s22", "s32", "syear2", "cnt2",
     )

@@ -104,12 +104,20 @@ GATE_ORDER: tuple[str, ...] = (
     # is gate-covered by the r5 dual-role-dimension rollup below, which
     # exercises the same Expand plus the two-role nation join)
     "agg_distinct",
-    "ds_q18_dual_role_dim_rollup",
+    # (r8: ds_q18_dual_role_dim_rollup rotates to local verification — its
+    # Expand-rollup and dual-role dimension join are both subsumed by the
+    # literal q64 below, which joins customer_demographics, household_
+    # demographics and customer_address in TWO roles each, and by the
+    # literal q14a's ROLLUP)
+    "tpcds_literal_q64",
     # live jdbc connector round-trip (embedded Derby, partitioned scan)
     "jdbc_roundtrip_partitioned",
     # rank/top-N, set ops, correlate, scalar-fn gauntlets
     "topn_per_group",
-    "setop_intersect_all",
+    # (r8: setop_intersect_all rotates to local verification — INTERSECT
+    # is gate-covered by the literal q14a's three-channel INTERSECT chain,
+    # which additionally exercises ROLLUP and the scalar-subquery HAVING)
+    "tpcds_literal_q14a",
     "unnest_tokens",
     "fn_math_gauntlet",
     # DDL-created pandas UDF executing through SQL (SqlCreateFunction parity)

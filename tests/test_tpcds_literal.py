@@ -11,7 +11,7 @@ import pytest
 _REF = "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query"
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, "39a", "39b", 66, 72, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 8, "14a", "14b", "24a", "24b", 64, 9, 10, 11, 31, 12, 13, 21, 22, 15, 16, "39a", "39b", 54, 66, 72, 17, 18, 19, 20, 35, 69, 94, 95, "23a", "23b", 25, 26, 27, 29, 28, 32, 33, 34, 36, 37, 38, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 56, 57, 60, 50, 51, 52, 53, 55, 58, 59, 61, 62, 63, 83, 65, 67, 68, 70, 71, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 99])
 def test_embedded_text_matches_reference_file(n):
     import flink_1_12_2_spark.queries.tpcds_literal as M
 
@@ -50,7 +50,9 @@ def test_embedded_text_matches_reference_file(n):
              "tpcds_literal_q57", "tpcds_literal_q67", "tpcds_literal_q70",
              "tpcds_literal_q49", "tpcds_literal_q75", "tpcds_literal_q78",
              "tpcds_literal_q44", "tpcds_literal_q76",
-             "tpcds_literal_q66", "tpcds_literal_q72"]
+             "tpcds_literal_q66", "tpcds_literal_q72",
+             "tpcds_literal_q24a", "tpcds_literal_q24b",
+             "tpcds_literal_q14a"]
 )
 def test_literal_query_runs(spark, sf_dir, name):
     from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
@@ -303,6 +305,59 @@ def test_adapter_vol_renderings_agree(spark, sf_dir):
     assert any(q < 50 for q in qtys) and any(q >= 900 for q in qtys)
 
 
+def test_adapter_geo_cross_renderings_agree(spark, sf_dir):
+    """Anti-drift guard for the GEO tier's store (q54) and the CROSS
+    tier's wrapped store_sales/customer (q64): the wrapped bodies share
+    the rich fragments, so only the substitutions can drift."""
+    import duckdb
+
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from tools.oracle_check import canonical_rows
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "customer", "supplier",
+              "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    M._register_views(spark, sf_dir, rich=True, geo=True)
+    sdf = spark.sql("SELECT * FROM store")
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    dres = con.execute(f"WITH {M._STORE_GEO_DUCK} SELECT * FROM store")
+    assert canonical_rows(scols, srows) == canonical_rows(
+        [d[0] for d in dres.description], dres.fetchall()
+    )
+
+    M._register_views(spark, sf_dir, rich=True, cross=True)
+    for name, duck_name in (("store_sales", "store_sales"),
+                            ("customer", "customer_v")):
+        sdf = spark.sql(f"SELECT * FROM {name}")
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        dres = con.execute(
+            f"WITH {M._cross_duck_adapter()} SELECT * FROM {duck_name}"
+        )
+        dcols = [d[0] for d in dres.description]
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert canonical_rows(scols, srows) == canonical_rows(
+            dcols, dres.fetchall()
+        ), name
+    # the tier's reason for existing: purchase-time cdemo really varies
+    # against the current cdemo, and first-sale keys are real order keys
+    n_mismatch = spark.sql(
+        "SELECT COUNT(*) FROM store_sales ss JOIN customer c "
+        "ON ss.ss_customer_sk = c.c_customer_sk "
+        "WHERE ss.ss_cdemo_sk <> c.c_current_cdemo_sk"
+    ).collect()[0][0]
+    assert n_mismatch > 0
+    n_dates = spark.sql(
+        "SELECT COUNT(*) FROM customer WHERE c_first_sales_date_sk IS NOT "
+        "NULL AND c_first_sales_date_sk <= c_first_shipto_date_sk"
+    ).collect()[0][0]
+    assert n_dates > 0
+
+
 def test_adapter_nulls_renderings_agree(spark, sf_dir):
     """Anti-drift guard for the NULLS tier (q44/q76's NULL-foreign-key
     facts)."""
@@ -346,6 +401,47 @@ def test_literal_q71_meal_time_bands(spark, sf_dir):
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q71"].fn(spark, sf_dir).collect()
     assert all(6 <= r["t_hour"] <= 8 or 17 <= r["t_hour"] <= 19 for r in rows)
+
+
+def test_literal_q8_inlist_extraction_and_sparse(spark, sf_dir):
+    """The oracle's IN-list is sliced out of the embedded literal text —
+    pin that it captured exactly the 400 zips. q8's >10-preferred-per-zip
+    HAVING is legitimately empty at sf0.001 (~2 preferred per zip); the
+    sf0.01 value gate covers correctness (2 rows)."""
+    import flink_1_12_2_spark.queries.tpcds_literal as M
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    assert M._Q8_INLIST.count("'") == 800
+    assert M._Q8_INLIST.startswith("'24128'")
+    assert M._Q8_INLIST.endswith("'35576'")
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q8"].fn(spark, sf_dir).collect()
+    assert len(rows) <= 2
+
+
+def test_literal_q64_and_q14b_sparse_at_tiny_sf(spark, sf_dir):
+    """q64's [65,74]-price x color x both-years returned-sale conjunction
+    keeps 37 pairs at sf0.01 (value-gated there) and legitimately none
+    over sf0.001's 200 parts; q14b's Dec-11 pivot week is likewise thin.
+    Here: both parse and run, and q64's year pair is literal."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q64"].fn(spark, sf_dir).collect()
+    assert all(r["syear"] == 1999 and r["syear2"] == 2000
+               and r["cnt2"] <= r["cnt"] for r in rows)
+    QUERIES["tpcds_literal_q14b"].fn(spark, sf_dir).collect()
+
+
+def test_literal_q54_sparse_at_tiny_sf(spark, sf_dir):
+    """q54's Dec-1998 maternity-buyer cohort is ~5 customers at sf0.01
+    (12 segments, value-gated there) and legitimately empty at sf0.001.
+    Here: it parses, runs, and segment_base = 50 x segment."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES["tpcds_literal_q54"].fn(spark, sf_dir).collect()
+    assert all(r["segment_base"] == 50 * r["segment"] for r in rows)
 
 
 def test_literal_q39_sparse_at_tiny_sf(spark, sf_dir):
