@@ -495,3 +495,27 @@ def test_pq_code_stream_broadcast_lut(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_literal_q64_broadcast_chain_no_cartesian(spark, sf_dir):
+    """The 17-relation literal q64: every dimension joins as a broadcast
+    hash join (the CROSS tier's fact is the only large input besides the
+    returns and cs_ui aggregates, which sort-merge on their keys); no
+    cartesian product appears, and the only nested-loop joins are the
+    singleton scalar-count broadcasts inside the adapter views (the
+    CROSS-tier store_sales and the two address residues each carry a
+    COUNT(customer) scalar — all single-row inputs)."""
+    plan = _plan(spark, sf_dir, "tpcds_literal_q64")
+    assert plan.count("BroadcastHashJoin") >= 10
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 5
+
+
+def test_literal_q14a_intersect_rollup_shape(spark, sf_dir):
+    """Literal q14a: the three-channel INTERSECT + ROLLUP apex keeps the
+    rollup's single Expand and never degenerates into a cartesian
+    product; dimensions broadcast."""
+    plan = _plan(spark, sf_dir, "tpcds_literal_q14a")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
