@@ -936,6 +936,92 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_lp_cte() -> str:
+    """The per-bucket quantized log-prob table over ALL 1024 bucket ids,
+    rendered from the SAME engine-portable stage generator the engine's
+    driver-side table uses (:func:`flink_1_12_2_spark.llm.sampling.
+    unigram_lp_stages`) — DuckDB evaluates the staged correctly-rounded
+    sequence, bit-identical to ``portable_ln_py`` (the 210-input bit-sweep
+    in tests/test_llm_text.py pins that), which is the value the engine
+    broadcasts."""
+    from flink_1_12_2_spark.llm.sampling import (
+        staged_select_sql,
+        unigram_lp_stages,
+    )
+
+    stages = unigram_lp_stages(1024)
+    last = f"uls{len(stages) - 1}"
+    return (
+        "usrc AS (SELECT bk.b, COALESCE(rstats.ref_c, 0) AS ref_c, ref_tot\n"
+        "            FROM (SELECT range AS b FROM range(1024)) bk\n"
+        "            LEFT JOIN rstats USING (b), rtot),\n    "
+        + staged_select_sql("usrc", stages, "uls")
+        + f",\n    lpt AS (SELECT b, lp_micro FROM {last})"
+    )
+
+
+@query(
+    "text_perplexity_filter",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, lang = 'en' AS ref,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    rstats AS (SELECT b, COUNT(*) AS ref_c FROM ex WHERE ref GROUP BY b),
+    rtot AS (SELECT SUM(ref_c) AS ref_tot FROM rstats),
+    {_unigram_lp_cte()},
+    w AS (
+      SELECT doc_id, lang, source, COUNT(*) AS n_tok,
+             SUM(lp_micro) AS logprob_micro
+      FROM (SELECT e.doc_id, d.lang, d.source, e.b
+            FROM ex e JOIN documents d USING (doc_id)) je
+      JOIN lpt USING (b) GROUP BY doc_id, lang, source
+    )
+    SELECT doc_id, lang, source, n_tok, logprob_micro,
+           CAST(FLOOR(-logprob_micro / n_tok) AS BIGINT)
+             AS ppl_micro_per_tok
+    FROM w
+    WHERE logprob_micro >= -3484000 * n_tok
+    ORDER BY ppl_micro_per_tok, doc_id
+    LIMIT 200
+    """,
+    tags=("llm", "sampling", "perplexity"),
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020): a hashed-unigram
+    LM fits on the English slice, every document scores by total
+    log-probability under it, and the filter keeps documents whose
+    LENGTH-NORMALIZED score clears 3.484 nats/token (the corpus median) —
+    "keep reference-like text". The keep predicate is the exact integer
+    inequality ``logprob_micro >= -3484000 * n_tok`` (no division), the
+    scores are exact micronat sums from a driver-computed broadcast table,
+    and the tie-broken ordering is total — deterministic in both engines
+    by the same construction as ``sample_dsir_weights``. See
+    :func:`flink_1_12_2_spark.llm.sampling.perplexity_score` for the
+    100-TB shuffle story (O(1024) stats, broadcast model, no corpus
+    join-back)."""
+    from flink_1_12_2_spark.llm.sampling import perplexity_score
+
+    d = load(spark, sf_dir, "documents")
+    w = perplexity_score(
+        d, is_ref=F.col("lang") == "en", carry_cols=("lang", "source")
+    )
+    return (
+        w.filter(F.col("logprob_micro") >= F.lit(-3484000) * F.col("n_tok"))
+        .withColumn(
+            "ppl_micro_per_tok",
+            F.floor(-F.col("logprob_micro") / F.col("n_tok")).cast("bigint"),
+        )
+        .select(
+            "doc_id", "lang", "source", "n_tok", "logprob_micro",
+            "ppl_micro_per_tok",
+        )
+        .orderBy("ppl_micro_per_tok", "doc_id")
+        .limit(200)
+    )
+
+
 def _bpe_oracle(rounds: int) -> str:
     """Mirror of llm/bpe.bpe_train: the SAME unrolled merge rounds in pure
     SQL — every round's argmax and replace computed inside DuckDB, so the

@@ -344,3 +344,33 @@ def test_bpe_train_64_merges(spark, sf_dir):
             ).collect()
         ]
         assert got == expect, f"incremental={inc}"
+
+
+def test_perplexity_filter_semantics(spark, sf_dir):
+    """The perplexity filter: (1) the driver-computed lp table is monotone
+    in the bucket count (more reference mass → higher log-prob) and covers
+    all 1024 buckets; (2) every kept row satisfies the exact integer keep
+    inequality; (3) ordering is by per-token perplexity."""
+    from flink_1_12_2_spark.llm.sampling import (
+        unigram_lp_micro_py,
+        unigram_lp_table_py,
+    )
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    assert unigram_lp_micro_py(10, 1000, 1024) > unigram_lp_micro_py(
+        1, 1000, 1024
+    )
+    table = unigram_lp_table_py([{"__b": 3, "ref_c": 7}], 1024)
+    assert len(table) == 1024
+    floor_lp = unigram_lp_micro_py(0, 7, 1024)
+    assert dict(table)[3] > floor_lp
+    assert all(lp == floor_lp for b, lp in table if b != 3)
+
+    load_all_query_modules()
+    rows = QUERIES["text_perplexity_filter"].fn(spark, sf_dir).collect()
+    assert rows, "filter kept nothing"
+    for r in rows:
+        assert r["logprob_micro"] >= -3484000 * r["n_tok"]
+        assert r["ppl_micro_per_tok"] <= 3484000
+    per_tok = [r["ppl_micro_per_tok"] for r in rows]
+    assert per_tok == sorted(per_tok)
