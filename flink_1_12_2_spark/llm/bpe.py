@@ -234,3 +234,51 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_cnt bigint"
     )
+
+
+def bpe_encode_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Encode one word with an ordered merge-rule list: the spaced-symbol
+    form threaded through each merge's greedy-left replace, split back to
+    the final subword array (last element is the ``</w>`` end marker)."""
+    sp = spaced_symbols(word)
+    for lhs, rhs in merges:
+        sp = merge_pair_expr(sp, lhs, rhs)
+    return F.split(F.trim(sp), " ")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply a trained BPE merge table to a corpus — the scan-stage half
+    of the tokenizer (train once, encode petabytes). The merge rules are
+    driver-side literals (the trainer's output is O(vocab) rows), so the
+    whole encode is ONE whole-stage-codegen projection per document:
+    ``transform`` maps each word through the replace chain and ``flatten``
+    concatenates — no explode, no shuffle, no Python. Document token
+    order is preserved by construction (array semantics, not groupBy
+    reassembly). Returns (id, carry..., n_words, n_tokens, tokens).
+
+    Scale: encode cost is linear in corpus bytes and embarrassingly
+    parallel; with a real 30k-merge vocabulary the replace chain should
+    be compiled per-word via a broadcast trie in a pandas UDF instead —
+    this column form is exact and JVM-side, and is what the oracle can
+    mirror. A word-DEDUP pre-pass (encode distinct words, broadcast-join
+    back) trades the per-occurrence chain for a join; on natural-language
+    skew (Zipf) that wins once merges number in the thousands."""
+    from flink_1_12_2_spark.llm.text import tokens
+
+    toks = tokens(F.col(text_col))
+    enc = F.flatten(
+        F.transform(toks, lambda w: bpe_encode_expr(w, merges))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.size(toks).alias("n_words"),
+        F.size(enc).alias("n_tokens"),
+        enc.alias("tokens"),
+    )

@@ -1022,14 +1022,11 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Mirror of llm/bpe.bpe_train: the SAME unrolled merge rounds in pure
-    SQL — every round's argmax and replace computed inside DuckDB, so the
-    oracle encodes the algorithm, not precomputed literals. The merge
-    application renders through :func:`flink_1_12_2_spark.llm.bpe.
-    merge_pair_sql` — the identical greedy-left space-doubling replace the
-    engine applies (a full recount per round here; the engine maintains
-    the pair table incrementally — same result by construction)."""
+def _bpe_oracle_parts(rounds: int) -> list[str]:
+    """The unrolled training CTEs (w0..w{rounds}, c*, b*) shared by the
+    train and encode oracles — every round's argmax and replace computed
+    inside DuckDB, so the oracles encode the algorithm, not precomputed
+    literals."""
     from flink_1_12_2_spark.llm.bpe import merge_pair_sql
 
     parts = [
@@ -1058,11 +1055,89 @@ def _bpe_oracle(rounds: int) -> str:
         parts.append(f"""w{k} AS (
       SELECT {merge_pair_sql("sp", "b.lhs", "b.rhs")} AS sp, cnt
       FROM w{i}, b{i} b)""")
+    return parts
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Mirror of llm/bpe.bpe_train: the merge application renders through
+    :func:`flink_1_12_2_spark.llm.bpe.merge_pair_sql` — the identical
+    greedy-left space-doubling replace the engine applies (a full recount
+    per round here; the engine maintains the pair table incrementally —
+    same result by construction)."""
     union = "\n    UNION ALL ".join(
         f"SELECT CAST(rank AS INT) AS rank, lhs, rhs, pair_cnt FROM b{i}"
         for i in range(rounds)
     )
-    return "WITH " + ",\n    ".join(parts) + f"\n    {union}\n    ORDER BY rank"
+    return (
+        "WITH " + ",\n    ".join(_bpe_oracle_parts(rounds))
+        + f"\n    {union}\n    ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Encode oracle: re-derives the SAME merge rules via the shared
+    training CTEs, pivots them into one rules row, and applies the
+    identical greedy-left replace chain to every document word inside a
+    list_transform lambda (order-preserving array semantics, mirroring
+    the engine's transform+flatten)."""
+    from flink_1_12_2_spark.llm.bpe import merge_pair_sql
+
+    rules = ", ".join(
+        f"(SELECT lhs FROM b{i}) AS l{i + 1}, "
+        f"(SELECT rhs FROM b{i}) AS r{i + 1}"
+        for i in range(rounds)
+    )
+    chain = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w> '"
+    for k in range(1, rounds + 1):
+        chain = merge_pair_sql(chain, f"l{k}", f"r{k}")
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_parts(rounds))
+        + f""",
+    rules AS (SELECT {rules}),
+    enc AS (
+      SELECT doc_id, lang, toks,
+             flatten(list_transform(toks, w ->
+               list_filter(string_split(trim({chain}), ' '),
+                           x -> x <> ''))) AS tokens
+      FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents), rules)
+    SELECT doc_id, lang, len(toks) AS n_words, len(tokens) AS n_tokens,
+           tokens[1:32] AS tokens_head
+    FROM enc
+    ORDER BY doc_id
+    LIMIT 100"""
+    )
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=_bpe_encode_oracle(8),
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the scan-stage half of the tokenizer
+    (train once, encode petabytes): the 8 trained merge rules collect to
+    the driver (O(vocab) rows) and compile into a whole-stage-codegen
+    transform+flatten replace chain per document — no explode, no
+    shuffle, no Python, document token order preserved by array
+    semantics. The oracle re-derives the same rules inside DuckDB and
+    applies the identical chain in a list_transform lambda. Output is
+    the token-count pair plus the first 32 tokens per document; doc_id
+    keys the order. See :func:`flink_1_12_2_spark.llm.bpe.bpe_encode`
+    for the 100-TB trade (broadcast-trie pandas UDF / word-dedup
+    pre-pass once merges number in the thousands)."""
+    from flink_1_12_2_spark.llm.bpe import bpe_encode, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", rounds=8).collect()  # bounded: 8 rows
+    merges = [(r["lhs"], r["rhs"]) for r in rules]
+    enc = bpe_encode(d, merges, carry_cols=("lang",))
+    return (
+        enc.withColumn("tokens_head", F.slice(F.col("tokens"), 1, 32))
+        .select("doc_id", "lang", "n_words", "n_tokens", "tokens_head")
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
 
 @query(

@@ -374,3 +374,40 @@ def test_perplexity_filter_semantics(spark, sf_dir):
         assert r["ppl_micro_per_tok"] <= 3484000
     per_tok = [r["ppl_micro_per_tok"] for r in rows]
     assert per_tok == sorted(per_tok)
+
+
+def test_bpe_encode_matches_bruteforce_apply(spark):
+    """bpe_encode's transform+flatten replace chain equals applying the
+    merge rules word-by-word with the Sennrich greedy-left reference —
+    including the adjacent-repeat case ('aaaa') the space-doubling trick
+    exists for, and multi-word order preservation."""
+    from flink_1_12_2_spark.llm.bpe import bpe_encode
+
+    merges = [("a", "a"), ("l", "o"), ("aa", "aa"), ("h e", None)]
+    merges = [m for m in merges if m[1]]  # drop the sentinel row
+
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa lol aaa"), (2, "aaaaa"), (3, "banana aa")],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for doc_id, text in [(1, "aaaa lol aaa"), (2, "aaaaa"), (3, "banana aa")]:
+        expect = [t for w in text.split() for t in ref_encode(w)]
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
