@@ -83,6 +83,31 @@ r8). Parser shapes covered include:
   AVG over a grouped SUM with a CASE deviation filter in the outer WHERE
   (the scholaramalgamalg brand family and the (Children, personal)
   class pair make the literal OR ladder non-empty);
+- q49/q75/q78 — per-channel sales LEFT OUTER JOIN returns on the sale
+  identity: ratio ranks, YoY netted-out cells, never-returned store vs
+  other-channel quantity ratios (round() HALF_UP mirrored as exact
+  integer FLOOR((200a+b)/2b) in the oracle);
+- q44/q76 — NULL-foreign-key filters (rank zip of best/worst items
+  anchored on a NULL-address scalar average; the lost-sales census);
+- q39a/b / q72 — inventory volatility (stddev_samp/mean > 1 per
+  (warehouse, item, month) cell, consecutive-month self-join) and
+  same-week stockouts (inv_quantity_on_hand < cs_quantity with a
+  date-INTERVAL ship-lag filter);
+- q66 — 44-column monthly CASE-pivot per warehouse over two channels
+  with carrier and time-band filters;
+- q8/q24a/q24b — zip-prefix store affinity over an INTERSECT of the
+  literal 400-zip list with >10-preferred-customer zips, and the exact
+  s_zip = ca_zip cross-shopper probe with its 0.05*AVG scalar HAVING;
+- q54 — cross-channel maternity buyers' next-quarter revenue segmented
+  by CAST((revenue/50) AS INT), matched to stores by county+state;
+- q14a/q14b — the cross-channel apex: three-way INTERSECT of item
+  attribute cells, global-average-basket HAVING threshold, ROLLUP
+  (q14a) and the Dec-11 week-over-year self-join whose d_week_seq
+  scalar subquery requires the one-row-per-date date_dim (q14b);
+- q64 — the 17-relation cross-sales apex: returned store purchases of
+  twice-refund-covered catalog items, purchase-time AND current
+  demographics/address/income-band per buyer, 1999-vs-2000 same-item
+  same-store comparison;
 - q36/q86 — ROLLUP with GROUPING()-keyed RANK partitions (rank resets
   per hierarchy level, and per category at the leaf level);
 - q97 — two per-channel DISTINCT (customer, item) CTEs FULL OUTER
