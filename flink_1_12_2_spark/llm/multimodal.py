@@ -370,3 +370,107 @@ def bmp_resize_stats(
             )
 
     return df.select(id_col, "image_bmp").mapInPandas(fn, BMP_RESIZE_SCHEMA)
+
+
+# fake audio: magic 'FPCM' | u16 n_samples | u16 sample_rate | n_samples
+# unsigned-byte samples (sample i = first byte of md5(doc_id ':' i) —
+# reproducible in SQL, so the oracle verifies window ENERGY computed from
+# the exact sample values, not just window counts). Real containers
+# (wav/flac/ogg) would swap the header/sample parsing for soundfile inside
+# the same mapInPandas body.
+_AMAGIC = b"FPCM"
+_AFMT = ">4sHH"
+_AHEADER_SIZE = struct.calcsize(_AFMT)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fake PCM column: n_samples = id % 240 + 120 (3-9
+    40-sample windows), sample_rate 8000."""
+    n = (F.col(id_col) % 240 + 120).cast("int")
+    header = F.concat(
+        F.lit(_AMAGIC),
+        F.expr(f"unhex(lpad(hex(CAST({id_col} % 240 + 120 AS INT)), 4, '0'))"),
+        F.expr("unhex(lpad(hex(8000), 4, '0'))"),
+    )
+    sample = lambda i: F.substring(  # noqa: E731
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), i.cast("string")
+                )
+            )
+        ),
+        1,
+        1,
+    )
+    samples = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 1), sample),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    return df.withColumn("audio", F.concat(header, samples)).withColumn(
+        "meta_samples", n
+    ).withColumn("meta_rate", F.lit(8000))
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, win_idx int, n_samples int, energy bigint, "
+    "zero_crossings int"
+)
+
+
+def audio_window_features(
+    df: DataFrame, window: int = 40, id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed audio features over Arrow-batched mapInPandas: parse the
+    PCM container header, frame the byte samples into fixed windows, and
+    emit per-window ENERGY (sum of squared samples — exact integer) and
+    ZERO-CROSSINGS around the u8 midline (127.5: strictly-opposite-side
+    sign products only, so the count is an exact integer too). Both
+    features are content-derived, so the DuckDB oracle recomputes them
+    from the generator formula — verifying the decode path end-to-end.
+
+    Scale: decode work is per-row Python but Arrow-batched and
+    embarrassingly parallel; filter/prune BEFORE this operator (the
+    filter-before-decode pattern) so only surviving rows pay it. The
+    trailing short window is emitted (real feature extractors pad or
+    drop; downstream sees n_samples)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf["audio"]):
+                b = bytes(blob)
+                magic, n, _rate = struct.unpack(_AFMT, b[:_AHEADER_SIZE])
+                if magic != _AMAGIC:
+                    raise NotImplementedError(
+                        "real audio containers (wav/flac/ogg) are stubbed "
+                        "in this environment; plug soundfile into this "
+                        "mapInPandas body"
+                    )
+                vals = list(b[_AHEADER_SIZE:_AHEADER_SIZE + n])
+                for w0 in range(0, n, window):
+                    win = vals[w0:w0 + window]
+                    zc = sum(
+                        1
+                        for a, b2 in zip(win, win[1:])
+                        if (a - 127.5) * (b2 - 127.5) < 0
+                    )
+                    rows.append(
+                        (
+                            int(did),
+                            w0 // window,
+                            len(win),
+                            sum(v * v for v in win),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "win_idx", "n_samples", "energy",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select(id_col, "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

@@ -192,6 +192,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(doc_id % 240 + 120 AS INT) AS n FROM documents),
+    s AS (
+      SELECT doc_id, idx,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(idx AS VARCHAR)), 1, 2))::INT AS v
+      FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS idx FROM f)),
+    p AS (
+      SELECT doc_id, idx, v,
+             LEAD(v) OVER (PARTITION BY doc_id ORDER BY idx) AS nv,
+             CAST(idx // 40 AS INT) AS win_idx, idx % 40 AS pos
+      FROM s)
+    SELECT doc_id, win_idx, CAST(COUNT(*) AS INT) AS n_samples,
+           SUM(v * v) AS energy,
+           CAST(SUM(CASE WHEN pos < 39 AND nv IS NOT NULL
+                          AND (v - 127.5) * (nv - 127.5) < 0
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM p GROUP BY doc_id, win_idx
+    ORDER BY doc_id, win_idx
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction (energy + zero-crossings per
+    40-sample window) over Arrow-batched mapInPandas: the PCM container
+    header is parsed and the byte samples framed in Python — real audio
+    plumbing with a stubbed codec (the fake container's samples are
+    md5-derived, so the oracle recomputes the exact sample values and
+    verifies the decoded CONTENT, the same design as the video
+    frame-sample op). Both features are exact integers. The zero-crossing
+    pair straddling a window boundary belongs to neither window (pos<39),
+    matching the Python framing."""
+    from flink_1_12_2_spark.llm.multimodal import (
+        attach_fake_audio,
+        audio_window_features,
+    )
+
+    d = attach_fake_audio(fan_out(load(spark, sf_dir, "documents")), "doc_id")
+    return audio_window_features(d, window=40).orderBy("doc_id", "win_idx")
+
+
 _BMP_T = 16  # aspect-preserving target box
 
 
