@@ -55,17 +55,24 @@ STATEFUL_HEADLINE = [
 
 # r6 LLM-pipeline headliners: the hashed-LM importance weights (two
 # map-combinable shuffles + broadcast stats) and the BPE trainer
-# (8 unrolled vocabulary-grain rounds) — both new-shape plans whose
-# regressions should be bench-visible.
+# (8 unrolled vocabulary-grain rounds); r8 adds the scan-stage tokenizer
+# APPLICATION (train + whole-stage-codegen replace-chain encode) and the
+# CCNet-style perplexity filter (broadcast lp table, exact bigint sums) —
+# new-shape plans whose regressions should be bench-visible.
 LLM_HEADLINE = [
     "sample_dsir_weights",
     "bpe_train_merges",
+    "bpe_encode_docs",
+    "text_perplexity_filter",
 ]
 
 # Queries whose work executes inside fn() (streaming materialization, or
 # BPE's per-round 1-row merge collects) — the timed region must wrap
 # fn() + write, not write alone.
-TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {"bpe_train_merges"}
+TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {
+    "bpe_train_merges",
+    "bpe_encode_docs",  # trains first: per-round collects inside fn()
+}
 
 
 def main() -> None:
