@@ -121,6 +121,32 @@ def weighted_mixture(
     return out
 
 
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a DISJOINT, EXHAUSTIVE split label (train/val/test
+    partitioning): the row's deterministic draw lands in one of the
+    cumulative-fraction intervals; the last split absorbs the remainder so
+    no row is unlabeled. Content-addressed like the samplers — a document
+    keeps its split across re-runs, resharding, and corpus growth (new
+    rows never move old rows between splits), which is what prevents
+    silent train/val leakage when a corpus is rebuilt. Pure scan-stage
+    projection — zero shuffle."""
+    draw = uniform_draw(F.col(key_col), salt)
+    expr = F.lit(splits[-1][0])
+    acc = 0.0
+    conds = []
+    for name, frac in splits[:-1]:
+        acc += float(frac)
+        conds.append((name, acc))
+    for name, bound in reversed(conds):
+        expr = F.when(draw < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
 # ---------------------------------------------------------------------------
 # Engine-portable fixed-point natural log.
 #

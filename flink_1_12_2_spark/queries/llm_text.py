@@ -363,6 +363,42 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_train_val_split",
+    oracle=f"""
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS docs
+    FROM (SELECT lang,
+                 CASE WHEN {_DRAW.format(salt='tv')} < 0.8 THEN 'train'
+                      WHEN {_DRAW.format(salt='tv')} < 0.9 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test partitioning (80/10/10): disjoint,
+    exhaustive, content-addressed split labels — a document keeps its
+    split across re-runs and corpus growth, the property that prevents
+    silent train/val leakage when the corpus is rebuilt. The draw and the
+    cumulative boundaries are exact doubles in both engines, so the
+    label assignment is reproducible row-for-row; compared here at the
+    (split, lang) census grain."""
+    from flink_1_12_2_spark.llm.sampling import split_corpus
+
+    d = load(spark, sf_dir, "documents")
+    out = split_corpus(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        salt="tv",
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("split", "lang")
+    )
+
+
+
+@query(
     "pipeline_data_mixture",
     oracle=f"""
     WITH en AS (SELECT * FROM documents WHERE lang = 'en'),

@@ -411,3 +411,35 @@ def test_bpe_encode_matches_bruteforce_apply(spark):
     for doc_id, text in [(1, "aaaa lol aaa"), (2, "aaaaa"), (3, "banana aa")]:
         expect = [t for w in text.split() for t in ref_encode(w)]
         assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+def test_split_corpus_disjoint_exhaustive_stable(spark, sf_dir):
+    """split_corpus: every row gets exactly one label, fractions land near
+    their targets, and labels are stable under corpus growth (the half
+    corpus's labels are a prefix-restriction of the full corpus's)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.sampling import split_corpus
+    from flink_1_12_2_spark.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    out = split_corpus(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="tv"
+    )
+    counts = dict(
+        (r["split"], r["n"])
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(counts.values())
+    assert total == d.count()
+    assert 0.7 < counts.get("train", 0) / total < 0.9
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    half_labels = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            half, "doc_id",
+            [("train", 0.8), ("val", 0.1), ("test", 0.1)], salt="tv",
+        ).collect()
+    }
+    full_labels = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full_labels[k] == v for k, v in half_labels.items())
