@@ -541,3 +541,41 @@ def test_exact_substring_vs_lcs_bruteforce(spark, docs):
         ).collect()
     }
     assert got == expected, (texts, got, expected)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 52)),
+        min_size=1, max_size=60, unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_portable_ln_duckdb_bit_identity_random(ns):
+    """Randomized extension of the fixed 210-input bit-sweep: for ANY
+    integer in the portable-ln domain, the staged SQL evaluated by DuckDB
+    is bit-identical to portable_ln_py (the value the engine broadcasts).
+    Catches domain corners the deterministic sweep might miss."""
+    import struct
+
+    import duckdb
+
+    from flink_1_12_2_spark.llm.sampling import (
+        portable_ln_py,
+        portable_ln_stages,
+        staged_select_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS n", [list(ns)]
+    )
+    sql = (
+        "WITH src AS (SELECT n FROM t),\n"
+        + staged_select_sql("src", portable_ln_stages("p", "n"), "s")
+        + f"\nSELECT n, p_ln FROM s{len(portable_ln_stages('p', 'n')) - 1}"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for n in ns:
+        assert struct.pack("<d", got[n]) == struct.pack(
+            "<d", portable_ln_py(n)
+        ), n
