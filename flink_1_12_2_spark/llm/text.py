@@ -241,6 +241,7 @@ def pack_concat_chunks(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    precounted: bool = False,
 ):
     """GPT-style sequence packing: per source shard, documents concatenate
     in ``id_col`` order into one token stream that splits into fixed
@@ -259,10 +260,15 @@ def pack_concat_chunks(
     adds ceil(n/ctx) rows per doc — linear in corpus tokens."""
     from pyspark.sql import Window
 
+    count = (
+        F.col("n_toks")
+        if precounted  # df already carries a token count (e.g. BPE-encoded)
+        else F.size(tokens(F.col(text_col)))
+    )
     d = df.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("n_toks"),
+        count.alias("n_toks"),
     ).filter(F.col("n_toks") > 0)
     w = Window.partitionBy("source").orderBy("doc_id")
     d = d.withColumn(

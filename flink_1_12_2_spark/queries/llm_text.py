@@ -1110,6 +1110,17 @@ def _bpe_oracle(rounds: int) -> str:
     )
 
 
+def _bpe_chain_sql(rounds: int) -> str:
+    """The spaced-symbol replace chain over rule columns l1..l{rounds} /
+    r1..r{rounds} (shared by the encode and tokenize-pack oracles)."""
+    from flink_1_12_2_spark.llm.bpe import merge_pair_sql
+
+    chain = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w> '"
+    for k in range(1, rounds + 1):
+        chain = merge_pair_sql(chain, f"l{k}", f"r{k}")
+    return chain
+
+
 def _bpe_encode_oracle(rounds: int) -> str:
     """Encode oracle: re-derives the SAME merge rules via the shared
     training CTEs, pivots them into one rules row, and applies the
@@ -1191,3 +1202,66 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_12_2_spark.llm.bpe import bpe_train
 
     return bpe_train(load(spark, sf_dir, "documents"), "text", rounds=8)
+
+
+@query(
+    "pipeline_tokenize_pack",
+    oracle=(lambda: (
+        "WITH "
+        + ",\n    ".join(_bpe_oracle_parts(8))
+        + f""",
+    rules AS (SELECT {", ".join(
+        f"(SELECT lhs FROM b{i}) AS l{i + 1}, "
+        f"(SELECT rhs FROM b{i}) AS r{i + 1}"
+        for i in range(8))}),
+    d AS (
+      SELECT source, doc_id,
+             len(flatten(list_transform(toks, w ->
+               list_filter(string_split(trim({_bpe_chain_sql(8)}), ' '),
+                           x -> x <> '')))) AS n_toks
+      FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents), rules),
+    s AS (
+      SELECT *, SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id)
+                  - n_toks AS strt
+      FROM d WHERE n_toks > 0),
+    b AS (
+      SELECT source, doc_id, n_toks, strt,
+             UNNEST(generate_series(CAST(strt // 512 AS BIGINT),
+                                    CAST((strt + n_toks - 1) // 512
+                                         AS BIGINT))) AS bin_id
+      FROM s),
+    per AS (
+      SELECT source, bin_id, doc_id,
+             LEAST((bin_id + 1) * 512, strt + n_toks)
+               - GREATEST(bin_id * 512, strt) AS tib
+      FROM b)
+    SELECT source, bin_id, COUNT(*) AS n_docs, SUM(tib) AS bin_tokens
+    FROM per GROUP BY 1, 2 ORDER BY source, bin_id"""))(),
+    tags=("llm", "tokenizer", "packing", "pipeline"),
+)
+def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenize-then-pack composite — the two halves of a real
+    pretraining data job chained: BPE merges train on the corpus (bounded
+    collect), every document encodes through the codegen replace chain,
+    and the resulting TRUE token counts (subwords + </w> markers, not
+    whitespace words) drive GPT-style concat-then-chunk packing into
+    512-token windows per source shard. Exact integers end to end; the
+    oracle re-derives the merges, the encoded counts, AND the window
+    intersections inside DuckDB."""
+    from flink_1_12_2_spark.llm.bpe import bpe_encode, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", rounds=8).collect()  # bounded: 8 rows
+    merges = [(r["lhs"], r["rhs"]) for r in rules]
+    counts = bpe_encode(d, merges, carry_cols=("source",)).select(
+        "source", "doc_id", F.col("n_tokens").alias("n_toks")
+    )
+    per = T.pack_concat_chunks(counts, ctx=512, precounted=True)
+    return (
+        per.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks_in_bin").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
