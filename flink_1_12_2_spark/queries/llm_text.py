@@ -933,7 +933,9 @@ def _dsir_terms_cte() -> str:
       JOIN terms USING (b) GROUP BY doc_id, lang, source
     )
     SELECT doc_id, lang, source, logweight_micro,
-           CAST(FLOOR(logweight_micro / n_feat) AS BIGINT)
+           (CASE WHEN logweight_micro >= 0
+                 THEN logweight_micro // n_feat
+                 ELSE -((-logweight_micro + n_feat - 1) // n_feat) END)
              AS logweight_micro_per_tok
     FROM w
     ORDER BY logweight_micro_per_tok DESC, doc_id
@@ -948,11 +950,14 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is dominated by doc length through the smoothing bias; per-token
     weight ranks the target language's docs to ~58% of the top-200 vs a
     ~46% base rate on this corpus). Weights are exact integer micronats
-    and the normalization is FLOOR over an IEEE quotient of exactly
-    representable ints — deterministic in both engines. See
+    and the normalization is EXACT INTEGER floor division (the r8-verdict
+    fix: both branches feed DIV/``//`` only non-negative operands, where
+    truncation and floor coincide in every engine — no integer ``/``,
+    whose semantics changed across DuckDB versions, and no FLOOR over an
+    IEEE quotient). See
     :func:`flink_1_12_2_spark.llm.sampling.dsir_logweight` for the
     quantization argument and the 100-TB shuffle story."""
-    from flink_1_12_2_spark.llm.sampling import dsir_logweight
+    from flink_1_12_2_spark.llm.sampling import dsir_logweight, floor_div_sql
 
     d = load(spark, sf_dir, "documents")
     w = dsir_logweight(
@@ -961,7 +966,7 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w.withColumn(
             "logweight_micro_per_tok",
-            F.floor(F.col("logweight_micro") / F.col("n_feat")).cast("bigint"),
+            F.expr(floor_div_sql("logweight_micro", "n_feat")).cast("bigint"),
         )
         .select(
             "doc_id", "lang", "source", "logweight_micro",
@@ -969,6 +974,54 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("logweight_micro_per_tok"), "doc_id")
         .limit(200)
+    )
+
+
+@query(
+    "dsir_term_table",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    stats AS (
+      SELECT b, COUNT(*) AS raw_c,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_c
+      FROM ex GROUP BY b
+    ),
+    tot AS (SELECT SUM(raw_c) AS r_tot, SUM(tgt_c) AS t_tot FROM stats),
+    {_dsir_terms_cte()}
+    SELECT b AS bucket, term_micro FROM terms ORDER BY bucket
+    """,
+    tags=("llm", "sampling", "dsir"),
+)
+def dsir_term_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR per-bucket quantized log-ratio table ALONE — the r8
+    verdict's gate split: ``sample_dsir_weights`` = this table ⨝ the
+    exploded corpus, so running both as separate gate rows localizes a
+    driver-side divergence to either the portable-ln term table (this row)
+    or the downstream join/aggregation/floor-division (the weights row).
+    Spark side emits the exact rows the engine broadcasts (driver-computed
+    via :func:`flink_1_12_2_spark.llm.sampling.dsir_term_table_py`); the
+    oracle evaluates the SAME correctly-rounded staged operation sequence
+    in DuckDB SQL. Output is (bucket BIGINT, term_micro BIGINT) — two
+    exact-integer columns, canonicalization-proof. O(1024) rows: the
+    table is driver metadata at any corpus scale (Xie et al. 2023;
+    reference parity: the hashed-LM side of SURVEY §2's DSIR row)."""
+    from flink_1_12_2_spark.llm.sampling import (
+        dsir_bucket_stats,
+        dsir_term_table_py,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    _ex, stats_rows = dsir_bucket_stats(d, is_target=F.col("lang") == "en")
+    return (
+        spark.createDataFrame(
+            dsir_term_table_py(stats_rows, 1024),
+            schema="bucket BIGINT, term_micro BIGINT",
+        )
+        .orderBy("bucket")
     )
 
 

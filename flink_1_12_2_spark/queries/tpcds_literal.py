@@ -174,7 +174,7 @@ from flink_1_12_2_spark.sql.rewriter import rewrite
 # ---------------------------------------------------------------------------
 # Adapter views.
 
-_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+_CENTS = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
 
 _CATEGORIES = (
     "'Books','Children','Electronics','Home','Jewelry',"
@@ -310,7 +310,7 @@ _ITEM_SPARK = f"""
                LPAD(CAST(p_partkey AS STRING), 16, '0') AS i_item_id,
                CONCAT(p_name, ' #', CAST(p_partkey AS STRING))
                  AS i_item_desc,
-               ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
+               CAST(FLOOR(p_retailprice + 0.5) AS DOUBLE) * 0.6E0 AS i_wholesale_cost,
                element_at(array({_BRANDS}),
                           CAST(1 + p_partkey % 16 AS INT)) AS i_brand,
                CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
@@ -391,13 +391,13 @@ _RICH_FACT_COLS_SPARK = """
                CAST(1 + l_partkey % 25 AS INT) AS {p}promo_sk,
                l_suppkey  AS {p}store_sk,
                CAST(l_quantity AS INT) AS {p}quantity,
-               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+               CAST(1 + FLOOR(l_extendedprice + 0.5) % 200 AS BIGINT)
                  AS {p}list_price,
-               CAST(1 + ROUND(l_extendedprice * 0.7) % 100 AS BIGINT)
+               CAST(1 + FLOOR(l_extendedprice * 0.7 + 0.5) % 100 AS BIGINT)
                  AS {p}wholesale_cost,
-               CAST(ROUND(l_extendedprice * l_discount) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount + 0.5) AS BIGINT)
                  AS {p}coupon_amt,
-               CAST(1 + ROUND(l_extendedprice * (1 - l_discount)) % 200
+               CAST(1 + FLOOR(l_extendedprice * (1 - l_discount) + 0.5) % 200
                     AS BIGINT) AS {p}sales_price,
                (o_custkey + l_suppkey % 5)
                  % (SELECT COUNT(*) FROM {cust}) AS {p}addr_sk,
@@ -405,25 +405,25 @@ _RICH_FACT_COLS_SPARK = """
                  % (SELECT COUNT(*) FROM {cust}) AS {p}bill_addr_sk,
                o_custkey  AS {p}bill_customer_sk,
                l_orderkey AS {p}ticket_number,
-               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
                  AS {p}ext_list_price,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax * 100)
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * l_tax * 100 + 0.5)
                     AS BIGINT) AS {p}ext_tax,
-               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                  AS {p}ext_discount_amt,
-               CAST(ROUND(l_extendedprice * 70) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * 70 + 0.5) AS BIGINT)
                  AS {p}ext_wholesale_cost,
                o_custkey  AS {p}ship_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS {p}web_page_sk,
-               CAST(1 + ROUND(l_extendedprice * (1 - l_discount)) % 400
+               CAST(1 + FLOOR(l_extendedprice * (1 - l_discount) + 0.5) % 400
                     AS BIGINT) AS {p}net_profit,
-               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5) AS BIGINT)
                  AS {p}net_paid,
                CAST(1 + l_suppkey % 5 AS INT) AS {p}warehouse_sk,
                l_orderkey AS {p}ship_date_sk,
                (o_custkey + l_suppkey % 5)
                  % (SELECT COUNT(*) FROM {cust}) AS {p}ship_addr_sk,
-               CAST(ROUND(l_extendedprice * 15) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * 15 + 0.5) AS BIGINT)
                  AS {p}ext_ship_cost
 """
 
@@ -454,7 +454,7 @@ _RICH_SPARK = {
                CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
                CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                  AS cs_ship_mode_sk,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 0.5)
                     AS BIGINT) AS cs_net_paid_inc_tax,
                {_RICH_FACT_COLS_SPARK.format(p="cs_", cust="__tpch_customer")}
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
@@ -479,7 +479,7 @@ _RICH_SPARK = {
                o_custkey  AS sr_customer_sk,
                l_suppkey  AS sr_store_sk,
                {_CENTS} AS sr_return_amt,
-               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                  AS sr_net_loss,
                CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
                o_custkey  AS sr_cdemo_sk,
@@ -495,18 +495,18 @@ _RICH_SPARK = {
                CAST(1 + (o_custkey + l_partkey)
                     % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
                  AS cr_returning_addr_sk,
-               CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 100) AS BIGINT) AS cr_return_amt_inc_tax,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT) AS cr_return_amt_inc_tax,
                CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
                CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
                {_CENTS} AS cr_return_amount,
-               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                  AS cr_net_loss,
-               CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 50 + 0.5) AS BIGINT)
                  AS cr_refunded_cash,
-               CAST(ROUND(l_extendedprice * l_discount * 30) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 30 + 0.5) AS BIGINT)
                  AS cr_reversed_charge,
-               CAST(ROUND(l_extendedprice * l_discount * 20) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 20 + 0.5) AS BIGINT)
                  AS cr_store_credit,
                CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
@@ -522,7 +522,7 @@ _RICH_SPARK = {
                  AS wr_returning_addr_sk,
                CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
                {_CENTS} AS wr_return_amt,
-               CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                  AS wr_net_loss,
                o_custkey  AS wr_refunded_cdemo_sk,
                o_custkey  AS wr_returning_cdemo_sk,
@@ -530,9 +530,9 @@ _RICH_SPARK = {
                     % (SELECT COUNT(*) FROM __tpch_customer) AS BIGINT)
                  AS wr_refunded_addr_sk,
                CAST(1 + l_partkey % 25 AS INT) AS wr_reason_sk,
-               CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * l_discount * 50 + 0.5) AS BIGINT)
                  AS wr_refunded_cash,
-               CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
+               CAST(1 + FLOOR(l_extendedprice * l_tax + 0.5) % 100 AS BIGINT)
                  AS wr_fee,
                CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
@@ -800,7 +800,7 @@ _ITEM_DUCK = f"""
       SELECT p_partkey AS i_item_sk,
              LPAD(CAST(p_partkey AS VARCHAR), 16, '0') AS i_item_id,
              p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_item_desc,
-             ROUND(p_retailprice) * 0.6 AS i_wholesale_cost,
+             CAST(FLOOR(p_retailprice + 0.5) AS DOUBLE) * 0.6E0 AS i_wholesale_cost,
              ([{_BRANDS}])[CAST(1 + p_partkey % 16 AS INT)] AS i_brand,
              CAST(1 + p_partkey % 16 AS INT) AS i_brand_id,
              ([{_MANUFACT_IDS}])[CAST(1 + p_partkey % 17 AS INT)]
@@ -968,7 +968,7 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(1 + l_suppkey % 4 AS INT) AS cs_call_center_sk,
              CAST(1 + (l_partkey * 3 + l_suppkey) % 25 AS INT)
                AS cs_ship_mode_sk,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 0.5)
                   AS BIGINT) AS cs_net_paid_inc_tax,
              {_RICH_FACT_COLS_DUCK.format(p="cs_", cust="customer")}
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -981,7 +981,7 @@ _ADAPTER_DUCK_RICH = f"""
              o_custkey  AS sr_customer_sk,
              l_suppkey  AS sr_store_sk,
              {_CENTS} AS sr_return_amt,
-             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                AS sr_net_loss,
              CAST(FLOOR(l_quantity / 2) AS INT) AS sr_return_quantity,
              o_custkey  AS sr_cdemo_sk,
@@ -996,18 +996,18 @@ _ADAPTER_DUCK_RICH = f"""
              CAST(1 + (o_custkey + l_partkey)
                   % (SELECT COUNT(*) FROM customer) AS BIGINT)
                AS cr_returning_addr_sk,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                        * 100) AS BIGINT) AS cr_return_amt_inc_tax,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100 + 0.5) AS BIGINT) AS cr_return_amt_inc_tax,
              CAST(1 + l_partkey % 25 AS INT) AS cr_catalog_page_sk,
              CAST(1 + l_suppkey % 4 AS INT) AS cr_call_center_sk,
              {_CENTS} AS cr_return_amount,
-             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                AS cr_net_loss,
-             CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 50 + 0.5) AS BIGINT)
                AS cr_refunded_cash,
-             CAST(ROUND(l_extendedprice * l_discount * 30) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 30 + 0.5) AS BIGINT)
                AS cr_reversed_charge,
-             CAST(ROUND(l_extendedprice * l_discount * 20) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 20 + 0.5) AS BIGINT)
                AS cr_store_credit,
              CAST(FLOOR(l_quantity / 2) AS INT) AS cr_return_quantity
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1022,7 +1022,7 @@ _ADAPTER_DUCK_RICH = f"""
                AS wr_returning_addr_sk,
              CAST(1 + l_partkey % 25 AS INT) AS wr_web_page_sk,
              {_CENTS} AS wr_return_amt,
-             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
                AS wr_net_loss,
              o_custkey  AS wr_refunded_cdemo_sk,
              o_custkey  AS wr_returning_cdemo_sk,
@@ -1030,9 +1030,9 @@ _ADAPTER_DUCK_RICH = f"""
                   % (SELECT COUNT(*) FROM customer) AS BIGINT)
                AS wr_refunded_addr_sk,
              CAST(1 + l_partkey % 25 AS INT) AS wr_reason_sk,
-             CAST(ROUND(l_extendedprice * l_discount * 50) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * l_discount * 50 + 0.5) AS BIGINT)
                AS wr_refunded_cash,
-             CAST(1 + ROUND(l_extendedprice * l_tax) % 100 AS BIGINT)
+             CAST(1 + FLOOR(l_extendedprice * l_tax + 0.5) % 100 AS BIGINT)
                AS wr_fee,
              CAST(FLOOR(l_quantity / 2) AS INT) AS wr_return_quantity
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1201,7 +1201,7 @@ _DATED_SPARK["catalog_sales"] = f"""
                o_custkey AS cs_bill_hdemo_sk,
                CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
                CAST(l_quantity AS INT) AS cs_quantity,
-               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+               CAST(1 + FLOOR(l_extendedprice + 0.5) % 200 AS BIGINT)
                  AS cs_list_price,
                l_orderkey AS cs_order_number
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
@@ -1221,7 +1221,7 @@ _DATED_SPARK["web_sales"] = f"""
                  AS ws_ship_mode_sk,
                CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
                CAST(l_quantity AS INT) AS ws_quantity,
-               CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+               CAST(1 + FLOOR(l_extendedprice + 0.5) % 200 AS BIGINT)
                  AS ws_list_price,
                o_custkey AS ws_bill_customer_sk
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
@@ -1268,7 +1268,7 @@ _CS_WS_DATED_DUCK = f"""catalog_sales AS (
              o_custkey AS cs_bill_hdemo_sk,
              CAST(1 + l_partkey % 25 AS INT) AS cs_promo_sk,
              CAST(l_quantity AS INT) AS cs_quantity,
-             CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+             CAST(1 + FLOOR(l_extendedprice + 0.5) % 200 AS BIGINT)
                AS cs_list_price,
              l_orderkey AS cs_order_number
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1288,7 +1288,7 @@ _CS_WS_DATED_DUCK = f"""catalog_sales AS (
                AS ws_ship_mode_sk,
              CAST(1 + l_suppkey % 25 AS INT) AS ws_web_site_sk,
              CAST(l_quantity AS INT) AS ws_quantity,
-             CAST(1 + ROUND(l_extendedprice) % 200 AS BIGINT)
+             CAST(1 + FLOOR(l_extendedprice + 0.5) % 200 AS BIGINT)
                AS ws_list_price,
              o_custkey AS ws_bill_customer_sk
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1364,7 +1364,7 @@ _DENSE_SPARK = {
                CAST(1 + l_partkey % 100 AS BIGINT) AS ss_item_sk,
                o_custkey AS ss_customer_sk,
                CAST(l_quantity AS INT) AS ss_quantity,
-               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5) AS BIGINT)
                  AS ss_sales_price
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
@@ -1373,7 +1373,7 @@ _DENSE_SPARK = {
                CAST(1 + l_partkey % 100 AS BIGINT) AS cs_item_sk,
                o_custkey AS cs_bill_customer_sk,
                CAST(l_quantity AS INT) AS cs_quantity,
-               CAST(ROUND(l_extendedprice) AS BIGINT) AS cs_list_price
+               CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS cs_list_price
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
     """,
@@ -1382,7 +1382,7 @@ _DENSE_SPARK = {
                CAST(1 + l_partkey % 100 AS BIGINT) AS ws_item_sk,
                o_custkey AS ws_bill_customer_sk,
                CAST(l_quantity AS INT) AS ws_quantity,
-               CAST(ROUND(l_extendedprice) AS BIGINT) AS ws_list_price
+               CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS ws_list_price
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 1
     """,
@@ -1402,7 +1402,7 @@ _ADAPTER_DUCK_DENSE = f"""
              CAST(1 + l_partkey % 100 AS BIGINT) AS ss_item_sk,
              o_custkey AS ss_customer_sk,
              CAST(l_quantity AS INT) AS ss_quantity,
-             CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5) AS BIGINT)
                AS ss_sales_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     catalog_sales AS (
@@ -1410,7 +1410,7 @@ _ADAPTER_DUCK_DENSE = f"""
              CAST(1 + l_partkey % 100 AS BIGINT) AS cs_item_sk,
              o_custkey AS cs_bill_customer_sk,
              CAST(l_quantity AS INT) AS cs_quantity,
-             CAST(ROUND(l_extendedprice) AS BIGINT) AS cs_list_price
+             CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS cs_list_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 2),
     web_sales AS (
@@ -1418,7 +1418,7 @@ _ADAPTER_DUCK_DENSE = f"""
              CAST(1 + l_partkey % 100 AS BIGINT) AS ws_item_sk,
              o_custkey AS ws_bill_customer_sk,
              CAST(l_quantity AS INT) AS ws_quantity,
-             CAST(ROUND(l_extendedprice) AS BIGINT) AS ws_list_price
+             CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS ws_list_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_linenumber % 3 = 1),
     {_ITEM_DUCK.strip()},
@@ -1592,7 +1592,7 @@ _NULLS_SPARK = {
                     ELSE l_suppkey END AS ss_store_sk,
                CASE WHEN (l_orderkey + l_partkey) % 7 = 0 THEN NULL
                     ELSE o_custkey END AS ss_addr_sk,
-               CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5) AS BIGINT)
                  AS ss_net_profit
         FROM __tpch_lineitem JOIN __tpch_orders ON l_orderkey = o_orderkey
     """,
@@ -1626,7 +1626,7 @@ _ADAPTER_DUCK_NULLS = f"""
                   ELSE l_suppkey END AS ss_store_sk,
              CASE WHEN (l_orderkey + l_partkey) % 7 = 0 THEN NULL
                   ELSE o_custkey END AS ss_addr_sk,
-             CAST(ROUND(l_extendedprice * (1 - l_discount)) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) + 0.5) AS BIGINT)
                AS ss_net_profit
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     web_sales AS (
@@ -3286,9 +3286,9 @@ _Q77_DATES = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'"
         AND wsr_web_site_sk = web_site_sk
       GROUP BY web_site_id)
     SELECT channel, id,
-           CAST(SUM(sales) AS DECIMAL(38,2)) AS sales,
-           CAST(SUM(rtns) AS DECIMAL(38,2)) AS "returns",
-           CAST(SUM(profit) AS DECIMAL(38,2)) AS profit
+           CAST(SUM(sales) AS BIGINT) AS sales,
+           CAST(SUM(rtns) AS BIGINT) AS "returns",
+           CAST(SUM(profit) AS BIGINT) AS profit
     FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
                  sales, rtns, (profit - profit_loss) AS profit FROM ssr
           UNION ALL
@@ -3310,11 +3310,23 @@ def tpcds_literal_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge on (item, order_number) for the web channel), re-joined to
     date/dimension and GROUP BY ROLLUP(channel, id). All measures are
     exact integer cents widened by the spec's DECIMAL(7,2) zero literals,
-    so the DECIMAL(38,2) sums are exact in both engines; (channel, id) is
-    a total order with NULLS FIRST pinned to Spark's ASC default.
-    Reference: tpcds-tool/query/query5.sql; TpcdsTestProgram.java:118."""
+    so the decimal sums are exact in both engines; (channel, id) is
+    a total order with NULLS FIRST pinned to Spark's ASC default. The
+    gate projection appended AFTER the literal text (the LIMIT has
+    already fixed the row set) casts the exactly-integral decimal sums
+    to BIGINT so the driver compares pure integers — canonicalization-
+    proof against decimal-rendering differences (the r8 verdict's
+    BIGINT/STRING-outputs rule for gated rows); the oracle applies the
+    same casts. Reference: tpcds-tool/query/query5.sql;
+    TpcdsTestProgram.java:118."""
     _register_views(spark, sf_dir, rich=True)
-    return spark.sql(rewrite(QUERY5_SQL)).toDF(*_CHAN_COLS)
+    return spark.sql(rewrite(QUERY5_SQL)).toDF(*_CHAN_COLS).selectExpr(
+        "channel",
+        "id",
+        "CAST(sales AS BIGINT) AS sales",
+        "CAST(`returns` AS BIGINT) AS returns",
+        "CAST(profit AS BIGINT) AS profit",
+    )
 
 
 @query(
@@ -6493,8 +6505,16 @@ _Q14_CROSS_ITEMS = """cross_items AS (
       WHERE i_brand_id = brand_id AND i_class_id = class_id
         AND i_category_id = category_id)"""
 
+# The threshold mirrors Spark's avg(BIGINT) EXPLICITLY instead of relying
+# on DuckDB's AVG(): Spark sums the exact-integer products in a double
+# accumulator (exact below 2^53 — these sums are < 2^31) and divides by
+# the count once, so CAST(SUM AS DOUBLE)/CAST(COUNT AS DOUBLE) is the
+# bit-identical IEEE value in any engine, while AVG()'s internal
+# accumulation strategy is an implementation detail that has differed
+# across DuckDB releases (the r8 verdict's q14a membership-flip hazard).
 _Q14_AVG_SALES = """avg_sales AS (
-      SELECT AVG(quantity * list_price) AS average_sales
+      SELECT CAST(SUM(quantity * list_price) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS average_sales
       FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
             FROM store_sales, date_dim
             WHERE ss_sold_date_sk = d_date_sk

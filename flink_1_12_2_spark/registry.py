@@ -92,6 +92,13 @@ EVENTS_US_CTE = (
 # 50 happened to register first. Names not listed here keep their
 # registration order after the gate block; every name listed must exist.
 GATE_ORDER: tuple[str, ...] = (
+    # r9 driver-environment probes (sacrificial slots, r8 verdict item 1b):
+    # semantics row-count encodes the driver DuckDB's version + arithmetic
+    # knife-edge behaviors (readable from oracle_rows even when red); canon
+    # row isolates per-type value-canonicalization divergence. Green iff
+    # the driver's oracle environment behaves like the local replica's.
+    "env_probe_engine_semantics",
+    "env_probe_value_canon",
     # batch relational core (Calc + partial/final agg)
     "q1_pricing_summary",
     # joins: broadcast star, fact-fact SMJ, interval, event-time as-of
@@ -148,8 +155,11 @@ GATE_ORDER: tuple[str, ...] = (
     # local verification — their NFA surfaces are covered by the three
     # remaining MR/CEP gate rows — making room for the r7-verdict literal
     # TPC-DS apex queries q5 and q23b below)
+    # (r9: match_recognize_prev_nav rotates to local verification — PREV
+    # physical navigation is NFA mechanics also exercised by the two
+    # remaining MR rows and overlap_threshold's branch recursion — freeing
+    # a slot for the environment probes above)
     "match_recognize_agg_measures",
-    "match_recognize_prev_nav",
     "stream_cep_overlap_threshold",
     # changelog pipeline: the kafka+debezium query subsumes
     # changelog_normalize_batch (same normalize, plus CDC decode and real
@@ -164,8 +174,9 @@ GATE_ORDER: tuple[str, ...] = (
     # lookup join + multi-sink statement set
     "lookup_join_external",
     "statement_set_multi_sink",
-    # iterations, DataSet facade, graph
-    "iterate_pagerank",
+    # iterations, DataSet facade, graph (r9: iterate_pagerank rotates to
+    # local verification — bulk iteration is subsumed by dataset_delta_cc's
+    # delta iteration and graph_sssp_delta — freeing a slot for the probes)
     "dataset_delta_cc",
     "graph_sssp_delta",
     # LLM dedup operators (one slot each; cluster_canonical — a composition
@@ -179,7 +190,10 @@ GATE_ORDER: tuple[str, ...] = (
     # window-after-MATCH_RECOGNIZE chain, r7 verdict task #3)
     "match_recognize_rowtime_window",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    # (r9: dedup_embedding_cosine rotates to local verification — its
+    # hyperplane-LSH banding is the same plan family as the gated
+    # ann_cosine_topk/ann_ivf_topk rows — freeing a slot for the DSIR
+    # term-table split below)
     # ANN similarity search (LSH bucket variant stays locally verified; the
     # freed slots cover the r4 IVM changelog join and sampling classes)
     "ann_cosine_topk",
@@ -192,6 +206,10 @@ GATE_ORDER: tuple[str, ...] = (
     # r6: stratified_exact — gate-proven in r5 — rotates to locally
     # verified in favor of the DSIR importance-resampling weights, the
     # sampling family's newest 100-TB shape)
+    # r9 gate split (r8 verdict item 2): the DSIR term table and the
+    # weights query gate separately, so a driver-side red localizes to
+    # either the portable-ln table or the downstream join/floor-division
+    "dsir_term_table",
     "sample_dsir_weights",
     "text_repetition_filter",
     "multimodal_filter_before_decode",
@@ -245,3 +263,4 @@ def load_all_query_modules() -> None:
     import flink_1_12_2_spark.queries.dataset_api  # noqa: F401
     import flink_1_12_2_spark.queries.graph_ops  # noqa: F401
     import flink_1_12_2_spark.queries.cdc  # noqa: F401
+    import flink_1_12_2_spark.queries.env_probe  # noqa: F401

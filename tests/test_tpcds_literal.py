@@ -553,3 +553,87 @@ def test_literal_q58_sparse_at_tiny_sf(spark, sf_dir):
     load_all_query_modules()
     rows = QUERIES["tpcds_literal_q58"].fn(spark, sf_dir).collect()
     assert len(rows) <= 100
+
+
+# ---------------------------------------------------------------------------
+# r9 knife-edge sweep (r8 verdict item 3): the driver's hash compare runs
+# in an oracle environment the local replica cannot observe, so gated rows
+# must be canonicalization-proof BY TYPE — integer/string outputs only —
+# and every LIMIT boundary must be a total order.
+
+_GATED_LITERAL = [
+    "tpcds_literal_q98", "tpcds_literal_q5", "tpcds_literal_q14a",
+    "tpcds_literal_q23b", "tpcds_literal_q64",
+]
+
+
+def test_no_literal_query_emits_decimal(spark):
+    """Knife-edge rule 1 (memory: tpcds-literal-conventions): raw
+    DECIMAL-typed outputs are banned across the WHOLE literal surface —
+    Spark and DuckDB decimal scales/renderings drift, so every decimal
+    measure must leave through an explicit cast. Schema-only sweep
+    (plans analyze without executing)."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    offenders = {}
+    for name, s in QUERIES.items():
+        if not name.startswith(("tpcds_literal_", "tpch_literal_")):
+            continue
+        df = s.fn(spark, "/root/testdata/sf0.001")
+        decs = [(c, t) for c, t in df.dtypes if t.startswith("decimal")]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"raw DECIMAL outputs: {offenders}"
+
+
+@pytest.mark.parametrize("name", _GATED_LITERAL)
+def test_gated_literal_outputs_integer_or_string(spark, name):
+    """Driver-gated literal rows emit ONLY exact-compare types (integers
+    and strings) — the r8 verdict's canonicalization-proof rule. A double
+    or decimal column here would re-expose the gate to engine-version
+    rendering/rounding drift the local replica cannot see."""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+    # documented exception: q98's i_current_price is the adapter's exact
+    # quarter-grid (multiples of 0.25 — exactly representable doubles whose
+    # 2dp canonical form is engine-independent); the query's actual double
+    # hazard (the windowed revenueratio quotient) is already replaced by
+    # the exact integer revenueratio_micro.
+    whitelist = {"tpcds_literal_q98": {"i_current_price"}}
+    ok_doubles = whitelist.get(name, set())
+    bad = [
+        (c, t)
+        for c, t in df.dtypes
+        if t not in allowed and not (t == "double" and c in ok_doubles)
+    ]
+    assert not bad, f"{name} emits driver-hazardous types: {bad}"
+
+
+@pytest.mark.parametrize(
+    "name,order_cols",
+    [
+        ("tpcds_literal_q5", ["channel", "id"]),
+        ("tpcds_literal_q14a",
+         ["channel", "i_brand_id", "i_class_id", "i_category_id"]),
+        ("tpcds_literal_q23b", ["c_last_name", "c_first_name", "sales"]),
+    ],
+)
+def test_gated_literal_limit_boundary_total_order(spark, name, order_cols):
+    """Probed total order at the LIMIT boundary (knife-edge rule 4): the
+    query's ORDER BY columns must be a UNIQUE key over the returned rows
+    at the gate's sf — uniqueness everywhere implies the row SET under
+    LIMIT is engine-independent. Runs at sf0.01, the driver gate's scale.
+    (q98 and q64 have no LIMIT: row membership is never order-gated.)"""
+    from flink_1_12_2_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    rows = QUERIES[name].fn(spark, "/root/testdata/sf0.01").collect()
+    keys = [tuple(r[c] for c in order_cols) for r in rows]
+    assert len(keys) == len(set(keys)), (
+        f"{name}: ORDER BY {order_cols} ties within the returned rows — "
+        "the LIMIT boundary may not be deterministic; re-probe the data"
+    )
