@@ -71,8 +71,67 @@ LLM_HEADLINE = [
 # fn() + write, not write alone.
 TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {
     "bpe_train_merges",
-    "bpe_encode_docs",  # trains first: per-round collects inside fn()
 }
+
+
+def _bpe_encode_fixture(spark, sf_dir):
+    """Pre-trained-merges fixture (r8 verdict item: the bpe_encode_docs
+    slot conflated ~3.8 s of training with the encode, masking encode
+    regressions behind training variance). Trains the 8 merge rules ONCE,
+    outside every timed region, and returns a builder that times the
+    encode replace-chain alone — the slot bpe_train_merges already times
+    training."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.bpe import bpe_encode, bpe_train
+    from flink_1_12_2_spark.registry import load
+
+    rules = bpe_train(
+        load(spark, sf_dir, "documents"), "text", rounds=8
+    ).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in rules]
+
+    def encode_only(spark, sf_dir):
+        enc = bpe_encode(
+            load(spark, sf_dir, "documents"), merges, carry_cols=("lang",)
+        )
+        return (
+            enc.withColumn("tokens_head", F.slice(F.col("tokens"), 1, 32))
+            .select("doc_id", "lang", "n_words", "n_tokens", "tokens_head")
+            .orderBy("doc_id")
+            .limit(100)
+        )
+
+    return encode_only
+
+
+def _read_proc_stat():
+    """(busy_jiffies, steal_jiffies, total_jiffies) from /proc/stat's
+    aggregate cpu line; None if unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return total - idle, steal, total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _env_snapshot():
+    """Machine-contention telemetry (r8 verdict: the r7→r8 uniform 1.55x
+    core drift on untouched code was environmental; capture enough here
+    that the next round can tell contention from regression)."""
+    snap = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        snap["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    snap["ncpu"] = os.cpu_count()
+    return snap
 
 
 def main() -> None:
@@ -103,9 +162,14 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load(spark, sf_dir, t).count()
 
+    env_start = _env_snapshot()
+    stat0 = _read_proc_stat()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
+        if name == "bpe_encode_docs":
+            fn = _bpe_encode_fixture(spark, sf_dir)  # train outside timings
         stateful = name in TIMED_INSIDE_FN
         best: float | None = None
         for _attempt in range(2):
@@ -131,6 +195,14 @@ def main() -> None:
     # r1-r5 baseline comparison stays like-for-like after the stateful
     # queries joined the bench
     core = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
+
+    env = {"start": env_start, "end": _env_snapshot()}
+    stat1 = _read_proc_stat()
+    if stat0 and stat1 and stat1[2] > stat0[2]:
+        dtotal = stat1[2] - stat0[2]
+        env["cpu_busy_pct"] = round(100.0 * (stat1[0] - stat0[0]) / dtotal, 1)
+        env["cpu_steal_pct"] = round(100.0 * (stat1[1] - stat0[1]) / dtotal, 2)
+
     print(
         json.dumps(
             {
@@ -140,6 +212,7 @@ def main() -> None:
                 "core_sec": core,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "env": env,
             }
         )
     )

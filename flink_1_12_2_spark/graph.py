@@ -4,7 +4,9 @@ Flink parity: flink-libraries/flink-gelly/src/main/java/org/apache/flink/
 graph/Graph.java:85 (fromDataSet, getDegrees, reverse, getUndirected,
 subgraph, mapVertices/mapEdges, filterOnVertices, run(GraphAlgorithm));
 library algorithms under flink-gelly/.../library/ (ConnectedComponents,
-SingleSourceShortestPaths — both delta iterations — and PageRank).
+SingleSourceShortestPaths — both delta iterations — PageRank,
+LabelPropagation.java — sync most-frequent-neighbor supersteps — and
+TriangleEnumerator.java — degree-oriented triad enumeration).
 
 The GraphFrames pattern: vertices(id, ...) + edges(src, dst, ...) as plain
 DataFrames; every transformation is a DataFrame op, every algorithm is a
@@ -19,7 +21,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from flink_1_12_2_spark.operators.advanced import iterate_delta, pagerank
+from flink_1_12_2_spark.operators.advanced import (
+    iterate,
+    iterate_delta,
+    pagerank,
+)
 
 
 class Graph:
@@ -127,6 +133,109 @@ class Graph:
             return delta, delta
 
         return iterate_delta(verts, verts, ["node"], step, max_iterations)
+
+    def run_label_propagation(self, iterations: int = 10) -> DataFrame:
+        """library/LabelPropagation.java — synchronous supersteps: every
+        vertex adopts the label MOST FREQUENT among its neighbors, ties
+        broken by the GREATER label (Gelly's comparator semantics);
+        vertices that receive no messages keep their label. Vertices need
+        a ``label`` column. Fixed iteration count, like the reference
+        (setParallelism-independent sync model).
+
+        Scale: each superstep is one map-combinable (node, label) count
+        shuffle plus a per-node top-1 window over <= |distinct labels|
+        rows — no all-pairs structure; supersteps materialize through
+        ``iterate``'s localCheckpoint so lineage stays flat."""
+        from pyspark.sql import Window
+
+        edges = self.get_undirected().edges.select("src", "dst")
+        init = self.vertices.select(F.col("id").alias("node"), "label")
+
+        def step(labels: DataFrame) -> DataFrame:
+            msgs = edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+            counts = msgs.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.desc("cnt"), F.desc("label")
+            )
+            new = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+            )
+            isolated = labels.join(new.select("node"), "node", "left_anti")
+            return new.unionByName(isolated)
+
+        return iterate(init, step, iterations)
+
+    def run_triangle_enumeration(self) -> DataFrame:
+        """library/TriangleEnumerator.java — the Schank–Wagner
+        degree-oriented enumeration the reference implements: every
+        undirected edge orients from its lower-(degree, id) endpoint, so
+        2-path candidates fan out only from each triangle's LOWEST-degree
+        corner (candidate volume is sum(min_degree²), not sum(degree²) —
+        the property that makes this survive power-law graphs at 100 TB),
+        then candidates close against the oriented edge set with one
+        equi-join. Each triangle is found exactly once; returned as
+        (v1, v2, v3) sorted ascending."""
+        deg = self.degrees()
+        und = (
+            self.get_undirected()
+            .edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        d_src = deg.select(
+            F.col("id").alias("src"), F.col("degree").alias("dsrc")
+        )
+        d_dst = deg.select(
+            F.col("id").alias("dst"), F.col("degree").alias("ddst")
+        )
+        src_first = F.struct("dsrc", "src") < F.struct("ddst", "dst")
+        oriented = (
+            und.join(d_src, "src")
+            .join(d_dst, "dst")
+            .select(
+                F.when(src_first, F.col("src"))
+                .otherwise(F.col("dst"))
+                .alias("lo"),
+                F.when(src_first, F.col("dst"))
+                .otherwise(F.col("src"))
+                .alias("hi"),
+                F.when(
+                    src_first,
+                    F.struct(
+                        F.col("ddst").alias("d"), F.col("dst").alias("v")
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("dsrc").alias("d"), F.col("src").alias("v")
+                    )
+                )
+                .alias("hi_key"),
+            )
+            .distinct()
+        )
+        left = oriented.select("lo", F.col("hi").alias("b"),
+                               F.col("hi_key").alias("bk"))
+        right = oriented.select("lo", F.col("hi").alias("c"),
+                                F.col("hi_key").alias("ck"))
+        paths = left.join(right, "lo").filter(F.col("bk") < F.col("ck"))
+        closing = oriented.select(
+            F.col("lo").alias("b"), F.col("hi").alias("c")
+        )
+        tri = paths.join(closing, ["b", "c"]).select(
+            F.array_sort(F.array("lo", "b", "c")).alias("t")
+        )
+        return tri.select(
+            F.col("t")[0].alias("v1"),
+            F.col("t")[1].alias("v2"),
+            F.col("t")[2].alias("v3"),
+        )
 
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration

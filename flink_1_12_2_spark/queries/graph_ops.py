@@ -90,3 +90,92 @@ def graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node"), F.col("dist"))
         .orderBy("node")
     )
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    SELECT n_nationkey AS node,
+           MAX(n_nationkey) OVER (PARTITION BY n_regionkey) AS label
+    FROM nation ORDER BY node
+    """,
+    tags=("batch", "graph", "gelly", "iteration"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Gelly
+    library/LabelPropagation.java: most-frequent neighbor label, ties to
+    the GREATER label). Graph = the five region cliques (all nation pairs
+    within a region, K5 each), labels initialized to vertex ids. On a
+    clique, sync LP provably converges in two supersteps to the clique's
+    MAXIMUM id — every non-max vertex sees all-distinct labels and takes
+    the max neighbor, then the max vertex is out-voted by the majority
+    carrying its own id — so the oracle is the per-region max while the
+    engine genuinely runs the message/count/top-1 supersteps (4 rounds,
+    past convergence). Scale: superstep cost is one map-combinable
+    (node, label) count shuffle — no all-pairs joins."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r")
+    )
+    edges = a.join(b, "r").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    g = Graph(
+        n.select(
+            F.col("n_nationkey").alias("id"),
+            F.col("n_nationkey").alias("label"),
+        ),
+        edges,
+    )
+    return g.run_label_propagation(iterations=4).orderBy("node")
+
+
+@query(
+    "graph_triangle_enum",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT c_custkey % 40 AS src,
+             (c_custkey % 40 + 1) % 40 AS dst
+      FROM customer
+      UNION
+      SELECT DISTINCT c_custkey % 40, (c_custkey % 40 + 2) % 40
+      FROM customer
+    ),
+    canon AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM base WHERE src <> dst
+    )
+    SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+    FROM canon e1
+    JOIN canon e2 ON e2.a = e1.b
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    ORDER BY v1, v2, v3
+    """,
+    tags=("batch", "graph", "gelly"),
+)
+def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration (Gelly library/TriangleEnumerator.java —
+    Schank–Wagner degree orientation: 2-paths fan out from each
+    triangle's lowest-(degree, id) corner only, closing with one
+    equi-join). Graph = the circulant C40(1,2) derived from customer key
+    residues (each vertex i links to i+1 and i+2 mod 40), which contains
+    exactly the 40 triangles {i, i+1, i+2}. The oracle enumerates
+    canonical a<b<c edge triples by a three-way self-join — a shape
+    DuckDB evaluates directly, while the engine path exercises the
+    oriented pair-generation plan that bounds candidate volume by
+    sum(min-degree²) on skewed graphs."""
+    cust = load(spark, sf_dir, "customer")
+    e1 = cust.select(
+        (F.col("c_custkey") % 40).alias("src"),
+        ((F.col("c_custkey") % 40 + 1) % 40).alias("dst"),
+    )
+    e2 = cust.select(
+        (F.col("c_custkey") % 40).alias("src"),
+        ((F.col("c_custkey") % 40 + 2) % 40).alias("dst"),
+    )
+    edges = e1.union(e2).distinct().filter(F.col("src") != F.col("dst"))
+    g = Graph.from_edges(edges)
+    return g.run_triangle_enumeration().orderBy("v1", "v2", "v3")

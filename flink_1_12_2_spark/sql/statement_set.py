@@ -124,6 +124,18 @@ class StatementSet:
                 if meta.fmt == "csv":
                     writer = writer.option("header", "true")
                 writer.save(meta.path)
+                # a Flink registered table is source AND sink: (re)expose
+                # the written path as the table's temp view so follow-up
+                # SELECTs in the same session read what was just inserted
+                # (CREATE TABLE for a not-yet-existing path could not)
+                reader = spark.read.format(meta.fmt)
+                for k, v in meta.options.items():
+                    reader = reader.option(k, v)
+                if meta.fmt == "csv":
+                    reader = reader.option("header", "true").option(
+                        "inferSchema", "true"
+                    )
+                reader.load(meta.path).createOrReplaceTempView(b.sink)
                 results.append((b.sink, b.df.count()))
         finally:
             for df in shared:

@@ -58,3 +58,65 @@ def test_sssp_shortest_not_first_path(spark):
     g = Graph.from_edges(edges)
     dist = {r["node"]: r["dist"] for r in g.run_sssp(1).collect()}
     assert dist == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+
+
+def test_label_propagation_majority_and_tie(spark):
+    # Gelly LabelPropagation.java semantics: most frequent neighbor label;
+    # ties go to the GREATER label. Vertex 4's neighbors carry labels
+    # {10, 10, 99}: majority 10 beats greater 99. Vertex 5's single
+    # neighbor 4 gives it 10 in the same superstep (sync update reads the
+    # PREVIOUS labels: 4 was 10 before the step).
+    verts = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 10), (5, 7)], "id long, label long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    g = Graph(verts, edges)
+    out = {r["node"]: r["label"] for r in
+           g.run_label_propagation(iterations=1).collect()}
+    assert out[4] == 10      # majority beats greater
+    assert out[5] == 10      # sync: previous label of 4
+    assert out[1] == 10 and out[2] == 10  # their only neighbor was 10
+    # tie case: vertex 3's one neighbor... give it two neighbors with
+    # distinct labels via a second graph
+    verts2 = spark.createDataFrame(
+        [(1, 5), (2, 8), (3, 1)], "id long, label long"
+    )
+    edges2 = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    out2 = {r["node"]: r["label"] for r in
+            Graph(verts2, edges2).run_label_propagation(1).collect()}
+    assert out2[3] == 8      # 5 vs 8 tie at frequency 1 -> greater label
+
+
+def test_label_propagation_isolated_vertex_keeps_label(spark):
+    verts = spark.createDataFrame(
+        [(1, 3), (2, 4), (9, 42)], "id long, label long"
+    )
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           Graph(verts, edges).run_label_propagation(2).collect()}
+    assert out[9] == 42
+
+
+def test_triangle_enumeration_k4(spark):
+    # K4 contains exactly C(4,3) = 4 triangles; each must appear once,
+    # sorted ascending, regardless of degree-tie orientation.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    g = Graph.from_edges(edges)
+    tris = sorted(
+        (r["v1"], r["v2"], r["v3"])
+        for r in g.run_triangle_enumeration().collect()
+    )
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangle_enumeration_no_false_positive(spark):
+    # a 4-cycle has 2-paths but no closing edges -> zero triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert Graph.from_edges(edges).run_triangle_enumeration().count() == 0
