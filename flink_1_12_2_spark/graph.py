@@ -220,6 +220,10 @@ class Graph:
             )
             .distinct()
         )
+        # consumed three times (pair-gen left/right + the closing join):
+        # persist so the degree-attach join and dedup run once, the same
+        # pattern as the dedup module's posting tables
+        oriented = oriented.persist()
         left = oriented.select("lo", F.col("hi").alias("b"),
                                F.col("hi_key").alias("bk"))
         right = oriented.select("lo", F.col("hi").alias("c"),

@@ -142,6 +142,15 @@ class EngineSession:
         # (documented; Flink's in-memory catalog is likewise just a map).
         self._catalogs: dict[str, set[str]] = {"default_catalog": set()}
         self._current_catalog: str = "default_catalog"
+        # catalog name -> type ('generic_in_memory' | 'hive'). A 'hive'
+        # catalog (CREATE CATALOG h WITH ('type'='hive') — HiveCatalog.java
+        # parity) maps onto a PERSISTENT Spark-session-catalog database:
+        # its tables are metastore tables (USING <fmt> LOCATION <path>),
+        # not temp views, so they survive EngineSession re-creation and —
+        # on a deployment with a real metastore — process restarts.
+        self._catalog_types: dict[str, str] = {
+            "default_catalog": "generic_in_memory"
+        }
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
@@ -240,6 +249,16 @@ class EngineSession:
             if out is not None:
                 return out
         if re.match(r"(?is)\s*INSERT\s+(INTO|OVERWRITE)\b", query):
+            m = re.match(
+                r"(?is)\s*INSERT\s+(?:INTO|OVERWRITE)\s+([\w.]+)", query
+            )
+            sink = m.group(1) if m else ""
+            if sink not in self._tables and self.spark.catalog.tableExists(
+                sink
+            ):
+                # hive-catalog (metastore) table: Spark executes the
+                # INSERT natively — no registry sink needed
+                return self.spark.sql(query)
             # single-statement INSERT (Flink executeSql) = 1-element StatementSet
             return self.create_statement_set().add_insert_sql(query).execute()
         if re.match(r"(?is)\s*EXPLAIN\b", query):

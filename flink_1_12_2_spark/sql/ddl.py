@@ -216,6 +216,23 @@ def execute_ddl(engine: EngineSession, ddl: str):
     if like:
         return _create_table_like(engine, like)
     name, schema, meta, _part, computed = parse_create_table(ddl)
+    if engine._catalog_types.get(engine._current_catalog) == "hive":
+        # hive-catalog shim: the table persists in the Spark session
+        # catalog (external table over the declared path) instead of a
+        # temp view — HiveCatalog.java's defining behavior. WATERMARK /
+        # computed-column metadata stays registry-level (exactly Flink:
+        # the metastore stores them as table properties the planner, not
+        # Hive, interprets); stream_table() still applies them.
+        cat = engine._current_catalog
+        cols = f" ({schema})" if schema else ""
+        part = f" PARTITIONED BY ({', '.join(_part)})" if _part else ""
+        engine.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {cat}.{name}{cols} "
+            f"USING {meta.fmt}{part} LOCATION '{meta.path}'"
+        )
+        engine._tables[name] = meta
+        engine._catalogs.setdefault(cat, set()).add(name)
+        return engine.spark.createDataFrame([("OK",)], "result string")
     if not os.path.exists(meta.path):
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
         # filesystem sink) — register metadata only, INSERT will create it
@@ -355,7 +372,16 @@ def execute_statement(engine: EngineSession, stmt: str):
         return spark.createDataFrame([("OK",)], "result string")
 
     if _SHOW_TABLES.match(stmt):
-        if engine._current_catalog != "default_catalog":
+        if engine._catalog_types.get(engine._current_catalog) == "hive":
+            # hive catalogs are Spark databases: list from the session
+            # catalog so tables created by OTHER sessions appear too (the
+            # persistence property the shim exists for)
+            names = sorted(
+                t.name
+                for t in spark.catalog.listTables(engine._current_catalog)
+                if not t.isTemporary
+            )
+        elif engine._current_catalog != "default_catalog":
             # non-default catalog: only the tables registered under it
             names = sorted(engine._catalogs.get(engine._current_catalog, ()))
         else:
@@ -464,19 +490,42 @@ def execute_statement(engine: EngineSession, stmt: str):
     if m:
         opts = dict(_OPT.findall(m.group("opts") or ""))
         ctype = opts.get("type", "generic_in_memory")
-        if ctype != "generic_in_memory":
+        name = m.group("name")
+        if ctype == "hive":
+            # HiveCatalog shim (flink-connectors/flink-connector-hive
+            # HiveCatalog.java): the defining feature is PERSISTENCE —
+            # tables registered under it outlive the TableEnvironment.
+            # Mapped onto a Spark-session-catalog database: CREATE TABLE
+            # under this catalog becomes a metastore table (USING fmt
+            # LOCATION path), queryable by any session sharing the
+            # catalog. 'warehouse' option pins the database location.
+            loc = opts.get("warehouse")
+            engine.spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS {name}"
+                + (f" LOCATION '{loc}'" if loc else "")
+            )
+        elif ctype != "generic_in_memory":
             raise ValueError(
-                f"catalog type {ctype!r} needs external services; only "
-                "'generic_in_memory' (GenericInMemoryCatalog parity) is "
+                f"catalog type {ctype!r} needs external services; "
+                "'generic_in_memory' (GenericInMemoryCatalog parity) and "
+                "'hive' (persistent Spark-catalog-database shim) are "
                 "available in this environment"
             )
-        engine._catalogs.setdefault(m.group("name"), set())
+        engine._catalogs.setdefault(name, set())
+        engine._catalog_types[name] = ctype
         return _ok()
     m = _USE_CATALOG.match(stmt)
     if m:
-        if m.group("name") not in engine._catalogs:
-            raise ValueError(f"catalog {m.group('name')!r} does not exist")
-        engine._current_catalog = m.group("name")
+        name = m.group("name")
+        if name not in engine._catalogs:
+            raise ValueError(f"catalog {name!r} does not exist")
+        engine._current_catalog = name
+        # hive-typed catalogs are Spark databases: make unqualified table
+        # names resolve there (and restore 'default' otherwise)
+        if engine._catalog_types.get(name) == "hive":
+            engine.spark.catalog.setCurrentDatabase(name)
+        else:
+            engine.spark.catalog.setCurrentDatabase("default")
         return _ok()
     m = _DROP_CATALOG.match(stmt)
     if m:

@@ -326,8 +326,10 @@ def test_create_use_drop_catalog(spark, sf_dir):
     assert eng.meta("side_nation") is None
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("USE CATALOG side")
+    # 'hive' is supported since r9 (persistent Spark-catalog-database
+    # shim, tests/test_hive_catalog.py); truly external types still refuse
     with pytest.raises(ValueError, match="external services"):
-        eng.sql("CREATE CATALOG h WITH ('type'='hive')")
+        eng.sql("CREATE CATALOG h WITH ('type'='iceberg')")
     eng.sql("DROP CATALOG IF EXISTS nope")  # silent
 
 

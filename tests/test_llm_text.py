@@ -443,3 +443,89 @@ def test_split_corpus_disjoint_exhaustive_stable(spark, sf_dir):
     }
     full_labels = {r["doc_id"]: r["split"] for r in out.collect()}
     assert all(full_labels[k] == v for k, v in half_labels.items())
+
+
+def test_floor_div_sql_both_engines_match_python():
+    """The r9 portable integer floor-division (floor_div_sql /
+    floor_div_sql_duck) must equal Python's // (true floor) in BOTH
+    engines for every sign/magnitude mix — including the negative
+    quotients that broke three rounds of DSIR gate runs when FLOOR was
+    applied to a float quotient, and magnitudes beyond 2^53 where a
+    double round-trip would corrupt the quotient."""
+    import random
+
+    import duckdb
+
+    from flink_1_12_2_spark.llm.sampling import (
+        floor_div_sql,
+        floor_div_sql_duck,
+    )
+    from flink_1_12_2_spark.session import get_spark
+
+    rng = random.Random(20260815)
+    cases = [(-7, 2), (7, 2), (-6, 2), (-6, 3), (0, 5), (-1, 1024),
+             (-(2**61), 3), (2**61 + 1, 7), (-(2**53) - 1, 2),
+             (9007199254740993, 2)]
+    cases += [
+        (rng.randint(-(2**62), 2**62), rng.randint(1, 10**9))
+        for _ in range(200)
+    ]
+    vals = ", ".join(f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+                     for a, b in cases)
+    duck = duckdb.sql(
+        f"SELECT a, b, {floor_div_sql_duck('a', 'b')} AS q "
+        f"FROM (VALUES {vals}) t(a, b)"
+    ).fetchall()
+    assert all(q == a // b for a, b, q in duck), [
+        (a, b, q, a // b) for a, b, q in duck if q != a // b
+    ][:3]
+
+    spark = get_spark(shuffle_partitions=2)
+    sdf = spark.createDataFrame(cases, "a long, b long").selectExpr(
+        "a", "b", f"{floor_div_sql('a', 'b')} AS q"
+    )
+    srows = sdf.collect()
+    assert all(r["q"] == r["a"] // r["b"] for r in srows), [
+        (r["a"], r["b"], r["q"]) for r in srows if r["q"] != r["a"] // r["b"]
+    ][:3]
+
+
+def test_round_half_away_sql_both_engines_match_python():
+    """_round_half_away_sql (the r9 version-proof micronat quantizer) must
+    be bit-identical to _round_half_away_py in BOTH engines — including
+    exact .5 ties of both signs (where ROUND(double) implementations
+    disagree across DuckDB releases) and the 0.49999999999999994 edge
+    (where floor(v+0.5) is wrong in every engine)."""
+    import struct as _s
+
+    import duckdb
+
+    from flink_1_12_2_spark.llm.sampling import (
+        _round_half_away_py,
+        _round_half_away_sql,
+    )
+    from flink_1_12_2_spark.session import get_spark
+
+    vals = [0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 2.4999999999999996,
+            0.49999999999999994, -0.49999999999999994, 1e15 + 0.5,
+            -(1e15 + 0.5), 123456.499999999, -7.999999999999999,
+            3.5000000000000004, -1048576.5]
+    expected = {_s.pack("<d", v): _round_half_away_py(v) for v in vals}
+
+    dvals = ", ".join(f"({v!r}E0)" if "e" not in repr(v) else f"({v!r})"
+                      for v in vals)
+    duck = duckdb.sql(
+        f"SELECT v, {_round_half_away_sql('v')} AS r "
+        f"FROM (VALUES {dvals}) t(v)"
+    ).fetchall()
+    for v, r in duck:
+        assert r == expected[_s.pack('<d', v)], (v, r)
+
+    spark = get_spark(shuffle_partitions=2)
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double").selectExpr(
+        "v", f"{_round_half_away_sql('v')} AS r"
+    )
+    for row in sdf.collect():
+        assert row["r"] == expected[_s.pack('<d', row["v"])], (
+            row["v"], row["r"],
+        )
