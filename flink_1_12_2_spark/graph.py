@@ -241,6 +241,93 @@ class Graph:
             F.col("t")[2].alias("v3"),
         )
 
+    def _undirected_adjacency(self) -> DataFrame:
+        """(v, n) neighbor rows of the undirected simple graph (loops and
+        duplicate edges dropped) — the input shape of the similarity
+        library algorithms."""
+        return (
+            self.get_undirected()
+            .edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        )
+
+    def _shared_neighbor_pairs(self) -> tuple[DataFrame, DataFrame]:
+        """(pairs, deg): one row per (v1 < v2, shared neighbor n), plus
+        per-vertex neighbor counts. Candidate volume is sum(deg(n)²) — the
+        similarity algorithms' inherent cost (Gelly's JaccardIndex batches
+        the same blow-up via groupSize); on power-law graphs cap hub
+        degrees upstream with ``filter_on_vertices``, the df-cap pattern
+        the dedup module uses."""
+        adj = self._undirected_adjacency()
+        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        a = adj.select(F.col("n"), F.col("v").alias("v1"))
+        b = adj.select(F.col("n"), F.col("v").alias("v2"))
+        pairs = a.join(b, "n").filter(F.col("v1") < F.col("v2"))
+        return pairs, deg
+
+    def run_jaccard_index(self) -> DataFrame:
+        """library/similarity/JaccardIndex.java — for every vertex pair
+        with at least one shared neighbor, the shared and distinct
+        neighbor counts (Gelly's Result carries both; the score is their
+        ratio). Returned as EXACT integers (v1, v2, shared_count,
+        distinct_count) — the caller divides if it wants the float, and
+        exact counts compare engine-independently."""
+        pairs, deg = self._shared_neighbor_pairs()
+        shared = pairs.groupBy("v1", "v2").agg(
+            F.count(F.lit(1)).alias("shared_count")
+        )
+        d1 = deg.select(F.col("v").alias("v1"), F.col("deg").alias("d1"))
+        d2 = deg.select(F.col("v").alias("v2"), F.col("deg").alias("d2"))
+        return (
+            shared.join(d1, "v1")
+            .join(d2, "v2")
+            .select(
+                "v1",
+                "v2",
+                "shared_count",
+                (F.col("d1") + F.col("d2") - F.col("shared_count")).alias(
+                    "distinct_count"
+                ),
+            )
+        )
+
+    def run_adamic_adar(self) -> DataFrame:
+        """library/similarity/AdamicAdar.java — score(a, b) =
+        Σ_{z ∈ N(a)∩N(b)} 1 / ln(deg(z)). Quantized to exact integer
+        MICRO-units per shared neighbor BEFORE the pair summation
+        (``aa_micro = Σ round_half_away(1e6 / ln deg z)``), with ln
+        evaluated by the engine-portable staged sequence
+        (llm/sampling.portable_ln_stages) — the same determinism design as
+        the DSIR micronat table, so two engines agree bit-for-bit and the
+        per-pair sum is order-free. A shared neighbor has degree ≥ 2, so
+        ln(deg) ≥ ln 2 and the reciprocal is finite. The per-vertex weight
+        is computed once on the degree table (|V| rows), then broadcast-
+        joined onto the pair stream — never recomputed per pair."""
+        from flink_1_12_2_spark.llm.sampling import (
+            _round_half_away_sql,
+            portable_ln_stages,
+        )
+
+        pairs, deg = self._shared_neighbor_pairs()
+        # only deg >= 2 vertices can BE a shared neighbor; filtering first
+        # also keeps ln(1) = 0 out of the reciprocal (ANSI division)
+        w = deg.filter(F.col("deg") >= 2)
+        for col, expr in portable_ln_stages("dg", "deg"):
+            w = w.withColumn(col, F.expr(expr))
+        w = w.select(
+            F.col("v").alias("n"),
+            F.expr(
+                _round_half_away_sql("(1000000.0E0 / dg_ln)")
+            ).alias("w_micro"),
+        )
+        return (
+            pairs.join(w, "n")
+            .groupBy("v1", "v2")
+            .agg(F.sum("w_micro").alias("aa_micro"))
+        )
+
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration
         relaxation; edges need a ``weight`` column. Unreachable vertices

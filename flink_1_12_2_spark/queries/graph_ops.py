@@ -179,3 +179,114 @@ def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e1.union(e2).distinct().filter(F.col("src") != F.col("dst"))
     g = Graph.from_edges(edges)
     return g.run_triangle_enumeration().orderBy("v1", "v2", "v3")
+
+
+# shared DuckDB prelude for the similarity queries: the same C40(1,2)
+# circulant as graph_triangle_enum, expanded to (v, n) adjacency + degrees
+_SIM_DUCK_PRELUDE = """
+    WITH base AS (
+      SELECT DISTINCT c_custkey % 40 AS src,
+             (c_custkey % 40 + 1) % 40 AS dst
+      FROM customer
+      UNION
+      SELECT DISTINCT c_custkey % 40, (c_custkey % 40 + 2) % 40
+      FROM customer
+    ),
+    adj AS (
+      SELECT src AS v, dst AS n FROM base WHERE src <> dst
+      UNION
+      SELECT dst, src FROM base WHERE src <> dst
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+    pairs AS (
+      SELECT a.v AS v1, b.v AS v2, a.n
+      FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v
+    )"""
+
+
+def _circulant_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    cust = load(spark, sf_dir, "customer")
+    e1 = cust.select(
+        (F.col("c_custkey") % 40).alias("src"),
+        ((F.col("c_custkey") % 40 + 1) % 40).alias("dst"),
+    )
+    e2 = cust.select(
+        (F.col("c_custkey") % 40).alias("src"),
+        ((F.col("c_custkey") % 40 + 2) % 40).alias("dst"),
+    )
+    return Graph.from_edges(
+        e1.union(e2).distinct().filter(F.col("src") != F.col("dst"))
+    )
+
+
+@query(
+    "graph_jaccard_index",
+    oracle=f"""{_SIM_DUCK_PRELUDE},
+    shared AS (
+      SELECT v1, v2, COUNT(*) AS shared_count FROM pairs GROUP BY v1, v2)
+    SELECT s.v1, s.v2, s.shared_count,
+           d1.deg + d2.deg - s.shared_count AS distinct_count
+    FROM shared s
+    JOIN deg d1 ON d1.v = s.v1
+    JOIN deg d2 ON d2.v = s.v2
+    ORDER BY v1, v2
+    """,
+    tags=("batch", "graph", "gelly", "similarity"),
+)
+def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity (Gelly library/similarity/
+    JaccardIndex.java): per vertex pair with a shared neighbor, the
+    shared and distinct neighbor counts as EXACT integers (Gelly's
+    Result fields; score = shared/distinct is the caller's division).
+    Runs on the C40(1,2) circulant. Scale: pair generation is the
+    inherent sum(deg(n)²) — identical shape to the dedup module's
+    inverted index; cap hub degrees upstream on power-law graphs."""
+    g = _circulant_graph(spark, sf_dir)
+    return g.run_jaccard_index().orderBy("v1", "v2")
+
+
+def _aa_weight_cte() -> str:
+    """Per-vertex Adamic-Adar micro-weight via the SAME portable staged
+    ln the engine evaluates in-plan — both engines run the identical
+    correctly-rounded operation sequence (the DSIR determinism design)."""
+    from flink_1_12_2_spark.llm.sampling import (
+        _round_half_away_sql,
+        portable_ln_stages,
+        staged_select_sql,
+    )
+
+    stages = portable_ln_stages("dg", "deg")
+    last = f"aw{len(stages) - 1}"
+    return (
+        # deg >= 2 mirrors the engine: only such vertices can be a shared
+        # neighbor, and it keeps ln(1)=0 out of the reciprocal
+        staged_select_sql("(SELECT * FROM deg WHERE deg >= 2)", stages, "aw")
+        + f""",
+    w AS (SELECT v AS n, {_round_half_away_sql("(1000000.0E0 / dg_ln)")}
+                 AS w_micro
+          FROM {last})"""
+    )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""{_SIM_DUCK_PRELUDE},
+    {_aa_weight_cte()}
+    SELECT p.v1, p.v2, SUM(w.w_micro) AS aa_micro
+    FROM pairs p JOIN w ON w.n = p.n
+    GROUP BY p.v1, p.v2
+    ORDER BY v1, v2
+    """,
+    tags=("batch", "graph", "gelly", "similarity"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Gelly library/similarity/
+    AdamicAdar.java): score(a,b) = sum over shared neighbors z of
+    1/ln(deg z), quantized per neighbor to exact integer micro-units via
+    the portable staged ln + half-away quantizer (llm/sampling) so the
+    per-pair BIGINT sum is bit-identical and addition-order-free in both
+    engines — the DSIR micronat design reused on the graph library.
+    The weight computes once per vertex (|V| rows) and broadcast-joins
+    onto the shared-neighbor pair stream."""
+    g = _circulant_graph(spark, sf_dir)
+    return g.run_adamic_adar().orderBy("v1", "v2")

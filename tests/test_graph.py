@@ -120,3 +120,38 @@ def test_triangle_enumeration_no_false_positive(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
     )
     assert Graph.from_edges(edges).run_triangle_enumeration().count() == 0
+
+
+def test_jaccard_index_counts(spark):
+    # path 1-2-3 plus edge 1-3 closing a triangle, plus pendant 4 on 1:
+    # N(1)={2,3,4} N(2)={1,3} N(3)={1,2} N(4)={1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    out = {
+        (r["v1"], r["v2"]): (r["shared_count"], r["distinct_count"])
+        for r in Graph.from_edges(edges).run_jaccard_index().collect()
+    }
+    assert out[(2, 3)] == (1, 3)   # share {1}; union {1,2,3}
+    assert out[(1, 2)] == (1, 4)   # share {3}; union {1,2,3,4}
+    assert out[(1, 3)] == (1, 4)   # share {2}
+    assert out[(2, 4)] == (1, 2)   # share {1}; union {1,3}
+    assert out[(3, 4)] == (1, 2)
+    # N(1)={2,3,4}, N(4)={1}: no shared neighbor -> the pair is absent
+    assert (1, 4) not in out
+
+
+def test_adamic_adar_micronats(spark):
+    # pair (1,3) shares only vertex 2 with degree 2:
+    # aa_micro = round_half_away(1e6 / ln 2)
+    from flink_1_12_2_spark.llm.sampling import (
+        _round_half_away_py,
+        portable_ln_py,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = Graph.from_edges(edges).run_adamic_adar().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["v1"], r["v2"]) == (1, 3)
+    assert r["aa_micro"] == _round_half_away_py(1e6 / portable_ln_py(2))
