@@ -328,6 +328,118 @@ class Graph:
             .agg(F.sum("w_micro").alias("aa_micro"))
         )
 
+    def run_local_clustering_coefficient(self) -> DataFrame:
+        """library/clustering/undirected/LocalClusteringCoefficient.java —
+        per vertex: its degree, its triangle count, and the pair count
+        deg·(deg−1)/2 (Gelly's Result exposes degree + triangle count and
+        computes the coefficient as their ratio; we return the EXACT
+        integer numerator/denominator so engines compare exactly). Built
+        on :meth:`run_triangle_enumeration` (each triangle credits its
+        three corners) joined to :meth:`degrees` — vertices in no
+        triangle report 0."""
+        tri = self.run_triangle_enumeration()
+        corners = (
+            tri.select(F.col("v1").alias("id"))
+            .unionByName(tri.select(F.col("v2").alias("id")))
+            .unionByName(tri.select(F.col("v3").alias("id")))
+        )
+        tcount = corners.groupBy("id").agg(
+            F.count(F.lit(1)).alias("triangle_count")
+        )
+        return (
+            self.degrees()
+            .join(tcount, "id", "left")
+            .select(
+                "id",
+                "degree",
+                F.coalesce("triangle_count", F.lit(0)).alias(
+                    "triangle_count"
+                ),
+                F.expr("degree * (degree - 1) DIV 2").alias("pair_count"),
+            )
+        )
+
+    def run_hits(self, iterations: int = 3) -> DataFrame:
+        """library/linkanalysis/HITS.java (Kleinberg): interdependent hub
+        and authority scores on the DIRECTED graph — auth(v) sums the hub
+        scores of in-neighbors, hub(v) sums the new authority scores of
+        out-neighbors.
+
+        Determinism design (the same exact-integer discipline as DSIR /
+        Adamic–Adar): scores stay EXACT INTEGERS (path counts, init 1)
+        through every superstep — integer sums are addition-order-free —
+        and the reference's per-round normalization is applied ONCE at
+        the end: score / sqrt(Σ score²) with Σ an exact integer sum of
+        squares, sqrt/÷ correctly rounded IEEE, quantized to micro-units.
+        The normalized values equal the reference's fixed-point direction
+        (normalization is scale-only and the iteration map is linear), so
+        rankings and ratios match Gelly. Returns (id, auth_micro,
+        hub_micro). Keep ``iterations`` small: raw counts grow
+        geometrically and must stay below 2^62 (loudly guarded)."""
+        edges = self.edges.select("src", "dst").distinct()
+        scores = self.vertices.select(
+            F.col("id"),
+            F.lit(1).cast("bigint").alias("hub"),
+            F.lit(1).cast("bigint").alias("auth"),
+        )
+        for _ in range(iterations):
+            auth = (
+                edges.join(
+                    scores.select(F.col("id").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("auth"))
+            )
+            with_auth = (
+                scores.select("id", "hub")
+                .join(auth, "id", "left")
+                .select(
+                    "id", "hub",
+                    F.coalesce("auth", F.lit(0)).alias("auth"),
+                )
+            )
+            hub = (
+                edges.join(
+                    with_auth.select(F.col("id").alias("dst"), "auth"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("hub"))
+            )
+            scores = (
+                with_auth.select("id", "auth")
+                .join(hub, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("hub", F.lit(0)).alias("hub"),
+                    "auth",
+                )
+                .localCheckpoint(eager=True)
+            )
+        guard = scores.select(
+            F.max(F.greatest("hub", "auth")).alias("m")
+        ).first()["m"]
+        if guard is not None and guard > (1 << 62):
+            raise ValueError(
+                "HITS raw scores exceed 2^62 — reduce iterations"
+            )
+        sums = scores.select(
+            F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+            F.sum(F.col("auth") * F.col("auth")).alias("a2"),
+        ).first()
+        h2, a2 = int(sums["h2"]), int(sums["a2"])
+        return scores.select(
+            "id",
+            F.expr(
+                f"CAST(FLOOR(auth * 1000000.0E0 / SQRT(CAST({a2} AS DOUBLE))"
+                " + 0.5E0) AS BIGINT)"
+            ).alias("auth_micro"),
+            F.expr(
+                f"CAST(FLOOR(hub * 1000000.0E0 / SQRT(CAST({h2} AS DOUBLE))"
+                " + 0.5E0) AS BIGINT)"
+            ).alias("hub_micro"),
+        )
+
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration
         relaxation; edges need a ``weight`` column. Unreachable vertices

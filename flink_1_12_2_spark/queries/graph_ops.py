@@ -290,3 +290,99 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the shared-neighbor pair stream."""
     g = _circulant_graph(spark, sf_dir)
     return g.run_adamic_adar().orderBy("v1", "v2")
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""{_SIM_DUCK_PRELUDE},
+    canon AS (
+      SELECT DISTINCT LEAST(v, n) AS a, GREATEST(v, n) AS b FROM adj),
+    tri AS (
+      SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM canon e1
+      JOIN canon e2 ON e2.a = e1.b
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT v1 AS id FROM tri UNION ALL
+      SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri),
+    tc AS (SELECT id, COUNT(*) AS triangle_count FROM corners GROUP BY id)
+    SELECT d.v AS id, d.deg AS degree,
+           COALESCE(tc.triangle_count, 0) AS triangle_count,
+           d.deg * (d.deg - 1) // 2 AS pair_count
+    FROM deg d LEFT JOIN tc ON tc.id = d.v
+    ORDER BY id
+    """,
+    tags=("batch", "graph", "gelly", "clustering"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Gelly library/clustering/undirected/
+    LocalClusteringCoefficient.java): per vertex its degree, triangle
+    count, and potential-pair count deg·(deg−1)/2 as EXACT integers (the
+    coefficient is the caller's ratio, exactly Gelly's Result contract).
+    On C40(1,2) every vertex sits in 3 of the 40 triangles with degree 4
+    → coefficient 3/6 = 0.5. Built on the degree-oriented triangle
+    enumerator, so the expensive step inherits its sum(min-degree²)
+    bound."""
+    g = _circulant_graph(spark, sf_dir)
+    return g.run_local_clustering_coefficient().orderBy("id")
+
+
+@query(
+    "graph_hits",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT c_custkey % 17 AS src,
+             100 + ((c_custkey % 17) * 2 + c_custkey % 5) % 13 AS dst
+      FROM customer
+    ),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    -- iteration 1: auth from hub0=1 (indegree), then hub from new auth
+    a1 AS (SELECT dst AS id, COUNT(*) AS auth FROM edges GROUP BY dst),
+    auth1 AS (SELECT v.id, COALESCE(a1.auth, 0) AS auth
+              FROM verts v LEFT JOIN a1 USING (id)),
+    h1 AS (SELECT e.src AS id, SUM(a.auth) AS hub
+           FROM edges e JOIN auth1 a ON a.id = e.dst GROUP BY e.src),
+    hub1 AS (SELECT v.id, COALESCE(h1.hub, 0) AS hub
+             FROM verts v LEFT JOIN h1 USING (id)),
+    -- iteration 2
+    a2 AS (SELECT e.dst AS id, SUM(h.hub) AS auth
+           FROM edges e JOIN hub1 h ON h.id = e.src GROUP BY e.dst),
+    auth2 AS (SELECT v.id, COALESCE(a2.auth, 0) AS auth
+              FROM verts v LEFT JOIN a2 USING (id)),
+    h2 AS (SELECT e.src AS id, SUM(a.auth) AS hub
+           FROM edges e JOIN auth2 a ON a.id = e.dst GROUP BY e.src),
+    hub2 AS (SELECT v.id, COALESCE(h2.hub, 0) AS hub
+             FROM verts v LEFT JOIN h2 USING (id)),
+    norms AS (SELECT (SELECT SUM(auth * auth) FROM auth2) AS a2s,
+                     (SELECT SUM(hub * hub) FROM hub2) AS h2s)
+    SELECT a.id,
+           CAST(FLOOR(a.auth * 1000000.0E0 / SQRT(CAST(n.a2s AS DOUBLE))
+                      + 0.5E0) AS BIGINT) AS auth_micro,
+           CAST(FLOOR(h.hub * 1000000.0E0 / SQRT(CAST(n.h2s AS DOUBLE))
+                      + 0.5E0) AS BIGINT) AS hub_micro
+    FROM auth2 a JOIN hub2 h USING (id), norms n
+    ORDER BY id
+    """,
+    tags=("batch", "graph", "gelly", "linkanalysis"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Gelly library/linkanalysis/HITS.java,
+    Kleinberg): 2 supersteps on an irregular bipartite residue graph
+    (hub i = custkey%17 links to 5 overlapping authorities
+    100 + (2i + custkey%5) mod 13). Scores stay exact integers through
+    the supersteps (addition-order-free) with ONE final normalization by
+    the exact integer sum of squares — correctly-rounded IEEE sqrt/÷ both
+    engines compute identically — quantized to micro-units; the oracle
+    unrolls the same two iterations in SQL. Same direction as Gelly's
+    per-round-normalized fixed point (the update map is linear, so
+    normalization only rescales)."""
+    cust = load(spark, sf_dir, "customer")
+    edges = cust.select(
+        (F.col("c_custkey") % 17).alias("src"),
+        (
+            F.lit(100)
+            + ((F.col("c_custkey") % 17) * 2 + F.col("c_custkey") % 5) % 13
+        ).alias("dst"),
+    ).distinct()
+    g = Graph.from_edges(edges)
+    return g.run_hits(iterations=2).orderBy("id")

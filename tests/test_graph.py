@@ -155,3 +155,45 @@ def test_adamic_adar_micronats(spark):
     r = rows[0]
     assert (r["v1"], r["v2"]) == (1, 3)
     assert r["aa_micro"] == _round_half_away_py(1e6 / portable_ln_py(2))
+
+
+def test_local_clustering_coefficient_k4_and_pendant(spark):
+    # K4 plus a pendant vertex 5 on 1: K4 members sit in 3 triangles with
+    # degree 4 (pendant inflates 1's degree), pendant has 0.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)],
+        "src long, dst long",
+    )
+    out = {
+        r["id"]: (r["degree"], r["triangle_count"], r["pair_count"])
+        for r in Graph.from_edges(edges)
+        .run_local_clustering_coefficient()
+        .collect()
+    }
+    assert out[1] == (4, 3, 6)
+    assert out[2] == (3, 3, 3)   # coefficient 1: all neighbor pairs close
+    assert out[5] == (1, 0, 0)
+
+
+def test_hits_two_iterations_exact(spark):
+    # 1->3, 2->3, 3->4: after 2 iterations the raw integer scores are
+    # auth=(0,0,4,1), hub=(4,4,1,0); normalization divides by sqrt of the
+    # exact sums of squares (17 and 33) and quantizes to micro-units.
+    import math
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        r["id"]: (r["auth_micro"], r["hub_micro"])
+        for r in Graph.from_edges(edges).run_hits(iterations=2).collect()
+    }
+
+    def q(x):
+        return int(math.floor(x + 0.5))
+
+    sa, sh = math.sqrt(17.0), math.sqrt(33.0)
+    assert out[3] == (q(4 * 1e6 / sa), q(1 * 1e6 / sh))
+    assert out[4] == (q(1 * 1e6 / sa), 0)
+    assert out[1] == (0, q(4 * 1e6 / sh))
+    assert out[2] == out[1]
