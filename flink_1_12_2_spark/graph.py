@@ -440,6 +440,55 @@ class Graph:
             ).alias("hub_micro"),
         )
 
+    def run_summarization(
+        self, vertex_value_col: str = "value"
+    ) -> tuple[DataFrame, DataFrame]:
+        """library/Summarization.java — structural summarization: one
+        summarized vertex per distinct vertex VALUE carrying the group
+        size, and one summarized edge per (source group, target group)
+        pair carrying the edge count. The reference assigns an arbitrary
+        member id as the group representative ("guaranteed one of the
+        represented vertex identifiers"); we pin MIN(id) — deterministic
+        and within the reference's contract. Returns (vertices, edges):
+        (id, value, vertex_group_count) and (src, dst, edge_group_count).
+
+        Scale: two map-combinable groupBys plus two broadcast-able
+        id→representative joins — the mapping table has one row per
+        vertex, but only (value, rep) distinct rows matter for the join
+        and Catalyst prunes to them."""
+        groups = self.vertices.groupBy(vertex_value_col).agg(
+            F.min("id").alias("__rep"),
+            F.count(F.lit(1)).alias("vertex_group_count"),
+        )
+        out_verts = groups.select(
+            F.col("__rep").alias("id"),
+            F.col(vertex_value_col).alias("value"),
+            "vertex_group_count",
+        )
+        mapping = self.vertices.join(
+            groups.select(vertex_value_col, "__rep"), vertex_value_col
+        ).select("id", "__rep")
+        out_edges = (
+            self.edges.select("src", "dst")
+            .join(
+                mapping.select(
+                    F.col("id").alias("src"), F.col("__rep").alias("__s")
+                ),
+                "src",
+            )
+            .join(
+                mapping.select(
+                    F.col("id").alias("dst"), F.col("__rep").alias("__d")
+                ),
+                "dst",
+            )
+            .groupBy(
+                F.col("__s").alias("src"), F.col("__d").alias("dst")
+            )
+            .agg(F.count(F.lit(1)).alias("edge_group_count"))
+        )
+        return out_verts, out_edges
+
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration
         relaxation; edges need a ``weight`` column. Unreachable vertices

@@ -386,3 +386,50 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     g = Graph.from_edges(edges)
     return g.run_hits(iterations=2).orderBy("id")
+
+
+@query(
+    "graph_summarization",
+    oracle="""
+    WITH verts AS (
+      SELECT n_nationkey AS id, n_regionkey AS value FROM nation),
+    edges AS (
+      SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst
+      FROM nation),
+    groups AS (
+      SELECT value, MIN(id) AS rep, COUNT(*) AS vertex_group_count
+      FROM verts GROUP BY value),
+    mapping AS (
+      SELECT v.id, g.rep FROM verts v JOIN groups g USING (value))
+    SELECT ms.rep AS src, md.rep AS dst,
+           COUNT(*) AS edge_group_count
+    FROM edges e
+    JOIN mapping ms ON ms.id = e.src
+    JOIN mapping md ON md.id = e.dst
+    GROUP BY ms.rep, md.rep
+    ORDER BY src, dst
+    """,
+    tags=("batch", "graph", "gelly", "summarization"),
+)
+def graph_summarization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural graph summarization (Gelly library/Summarization.java):
+    nations grouped by region (vertex value), nation→nation residue edges
+    rolled up to region-to-region edges with counts. The reference's
+    arbitrary group representative is pinned to MIN(id) (within its
+    "one of the represented identifiers" contract), making the output
+    deterministic and oracle-able. The summarized VERTEX side is covered
+    by the same groups CTE (counts embedded in the representative ids);
+    this query gates the edge roll-up, the part with real joins."""
+    n = load(spark, sf_dir, "nation")
+    g = Graph(
+        n.select(
+            F.col("n_nationkey").alias("id"),
+            F.col("n_regionkey").alias("value"),
+        ),
+        n.select(
+            F.col("n_nationkey").alias("src"),
+            ((F.col("n_nationkey") * 7 + 3) % 25).alias("dst"),
+        ),
+    )
+    _verts, edges = g.run_summarization()
+    return edges.orderBy("src", "dst")

@@ -197,3 +197,24 @@ def test_hits_two_iterations_exact(spark):
     assert out[4] == (q(1 * 1e6 / sa), 0)
     assert out[1] == (0, q(4 * 1e6 / sh))
     assert out[2] == out[1]
+
+
+def test_summarization_matches_reference_javadoc_example(spark):
+    # the exact example from Summarization.java's javadoc: vertices
+    # 0,1="A", 2,3="B"; six directed edges; summarized to 2 vertices and
+    # 4 edges with counts — representatives pinned to the group MIN id
+    # (within the reference's "one of the represented ids" contract).
+    verts = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "B"), (3, "B")], "id long, value string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)],
+        "src long, dst long",
+    )
+    sv, se = Graph(verts, edges).run_summarization()
+    assert {(r["id"], r["value"], r["vertex_group_count"])
+            for r in sv.collect()} == {(0, "A", 2), (2, "B", 2)}
+    assert {(r["src"], r["dst"], r["edge_group_count"])
+            for r in se.collect()} == {
+        (0, 0, 2), (2, 2, 2), (0, 2, 1), (2, 0, 1),
+    }
