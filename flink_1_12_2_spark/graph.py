@@ -489,6 +489,48 @@ class Graph:
         )
         return out_verts, out_edges
 
+    def run_triadic_census(self) -> DataFrame:
+        """library/clustering/undirected/TriadicCensus.java — counts of
+        the four undirected triad types (0/1/2/3 connecting edges) over
+        all vertex triples. Like the reference (which composes
+        TriangleListing + VertexMetrics), the census is the exact
+        closed form over n=|V|, m=|E|, wedges P2=Σ C(deg,2), triangles t:
+
+            count_30 = t                      (each triangle counted once)
+            count_21 = P2 − 3t                (open wedges)
+            count_12 = m(n−2) − 2·P2 + 3t     (edge + detached vertex)
+            count_03 = C(n,3) − the rest      (empty triads)
+
+        All ingredients are exact integers (1-row bounded aggregates), so
+        the result is engine-independent at any scale; the expensive
+        ingredient is the triangle count, inherited from the oriented
+        enumerator's sum(min-degree²) bound."""
+        n = self.vertices.count()
+        und = (
+            self.get_undirected()
+            .edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        m = und.count() // 2
+        p2_row = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.sum(F.expr("d * (d - 1) DIV 2")).alias("p2"))
+            .first()
+        )
+        p2 = int(p2_row["p2"] or 0)
+        t = self.run_triangle_enumeration().count()
+        c30 = t
+        c21 = p2 - 3 * t
+        c12 = m * (n - 2) - 2 * p2 + 3 * t
+        c03 = n * (n - 1) * (n - 2) // 6 - c12 - c21 - c30
+        return self.vertices.sparkSession.createDataFrame(
+            [(c03, c12, c21, c30)],
+            "count_03 bigint, count_12 bigint, count_21 bigint,"
+            " count_30 bigint",
+        )
+
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration
         relaxation; edges need a ``weight`` column. Unreachable vertices

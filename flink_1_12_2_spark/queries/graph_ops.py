@@ -433,3 +433,38 @@ def graph_summarization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _verts, edges = g.run_summarization()
     return edges.orderBy("src", "dst")
+
+
+@query(
+    "graph_triadic_census",
+    oracle=f"""{_SIM_DUCK_PRELUDE},
+    canon AS (
+      SELECT DISTINCT LEAST(v, n) AS a, GREATEST(v, n) AS b FROM adj),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM canon e1
+      JOIN canon e2 ON e2.a = e1.b
+      JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+    metrics AS (
+      SELECT (SELECT COUNT(DISTINCT v) FROM adj) AS n,
+             (SELECT COUNT(*) FROM canon) AS m,
+             (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS p2,
+             (SELECT t FROM tri) AS t)
+    SELECT n * (n - 1) * (n - 2) // 6
+             - (m * (n - 2) - 2 * p2 + 3 * t)
+             - (p2 - 3 * t) - t AS count_03,
+           m * (n - 2) - 2 * p2 + 3 * t AS count_12,
+           p2 - 3 * t AS count_21,
+           t AS count_30
+    FROM metrics
+    """,
+    tags=("batch", "graph", "gelly", "clustering"),
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triadic census (Gelly library/clustering/undirected/
+    TriadicCensus.java): the 0/1/2/3-edge triad counts over all vertex
+    triples of C40(1,2), via the same TriangleListing+VertexMetrics
+    closed form the reference composes — exact integers end to end. On
+    this circulant: 40 triangles, 40·(C(4,2)=6)−120=120 open wedges."""
+    g = _circulant_graph(spark, sf_dir)
+    return g.run_triadic_census()

@@ -218,3 +218,17 @@ def test_summarization_matches_reference_javadoc_example(spark):
             for r in se.collect()} == {
         (0, 0, 2), (2, 2, 2), (0, 2, 1), (2, 0, 1),
     }
+
+
+def test_triadic_census_k4_plus_isolated(spark):
+    # K4 plus isolated vertex 5: triads over 5 vertices = C(5,3) = 10.
+    # K4: 4 triangles; wedges P2 = 4*C(3,2)=12 -> open wedges 12-12=0;
+    # 1-edge triads = 6*(5-2) - 2*12 + 12 = 6; empty = 10-4-0-6 = 0.
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    r = Graph(verts, edges).run_triadic_census().collect()[0]
+    assert (r["count_03"], r["count_12"], r["count_21"], r["count_30"]) \
+        == (0, 6, 0, 4)
