@@ -489,6 +489,85 @@ class Graph:
         )
         return out_verts, out_edges
 
+    def run_community_detection(
+        self, iterations: int = 2, delta: float = 0.5
+    ) -> DataFrame:
+        """library/CommunityDetection.java (Leung et al., "Towards
+        real-time community detection in large networks"): scored label
+        propagation with hop attenuation. Per superstep s (1-based), each
+        vertex receives (label, score · edge_weight) from every neighbor,
+        adopts the label with the HIGHEST SUMMED score (ties to the
+        SMALLEST label — the reference's ascending TreeMap with a strict
+        ``>``), and re-scores to that label's highest SINGLE message
+        score, minus ``delta / s`` when the label changed. Initial score
+        1.0 (AddScoreToVertexValuesMapper); vertices with no messages
+        keep their value. Edges may carry a ``weight`` column (default
+        1.0).
+
+        Determinism note: with dyadic weights/delta (1.0, 0.5, …) every
+        score stays an exactly-representable double, so the per-label
+        sums are addition-order-free — the discipline the gate query
+        relies on; arbitrary weights still run, with ordinary float
+        summation semantics (like the reference)."""
+        from pyspark.sql import Window
+
+        has_w = "weight" in self.edges.columns
+        edges = self.get_undirected().edges.select(
+            "src",
+            "dst",
+            (F.col("weight") if has_w else F.lit(1.0))
+            .cast("double")
+            .alias("__w"),
+        )
+        scores = self.vertices.select(
+            F.col("id").alias("node"),
+            F.col("label"),
+            F.lit(1.0).alias("score"),
+        )
+        for s in range(1, iterations + 1):
+            msgs = edges.join(
+                scores.select(
+                    F.col("node").alias("src"), "label", "score"
+                ),
+                "src",
+            ).select(
+                F.col("dst").alias("node"),
+                "label",
+                (F.col("score") * F.col("__w")).alias("wscore"),
+            )
+            agg = msgs.groupBy("node", "label").agg(
+                F.sum("wscore").alias("total"),
+                F.max("wscore").alias("best"),
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.desc("total"), F.asc("label")
+            )
+            winner = (
+                agg.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("label").alias("new_label"), "best")
+            )
+            updated = winner.join(
+                scores.select("node", F.col("label").alias("old_label")),
+                "node",
+            ).select(
+                "node",
+                F.col("new_label").alias("label"),
+                F.when(
+                    F.col("new_label") != F.col("old_label"),
+                    F.col("best") - F.lit(delta / s),
+                )
+                .otherwise(F.col("best"))
+                .alias("score"),
+            )
+            silent = scores.join(
+                updated.select("node"), "node", "left_anti"
+            )
+            scores = updated.unionByName(silent).localCheckpoint(
+                eager=True
+            )
+        return scores
+
     def run_triadic_census(self) -> DataFrame:
         """library/clustering/undirected/TriadicCensus.java — counts of
         the four undirected triad types (0/1/2/3 connecting edges) over

@@ -468,3 +468,49 @@ def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     this circulant: 40 triangles, 40·(C(4,2)=6)−120=120 open wedges."""
     g = _circulant_graph(spark, sf_dir)
     return g.run_triadic_census()
+
+
+@query(
+    "graph_community_detection",
+    oracle="""
+    WITH mn AS (
+      SELECT n_regionkey AS r, MIN(n_nationkey) AS m
+      FROM nation GROUP BY n_regionkey)
+    SELECT n.n_nationkey AS node, mn.m AS label,
+           CASE WHEN n.n_nationkey = mn.m THEN 0.25E0 ELSE 0.5E0 END
+             AS score
+    FROM nation n JOIN mn ON mn.r = n.n_regionkey
+    ORDER BY node
+    """,
+    tags=("batch", "graph", "gelly", "iteration"),
+)
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored label propagation with hop attenuation (Gelly
+    library/CommunityDetection.java, Leung et al.). On the five region
+    K5 cliques with unit weights, id labels and delta 0.5, two supersteps
+    provably land every vertex on its clique's MINIMUM id: round 1 is an
+    all-tie (5 singleton labels), which the reference's ascending-ordered
+    strict-max breaks toward the smallest label (the min vertex takes the
+    second-min), score 1 − 0.5; round 2 the min label out-sums 3·0.5 vs
+    0.5 everywhere, re-scoring unchanged vertices to 0.5 and the min
+    vertex (changed, −0.5/2) to 0.25. All scores are dyadic-exact
+    doubles, so both engines agree bit-for-bit while the engine truly
+    runs the message/sum/argmax/attenuate supersteps."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r")
+    )
+    edges = a.join(b, "r").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    g = Graph(
+        n.select(
+            F.col("n_nationkey").alias("id"),
+            F.col("n_nationkey").alias("label"),
+        ),
+        edges,
+    )
+    return g.run_community_detection(iterations=2, delta=0.5).orderBy("node")

@@ -232,3 +232,23 @@ def test_triadic_census_k4_plus_isolated(spark):
     r = Graph(verts, edges).run_triadic_census().collect()[0]
     assert (r["count_03"], r["count_12"], r["count_21"], r["count_30"]) \
         == (0, 6, 0, 4)
+
+
+def test_community_detection_tie_and_attenuation(spark):
+    # path 1-2-3, id labels, delta=0.5. Superstep 1: v2's tie between
+    # labels {1: 1.0, 3: 1.0} breaks to the SMALLEST label (reference's
+    # ascending strict-max); every vertex changes label -> score 0.5.
+    # Superstep 2 (penalty 0.25): v1 gets (1,0.5) -> 0.25; v2 gets two
+    # (2,0.5) messages (sum 1.0, best single 0.5) -> label 2, 0.25;
+    # v3 gets (1,0.5) -> 0.25.
+    verts = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, label long"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    g = Graph(verts, edges)
+    r1 = {r["node"]: (r["label"], r["score"])
+          for r in g.run_community_detection(iterations=1).collect()}
+    assert r1 == {1: (2, 0.5), 2: (1, 0.5), 3: (2, 0.5)}
+    r2 = {r["node"]: (r["label"], r["score"])
+          for r in g.run_community_detection(iterations=2).collect()}
+    assert r2 == {1: (1, 0.25), 2: (2, 0.25), 3: (1, 0.25)}
