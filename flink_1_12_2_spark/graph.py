@@ -3,10 +3,18 @@
 Flink parity: flink-libraries/flink-gelly/src/main/java/org/apache/flink/
 graph/Graph.java:85 (fromDataSet, getDegrees, reverse, getUndirected,
 subgraph, mapVertices/mapEdges, filterOnVertices, run(GraphAlgorithm));
-library algorithms under flink-gelly/.../library/ (ConnectedComponents,
-SingleSourceShortestPaths — both delta iterations — PageRank,
-LabelPropagation.java — sync most-frequent-neighbor supersteps — and
-TriangleEnumerator.java — degree-oriented triad enumeration).
+library algorithms under flink-gelly/.../library/: ConnectedComponents,
+SingleSourceShortestPaths (both delta iterations), PageRank,
+LabelPropagation (sync most-frequent-neighbor supersteps),
+CommunityDetection (Leung et al. scored LP, hop attenuation),
+TriangleEnumerator (degree-oriented triad enumeration),
+similarity/JaccardIndex + AdamicAdar (shared-neighbor pair stream),
+clustering/undirected/LocalClusteringCoefficient + TriadicCensus,
+linkanalysis/HITS (exact-integer supersteps, one final normalization),
+and Summarization (group-by-value vertex/edge roll-up). Not mapped: the
+GSA* variants (the same algorithms through Gelly's gather-sum-apply
+abstraction — the DataFrame expressions above ARE that decomposition)
+and metric/ChecksumHashCode (a test checksum utility).
 
 The GraphFrames pattern: vertices(id, ...) + edges(src, dst, ...) as plain
 DataFrames; every transformation is a DataFrame op, every algorithm is a
