@@ -98,6 +98,42 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the recurring-crawl shape: dedup an
+    INCOMING batch within itself (keep-first) AND against the
+    already-ingested EXISTING corpus, returning only the batch's
+    surviving keeper rows ``(content_hash, keeper_id, n_copies)``.
+
+    Scale: the existing side reduces to a distinct content-hash
+    fingerprint INDEX before any join (in production this index is
+    maintained incrementally between runs rather than recomputed — the
+    corpus is never rescanned per batch); the batch combines map-side to
+    one row per hash; the anti-join shuffles both sides by hash, and when
+    the index is small relative to the batch AQE broadcasts it. The full
+    corpus never joins the batch row-for-row. Flink parity: Deduplicate
+    keep-first (RowTimeDeduplicateFunction.java:31) applied cross-batch,
+    the streaming operator's state being the hash index here."""
+    idx = existing.select(
+        F.md5(F.col(text_col)).alias("content_hash")
+    ).distinct()
+    batch = (
+        incoming.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return batch.join(idx, "content_hash", "left_anti")
+
+
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -357,3 +357,64 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_pairs(
         d, "doc_id", "text", window=EXSUB_W, max_bucket=EXSUB_MAXB
     ).orderBy("id_1", "id_2")
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 25 = 0),
+    batch AS (
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies
+      FROM incoming GROUP BY md5(text))
+    SELECT content_hash, keeper_id, n_copies
+    FROM batch
+    WHERE content_hash NOT IN (SELECT h FROM existing)
+    ORDER BY keeper_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup across ingestion snapshots — the shape a
+    recurring 100 TB crawl actually runs. The corpus slice doc_id%10 < 8
+    plays the already-ingested snapshot (reduced to a distinct
+    content-hash fingerprint index, never rescanned row-for-row); the
+    incoming batch is the remaining 20% PLUS a simulated re-crawl (every
+    %25==0 existing doc re-observed TWICE under new doc_ids), so both
+    filters demonstrably fire: the duplicate re-crawl copies collapse
+    keep-first within the batch, then the whole re-crawled set is
+    anti-joined away by the index, leaving only genuinely-new content.
+    Survivors emit (content_hash, keeper_id, n_copies) — STRING/BIGINT.
+    See :func:`flink_1_12_2_spark.llm.dedup.incremental_exact_dedup` for
+    the index-maintenance scale argument; Flink parity: keep-first
+    Deduplicate (RowTimeDeduplicateFunction.java:31) with the hash index
+    as the operator state."""
+    d = load(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 < 8)
+    recrawled = existing.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "text"
+    )
+    incoming = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .unionByName(
+            recrawled.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            recrawled.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.incremental_exact_dedup(existing, incoming).orderBy("keeper_id")

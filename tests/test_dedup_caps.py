@@ -204,3 +204,28 @@ def test_two_phase_quota_equals_single_window_reference(spark):
     # tiny bucket count stresses the phase-2 exactness (buckets << quota)
     tp2 = stratified_sample_exact(d, "doc_id", "src", quotas, num_buckets=2)
     assert sorted(map(tuple, tp2.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_incremental_exact_dedup_filters_both_ways(spark):
+    """Cross-snapshot dedup must drop batch rows whose content exists in
+    the snapshot AND collapse duplicates within the batch (keep-first),
+    while genuinely-new content survives with its copy count."""
+    from flink_1_12_2_spark.llm.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen page")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "old news"),        # re-crawl -> filtered by the index
+            (11, "fresh story"),     # new, twice in the batch
+            (12, "fresh story"),
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["keeper_id"]: r["n_copies"]
+        for r in incremental_exact_dedup(existing, incoming).collect()
+    }
+    assert out == {11: 2, 13: 1}
