@@ -519,3 +519,65 @@ def test_literal_q14a_intersect_rollup_shape(spark, sf_dir):
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_graph_triangle_enum_no_cartesian(spark, sf_dir):
+    """The oriented triangle enumeration must close candidates with
+    equi-joins only — a cartesian/BNLJ here is the classic triad-listing
+    blow-up the Schank-Wagner orientation exists to avoid."""
+    plan = _plan(spark, sf_dir, "graph_triangle_enum")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_similarity_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Jaccard/Adamic-Adar pair generation is a shared-neighbor equi-join
+    (volume sum(deg²)), never an all-pairs product, and the per-pair
+    aggregations combine map-side."""
+    for name in ("graph_jaccard_index", "graph_adamic_adar"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "partial" in plan.lower(), name
+
+
+def test_incremental_dedup_index_side_aggregated_before_join(spark, sf_dir):
+    """The anti-join's build side must be the DISTINCT fingerprint index
+    (HashAggregate before the join), not the raw corpus — the property
+    that keeps the recurring-ingest shape linear in the batch."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_snapshot")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # keep-first collapse is a partial (map-side) min/count
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_r9_rows_rotation_ready_output_shapes(spark):
+    """Gate-rotation readiness (the r8 verdict's discipline: only rows
+    whose output shape passed the type sweep may enter GATE_ORDER): every
+    query added in r9 emits integer/string columns — or whitelisted
+    EXACT doubles (community detection's dyadic attenuation scores,
+    sssp-style sums would not qualify) — so a future rotation cannot
+    reopen the canonicalization-divergence class."""
+    r9_rows = [
+        "graph_label_propagation", "graph_triangle_enum",
+        "graph_jaccard_index", "graph_adamic_adar",
+        "graph_clustering_coefficient", "graph_hits",
+        "graph_triadic_census", "graph_summarization",
+        "graph_community_detection", "dedup_incremental_snapshot",
+        "dsir_term_table",
+    ]
+    exact_double_ok = {"graph_community_detection": {"score"}}
+    allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+    bad = {}
+    for name in r9_rows:
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+        ok_doubles = exact_double_ok.get(name, set())
+        offending = [
+            (c, t)
+            for c, t in df.dtypes
+            if t not in allowed and not (t == "double" and c in ok_doubles)
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"rotation-unsafe output types: {bad}"
