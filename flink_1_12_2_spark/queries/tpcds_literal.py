@@ -2509,7 +2509,7 @@ QUERY59_SQL = "-- start query 1 in stream 0 using template ../query_templates_qu
         AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23
     )
     SELECT s_store_name1, s_store_id1, d_week_seq1,
-           {", ".join(f"{d}_sales1 / {d}_sales2 AS {d}_ratio" for d in _DAYS)}
+           {", ".join(f"CAST({d}_sales1 AS DOUBLE) / {d}_sales2 AS {d}_ratio" for d in _DAYS)}
     FROM y, x
     WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
     ORDER BY s_store_name1, s_store_id1, d_week_seq1
@@ -3036,10 +3036,10 @@ QUERY74_SQL = "-- start query 1 in stream 0 using template ../query_templates_qu
       AND t_w_firstyear.yr = 2001 AND t_w_secyear.yr = 2002
       AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
       AND CASE WHEN t_w_firstyear.year_total > 0
-               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
                ELSE NULL END
         > CASE WHEN t_s_firstyear.year_total > 0
-               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
                ELSE NULL END
     ORDER BY 1, 1, 1
     LIMIT 100
@@ -3134,10 +3134,10 @@ _YOY_OUT = ("customer_id", "customer_first_name", "customer_last_name",
       AND t_w_firstyear.dyear = 2001 AND t_w_secyear.dyear = 2002
       AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
       AND CASE WHEN t_w_firstyear.year_total > 0
-               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
                ELSE 0.0 END
         > CASE WHEN t_s_firstyear.year_total > 0
-               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
                ELSE 0.0 END
     ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
              t_s_secyear.customer_last_name,
@@ -3179,16 +3179,16 @@ def tpcds_literal_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
       AND t_w_firstyear.year_total > 0
       AND CASE WHEN t_c_firstyear.year_total > 0
-               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               THEN CAST(t_c_secyear.year_total AS DOUBLE) / t_c_firstyear.year_total
                ELSE NULL END
         > CASE WHEN t_s_firstyear.year_total > 0
-               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
                ELSE NULL END
       AND CASE WHEN t_c_firstyear.year_total > 0
-               THEN t_c_secyear.year_total / t_c_firstyear.year_total
+               THEN CAST(t_c_secyear.year_total AS DOUBLE) / t_c_firstyear.year_total
                ELSE NULL END
         > CASE WHEN t_w_firstyear.year_total > 0
-               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
                ELSE NULL END
     ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
              t_s_secyear.customer_last_name,
@@ -3755,14 +3755,14 @@ def tpcds_literal_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q36_ORACLE = f"""
     WITH {_ADAPTER_DUCK_RICH}
-    SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+    SELECT CAST(SUM(ss_net_profit) AS DOUBLE) / SUM(ss_ext_sales_price) AS gross_margin,
            i_category, i_class,
            GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
            RANK() OVER (
              PARTITION BY GROUPING(i_category) + GROUPING(i_class),
                           CASE WHEN GROUPING(i_class) = 0
                                THEN i_category END
-             ORDER BY SUM(ss_net_profit) / SUM(ss_ext_sales_price) ASC)
+             ORDER BY CAST(SUM(ss_net_profit) AS DOUBLE) / SUM(ss_ext_sales_price) ASC)
              AS rank_within_parent
     FROM store_sales, date_dim d1, item, store
     WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
@@ -5392,7 +5392,7 @@ _Q2_SUMS = ",\n        ".join(
 _Q2_PICK = lambda n: ",\n          ".join(
     f"{d[:3].lower()}_sales {d[:3].lower()}_sales{n}" for d in _Q2_DAYS)
 _Q2_RATIOS = ",\n        ".join(
-    f"ROUND({d[:3].lower()}_sales1/{d[:3].lower()}_sales2, 2) "
+    f"ROUND(CAST({d[:3].lower()}_sales1 AS DOUBLE)/{d[:3].lower()}_sales2, 2) "
     f"AS {d[:3].lower()}_ratio" for d in _Q2_DAYS)
 
 
@@ -5458,10 +5458,10 @@ def tpcds_literal_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND ws_bill_addr_sk = ca_address_sk
            GROUP BY ca_county, d_qoy, d_year)
     SELECT ss1.ca_county, ss1.d_year,
-           ws2.web_sales/ws1.web_sales AS web_q1_q2_increase,
-           ss2.store_sales/ss1.store_sales AS store_q1_q2_increase,
-           ws3.web_sales/ws2.web_sales AS web_q2_q3_increase,
-           ss3.store_sales/ss2.store_sales AS store_q2_q3_increase
+           CAST(ws2.web_sales AS DOUBLE)/ws1.web_sales AS web_q1_q2_increase,
+           CAST(ss2.store_sales AS DOUBLE)/ss1.store_sales AS store_q1_q2_increase,
+           CAST(ws3.web_sales AS DOUBLE)/ws2.web_sales AS web_q2_q3_increase,
+           CAST(ss3.store_sales AS DOUBLE)/ss2.store_sales AS store_q2_q3_increase
     FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
     WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
       AND ss1.ca_county = ss2.ca_county
@@ -5475,13 +5475,13 @@ def tpcds_literal_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND ws1.ca_county = ws3.ca_county
       AND ws3.d_qoy = 3 AND ws3.d_year = 2000
       AND CASE WHEN ws1.web_sales > 0
-               THEN ws2.web_sales/ws1.web_sales ELSE NULL END
+               THEN CAST(ws2.web_sales AS DOUBLE)/ws1.web_sales ELSE NULL END
         > CASE WHEN ss1.store_sales > 0
-               THEN ss2.store_sales/ss1.store_sales ELSE NULL END
+               THEN CAST(ss2.store_sales AS DOUBLE)/ss1.store_sales ELSE NULL END
       AND CASE WHEN ws2.web_sales > 0
-               THEN ws3.web_sales/ws2.web_sales ELSE NULL END
+               THEN CAST(ws3.web_sales AS DOUBLE)/ws2.web_sales ELSE NULL END
         > CASE WHEN ss2.store_sales > 0
-               THEN ss3.store_sales/ss2.store_sales ELSE NULL END
+               THEN CAST(ss3.store_sales AS DOUBLE)/ss2.store_sales ELSE NULL END
     ORDER BY ss1.ca_county
     """,
     tags=("batch", "tpcds", "literal-sql"),
@@ -5588,7 +5588,7 @@ def tpcds_literal_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_sum", "s_state", "s_county", "lochierarchy",
         "rank_within_parent",
     )
-QUERY58_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\nwith ss_items as\n (select i_item_id item_id\n        ,sum(ss_ext_sales_price) ss_item_rev \n from store_sales\n     ,item\n     ,date_dim\n where ss_item_sk = i_item_sk\n   and d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n   and ss_sold_date_sk   = d_date_sk\n group by i_item_id),\n cs_items as\n (select i_item_id item_id\n        ,sum(cs_ext_sales_price) cs_item_rev\n  from catalog_sales\n      ,item\n      ,date_dim\n where cs_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n  and  cs_sold_date_sk = d_date_sk\n group by i_item_id),\n ws_items as\n (select i_item_id item_id\n        ,sum(ws_ext_sales_price) ws_item_rev\n  from web_sales\n      ,item\n      ,date_dim\n where ws_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq =(select d_week_seq \n                                     from date_dim\n                                     where d_date = '2000-01-03'))\n  and ws_sold_date_sk   = d_date_sk\n group by i_item_id)\n  select  ss_items.item_id\n       ,ss_item_rev\n       ,ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev\n       ,cs_item_rev\n       ,cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev\n       ,ws_item_rev\n       ,ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev\n       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average\n from ss_items,cs_items,ws_items\n where ss_items.item_id=cs_items.item_id\n   and ss_items.item_id=ws_items.item_id \n   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n order by item_id\n         ,ss_item_rev\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\n"
+QUERY58_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\nwith ss_items as\n (select i_item_id item_id\n        ,sum(ss_ext_sales_price) ss_item_rev \n from store_sales\n     ,item\n     ,date_dim\n where ss_item_sk = i_item_sk\n   and d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n   and ss_sold_date_sk   = d_date_sk\n group by i_item_id),\n cs_items as\n (select i_item_id item_id\n        ,sum(cs_ext_sales_price) cs_item_rev\n  from catalog_sales\n      ,item\n      ,date_dim\n where cs_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq = (select d_week_seq \n                                      from date_dim\n                                      where d_date = '2000-01-03'))\n  and  cs_sold_date_sk = d_date_sk\n group by i_item_id),\n ws_items as\n (select i_item_id item_id\n        ,sum(ws_ext_sales_price) ws_item_rev\n  from web_sales\n      ,item\n      ,date_dim\n where ws_item_sk = i_item_sk\n  and  d_date in (select d_date\n                  from date_dim\n                  where d_week_seq =(select d_week_seq \n                                     from date_dim\n                                     where d_date = '2000-01-03'))\n  and ws_sold_date_sk   = d_date_sk\n group by i_item_id)\n  select  ss_items.item_id\n       ,ss_item_rev\n       ,CAST(ss_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100 ss_dev\n       ,cs_item_rev\n       ,CAST(cs_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100 cs_dev\n       ,ws_item_rev\n       ,CAST(ws_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100 ws_dev\n       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average\n from ss_items,cs_items,ws_items\n where ss_items.item_id=cs_items.item_id\n   and ss_items.item_id=ws_items.item_id \n   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev\n   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev\n   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev\n order by item_id\n         ,ss_item_rev\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query58.tpl\n"
 
 QUERY83_SQL = "-- start query 1 in stream 0 using template ../query_templates_qualified/query83.tpl\nwith sr_items as\n (select i_item_id item_id,\n        sum(cast(sr_return_quantity as decimal(7, 2))) sr_item_qty\n from store_returns,\n      item,\n      date_dim\n where sr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   sr_returned_date_sk   = d_date_sk\n group by i_item_id),\n cr_items as\n (select i_item_id item_id,\n        sum(cr_return_quantity) cr_item_qty\n from catalog_returns,\n      item,\n      date_dim\n where cr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   cr_returned_date_sk   = d_date_sk\n group by i_item_id),\n wr_items as\n (select i_item_id item_id,\n        sum(wr_return_quantity) wr_item_qty\n from web_returns,\n      item,\n      date_dim\n where wr_item_sk = i_item_sk\n and   d_date    in \n\t(select d_date\n\tfrom date_dim\n\twhere d_week_seq in \n\t\t(select d_week_seq\n\t\tfrom date_dim\n\t\twhere d_date in ('2000-06-30','2000-09-27','2000-11-17')))\n and   wr_returned_date_sk   = d_date_sk\n group by i_item_id)\n  select  sr_items.item_id\n       ,sr_item_qty\n       ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev\n       ,cr_item_qty\n       ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev\n       ,wr_item_qty\n       ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev\n       ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average\n from sr_items\n     ,cr_items\n     ,wr_items\n where sr_items.item_id=cr_items.item_id\n   and sr_items.item_id=wr_items.item_id \n order by sr_items.item_id\n         ,sr_item_qty\n limit 100\n\n-- end query 1 in stream 0 using template ../query_templates_qualified/query83.tpl\n"
 
@@ -5612,15 +5612,15 @@ _Q58_CHANNEL = """
     {_Q58_CHANNEL.format(alias="cs_items", tbl="catalog_sales", p="cs")},
     {_Q58_CHANNEL.format(alias="ws_items", tbl="web_sales", p="ws")}
     SELECT ss_items.item_id AS item_id, ss_item_rev,
-           ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+           CAST(ss_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100
              AS ss_dev,
            cs_item_rev,
-           cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+           CAST(cs_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100
              AS cs_dev,
            ws_item_rev,
-           ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100
+           CAST(ws_item_rev AS DOUBLE)/((ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0) * 100
              AS ws_dev,
-           (ss_item_rev+cs_item_rev+ws_item_rev)/3 AS average
+           (ss_item_rev+cs_item_rev+ws_item_rev)/3.0E0 AS average
     FROM ss_items, cs_items, ws_items
     WHERE ss_items.item_id = cs_items.item_id
       AND ss_items.item_id = ws_items.item_id
@@ -6083,7 +6083,7 @@ def _q66_channel_duck(fact: str, p: str, price: str, net: str) -> str:
 _Q66_OUTER = "".join(
     f",\n           SUM({m}_sales) AS {m}_sales" for m in _Q66_MONTHS
 ) + "".join(
-    f",\n           SUM({m}_sales / w_warehouse_sq_ft) AS {m}_sales_per_sq_foot"
+    f",\n           SUM(CAST({m}_sales AS DOUBLE) / w_warehouse_sq_ft) AS {m}_sales_per_sq_foot"
     for m in _Q66_MONTHS
 ) + "".join(
     f",\n           SUM({m}_net) AS {m}_net" for m in _Q66_MONTHS
