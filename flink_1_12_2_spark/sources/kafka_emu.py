@@ -94,3 +94,57 @@ def read_topic_batch(
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(f"value format {value_format!r} not supported")
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once transactional producer (two-phase commit).
+#
+# Flink parity: FlinkKafkaProducer.java:100 Semantic.EXACTLY_ONCE via
+# TwoPhaseCommitSinkFunction (beginTransaction → preCommit flush → commit /
+# abort). Kafka implements it with transaction markers that read-committed
+# consumers honor; the file-backed emulation implements the same protocol
+# with the filesystem's native primitives: records stage under a
+# dot-prefixed directory — which Spark's file index NEVER lists (paths
+# starting with '.'/'_' are filtered), so consumers cannot observe an
+# in-flight transaction — and commit is a single atomic rename into the
+# consumer-visible namespace. A crash between stage and commit leaves only
+# an invisible staging dir (= an aborted transaction), never a torn read.
+
+
+def begin_transaction(topic_dir: str) -> str:
+    """Open a producer transaction; returns the transaction id."""
+    txn = uuid.uuid4().hex[:12]
+    os.makedirs(os.path.join(topic_dir, f".txn_{txn}"), exist_ok=True)
+    return txn
+
+
+def publish_transactional(
+    df: DataFrame, topic_dir: str, txn: str, value_col: str = "value"
+) -> None:
+    """Stage one batch inside an open transaction (the preCommit flush);
+    invisible to every consumer until :func:`commit_transaction`."""
+    staging = os.path.join(topic_dir, f".txn_{txn}")
+    if not os.path.isdir(staging):
+        raise ValueError(f"transaction {txn!r} is not open")
+    part = os.path.join(staging, f"part_{uuid.uuid4().hex[:12]}")
+    df.select(F.col(value_col).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(part)
+
+
+def commit_transaction(topic_dir: str, txn: str) -> None:
+    """Atomically publish the staged batches (the 2PC commit): one rename
+    moves the whole transaction into the consumer-visible namespace."""
+    staging = os.path.join(topic_dir, f".txn_{txn}")
+    if not os.path.isdir(staging):
+        raise ValueError(f"transaction {txn!r} is not open")
+    os.rename(staging, os.path.join(topic_dir, f"txnbatch_{txn}"))
+
+
+def abort_transaction(topic_dir: str, txn: str) -> None:
+    """Discard the staged batches (the 2PC abort)."""
+    import shutil
+
+    staging = os.path.join(topic_dir, f".txn_{txn}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
