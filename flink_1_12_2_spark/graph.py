@@ -576,6 +576,46 @@ class Graph:
             )
         return scores
 
+    def run_global_clustering_coefficient(self) -> DataFrame:
+        """library/clustering/undirected/GlobalClusteringCoefficient.java
+        — one row (triplet_count, triangle_count): closed triplets are
+        3·triangles of the Σ C(deg,2) total (the reference's Result holds
+        the two counts; the coefficient 3t/triplets is the caller's
+        ratio, exact-integer-compare-friendly like the local variant)."""
+        t = self.run_triangle_enumeration().count()
+        lcc = self.run_local_clustering_coefficient()
+        trip = int(
+            lcc.select(F.sum("pair_count").alias("s")).first()["s"] or 0
+        )
+        return self.vertices.sparkSession.createDataFrame(
+            [(trip, t)], "triplet_count bigint, triangle_count bigint"
+        )
+
+    def run_average_clustering_coefficient(self) -> DataFrame:
+        """library/clustering/undirected/AverageClusteringCoefficient.java
+        — one row (vertex_count, sum_cc_micro): the sum of per-vertex
+        local coefficients (vertices with degree < 2 contribute 0, the
+        reference's convention), quantized per vertex to exact integer
+        micro-units so the sum is addition-order-free; average =
+        sum_cc_micro / (1e6 · vertex_count) on the caller's side."""
+        lcc = self.run_local_clustering_coefficient()
+        per = lcc.select(
+            F.when(
+                F.col("pair_count") > 0,
+                F.expr(
+                    "CAST(FLOOR(triangle_count * 1000000.0E0 / "
+                    "CAST(pair_count AS DOUBLE) + 0.5E0) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("cc_micro")
+        )
+        n = self.vertices.count()
+        s = int(per.select(F.sum("cc_micro").alias("s")).first()["s"] or 0)
+        return self.vertices.sparkSession.createDataFrame(
+            [(n, s)], "vertex_count bigint, sum_cc_micro bigint"
+        )
+
     def run_triadic_census(self) -> DataFrame:
         """library/clustering/undirected/TriadicCensus.java — counts of
         the four undirected triad types (0/1/2/3 connecting edges) over

@@ -252,3 +252,18 @@ def test_community_detection_tie_and_attenuation(spark):
     r2 = {r["node"]: (r["label"], r["score"])
           for r in g.run_community_detection(iterations=2).collect()}
     assert r2 == {1: (1, 0.25), 2: (2, 0.25), 3: (1, 0.25)}
+
+
+def test_global_and_average_clustering_coefficient(spark):
+    # K4 + pendant 5 on vertex 1 (same graph as the local test):
+    # triangles 4; triplets = sum pair_count = 6+3+3+3+0 = 15;
+    # local coefficients: 0.5, 1, 1, 1, 0 -> sum_cc_micro 3_500_000 of 5.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)],
+        "src long, dst long",
+    )
+    g = Graph.from_edges(edges)
+    gl = g.run_global_clustering_coefficient().collect()[0]
+    assert (gl["triplet_count"], gl["triangle_count"]) == (15, 4)
+    av = g.run_average_clustering_coefficient().collect()[0]
+    assert (av["vertex_count"], av["sum_cc_micro"]) == (5, 3_500_000)
