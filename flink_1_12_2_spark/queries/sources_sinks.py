@@ -392,3 +392,42 @@ def sink_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sink_roundtrip_csv_gzip",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS price
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("batch", "sink", "csv", "compress"),
+)
+def sink_roundtrip_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text sink+source round-trip — flink-formats/
+    flink-compress (CompressWriterFactory: bulk-format writer wrapping a
+    Hadoop CompressionCodec) parity: the filesystem connector's
+    ``options={'compression': 'gzip'}`` rides Spark's codec support, the
+    reader decompresses transparently by extension, and values survive
+    exactly. The test asserts the files on disk really are .gz — a
+    silently-uncompressed sink would still round-trip."""
+    import glob
+    import os
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    path = _tmp("csv_gz_rt_")
+    write_table(li, path, fmt="csv", options={"compression": "gzip"})
+    if not glob.glob(os.path.join(path, "*.csv.gz")):
+        raise AssertionError(f"no .csv.gz part files under {path}")
+    back = read_table(spark, path, fmt="csv", schema=li.schema)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_extendedprice").alias("price"),
+        )
+        .orderBy("l_returnflag")
+    )
