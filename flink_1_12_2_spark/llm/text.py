@@ -289,3 +289,69 @@ def pack_concat_chunks(
         "source", "bin_id", "doc_id", "n_toks",
         (hi - lo).cast("bigint").alias("toks_in_bin"),
     )
+
+
+def cross_doc_chunk_dedup(
+    docs, chunk_words: int = 4, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Cross-document chunk (paragraph) deduplication — the CCNet
+    pipeline's corpus-level paragraph dedup (Wenzek et al. 2020: hash
+    every paragraph, keep the FIRST occurrence corpus-wide, drop later
+    ones, reassemble documents from their surviving paragraphs). The
+    driver corpus is single-line, so the paragraph unit is a fixed
+    ``chunk_words``-word window — the segmentation is deterministic and
+    both-engine-reproducible, which is the property under test.
+
+    First occurrence = the minimum (doc_id, position) over the chunk's
+    occurrences, computed as one max-combinable MIN window/aggregate on
+    an exploded (doc, pos, chunk) stream; reassembly is an order-
+    preserving sort_array(collect_list(struct(pos, chunk))) per document
+    (array semantics, not a window). Documents whose every chunk was
+    seen earlier elsewhere vanish entirely — exactly CCNet's behavior.
+    Returns (id, n_chunks, n_kept, new_text).
+
+    Scale: explode → one MIN aggregate keyed by chunk hash (map-
+    combinable) → hash-join back → per-doc collect_list bounded by the
+    document's own length. No corpus-wide windows, no cross joins; the
+    chunk-hash aggregate is the same inverted-index shape as the dedup
+    module's posting tables."""
+    w = F.split(F.col(text_col), " ")
+    n_chunks = ((F.size(w) + chunk_words - 1) / chunk_words).cast("int")
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda g: F.concat_ws(
+                    " ", F.slice(w, g * chunk_words + 1, chunk_words)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    kept = chunks.join(first, "chunk").filter(
+        (F.col("__first")[id_col] == F.col(id_col))
+        & (F.col("__first")["pos"] == F.col("pos"))
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("new_text"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "n_chunks", "n_kept", "new_text")
+    )

@@ -1318,3 +1318,42 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+@query(
+    "text_chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(u.g AS INT) AS pos,
+             array_to_string(w[(g*4+1):(g*4+4)], ' ') AS chunk
+      FROM t, UNNEST(range((len(w) + 3) // 4)) AS u(g)),
+    first AS (
+      SELECT chunk, MIN(ROW(doc_id, pos)) AS f FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.chunk
+      FROM chunks c JOIN first ON first.chunk = c.chunk
+      WHERE ROW(c.doc_id, c.pos) = first.f),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT k.doc_id, t2.n_chunks, COUNT(*) AS n_kept,
+           string_agg(k.chunk, ' ' ORDER BY k.pos) AS new_text
+    FROM kept k JOIN totals t2 ON t2.doc_id = k.doc_id
+    GROUP BY k.doc_id, t2.n_chunks
+    ORDER BY k.doc_id
+    """,
+    tags=("llm", "text", "dedup", "ccnet"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus-level paragraph dedup (Wenzek et al. 2020): every
+    4-word chunk keeps only its FIRST corpus-wide occurrence (min
+    (doc_id, pos)); documents reassemble from surviving chunks in
+    original order. ~11% of this corpus's chunk occurrences are
+    cross-document duplicates, so the drop path is demonstrably
+    exercised. Exact integer counts + reassembled STRING text — the
+    order-preserving reassembly (sort_array over collected (pos, chunk)
+    structs, no window) is the part worth gating. See
+    :func:`flink_1_12_2_spark.llm.text.cross_doc_chunk_dedup`."""
+    d = load(spark, sf_dir, "documents")
+    return T.cross_doc_chunk_dedup(d, chunk_words=4).orderBy("doc_id")

@@ -529,3 +529,26 @@ def test_round_half_away_sql_both_engines_match_python():
         assert row["r"] == expected[_s.pack('<d', row["v"])], (
             row["v"], row["r"],
         )
+
+
+def test_cross_doc_chunk_dedup_first_occurrence_semantics(spark):
+    """CCNet paragraph dedup: the first corpus-wide occurrence (min
+    (doc_id, pos)) survives, later copies drop, reassembly preserves
+    chunk order, and fully-duplicated documents vanish."""
+    from flink_1_12_2_spark.llm.text import cross_doc_chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # chunks: "a b c d", "e f g h"
+            (2, "e f g h x y z w"),        # first chunk dups doc1's 2nd
+            (3, "a b c d e f g h"),        # both chunks dup -> vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+        for r in cross_doc_chunk_dedup(docs, chunk_words=4).collect()
+    }
+    assert out[1] == (2, 2, "a b c d e f g h")
+    assert out[2] == (2, 1, "x y z w")
+    assert 3 not in out
