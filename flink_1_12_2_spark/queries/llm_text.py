@@ -1343,7 +1343,9 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY k.doc_id, t2.n_chunks
     ORDER BY k.doc_id
     """,
-    tags=("llm", "text", "dedup", "ccnet"),
+    # headline: the explode→min-agg→join-back→ordered-reassembly shape is
+    # new this round; a regression in it should be bench-visible
+    tags=("llm", "text", "dedup", "ccnet", "headline"),
 )
 def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet corpus-level paragraph dedup (Wenzek et al. 2020): every
