@@ -11,10 +11,12 @@ TriangleEnumerator (degree-oriented triad enumeration),
 similarity/JaccardIndex + AdamicAdar (shared-neighbor pair stream),
 clustering/undirected/LocalClusteringCoefficient + TriadicCensus,
 linkanalysis/HITS (exact-integer supersteps, one final normalization),
-and Summarization (group-by-value vertex/edge roll-up). Not mapped: the
-GSA* variants (the same algorithms through Gelly's gather-sum-apply
-abstraction — the DataFrame expressions above ARE that decomposition)
-and metric/ChecksumHashCode (a test checksum utility).
+and Summarization (group-by-value vertex/edge roll-up). The GSA
+abstraction itself (gsa/GatherSumApplyIteration.java) is a first-class
+driver too — run_gsa(gather, sum, apply) — so the GSA* library variants
+are expressions over it (tests prove GSA-SSSP == run_sssp and GSA min-id
+propagation == run_connected_components). Not mapped:
+metric/ChecksumHashCode (a test checksum utility).
 
 The GraphFrames pattern: vertices(id, ...) + edges(src, dst, ...) as plain
 DataFrames; every transformation is a DataFrame op, every algorithm is a
@@ -657,6 +659,64 @@ class Graph:
             "count_03 bigint, count_12 bigint, count_21 bigint,"
             " count_30 bigint",
         )
+
+    def run_gsa(
+        self,
+        gather: "Callable[[DataFrame], Column]",
+        sum_agg: "Callable[[Column], Column]",
+        apply: "Callable[[Column, Column], Column]",
+        value_col: str = "value",
+        max_iterations: int = 10,
+    ) -> DataFrame:
+        """Gather-sum-apply iteration — the reference's third iteration
+        abstraction (flink-gelly/.../gsa/GatherSumApplyIteration.java:59,
+        GatherFunction/SumFunction/ApplyFunction). Per superstep, for
+        every edge the GATHER function computes a partial value from the
+        source vertex's value struct (columns ``value`` and the edge's
+        ``weight`` when present — Neighbor.java's (vertex, edge) pair),
+        SUM reduces the partials per target vertex, and APPLY combines
+        (current_value, summed) into the new value — vertices only update
+        when APPLY yields a SMALLER/changed value, mirrored here by
+        emitting APPLY's result verbatim (make apply() idempotent, e.g.
+        LEAST(cur, new) for min-propagation). Iterates a fixed
+        ``max_iterations`` like the reference's setMaxIterations.
+
+        The DataFrame decomposition IS the GSA decomposition: gather =
+        the edge-source join projection, sum = a map-combinable groupBy
+        aggregate, apply = the update join — which is why the GSA*
+        library variants need no separate implementations here.
+
+        ``gather`` receives the joined edge frame (columns src, dst,
+        value [, weight]) and returns the partial-value Column; ``sum_agg``
+        receives that column and returns an aggregate Column; ``apply``
+        receives (current_value, summed_or_null) Columns and returns the
+        new value Column."""
+        verts = self.vertices.select(
+            F.col("id"), F.col(value_col).alias("value")
+        )
+        edge_cols = ["src", "dst"] + (
+            ["weight"] if "weight" in self.edges.columns else []
+        )
+        edges = self.edges.select(*edge_cols)
+        for _ in range(max_iterations):
+            joined = edges.join(
+                verts.select(F.col("id").alias("src"), "value"), "src"
+            )
+            partial = joined.select(
+                F.col("dst").alias("id"), gather(joined).alias("__m")
+            )
+            summed = partial.groupBy("id").agg(
+                sum_agg(F.col("__m")).alias("__s")
+            )
+            verts = (
+                verts.join(summed, "id", "left")
+                .select(
+                    "id",
+                    apply(F.col("value"), F.col("__s")).alias("value"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return verts
 
     def run_sssp(self, source, max_iterations: int = 30) -> DataFrame:
         """library/SingleSourceShortestPaths.java — delta-iteration

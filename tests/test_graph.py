@@ -267,3 +267,47 @@ def test_global_and_average_clustering_coefficient(spark):
     assert (gl["triplet_count"], gl["triangle_count"]) == (15, 4)
     av = g.run_average_clustering_coefficient().collect()[0]
     assert (av["vertex_count"], av["sum_cc_micro"]) == (5, 3_500_000)
+
+
+def test_gsa_expresses_sssp_and_cc(spark):
+    # The reference's GSA* library variants are the same algorithms
+    # through the gather/sum/apply abstraction — prove run_gsa expresses
+    # both: SSSP on the two-route graph (gather = dist + weight, sum =
+    # MIN, apply = LEAST) must equal run_sssp; min-id propagation on the
+    # undirected graph must equal run_connected_components.
+    edges = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_edges(edges).get_undirected()
+    verts = g.vertices.withColumn(
+        "value", F.when(F.col("id") == 1, 0.0).otherwise(F.lit(None))
+    )
+    out = Graph(verts, g.edges).run_gsa(
+        gather=lambda j: F.col("value") + F.col("weight"),
+        sum_agg=lambda m: F.min(m),
+        apply=lambda cur, s: F.least(cur, s),
+        max_iterations=5,
+    )
+    dist = {r["id"]: r["value"] for r in out.collect()}
+    assert dist == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+
+    cc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    gc = Graph.from_edges(cc_edges).get_undirected()
+    cverts = gc.vertices.withColumn("value", F.col("id"))
+    comp = {
+        r["id"]: r["value"]
+        for r in Graph(cverts, gc.edges)
+        .run_gsa(
+            gather=lambda j: F.col("value"),
+            sum_agg=lambda m: F.min(m),
+            apply=lambda cur, s: F.least(cur, s),
+            max_iterations=4,
+        )
+        .collect()
+    }
+    ref = {r["node"]: r["component"]
+           for r in gc.run_connected_components().collect()}
+    assert comp == ref == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
