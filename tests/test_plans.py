@@ -565,7 +565,7 @@ def test_r9_rows_rotation_ready_output_shapes(spark):
         "graph_clustering_coefficient", "graph_hits",
         "graph_triadic_census", "graph_summarization",
         "graph_community_detection", "dedup_incremental_snapshot",
-        "dsir_term_table",
+        "dsir_term_table", "text_chunk_dedup",
     ]
     exact_double_ok = {"graph_community_detection": {"score"}}
     allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
