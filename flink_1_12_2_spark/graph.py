@@ -437,7 +437,10 @@ class Graph:
             F.sum(F.col("hub") * F.col("hub")).alias("h2"),
             F.sum(F.col("auth") * F.col("auth")).alias("a2"),
         ).first()
-        h2, a2 = int(sums["h2"]), int(sums["a2"])
+        # empty graph / all-zero side: keep the normalizer positive so the
+        # division stays defined (scores are 0 anyway)
+        h2 = int(sums["h2"] or 1)
+        a2 = int(sums["a2"] or 1)
         return scores.select(
             "id",
             F.expr(
