@@ -2094,7 +2094,7 @@ QUERY96_SQL = "-- start query 1 in stream 0 using template ../query_templates_qu
           (SELECT DISTINCT d_month_seq FROM date_dim
            WHERE d_year = 2001 AND d_moy = 1)
       AND i.i_current_price > 1.2 *
-          (SELECT AVG(j.i_current_price) FROM item j
+          (SELECT CAST(SUM(j.i_current_price) AS DOUBLE) / COUNT(j.i_current_price) FROM item j
            WHERE j.i_category = i.i_category)
     GROUP BY a.ca_state
     HAVING COUNT(*) >= 10
@@ -2898,7 +2898,7 @@ QUERY50_SQL = '-- start query 1 in stream 0 using template ../query_templates_qu
     SELECT c_customer_id
     FROM customer_total_return ctr1, store, customer_v
     WHERE ctr1.ctr_total_return >
-          (SELECT AVG(ctr_total_return) * 1.2
+          (SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(ctr_total_return) * 1.2
            FROM customer_total_return ctr2
            WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
       AND s_store_sk = ctr1.ctr_store_sk AND s_state = 'TN'
@@ -4116,7 +4116,8 @@ _Q32_ORACLE_BODY = """
                      AND CAST('2000-01-27' AS DATE) + INTERVAL 90 DAY
       AND d_date_sk = f.{p}_sold_date_sk
       AND f.{p}_ext_discount_amt >
-          (SELECT 1.3 * AVG(g.{p}_ext_discount_amt)
+          (SELECT 1.3 * (CAST(SUM(g.{p}_ext_discount_amt) AS DOUBLE)
+                         / COUNT(g.{p}_ext_discount_amt))
            FROM {fact} g, date_dim
            WHERE g.{p}_item_sk = i_item_sk
              AND d_date BETWEEN '2000-01-27'
@@ -4655,7 +4656,7 @@ _Q30_CTR = """
 _Q30_THRESH = """
     FROM customer_total_return ctr1, customer_address, customer_v
     WHERE ctr1.ctr_total_return >
-          (SELECT AVG(ctr_total_return) * 1.2
+          (SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(ctr_total_return) * 1.2
            FROM customer_total_return ctr2
            WHERE ctr1.ctr_state = ctr2.ctr_state)
       AND ca_address_sk = c_current_addr_sk
@@ -6364,7 +6365,7 @@ _Q24_ORACLE = f"""
     FROM ssales
     WHERE i_color = '{{color}}'
     GROUP BY c_last_name, c_first_name, s_store_name
-    HAVING SUM(netpaid) > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+    HAVING SUM(netpaid) > (SELECT 0.05 * (CAST(SUM(netpaid) AS DOUBLE) / COUNT(netpaid)) FROM ssales)
     ORDER BY c_last_name, c_first_name, s_store_name
 """
 
