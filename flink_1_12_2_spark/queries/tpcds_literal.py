@@ -2617,7 +2617,7 @@ def tpcds_literal_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND d_month_seq BETWEEN 1176 AND 1176 + 11
       GROUP BY ss_store_sk, ss_item_sk),
     sb AS (
-      SELECT ss_store_sk, AVG(revenue) AS ave FROM sa GROUP BY ss_store_sk)
+      SELECT ss_store_sk, CAST(SUM(revenue) AS DOUBLE) / COUNT(revenue) AS ave FROM sa GROUP BY ss_store_sk)
     SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
            i_wholesale_cost, i_brand
     FROM store, item, sb, sa sc
@@ -2697,9 +2697,12 @@ def tpcds_literal_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp1 AS (
       SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
              d_moy, SUM(ss_sales_price) AS sum_sales,
-             AVG(SUM(ss_sales_price)) OVER
+             (CAST(SUM(SUM(ss_sales_price)) OVER
                (PARTITION BY i_category, i_brand, s_store_name,
-                             s_company_name) AS avg_monthly_sales
+                             s_company_name) AS DOUBLE)
+              / COUNT(SUM(ss_sales_price)) OVER
+               (PARTITION BY i_category, i_brand, s_store_name,
+                             s_company_name)) AS avg_monthly_sales
       FROM item, store_sales, date_dim, store
       WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
         AND ss_store_sk = s_store_sk AND d_year IN (1999)
@@ -3679,7 +3682,8 @@ QUERY9_SQL = '-- start query 1 in stream 0 using template ../query_templates_qua
 _Q53_ORACLE_BODY = """
     SELECT {key}, sum_sales, {avg_alias}
     FROM (SELECT {key}, SUM(ss_sales_price) AS sum_sales,
-                 AVG(SUM(ss_sales_price)) OVER (PARTITION BY {key})
+                 (CAST(SUM(SUM(ss_sales_price)) OVER (PARTITION BY {key}) AS DOUBLE)
+                  / COUNT(SUM(ss_sales_price)) OVER (PARTITION BY {key}))
                    AS {avg_alias}
           FROM item, store_sales, date_dim, store
           WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
@@ -5298,8 +5302,10 @@ _Q47_V1 = """
     v1 AS (
       SELECT i_category, i_brand, {keys}, d_year, d_moy,
              SUM({sp}) sum_sales,
-             AVG(SUM({sp})) OVER (PARTITION BY i_category, i_brand,
-                                  {keys}, d_year) avg_monthly_sales,
+             (CAST(SUM(SUM({sp})) OVER (PARTITION BY i_category, i_brand,
+                                  {keys}, d_year) AS DOUBLE)
+              / COUNT(SUM({sp})) OVER (PARTITION BY i_category, i_brand,
+                                  {keys}, d_year)) avg_monthly_sales,
              RANK() OVER (PARTITION BY i_category, i_brand, {keys}
                           ORDER BY d_year, d_moy) rn
       FROM item, {fact}, date_dim, {dim}
@@ -5963,11 +5969,11 @@ QUERY44_SQL = '-- start query 1 in stream 0 using template ../query_templates_qu
     oracle=f"""
     WITH {_ADAPTER_DUCK_NULLS},
     base AS (
-      SELECT ss_item_sk AS item_sk, AVG(ss_net_profit) AS rank_col
+      SELECT ss_item_sk AS item_sk, CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(ss_net_profit) AS rank_col
       FROM store_sales WHERE ss_store_sk = 4
       GROUP BY ss_item_sk
-      HAVING AVG(ss_net_profit) > 0.9 * (
-        SELECT AVG(ss_net_profit) FROM store_sales
+      HAVING CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(ss_net_profit) > 0.9 * (
+        SELECT CAST(SUM(ss_net_profit) AS DOUBLE) / COUNT(ss_net_profit) FROM store_sales
         WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL
         GROUP BY ss_store_sk)),
     asc_r AS (SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC) AS rnk
