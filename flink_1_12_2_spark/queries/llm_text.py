@@ -1202,7 +1202,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
                            x -> x <> ''))) AS tokens
       FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents), rules)
     SELECT doc_id, lang, len(toks) AS n_words, len(tokens) AS n_tokens,
-           tokens[1:32] AS tokens_head
+           array_to_string(tokens[1:32], ' ') AS tokens_head
     FROM enc
     ORDER BY doc_id
     LIMIT 100"""
@@ -1222,10 +1222,13 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no Python, document token order preserved by array
     semantics. The oracle re-derives the same rules inside DuckDB and
     applies the identical chain in a list_transform lambda. Output is
-    the token-count pair plus the first 32 tokens per document; doc_id
-    keys the order. See :func:`flink_1_12_2_spark.llm.bpe.bpe_encode`
-    for the 100-TB trade (broadcast-trie pandas UDF / word-dedup
-    pre-pass once merges number in the thousands)."""
+    the token-count pair plus the first 32 tokens per document joined on
+    a single space (tokens derive from whitespace-split words, so the
+    join is injective; a flat STRING keeps the row inside the gate's
+    portable type surface — r10 rotation readiness); doc_id keys the
+    order. See :func:`flink_1_12_2_spark.llm.bpe.bpe_encode` for the
+    100-TB trade (broadcast-trie pandas UDF / word-dedup pre-pass once
+    merges number in the thousands)."""
     from flink_1_12_2_spark.llm.bpe import bpe_encode, bpe_train
 
     d = load(spark, sf_dir, "documents")
@@ -1233,7 +1236,10 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r["lhs"], r["rhs"]) for r in rules]
     enc = bpe_encode(d, merges, carry_cols=("lang",))
     return (
-        enc.withColumn("tokens_head", F.slice(F.col("tokens"), 1, 32))
+        enc.withColumn(
+            "tokens_head",
+            F.concat_ws(" ", F.slice(F.col("tokens"), 1, 32)),
+        )
         .select("doc_id", "lang", "n_words", "n_tokens", "tokens_head")
         .orderBy("doc_id")
         .limit(100)
