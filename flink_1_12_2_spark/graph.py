@@ -145,11 +145,20 @@ class Graph:
         return iterate_delta(verts, verts, ["node"], step, max_iterations)
 
     def run_label_propagation(self, iterations: int = 10) -> DataFrame:
-        """library/LabelPropagation.java — synchronous supersteps: every
-        vertex adopts the label MOST FREQUENT among its neighbors, ties
-        broken by the GREATER label (Gelly's comparator semantics);
-        vertices that receive no messages keep their label. Vertices need
-        a ``label`` column. Fixed iteration count, like the reference
+        """library/LabelPropagation.java — synchronous supersteps with
+        the reference's exact UpdateVertexLabel comparator: the candidate
+        set is the received-message label frequencies SEEDED with the
+        vertex's OWN current label at frequency 1 (``maxFrequency = 1``,
+        ``mostFrequentLabel = vertex.getValue()`` before the entry loop),
+        and a candidate wins only with a strictly greater count or an
+        equal count and a strictly GREATER label — so a vertex whose
+        neighbors all tie at frequency 1 keeps its label unless a greater
+        one arrives, and no-message vertices keep their label for free.
+        Messages flow along the OUT-edges of the graph AS-IS (the
+        reference's SendNewLabelToNeighbors scatters over out-edges and
+        never symmetrizes); callers wanting undirected propagation pass
+        ``get_undirected()`` explicitly. Vertices need a ``label``
+        column. Fixed iteration count, like the reference
         (setParallelism-independent sync model).
 
         Scale: each superstep is one map-combinable (node, label) count
@@ -158,7 +167,7 @@ class Graph:
         ``iterate``'s localCheckpoint so lineage stays flat."""
         from pyspark.sql import Window
 
-        edges = self.get_undirected().edges.select("src", "dst")
+        edges = self.edges.select("src", "dst")
         init = self.vertices.select(F.col("id").alias("node"), "label")
 
         def step(labels: DataFrame) -> DataFrame:
@@ -168,16 +177,26 @@ class Graph:
             counts = msgs.groupBy("node", "label").agg(
                 F.count(F.lit(1)).alias("cnt")
             )
+            # Gelly's seed: (current label, frequency 1). A real message
+            # count for the same label dominates via MAX (the reference's
+            # `entry.getValue() > maxFrequency` branch) — never sums.
+            seeded = (
+                counts.unionByName(
+                    labels.select(
+                        "node", "label", F.lit(1).cast("long").alias("cnt")
+                    )
+                )
+                .groupBy("node", "label")
+                .agg(F.max("cnt").alias("cnt"))
+            )
             w = Window.partitionBy("node").orderBy(
                 F.desc("cnt"), F.desc("label")
             )
-            new = (
-                counts.withColumn("rn", F.row_number().over(w))
+            return (
+                seeded.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .select("node", "label")
             )
-            isolated = labels.join(new.select("node"), "node", "left_anti")
-            return new.unionByName(isolated)
 
         return iterate(init, step, iterations)
 
@@ -245,11 +264,20 @@ class Graph:
         tri = paths.join(closing, ["b", "c"]).select(
             F.array_sort(F.array("lo", "b", "c")).alias("t")
         )
-        return tri.select(
+        out = tri.select(
             F.col("t")[0].alias("v1"),
             F.col("t")[1].alias("v2"),
             F.col("t")[2].alias("v3"),
         )
+        # Materialize through the closing join, then release the oriented
+        # cache: the clustering-coefficient/triadic-census callers invoke
+        # this enumerator repeatedly on long-lived sessions, and an
+        # unreleased persist per call accumulates cached partitions until
+        # LRU eviction (r9 advice). localCheckpoint also cuts the
+        # three-way self-join lineage, same as ``iterate``.
+        out = out.localCheckpoint(eager=True)
+        oriented.unpersist()
+        return out
 
     def _undirected_adjacency(self) -> DataFrame:
         """(v, n) neighbor rows of the undirected simple graph (loops and
@@ -385,7 +413,8 @@ class Graph:
         (normalization is scale-only and the iteration map is linear), so
         rankings and ratios match Gelly. Returns (id, auth_micro,
         hub_micro). Keep ``iterations`` small: raw counts grow
-        geometrically and must stay below 2^62 (loudly guarded)."""
+        geometrically and must stay below isqrt(2^63 / |V|) so the
+        exact-integer sum of squares fits BIGINT (loudly guarded)."""
         edges = self.edges.select("src", "dst").distinct()
         scores = self.vertices.select(
             F.col("id"),
@@ -426,12 +455,23 @@ class Graph:
                 )
                 .localCheckpoint(eager=True)
             )
-        guard = scores.select(
-            F.max(F.greatest("hub", "auth")).alias("m")
-        ).first()["m"]
-        if guard is not None and guard > (1 << 62):
+        stats = scores.select(
+            F.max(F.greatest("hub", "auth")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        guard, n_verts = stats["m"], stats["n"]
+        # The normalizer sums n score-squares in BIGINT; bounding every
+        # score by floor(sqrt((2^63-1)/n)) makes Σ score² ≤ 2^63-1 exactly,
+        # so the non-ANSI sum can never wrap (a raw 2^62 cap would let the
+        # SUM overflow silently once any score passed ~2^31.5).
+        import math
+
+        bound = math.isqrt(((1 << 63) - 1) // max(n_verts, 1))
+        if guard is not None and guard > bound:
             raise ValueError(
-                "HITS raw scores exceed 2^62 — reduce iterations"
+                f"HITS raw scores exceed {bound} (= isqrt(2^63/{n_verts})) "
+                "— the exact-integer sum of squares would overflow BIGINT; "
+                "reduce iterations"
             )
         sums = scores.select(
             F.sum(F.col("hub") * F.col("hub")).alias("h2"),

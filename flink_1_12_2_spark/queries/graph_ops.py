@@ -103,16 +103,19 @@ def graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Gelly
-    library/LabelPropagation.java: most-frequent neighbor label, ties to
-    the GREATER label). Graph = the five region cliques (all nation pairs
-    within a region, K5 each), labels initialized to vertex ids. On a
-    clique, sync LP provably converges in two supersteps to the clique's
-    MAXIMUM id — every non-max vertex sees all-distinct labels and takes
-    the max neighbor, then the max vertex is out-voted by the majority
-    carrying its own id — so the oracle is the per-region max while the
-    engine genuinely runs the message/count/top-1 supersteps (4 rounds,
-    past convergence). Scale: superstep cost is one map-combinable
-    (node, label) count shuffle — no all-pairs joins."""
+    library/LabelPropagation.java: neighbor label frequencies seeded
+    with the vertex's own label at 1, winner by strictly greater count
+    then strictly GREATER label — the r9-advice comparator fix). Graph =
+    the five region cliques (all nation pairs within a region BOTH ways
+    — the propagator follows out-edges as-is, like the reference, so the
+    clique is materialized symmetric), labels initialized to vertex ids.
+    On a clique, seeded sync LP converges in ONE superstep to the
+    clique's MAXIMUM id — every vertex's candidates are all five ids at
+    frequency 1 and the greatest wins (the max vertex keeps its own) —
+    so the oracle is the per-region max while the engine genuinely runs
+    the message/count/top-1 supersteps (4 rounds, past convergence).
+    Scale: superstep cost is one map-combinable (node, label) count
+    shuffle — no all-pairs joins."""
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     a = n.select(
         F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r")
@@ -120,7 +123,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r")
     )
-    edges = a.join(b, "r").filter(F.col("src") < F.col("dst")).select(
+    edges = a.join(b, "r").filter(F.col("src") != F.col("dst")).select(
         "src", "dst"
     )
     g = Graph(

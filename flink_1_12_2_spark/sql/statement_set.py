@@ -132,9 +132,15 @@ class StatementSet:
                 for k, v in meta.options.items():
                     reader = reader.option(k, v)
                 if meta.fmt == "csv":
-                    reader = reader.option("header", "true").option(
-                        "inferSchema", "true"
-                    )
+                    reader = reader.option("header", "true")
+                if meta.fmt in ("csv", "json"):
+                    # Text formats lose types on read-back; re-apply the
+                    # written DataFrame's schema (mirrors execute_ddl's
+                    # schema-applied read path) — inferSchema would hand
+                    # follow-up SELECTs DIFFERENT types than the declared
+                    # DDL schema (e.g. STRING '007' re-inferred as INT 7,
+                    # dropping leading zeros; r9 advice).
+                    reader = reader.schema(out_df.schema)
                 reader.load(meta.path).createOrReplaceTempView(b.sink)
                 results.append((b.sink, b.df.count()))
         finally:

@@ -89,6 +89,44 @@ def test_label_propagation_majority_and_tie(spark):
     assert out2[3] == 8      # 5 vs 8 tie at frequency 1 -> greater label
 
 
+def test_label_propagation_seed_keeps_current_on_tie(spark):
+    # Gelly's UpdateVertexLabel seeds the comparison with the vertex's OWN
+    # label at frequency 1 and only a strictly greater (count, label)
+    # replaces it: neighbors {5, 8} all tie at 1 against own label 9, and
+    # neither exceeds it, so 3 KEEPS 9 (the pre-r10 impl wrongly adopted
+    # the top neighbor 8).
+    verts = spark.createDataFrame(
+        [(1, 5), (2, 8), (3, 9)], "id long, label long"
+    )
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           Graph(verts, edges).run_label_propagation(1).collect()}
+    assert out[3] == 9
+    # ...but a strictly more frequent smaller label still wins: {5, 5, 8}
+    # against own 9 -> 5 at frequency 2 beats both.
+    verts2 = spark.createDataFrame(
+        [(1, 5), (2, 5), (4, 8), (3, 9)], "id long, label long"
+    )
+    edges2 = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3)], "src long, dst long"
+    )
+    out2 = {r["node"]: r["label"] for r in
+            Graph(verts2, edges2).run_label_propagation(1).collect()}
+    assert out2[3] == 5
+
+
+def test_label_propagation_directed_out_edges_only(spark):
+    # The reference scatters along OUT-edges of the input graph as-is
+    # (SendNewLabelToNeighbors); it never symmetrizes. 1->2 must move
+    # label 7 to vertex 2 (7 > 3) but vertex 1 receives nothing and
+    # keeps 7 even though 2's label 3... and the reverse edge is absent.
+    verts = spark.createDataFrame([(1, 7), (2, 3)], "id long, label long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           Graph(verts, edges).run_label_propagation(1).collect()}
+    assert out == {1: 7, 2: 7}
+
+
 def test_label_propagation_isolated_vertex_keeps_label(spark):
     verts = spark.createDataFrame(
         [(1, 3), (2, 4), (9, 42)], "id long, label long"
