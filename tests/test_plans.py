@@ -552,6 +552,18 @@ def test_incremental_dedup_index_side_aggregated_before_join(spark, sf_dir):
     assert "partial_min" in plan or "partial" in plan.lower()
 
 
+def test_chunk_dedup_shuffles_hash_key_not_text(spark, sf_dir):
+    """The CCNet chunk dedup's first-occurrence aggregate and join-back
+    must key on xxhash64(chunk) — 8 bytes on the exchange — never on the
+    chunk TEXT (the r9 verdict's perf-weak finding: at 100 TB a raw-text
+    shuffle key carries the full corpus twice)."""
+    plan = _plan(spark, sf_dir, "text_chunk_dedup")
+    assert "hashpartitioning(__chunk_h" in plan
+    assert "hashpartitioning(chunk" not in plan
+    assert "xxhash64" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
 def test_r9_rows_rotation_ready_output_shapes(spark):
     """Gate-rotation readiness (the r8 verdict's discipline: only rows
     whose output shape passed the type sweep may enter GATE_ORDER): every
