@@ -10,13 +10,17 @@ CommunityDetection (Leung et al. scored LP, hop attenuation),
 TriangleEnumerator (degree-oriented triad enumeration),
 similarity/JaccardIndex + AdamicAdar (shared-neighbor pair stream),
 clustering/undirected/LocalClusteringCoefficient + TriadicCensus,
+clustering/directed/{TriangleListing, LocalClusteringCoefficient,
+GlobalClusteringCoefficient, AverageClusteringCoefficient, TriadicCensus}
+(EdgeOrder 6-bit direction bitmasks + the Batagelj–Mrvar 64-entry triad
+type table), metric/{directed,undirected}/{Vertex,Edge}Metrics and
+metric/ChecksumHashCode (stable-hash analogue),
 linkanalysis/HITS (exact-integer supersteps, one final normalization),
 and Summarization (group-by-value vertex/edge roll-up). The GSA
 abstraction itself (gsa/GatherSumApplyIteration.java) is a first-class
 driver too — run_gsa(gather, sum, apply) — so the GSA* library variants
 are expressions over it (tests prove GSA-SSSP == run_sssp and GSA min-id
-propagation == run_connected_components). Not mapped:
-metric/ChecksumHashCode (a test checksum utility).
+propagation == run_connected_components).
 
 The GraphFrames pattern: vertices(id, ...) + edges(src, dst, ...) as plain
 DataFrames; every transformation is a DataFrame op, every algorithm is a
@@ -701,6 +705,528 @@ class Graph:
             [(c03, c12, c21, c30)],
             "count_03 bigint, count_12 bigint, count_21 bigint,"
             " count_30 bigint",
+        )
+
+    # ------------------------------------------------------------------
+    # Directed clustering family (library/clustering/directed/*.java).
+    # Direction bookkeeping follows EdgeOrder.java: per unordered vertex
+    # pair (lo < hi), FORWARD=0b10 marks the lo→hi edge, REVERSE=0b01 the
+    # hi→lo edge, MUTUAL=0b11 both. A triangle over ID-sorted vertices
+    # (v1 < v2 < v3) carries a 6-bit mask — bits 5-4 = pair (v1,v2),
+    # bits 3-2 = (v1,v3), bits 1-0 = (v2,v3) — the layout the reference's
+    # PermuteResult transposition algebra pins (TriangleListing.java:325).
+    # ------------------------------------------------------------------
+
+    def _directed_pair_masks(self) -> DataFrame:
+        """(lo, hi, mask): one row per unordered neighbor pair of the
+        directed simple graph (loops and duplicate arcs dropped), mask
+        per the EdgeOrder convention above. One map-combinable bit_or
+        aggregate over the deduped arc list."""
+        arcs = (
+            self.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return (
+            arcs.select(
+                F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"),
+                F.when(F.col("src") < F.col("dst"), F.lit(2))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("m"),
+            )
+            .groupBy("lo", "hi")
+            .agg(F.expr("bit_or(m)").alias("mask"))
+        )
+
+    def run_triangle_listing_directed(self) -> DataFrame:
+        """library/clustering/directed/TriangleListing.java — every
+        3-clique of the directed graph's undirected support, listed once
+        with vertices ID-sorted plus the 6-bit direction bitmask. The
+        expensive half (which triples close) is the Schank–Wagner
+        oriented enumerator shared with the undirected listing; the
+        directions re-attach with three broadcast-friendly equi-joins
+        against the (lo, hi, mask) pair table — the pair table is the
+        edge set, so nothing here exceeds the undirected listing's
+        sum(min-degree²) bound."""
+        masks = self._directed_pair_masks().persist()
+        tri = self.run_triangle_enumeration()
+        m12 = masks.select(
+            F.col("lo").alias("v1"), F.col("hi").alias("v2"),
+            F.col("mask").alias("m12"),
+        )
+        m13 = masks.select(
+            F.col("lo").alias("v1"), F.col("hi").alias("v3"),
+            F.col("mask").alias("m13"),
+        )
+        m23 = masks.select(
+            F.col("lo").alias("v2"), F.col("hi").alias("v3"),
+            F.col("mask").alias("m23"),
+        )
+        out = (
+            tri.join(m12, ["v1", "v2"])
+            .join(m13, ["v1", "v3"])
+            .join(m23, ["v2", "v3"])
+            .select(
+                "v1", "v2", "v3",
+                (F.col("m12") * 16 + F.col("m13") * 4 + F.col("m23"))
+                .cast("long")
+                .alias("bitmask"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        masks.unpersist()
+        return out
+
+    def run_local_clustering_coefficient_directed(self) -> DataFrame:
+        """library/clustering/directed/LocalClusteringCoefficient.java —
+        per vertex: its distinct-neighbor degree and the number of ARCS
+        between its neighbors (a mutual neighbor pair counts 2, a
+        one-way pair 1 — the reference's SplitTriangles bitmask credit),
+        plus the exact denominator degree·(degree−1) (ordered neighbor
+        pairs; no halving in the directed form). Zero-degree vertices
+        report 0/0, matching includeZeroDegreeVertices=true."""
+        tl = self.run_triangle_listing_directed()
+
+        def credit(vcol: str, pair_bits: int) -> DataFrame:
+            # SplitTriangles: a corner counts 2 when the OPPOSITE pair is
+            # mutual (both bits of its 2-bit mask set), else 1.
+            return tl.select(
+                F.col(vcol).alias("id"),
+                F.when(
+                    F.expr(f"bitmask & {pair_bits}") == pair_bits, F.lit(2)
+                )
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("c"),
+            )
+
+        corners = (
+            credit("v1", 0b000011)   # opposite pair (v2, v3)
+            .unionByName(credit("v2", 0b001100))  # (v1, v3)
+            .unionByName(credit("v3", 0b110000))  # (v1, v2)
+        )
+        tcount = corners.groupBy("id").agg(F.sum("c").alias("triangle_count"))
+        masks = self._directed_pair_masks()
+        deg = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .join(tcount, "id", "left")
+            .select(
+                "id",
+                F.coalesce("degree", F.lit(0)).alias("degree"),
+                F.coalesce("triangle_count", F.lit(0)).alias(
+                    "triangle_count"
+                ),
+                F.expr(
+                    "coalesce(degree, 0) * (coalesce(degree, 0) - 1)"
+                ).alias("neighbor_pairs"),
+            )
+        )
+
+    def run_global_clustering_coefficient_directed(self) -> DataFrame:
+        """library/clustering/directed/GlobalClusteringCoefficient.java —
+        one row (triplet_count, triangle_count): triplets are
+        Σ C(deg, 2) over distinct-neighbor degrees (directed
+        VertexMetrics.java:151) and the triangle count is 3× the listing
+        (each closed triplet counted from each corner, the reference's
+        getResult comment). Exact integers; the NaN-when-zero ratio is
+        the caller's division, as in the reference Result."""
+        t = self.run_triangle_listing_directed().count()
+        masks = self._directed_pair_masks()
+        trip_row = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.sum(F.expr("d * (d - 1) DIV 2")).alias("s"))
+            .first()
+        )
+        trip = int(trip_row["s"] or 0)
+        return self.vertices.sparkSession.createDataFrame(
+            [(trip, 3 * t)], "triplet_count bigint, triangle_count bigint"
+        )
+
+    def run_average_clustering_coefficient_directed(self) -> DataFrame:
+        """library/clustering/directed/AverageClusteringCoefficient.java
+        — one row (vertex_count, sum_cc_micro): vertices with fewer than
+        two neighbors contribute 0 (the reference's degree > 1 guard);
+        each defined coefficient triangle_count/(deg·(deg−1)) quantizes
+        to exact integer micro-units so the sum is addition-order-free.
+        average = sum_cc_micro / (1e6 · vertex_count) caller-side."""
+        lcc = self.run_local_clustering_coefficient_directed()
+        per = lcc.select(
+            F.when(
+                F.col("neighbor_pairs") > 0,
+                F.expr(
+                    "CAST(FLOOR(triangle_count * 1000000.0E0 / "
+                    "CAST(neighbor_pairs AS DOUBLE) + 0.5E0) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("cc_micro")
+        )
+        n = self.vertices.count()
+        s = int(per.select(F.sum("cc_micro").alias("s")).first()["s"] or 0)
+        return self.vertices.sparkSession.createDataFrame(
+            [(n, s)], "vertex_count bigint, sum_cc_micro bigint"
+        )
+
+    # Batagelj & Mrvar, "A subquadratic triad census algorithm for large
+    # sparse networks with small maximum degree" (Social Networks 23,
+    # 2001) — the published 64-entry bitmask→triad-type table the
+    # reference embeds (directed/TriadicCensus.java:233). Types 1..16 =
+    # 003 012 102 021D 021U 021C 111D 111U 030T 030C 201 120D 120U 120C
+    # 210 300.
+    _TRIAD_TYPE_TABLE = (
+        1, 2, 2, 3, 2, 4, 6, 8,
+        2, 6, 5, 7, 3, 8, 7, 11,
+        2, 6, 4, 8, 5, 9, 9, 13,
+        6, 10, 9, 14, 7, 14, 12, 15,
+        2, 5, 6, 7, 6, 9, 10, 14,
+        4, 9, 9, 12, 8, 13, 14, 15,
+        3, 7, 8, 11, 7, 12, 14, 15,
+        8, 14, 13, 15, 11, 15, 15, 16,
+    )
+
+    def run_triadic_census_directed(self) -> DataFrame:
+        """library/clustering/directed/TriadicCensus.java — the full
+        16-type directed triad census, by the reference's exact
+        composition: (a) classify every triangle of the support through
+        the Batagelj–Mrvar type table, (b) count open triplets per
+        center from the (degree, outDegree, inDegree) decomposition —
+        021d = C(uniOut,2), 021u = C(uniIn,2), 021c = uniOut·uniIn,
+        111d = uniIn·bi, 111u = uniOut·bi, 201 = C(bi,2) — then (c)
+        deduct each closed triad from the open counts and each
+        edge/empty triad by the same closed-form ladder as getResult
+        (TriadicCensus.java:118-192). Every ingredient is an exact
+        integer from a 1-row aggregate; the only heavy operator is the
+        shared triangle listing."""
+        # (b) degree decomposition — one aggregate row
+        arcs = (
+            self.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        outd = arcs.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        ind = arcs.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("idg")
+        )
+        masks = self._directed_pair_masks()
+        deg = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        per_vertex = (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .join(outd, "id", "left")
+            .join(ind, "id", "left")
+            .select(
+                F.coalesce("d", F.lit(0)).alias("d"),
+                F.coalesce("od", F.lit(0)).alias("od"),
+                F.coalesce("idg", F.lit(0)).alias("idg"),
+            )
+            .select(
+                "d",
+                (F.col("d") - F.col("idg")).alias("us"),  # uni as source
+                (F.col("d") - F.col("od")).alias("ut"),   # uni as target
+                (F.col("idg") + F.col("od") - F.col("d")).alias("bi"),
+            )
+        )
+        agg = per_vertex.select(
+            F.count(F.lit(1)).alias("vc"),
+            F.sum(F.col("us") + F.col("ut")).alias("uec2"),
+            F.sum("bi").alias("bec2"),
+            F.sum(F.expr("us * (us - 1) DIV 2")).alias("t021d"),
+            F.sum(F.expr("ut * (ut - 1) DIV 2")).alias("t021u"),
+            F.sum(F.expr("us * ut")).alias("t021c"),
+            F.sum(F.expr("ut * bi")).alias("t111d"),
+            F.sum(F.expr("us * bi")).alias("t111u"),
+            F.sum(F.expr("bi * (bi - 1) DIV 2")).alias("t201"),
+        ).first()
+        vc = int(agg["vc"] or 0)
+        uec = int(agg["uec2"] or 0) // 2
+        bec = int(agg["bec2"] or 0) // 2
+        t021d, t021u, t021c = (
+            int(agg["t021d"] or 0), int(agg["t021u"] or 0),
+            int(agg["t021c"] or 0),
+        )
+        t111d, t111u, t201 = (
+            int(agg["t111d"] or 0), int(agg["t111u"] or 0),
+            int(agg["t201"] or 0),
+        )
+        # (a) triangle classification
+        table = F.array(*[F.lit(t) for t in self._TRIAD_TYPE_TABLE])
+        tri_types = (
+            self.run_triangle_listing_directed()
+            .select(
+                F.element_at(table, (F.col("bitmask") + 1).cast("int"))
+                .alias("tt")
+            )
+            .groupBy("tt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_type = {int(r["tt"]): int(r["c"]) for r in tri_types}
+        tri030t = by_type.get(9, 0)
+        tri030c = by_type.get(10, 0)
+        tri120d = by_type.get(12, 0)
+        tri120u = by_type.get(13, 0)
+        tri120c = by_type.get(14, 0)
+        tri210 = by_type.get(15, 0)
+        tri300 = by_type.get(16, 0)
+        # (c) the reference's deduction ladder — exact Python ints
+        t201 -= 3 * tri300 + tri210
+        t111d -= tri210 + tri120c + 2 * tri120d
+        t111u -= tri210 + tri120c + 2 * tri120u
+        t021c -= tri120c + 3 * tri030c + tri030t
+        t021u -= tri120u + tri030t
+        t021d -= tri120d + tri030t
+        e102 = (
+            bec * (vc - 2)
+            - t111d - t111u - 2 * t201
+            - tri120d - tri120u - tri120c - 2 * tri210 - 3 * tri300
+        )
+        e012 = (
+            uec * (vc - 2)
+            - 2 * (t021d + t021u + t021c)
+            - t111d - t111u
+            - 3 * (tri030t + tri030c)
+            - 2 * (tri120d + tri120u + tri120c)
+            - tri210
+        )
+        t003 = (
+            vc * (vc - 1) * (vc - 2) // 6
+            - e012 - e102
+            - t021d - t021u - t021c - t111d - t111u
+            - tri030t - tri030c - t201
+            - tri120d - tri120u - tri120c - tri210 - tri300
+        )
+        return self.vertices.sparkSession.createDataFrame(
+            [(
+                t003, e012, e102, t021d, t021u, t021c, t111d, t111u,
+                tri030t, tri030c, t201, tri120d, tri120u, tri120c,
+                tri210, tri300,
+            )],
+            "count_003 bigint, count_012 bigint, count_102 bigint,"
+            " count_021d bigint, count_021u bigint, count_021c bigint,"
+            " count_111d bigint, count_111u bigint, count_030t bigint,"
+            " count_030c bigint, count_201 bigint, count_120d bigint,"
+            " count_120u bigint, count_120c bigint, count_210 bigint,"
+            " count_300 bigint",
+        )
+
+    # ------------------------------------------------------------------
+    # metric/ library (directed + undirected Vertex/EdgeMetrics,
+    # ChecksumHashCode).
+    # ------------------------------------------------------------------
+
+    def run_vertex_metrics_undirected(self) -> DataFrame:
+        """library/metric/undirected/VertexMetrics.java — one row over
+        the undirected simple support: vertex count, edge count (Σ deg/2,
+        the reference's halving), triplet count Σ C(deg,2), maximum
+        degree, maximum per-vertex triplets. Single map-combinable
+        aggregate."""
+        masks = self._directed_pair_masks()
+        deg = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        stats = (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .select(F.coalesce("d", F.lit(0)).alias("d"))
+            .select(
+                F.count(F.lit(1)).alias("vc"),
+                F.sum("d").alias("sd"),
+                F.sum(F.expr("d * (d - 1) DIV 2")).alias("tc"),
+                F.max("d").alias("md"),
+                F.max(F.expr("d * (d - 1) DIV 2")).alias("mt"),
+            )
+            .first()
+        )
+        return self.vertices.sparkSession.createDataFrame(
+            [(
+                int(stats["vc"] or 0),
+                int(stats["sd"] or 0) // 2,
+                int(stats["tc"] or 0),
+                int(stats["md"] or 0),
+                int(stats["mt"] or 0),
+            )],
+            "vertex_count bigint, edge_count bigint, triplet_count bigint,"
+            " maximum_degree bigint, maximum_triplets bigint",
+        )
+
+    def run_vertex_metrics_directed(self) -> DataFrame:
+        """library/metric/directed/VertexMetrics.java — one row:
+        vertex count, unidirectional edge count, bidirectional edge
+        count (both halved, each endpoint reports its incident arcs),
+        triplet count Σ C(deg,2) over distinct-neighbor degrees, and the
+        maxima of degree / out-degree / in-degree / per-vertex triplets
+        (VertexMetrics.java:144-161's accumulator set)."""
+        arcs = (
+            self.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        outd = arcs.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        ind = arcs.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("idg")
+        )
+        masks = self._directed_pair_masks()
+        deg = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        stats = (
+            self.vertices.select("id")
+            .join(deg, "id", "left")
+            .join(outd, "id", "left")
+            .join(ind, "id", "left")
+            .select(
+                F.coalesce("d", F.lit(0)).alias("d"),
+                F.coalesce("od", F.lit(0)).alias("od"),
+                F.coalesce("idg", F.lit(0)).alias("idg"),
+            )
+            .select(
+                F.count(F.lit(1)).alias("vc"),
+                F.sum(
+                    (F.col("d") - F.col("idg")) + (F.col("d") - F.col("od"))
+                ).alias("uec2"),
+                F.sum(F.col("idg") + F.col("od") - F.col("d")).alias(
+                    "bec2"
+                ),
+                F.sum(F.expr("d * (d - 1) DIV 2")).alias("tc"),
+                F.max("d").alias("md"),
+                F.max("od").alias("mod"),
+                F.max("idg").alias("mid"),
+                F.max(F.expr("d * (d - 1) DIV 2")).alias("mt"),
+            )
+            .first()
+        )
+        return self.vertices.sparkSession.createDataFrame(
+            [(
+                int(stats["vc"] or 0),
+                int(stats["uec2"] or 0) // 2,
+                int(stats["bec2"] or 0) // 2,
+                int(stats["tc"] or 0),
+                int(stats["md"] or 0),
+                int(stats["mod"] or 0),
+                int(stats["mid"] or 0),
+                int(stats["mt"] or 0),
+            )],
+            "vertex_count bigint, unidirectional_edge_count bigint,"
+            " bidirectional_edge_count bigint, triplet_count bigint,"
+            " maximum_degree bigint, maximum_out_degree bigint,"
+            " maximum_in_degree bigint, maximum_triplets bigint",
+        )
+
+    def run_edge_metrics(self) -> DataFrame:
+        """library/metric/{directed,undirected}/EdgeMetrics.java — one
+        row (triangle_triplet_count, rectangle_triplet_count,
+        maximum_triangle_triplets, maximum_rectangle_triplets). Per
+        vertex v with distinct-neighbor degree d and low = the number of
+        neighbors t where (d(v), v) < (d(t), t) — v's out-degree in the
+        Schank–Wagner orientation — the reference accumulates
+        C(low, 2) and C(low, 2) + low·(d − low) (EdgeStats +
+        EdgeMetricsHelper in both variants; the directed form first
+        dedups arc pairs, which _directed_pair_masks already does).
+        These are the oriented enumerator's candidate-volume stats —
+        the planning numbers for the triangle algorithms."""
+        masks = self._directed_pair_masks()
+        deg = (
+            masks.select(F.col("lo").alias("id"))
+            .unionByName(masks.select(F.col("hi").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        dl = deg.select(F.col("id").alias("lo"), F.col("d").alias("dlo"))
+        dh = deg.select(F.col("id").alias("hi"), F.col("d").alias("dhi"))
+        pair_low = (
+            masks.join(dl, "lo")
+            .join(dh, "hi")
+            .select(
+                F.when(
+                    F.struct(F.col("dlo"), F.col("lo"))
+                    < F.struct(F.col("dhi"), F.col("hi")),
+                    F.col("lo"),
+                )
+                .otherwise(F.col("hi"))
+                .alias("id")
+            )
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("low"))
+        )
+        stats = (
+            deg.join(pair_low, "id", "left")
+            .select(
+                "d", F.coalesce("low", F.lit(0)).alias("low")
+            )
+            .select(
+                F.sum(F.expr("low * (low - 1) DIV 2")).alias("tt"),
+                F.sum(
+                    F.expr("low * (low - 1) DIV 2 + low * (d - low)")
+                ).alias("rt"),
+                F.max(F.expr("low * (low - 1) DIV 2")).alias("mtt"),
+                F.max(
+                    F.expr("low * (low - 1) DIV 2 + low * (d - low)")
+                ).alias("mrt"),
+            )
+            .first()
+        )
+        return self.vertices.sparkSession.createDataFrame(
+            [(
+                int(stats["tt"] or 0),
+                int(stats["rt"] or 0),
+                int(stats["mtt"] or 0),
+                int(stats["mrt"] or 0),
+            )],
+            "triangle_triplet_count bigint, rectangle_triplet_count bigint,"
+            " maximum_triangle_triplets bigint,"
+            " maximum_rectangle_triplets bigint",
+        )
+
+    def run_checksum_hash_code(self) -> DataFrame:
+        """library/metric/ChecksumHashCode.java — one row (record_count,
+        checksum): count plus an order-independent hash sum over the
+        vertex and edge sets. The reference sums Java ``hashCode()``
+        values (JVM-specific); this analogue keeps the structure —
+        count + commutative sum of per-record hashes, vertices and edges
+        combined — but uses xxhash64 masked to 32 bits so the checksum
+        is stable across engines and workers. A utility for pipeline
+        regression checks, not a semantic operator."""
+        vh = self.vertices.select(
+            (F.xxhash64(F.col("id")) % F.lit(4294967296)).alias("h")
+        )
+        eh = self.edges.select(
+            (F.xxhash64(F.col("src"), F.col("dst")) % F.lit(4294967296))
+            .alias("h")
+        )
+        both = vh.unionByName(eh).select(F.abs(F.col("h")).alias("h"))
+        stats = both.select(
+            F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+        ).first()
+        return self.vertices.sparkSession.createDataFrame(
+            [(int(stats["n"] or 0), int(stats["s"] or 0))],
+            "record_count bigint, checksum bigint",
         )
 
     def run_gsa(

@@ -517,3 +517,245 @@ def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
     )
     return g.run_community_detection(iterations=2, delta=0.5).orderBy("node")
+
+
+def _directed_nation_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Deterministic DIRECTED test graph over the 25 fixed nations: arc
+    i→j iff same region and (7i + 3j) mod 4 < 2 — a reproducible mix of
+    one-way, mutual, and absent pairs inside each region clique, so the
+    directed clustering family has all 2-bit edge states to classify."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r")
+    )
+    arcs = (
+        a.join(b, "r")
+        .filter(F.col("src") != F.col("dst"))
+        .filter((F.col("src") * 7 + F.col("dst") * 3) % 4 < 2)
+        .select("src", "dst")
+    )
+    return Graph(n.select(F.col("n_nationkey").alias("id")), arcs)
+
+
+# DuckDB twin of _directed_nation_graph + the EdgeOrder pair masks
+# (bits: FORWARD lo→hi = 2, REVERSE hi→lo = 1) and distinct-neighbor
+# degrees — the shared prelude of the three directed-library oracles.
+_DIRECTED_DUCK_PRELUDE = """
+    arcs AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+      WHERE a.n_nationkey <> b.n_nationkey
+        AND (a.n_nationkey * 7 + b.n_nationkey * 3) % 4 < 2),
+    pairs AS (
+      SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+             MAX(CASE WHEN src < dst THEN 2 ELSE 0 END)
+               + MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS mask
+      FROM arcs GROUP BY 1, 2),
+    deg AS (
+      SELECT id, COUNT(*) AS d
+      FROM (SELECT lo AS id FROM pairs UNION ALL SELECT hi FROM pairs)
+      GROUP BY id),
+    tri AS (
+      SELECT p12.lo AS v1, p12.hi AS v2, p13.hi AS v3,
+             p12.mask * 16 + p13.mask * 4 + p23.mask AS bm
+      FROM pairs p12
+      JOIN pairs p13 ON p13.lo = p12.lo AND p13.hi > p12.hi
+      JOIN pairs p23 ON p23.lo = p12.hi AND p23.hi = p13.hi)"""
+
+
+@query(
+    "graph_directed_clustering",
+    oracle=f"""
+    WITH {_DIRECTED_DUCK_PRELUDE},
+    credits AS (
+      SELECT v1 AS id, CASE WHEN bm % 4 = 3 THEN 2 ELSE 1 END AS c
+      FROM tri
+      UNION ALL
+      SELECT v2, CASE WHEN (bm // 4) % 4 = 3 THEN 2 ELSE 1 END FROM tri
+      UNION ALL
+      SELECT v3, CASE WHEN (bm // 16) % 4 = 3 THEN 2 ELSE 1 END FROM tri),
+    tc AS (SELECT id, CAST(SUM(c) AS BIGINT) AS t FROM credits GROUP BY id)
+    SELECT n_nationkey AS id,
+           COALESCE(d, 0) AS degree,
+           COALESCE(t, 0) AS triangle_count,
+           COALESCE(d, 0) * (COALESCE(d, 0) - 1) AS neighbor_pairs
+    FROM nation
+    LEFT JOIN deg ON deg.id = n_nationkey
+    LEFT JOIN tc ON tc.id = n_nationkey
+    ORDER BY id
+    """,
+    tags=("batch", "graph", "gelly", "clustering", "directed"),
+)
+def graph_directed_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed local clustering coefficient (Gelly library/clustering/
+    directed/LocalClusteringCoefficient.java): per vertex its distinct-
+    neighbor degree and the number of ARCS between its neighbors — a
+    mutual pair counts 2, one-way counts 1, the reference's
+    SplitTriangles bitmask credit — with the exact ordered-pair
+    denominator degree·(degree−1). The engine runs the shared oriented
+    triangle enumerator plus three mask joins; the oracle recomputes the
+    listing declaratively on the fixed 25-nation directed graph. Exact
+    integers only."""
+    g = _directed_nation_graph(spark, sf_dir)
+    return g.run_local_clustering_coefficient_directed().orderBy("id")
+
+
+def _triad_type_values() -> str:
+    """The Batagelj–Mrvar 64-entry bitmask→type table as a VALUES body —
+    generated from the single Python source of truth (Graph._TRIAD_TYPE_
+    TABLE) so the oracle can never drift from the engine."""
+    return ", ".join(
+        f"({m}, {t})" for m, t in enumerate(Graph._TRIAD_TYPE_TABLE)
+    )
+
+
+@query(
+    "graph_directed_triadic_census",
+    oracle=f"""
+    WITH {_DIRECTED_DUCK_PRELUDE},
+    tt(mask, typ) AS (VALUES {_triad_type_values()}),
+    tcounts AS (
+      SELECT typ, COUNT(*) AS c FROM tri JOIN tt ON tt.mask = tri.bm
+      GROUP BY typ),
+    vstats AS (
+      SELECT COALESCE(d, 0) AS d, COALESCE(od, 0) AS od,
+             COALESCE(idg, 0) AS idg
+      FROM nation
+      LEFT JOIN deg ON deg.id = n_nationkey
+      LEFT JOIN (SELECT src AS id, COUNT(*) AS od FROM arcs GROUP BY src)
+        o ON o.id = n_nationkey
+      LEFT JOIN (SELECT dst AS id, COUNT(*) AS idg FROM arcs GROUP BY dst)
+        i ON i.id = n_nationkey),
+    sums AS (
+      SELECT COUNT(*) AS vc,
+             CAST(SUM((d - idg) + (d - od)) AS BIGINT) // 2 AS uec,
+             CAST(SUM(idg + od - d) AS BIGINT) // 2 AS bec,
+             CAST(SUM((d - idg) * (d - idg - 1) // 2) AS BIGINT) AS r021d,
+             CAST(SUM((d - od) * (d - od - 1) // 2) AS BIGINT) AS r021u,
+             CAST(SUM((d - idg) * (d - od)) AS BIGINT) AS r021c,
+             CAST(SUM((d - od) * (idg + od - d)) AS BIGINT) AS r111d,
+             CAST(SUM((d - idg) * (idg + od - d)) AS BIGINT) AS r111u,
+             CAST(SUM((idg + od - d) * (idg + od - d - 1) // 2) AS BIGINT)
+               AS r201
+      FROM vstats),
+    tris AS (
+      SELECT COALESCE((SELECT c FROM tcounts WHERE typ = 9), 0) AS x030t,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 10), 0) AS x030c,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 12), 0) AS x120d,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 13), 0) AS x120u,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 14), 0) AS x120c,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 15), 0) AS x210,
+             COALESCE((SELECT c FROM tcounts WHERE typ = 16), 0) AS x300),
+    adj AS (
+      SELECT vc, uec, bec, x030t, x030c, x120d, x120u, x120c, x210, x300,
+             r201 - 3 * x300 - x210 AS t201,
+             r111d - x210 - x120c - 2 * x120d AS t111d,
+             r111u - x210 - x120c - 2 * x120u AS t111u,
+             r021c - x120c - 3 * x030c - x030t AS t021c,
+             r021u - x120u - x030t AS t021u,
+             r021d - x120d - x030t AS t021d
+      FROM sums, tris),
+    fin AS (
+      SELECT *,
+             bec * (vc - 2) - t111d - t111u - 2 * t201
+               - x120d - x120u - x120c - 2 * x210 - 3 * x300 AS e102,
+             uec * (vc - 2) - 2 * (t021d + t021u + t021c)
+               - t111d - t111u - 3 * (x030t + x030c)
+               - 2 * (x120d + x120u + x120c) - x210 AS e012
+      FROM adj)
+    SELECT vc * (vc - 1) * (vc - 2) // 6 - e012 - e102
+             - t021d - t021u - t021c - t111d - t111u
+             - x030t - x030c - t201 - x120d - x120u - x120c - x210 - x300
+             AS count_003,
+           e012 AS count_012, e102 AS count_102,
+           t021d AS count_021d, t021u AS count_021u, t021c AS count_021c,
+           t111d AS count_111d, t111u AS count_111u,
+           x030t AS count_030t, x030c AS count_030c, t201 AS count_201,
+           x120d AS count_120d, x120u AS count_120u, x120c AS count_120c,
+           x210 AS count_210, x300 AS count_300
+    FROM fin
+    """,
+    tags=("batch", "graph", "gelly", "clustering", "directed"),
+)
+def graph_directed_triadic_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full 16-type directed triad census (Gelly library/clustering/
+    directed/TriadicCensus.java): triangles classified through the
+    published Batagelj–Mrvar 64-entry bitmask table, open triplets from
+    the (degree, out, in) decomposition per center, single/empty triads
+    by the reference's exact deduction ladder. Both engines share the
+    type table (the oracle's VALUES body is generated from the same
+    Python tuple) and both run the closed form — the engine on the
+    oriented enumerator, the oracle on a declarative three-way pair
+    join. Exact integers throughout."""
+    g = _directed_nation_graph(spark, sf_dir)
+    return g.run_triadic_census_directed()
+
+
+@query(
+    "graph_metrics",
+    oracle=f"""
+    WITH {_DIRECTED_DUCK_PRELUDE},
+    vstats AS (
+      SELECT COALESCE(d, 0) AS d, COALESCE(od, 0) AS od,
+             COALESCE(idg, 0) AS idg
+      FROM nation
+      LEFT JOIN deg ON deg.id = n_nationkey
+      LEFT JOIN (SELECT src AS id, COUNT(*) AS od FROM arcs GROUP BY src)
+        o ON o.id = n_nationkey
+      LEFT JOIN (SELECT dst AS id, COUNT(*) AS idg FROM arcs GROUP BY dst)
+        i ON i.id = n_nationkey),
+    vm AS (
+      SELECT COUNT(*) AS vertex_count,
+             CAST(SUM((d - idg) + (d - od)) AS BIGINT) // 2
+               AS unidirectional_edge_count,
+             CAST(SUM(idg + od - d) AS BIGINT) // 2
+               AS bidirectional_edge_count,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS triplet_count,
+             MAX(d) AS maximum_degree,
+             MAX(od) AS maximum_out_degree,
+             MAX(idg) AS maximum_in_degree,
+             MAX(d * (d - 1) // 2) AS maximum_triplets
+      FROM vstats),
+    low AS (
+      SELECT id, COUNT(*) AS lo_cnt
+      FROM (SELECT CASE WHEN dl.d <= dh.d THEN p.lo ELSE p.hi END AS id
+            FROM pairs p
+            JOIN deg dl ON dl.id = p.lo
+            JOIN deg dh ON dh.id = p.hi)
+      GROUP BY id),
+    em AS (
+      SELECT CAST(SUM(lo_cnt * (lo_cnt - 1) // 2) AS BIGINT)
+               AS triangle_triplet_count,
+             CAST(SUM(lo_cnt * (lo_cnt - 1) // 2
+                      + lo_cnt * (deg.d - lo_cnt)) AS BIGINT)
+               AS rectangle_triplet_count,
+             MAX(lo_cnt * (lo_cnt - 1) // 2) AS maximum_triangle_triplets,
+             MAX(lo_cnt * (lo_cnt - 1) // 2 + lo_cnt * (deg.d - lo_cnt))
+               AS maximum_rectangle_triplets
+      FROM deg JOIN low ON low.id = deg.id)
+    SELECT * FROM vm, em
+    """,
+    tags=("batch", "graph", "gelly", "metric", "directed"),
+)
+def graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed VertexMetrics + EdgeMetrics in one row (Gelly
+    library/metric/directed/{Vertex,Edge}Metrics.java): vertex count,
+    uni/bidirectional edge counts (halved, each endpoint reports its
+    incident arcs), Σ C(deg,2) triplets and the degree maxima, plus the
+    Schank–Wagner orientation stats — per-vertex low-order neighbor
+    count low(v) = |{{t : (d(v),v) < (d(t),t)}}| giving triangle triplets
+    Σ C(low,2) and rectangle triplets Σ C(low,2)+low·(d−low), the
+    candidate-volume planning numbers for every triangle algorithm.
+    Exact integers; ties in the (degree, id) order resolve to the lower
+    id exactly as the reference's EdgeStats comparator."""
+    g = _directed_nation_graph(spark, sf_dir)
+    # both sides are single driver-built rows; coalesce(1) keeps the
+    # cross join at 1×1 tasks instead of defaultParallelism² empties
+    vm = g.run_vertex_metrics_directed().coalesce(1)
+    em = g.run_edge_metrics().coalesce(1)
+    return vm.crossJoin(em)

@@ -349,3 +349,222 @@ def test_gsa_expresses_sssp_and_cc(spark):
     ref = {r["node"]: r["component"]
            for r in gc.run_connected_components().collect()}
     assert comp == ref == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# Directed clustering family + metrics (r10: library/clustering/directed/,
+# library/metric/) — every algorithm cross-checked against an exhaustive
+# brute-force evaluation of the same definitions on a fixed random digraph.
+# ---------------------------------------------------------------------------
+
+def _fixed_digraph(spark, n=9, seed=7, p=0.35):
+    import random
+
+    rnd = random.Random(seed)
+    arcs = [
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i != j and rnd.random() < p
+    ]
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    return Graph(verts, edges), set(arcs), n
+
+
+def _pair_mask(A):
+    return lambda a, b: (2 if (a, b) in A else 0) | (1 if (b, a) in A else 0)
+
+
+def test_directed_triangle_listing_masks(spark):
+    import itertools
+
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    expected = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if m(a, b) and m(a, c) and m(b, c):
+            expected[(a, b, c)] = m(a, b) * 16 + m(a, c) * 4 + m(b, c)
+    got = {
+        (r["v1"], r["v2"], r["v3"]): r["bitmask"]
+        for r in g.run_triangle_listing_directed().collect()
+    }
+    assert got == expected and expected  # non-trivial fixture
+
+
+def test_directed_local_clustering_coefficient_brute_force(spark):
+    import itertools
+
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    out = {
+        r["id"]: (r["degree"], r["triangle_count"], r["neighbor_pairs"])
+        for r in g.run_local_clustering_coefficient_directed().collect()
+    }
+    for v in range(n):
+        nb = sorted(x for x in range(n) if x != v and m(v, x))
+        d = len(nb)
+        # arcs between neighbors: mutual pair = 2, one-way = 1
+        tc = sum(
+            2 if m(a, b) == 3 else 1
+            for a, b in itertools.combinations(nb, 2)
+            if m(a, b)
+        )
+        assert out[v] == (d, tc, d * (d - 1)), v
+
+
+def test_directed_global_and_average_cc(spark):
+    import itertools
+
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    deg = {
+        v: sum(1 for x in range(n) if x != v and m(v, x)) for v in range(n)
+    }
+    tris = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if m(a, b) and m(a, c) and m(b, c)
+    )
+    gcc = g.run_global_clustering_coefficient_directed().first()
+    assert gcc["triplet_count"] == sum(
+        d * (d - 1) // 2 for d in deg.values()
+    )
+    assert gcc["triangle_count"] == 3 * tris
+
+    acc = g.run_average_clustering_coefficient_directed().first()
+    assert acc["vertex_count"] == n
+    # recompute the micro sum with the same half-away quantizer
+    lcc = {
+        r["id"]: (r["triangle_count"], r["neighbor_pairs"])
+        for r in g.run_local_clustering_coefficient_directed().collect()
+    }
+    import math
+
+    s = sum(
+        math.floor(t * 1_000_000.0 / p + 0.5)
+        for t, p in lcc.values()
+        if p > 0
+    )
+    assert acc["sum_cc_micro"] == s
+
+
+def test_directed_triadic_census_brute_force(spark):
+    import itertools
+
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    tt = Graph._TRIAD_TYPE_TABLE
+    counts = [0] * 16
+    for a, b, c in itertools.combinations(range(n), 3):
+        counts[tt[m(a, b) * 16 + m(a, c) * 4 + m(b, c)] - 1] += 1
+    names = (
+        "003 012 102 021d 021u 021c 111d 111u "
+        "030t 030c 201 120d 120u 120c 210 300"
+    ).split()
+    row = g.run_triadic_census_directed().first().asDict()
+    got = [row[f"count_{s}"] for s in names]
+    assert got == counts
+    assert sum(counts) == n * (n - 1) * (n - 2) // 6  # total triads
+
+
+def test_directed_census_canonical_cycles(spark):
+    # a 3-cycle is exactly one 030C; a transitive triple exactly one 030T
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    cyc = Graph(
+        verts, spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
+                                     "src long, dst long")
+    ).run_triadic_census_directed().first()
+    assert cyc["count_030c"] == 1 and cyc["count_030t"] == 0
+    tr = Graph(
+        verts, spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                                     "src long, dst long")
+    ).run_triadic_census_directed().first()
+    assert tr["count_030t"] == 1 and tr["count_030c"] == 0
+
+
+def test_vertex_and_edge_metrics_brute_force(spark):
+    import itertools
+
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    deg = {
+        v: sum(1 for x in range(n) if x != v and m(v, x)) for v in range(n)
+    }
+    uni = sum(
+        1 for a, b in itertools.combinations(range(n), 2) if m(a, b) in (1, 2)
+    )
+    bi = sum(
+        1 for a, b in itertools.combinations(range(n), 2) if m(a, b) == 3
+    )
+    vm = g.run_vertex_metrics_directed().first().asDict()
+    assert vm == {
+        "vertex_count": n,
+        "unidirectional_edge_count": uni,
+        "bidirectional_edge_count": bi,
+        "triplet_count": sum(d * (d - 1) // 2 for d in deg.values()),
+        "maximum_degree": max(deg.values()),
+        "maximum_out_degree": max(
+            sum(1 for x in range(n) if (v, x) in A) for v in range(n)
+        ),
+        "maximum_in_degree": max(
+            sum(1 for x in range(n) if (x, v) in A) for v in range(n)
+        ),
+        "maximum_triplets": max(d * (d - 1) // 2 for d in deg.values()),
+    }
+
+    low = {
+        v: sum(
+            1
+            for t in range(n)
+            if t != v and m(v, t) and (deg[v], v) < (deg[t], t)
+        )
+        for v in range(n)
+    }
+    em = g.run_edge_metrics().first().asDict()
+    assert em == {
+        "triangle_triplet_count": sum(
+            lo * (lo - 1) // 2 for lo in low.values()
+        ),
+        "rectangle_triplet_count": sum(
+            low[v] * (low[v] - 1) // 2 + low[v] * (deg[v] - low[v])
+            for v in range(n)
+        ),
+        "maximum_triangle_triplets": max(
+            lo * (lo - 1) // 2 for lo in low.values()
+        ),
+        "maximum_rectangle_triplets": max(
+            low[v] * (low[v] - 1) // 2 + low[v] * (deg[v] - low[v])
+            for v in range(n)
+        ),
+    }
+
+
+def test_vertex_metrics_undirected_matches_support(spark):
+    g, A, n = _fixed_digraph(spark)
+    m = _pair_mask(A)
+    import itertools
+
+    pairs = [
+        (a, b) for a, b in itertools.combinations(range(n), 2) if m(a, b)
+    ]
+    deg = {
+        v: sum(1 for x in range(n) if x != v and m(v, x)) for v in range(n)
+    }
+    vm = g.run_vertex_metrics_undirected().first().asDict()
+    assert vm == {
+        "vertex_count": n,
+        "edge_count": len(pairs),
+        "triplet_count": sum(d * (d - 1) // 2 for d in deg.values()),
+        "maximum_degree": max(deg.values()),
+        "maximum_triplets": max(d * (d - 1) // 2 for d in deg.values()),
+    }
+
+
+def test_checksum_hash_code_stable_and_counting(spark):
+    g, A, n = _fixed_digraph(spark)
+    r1 = g.run_checksum_hash_code().first()
+    r2 = g.run_checksum_hash_code().first()
+    assert r1 == r2  # deterministic across runs
+    assert r1["record_count"] == n + len(A)
+    assert r1["checksum"] >= 0
