@@ -552,6 +552,35 @@ def test_incremental_dedup_index_side_aggregated_before_join(spark, sf_dir):
     assert "partial_min" in plan or "partial" in plan.lower()
 
 
+def test_directed_clustering_no_cartesian(spark, sf_dir):
+    """The directed listing re-attaches EdgeOrder masks with three
+    equi-joins on the pair table — a cartesian/BNLJ here would be the
+    all-pairs blow-up the oriented enumerator exists to avoid."""
+    for name in ("graph_directed_clustering", "graph_directed_triadic_census"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r10_rows_rotation_ready_output_shapes(spark):
+    """r10 additions pass the same spark-side shape sweep as the r9
+    rows (the oracle side is covered by tests/test_oracle_types.py)."""
+    allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+    bad = {}
+    for name in (
+        "graph_directed_clustering",
+        "graph_directed_triadic_census",
+        "graph_metrics",
+        "bpe_encode_docs",
+        "env_probe_canon_int128",
+    ):
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+        offending = [(c, t) for c, t in df.dtypes if t not in allowed]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"rotation-unsafe output types: {bad}"
+
+
 def test_chunk_dedup_shuffles_hash_key_not_text(spark, sf_dir):
     """The CCNet chunk dedup's first-occurrence aggregate and join-back
     must key on xxhash64(chunk) — 8 bytes on the exchange — never on the
