@@ -449,10 +449,16 @@ def test_directed_global_and_average_cc(spark):
     assert acc["sum_cc_micro"] == s
 
 
-def test_directed_triadic_census_brute_force(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seed,p", [(7, 0.35), (11, 0.15), (13, 0.6)])
+def test_directed_triadic_census_brute_force(spark, seed, p):
+    # three density regimes: sparse graphs exercise the 012/102/003
+    # closed-form arms, dense ones the triangle-classification arm
     import itertools
 
-    g, A, n = _fixed_digraph(spark)
+    g, A, n = _fixed_digraph(spark, seed=seed, p=p)
     m = _pair_mask(A)
     tt = Graph._TRIAD_TYPE_TABLE
     counts = [0] * 16
