@@ -139,10 +139,12 @@ def bpe_train(
     from collections import deque
 
     from flink_1_12_2_spark.llm.text import tokens
+    from flink_1_12_2_spark.session import rebalance_scan
 
     spark = docs.sparkSession
     words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        rebalance_scan(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(spaced_symbols(F.col("w")).alias("sp"), "cnt")
@@ -270,12 +272,15 @@ def bpe_encode(
     back) trades the per-occurrence chain for a join; on natural-language
     skew (Zipf) that wins once merges number in the thousands."""
     from flink_1_12_2_spark.llm.text import tokens
+    from flink_1_12_2_spark.session import rebalance_scan
 
     toks = tokens(F.col(text_col))
     enc = F.flatten(
         F.transform(toks, lambda w: bpe_encode_expr(w, merges))
     )
-    return docs.select(
+    # the replace chain is the row-cost-heavy stage — widen a one-split
+    # local scan so it runs on every core (no-op on real multi-split input)
+    return rebalance_scan(docs).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.size(toks).alias("n_words"),

@@ -32,14 +32,14 @@ def fan_out(df: DataFrame) -> DataFrame:
 
     Small inputs (one parquet file → one partition) would otherwise run
     expensive expression trees (shingling, 16× seeded hashing, simhash bit
-    votes) single-threaded. Repartition only when the scan has fewer
-    partitions than the cluster's parallelism — at real scale inputs already
-    have thousands of partitions and this is a no-op (no shuffle added).
+    votes) single-threaded. Delegates to
+    :func:`flink_1_12_2_spark.session.rebalance_scan` (r10: the same
+    widening now also feeds the BPE trainer/encoder and the chunk dedup)
+    — a no-op whenever the scan already has enough splits.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from flink_1_12_2_spark.session import rebalance_scan
+
+    return rebalance_scan(df)
 
 
 NUM_PERM = 16  # minhash permutations

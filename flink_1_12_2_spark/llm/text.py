@@ -320,9 +320,11 @@ def cross_doc_chunk_dedup(
     chunk-hash aggregate is the same inverted-index shape as the dedup
     module's posting tables. CCNet itself dedups on paragraph hashes, so
     the 2^-64 collision class is the published algorithm's semantics."""
+    from flink_1_12_2_spark.session import rebalance_scan
+
     w = F.split(F.col(text_col), " ")
     n_chunks = ((F.size(w) + chunk_words - 1) / chunk_words).cast("int")
-    chunks = docs.select(
+    chunks = rebalance_scan(docs).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
