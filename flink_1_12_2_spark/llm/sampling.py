@@ -454,8 +454,13 @@ def dsir_bucket_stats(
     plus the collected per-bucket exact-integer stats (<= n_buckets rows —
     driver metadata, not a corpus collect). Returns ``(ex, stats_rows)``."""
     from flink_1_12_2_spark.llm.text import tokens
+    from flink_1_12_2_spark.session import rebalance_scan
 
     carry = [F.col(c) for c in carry_cols]
+    # token explode + md5 bucketing is row-cost-heavy and consumed twice
+    # (stats + weighting); widen a one-split local scan (no-op at scale,
+    # and partitioning cannot move the result: every sum is exact BIGINT)
+    docs = rebalance_scan(docs)
     ex = docs.select(
         F.col(id_col),
         *carry,
@@ -595,8 +600,12 @@ def perplexity_score(
     through the groupBy (no corpus join-back). Returns one row per
     document with >= 1 token: (id, carry..., n_tok, logprob_micro)."""
     from flink_1_12_2_spark.llm.text import tokens
+    from flink_1_12_2_spark.session import rebalance_scan
 
     carry = [F.col(c) for c in carry_cols]
+    # same widening as dsir_bucket_stats: the explode runs for the LM fit
+    # AND the scoring pass; exact BIGINT sums are partitioning-immune
+    docs = rebalance_scan(docs)
     ex = docs.select(
         F.col(id_col),
         *carry,
