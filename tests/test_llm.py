@@ -117,3 +117,18 @@ def test_pq_codes_and_recall(spark, sf_dir):
             e.repartition(parts), "vec_id", "embedding", qids, 5
         ).collect()
         assert sorted(tuple(r) for r in again) == base, parts
+
+
+def test_rebalance_scan_widens_narrow_and_leaves_wide(spark):
+    # one-partition input (the local single-row-group parquet shape) is
+    # widened to the session parallelism; an already-wide frame passes
+    # through without an added shuffle
+    from flink_1_12_2_spark.session import rebalance_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = rebalance_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+    wide = spark.range(1000).repartition(target)
+    assert rebalance_scan(wide) is wide
