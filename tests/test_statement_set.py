@@ -114,3 +114,18 @@ def test_insert_values(spark, tmp_path):
     eng.sql("INSERT INTO vals_sink VALUES (1, 'a'), (2, 'b')")
     back = spark.read.parquet(path).orderBy("k").collect()
     assert [(r[0], r[1]) for r in back] == [(1, "a"), (2, "b")]
+
+
+def test_csv_sink_readback_keeps_declared_types(eng, spark):
+    # r9 advice: the re-exposed view used inferSchema, so a STRING column
+    # holding '007' came back as INT 7 (leading zeros lost). The reader
+    # must re-apply the written DataFrame's schema instead.
+    path = _tmp("sset_csv_types_")
+    eng.sql(
+        "CREATE TABLE sset_csv_types (code STRING, n INT) WITH "
+        f"('connector'='filesystem', 'path'='{path}', 'format'='csv')"
+    )
+    eng.sql("INSERT INTO sset_csv_types VALUES ('007', 7), ('042', 42)")
+    back = spark.table("sset_csv_types")
+    assert dict(back.dtypes)["code"] == "string"
+    assert {r["code"] for r in back.collect()} == {"007", "042"}
