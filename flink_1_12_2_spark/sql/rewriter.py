@@ -116,7 +116,18 @@ def rewrite(query: str) -> str:
     # Window auxiliary functions first (they mention TUMBLE_/HOP_/SESSION_).
     q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_START\s*\([^)]*\)", "window.start", q)
     q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_END\s*\([^)]*\)", "window.end", q)
-    q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_ROWTIME\s*\([^)]*\)", "window.end", q)
+    # *_ROWTIME is the window's TIME ATTRIBUTE, not its end: Flink emits
+    # end − 1 ms (blink planner's window property rowtime) so a cascaded
+    # window on the aggregate keeps the result INSIDE an aligned parent
+    # window — with a bare `end`, a [0,10s) result would fall into the
+    # NEXT 20s window whenever the boundaries align. r10 fix; the old
+    # `window.end` mapping was the END semantics, off by one window in
+    # every aligned cascade.
+    q = re.sub(
+        r"(?is)\b(TUMBLE|HOP|SESSION)_ROWTIME\s*\([^)]*\)",
+        "(window.end - INTERVAL 1 MILLISECOND)",
+        q,
+    )
 
     # Group windows. HOP(ts, slide, size) → window(ts, size, slide).
     q = _HOP.sub(

@@ -100,6 +100,44 @@ def test_sql_rewriter_tumble(spark, sf_dir):
     assert set(out.columns) == {"ws", "c"}
 
 
+def test_sql_rewriter_rowtime_is_end_minus_1ms(spark, sf_dir):
+    """TUMBLE_ROWTIME is the window's TIME ATTRIBUTE = end − 1 ms (blink
+    planner window-property semantics), NOT the end: an aligned cascade
+    must keep a [0,10m) aggregate inside the [0,20m) parent window. The
+    pre-r10 mapping to window.end pushed every aligned boundary result
+    one parent window late."""
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_rt")
+    q = rewrite(
+        "SELECT TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) AS rt,"
+        " COUNT(*) AS c FROM ev_rt GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)"
+    )
+    assert "INTERVAL 1 MILLISECOND" in q
+    inner = spark.sql(q)
+    rows = inner.collect()
+    assert rows
+    for r in rows:
+        # rowtime sits strictly inside its own window: ...:09:59.999
+        assert r["rt"].second == 59 and r["rt"].microsecond == 999000
+    # cascade: 10-minute results re-windowed by 20 minutes — the count
+    # must equal the direct 20-minute count (end-based rowtime would
+    # shift aligned results into the next parent window)
+    inner.createOrReplaceTempView("ev_rt10")
+    casc = spark.sql(rewrite(
+        "SELECT TUMBLE_START(rt, INTERVAL '20' MINUTE) AS ws,"
+        " SUM(c) AS c FROM ev_rt10 GROUP BY TUMBLE(rt, INTERVAL '20' MINUTE)"
+    ))
+    direct = spark.sql(rewrite(
+        "SELECT TUMBLE_START(ts, INTERVAL '20' MINUTE) AS ws,"
+        " COUNT(*) AS c FROM ev_rt GROUP BY TUMBLE(ts, INTERVAL '20' MINUTE)"
+    ))
+    got = {(r["ws"], r["c"]) for r in casc.collect()}
+    want = {(r["ws"], r["c"]) for r in direct.collect()}
+    assert got == want
+
+
 def test_native_stddev_var_match_moment_formula(spark, sf_dir):
     """The registry's agg_stddev_var derives var/stddev from exact decimal
     moments (bit-deterministic across engines); this pins Spark's native
