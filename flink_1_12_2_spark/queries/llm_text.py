@@ -927,16 +927,16 @@ def _dsir_terms_cte() -> str:
     {_dsir_terms_cte()},
     w AS (
       SELECT doc_id, lang, source, COUNT(*) AS n_feat,
-             SUM(term_micro) AS logweight_micro
+             CAST(SUM(term_micro) AS BIGINT) AS logweight_micro
       FROM (SELECT e.doc_id, d.lang, d.source, e.b
             FROM ex e JOIN documents d USING (doc_id)) je
       JOIN terms USING (b) GROUP BY doc_id, lang, source
     )
     SELECT doc_id, lang, source, logweight_micro,
-           (CASE WHEN logweight_micro >= 0
-                 THEN logweight_micro // n_feat
-                 ELSE -((-logweight_micro + n_feat - 1) // n_feat) END)
-             AS logweight_micro_per_tok
+           CAST(CASE WHEN logweight_micro >= 0
+                     THEN logweight_micro // n_feat
+                     ELSE -((-logweight_micro + n_feat - 1) // n_feat) END
+                AS BIGINT) AS logweight_micro_per_tok
     FROM w
     ORDER BY logweight_micro_per_tok DESC, doc_id
     LIMIT 200

@@ -3630,7 +3630,7 @@ def tpcds_literal_q23a(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_ss_customer AS ({_Q23_BEST})
     SELECT c_last_name, c_first_name, sales
     FROM (SELECT c_last_name, c_first_name,
-                 SUM(cs_quantity * cs_list_price) AS sales
+                 CAST(SUM(cs_quantity * cs_list_price) AS BIGINT) AS sales
           FROM catalog_sales, customer_v, date_dim
           WHERE d_year = 2000 AND d_moy = 2
             AND cs_sold_date_sk = d_date_sk
@@ -3641,7 +3641,7 @@ def tpcds_literal_q23a(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY c_last_name, c_first_name
           UNION ALL
           SELECT c_last_name, c_first_name,
-                 SUM(ws_quantity * ws_list_price) AS sales
+                 CAST(SUM(ws_quantity * ws_list_price) AS BIGINT) AS sales
           FROM web_sales, customer_v, date_dim
           WHERE d_year = 2000 AND d_moy = 2
             AND ws_sold_date_sk = d_date_sk
@@ -6573,7 +6573,8 @@ _Q14B_WEEK_ARM = """
     {_Q14_CROSS_ITEMS},
     {_Q14_AVG_SALES}
     SELECT channel, i_brand_id, i_class_id, i_category_id,
-           SUM(sales) AS sum_sales, SUM(number_sales) AS sum_number_sales
+           CAST(SUM(sales) AS BIGINT) AS sum_sales,
+           CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
     FROM ({_Q14A_ARM.format(ch="store", p="ss", tbl="store_sales")}
           UNION ALL
           {_Q14A_ARM.format(ch="catalog", p="cs", tbl="catalog_sales")}
@@ -6678,8 +6679,10 @@ QUERY64_SQL = "-- start query 1 in stream 0 using template ../query_templates_qu
              ad2.ca_street_name AS c_street_name,
              ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
              d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
-             COUNT(*) AS cnt, SUM(ss_wholesale_cost) AS s1,
-             SUM(ss_list_price) AS s2, SUM(ss_coupon_amt) AS s3
+             COUNT(*) AS cnt,
+             CAST(SUM(ss_wholesale_cost) AS BIGINT) AS s1,
+             CAST(SUM(ss_list_price) AS BIGINT) AS s2,
+             CAST(SUM(ss_coupon_amt) AS BIGINT) AS s3
       FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
            date_dim d3, store, customer_v,
            customer_demographics cd1, customer_demographics cd2,
