@@ -29,7 +29,12 @@ brute-force Python BPE in tests/test_llm_text.py).
 
 Scale (100 TB, 30k merges): the corpus-sized work is ONE map-combinable
 word-count aggregation; every round after that runs at VOCABULARY grain.
-Two round strategies (identical output; see :func:`bpe_train`): the
+When the vocabulary fits the driver-metadata rule (≤ ``_LOCAL_VOCAB_MAX``
+distinct words — the common case even for crawl-scale corpora, and the
+design of reference trainers like ``learn_bpe.py``), the merge loop runs
+driver-side on the collected word counts with an inverted pair→word
+index, eliminating one scheduler round-trip per merge. Above that, two
+distributed round strategies (identical output; see :func:`bpe_train`): the
 default recounts all pairs from the cached vocabulary (a single 2-stage
 job — round latency is stage count, not data volume, so this wins up to
 large vocabularies), and ``incremental=True`` folds a sign-tagged delta
@@ -55,6 +60,16 @@ from pyspark.sql import Column, DataFrame
 
 BPE_ROUNDS = 8
 _CKPT_EVERY = 8  # truncate plan lineage (localCheckpoint) every k rounds
+#: Vocabulary size (distinct words) up to which the merge loop runs
+#: driver-side on the collected word counts. The corpus-scale work —
+#: the one explode + map-combinable word-count groupBy — is always
+#: distributed; the VOCABULARY is bounded by the language, not the
+#: corpus (a 100-TB crawl still has ~10^7 distinct whitespace tokens),
+#: and at ≤2^20 entries it is driver metadata on the same rule as
+#: KMeans/IVF centroids, PQ codebooks, and the merge table itself
+#: (~60 MB collected, indexed Sennrich trainer ≈ seconds). Above the
+#: threshold the distributed round loop takes over unchanged.
+_LOCAL_VOCAB_MAX = 1 << 20
 
 
 def spaced_symbols(word) -> Column:
@@ -101,11 +116,75 @@ def _pair_counts(words: DataFrame, sign: int = 1) -> DataFrame:
     )
 
 
+def _train_local(
+    spaced_counts: list[tuple[str, int]], rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """Indexed Sennrich merge loop over collected (spaced form, count)
+    rows — the exact algorithm of the reference ``learn_bpe.py``: a pair
+    → word inverted index so each round rewrites only the words that
+    contain the winning pair, with delta updates to the pair counts.
+    Tie-break is (count DESC, left ASC, right ASC), identical to the
+    distributed argmax: Python's code-point string order equals Spark's
+    UTF8String byte order because UTF-8 sorts bytewise in code-point
+    order. Stale inverted-index entries (a word rewritten since it was
+    indexed under a pair) are tolerated and skipped by an adjacency
+    re-check, never double-counted."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for sp, cnt in spaced_counts:
+        syms = tuple(sp.strip().split(" "))
+        vocab[syms] = vocab.get(syms, 0) + cnt
+    words = list(vocab.items())
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            where.setdefault(p, set()).add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, rounds + 1):
+        if not pair_counts:
+            break
+        (l, r), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c <= 0:
+            break
+        merges.append((k, l, r, c))
+        for i in sorted(where.pop((l, r), ())):
+            syms, cnt = words[i]
+            if not any(
+                a == l and b == r for a, b in zip(syms, syms[1:])
+            ):
+                continue  # stale index entry: word already rewritten
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new = tuple(out)
+            for p in zip(syms, syms[1:]):
+                left = pair_counts[p] - cnt
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+            words[i] = (new, cnt)
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+                where.setdefault(p, set()).add(i)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
     rounds: int = BPE_ROUNDS,
     incremental: bool = False,
+    local_vocab_max: int = _LOCAL_VOCAB_MAX,
 ) -> DataFrame:
     """Train ``rounds`` BPE merges; returns (rank, lhs, rhs, pair_cnt).
 
@@ -150,6 +229,20 @@ def bpe_train(
         .select(spaced_symbols(F.col("w")).alias("sp"), "cnt")
         .persist()
     )
+    n_vocab = words.count()  # materializes the cache either way
+    if n_vocab <= local_vocab_max:
+        # Vocabulary fits the driver-metadata rule: collect the word
+        # counts (the ONLY corpus-scale job already ran above) and run
+        # the indexed Sennrich loop locally — identical output to the
+        # distributed rounds (equivalence-tested both ways in
+        # tests/test_llm_text.py), without one scheduler round-trip
+        # per merge.
+        rows = [(r["sp"], r["cnt"]) for r in words.collect()]
+        words.unpersist()
+        return spark.createDataFrame(
+            _train_local(rows, rounds),
+            "rank int, lhs string, rhs string, pair_cnt bigint",
+        )
     pairs = _pair_counts(words).persist() if incremental else None
     merges: list[tuple[int, str, str, int]] = []
     # generation queue: the 1-row argmax collect at round k materializes

@@ -312,14 +312,18 @@ def test_bpe_adjacent_repeats_greedy_left(spark):
         for w in t.split():
             words[w] += 1
     expect = _bruteforce_bpe(words, 10)
-    for inc in (False, True):  # recount and delta strategies, same output
+    # three engine strategies, same output: driver-local indexed trainer
+    # (default, vocab below _LOCAL_VOCAB_MAX), distributed recount, and
+    # distributed delta (local path disabled via local_vocab_max=0)
+    for inc, vmax in ((False, None), (False, 0), (True, 0)):
+        kw = {} if vmax is None else {"local_vocab_max": vmax}
         got = [
             (r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
             for r in bpe_train(
-                docs, "text", rounds=10, incremental=inc
+                docs, "text", rounds=10, incremental=inc, **kw
             ).collect()
         ]
-        assert got == expect, f"incremental={inc}"
+        assert got == expect, f"incremental={inc} vmax={vmax}"
 
 
 def test_bpe_train_64_merges(spark, sf_dir):
@@ -336,14 +340,17 @@ def test_bpe_train_64_merges(spark, sf_dir):
         for w in r["text"].split():
             words[w] += 1
     expect = _bruteforce_bpe(words, 64)
-    for inc in (False, True):  # both strategies cross the ckpt boundary
+    # local trainer + both distributed strategies (which cross the ckpt
+    # boundary); all three merge-for-merge equal to brute force
+    for inc, vmax in ((False, None), (False, 0), (True, 0)):
+        kw = {} if vmax is None else {"local_vocab_max": vmax}
         got = [
             (r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
             for r in bpe_train(
-                d, "text", rounds=64, incremental=inc
+                d, "text", rounds=64, incremental=inc, **kw
             ).collect()
         ]
-        assert got == expect, f"incremental={inc}"
+        assert got == expect, f"incremental={inc} vmax={vmax}"
 
 
 def test_perplexity_filter_semantics(spark, sf_dir):
