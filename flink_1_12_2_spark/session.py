@@ -58,15 +58,23 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    ``hive=True`` enables Hive support (HiveSessionStateBuilder), which is
+    what lets ``CREATE FUNCTION ... AS '<class>' LANGUAGE JAVA`` wrap Hive
+    UDF/GenericUDF/UDAF classes — Flink's flink-connector-hive function
+    parity (HiveModule.java / HiveFunctionDefinitionFactory). A static
+    conf: it only takes effect on the FIRST session of the JVM.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    if hive:
+        builder = builder.enableHiveSupport()
     conf = dict(_DEFAULT_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -321,6 +321,53 @@ def _register_function(engine: EngineSession, name: str, path: str) -> None:
     decorated pandas UDF) under ``name`` for SQL use."""
     engine.spark.udf.register(name, _import_function(path))
     engine._functions[name] = path
+
+
+def _register_jvm_function(
+    engine: EngineSession, name: str, cls: str
+) -> None:
+    """Register a JVM function class (``LANGUAGE JAVA``/``SCALA``) —
+    SqlCreateFunction's default dialect, where AS names a classpath class
+    (reference: flink-sql-parser/.../SqlCreateFunction.java:98, and
+    flink-connector-hive's HiveFunctionDefinitionFactory for Hive UDF
+    classes). Delegates to Spark's ``CREATE OR REPLACE TEMPORARY
+    FUNCTION``: Spark-native ``UDF0..22``/``Aggregator`` classes work on
+    any session; Hive ``UDF``/``GenericUDF``/``UDAF`` classes additionally
+    need a hive-enabled session (``session.get_spark(hive=True)``), which
+    this sandbox's bundled spark-hive jars support — surfaced as a clear
+    error otherwise."""
+    try:
+        engine.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name} AS '{cls}'"
+        )
+    except Exception as e:
+        if "CANNOT_LOAD_FUNCTION_CLASS" in str(e):
+            raise ValueError(
+                f"cannot load JVM class {cls!r}: not on the classpath"
+            ) from e
+        raise
+    # Registration is LAZY — the expression builder (which is where a
+    # vanilla session rejects Hive classes) only runs when an expression
+    # references the function. Probe with a 0-arg analysis: NO_HANDLER /
+    # CANNOT_LOAD fire before arity checking, so any OTHER analysis error
+    # (wrong arg count, type mismatch) proves the handler was built.
+    try:
+        engine.spark.sql(f"SELECT {name}()")
+    except Exception as e:
+        msg = str(e)
+        if "NO_HANDLER_FOR_UDAF" in msg or "CANNOT_LOAD_FUNCTION_CLASS" in msg:
+            engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            raise ValueError(
+                f"JVM function class {cls!r} could not be wrapped on this "
+                "session: Hive UDF/GenericUDF/UDAF classes require a "
+                "hive-enabled SparkSession "
+                "(flink_1_12_2_spark.session.get_spark(hive=True) — a "
+                "static conf, set before the first session of the JVM); "
+                "Spark-native UDF0..22/Aggregator classes work on any "
+                "session"
+            ) from e
+        # arity/type errors: the class resolved and wrapped fine
+    engine._functions[name] = cls
 _CREATE_DATABASE = re.compile(
     r"(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$"
 )
@@ -564,23 +611,30 @@ def execute_statement(engine: EngineSession, stmt: str):
     if m:
         name = m.group("name")
         lang = (m.group("lang") or "PYTHON").upper()
-        if lang != "PYTHON":
+        if lang not in ("PYTHON", "JAVA", "SCALA"):
             raise ValueError(
-                f"LANGUAGE {lang} is not available in this engine (PYTHON "
-                "only — JVM classpath functions have no Python analogue)"
+                f"LANGUAGE {lang} is not available in this engine "
+                "(PYTHON, JAVA, or SCALA)"
             )
         if m.group("ine") and name in engine._functions:
             return _ok()
         if name in engine._functions:
             raise ValueError(f"function {name!r} already exists")
-        _register_function(engine, name, m.group("path"))
+        if lang == "PYTHON":
+            _register_function(engine, name, m.group("path"))
+        else:
+            _register_jvm_function(engine, name, m.group("path"))
         return _ok()
     m = _ALTER_FUNCTION.match(stmt)
     if m:
         name = m.group("name")
+        lang = (m.group("lang") or "PYTHON").upper()
         if name not in engine._functions:
             raise ValueError(f"function {name!r} does not exist")
-        _register_function(engine, name, m.group("path"))
+        if lang in ("JAVA", "SCALA"):
+            _register_jvm_function(engine, name, m.group("path"))
+        else:
+            _register_function(engine, name, m.group("path"))
         return _ok()
     m = _DROP_FUNCTION.match(stmt)
     if m:

@@ -285,8 +285,12 @@ def test_create_function_error_paths(spark):
     from flink_1_12_2_spark.session import EngineSession
 
     eng = EngineSession(spark)
-    with pytest.raises(ValueError, match="LANGUAGE JAVA"):
+    # LANGUAGE JAVA is supported (Hive/Spark JVM classes, r10) — a class
+    # that isn't on the classpath fails loudly at registration
+    with pytest.raises(ValueError, match="classpath"):
         eng.sql("CREATE FUNCTION j AS 'com.acme.F' LANGUAGE JAVA")
+    with pytest.raises(ValueError, match="LANGUAGE RUST"):
+        eng.sql("CREATE FUNCTION j AS 'com.acme.F' LANGUAGE RUST")
     with pytest.raises(ValueError, match="cannot import"):
         eng.sql("CREATE FUNCTION f AS 'no_such_module.fn'")
     with pytest.raises(ValueError, match="no attribute"):
