@@ -431,3 +431,150 @@ def sink_roundtrip_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "es_upsert_sink_pipeline",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)
+             AS _id,
+           o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 3 AS price_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    ORDER BY o_orderkey
+    """,
+    tags=("batch", "sink", "elasticsearch", "changelog"),
+)
+def es_upsert_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch upsert sink emulation end-to-end
+    (Elasticsearch7DynamicSink / RowElasticsearchSinkFunction.java:76
+    parity): a 3-version-per-order changelog (+I then two +U, price
+    tripling) plus a -D for every 7th order streams into the file-backed
+    index in TWO bulk batches; the scan must show exactly the last
+    surviving version of every non-deleted doc, keyed by the
+    KeyExtractor-parity ``_id`` (custkey_orderkey, '_' delimiter). The
+    final state is the oracle-reproducible fixpoint — upsert overwrote
+    both earlier versions and the delete evicted its doc across the batch
+    boundary."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.elasticsearch_emu import (
+        es_scan,
+        es_upsert_batch,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "__cents"
+        ),
+    )
+    versions = o.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__seq")
+    ).select(
+        F.when(F.col("__seq") == 0, F.lit("+I"))
+        .otherwise(F.lit("+U"))
+        .alias(ROW_KIND),
+        "o_custkey",
+        "o_orderkey",
+        (F.col("__cents") * (F.col("__seq") + 1)).alias("price_cents"),
+        "__seq",
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("-D").alias(ROW_KIND),
+        "o_custkey",
+        "o_orderkey",
+        F.lit(0).cast("long").alias("price_cents"),
+        F.lit(3).alias("__seq"),
+    )
+    index_dir = _tmp("es_idx_")
+    batch1 = versions.filter(F.col("__seq") <= 1)
+    batch2 = versions.filter(F.col("__seq") == 2).unionByName(deletes)
+    for b in (batch1, batch2):
+        es_upsert_batch(
+            b,
+            index_dir,
+            pk_cols=["o_custkey", "o_orderkey"],
+            order_cols=["__seq"],
+        )
+    return (
+        es_scan(spark, index_dir)
+        .select("_id", "o_custkey", "o_orderkey", "price_cents")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "hbase_scan_wide_row",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id AS rowkey, event_type AS q,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS micro, event_id
+      FROM events
+    ),
+    latest AS (
+      SELECT rowkey, q, arg_max(micro, event_id) AS micro
+      FROM cells GROUP BY rowkey, q
+    ),
+    last_ev AS (
+      SELECT user_id AS rowkey, arg_max(event_type, event_id) AS last_event
+      FROM events GROUP BY user_id
+    )
+    SELECT l.rowkey,
+           MAX(CASE WHEN q = 'click' THEN micro END) AS m_click,
+           MAX(CASE WHEN q = 'view' THEN micro END) AS m_view,
+           MAX(CASE WHEN q = 'purchase' THEN micro END) AS m_purchase,
+           MAX(CASE WHEN q = 'signup' THEN micro END) AS m_signup,
+           MAX(CASE WHEN q = 'error' THEN micro END) AS m_error,
+           MAX(e.last_event) AS p_last_event
+    FROM latest l JOIN last_ev e USING (rowkey)
+    GROUP BY l.rowkey ORDER BY l.rowkey
+    """,
+    tags=("batch", "source", "hbase"),
+)
+def hbase_scan_wide_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase wide-column scan emulation (HBaseTableSchema.java:48 /
+    HBaseRowDataInputFormat parity): events become an HFile-grain cell
+    store — family 'm' holds one qualifier per event_type (micro-quantized
+    value, many versions per cell), family 'p' a last_event qualifier;
+    the version stamp is the unique event_id (a monotone write stamp, so
+    latest-version-wins is deterministic). The scan resolves versions
+    with one map-combinable max_by and pivots into rowkey + one struct
+    per family; flattened here so the oracle compares field-by-field."""
+    from flink_1_12_2_spark.sources.hbase_emu import _flatten, hbase_scan
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("rowkey"),
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5E0) AS BIGINT)").alias(
+            "__micro"
+        ),
+        F.col("event_id").alias("version_ts"),
+    )
+    cells = ev.select(
+        "rowkey",
+        F.lit("m").alias("family"),
+        F.col("event_type").alias("qualifier"),
+        F.col("__micro").cast("string").alias("value"),
+        "version_ts",
+    ).unionByName(
+        ev.select(
+            "rowkey",
+            F.lit("p").alias("family"),
+            F.lit("last_event").alias("qualifier"),
+            F.col("event_type").alias("value"),
+            "version_ts",
+        )
+    )
+    families = {
+        "m": {
+            "click": "bigint",
+            "view": "bigint",
+            "purchase": "bigint",
+            "signup": "bigint",
+            "error": "bigint",
+        },
+        "p": {"last_event": "string"},
+    }
+    wide = hbase_scan(cells, families)
+    return _flatten(wide, families).orderBy("rowkey")
