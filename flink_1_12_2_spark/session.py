@@ -179,6 +179,11 @@ class EngineSession:
         self._catalog_types: dict[str, str] = {
             "default_catalog": "generic_in_memory"
         }
+        # ALTER DATABASE/VIEW ... SET property bags (SqlAlterDatabase /
+        # SqlAlterViewProperties — GenericInMemoryCatalog stores these in
+        # a map; so do we)
+        self._db_props: dict[str, dict[str, str]] = {}
+        self._view_props: dict[str, dict[str, str]] = {}
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run

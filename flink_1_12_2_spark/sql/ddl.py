@@ -29,6 +29,8 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark.sql import functions as F
+
 from flink_1_12_2_spark.session import EngineSession, TableMeta
 
 _TYPE_MAP = {
@@ -393,6 +395,97 @@ _ALTER_VIEW_AS = re.compile(
 _ALTER_TABLE_SET = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*;?\s*$"
 )
+# SqlAddPartitions.java / SqlDropPartitions.java — hive-style partition
+# lifecycle for path-backed tables (one or more PARTITION (k=v,...) specs)
+_ADD_PARTITIONS = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<specs>(?:PARTITION\s*\([^)]*\)\s*)+)"
+    r";?\s*$"
+)
+_DROP_PARTITIONS = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+"
+    r"(?P<ie>IF\s+EXISTS\s+)?(?P<specs>(?:PARTITION\s*\([^)]*\)\s*,?\s*)+)"
+    r";?\s*$"
+)
+_PART_SPEC = re.compile(r"(?is)PARTITION\s*\(([^)]*)\)")
+# SqlAlterTableAddConstraint / SqlAlterTableDropConstraint — PK metadata
+# (NOT ENFORCED, like Flink: drives upsert/changelog semantics, no scan)
+_ADD_CONSTRAINT = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s+PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*"
+    r"(?:NOT\s+ENFORCED)?\s*;?\s*$"
+)
+_DROP_CONSTRAINT = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s*;?\s*$"
+)
+# SqlAlterDatabase.java / SqlAlterViewProperties.java — property bags
+# (GenericInMemoryCatalog stores them in a map; same here)
+_ALTER_DATABASE_SET = re.compile(
+    r"(?is)^\s*ALTER\s+DATABASE\s+(\w+)\s+SET\s*\((.*)\)\s*;?\s*$"
+)
+_ALTER_VIEW_SET = re.compile(
+    r"(?is)^\s*ALTER\s+VIEW\s+(\w+)\s+SET\s*\((.*)\)\s*;?\s*$"
+)
+# SqlAddReplaceColumns.java / SqlChangeColumn.java — schema evolution on
+# the READ path (view layer): parquet/orc resolve columns by name, so
+# renames/addition/type changes re-shape the registered view, never the files
+_ADD_COLUMNS = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+ADD\s+COLUMNS\s*"
+    r"\((?P<cols>.*)\)\s*;?\s*$"  # greedy: types may carry (p,s) parens
+)
+_REPLACE_COLUMNS = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+REPLACE\s+COLUMNS\s*"
+    r"\((?P<cols>.*)\)\s*;?\s*$"
+)
+_CHANGE_COLUMN = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>\w+)\s+CHANGE\s+(?:COLUMN\s+)?"
+    r"(?P<old>\w+)\s+(?P<new>\w+)\s+(?P<type>\w+(?:\([^)]*\))?)\s*;?\s*$"
+)
+
+
+def _parse_part_specs(specs: str) -> list[dict[str, str]]:
+    out = []
+    for g in _PART_SPEC.findall(specs):
+        spec: dict[str, str] = {}
+        for kv in g.split(","):
+            if not kv.strip():
+                continue
+            k, _, v = kv.partition("=")
+            spec[k.strip()] = v.strip().strip("'\"")
+        out.append(spec)
+    return out
+
+
+def _part_dir(meta, spec: dict[str, str]) -> str:
+    return os.path.join(
+        meta.path, *[f"{k}={v}" for k, v in spec.items()]
+    )
+
+
+def _parse_col_list(cols: str) -> list[tuple[str, str]]:
+    """Split ``a INT, b DECIMAL(10,2)`` into (name, type) pairs —
+    comma-split at paren depth 0 so parameterized types stay whole."""
+    out, depth, cur = [], 0, []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    pairs = []
+    for item in out:
+        parts = item.strip().split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"bad column definition: {item.strip()!r}")
+        pairs.append((parts[0], parts[1]))
+    return pairs
 # CREATE CATALOG c WITH ('type'='generic_in_memory') — SqlCreateCatalog.java;
 # only the in-memory catalog type has a live analogue here (hive/jdbc
 # catalogs need external services)
@@ -496,6 +589,125 @@ def execute_statement(engine: EngineSession, stmt: str):
         if meta is None:
             raise ValueError(f"table {name!r} is not registered")
         meta.options.update(dict(_OPT.findall(m.group(2))))
+        return _ok()
+    m = _ADD_CONSTRAINT.match(stmt)
+    if m:
+        # SqlAlterTableAddConstraint: PRIMARY KEY ... NOT ENFORCED is
+        # metadata (Flink never validates it with a scan either) — it
+        # drives changelog-normalize / upsert-sink key derivation
+        name = m.group("name")
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        meta.primary_key = tuple(
+            c.strip() for c in m.group("cols").split(",") if c.strip()
+        )
+        return _ok()
+    m = _DROP_CONSTRAINT.match(stmt)
+    if m:
+        name = m.group("name")
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        meta.primary_key = ()
+        return _ok()
+    m = _ADD_PARTITIONS.match(stmt)
+    if m:
+        # SqlAddPartitions: create the hive-style partition directories
+        # under the table path (an empty partition is a real, listable
+        # partition — SHOW PARTITIONS sees it; scans see it once data
+        # lands, exactly like a hive ADD PARTITION without location data)
+        name = m.group("name")
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        for spec in _parse_part_specs(m.group("specs")):
+            d = _part_dir(meta, spec)
+            if os.path.isdir(d):
+                if not m.group("ine"):
+                    raise ValueError(f"partition {spec} already exists")
+                continue
+            os.makedirs(d, exist_ok=True)
+        return _ok()
+    m = _DROP_PARTITIONS.match(stmt)
+    if m:
+        # SqlDropPartitions: remove the partition's directory and refresh
+        # the view so subsequent scans stop seeing its rows
+        import shutil
+
+        name = m.group("name")
+        meta = engine._tables.get(name)
+        if meta is None:
+            raise ValueError(f"table {name!r} is not registered")
+        for spec in _parse_part_specs(m.group("specs")):
+            d = _part_dir(meta, spec)
+            if not os.path.isdir(d):
+                if not m.group("ie"):
+                    raise ValueError(f"partition {spec} does not exist")
+                continue
+            shutil.rmtree(d)
+        spark.sql(f"REFRESH TABLE {name}")
+        return _ok()
+    m = _ADD_COLUMNS.match(stmt)
+    if m:
+        # SqlAddReplaceColumns (ADD): extend the view with NULL-typed
+        # columns — parquet/orc files without them read as NULL, the
+        # standard by-name schema-evolution contract
+        name = m.group("name")
+        if name not in engine._tables:
+            raise ValueError(f"table {name!r} is not registered")
+        df = spark.table(name)
+        for cname, ctype in _parse_col_list(m.group("cols")):
+            df = df.withColumn(cname, F.lit(None).cast(ctype))
+        df.createOrReplaceTempView(name)
+        return _ok()
+    m = _REPLACE_COLUMNS.match(stmt)
+    if m:
+        # SqlAddReplaceColumns (REPLACE): hive semantics — the new list
+        # replaces the schema POSITIONALLY (existing physical columns map
+        # by position, renamed/retyped on read; extra new columns NULL)
+        name = m.group("name")
+        if name not in engine._tables:
+            raise ValueError(f"table {name!r} is not registered")
+        df = spark.table(name)
+        old_cols = df.columns
+        sel = []
+        for i, (cname, ctype) in enumerate(_parse_col_list(m.group("cols"))):
+            if i < len(old_cols):
+                sel.append(F.col(old_cols[i]).cast(ctype).alias(cname))
+            else:
+                sel.append(F.lit(None).cast(ctype).alias(cname))
+        df.select(*sel).createOrReplaceTempView(name)
+        return _ok()
+    m = _CHANGE_COLUMN.match(stmt)
+    if m:
+        # SqlChangeColumn: rename + retype one column on the read path
+        name = m.group("name")
+        if name not in engine._tables:
+            raise ValueError(f"table {name!r} is not registered")
+        df = spark.table(name)
+        if m.group("old") not in df.columns:
+            raise ValueError(
+                f"column {m.group('old')!r} not in table {name!r}"
+            )
+        df = df.withColumn(
+            m.group("old"), F.col(m.group("old")).cast(m.group("type"))
+        ).withColumnRenamed(m.group("old"), m.group("new"))
+        df.createOrReplaceTempView(name)
+        return _ok()
+    m = _ALTER_DATABASE_SET.match(stmt)
+    if m:
+        # SqlAlterDatabase: property bag on the database, like
+        # GenericInMemoryCatalog.alterDatabase (a map update)
+        engine._db_props.setdefault(m.group(1), {}).update(
+            dict(_OPT.findall(m.group(2)))
+        )
+        return _ok()
+    m = _ALTER_VIEW_SET.match(stmt)
+    if m:
+        engine._view_props.setdefault(m.group(1), {}).update(
+            dict(_OPT.findall(m.group(2)))
+        )
         return _ok()
     m = _ALTER_RENAME.match(stmt)
     if m:
