@@ -578,3 +578,58 @@ def hbase_scan_wide_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     wide = hbase_scan(cells, families)
     return _flatten(wide, families).orderBy("rowkey")
+
+
+@query(
+    "ddl_partition_lifecycle",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("batch", "ddl", "partition"),
+)
+def ddl_partition_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP PARTITION end-to-end (SqlAddPartitions /
+    SqlDropPartitions parity): orders lands partitioned by o_orderstatus,
+    an empty partition is ADDed (listable, scan-invisible), then the 'F'
+    partition is DROPped — the aggregate over the registered table must
+    equal the oracle's WHERE-filtered view of the source. Exercises the
+    front door's real directory lifecycle + view refresh, not metadata."""
+    from flink_1_12_2_spark.session import EngineSession, TableMeta
+    from flink_1_12_2_spark.sql.ddl import execute_statement
+
+    eng = EngineSession(spark)
+    path = _tmp("part_ddl_")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(
+        path
+    )
+    eng.register_table("orders_part", TableMeta(path=path))
+    execute_statement(
+        eng, "ALTER TABLE orders_part ADD PARTITION (o_orderstatus='Z')"
+    )
+    parts = [
+        r["partition"]
+        for r in execute_statement(
+            eng, "SHOW PARTITIONS orders_part"
+        ).collect()
+    ]
+    assert "o_orderstatus=Z" in parts, parts
+    execute_statement(
+        eng, "ALTER TABLE orders_part DROP PARTITION (o_orderstatus='F')"
+    )
+    return (
+        spark.table("orders_part")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)")
+            ).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
