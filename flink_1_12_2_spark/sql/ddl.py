@@ -176,26 +176,48 @@ _CREATE_LIKE = re.compile(
 _OPT_PAIR = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 
 
+_LIKE_STRATEGY = re.compile(
+    r"(?i)\b(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|CONSTRAINTS|GENERATED|METADATA|OPTIONS|PARTITIONS|WATERMARKS)\b"
+)
+
+
 def _create_table_like(engine: EngineSession, m: "re.Match"):
     """CREATE TABLE new [WITH (...)] LIKE base (SqlTableLike.java): clone the
     base table's registry metadata (path/format/watermark/PK), with WITH
-    options overriding — Flink's OVERWRITING OPTIONS merge strategy. The
-    new table is immediately queryable (same view definition)."""
+    options overriding — Flink's OVERWRITING OPTIONS merge strategy — and
+    the reference's per-feature merge strategies honored where the
+    registry carries the feature: ``EXCLUDING OPTIONS`` starts from an
+    empty option map, ``EXCLUDING WATERMARKS`` drops the watermark clause,
+    ``EXCLUDING CONSTRAINTS`` drops the PK, ``EXCLUDING ALL`` all three
+    (SqlTableLike.MergingStrategy / FeatureOption). The new table is
+    immediately queryable (same view definition)."""
     import dataclasses
 
     new, base = m.group(1), m.group(3)
     base_meta = engine.meta(base)
     if base_meta is None:
         raise ValueError(f"LIKE source table {base!r} is not registered")
+    likeopts = m.group("likeopts") or ""
+    strategies = {
+        feat.upper(): strat.upper()
+        for strat, feat in _LIKE_STRATEGY.findall(likeopts)
+    }
+    if "ALL" in strategies:
+        for feat in ("OPTIONS", "WATERMARKS", "CONSTRAINTS"):
+            strategies.setdefault(feat, strategies["ALL"])
     overrides = dict(
-        _OPT_PAIR.findall((m.group("opts") or "") + (m.group("likeopts") or ""))
+        _OPT_PAIR.findall((m.group("opts") or "") + likeopts)
+    )
+    base_opts = (
+        {} if strategies.get("OPTIONS") == "EXCLUDING" else base_meta.options
     )
     meta = dataclasses.replace(
         base_meta,
         path=overrides.get("path", base_meta.path),
         fmt=overrides.get("format", base_meta.fmt),
         options={
-            **base_meta.options,
+            **base_opts,
             **{
                 k: v
                 for k, v in overrides.items()
@@ -203,6 +225,12 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
             },
         },
     )
+    if strategies.get("WATERMARKS") == "EXCLUDING":
+        meta = dataclasses.replace(
+            meta, event_time_col=None, watermark_delay=None
+        )
+    if strategies.get("CONSTRAINTS") == "EXCLUDING":
+        meta = dataclasses.replace(meta, primary_key=())
     if os.path.exists(meta.path):
         engine.register_table(new, meta)
     else:

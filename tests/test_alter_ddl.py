@@ -106,3 +106,38 @@ def test_alter_database_and_view_properties(eng):
     eng.spark.range(1).createOrReplaceTempView("v_props")
     _sql(eng, "ALTER VIEW v_props SET ('comment'='hello')")
     assert eng._view_props["v_props"] == {"comment": "hello"}
+
+
+def test_create_table_like_merge_strategies(eng, spark, sf_dir):
+    """SqlTableLike merging strategies: EXCLUDING OPTIONS/WATERMARKS/
+    CONSTRAINTS drop the corresponding inherited feature; defaults
+    inherit everything (the r3 behavior)."""
+    import os
+
+    from flink_1_12_2_spark.session import TableMeta
+
+    base_path = os.path.join(sf_dir, "events.parquet")
+    eng.register_table(
+        "ev_like_base",
+        TableMeta(
+            path=base_path,
+            event_time_col="ts",
+            watermark_delay="10 minutes",
+            primary_key=("event_id",),
+            options={"mergeSchema": "false"},
+        ),
+    )
+    eng.sql("CREATE TABLE ev_like_all LIKE ev_like_base")
+    m = eng.meta("ev_like_all")
+    assert m.primary_key == ("event_id",) and m.event_time_col == "ts"
+    assert m.options == {"mergeSchema": "false"}
+    eng.sql(
+        "CREATE TABLE ev_like_bare LIKE ev_like_base "
+        "(EXCLUDING OPTIONS, EXCLUDING WATERMARKS, EXCLUDING CONSTRAINTS)"
+    )
+    m = eng.meta("ev_like_bare")
+    assert m.primary_key == () and m.event_time_col is None
+    assert m.options == {}
+    eng.sql("CREATE TABLE ev_like_none LIKE ev_like_base (EXCLUDING ALL)")
+    m = eng.meta("ev_like_none")
+    assert m.primary_key == () and m.watermark_delay is None
