@@ -622,3 +622,58 @@ def test_r9_rows_rotation_ready_output_shapes(spark):
         if offending:
             bad[name] = offending
     assert not bad, f"rotation-unsafe output types: {bad}"
+
+
+def test_hbase_scan_partial_aggregated_no_cartesian(spark, sf_dir):
+    """hbase_scan (r10): both the latest-version resolve and the struct
+    assembly are map-combinable hash aggregates (partial before the
+    exchange), and nothing in the plan is a cartesian — the scan cost is
+    2 keyed aggregations over the cell store, linear in cells."""
+    plan = _plan(spark, sf_dir, "hbase_scan_wide_row")
+    assert "CartesianProduct" not in plan
+    # 2 aggregations x (partial + final); max_by plans as SortAggregate
+    agg_ops = plan.lower().count("sortaggregate") + plan.lower().count(
+        "hashaggregate"
+    )
+    assert agg_ops >= 4, plan
+    assert "partial_" in plan.lower()
+
+
+def test_es_upsert_state_only_touches_buckets(spark, sf_dir, tmp_path):
+    """es sink (r10): the index store is hash-bucketed; a small second
+    batch must rewrite only its touched buckets, not the whole index
+    (per-batch I/O is O(delta), the upsert sink's 100-TB property)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.elasticsearch_emu import es_upsert_batch
+
+    idx = str(tmp_path / "idx")
+    big = spark.range(200).select(
+        F.lit("+I").alias(ROW_KIND),
+        F.col("id").alias("k"),
+        F.lit("v").alias("p"),
+        F.lit(0).alias("seq"),
+    )
+    es_upsert_batch(big, idx, pk_cols=["k"], order_cols=["seq"], num_buckets=16)
+    mtimes = {
+        d: os.path.getmtime(os.path.join(idx, d))
+        for d in os.listdir(idx)
+        if d.startswith("__bucket=")
+    }
+    assert len(mtimes) == 16
+    import time
+
+    time.sleep(1.1)
+    one = spark.createDataFrame(
+        [("+U", 7, "v2", 1)], f"{ROW_KIND} string, k bigint, p string, seq int"
+    )
+    es_upsert_batch(one, idx, pk_cols=["k"], order_cols=["seq"], num_buckets=16)
+    touched = [
+        d
+        for d in mtimes
+        if os.path.getmtime(os.path.join(idx, d)) != mtimes[d]
+    ]
+    assert len(touched) == 1, touched
