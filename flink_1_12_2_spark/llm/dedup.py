@@ -149,8 +149,15 @@ def shingle_sets(
     """
     out = fan_out(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh_arr")
-    )
-    return out.persist()
+    ).persist()
+    # Eager fill: the frame feeds several INDEPENDENT map stages
+    # (signature agg, both verify sides); left lazy, those stages race to
+    # fill the same cold cache and each recomputes the shingle subtree
+    # (A/B at 10x sf0.1: 16.8 s -> 8.6 s cold end-to-end with barriers).
+    # At real scale this is the checkpoint-between-stages the docstring
+    # describes; locally one count() on the about-to-be-cached frame.
+    out.count()
+    return out
 
 
 def minhash_signatures(
@@ -220,6 +227,7 @@ def lsh_candidate_pairs(
         ["band", "bh"],
         band_df_cap,
     ).persist()
+    banded.count()  # eager: both self-join map stages read this cache
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -321,6 +329,7 @@ def ngram_jaccard_pairs(
     # without the boundary each side re-runs explode + df-window (~11% on
     # the full query at sf0.1)
     cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df").persist()
+    cold.count()  # eager: both self-join map stages read this cache
     # docs touching ≥1 hot shingle: tiny (boilerplate carriers only)
     hot_ids = sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct()
     a, b = cold.alias("a"), cold.alias("b")
@@ -347,6 +356,7 @@ def ngram_jaccard_pairs(
         # aggregation would execute once per branch
         .persist()
     )
+    counted.count()  # eager: the two branches otherwise race the cold fill
     exact_part = counted.filter(F.col("__h1").isNull() & F.col("__h2").isNull()).select(
         "id_1",
         "id_2",
