@@ -472,6 +472,7 @@ def simhash_pairs(
         .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("band", "bv")))
         .persist()
     )
+    banded.count()  # eager: cold/hot branches and their self-join sides race otherwise
     cold = banded.filter(F.col("__df") <= band_df_cap).drop("__df")
     # complementary 24 bits for band b: low 8b bits ∪ bits above (b+1)·8,
     # packed into one 24-bit value, then re-banded into n_sub sub-bands
@@ -631,6 +632,7 @@ def cosine_pairs(
         .select("__id", "vec_n", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
         .persist()
     )
+    banded.count()  # eager: both self-join map stages read this cache
     a = banded.select("__id", "band", "bv", F.col("vec_n").alias("v1"))
     b = banded.select(
         F.col("__id").alias("__id2"), "band", "bv", F.col("vec_n").alias("v2")
@@ -713,11 +715,13 @@ def exact_substring_pairs(
     # without the boundary each side re-runs the span explode + frequency
     # join (same policy as ngram_jaccard_pairs's `cold`)
     w2 = wins.join(elig, "wh").persist()
+    w2.count()  # eager: both self-join sides read this cache
     a = w2.select("wh", F.col("__id").alias("id_1"), F.col("pos").alias("pa"))
     b = w2.select("wh", F.col("__id").alias("id_2"), F.col("pos").alias("pb"))
     # persisted: the pair stream feeds BOTH the run-extension windows and
     # the shared-window count
     pr = a.join(b, "wh").filter(F.col("id_1") < F.col("id_2")).persist()
+    pr.count()  # eager: run-extension and shared-window consumers race otherwise
     cells = pr.select(
         "id_1", "id_2", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
     ).distinct()

@@ -913,6 +913,10 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         # output once while keeping the subtree visible to EXPLAIN/plan
         # tests and reclaimable via spark.catalog.clearCache().
         out = out.persist()
+        # eager fill: every per-variable aggregate join scans this cache;
+        # left lazy their map stages race the cold fill and each re-runs
+        # the Python-NFA subtree (same race as llm/dedup — r10 finding)
+        out.count()
     for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
         side = df.select(
