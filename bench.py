@@ -66,15 +66,14 @@ LLM_HEADLINE = [
     "text_perplexity_filter",
 ]
 
-# Queries whose work executes inside fn() (streaming materialization,
-# BPE's per-round 1-row merge collects, or r10's eager cache-fill
-# barriers in the dedup pipelines — the shingle/band materialization IS
-# the queries' dominant cost and must stay inside the timed region) —
-# the timer wraps fn() + write, not write alone.
+# Queries whose work executes inside fn() (streaming materialization, or
+# BPE's per-round 1-row merge collects) — the timed region must wrap
+# fn() + write, not write alone. The dedup pipelines' r10 eager
+# cache-fill barriers fire only on MULTI-SPLIT sources
+# (llm/dedup.EAGER_FILL_MIN_SPLITS), never at bench's single-file SFs,
+# so their fn() stays lazy here and the write-only region stays honest.
 TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {
     "bpe_train_merges",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
 }
 
 

@@ -42,6 +42,30 @@ def fan_out(df: DataFrame) -> DataFrame:
     return rebalance_scan(df)
 
 
+#: Minimum SOURCE split count at which persisted intermediates are
+#: filled EAGERLY (a count() barrier right after persist). The racing
+#: consumers of a lazily-persisted frame each recompute its subtree on a
+#: cold cache (measured 2x end-to-end at 10x sf0.1), but the barrier
+#: jobs' fixed latency dominates when the raced data is tiny (measured
+#: ~1 s/slot at single-split sf0.1). Split count is the same volume
+#: proxy rebalance_scan uses: real corpora arrive as many splits, local
+#: test files as one.
+EAGER_FILL_MIN_SPLITS = 8
+
+
+def is_multisplit(df: DataFrame) -> bool:
+    """True when ``df``'s scan arrives as enough splits to mark real
+    data volume (the rebalance_scan discriminator)."""
+    return df.rdd.getNumPartitions() >= EAGER_FILL_MIN_SPLITS
+
+
+def _maybe_eager(cached: DataFrame, source: DataFrame) -> DataFrame:
+    """Barrier the cache fill when the SOURCE is genuinely multi-split."""
+    if is_multisplit(source):
+        cached.count()
+    return cached
+
+
 NUM_PERM = 16  # minhash permutations
 LSH_ROWS = 2  # rows per band  → 8 bands
 NUM_BANDS = NUM_PERM // LSH_ROWS
@@ -150,14 +174,14 @@ def shingle_sets(
     out = fan_out(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh_arr")
     ).persist()
-    # Eager fill: the frame feeds several INDEPENDENT map stages
-    # (signature agg, both verify sides); left lazy, those stages race to
-    # fill the same cold cache and each recomputes the shingle subtree
-    # (A/B at 10x sf0.1: 16.8 s -> 8.6 s cold end-to-end with barriers).
-    # At real scale this is the checkpoint-between-stages the docstring
-    # describes; locally one count() on the about-to-be-cached frame.
-    out.count()
-    return out
+    # Eager fill (multi-split sources only): the frame feeds several
+    # INDEPENDENT map stages (signature agg, both verify sides); left
+    # lazy, those stages race to fill the same cold cache and each
+    # recomputes the shingle subtree (A/B at 10x sf0.1: 16.8 s -> 8.6 s
+    # cold end-to-end with barriers). On single-split local files the
+    # raced data is tiny and the barrier jobs' fixed latency would
+    # dominate — see EAGER_FILL_MIN_SPLITS.
+    return _maybe_eager(out, df)
 
 
 def minhash_signatures(
@@ -195,6 +219,7 @@ def lsh_candidate_pairs(
     num_perm: int = NUM_PERM,
     rows_per_band: int = LSH_ROWS,
     band_df_cap: int = DF_CAP,
+    eager: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs
     (id_1 < id_2, distinct). Band hashes shared by more than ``band_df_cap``
@@ -227,7 +252,8 @@ def lsh_candidate_pairs(
         ["band", "bh"],
         band_df_cap,
     ).persist()
-    banded.count()  # eager: both self-join map stages read this cache
+    if eager:  # corpus-derived flag: sigs is post-shuffle, no volume signal
+        banded.count()  # both self-join map stages read this cache
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -329,7 +355,7 @@ def ngram_jaccard_pairs(
     # without the boundary each side re-runs explode + df-window (~11% on
     # the full query at sf0.1)
     cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df").persist()
-    cold.count()  # eager: both self-join map stages read this cache
+    _maybe_eager(cold, df)  # both self-join map stages read this cache
     # docs touching ≥1 hot shingle: tiny (boilerplate carriers only)
     hot_ids = sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct()
     a, b = cold.alias("a"), cold.alias("b")
@@ -356,7 +382,7 @@ def ngram_jaccard_pairs(
         # aggregation would execute once per branch
         .persist()
     )
-    counted.count()  # eager: the two branches otherwise race the cold fill
+    _maybe_eager(counted, df)  # the two branches otherwise race the cold fill
     exact_part = counted.filter(F.col("__h1").isNull() & F.col("__h2").isNull()).select(
         "id_1",
         "id_2",
@@ -472,7 +498,7 @@ def simhash_pairs(
         .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("band", "bv")))
         .persist()
     )
-    banded.count()  # eager: cold/hot branches and their self-join sides race otherwise
+    _maybe_eager(banded, df)  # cold/hot branches + their self-join sides race otherwise
     cold = banded.filter(F.col("__df") <= band_df_cap).drop("__df")
     # complementary 24 bits for band b: low 8b bits ∪ bits above (b+1)·8,
     # packed into one 24-bit value, then re-banded into n_sub sub-bands
@@ -632,7 +658,7 @@ def cosine_pairs(
         .select("__id", "vec_n", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
         .persist()
     )
-    banded.count()  # eager: both self-join map stages read this cache
+    _maybe_eager(banded, df)  # both self-join map stages read this cache
     a = banded.select("__id", "band", "bv", F.col("vec_n").alias("v1"))
     b = banded.select(
         F.col("__id").alias("__id2"), "band", "bv", F.col("vec_n").alias("v2")
@@ -715,13 +741,13 @@ def exact_substring_pairs(
     # without the boundary each side re-runs the span explode + frequency
     # join (same policy as ngram_jaccard_pairs's `cold`)
     w2 = wins.join(elig, "wh").persist()
-    w2.count()  # eager: both self-join sides read this cache
+    _maybe_eager(w2, df)  # both self-join sides read this cache
     a = w2.select("wh", F.col("__id").alias("id_1"), F.col("pos").alias("pa"))
     b = w2.select("wh", F.col("__id").alias("id_2"), F.col("pos").alias("pb"))
     # persisted: the pair stream feeds BOTH the run-extension windows and
     # the shared-window count
     pr = a.join(b, "wh").filter(F.col("id_1") < F.col("id_2")).persist()
-    pr.count()  # eager: run-extension and shared-window consumers race otherwise
+    _maybe_eager(pr, df)  # run-extension and shared-window consumers race otherwise
     cells = pr.select(
         "id_1", "id_2", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
     ).distinct()

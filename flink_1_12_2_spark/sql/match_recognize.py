@@ -913,10 +913,14 @@ def match_recognize(df: DataFrame, sql: str) -> DataFrame:
         # output once while keeping the subtree visible to EXPLAIN/plan
         # tests and reclaimable via spark.catalog.clearCache().
         out = out.persist()
-        # eager fill: every per-variable aggregate join scans this cache;
-        # left lazy their map stages race the cold fill and each re-runs
-        # the Python-NFA subtree (same race as llm/dedup — r10 finding)
-        out.count()
+        # eager fill on multi-split inputs: every per-variable aggregate
+        # join scans this cache; left lazy their map stages race the cold
+        # fill and each re-runs the Python-NFA subtree (same race class
+        # as llm/dedup — r10 finding; single-split local inputs keep the
+        # lazy fill, whose race is cheaper than the barrier job)
+        from flink_1_12_2_spark.llm.dedup import _maybe_eager
+
+        _maybe_eager(out, df)
     for which, col, alias in plain:
         anchor = f"{which.lower()}_event_id"
         side = df.select(
