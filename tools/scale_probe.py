@@ -1,0 +1,165 @@
+"""Empirical linearity probe: replicate the documents table N× with a
+copy-salted vocabulary and compare query wall-times against the base SF.
+
+The salt (every word suffixed ``_{copy}`` for copies ≥ 1) makes content
+growth honest: no cross-copy near-duplicates, so candidate structure
+replicates per copy and a linear algorithm should scale ≈ N× (minus
+fixed overhead), while an accidental all-pairs or cache-race pathology
+shows up as a superlinear ratio. This is the experiment that found (and
+now regression-guards) the r10 cold-cache fill races — see SCALE.md
+"Round-10: the 10× scaling experiment".
+
+Each query runs in its OWN subprocess/JVM: long-lived local[32] sessions
+degrade order-dependently under the scaled corpus' allocation pattern
+(G1 humongous-allocation churn — the same pathology behind the one 212 s
+outlier in the original experiment), so in-session sequencing would
+measure JVM history, not the operator.
+
+Usage: python tools/scale_probe.py [base_sf_dir] [copies] [query ...]
+Defaults: /root/testdata/sf0.1, 10 copies, the four near-dup headliners.
+Prints one line per query: base seconds, scaled seconds, ratio. The
+absolute seconds are NOT bench-comparable (each run re-fills caches
+after a verification count); only the base/scaled RATIO is the signal.
+Exit 1 if any ratio is clearly superlinear (> 2 × copies).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+DEFAULT_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_chunk_dedup",
+    "dedup_exact_substring",
+]
+
+LINK_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings",
+]
+
+_CHILD = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "24g")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as m
+fn = m.queries()[{name!r}]
+# warm codegen/JIT at base scale; noop sink like bench.py — a collect()
+# would time py4j row shipping (tens of MB for reassembly queries, high
+# variance), not the engine
+fn(spark, {base!r}).write.format("noop").mode("overwrite").save()
+out = []
+for sf in ({base!r}, {scaled!r}):
+    spark.catalog.clearCache()
+    df = fn(spark, sf)
+    n = df.count()
+    spark.catalog.clearCache()
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    out.append((time.time() - t0, n))
+print("RESULT", out[0][0], out[1][0], out[0][1], out[1][1])
+"""
+
+
+def build_scaled_dir(base: str, copies: int) -> str:
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"scale_probe_{copies}x_{Path(base).name}"
+    )
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        return out_dir
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+    d = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    parts = []
+    for c in range(copies):
+        p = d.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+        if c:
+            p = p.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w, _c=c: F.concat(w, F.lit(f"_{_c}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # many splits: the scaled dir must look like a real corpus so the
+    # adaptive eager fills (llm/dedup.EAGER_FILL_MIN_SPLITS) engage
+    u.repartition(32).write.mode("overwrite").parquet(docs_path)
+    for t in LINK_TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    spark.stop()
+    return out_dir
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    scaled = build_scaled_dir(base, copies)
+
+    worst = 0.0
+    for name in names:
+        child = _CHILD.format(repo=_REPO, name=name, base=base, scaled=scaled)
+        r = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        line = next(
+            (l for l in r.stdout.splitlines() if l.startswith("RESULT")), None
+        )
+        if line is None:
+            print(f"{name}: FAILED\n{r.stdout[-500:]}\n{r.stderr[-500:]}")
+            return 1
+        tb, ts, nb, ns = line.split()[1:]
+        tb, ts = float(tb), float(ts)
+        ratio = ts / max(tb, 1e-9)
+        worst = max(worst, ratio)
+        print(
+            f"{name}: base={tb:.2f}s ({nb} rows) scaled({copies}x)="
+            f"{ts:.2f}s ({ns} rows) ratio={ratio:.1f}x"
+        )
+    # a linear op at N x data on fixed cores may legitimately reach ~N x
+    # wall; flag only clearly superlinear behavior
+    limit = copies * 2
+    print(f"worst ratio {worst:.1f}x (superlinear flag at >{limit}x)")
+    return 1 if worst > limit else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
