@@ -68,13 +68,27 @@ LLM_HEADLINE = [
 
 # Queries whose work executes inside fn() (streaming materialization, or
 # BPE's per-round 1-row merge collects) — the timed region must wrap
-# fn() + write, not write alone. The dedup pipelines' r10 eager
-# cache-fill barriers fire only on MULTI-SPLIT sources
-# (llm/dedup.EAGER_FILL_MIN_SPLITS), never at bench's single-file SFs,
-# so their fn() stays lazy here and the write-only region stays honest.
+# fn() + write, not write alone.
 TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {
     "bpe_train_merges",
 }
+
+# The near-dup pipelines fire eager cache-fill barriers inside fn() when
+# the documents scan is MULTI-SPLIT (llm/dedup.EAGER_FILL_MIN_SPLITS).
+# At bench's small single-file SFs that never happens and the write-only
+# region is honest; but a single parquet file IS splittable (above
+# ~8 x files.maxPartitionBytes the scan has >=8 splits), so at larger
+# SFs the barriers would materialize most of the dedup work OUTSIDE a
+# write-only region and silently under-report (r10 ADVICE). main()
+# probes is_multisplit(documents) for the SF under test and, when true,
+# moves these slots into TIMED_INSIDE_FN so fn() + barriers + write are
+# all timed.
+EAGER_FILL_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "text_chunk_dedup",
+]
 
 
 def _bpe_encode_fixture(spark, sf_dir):
@@ -165,6 +179,13 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load(spark, sf_dir, t).count()
 
+    # keep the timed region honest at any SF (see EAGER_FILL_QUERIES)
+    from flink_1_12_2_spark.llm.dedup import is_multisplit
+
+    timed_inside_fn = set(TIMED_INSIDE_FN)
+    if is_multisplit(load(spark, sf_dir, "documents")):
+        timed_inside_fn.update(EAGER_FILL_QUERIES)
+
     env_start = _env_snapshot()
     stat0 = _read_proc_stat()
 
@@ -173,7 +194,7 @@ def main() -> None:
         fn = QUERIES[name].fn
         if name == "bpe_encode_docs":
             fn = _bpe_encode_fixture(spark, sf_dir)  # train outside timings
-        stateful = name in TIMED_INSIDE_FN
+        stateful = name in timed_inside_fn
         best: float | None = None
         for _attempt in range(2):
             # drop persisted intermediates: Spark's cache manager matches by

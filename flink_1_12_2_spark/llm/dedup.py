@@ -54,9 +54,22 @@ EAGER_FILL_MIN_SPLITS = 8
 
 
 def is_multisplit(df: DataFrame) -> bool:
-    """True when ``df``'s scan arrives as enough splits to mark real
-    data volume (the rebalance_scan discriminator)."""
-    return df.rdd.getNumPartitions() >= EAGER_FILL_MIN_SPLITS
+    """True when ``df``'s SOURCE SCAN arrives as enough splits to mark
+    real data volume (the rebalance_scan discriminator).
+
+    Reads the file index (``df.inputFiles()`` + driver-side stat via
+    :func:`flink_1_12_2_spark.session._scan_splits`), never ``df.rdd`` —
+    with AQE on, instantiating the RDD of a post-shuffle frame executes
+    upstream query stages as a side effect and reports the
+    shuffle-partition count, not data volume (r10 ADVICE). Inputs with
+    no file scan (streaming, in-memory) have no volume signal and
+    return False."""
+    from flink_1_12_2_spark.session import _scan_splits
+
+    n = _scan_splits(df)
+    if n >= (1 << 30):  # no file scan behind this frame
+        return False
+    return n >= EAGER_FILL_MIN_SPLITS
 
 
 def _maybe_eager(cached: DataFrame, source: DataFrame) -> DataFrame:

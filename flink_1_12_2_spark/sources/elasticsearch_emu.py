@@ -61,9 +61,29 @@ def doc_id_expr(
         t = dtypes.get(c, "string")
         col = F.col(c)
         if t.startswith("timestamp"):
-            # LocalDateTime.toString(): ISO with 'T', no trailing zeros
-            # beyond seconds for whole-second values
-            parts.append(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"))
+            # LocalDateTime.toString() parity (the reference formats
+            # TIMESTAMP keys via TimestampData.toString()): always
+            # yyyy-MM-ddTHH:mm; seconds only when the tail is non-zero;
+            # fractional seconds in 3- or 6-digit groups, never trailing
+            # zeros. Full precision is load-bearing — a fixed ss pattern
+            # truncated sub-second digits and collided distinct keys into
+            # one _id (r10 ADVICE).
+            frac6 = F.date_format(col, "SSSSSS")
+            sec2 = F.date_format(col, "ss")
+            frac = (
+                F.when(frac6 == "000000", F.lit(""))
+                .when(
+                    F.substring(frac6, 4, 3) == "000",
+                    F.concat(F.lit("."), F.substring(frac6, 1, 3)),
+                )
+                .otherwise(F.concat(F.lit("."), frac6))
+            )
+            tail = F.when(
+                (frac == "") & (sec2 == "00"), F.lit("")
+            ).otherwise(F.concat(F.lit(":"), sec2, frac))
+            parts.append(
+                F.concat(F.date_format(col, "yyyy-MM-dd'T'HH:mm"), tail)
+            )
         elif t == "date":
             parts.append(F.date_format(col, "yyyy-MM-dd"))
         else:

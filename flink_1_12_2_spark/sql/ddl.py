@@ -726,14 +726,24 @@ def execute_statement(engine: EngineSession, stmt: str):
     m = _ALTER_DATABASE_SET.match(stmt)
     if m:
         # SqlAlterDatabase: property bag on the database, like
-        # GenericInMemoryCatalog.alterDatabase (a map update)
-        engine._db_props.setdefault(m.group(1), {}).update(
+        # GenericInMemoryCatalog.alterDatabase (a map update). The
+        # reference throws DatabaseNotExistException for unknown names
+        # (GenericInMemoryCatalog.alterDatabase) — a silent setdefault
+        # would swallow typos (r10 ADVICE).
+        name = m.group(1)
+        if not spark.catalog.databaseExists(name):
+            raise ValueError(f"database {name!r} does not exist")
+        engine._db_props.setdefault(name, {}).update(
             dict(_OPT.findall(m.group(2)))
         )
         return _ok()
     m = _ALTER_VIEW_SET.match(stmt)
     if m:
-        engine._view_props.setdefault(m.group(1), {}).update(
+        # ViewNotExistException parity: the view must be registered
+        name = m.group(1)
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f"view {name!r} does not exist")
+        engine._view_props.setdefault(name, {}).update(
             dict(_OPT.findall(m.group(2)))
         )
         return _ok()

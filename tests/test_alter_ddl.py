@@ -108,6 +108,20 @@ def test_alter_database_and_view_properties(eng):
     assert eng._view_props["v_props"] == {"comment": "hello"}
 
 
+def test_alter_database_and_view_require_existence(eng):
+    """GenericInMemoryCatalog.alterDatabase throws DatabaseNotExist for
+    unknown names (and the view path ViewNotExist) — typos must not
+    silently create fresh property bags."""
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        _sql(eng, "ALTER DATABASE no_such_db SET ('owner'='me')")
+    assert "no_such_db" not in eng._db_props
+    with pytest.raises(ValueError, match="does not exist"):
+        _sql(eng, "ALTER VIEW no_such_view SET ('comment'='x')")
+    assert "no_such_view" not in eng._view_props
+
+
 def test_create_table_like_merge_strategies(eng, spark, sf_dir):
     """SqlTableLike merging strategies: EXCLUDING OPTIONS/WATERMARKS/
     CONSTRAINTS drop the corresponding inherited feature; defaults

@@ -37,6 +37,33 @@ def test_es_doc_id_formats_timestamp_and_delimiter(spark):
     assert got == "42|a_b|2000-03-01T12:34:56|1999-12-31"
 
 
+def test_es_doc_id_timestamp_localdatetime_tostring_parity(spark):
+    """TimestampData.toString() / LocalDateTime.toString() cases: whole
+    minute drops the seconds field, fractions keep full (non-colliding)
+    precision in 3- or 6-digit groups with no trailing zeros."""
+    from flink_1_12_2_spark.sources.elasticsearch_emu import doc_id_expr
+
+    cases = [
+        ("2000-03-01 12:34:00", "2000-03-01T12:34"),
+        ("2000-03-01 12:34:56", "2000-03-01T12:34:56"),
+        ("2000-03-01 12:34:00.500", "2000-03-01T12:34:00.500"),
+        ("2000-03-01 12:34:56.123", "2000-03-01T12:34:56.123"),
+        ("2000-03-01 12:34:56.123456", "2000-03-01T12:34:56.123456"),
+        ("2000-03-01 12:34:56.000001", "2000-03-01T12:34:56.000001"),
+    ]
+    sel = " UNION ALL ".join(
+        f"SELECT TIMESTAMP '{ts}' AS k, '{want}' AS want" for ts, want in cases
+    )
+    df = spark.sql(sel)
+    rows = df.select(
+        doc_id_expr(df, ["k"]).alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+    # distinct sub-second keys never share an _id
+    assert len({r["got"] for r in rows}) == len(cases)
+
+
 def test_es_upsert_then_delete_across_batches(spark):
     from flink_1_12_2_spark.operators.changelog import ROW_KIND
     from flink_1_12_2_spark.sources.elasticsearch_emu import (

@@ -132,3 +132,23 @@ def test_rebalance_scan_widens_narrow_and_leaves_wide(spark):
     assert widened.count() == 1000
     wide = spark.range(1000).repartition(target)
     assert rebalance_scan(wide) is wide
+
+
+def test_is_multisplit_reads_file_index_not_rdd(spark, sf_dir):
+    """The eager-fill discriminator must derive volume from the SOURCE
+    scan's file index: single small local files are never multi-split,
+    frames with no file scan (in-memory, post-shuffle synthetic) have no
+    volume signal, and a derived/aggregated frame reports its source
+    scan's volume without instantiating .rdd (which under AQE would
+    execute upstream stages as a side effect — r10 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.llm.dedup import is_multisplit
+    from flink_1_12_2_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    assert is_multisplit(docs) is False  # one small parquet file
+    assert is_multisplit(spark.range(1000)) is False  # no file scan
+    # post-shuffle derived frame: signal still comes from the file index
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert is_multisplit(agg) is False

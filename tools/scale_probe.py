@@ -76,8 +76,13 @@ print("RESULT", out[0][0], out[1][0], out[0][1], out[1][1])
 
 
 def build_scaled_dir(base: str, copies: int) -> str:
+    # _v2: the original salt lambda took (element, index) — PySpark's
+    # binary transform form — so the "copy" suffix was the stringified
+    # array-index Column, identical for every copy, and copies 1..N-1
+    # were exact duplicates of each other (r10 ADVICE). The v2 suffix in
+    # the cache-dir name forces regeneration of any stale corpus.
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"scale_probe_{copies}x_{Path(base).name}"
+        tempfile.gettempdir(), f"scale_probe_v2_{copies}x_{Path(base).name}"
     )
     docs_path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(docs_path):
@@ -99,12 +104,18 @@ def build_scaled_dir(base: str, copies: int) -> str:
     for c in range(copies):
         p = d.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
         if c:
+            # one-arg lambda only: a second parameter would select
+            # F.transform's (element, index) binary form and bind the
+            # array-index Column instead of the copy number. transform()
+            # evaluates the lambda eagerly, so the loop-scoped `suf`
+            # closure is captured correctly per copy.
+            suf = F.lit(f"_{c}")
             p = p.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda w, _c=c: F.concat(w, F.lit(f"_{_c}")),
+                        lambda w: F.concat(w, suf),
                     ),
                     " ",
                 ),
