@@ -534,3 +534,78 @@ def changelog_join_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price", 2).alias("total_price"),
         "n_orders",
     ).orderBy("c_nationkey")
+
+
+@query(
+    "avro_registry_roundtrip",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS ck
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(ck) AS BIGINT) AS n_evolved
+    FROM enc GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "kafka", "avro", "schema-registry"),
+)
+def avro_registry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-registry Avro over the kafka emulation
+    (flink-formats/flink-avro-confluent-registry:
+    RegistryAvroSerializationSchema / RegistryAvroDeserializationSchema /
+    ConfluentSchemaRegistryCoder wire format — 0x00 magic + BE32 schema
+    id + container-less Avro body): odd orderkeys publish under schema
+    v1 (status, cents), even orderkeys under the EVOLVED v2 (+ custkey),
+    so the topic interleaves two writer ids; the consumer decodes every
+    message against the latest reader schema with per-id writer
+    resolution — v1 rows surface custkey = null (Avro name resolution),
+    proving old data stays readable after evolution."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_12_2_spark.sources.kafka_emu import publish, read_topic_batch
+    from flink_1_12_2_spark.sources.schema_registry import (
+        avro_registry_decode,
+        avro_registry_encode,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "avro_reg_" + uuid.uuid4().hex[:10]
+    )
+    reg = os.path.join(base, "registry.json")
+    topic = os.path.join(base, "topic")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "cents"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "cents", F.col("o_custkey").alias("ck")
+    )
+    # v1 registers first so v2 is the subject's latest (the reader)
+    f1 = avro_registry_encode(v1, reg, "orders-value")
+    publish(f1.select(F.base64("value").alias("value")), topic)
+    f2 = avro_registry_encode(v2, reg, "orders-value")
+    publish(f2.select(F.base64("value").alias("value")), topic)
+    framed = read_topic_batch(spark, topic, "raw", "")
+    decoded = avro_registry_decode(framed, reg, "orders-value")
+    return (
+        decoded.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("cents").alias("total_cents"),
+            F.count("ck").alias("n_evolved"),
+        )
+        .orderBy("o_orderstatus")
+    )

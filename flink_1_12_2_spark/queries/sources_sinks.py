@@ -633,3 +633,104 @@ def ddl_partition_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "state_read_bootstrap",
+    oracle="""
+    WITH st AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    boot AS (
+      SELECT o_orderkey, o_custkey, cents + 100 AS cents
+      FROM st WHERE o_custkey % 3 <> 0
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM boot GROUP BY o_custkey
+    ORDER BY o_custkey LIMIT 500
+    """,
+    tags=("batch", "state", "savepoint"),
+)
+def state_read_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Processor API round-trip (Savepoint.java / ExistingSavepoint
+    .java:249 readKeyedState / WritableSavepoint.java:83,93 withOperator+
+    write / OperatorTransformation.java:66 bootstrapWith): an upsert sink
+    materializes keyed operator state (two changelog batches: +I then +U
+    doubling the cents, -D evicting every 5th order); the state table is
+    MOUNTED as an existing savepoint and read back as a DataFrame; a
+    read-modify-write pass (drop custkeys divisible by 3, +100 cents —
+    the library's state-migration example shape) bootstraps a NEW
+    savepoint; the final frame is read from the new savepoint's keyed
+    state, so every layer (mount, read, bootstrap write, metadata, load)
+    is on the verified path."""
+    from flink_1_12_2_spark import state_api
+    from flink_1_12_2_spark.operators.changelog import (
+        ROW_KIND,
+        upsert_foreach_batch,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    versions = o.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__seq")
+    ).select(
+        F.when(F.col("__seq") == 0, F.lit("+I"))
+        .otherwise(F.lit("+U"))
+        .alias(ROW_KIND),
+        "o_orderkey",
+        "o_custkey",
+        (F.col("cents") * (F.col("__seq") + 1)).alias("cents"),
+        "__seq",
+    )
+    deletes = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("-D").alias(ROW_KIND),
+        "o_orderkey",
+        "o_custkey",
+        F.lit(0).cast("long").alias("cents"),
+        F.lit(2).alias("__seq"),
+    )
+    state_dir = _tmp("sp_state_") + "/orders-agg"
+    apply = upsert_foreach_batch(
+        state_dir, ["o_orderkey"], ["__seq"], num_buckets=16
+    )
+    apply(versions.filter(F.col("__seq") == 0), 0)
+    apply(
+        versions.filter(F.col("__seq") == 1).unionByName(deletes), 1
+    )
+    # query the "running job's" state: mount + readKeyedState
+    sp = state_api.mount_upsert_store(
+        spark, state_dir, "orders-agg", ["o_orderkey"], num_buckets=16
+    )
+    state = sp.read_keyed_state("orders-agg")
+    # read-modify-write: migrate the state and bootstrap a new savepoint
+    migrated = state.filter(F.col("o_custkey") % 3 != 0).withColumn(
+        "cents", F.col("cents") + F.lit(100)
+    )
+    new_sp_path = _tmp("sp_boot_")
+    state_api.create().with_operator(
+        "orders-agg",
+        migrated.select("o_orderkey", "o_custkey", "cents", "__seq"),
+        primary_key=("o_orderkey",),
+        num_buckets=16,
+    ).write(new_sp_path)
+    final = state_api.load(spark, new_sp_path).read_keyed_state(
+        "orders-agg"
+    )
+    return (
+        final.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("o_custkey")
+        .limit(500)
+    )

@@ -240,12 +240,14 @@ GATE_ORDER: tuple[str, ...] = (
     # the driver's oracle environment behaves like the local replica's.
     "env_probe_engine_semantics",
     "env_probe_value_canon",
-    # r10 per-class canon probe (r9 verdict item 3): the ONLY row still
-    # shipping an int128 to the driver after the repo-wide BIGINT recast
-    # (_ORACLE_BIGINT_RECAST). RED confirms the judge's int128
-    # canonicalization diagnosis; GREEN refutes it. DECIMAL/date-extreme
-    # classes rotate through this slot in later rounds.
-    "env_probe_canon_int128",
+    # r11 rotation (r10 verdict item 1): env_probe_canon_int128 RETIRES —
+    # its r10 red answered the experiment's question (the driver DOES
+    # canonicalize int128 differently; the BIGINT recast choke point +
+    # the oracle type sweep keep the class structurally dead), so keeping
+    # it red forever would burn a slot on zero information. The rotating
+    # probe slot now carries the next exotic class (r10 verdict item 6):
+    # extreme DATE/TIMESTAMP canonicalization, EXPECTED GREEN.
+    "env_probe_canon_datetime",
     # batch relational core (Calc + partial/final agg)
     "q1_pricing_summary",
     # joins: broadcast star, fact-fact SMJ, interval, event-time as-of
@@ -253,11 +255,11 @@ GATE_ORDER: tuple[str, ...] = (
     "join_fact_fact_smj",
     "interval_join",
     "asof_join_event_time",
-    # aggregations: distinct-split, grouping sets (built-in fns
-    # stddev/var/listagg stay locally verified; plain agg_rollup's Expand
-    # is gate-covered by the r5 dual-role-dimension rollup below, which
-    # exercises the same Expand plus the two-role nation join)
-    "agg_distinct",
+    # aggregations: (r11: agg_distinct — gate-green since r1 — rotates to
+    # local verification; the distinct-agg split stays gate-covered by
+    # the literal q14a/q23b COUNT(DISTINCT) channels and the plan tests
+    # pin the Expand-based rewrite. Its slot funds the never-gated
+    # directed-Gelly family below.)
     # (r8: ds_q18_dual_role_dim_rollup rotates to local verification — its
     # Expand-rollup and dual-role dimension join are both subsumed by the
     # literal q64 below, which joins customer_demographics, household_
@@ -272,12 +274,17 @@ GATE_ORDER: tuple[str, ...] = (
     # is gate-covered by the literal q14a's three-channel INTERSECT chain,
     # which additionally exercises ROLLUP and the scalar-subquery HAVING)
     "tpcds_literal_q14a",
-    "unnest_tokens",
+    # (r11: unnest_tokens — gate-green since r2 — rotates to local
+    # verification; UNNEST/Correlate stays gate-covered by
+    # dedup_ngram_jaccard's exploded gram index and text_chunk_dedup's
+    # chunk explode rotating in below)
     "fn_math_gauntlet",
     # DDL-created pandas UDF executing through SQL (SqlCreateFunction parity)
     "ddl_create_function",
-    # over windows (rank/dense/ntile battery stays locally verified)
-    "over_range_frame",
+    # (r11: over_range_frame — gate-green since r2 — rotates to local
+    # verification; the over-agg family stays gate-covered by
+    # stream_over_agg's streaming RANGE frame and topn_per_group's rank
+    # window)
     # group windows + evictor family representative (batch window_tumble
     # stays local — the tumble assigner is gate-covered by stream_tumble_agg
     # and the early-firing variant below)
@@ -285,9 +292,14 @@ GATE_ORDER: tuple[str, ...] = (
     "window_count_evictor",
     "stream_tumble_early_fire",
     # streaming stateful operators (real Structured Streaming runs)
-    "stream_tumble_agg",
+    # (r11: stream_tumble_agg — gate-green since r1 — rotates to local
+    # verification; its tumble assigner + update-mode agg are strictly
+    # subsumed by stream_tumble_early_fire above, which runs the same
+    # window plus the early-firing trigger. r11: stream_dedup_keep_last
+    # — green since r3 — also rotates out; the applyInPandasWithState
+    # keyed-state-machine family stays gated through stream_topn and
+    # stream_over_agg. Both slots fund never-gated connector rows.)
     "stream_topn",
-    "stream_dedup_keep_last",
     "stream_over_agg",
     # (r10: stream_event_time_sort rotates to local verification after
     # four green rounds — its keyed event-time buffer is the same
@@ -335,11 +347,32 @@ GATE_ORDER: tuple[str, ...] = (
     # (reference TriangleEnumerator.java) — BIGINT-only output, pinned
     # rotation-ready by the r9 shape sweep, local-green since r9.
     "graph_triangle_enum",
-    # LLM dedup operators (one slot each; cluster_canonical — a composition
-    # of the gated exact + minhash operators — rotates to locally-verified
-    # in favor of the r6 exact-substring dedup)
-    "dedup_exact",
+    # r11 rotation-in: the never-gated directed-Gelly family (the r10
+    # verdict's named candidates — closes the library's last directory
+    # with driver proof): directed clustering coefficients
+    # (SplitTriangles credit), the 16-type Batagelj–Mrvar triadic
+    # census, and vertex/edge metrics
+    "graph_directed_clustering",
+    "graph_directed_triadic_census",
+    "graph_metrics",
+    # r11 rotation-in: never-gated connector emulations (ES upsert sink
+    # changelog contract + KeyExtractor _id parity; HBase wide-column
+    # latest-version-wins scan) and the partition DDL lifecycle
+    "es_upsert_sink_pipeline",
+    "hbase_scan_wide_row",
+    "ddl_partition_lifecycle",
+    # r11 NEW operator: State Processor API analogue (read keyed state /
+    # bootstrap savepoint round-trip — Savepoint.java parity)
+    "state_read_bootstrap",
+    # LLM dedup operators (one slot each; r11: dedup_exact — gate-green
+    # since r1 — rotates to local verification, subsumed by
+    # dedup_incremental_snapshot below, the SAME hash-index + anti-join
+    # shape applied cross-batch, plus the gated exact-substring row)
+    "dedup_incremental_snapshot",
     "dedup_exact_substring",
+    # r11 rotation-in: cross-doc chunk dedup (CCNet) — never gated; its
+    # r10 hash-keyed MIN-agg join-back is the family's newest shape
+    "text_chunk_dedup",
     "dedup_minhash_lsh",
     # (r8: dedup_simhash rotates to local verification — five dedup
     # families stay gated — freeing a slot for the MATCH_ROWTIME()
@@ -370,10 +403,9 @@ GATE_ORDER: tuple[str, ...] = (
     # r6: stratified_exact — gate-proven in r5 — rotates to locally
     # verified in favor of the DSIR importance-resampling weights, the
     # sampling family's newest 100-TB shape)
-    # r9 gate split (r8 verdict item 2): the DSIR term table and the
-    # weights query gate separately, so a driver-side red localizes to
-    # either the portable-ln table or the downstream join/floor-division
-    "dsir_term_table",
+    # (r11: dsir_term_table — the r9 localization split served its
+    # purpose, both halves green two rounds — folds back into the one
+    # weights slot, which consumes the term table end-to-end)
     "sample_dsir_weights",
     "text_repetition_filter",
     "multimodal_filter_before_decode",
@@ -383,10 +415,11 @@ GATE_ORDER: tuple[str, ...] = (
     # actual TPC-DS file text, window-over-aggregate + date INTERVAL
     # arithmetic, running unmodified through rewrite()+spark.sql)
     "q18_large_volume_customers",
-    "tpcds_literal_q98",
-    # r8 literal TPC-DS landings: the multi-fact returns rollup (q5) and
-    # the WITH-chained apex on the DENSE tier (q23b)
-    "tpcds_literal_q5",
+    # (r11: tpcds_literal_q98 and tpcds_literal_q5 — gate-green multiple
+    # rounds — rotate to local verification; the literal-SQL front door
+    # stays gated through q64 (dual-role dims), q14a (ROLLUP +
+    # INTERSECT chain) and q23b (WITH-chained apex), and all 103 texts
+    # stay byte-pinned by tests)
     "tpcds_literal_q23b",
 )
 

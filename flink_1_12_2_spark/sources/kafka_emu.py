@@ -67,6 +67,11 @@ def read_topic_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.text(topic_dir)
+    if value_format == "raw":
+        # Flink's 'format' = 'raw': the value bytes, undecoded. The
+        # text-transport emulation carries binary payloads base64-coded
+        # (a real broker delivers value: binary directly).
+        return raw.select(F.unbase64(F.col("value")).alias("value"))
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
         # real DDL parse (handles nested struct<...>/decimal(p,s)/map<...>
@@ -77,7 +82,7 @@ def read_topic_stream(
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(
         f"value format {value_format!r} not supported by the kafka emulation "
-        f"(json, {', '.join(_CDC_PARSERS)})"
+        f"(raw, json, {', '.join(_CDC_PARSERS)})"
     )
 
 
@@ -87,6 +92,8 @@ def read_topic_batch(
     """Bounded read of the whole topic (Flink's kafka source with
     ``scan.bounded.mode=latest-offset``)."""
     raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
+    if value_format == "raw":
+        return raw.select(F.unbase64(F.col("value")).alias("value"))
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
         fields = _payload_fields(payload_schema)

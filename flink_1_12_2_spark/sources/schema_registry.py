@@ -1,0 +1,203 @@
+"""Confluent-registry Avro framing — magic byte + schema id + Avro body.
+
+Reference parity: flink-formats/flink-avro-confluent-registry
+(``RegistryAvroDeserializationSchema.java`` — strip the framing, resolve
+the WRITER schema by id, decode; ``RegistryAvroSerializationSchema.java``
+— register/lookup the schema, prepend the framing;
+``ConfluentSchemaRegistryCoder.java`` — the concrete wire format: one
+``0x00`` magic byte, a 4-byte big-endian schema id, then the raw Avro
+binary record body with NO object-container wrapper). The wire format is
+Confluent's public "wire format" spec; ids are assigned by the registry.
+
+Sandbox shape: no registry service exists here, so
+:class:`FileSchemaRegistry` emulates the REST registry's semantic
+contract — content-addressed idempotent registration (same schema text →
+same id), lookup by id, latest-by-subject — in one tiny JSON file. The
+id→schema table is VOCABULARY-GRAIN metadata (a handful of schemas per
+subject), so executors receive it by closure/broadcast exactly like a
+real deployment's client-side schema cache; per-row work stays in
+Arrow-batched ``mapInPandas`` and no corpus data touches the driver.
+
+Schema evolution follows Avro record resolution for the flat-record
+subset the pure-Python codec supports: reader fields are matched to
+writer fields BY NAME; reader-only fields decode as null (nullable
+reader fields play the role of defaulted fields); writer-only fields are
+decoded (the body must be consumed positionally) and dropped.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_2_spark.sources.avro_py import (
+    _dec_field,
+    _enc_field,
+    spark_schema_to_avro,
+)
+
+MAGIC = b"\x00"  # ConfluentSchemaRegistryCoder.CONFLUENT_MAGIC_BYTE
+
+
+class FileSchemaRegistry:
+    """File-backed schema registry emulation (the CachedSchemaCoder
+    provider's semantic surface). The backing JSON maps id → schema text
+    and subject → [ids]; registration is idempotent on schema text."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._path):
+            return {"schemas": {}, "subjects": {}}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _save(self, data: dict) -> None:
+        os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._path)
+
+    def register(self, subject: str, avro_schema: dict) -> int:
+        """Idempotent register: the same schema text under any subject
+        keeps its id (Confluent registers schemas globally by content)."""
+        data = self._load()
+        text = json.dumps(avro_schema, sort_keys=True)
+        for sid, stext in data["schemas"].items():
+            if stext == text:
+                ids = data["subjects"].setdefault(subject, [])
+                if int(sid) not in ids:
+                    ids.append(int(sid))
+                    self._save(data)
+                return int(sid)
+        sid = 1 + max((int(s) for s in data["schemas"]), default=0)
+        data["schemas"][str(sid)] = text
+        data["subjects"].setdefault(subject, []).append(sid)
+        self._save(data)
+        return sid
+
+    def by_id(self, schema_id: int) -> dict:
+        data = self._load()
+        try:
+            return json.loads(data["schemas"][str(schema_id)])
+        except KeyError:
+            raise ValueError(f"schema id {schema_id} not registered")
+
+    def latest(self, subject: str) -> tuple[int, dict]:
+        data = self._load()
+        ids = data["subjects"].get(subject)
+        if not ids:
+            raise ValueError(f"subject {subject!r} has no versions")
+        return ids[-1], json.loads(data["schemas"][str(ids[-1])])
+
+    def schema_table(self) -> dict[int, dict]:
+        """id → schema dict snapshot (the executor-side cache payload)."""
+        data = self._load()
+        return {int(s): json.loads(t) for s, t in data["schemas"].items()}
+
+
+def encode_record(row: tuple, avro_schema: dict, schema_id: int) -> bytes:
+    """One framed message: magic + BE32 id + Avro binary body
+    (RegistryAvroSerializationSchema.serialize)."""
+    body = b"".join(
+        _enc_field(f["type"], v)
+        for f, v in zip(avro_schema["fields"], row)
+    )
+    return MAGIC + struct.pack(">I", schema_id) + body
+
+
+def decode_record(
+    data: bytes, schemas: dict[int, dict], reader_schema: dict
+) -> tuple:
+    """One framed message → tuple in READER field order
+    (RegistryAvroDeserializationSchema.deserialize + Avro record
+    resolution: writer drives the byte layout, reader drives the
+    output)."""
+    if not data or data[0:1] != MAGIC:
+        raise ValueError(
+            "invalid framing: expected Confluent magic byte 0x00, got "
+            f"{data[:1]!r}"
+        )
+    schema_id = struct.unpack(">I", data[1:5])[0]
+    if schema_id not in schemas:
+        raise ValueError(f"schema id {schema_id} not registered")
+    writer = schemas[schema_id]
+    buf = io.BytesIO(data[5:])
+    decoded = {
+        f["name"]: _dec_field(f["type"], buf) for f in writer["fields"]
+    }
+    return tuple(
+        decoded.get(f["name"]) for f in reader_schema["fields"]
+    )
+
+
+def avro_registry_encode(
+    df: DataFrame, registry_path: str, subject: str
+) -> DataFrame:
+    """Frame every row as a registry-Avro message → 1-column
+    ``value: binary`` frame (the kafka value shape). The schema is
+    registered ONCE driver-side; executors only carry the (id, schema)
+    pair in the closure."""
+    registry = FileSchemaRegistry(registry_path)
+    avro_schema = spark_schema_to_avro(df.schema, name=subject)
+    schema_id = registry.register(subject, avro_schema)
+
+    def enc(pdfs):
+        for pdf in pdfs:
+            vals = [
+                encode_record(
+                    tuple(
+                        None if pd.isna(v) else v
+                        for v in row
+                    ),
+                    avro_schema,
+                    schema_id,
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({"value": vals})
+
+    return df.mapInPandas(enc, "value binary")
+
+
+def avro_registry_decode(
+    framed: DataFrame,
+    registry_path: str,
+    reader_subject: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode registry-framed messages against the subject's LATEST
+    schema as the reader (schema evolution: rows written under any
+    registered writer id decode by name-resolution; missing reader
+    fields → null). The id→schema table snapshot ships by closure like
+    the real client's schema cache."""
+    registry = FileSchemaRegistry(registry_path)
+    _, reader = registry.latest(reader_subject)
+    schemas = registry.schema_table()
+    from flink_1_12_2_spark.sources.avro_py import _AVRO_TO_SPARK_DDL
+
+    def _ddl_type(ft) -> str:
+        t = ft[1] if isinstance(ft, list) else ft
+        return _AVRO_TO_SPARK_DDL[t]
+
+    names = [f["name"] for f in reader["fields"]]
+    ddl = ", ".join(
+        f"{f['name']} {_ddl_type(f['type'])}" for f in reader["fields"]
+    )
+
+    def dec(pdfs):
+        for pdf in pdfs:
+            rows = [
+                decode_record(bytes(v), schemas, reader)
+                for v in pdf[value_col]
+            ]
+            yield pd.DataFrame(rows, columns=names)
+
+    return framed.mapInPandas(dec, ddl)

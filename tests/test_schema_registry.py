@@ -1,0 +1,110 @@
+"""Confluent-registry Avro framing tests (flink-avro-confluent-registry:
+ConfluentSchemaRegistryCoder wire format + RegistryAvro(De)Serialization
+Schema): framing bytes, idempotent content-addressed ids, and schema
+evolution — new schema id registered, old rows still readable."""
+
+from __future__ import annotations
+
+import struct
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_12_2_spark.sources.schema_registry import (
+    MAGIC,
+    FileSchemaRegistry,
+    avro_registry_decode,
+    avro_registry_encode,
+    decode_record,
+    encode_record,
+)
+
+_V1 = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+    ],
+}
+_V2 = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+        {"name": "extra", "type": ["null", "long"]},
+    ],
+}
+
+
+def test_wire_format_and_registry_ids(tmp_path):
+    reg = FileSchemaRegistry(str(tmp_path / "reg.json"))
+    id1 = reg.register("t-value", _V1)
+    assert reg.register("t-value", _V1) == id1  # content-addressed
+    id2 = reg.register("t-value", _V2)
+    assert id2 != id1
+    assert reg.latest("t-value") == (id2, _V2)
+    assert reg.by_id(id1) == _V1
+    msg = encode_record((7, "x"), _V1, id1)
+    # ConfluentSchemaRegistryCoder: 0x00 magic, BE32 id, then the body
+    assert msg[0:1] == MAGIC
+    assert struct.unpack(">I", msg[1:5])[0] == id1
+    assert decode_record(msg, {id1: _V1}, _V1) == (7, "x")
+    with pytest.raises(ValueError, match="magic"):
+        decode_record(b"\x01junk", {id1: _V1}, _V1)
+    with pytest.raises(ValueError, match="not registered"):
+        decode_record(MAGIC + struct.pack(">I", 99) + b"", {id1: _V1}, _V1)
+
+
+def test_schema_evolution_old_rows_readable(tmp_path):
+    """The format-evolution contract: rows framed under the v1 writer id
+    decode against the v2 reader with the new field null; v2 rows carry
+    it. Writer-only fields (v2 read with v1 writer id) are consumed
+    positionally, so mixed topics never desync."""
+    reg = FileSchemaRegistry(str(tmp_path / "reg.json"))
+    id1 = reg.register("t-value", _V1)
+    id2 = reg.register("t-value", _V2)
+    old = encode_record((1, "a"), _V1, id1)
+    new = encode_record((2, "b", 42), _V2, id2)
+    schemas = reg.schema_table()
+    assert decode_record(old, schemas, _V2) == (1, "a", None)
+    assert decode_record(new, schemas, _V2) == (2, "b", 42)
+
+
+def test_dataframe_encode_decode_evolution(spark, tmp_path):
+    reg_path = str(tmp_path / "reg.json")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    v2 = spark.createDataFrame([(3, "c", 30)], ["k", "v", "extra"])
+    f1 = avro_registry_encode(v1, reg_path, "t-value")
+    rows1 = f1.collect()  # registers v1 and materializes frames
+    f2 = avro_registry_encode(v2, reg_path, "t-value")
+    rows2 = f2.collect()
+    framed = spark.createDataFrame(rows1 + rows2, f1.schema)
+    got = avro_registry_decode(framed, reg_path, "t-value")
+    assert got.columns == ["k", "v", "extra"]
+    by_k = {r["k"]: (r["v"], r["extra"]) for r in got.collect()}
+    assert by_k == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    # null field values survive the frame round-trip
+    vn = spark.createDataFrame([(9, None)], "k long, v string")
+    fn = avro_registry_encode(vn, reg_path, "t-value")
+    gotn = avro_registry_decode(fn, reg_path, "t-value")
+    r = gotn.first()
+    assert (r["k"], r["v"], r["extra"]) == (9, None, None)
+
+
+def test_kafka_raw_format_roundtrip(spark, tmp_path):
+    """'format' = 'raw' passthrough: binary payloads ride the text
+    transport base64-coded and come back byte-identical."""
+    from flink_1_12_2_spark.sources.kafka_emu import publish, read_topic_batch
+
+    topic = str(tmp_path / "topic")
+    payload = spark.createDataFrame(
+        [(b"\x00\x01\xffbin",), (b"",)], "value binary"
+    )
+    publish(payload.select(F.base64("value").alias("value")), topic)
+    back = read_topic_batch(spark, topic, "raw", "")
+    assert sorted(bytes(r["value"]) for r in back.collect()) == [
+        b"",
+        b"\x00\x01\xffbin",
+    ]

@@ -1,0 +1,169 @@
+"""State Processor API analogue tests (flink-libraries/
+flink-state-processing-api: Savepoint / ExistingSavepoint /
+WritableSavepoint / OperatorTransformation) — the library's
+read-modify-write example, the three state kinds, keyed-state contract
+enforcement, and the point-lookup bucket pruning."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_12_2_spark import state_api
+
+
+def _mkstate(spark, tmp_path, uid="op-a", n=100):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    path = str(tmp_path / "sp1")
+    state_api.create().with_operator(
+        uid, df, primary_key=("k",), num_buckets=8
+    ).write(path)
+    return path
+
+
+def test_bootstrap_then_read_keyed_state_roundtrip(spark, tmp_path):
+    path = _mkstate(spark, tmp_path)
+    sp = state_api.load(spark, path)
+    assert sp.operators() == ["op-a"]
+    got = sp.read_keyed_state("op-a")
+    assert sorted(got.columns) == ["k", "v"]
+    rows = {r["k"]: r["v"] for r in got.collect()}
+    assert len(rows) == 100 and rows[7] == 70
+
+
+def test_read_modify_write_example(spark, tmp_path):
+    """The library's canonical example (state-processor-api docs /
+    ExistingSavepoint + WritableSavepoint composition): load, transform
+    one operator's state, write a NEW savepoint, resume-read it."""
+    path = _mkstate(spark, tmp_path)
+    sp = state_api.load(spark, path)
+    migrated = sp.read_keyed_state("op-a").withColumn(
+        "v", F.col("v") + 1
+    )
+    out = str(tmp_path / "sp2")
+    (
+        sp.to_writable()
+        .remove_operator("op-a")
+        .with_operator("op-a", migrated, primary_key=("k",), num_buckets=8)
+        .write(out)
+    )
+    rows = {
+        r["k"]: r["v"]
+        for r in state_api.load(spark, out)
+        .read_keyed_state("op-a")
+        .collect()
+    }
+    assert rows[7] == 71 and len(rows) == 100
+
+
+def test_point_lookup_prunes_buckets(spark, tmp_path):
+    path = _mkstate(spark, tmp_path, n=1000)
+    sp = state_api.load(spark, path)
+    keys = [(3,), (500,), (999,)]
+    got = sp.read_keyed_state("op-a", keys=keys)
+    assert {r["k"] for r in got.collect()} == {3, 500, 999}
+    # partition pruning: the physical scan carries a __bucket partition
+    # filter (inputFiles() ignores pruning, so assert on the plan)
+    want_buckets = {state_api.bucket_of(k, 8) for k in keys}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__bucket" in m.group(1), plan
+    assert all(str(b) in m.group(1) for b in want_buckets), m.group(1)
+
+
+def test_list_and_broadcast_state(spark, tmp_path):
+    lst = spark.range(5).select(F.col("id").alias("e"))
+    bc = spark.createDataFrame(
+        [("rule1", 10), ("rule2", 20)], ["name", "threshold"]
+    )
+    path = str(tmp_path / "sp3")
+    (
+        state_api.create()
+        .with_operator("src", lst, kind=state_api.LIST)
+        .with_operator("rules", bc, kind=state_api.BROADCAST)
+        .write(path)
+    )
+    sp = state_api.load(spark, path)
+    assert sp.read_list_state("src").count() == 5
+    assert sp.read_union_state("src").count() == 5  # same stored rows
+    assert {
+        r["name"]: r["threshold"]
+        for r in sp.read_broadcast_state("rules").collect()
+    } == {"rule1": 10, "rule2": 20}
+    # kind mismatch is an error, like the typed read* families
+    with pytest.raises(ValueError, match="holds list state"):
+        sp.read_keyed_state("src")
+    with pytest.raises(ValueError, match="holds broadcast state"):
+        sp.read_list_state("rules")
+
+
+def test_keyed_state_contract_and_missing_operator(spark, tmp_path):
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    w = state_api.create().with_operator(
+        "bad", dup, primary_key=("k",), num_buckets=4
+    )
+    with pytest.raises(ValueError, match="one row per key"):
+        w.write(str(tmp_path / "sp_bad"))
+    path = _mkstate(spark, tmp_path)
+    sp = state_api.load(spark, path)
+    with pytest.raises(ValueError, match="no operator"):
+        sp.read_keyed_state("nope")
+    with pytest.raises(ValueError, match="needs a primary key"):
+        state_api.create().with_operator(
+            "k-less", dup, kind=state_api.KEYED
+        )
+
+
+def test_mount_upsert_store_reads_live_sink_state(spark, tmp_path):
+    """The 'query a running job's state' half: an upsert sink's backing
+    table mounts directly as a single-operator savepoint."""
+    from flink_1_12_2_spark.operators.changelog import upsert_foreach_batch
+
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+
+    batch = spark.createDataFrame(
+        [("+I", 1, 10, 0), ("+I", 2, 20, 0), ("+U", 1, 11, 1),
+         ("-D", 2, 0, 2)],
+        [ROW_KIND, "k", "v", "seq"],
+    )
+    state_dir = str(tmp_path / "sink_state")
+    upsert_foreach_batch(state_dir, ["k"], ["seq"], num_buckets=4)(batch, 0)
+    sp = state_api.mount_upsert_store(
+        spark, state_dir, "sink", ["k"], num_buckets=4
+    )
+    rows = {r["k"]: r["v"] for r in sp.read_keyed_state("sink").collect()}
+    assert rows == {1: 11}
+
+
+def test_bootstrapped_savepoint_resumes_under_upsert_sink(spark, tmp_path):
+    """Bootstrap writes the EXACT upsert-store layout, so the engine's
+    sink continues from bootstrapped state (the library's 'seed a new
+    job' use case)."""
+    from flink_1_12_2_spark.operators.changelog import upsert_foreach_batch
+
+    seed = spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 0)], ["k", "v", "seq"]
+    )
+    path = str(tmp_path / "sp_seed")
+    state_api.create().with_operator(
+        "sink", seed, primary_key=("k",), num_buckets=4
+    ).write(path)
+    state_dir = f"{path}/sink"
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+
+    nxt = spark.createDataFrame(
+        [("+U", 1, 99, 1), ("+I", 3, 30, 1)], [ROW_KIND, "k", "v", "seq"]
+    )
+    upsert_foreach_batch(state_dir, ["k"], ["seq"], num_buckets=4)(nxt, 1)
+    rows = {
+        r["k"]: r["v"]
+        for r in state_api.load(spark, path)
+        .read_keyed_state("sink")
+        .collect()
+    }
+    assert rows == {1: 99, 2: 20, 3: 30}

@@ -40,12 +40,27 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "text_chunk_dedup",
     "dedup_exact_substring",
+    # r11 (r10 verdict item 5): the Python NFA hot paths — events scale
+    # by key replication, so these prove the keyed NFA + Catalyst
+    # pre-gate stay linear when total match count grows 10x
+    "stream_cep_overlap_threshold",
+    "match_recognize_agg_measures",
 ]
 
 LINK_TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "embeddings",
+    "orders", "lineitem", "embeddings",
 ]
+
+#: Queries whose work executes inside fn() (streaming materialization,
+#: driver-loop collects) — the probe times fn() + write for these, like
+#: bench.TIMED_INSIDE_FN, instead of write alone.
+STATEFUL = {
+    "stream_cep_overlap_threshold",
+    "stream_topn",
+    "match_recognize_agg_measures",
+    "bpe_train_merges",
+}
 
 _CHILD = """
 import sys, time
@@ -61,16 +76,26 @@ fn = m.queries()[{name!r}]
 # warm codegen/JIT at base scale; noop sink like bench.py — a collect()
 # would time py4j row shipping (tens of MB for reassembly queries, high
 # variance), not the engine
+stateful = {stateful!r}
 fn(spark, {base!r}).write.format("noop").mode("overwrite").save()
 out = []
 for sf in ({base!r}, {scaled!r}):
     spark.catalog.clearCache()
-    df = fn(spark, sf)
-    n = df.count()
-    spark.catalog.clearCache()
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    out.append((time.time() - t0, n))
+    if stateful:
+        # streaming/CEP rows materialize inside fn() — time fn() + write
+        t0 = time.time()
+        df = fn(spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        n = df.count()
+    else:
+        df = fn(spark, sf)
+        n = df.count()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+    out.append((dt, n))
 print("RESULT", out[0][0], out[1][0], out[0][1], out[1][1])
 """
 
@@ -127,6 +152,28 @@ def build_scaled_dir(base: str, copies: int) -> str:
     # many splits: the scaled dir must look like a real corpus so the
     # adaptive eager fills (llm/dedup.EAGER_FILL_MIN_SPLITS) engage
     u.repartition(32).write.mode("overwrite").parquet(docs_path)
+
+    # events scale the same way for the CEP/MATCH_RECOGNIZE probes (r10
+    # verdict item 5): keys shift per copy so every keyed NFA state
+    # machine replicates with identical per-key match structure —
+    # timestamps unchanged, match density per key constant, total keys
+    # ×N. A keyed-linear NFA then scales ≈ N×; cross-key leakage or a
+    # pre-gate that stops pruning shows up superlinear.
+    from flink_1_12_2_spark.registry import load as _load
+
+    ev = _load(spark, base, "events")
+    ev_parts = []
+    for c in range(copies):
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * 100_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(c * 10_000_000))
+        )
+    ue = ev_parts[0]
+    for p in ev_parts[1:]:
+        ue = ue.unionByName(p)
+    ue.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
     for t in LINK_TABLES:
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
@@ -144,7 +191,13 @@ def main() -> int:
 
     worst = 0.0
     for name in names:
-        child = _CHILD.format(repo=_REPO, name=name, base=base, scaled=scaled)
+        child = _CHILD.format(
+            repo=_REPO,
+            name=name,
+            base=base,
+            scaled=scaled,
+            stateful=name in STATEFUL,
+        )
         r = subprocess.run(
             [sys.executable, "-c", child],
             capture_output=True,
