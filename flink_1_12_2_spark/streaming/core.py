@@ -43,13 +43,19 @@ def stream_events(
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
-    # the file stream source requires a directory: stream the sf_dir with a
-    # glob selecting just the events file
-    sdf = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # engine-written table: a parquet DIRECTORY — stream it directly
+        # (a name glob on sf_dir would filter out its part-files and
+        # silently read nothing; found by the r11 10x events probe)
+        sdf = spark.readStream.schema(static.schema).parquet(path)
+    else:
+        # driver-generated single file: the file stream source requires a
+        # directory, so stream sf_dir with a glob selecting just this file
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts_us", F.expr("ts div 1000"))
     else:

@@ -624,6 +624,20 @@ def test_r9_rows_rotation_ready_output_shapes(spark):
     assert not bad, f"rotation-unsafe output types: {bad}"
 
 
+def test_r11_rows_rotation_ready_output_shapes(spark):
+    """r11 additions keep the rotation discipline: the state-processor
+    round-trip and the registry-Avro round-trip emit only gate-portable
+    integer/string columns."""
+    allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+    bad = {}
+    for name in ("state_read_bootstrap", "avro_registry_roundtrip"):
+        df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+        offending = [(c, t) for c, t in df.dtypes if t not in allowed]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"rotation-unsafe output types: {bad}"
+
+
 def test_hbase_scan_partial_aggregated_no_cartesian(spark, sf_dir):
     """hbase_scan (r10): both the latest-version resolve and the struct
     assembly are map-combinable hash aggregates (partial before the

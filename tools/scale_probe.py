@@ -52,15 +52,6 @@ LINK_TABLES = [
     "orders", "lineitem", "embeddings",
 ]
 
-#: Queries whose work executes inside fn() (streaming materialization,
-#: driver-loop collects) — the probe times fn() + write for these, like
-#: bench.TIMED_INSIDE_FN, instead of write alone.
-STATEFUL = {
-    "stream_cep_overlap_threshold",
-    "stream_topn",
-    "match_recognize_agg_measures",
-    "bpe_train_merges",
-}
 
 _CHILD = """
 import sys, time
@@ -76,25 +67,20 @@ fn = m.queries()[{name!r}]
 # warm codegen/JIT at base scale; noop sink like bench.py — a collect()
 # would time py4j row shipping (tens of MB for reassembly queries, high
 # variance), not the engine
-stateful = {stateful!r}
 fn(spark, {base!r}).write.format("noop").mode("overwrite").save()
 out = []
 for sf in ({base!r}, {scaled!r}):
+    # timed region = fn() + write, cold caches: the operator's PRODUCTION
+    # path. Timing write alone after a clearCache would re-run the
+    # persisted subtrees LAZILY — racing multi-consumer fills, the exact
+    # pathology the in-fn eager barriers exist to prevent — and for
+    # streaming rows fn() is where the work happens anyway.
     spark.catalog.clearCache()
-    if stateful:
-        # streaming/CEP rows materialize inside fn() — time fn() + write
-        t0 = time.time()
-        df = fn(spark, sf)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        n = df.count()
-    else:
-        df = fn(spark, sf)
-        n = df.count()
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+    t0 = time.time()
+    df = fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    n = df.count()
     out.append((dt, n))
 print("RESULT", out[0][0], out[1][0], out[0][1], out[1][1])
 """
@@ -192,11 +178,7 @@ def main() -> int:
     worst = 0.0
     for name in names:
         child = _CHILD.format(
-            repo=_REPO,
-            name=name,
-            base=base,
-            scaled=scaled,
-            stateful=name in STATEFUL,
+            repo=_REPO, name=name, base=base, scaled=scaled
         )
         r = subprocess.run(
             [sys.executable, "-c", child],
