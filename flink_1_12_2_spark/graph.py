@@ -1206,22 +1206,49 @@ class Graph:
 
     def run_checksum_hash_code(self) -> DataFrame:
         """library/metric/ChecksumHashCode.java — one row (record_count,
-        checksum): count plus an order-independent hash sum over the
-        vertex and edge sets. The reference sums Java ``hashCode()``
-        values (JVM-specific); this analogue keeps the structure —
-        count + commutative sum of per-record hashes, vertices and edges
-        combined — but uses xxhash64 masked to 32 bits so the checksum
-        is stable across engines and workers. A utility for pipeline
-        regression checks, not a semantic operator."""
+        checksum): count plus the sum of per-record
+        ``hashCode() & 0xffffffffL`` over the vertex and edge sets
+        (asm/dataset/ChecksumHashCode.java:73), BIT-EXACT with the
+        reference for ``Graph<Long, NullValue, NullValue>`` (the shape
+        every reference drill uses): Vertex = Tuple2(id, NullValue) →
+        ``31 * Long.hashCode(id) + 53``; Edge = Tuple3(src, tgt,
+        NullValue) → ``31 * (31 * Long.hashCode(src) +
+        Long.hashCode(tgt)) + 53``; ``Long.hashCode(v) = (int)(v ^
+        (v >>> 32))``; ``NullValue.hashCode() = 53``. Java's wrapping
+        32-bit arithmetic is emulated in exact BIGINT expressions
+        (pmod two's-complement fold), so the checksum matches a JVM run
+        value-for-value (tests pin javac-generated ground truth) while
+        staying a map-combinable Catalyst aggregate — order-independent,
+        one pass, no shuffle beyond the final 1-row reduce."""
+
+        def _i32(c):
+            # fold a bigint expression into Java int range (wrap, not throw)
+            return F.pmod(c + F.lit(1 << 31), F.lit(1 << 32)) - F.lit(1 << 31)
+
+        def _long_hash(c):
+            # java.lang.Long.hashCode
+            return _i32(c.bitwiseXOR(F.shiftrightunsigned(c, 32)))
+
+        def _unsigned(c):
+            # record.hashCode() & 0xffffffffL
+            return F.pmod(c, F.lit(1 << 32))
+
+        idc = F.col("id").cast("bigint")
         vh = self.vertices.select(
-            (F.xxhash64(F.col("id")) % F.lit(4294967296)).alias("h")
+            _unsigned(_i32(F.lit(31) * _long_hash(idc) + F.lit(53))).alias("h")
         )
+        src = F.col("src").cast("bigint")
+        dst = F.col("dst").cast("bigint")
         eh = self.edges.select(
-            (F.xxhash64(F.col("src"), F.col("dst")) % F.lit(4294967296))
-            .alias("h")
+            _unsigned(
+                _i32(
+                    F.lit(31)
+                    * _i32(F.lit(31) * _long_hash(src) + _long_hash(dst))
+                    + F.lit(53)
+                )
+            ).alias("h")
         )
-        both = vh.unionByName(eh).select(F.abs(F.col("h")).alias("h"))
-        stats = both.select(
+        stats = vh.unionByName(eh).select(
             F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
         ).first()
         return self.vertices.sparkSession.createDataFrame(

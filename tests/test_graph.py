@@ -574,3 +574,26 @@ def test_checksum_hash_code_stable_and_counting(spark):
     assert r1 == r2  # deterministic across runs
     assert r1["record_count"] == n + len(A)
     assert r1["checksum"] >= 0
+
+
+def test_checksum_hash_code_jvm_parity(spark):
+    """Bit-exact ChecksumHashCode parity with the reference JVM
+    semantics for Graph<Long, NullValue, NullValue>. Expected values
+    generated with javac/java 17 from the reference formula
+    (asm/dataset/ChecksumHashCode.java:73 `hashCode() & 0xffffffffL`;
+    Tuple2/Tuple3.hashCode 31-chains; NullValue.hashCode() == 53;
+    Long.hashCode fold): vertices {1, 2, 5000000000, -7}, edges
+    {(1,2), (2,5000000000), (5000000000,-7)} → count 7,
+    checksum 3988922564. 5e9 exercises the high-word XOR fold; -7 the
+    negative two's-complement path."""
+    from flink_1_12_2_spark.graph import Graph
+
+    v = spark.createDataFrame(
+        [(1,), (2,), (5_000_000_000,), (-7,)], "id bigint"
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (2, 5_000_000_000), (5_000_000_000, -7)],
+        "src bigint, dst bigint",
+    )
+    r = Graph(v, e).run_checksum_hash_code().first()
+    assert (r["record_count"], r["checksum"]) == (7, 3988922564)
