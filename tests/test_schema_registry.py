@@ -108,3 +108,57 @@ def test_kafka_raw_format_roundtrip(spark, tmp_path):
         b"",
         b"\x00\x01\xffbin",
     ]
+
+
+# ---- property tests: pure-Python codec, no Spark jobs per example ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.one_of(st.none(), st.binary(max_size=24)),
+    st.booleans(),
+    st.floats(allow_nan=False, width=64),
+)
+
+_PROP_SCHEMA = {
+    "type": "record",
+    "name": "p",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": ["null", "bytes"]},
+        {"name": "d", "type": "boolean"},
+        {"name": "e", "type": "double"},
+    ],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vals)
+def test_registry_frame_roundtrip_property(row):
+    """Any flat record round-trips bit-exactly through the registry
+    framing (zigzag varints, nullable unions, utf-8, IEEE doubles)."""
+    msg = encode_record(row, _PROP_SCHEMA, 7)
+    assert decode_record(msg, {7: _PROP_SCHEMA}, _PROP_SCHEMA) == row
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_vals, min_size=1, max_size=8))
+def test_registry_evolution_roundtrip_property(rows):
+    """Every record written under the NARROW writer schema (first two
+    fields) decodes against the WIDE reader with the tail fields null —
+    independent of the values involved."""
+    narrow = {
+        "type": "record",
+        "name": "p",
+        "fields": _PROP_SCHEMA["fields"][:2],
+    }
+    schemas = {1: narrow, 2: _PROP_SCHEMA}
+    for row in rows:
+        msg = encode_record(row[:2], narrow, 1)
+        assert decode_record(msg, schemas, _PROP_SCHEMA) == (
+            row[0], row[1], None, None, None,
+        )
