@@ -800,3 +800,67 @@ def exact_substring_pairs(
     w2.unpersist()
     pr.unpersist()
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with k-means, then inside each
+    cluster drop all but one member of every cosine-≥-τ neighborhood.
+    Clustering bounds the candidate set — pairs are only scored WITHIN a
+    cell, never across the corpus.
+
+    Spark-first decomposition:
+    - cell assignment reuses the IVF build (llm/similarity.ivf_cells):
+      centroids are driver-side metadata inlined as literal
+      coefficients, so assignment is a pure scan-stage projection —
+      zero shuffle, exactly like production k-means scoring;
+    - the within-cell self-join shuffles on the cell id only; per-cell
+      work is |cell|², bounded by the cluster granularity (SemDeDup's
+      own control: k scales with corpus size, keeping cells ~constant;
+      at 100 TB use k ≈ √n so cells stay ~10⁴ docs);
+    - the keeper rule is DETERMINISTIC (the paper keeps a random
+      representative; random would be oracle-hostile): a doc is dropped
+      iff a SMALLER-id doc in its cell has cosine ≥ τ with it — one
+      distinct over pair targets, no iteration.
+
+    Returns (id, cell, kept) — one row per input doc.
+    """
+    from flink_1_12_2_spark.llm.similarity import ivf_cells
+
+    n = normalize_embeddings(df, id_col, vec_col)
+    _, cells = ivf_cells(n, id_col, num_centroids)
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cc = cells.persist()
+    _maybe_eager(cc, df)  # pair sides + the final join-back read this cache
+    a = cc.select(
+        F.col("cell"), F.col(id_col).alias("id_1"), F.col("vec_n").alias("v1")
+    )
+    b = cc.select(
+        F.col("cell"), F.col(id_col).alias("id_2"), F.col("vec_n").alias("v2")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_2").alias(id_col))
+        .distinct()
+    )
+    # one outer join derives the flag for every doc — a kept/dropped
+    # union would run the pair self-join twice
+    return cc.join(
+        dropped.withColumn("__dropped", F.lit(1)), id_col, "left"
+    ).select(
+        id_col, "cell", F.col("__dropped").isNull().alias("kept")
+    )

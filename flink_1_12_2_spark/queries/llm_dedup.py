@@ -418,3 +418,50 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.incremental_exact_dedup(existing, incoming).orderBy("keeper_id")
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))))
+               AS v
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM n WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT n.vec_id, c.cent_id AS cell, n.v,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, c.cvec), 6) DESC,
+                          c.cent_id) AS crank
+        FROM n CROSS JOIN cents c)
+      WHERE crank = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.30)
+    SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+           d.vec_id IS NULL AS kept
+    FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    ORDER BY s.vec_id
+    """,
+    tags=("llm", "dedup", "semantic", "embedding"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings
+    table: k-means-style cells (deterministic lowest-id centroids, the
+    same init stand-in as ann_ivf_topk) bound the candidate space;
+    within each cell, a doc is dropped iff a smaller-id doc sits at
+    cosine ≥ 0.30 (deterministic keeper standing in for the paper's
+    random representative). Assignment is a scan-stage projection over
+    broadcast centroid literals — the only shuffle is the within-cell
+    self-join on the cell id."""
+    e = load(spark, sf_dir, "embeddings")
+    out = D.semantic_dedup(e, "vec_id", "embedding", 0.30, num_centroids=16)
+    return out.withColumn("cell", F.col("cell").cast("int")).orderBy(
+        "vec_id"
+    )

@@ -149,13 +149,19 @@ def avro_registry_encode(
     avro_schema = spark_schema_to_avro(df.schema, name=subject)
     schema_id = registry.register(subject, avro_schema)
 
+    # pandas represents nulls in float columns as NaN, so "missing" is
+    # only decidable for NULLABLE (union) fields — those map NaN/None to
+    # the null branch. Non-nullable fields pass values through verbatim
+    # (a genuine NaN double stays NaN; an impossible None fails loudly).
+    nullable = [isinstance(f["type"], list) for f in avro_schema["fields"]]
+
     def enc(pdfs):
         for pdf in pdfs:
             vals = [
                 encode_record(
                     tuple(
-                        None if pd.isna(v) else v
-                        for v in row
+                        None if (nl and pd.isna(v)) else v
+                        for v, nl in zip(row, nullable)
                     ),
                     avro_schema,
                     schema_id,

@@ -628,14 +628,32 @@ def test_r11_rows_rotation_ready_output_shapes(spark):
     """r11 additions keep the rotation discipline: the state-processor
     round-trip and the registry-Avro round-trip emit only gate-portable
     integer/string columns."""
-    allowed = {"bigint", "int", "smallint", "tinyint", "string", "date"}
+    allowed = {
+        "bigint", "int", "smallint", "tinyint", "string", "date", "boolean"
+    }
     bad = {}
-    for name in ("state_read_bootstrap", "avro_registry_roundtrip"):
+    for name in (
+        "state_read_bootstrap",
+        "avro_registry_roundtrip",
+        "dedup_semantic_semdedup",
+    ):
         df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
         offending = [(c, t) for c, t in df.dtypes if t not in allowed]
         if offending:
             bad[name] = offending
     assert not bad, f"rotation-unsafe output types: {bad}"
+
+
+def test_semdedup_no_cartesian_and_cell_bounded_join(spark, sf_dir):
+    """SemDeDup (r11): centroid assignment is a scan-stage projection
+    (broadcast literal coefficients — no corpus k-fold expansion), the
+    pair join is an equi-join on the cell id, and nothing in the plan is
+    a cartesian — candidate volume is Σ|cell|², the paper's own bound."""
+    df = QUERIES["dedup_semantic_semdedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "cell#" in plan  # the join key is the cell id
+    spark.catalog.clearCache()
 
 
 def test_hbase_scan_partial_aggregated_no_cartesian(spark, sf_dir):
