@@ -93,6 +93,38 @@ def test_dataframe_encode_decode_evolution(spark, tmp_path):
     assert (r["k"], r["v"], r["extra"]) == (9, None, None)
 
 
+def test_kafka_raw_format_streams(spark, tmp_path):
+    """The raw format also serves the STREAMING consumer path (Flink's
+    kafka source with 'format' = 'raw')."""
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish,
+        read_topic_stream,
+    )
+
+    topic = str(tmp_path / "topic_s")
+    payload = spark.createDataFrame(
+        [(b"one",), (b"two",)], "value binary"
+    )
+    publish(payload.select(F.base64("value").alias("value")), topic)
+    sdf = read_topic_stream(spark, topic, "raw", "")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("raw_stream_t")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_raw")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        bytes(r["value"]) for r in spark.sql(
+            "SELECT * FROM raw_stream_t"
+        ).collect()
+    )
+    assert got == [b"one", b"two"]
+
+
 def test_kafka_raw_format_roundtrip(spark, tmp_path):
     """'format' = 'raw' passthrough: binary payloads ride the text
     transport base64-coded and come back byte-identical."""
