@@ -3,7 +3,8 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as the MIN OF TWO full executions (noop sink), with the
+Each query is timed as the MIN OF THREE full executions (noop sink;
+$SPARK_GRAFT_BENCH_ATTEMPTS overrides), with the
 cache cleared between attempts so run 2 re-does real work instead of reading
 run 1's persisted intermediates. The first attempt absorbs JIT/codegen
 warm-up for that query's operator mix; min-of-2 also shrugs off transient
@@ -196,7 +197,13 @@ def main() -> None:
             fn = _bpe_encode_fixture(spark, sf_dir)  # train outside timings
         stateful = name in timed_inside_fn
         best: float | None = None
-        for _attempt in range(2):
+        # min-of-3 by default (r11): the r10/r11 telemetry shows bursty
+        # hypervisor steal inflating individual attempts 2x+; a third
+        # attempt materially improves the odds that one lands in a quiet
+        # window, and min-of-N semantics keep rounds comparable
+        for _attempt in range(
+            int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        ):
             # drop persisted intermediates: Spark's cache manager matches by
             # analyzed-plan equality, so attempt 2 would otherwise read
             # attempt 1's cache and measure nothing
