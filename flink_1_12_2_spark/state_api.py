@@ -105,7 +105,10 @@ def _read_text(spark: SparkSession, path: str) -> str:
 def bucket_of(key_values: tuple, num_buckets: int) -> int:
     """Driver-side bucket id for one key tuple — matches the Spark-side
     expression ``pmod(crc32(concat_ws(US, pks as string)), num_buckets)``
-    (zlib.crc32 and java.util.zip.CRC32 share the IEEE polynomial)."""
+    (zlib.crc32 and java.util.zip.CRC32 share the IEEE polynomial).
+    Parity holds when ``str(v)`` equals Spark's string cast — integer
+    and string keys; for other types read_keyed_state skips bucket
+    pruning rather than risk pruning the wrong directory."""
     raw = _KEY_SEP.join(str(v) for v in key_values).encode("utf-8")
     return zlib.crc32(raw) % num_buckets
 
@@ -158,16 +161,36 @@ class ExistingSavepoint:
             raise ValueError(f"operator {uid!r} holds {spec.kind} state")
         df = self._table(uid)
         if keys:
-            buckets = sorted(
-                {bucket_of(k, spec.num_buckets) for k in keys}
+            # bucket pruning only when Python str(v) provably matches
+            # Spark's string cast (integer/string keys) — for other key
+            # types a driver-side hash could prune the WRONG bucket and
+            # silently drop rows, so those fall back to a full scan with
+            # the exact filter below (still correct, just unpruned)
+            dtypes = dict(df.dtypes)
+            parity = all(
+                dtypes.get(c) in
+                ("tinyint", "smallint", "int", "bigint", "string")
+                for c in spec.primary_key
             )
-            df = df.filter(F.col(BUCKET_COL).isin(buckets))
-            key_str = F.concat_ws(
-                _KEY_SEP,
-                *[F.col(c).cast("string") for c in spec.primary_key],
-            )
-            wanted = [_KEY_SEP.join(str(v) for v in k) for k in keys]
-            df = df.filter(key_str.isin(wanted))
+            if parity:
+                buckets = sorted(
+                    {bucket_of(k, spec.num_buckets) for k in keys}
+                )
+                df = df.filter(F.col(BUCKET_COL).isin(buckets))
+            # exact key match with TYPED literals (no string round-trip)
+            from functools import reduce
+
+            preds = [
+                reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(c) == F.lit(v)
+                        for c, v in zip(spec.primary_key, k)
+                    ],
+                )
+                for k in keys
+            ]
+            df = df.filter(reduce(lambda a, b: a | b, preds))
         return df.drop(BUCKET_COL)
 
     def read_list_state(self, uid: str) -> DataFrame:
