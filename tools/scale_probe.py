@@ -16,11 +16,14 @@ outlier in the original experiment), so in-session sequencing would
 measure JVM history, not the operator.
 
 Usage: python tools/scale_probe.py [base_sf_dir] [copies] [query ...]
-Defaults: /root/testdata/sf0.1, 10 copies, the four near-dup headliners.
+Defaults: /root/testdata/sf0.1, 10 copies, the four near-dup headliners
+plus the two Python-NFA rows (events scale by per-copy key shifts).
 Prints one line per query: base seconds, scaled seconds, ratio. The
-absolute seconds are NOT bench-comparable (each run re-fills caches
-after a verification count); only the base/scaled RATIO is the signal.
-Exit 1 if any ratio is clearly superlinear (> 2 × copies).
+timed region is fn() + write on cold caches — the production path
+(r11; a write-only region after clearCache would time the lazy
+multi-consumer recompute race the in-fn barriers exist to prevent).
+Absolute seconds are NOT bench-comparable; only the base/scaled RATIO
+is the signal. Exit 1 if any ratio is clearly superlinear (> 2 × copies).
 """
 
 from __future__ import annotations

@@ -78,6 +78,8 @@ def main() -> int:
     print(
         f"\n{n - len(fails)} pass, {len(fails)} fail (vanilla session)"
     )
+    if fails:
+        print("failed:", ", ".join(str(f[0]) for f in fails))
     return 1 if fails else 0
 
 
