@@ -62,7 +62,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[32]")
          .config("spark.sql.shuffle.partitions", "32")
-         .config("spark.driver.memory", "24g")
+         .config("spark.driver.memory", "48g")
          .config("spark.sql.session.timeZone", "UTC").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as m
