@@ -609,3 +609,60 @@ def avro_registry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "kafka_ddl_avro_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "kafka", "ddl", "avro", "schema-registry"),
+)
+def kafka_ddl_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka connector's SQL front door (r11): registry-framed Avro
+    messages published to an emulated topic, then CREATE TABLE ... WITH
+    ('connector'='kafka', 'format'='avro-confluent', ...) and a plain
+    SQL aggregate over the table — KafkaDynamicTableFactory.java:95
+    option surface end-to-end through EngineSession.sql."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+    from flink_1_12_2_spark.sources.schema_registry import (
+        avro_registry_encode,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "kddl_" + uuid.uuid4().hex[:10]
+    )
+    reg = os.path.join(base, "registry.json")
+    topic = os.path.join(base, "orders_avro")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    framed = avro_registry_encode(o, reg, "orders_avro-value")
+    publish(framed.select(F.base64("value").alias("value")), topic)
+    eng = EngineSession(spark)
+    view = "kddl_" + uuid.uuid4().hex[:8]
+    eng.sql(
+        f"""CREATE TABLE {view} (o_orderstatus STRING, cents BIGINT)
+            WITH ('connector' = 'kafka', 'topic' = '{topic}',
+                  'format' = 'avro-confluent',
+                  'avro-confluent.schema-registry.url' = 'file://{reg}')"""
+    )
+    return eng.sql(
+        f"""SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS cents
+            FROM {view} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    )

@@ -200,12 +200,19 @@ class TableMeta:
 
     path: str
     fmt: str = "parquet"
+    #: 'filesystem' (path = file/dir) or 'kafka' (path = emulated topic
+    #: dir — sources/kafka_emu.py; fmt is then the VALUE format:
+    #: json/raw/debezium-json/canal-json/maxwell-json/avro-confluent)
+    connector: str = "filesystem"
     event_time_col: str | None = None
     watermark_delay: str | None = None  # e.g. "10 minutes"
     primary_key: tuple[str, ...] = ()
     options: dict[str, str] = field(default_factory=dict)
     # declared physical column names (INSERT maps positionally to these)
     columns: tuple[str, ...] = ()
+    # declared schema as a Spark DDL string ("k bigint, v string") — the
+    # kafka connector needs it to decode json/CDC payloads
+    schema_ddl: str | None = None
 
 
 class EngineSession:
@@ -252,6 +259,15 @@ class EngineSession:
     def register_table(self, name: str, meta: TableMeta) -> None:
         self._tables[name] = meta
         self._catalogs.setdefault(self._current_catalog, set()).add(name)
+        if meta.connector == "kafka":
+            from flink_1_12_2_spark.sources.kafka_emu import topic_table
+
+            topic_table(
+                self.spark, meta.path, meta.fmt,
+                payload_schema=meta.schema_ddl or "",
+                options=meta.options,
+            ).createOrReplaceTempView(name)
+            return
         reader = self.spark.read.format(meta.fmt)
         for k, v in meta.options.items():
             reader = reader.option(k, v)
@@ -302,11 +318,22 @@ class EngineSession:
         (reference: flink-table/flink-table-planner-blink/.../physical/stream/StreamExecTableSourceScan.scala).
         """
         meta = self._tables[name]
-        df = (
-            self.spark.readStream.format(meta.fmt)
-            .schema(self.spark.table(name).schema)
-            .load(meta.path)
-        )
+        if meta.connector == "kafka":
+            from flink_1_12_2_spark.sources.kafka_emu import (
+                topic_table_stream,
+            )
+
+            df = topic_table_stream(
+                self.spark, meta.path, meta.fmt,
+                payload_schema=meta.schema_ddl or "",
+                options=meta.options,
+            )
+        else:
+            df = (
+                self.spark.readStream.format(meta.fmt)
+                .schema(self.spark.table(name).schema)
+                .load(meta.path)
+            )
         if meta.event_time_col and meta.watermark_delay:
             df = df.withWatermark(meta.event_time_col, meta.watermark_delay)
         return df

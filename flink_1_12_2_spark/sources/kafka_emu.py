@@ -155,3 +155,74 @@ def abort_transaction(topic_dir: str, txn: str) -> None:
     staging = os.path.join(topic_dir, f".txn_{txn}")
     if os.path.isdir(staging):
         shutil.rmtree(staging)
+
+
+def _registry_opts(topic_dir: str, options: dict | None) -> tuple[str, str]:
+    """(registry path, subject) from KafkaDynamicTableFactory-style
+    options — ``avro-confluent.schema-registry.url`` (file: URLs accepted)
+    and ``avro-confluent.subject`` (default: Flink's ``<topic>-value``)."""
+    opts = options or {}
+    reg = opts.get("avro-confluent.schema-registry.url", "")
+    if reg.startswith("file://"):
+        reg = reg[7:]
+    elif reg.startswith("file:"):
+        reg = reg[5:]
+    if not reg:
+        raise ValueError(
+            "format 'avro-confluent' requires "
+            "'avro-confluent.schema-registry.url'"
+        )
+    subject = opts.get("avro-confluent.subject") or (
+        os.path.basename(topic_dir.rstrip("/")) + "-value"
+    )
+    return reg, subject
+
+
+def topic_table(
+    spark: SparkSession,
+    topic_dir: str,
+    value_format: str,
+    payload_schema: str = "",
+    options: dict | None = None,
+) -> DataFrame:
+    """Bounded table over a topic — the DDL front door's scan path
+    (KafkaDynamicTableFactory.java:95 createDynamicTableSource). Formats:
+    json / raw / the three CDC formats (read_topic_batch) plus
+    ``avro-confluent`` (registry-framed messages decoded against the
+    subject's latest reader schema — RegistryAvroDeserializationSchema)."""
+    if value_format == "avro-confluent":
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_decode,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        raw = read_topic_batch(spark, topic_dir, "raw", "")
+        return avro_registry_decode(raw, reg, subject)
+    return read_topic_batch(spark, topic_dir, value_format, payload_schema)
+
+
+def topic_table_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    value_format: str,
+    payload_schema: str = "",
+    options: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`topic_table` (mapInPandas decode works on
+    streaming frames, so avro-confluent streams too)."""
+    if value_format == "avro-confluent":
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_decode,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        raw = read_topic_stream(
+            spark, topic_dir, "raw", "",
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return avro_registry_decode(raw, reg, subject)
+    return read_topic_stream(
+        spark, topic_dir, value_format, payload_schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )

@@ -94,13 +94,32 @@ def parse_create_table(
     part_m = _PARTITIONED.search(tail)
     opts = dict(_OPT.findall(wm_with.group(1)))
     connector = opts.pop("connector", "filesystem")
-    if connector != "filesystem":
+    if connector == "kafka":
+        # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
+        # to the emulated topic DIRECTORY (sources/kafka_emu.py — no
+        # broker in this environment), 'format' is the value format
+        # (json/raw/CDC/avro-confluent); 'properties.*' and 'scan.*'
+        # options are accepted and carried as metadata, like a factory
+        # passing client properties through.
+        path = opts.pop("topic")
+        fmt = opts.pop("format", "json")
+        _KAFKA_FORMATS = (
+            "json", "raw", "debezium-json", "canal-json", "maxwell-json",
+            "avro-confluent",
+        )
+        if fmt not in _KAFKA_FORMATS:
+            raise ValueError(
+                f"kafka value format {fmt!r} not supported "
+                f"({', '.join(_KAFKA_FORMATS)})"
+            )
+    elif connector != "filesystem":
         raise ValueError(
             f"connector {connector!r} not available in this environment "
-            "(filesystem only; kafka/jdbc need live services)"
+            "(filesystem and the kafka emulation; jdbc needs live services)"
         )
-    path = opts.pop("path")
-    fmt = opts.pop("format", "parquet")
+    else:
+        path = opts.pop("path")
+        fmt = opts.pop("format", "parquet")
 
     cols_block = cols_raw
     wm = _WATERMARK.search(cols_block)
@@ -158,10 +177,12 @@ def parse_create_table(
     meta = TableMeta(
         path=path,
         fmt=fmt,
+        connector=connector,
         event_time_col=event_time_col,
         watermark_delay=delay,
         options=opts,
         columns=tuple(f.split()[0] for f in fields),
+        schema_ddl=schema,
     )
     return head.group("name"), schema, meta, partition_cols, computed
 
@@ -265,9 +286,26 @@ def execute_ddl(engine: EngineSession, ddl: str):
         return engine.spark.createDataFrame([("OK",)], "result string")
     if not os.path.exists(meta.path):
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
-        # filesystem sink) — register metadata only, INSERT will create it
+        # filesystem sink, or a kafka topic nothing has produced to) —
+        # register metadata only, INSERT/publish will create it
         engine.register_sink(name, meta)
         return engine.spark.createDataFrame([("OK",)], "result string")
+    if meta.connector == "kafka":
+        from flink_1_12_2_spark.sources.kafka_emu import topic_table
+
+        df = topic_table(
+            engine.spark, meta.path, meta.fmt,
+            payload_schema=meta.schema_ddl or "",
+            options=meta.options,
+        )
+        for cname, cexpr in computed:
+            from flink_1_12_2_spark.sql.rewriter import rewrite_expr
+
+            df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
+        df.createOrReplaceTempView(name)
+        engine._tables[name] = meta
+        engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
+        return df
     reader = engine.spark.read.format(meta.fmt)
     for k, v in meta.options.items():
         reader = reader.option(k, v)

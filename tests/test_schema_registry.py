@@ -194,3 +194,69 @@ def test_registry_evolution_roundtrip_property(rows):
         assert decode_record(msg, schemas, _PROP_SCHEMA) == (
             row[0], row[1], None, None, None,
         )
+
+
+def test_kafka_connector_ddl_front_door(spark, tmp_path):
+    """CREATE TABLE ... WITH ('connector'='kafka', ...) — the
+    KafkaDynamicTableFactory option surface over the emulation: a json
+    topic scans as a bounded table through plain SQL, and the
+    avro-confluent format resolves the registry from its options."""
+    import json as _json
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "orders_topic")
+    rows = spark.createDataFrame(
+        [(_json.dumps({"k": i, "v": f"r{i}"}),) for i in range(5)],
+        "value string",
+    )
+    publish(rows, topic)
+    eng.sql(
+        f"""CREATE TABLE kt (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka',
+              'topic' = '{topic}',
+              'properties.bootstrap.servers' = 'localhost:9092',
+              'format' = 'json')"""
+    )
+    got = eng.sql("SELECT k, v FROM kt ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in got] == [
+        (i, f"r{i}") for i in range(5)
+    ]
+    # streaming twin reads the same table via the registry metadata
+    sdf = eng.stream_table("kt")
+    assert sdf.isStreaming and set(sdf.columns) == {"k", "v"}
+
+    # avro-confluent: registry-framed messages through the DDL
+    reg_path = str(tmp_path / "reg.json")
+    framed = avro_registry_encode(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+        reg_path,
+        "avro_topic-value",
+    )
+    topic2 = str(tmp_path / "avro_topic")
+    publish(framed.select(F.base64("value").alias("value")), topic2)
+    eng.sql(
+        f"""CREATE TABLE kav (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka',
+              'topic' = '{topic2}',
+              'format' = 'avro-confluent',
+              'avro-confluent.schema-registry.url' = 'file://{reg_path}')"""
+    )
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM kav").collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_kafka_connector_ddl_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    with _pytest.raises(ValueError, match="not supported"):
+        eng.sql(
+            """CREATE TABLE bad (k BIGINT) WITH (
+                 'connector' = 'kafka', 'topic' = '/tmp/x',
+                 'format' = 'protobuf')"""
+        )
