@@ -116,6 +116,27 @@ class StatementSet:
                     # schema (Flink INSERT INTO semantics — VALUES rows
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
+                if meta.connector == "kafka":
+                    # producer sink (FlinkKafkaProducer through the table
+                    # factory): publish one batch to the emulated topic.
+                    # json encodes the row payload; raw expects a single
+                    # binary column (base64 over the text transport);
+                    # avro-confluent frames rows against the registry.
+                    n_out = _publish_to_topic(meta, out_df)
+                    # re-expose: the CREATE-time view snapshot predates
+                    # this batch's files (and a sink-registered topic has
+                    # no view yet) — follow-up SELECTs must see the batch
+                    from flink_1_12_2_spark.sources.kafka_emu import (
+                        topic_table,
+                    )
+
+                    topic_table(
+                        spark, meta.path, meta.fmt,
+                        payload_schema=meta.schema_ddl or "",
+                        options=meta.options,
+                    ).createOrReplaceTempView(b.sink)
+                    results.append((b.sink, n_out))
+                    continue
                 writer = out_df.write.format(meta.fmt).mode(
                     "overwrite" if b.overwrite else "append"
                 )
@@ -150,3 +171,42 @@ class StatementSet:
         return spark.createDataFrame(
             results, "sink_table string, rows_written bigint"
         )
+
+
+def _publish_to_topic(meta, out_df) -> int:
+    """INSERT INTO a kafka-connector table = one producer batch
+    (kafka_emu.publish). Returns the row count written."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    n = out_df.count()
+    if meta.fmt == "json":
+        framed = out_df.select(
+            F.to_json(F.struct(*out_df.columns)).alias("value")
+        )
+    elif meta.fmt == "raw":
+        if len(out_df.columns) != 1:
+            raise ValueError(
+                "format 'raw' sink expects exactly one (binary) column"
+            )
+        framed = out_df.select(
+            F.base64(F.col(out_df.columns[0]).cast("binary")).alias("value")
+        )
+    elif meta.fmt == "avro-confluent":
+        from flink_1_12_2_spark.sources.kafka_emu import _registry_opts
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_encode,
+        )
+
+        reg, subject = _registry_opts(meta.path, meta.options)
+        framed = avro_registry_encode(out_df, reg, subject).select(
+            F.base64("value").alias("value")
+        )
+    else:
+        raise ValueError(
+            f"kafka sink format {meta.fmt!r} not supported "
+            "(json, raw, avro-confluent; CDC formats are source-only)"
+        )
+    publish(framed, meta.path)
+    return n

@@ -260,3 +260,37 @@ def test_kafka_connector_ddl_rejects_unknown_format(spark, tmp_path):
                  'connector' = 'kafka', 'topic' = '/tmp/x',
                  'format' = 'protobuf')"""
         )
+
+
+def test_kafka_connector_insert_publishes_and_rereads(spark, tmp_path):
+    """INSERT INTO a kafka table = a producer batch; follow-up SELECTs in
+    the same session see the published rows (source AND sink, like every
+    registered Flink table). Covers json and avro-confluent sinks."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "sink_topic")
+    eng.sql(
+        f"""CREATE TABLE ks (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic}',
+              'format' = 'json')"""
+    )
+    res = eng.sql("INSERT INTO ks VALUES (1, 'a'), (2, 'b')")
+    assert res.first()["rows_written"] == 2
+    eng.sql("INSERT INTO ks VALUES (3, 'c')")
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM ks").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    reg = str(tmp_path / "reg.json")
+    topic2 = str(tmp_path / "sink_avro")
+    eng.sql(
+        f"""CREATE TABLE kas (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic2}',
+              'format' = 'avro-confluent',
+              'avro-confluent.schema-registry.url' = 'file:{reg}')"""
+    )
+    eng.sql("INSERT INTO kas VALUES (7, 'x')")
+    got = [(r["k"], r["v"]) for r in eng.sql("SELECT * FROM kas").collect()]
+    assert got == [(7, "x")]
+    # the subject registered under the factory's <topic>-value default
+    assert FileSchemaRegistry(reg).latest("sink_avro-value")
