@@ -666,3 +666,73 @@ def kafka_ddl_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS cents
             FROM {view} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     )
+
+
+@query(
+    "upsert_kafka_roundtrip",
+    oracle="""
+    WITH st AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_custkey % 2 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                  ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "kafka", "upsert-kafka", "changelog"),
+)
+def upsert_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-kafka end-to-end through the SQL front door
+    (UpsertKafkaDynamicTableFactory.java:68): three producer batches —
+    initial state, per-key updates (cents doubled for even custkeys),
+    tombstones for every 7th order — then a plain SQL aggregate over the
+    table, which must see exactly the normalized latest state (last
+    value per key, tombstoned keys gone)."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish_upsert
+
+    topic = os.path.join(
+        tempfile.gettempdir(), "uk_rt_" + uuid.uuid4().hex[:10]
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    base = o.select("o_orderkey", "o_orderstatus", "cents")
+    publish_upsert(base, topic, ["o_orderkey"])
+    updates = o.filter(F.col("o_custkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("cents") * 2).alias("cents")
+    )
+    publish_upsert(updates, topic, ["o_orderkey"])
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("-D").alias(ROW_KIND),
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    publish_upsert(deletes, topic, ["o_orderkey"], row_kind_col=ROW_KIND)
+    eng = EngineSession(spark)
+    view = "uk_" + uuid.uuid4().hex[:8]
+    eng.sql(
+        f"""CREATE TABLE {view} (o_orderkey BIGINT, o_orderstatus STRING,
+                                 cents BIGINT,
+                                 PRIMARY KEY (o_orderkey) NOT ENFORCED)
+            WITH ('connector' = 'upsert-kafka', 'topic' = '{topic}')"""
+    )
+    return eng.sql(
+        f"""SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS cents
+            FROM {view} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    )

@@ -259,6 +259,16 @@ class EngineSession:
     def register_table(self, name: str, meta: TableMeta) -> None:
         self._tables[name] = meta
         self._catalogs.setdefault(self._current_catalog, set()).add(name)
+        if meta.connector == "upsert-kafka":
+            from flink_1_12_2_spark.sources.kafka_emu import (
+                read_upsert_topic_batch,
+            )
+
+            read_upsert_topic_batch(
+                self.spark, meta.path, meta.schema_ddl or "",
+                list(meta.primary_key),
+            ).createOrReplaceTempView(name)
+            return
         if meta.connector == "kafka":
             from flink_1_12_2_spark.sources.kafka_emu import topic_table
 
@@ -318,7 +328,16 @@ class EngineSession:
         (reference: flink-table/flink-table-planner-blink/.../physical/stream/StreamExecTableSourceScan.scala).
         """
         meta = self._tables[name]
-        if meta.connector == "kafka":
+        if meta.connector == "upsert-kafka":
+            from flink_1_12_2_spark.sources.kafka_emu import (
+                read_upsert_topic_changelog_stream,
+            )
+
+            df = read_upsert_topic_changelog_stream(
+                self.spark, meta.path, meta.schema_ddl or "",
+                list(meta.primary_key),
+            )
+        elif meta.connector == "kafka":
             from flink_1_12_2_spark.sources.kafka_emu import (
                 topic_table_stream,
             )

@@ -226,3 +226,150 @@ def topic_table_stream(
         spark, topic_dir, value_format, payload_schema,
         max_files_per_trigger=max_files_per_trigger,
     )
+
+
+# ---------------------------------------------------------------------------
+# upsert-kafka (UpsertKafkaDynamicTableFactory.java:68): records are per-key
+# UPSERTS; a null value is a tombstone (delete). A real topic carries the key
+# in the kafka record key and order in the partition offset; the text
+# transport has neither, so the emulation stores an explicit envelope per
+# line — {"b": <batch seq>, "k": {pk fields}, "v": {payload}|null} — with a
+# monotone batch sequence assigned at publish time (max existing + 1).
+# Within one published batch at most one change per key is meaningful (the
+# same contract as the engine's upsert sinks, which send the per-key LAST
+# change per micro-batch; kafka itself makes no stronger promise without
+# offsets).
+
+
+def _next_batch_seq(topic_dir: str) -> int:
+    if not os.path.isdir(topic_dir):
+        return 0
+    seqs = [
+        int(d.split("_")[1])
+        for d in os.listdir(topic_dir)
+        if d.startswith("ub_") and d.split("_")[1].isdigit()
+    ]
+    return max(seqs, default=-1) + 1
+
+
+def publish_upsert(
+    df: DataFrame,
+    topic_dir: str,
+    pk_cols: list[str],
+    row_kind_col: str | None = None,
+) -> None:
+    """Produce one upsert batch: every row becomes an upsert envelope;
+    rows whose ``row_kind_col`` is ``-D`` (or ``-U``, which upsert-kafka
+    also maps to a tombstone) publish ``v: null``."""
+    os.makedirs(topic_dir, exist_ok=True)
+    seq = _next_batch_seq(topic_dir)
+    payload_cols = [
+        c for c in df.columns if c != row_kind_col
+    ]
+    key = F.to_json(F.struct(*[F.col(c) for c in pk_cols]))
+    val = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    if row_kind_col is not None:
+        val = F.when(
+            F.col(row_kind_col).isin("-D", "-U"), F.lit(None)
+        ).otherwise(val)
+    env = df.select(
+        F.concat(
+            F.lit('{"b": %d, "k": ' % seq),
+            key,
+            F.lit(', "v": '),
+            F.coalesce(val, F.lit("null")),
+            F.lit("}"),
+        ).alias("value")
+    )
+    batch_dir = os.path.join(topic_dir, f"ub_{seq}_{uuid.uuid4().hex[:8]}")
+    env.write.mode("overwrite").text(batch_dir)
+
+
+def read_upsert_topic_batch(
+    spark: SparkSession,
+    topic_dir: str,
+    payload_schema: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Bounded scan of an upsert topic = the normalized LATEST state:
+    last envelope per key wins (batch seq order), tombstones evict —
+    exactly what ChangelogNormalize leaves of an upsert stream."""
+    from pyspark.sql import Window
+
+    raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
+    env = raw.select(
+        F.get_json_object("value", "$.b").cast("bigint").alias("__b"),
+        F.get_json_object("value", "$.k").alias("__k"),
+        F.from_json(
+            F.get_json_object("value", "$.v"), f"struct<{payload_schema}>"
+        ).alias("__v"),
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__b").desc())
+    latest = (
+        env.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("__v").isNotNull())
+    )
+    fields = _payload_fields(payload_schema)
+    return latest.select(*[F.col("__v")[f].alias(f) for f in fields])
+
+
+def read_upsert_topic_changelog(
+    spark: SparkSession,
+    topic_dir: str,
+    payload_schema: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """The source's CHANGELOG view (what the Flink planner sees before
+    ChangelogNormalize): +U per upsert envelope, -D per tombstone, with
+    the batch sequence for downstream ordering. Tombstones carry the KEY
+    fields (payload columns null) — all a kafka tombstone has."""
+    raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
+    return _upsert_changelog_frame(raw, payload_schema, pk_cols)
+
+
+def read_upsert_topic_changelog_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    payload_schema: str,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Streaming twin — the upsert changelog as a Structured Stream (the
+    shape Flink's upsert-kafka source hands the planner)."""
+    raw = (
+        spark.readStream.schema("value string")
+        .option("recursiveFileLookup", "true")
+        .text(topic_dir)
+    )
+    return _upsert_changelog_frame(raw, payload_schema, pk_cols)
+
+
+def _upsert_changelog_frame(
+    raw: DataFrame, payload_schema: str, pk_cols: list[str]
+) -> DataFrame:
+    env = raw.select(
+        F.get_json_object("value", "$.b").cast("bigint").alias("__seq"),
+        F.get_json_object("value", "$.k").alias("__k"),
+        F.get_json_object("value", "$.v").alias("__vraw"),
+    )
+    fields = _payload_fields(payload_schema)
+    key_schema = ", ".join(
+        f for f in payload_schema.split(",") if f.split()[0].strip() in pk_cols
+    )
+    v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
+    k = F.from_json(F.col("__k"), f"struct<{key_schema}>")
+    is_del = F.col("__vraw").isNull() | (F.col("__vraw") == "null")
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+
+    return env.select(
+        F.when(is_del, F.lit("-D")).otherwise(F.lit("+U")).alias(ROW_KIND),
+        *[
+            (
+                F.when(is_del, k[f]).otherwise(v[f]).alias(f)
+                if f in pk_cols
+                else v[f].alias(f)
+            )
+            for f in fields
+        ],
+        F.col("__seq"),
+    )

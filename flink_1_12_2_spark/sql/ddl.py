@@ -94,7 +94,19 @@ def parse_create_table(
     part_m = _PARTITIONED.search(tail)
     opts = dict(_OPT.findall(wm_with.group(1)))
     connector = opts.pop("connector", "filesystem")
-    if connector == "kafka":
+    if connector == "upsert-kafka":
+        # UpsertKafkaDynamicTableFactory.java:68 — topic + json value
+        # format; records are per-key upserts, tombstone = null value.
+        # The emulation stores an explicit (batch, key, value) envelope
+        # (sources/kafka_emu.publish_upsert) since the text transport has
+        # no kafka record key/offset to ride on.
+        path = opts.pop("topic")
+        fmt = opts.pop("value.format", opts.pop("format", "json"))
+        if fmt != "json":
+            raise ValueError(
+                "the upsert-kafka emulation supports 'json' values only"
+            )
+    elif connector == "kafka":
         # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
         # to the emulated topic DIRECTORY (sources/kafka_emu.py — no
         # broker in this environment), 'format' is the value format
@@ -146,9 +158,23 @@ def parse_create_table(
 
     fields = []
     computed: list[tuple[str, str]] = []
+    primary_key: tuple[str, ...] = ()
     for part in _split_top_level(cols_block):
         part = part.strip().rstrip(",")
         if not part:
+            continue
+        # inline PRIMARY KEY constraint (SqlTableConstraint — NOT
+        # ENFORCED metadata like Flink: drives upsert/changelog
+        # semantics, never a scan-time check)
+        pk_m = re.match(
+            r"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*"
+            r"\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?$",
+            part,
+        )
+        if pk_m:
+            primary_key = tuple(
+                c.strip() for c in pk_m.group(1).split(",") if c.strip()
+            )
             continue
         # computed column: `name AS <expr>` (SqlCreateTable.java:248);
         # applied as withColumn at view-definition time (SURVEY §1.4)
@@ -180,10 +206,14 @@ def parse_create_table(
         connector=connector,
         event_time_col=event_time_col,
         watermark_delay=delay,
+        primary_key=primary_key,
         options=opts,
         columns=tuple(f.split()[0] for f in fields),
         schema_ddl=schema,
     )
+    if connector == "upsert-kafka" and not primary_key:
+        # UpsertKafkaDynamicTableFactory.java:68 validatePKConstraints
+        raise ValueError("'upsert-kafka' requires a PRIMARY KEY")
     return head.group("name"), schema, meta, partition_cols, computed
 
 
@@ -290,14 +320,23 @@ def execute_ddl(engine: EngineSession, ddl: str):
         # register metadata only, INSERT/publish will create it
         engine.register_sink(name, meta)
         return engine.spark.createDataFrame([("OK",)], "result string")
-    if meta.connector == "kafka":
-        from flink_1_12_2_spark.sources.kafka_emu import topic_table
-
-        df = topic_table(
-            engine.spark, meta.path, meta.fmt,
-            payload_schema=meta.schema_ddl or "",
-            options=meta.options,
+    if meta.connector in ("kafka", "upsert-kafka"):
+        from flink_1_12_2_spark.sources.kafka_emu import (
+            read_upsert_topic_batch,
+            topic_table,
         )
+
+        if meta.connector == "upsert-kafka":
+            df = read_upsert_topic_batch(
+                engine.spark, meta.path, meta.schema_ddl or "",
+                list(meta.primary_key),
+            )
+        else:
+            df = topic_table(
+                engine.spark, meta.path, meta.fmt,
+                payload_schema=meta.schema_ddl or "",
+                options=meta.options,
+            )
         for cname, cexpr in computed:
             from flink_1_12_2_spark.sql.rewriter import rewrite_expr
 

@@ -116,6 +116,29 @@ class StatementSet:
                     # schema (Flink INSERT INTO semantics — VALUES rows
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
+                if meta.connector == "upsert-kafka":
+                    # per-key upsert batch (tombstones ride a _row_kind
+                    # column when the SELECT produces a changelog)
+                    from flink_1_12_2_spark.operators.changelog import (
+                        ROW_KIND,
+                    )
+                    from flink_1_12_2_spark.sources.kafka_emu import (
+                        publish_upsert,
+                        read_upsert_topic_batch,
+                    )
+
+                    n_out = out_df.count()
+                    rk = ROW_KIND if ROW_KIND in out_df.columns else None
+                    publish_upsert(
+                        out_df, meta.path, list(meta.primary_key),
+                        row_kind_col=rk,
+                    )
+                    read_upsert_topic_batch(
+                        spark, meta.path, meta.schema_ddl or "",
+                        list(meta.primary_key),
+                    ).createOrReplaceTempView(b.sink)
+                    results.append((b.sink, n_out))
+                    continue
                 if meta.connector == "kafka":
                     # producer sink (FlinkKafkaProducer through the table
                     # factory): publish one batch to the emulated topic.

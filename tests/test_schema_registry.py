@@ -294,3 +294,46 @@ def test_kafka_connector_insert_publishes_and_rereads(spark, tmp_path):
     assert got == [(7, "x")]
     # the subject registered under the factory's <topic>-value default
     assert FileSchemaRegistry(reg).latest("sink_avro-value")
+
+
+def test_upsert_kafka_connector_ddl(spark, tmp_path):
+    """upsert-kafka front door (UpsertKafkaDynamicTableFactory.java:68):
+    PRIMARY KEY required; INSERTs are per-key upserts; a changelog
+    SELECT's -D rows publish tombstones; the table reads as the
+    normalized latest state; stream_table exposes the changelog."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "uk_topic")
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql(
+            f"""CREATE TABLE uk0 (k BIGINT, v STRING) WITH (
+                  'connector' = 'upsert-kafka', 'topic' = '{topic}')"""
+        )
+    eng.sql(
+        f"""CREATE TABLE uk (k BIGINT, v STRING, n BIGINT,
+                             PRIMARY KEY (k) NOT ENFORCED) WITH (
+              'connector' = 'upsert-kafka', 'topic' = '{topic}',
+              'value.format' = 'json')"""
+    )
+    eng.sql("INSERT INTO uk VALUES (1, 'a', 10), (2, 'b', 20)")
+    eng.sql("INSERT INTO uk VALUES (1, 'a2', 11), (3, 'c', 30)")
+    got = {
+        r["k"]: (r["v"], r["n"])
+        for r in eng.sql("SELECT * FROM uk").collect()
+    }
+    assert got == {1: ("a2", 11), 2: ("b", 20), 3: ("c", 30)}
+    # tombstone via a changelog frame (the upsert sink maps -D to null)
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.kafka_emu import publish_upsert
+
+    dele = spark.createDataFrame(
+        [("-D", 2, None, None)], f"{ROW_KIND} string, k bigint, v string, n bigint"
+    )
+    publish_upsert(dele, topic, ["k"], row_kind_col=ROW_KIND)
+    eng.register_table("uk", eng.meta("uk"))  # refresh the view
+    got = {r["k"] for r in eng.sql("SELECT * FROM uk").collect()}
+    assert got == {1, 3}
+    # streaming changelog twin
+    sdf = eng.stream_table("uk")
+    assert sdf.isStreaming and ROW_KIND in sdf.columns
