@@ -259,6 +259,11 @@ class EngineSession:
     def register_table(self, name: str, meta: TableMeta) -> None:
         self._tables[name] = meta
         self._catalogs.setdefault(self._current_catalog, set()).add(name)
+        if meta.connector == "jdbc":
+            from flink_1_12_2_spark.sql.ddl import _jdbc_frame
+
+            _jdbc_frame(self.spark, meta).createOrReplaceTempView(name)
+            return
         if meta.connector == "upsert-kafka":
             from flink_1_12_2_spark.sources.kafka_emu import (
                 read_upsert_topic_batch,
@@ -328,6 +333,11 @@ class EngineSession:
         (reference: flink-table/flink-table-planner-blink/.../physical/stream/StreamExecTableSourceScan.scala).
         """
         meta = self._tables[name]
+        if meta.connector == "jdbc":
+            raise ValueError(
+                "jdbc tables are bounded scans (+ lookup joins) — Flink's "
+                "jdbc source has no unbounded mode either"
+            )
         if meta.connector == "upsert-kafka":
             from flink_1_12_2_spark.sources.kafka_emu import (
                 read_upsert_topic_changelog_stream,

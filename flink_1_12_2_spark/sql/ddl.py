@@ -124,10 +124,19 @@ def parse_create_table(
                 f"kafka value format {fmt!r} not supported "
                 f"({', '.join(_KAFKA_FORMATS)})"
             )
+    elif connector == "jdbc":
+        # JdbcDynamicTableFactory option surface: url + table-name (+
+        # driver/username/password/scan.partition.*) — embedded Derby
+        # works live in this environment; server drivers drop in via
+        # url/driver. meta.path carries the url; the rest stay options.
+        path = opts.pop("url")
+        fmt = "jdbc"
+        if "table-name" not in opts:
+            raise ValueError("connector 'jdbc' requires 'table-name'")
     elif connector != "filesystem":
         raise ValueError(
             f"connector {connector!r} not available in this environment "
-            "(filesystem and the kafka emulation; jdbc needs live services)"
+            "(filesystem, the kafka emulations, and jdbc)"
         )
     else:
         path = opts.pop("path")
@@ -289,6 +298,43 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
     return engine.spark.createDataFrame([("OK",)], "result string")
 
 
+def _jdbc_frame(spark, meta):
+    """Scan a jdbc-connector table from its registry metadata
+    (JdbcDynamicTableSource: scan.partition.* → Spark's range options)."""
+    from flink_1_12_2_spark.sources.jdbc import DERBY_DRIVER, jdbc_read
+
+    o = meta.options
+    extra = {
+        k: v
+        for k, v in o.items()
+        if k in ("user", "username", "password")
+    }
+    if "username" in extra:  # Flink name → JDBC property name
+        extra["user"] = extra.pop("username")
+    pc = o.get("scan.partition.column")
+    return jdbc_read(
+        spark,
+        meta.path,
+        o["table-name"],
+        driver=o.get("driver", DERBY_DRIVER),
+        partition_column=pc,
+        num_partitions=(
+            int(o["scan.partition.num"]) if "scan.partition.num" in o else None
+        ),
+        lower_bound=(
+            int(o["scan.partition.lower-bound"])
+            if "scan.partition.lower-bound" in o
+            else None
+        ),
+        upper_bound=(
+            int(o["scan.partition.upper-bound"])
+            if "scan.partition.upper-bound" in o
+            else None
+        ),
+        options=extra,
+    )
+
+
 def execute_ddl(engine: EngineSession, ddl: str):
     """Execute a CREATE TABLE statement against the engine's registry."""
     from pyspark.sql import functions as F
@@ -314,6 +360,20 @@ def execute_ddl(engine: EngineSession, ddl: str):
         engine._tables[name] = meta
         engine._catalogs.setdefault(cat, set()).add(name)
         return engine.spark.createDataFrame([("OK",)], "result string")
+    if meta.connector == "jdbc":
+        # Flink's CREATE TABLE never contacts the store (errors surface
+        # at query time); here the view materializes eagerly, so a
+        # not-yet-created remote table registers as a sink instead —
+        # INSERT creates it, after which re-registration exposes the scan
+        try:
+            df = _jdbc_frame(engine.spark, meta)
+        except Exception:  # noqa: BLE001 — sink-first usage
+            engine.register_sink(name, meta)
+            return engine.spark.createDataFrame([("OK",)], "result string")
+        df.createOrReplaceTempView(name)
+        engine._tables[name] = meta
+        engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
+        return df
     if not os.path.exists(meta.path):
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
         # filesystem sink, or a kafka topic nothing has produced to) —

@@ -116,6 +116,24 @@ class StatementSet:
                     # schema (Flink INSERT INTO semantics — VALUES rows
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
+                if meta.connector == "jdbc":
+                    from flink_1_12_2_spark.sql.ddl import _jdbc_frame
+                    from flink_1_12_2_spark.sources.jdbc import (
+                        DERBY_DRIVER,
+                        jdbc_write,
+                    )
+
+                    n_out = out_df.count()
+                    jdbc_write(
+                        out_df,
+                        meta.path,
+                        meta.options["table-name"],
+                        driver=meta.options.get("driver", DERBY_DRIVER),
+                        mode="overwrite" if b.overwrite else "append",
+                    )
+                    _jdbc_frame(spark, meta).createOrReplaceTempView(b.sink)
+                    results.append((b.sink, n_out))
+                    continue
                 if meta.connector == "upsert-kafka":
                     # per-key upsert batch (tombstones ride a _row_kind
                     # column when the SELECT produces a changelog)

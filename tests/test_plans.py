@@ -636,6 +636,8 @@ def test_r11_rows_rotation_ready_output_shapes(spark):
         "state_read_bootstrap",
         "avro_registry_roundtrip",
         "dedup_semantic_semdedup",
+        "kafka_ddl_avro_scan",
+        "upsert_kafka_roundtrip",
     ):
         df = QUERIES[name].fn(spark, "/root/testdata/sf0.001")
         offending = [(c, t) for c, t in df.dtypes if t not in allowed]
