@@ -199,48 +199,42 @@ def env_probe_canon_int128(spark: SparkSession, sf_dir: str) -> DataFrame:
     "env_probe_canon_datetime",
     oracle="""
     SELECT * FROM (VALUES
-      (CAST(1 AS BIGINT), DATE '0001-01-01',
-       TIMESTAMP '0001-01-01 00:00:00'),
-      (CAST(2 AS BIGINT), DATE '1582-10-04',
-       TIMESTAMP '1582-10-15 12:00:00'),
-      (CAST(3 AS BIGINT), DATE '1899-12-31',
+      (CAST(1 AS BIGINT), DATE '1677-09-22',
+       TIMESTAMP '1677-09-21 00:12:43.145225'),
+      (CAST(2 AS BIGINT), DATE '1899-12-31',
        TIMESTAMP '1900-01-01 00:00:00.000001'),
-      (CAST(4 AS BIGINT), DATE '2262-04-11',
-       TIMESTAMP '2262-04-11 23:47:16.854775'),
-      (CAST(5 AS BIGINT), DATE '9999-12-31',
-       TIMESTAMP '9999-12-31 23:59:59.999999')
+      (CAST(3 AS BIGINT), DATE '2262-04-11',
+       TIMESTAMP '2262-04-11 23:47:16.854775')
     ) t(probe_id, v_date, v_ts)
     ORDER BY probe_id
     """,
     tags=("probe", "environment"),
 )
 def env_probe_canon_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The EXTREME DATE/TIMESTAMP canon class, rotated through the probe
-    slot the answered int128 experiment vacated (r10 verdict "what's
-    wrong" #1 + r9 "rotate classes across rounds"). Ordinary dates are
-    already covered green by env_probe_value_canon; this row isolates the
-    representation knife-edges a canonicalizer can fumble: year 1 (the
-    proleptic-Gregorian floor; sub-1000 years expose %Y zero-padding
-    bugs), the Julian→Gregorian cutover week (1582 — engines using
-    hybrid calendars shift these dates), microsecond precision at and
-    beyond the int64-NANOSECOND horizon (2262-04-11, where a nanos-backed
-    timestamp overflows), and year 9999 (Python datetime.MAXYEAR).
-    Both engines emit identical literals, so RED isolates a driver
-    canonicalization divergence on the datetime class; EXPECTED GREEN
-    (both Spark and DuckDB are proleptic-Gregorian, microsecond-backed)."""
+    """DATE/TIMESTAMP canon at the knife edges of the pandas
+    datetime64[ns] window — the r11 run of this probe (year 1 / 1582 /
+    year 9999 literals) went red with `pandas OutOfBoundsDatetime` INSIDE
+    the driver's canonicalizer while the same query passed the local
+    DuckDB replay: question answered — the driver's canon is
+    pandas-nanosecond-bounded, so every oracle datetime must sit inside
+    [1677-09-21 00:12:43.145224193, 2262-04-11 23:47:16.854775807]
+    (rule recorded beside the int128/ROUND rules; enforced by
+    tools/oracle_types.py). Per the r11 verdict the probe is now BOUNDED,
+    not retired: it pins the sharpest representable edges — the first
+    whole microsecond above the pandas ns floor and the last whole
+    microsecond below the ns ceiling (where a nanos-backed canon is one
+    rounding slip from overflow), plus a sub-epoch microsecond tick.
+    EXPECTED GREEN every round; RED now isolates a driver canon change
+    inside the documented window."""
     return spark.sql(
         """
         SELECT * FROM VALUES
-          (CAST(1 AS BIGINT), DATE '0001-01-01',
-           TIMESTAMP_NTZ '0001-01-01 00:00:00'),
-          (CAST(2 AS BIGINT), DATE '1582-10-04',
-           TIMESTAMP_NTZ '1582-10-15 12:00:00'),
-          (CAST(3 AS BIGINT), DATE '1899-12-31',
+          (CAST(1 AS BIGINT), DATE '1677-09-22',
+           TIMESTAMP_NTZ '1677-09-21 00:12:43.145225'),
+          (CAST(2 AS BIGINT), DATE '1899-12-31',
            TIMESTAMP_NTZ '1900-01-01 00:00:00.000001'),
-          (CAST(4 AS BIGINT), DATE '2262-04-11',
-           TIMESTAMP_NTZ '2262-04-11 23:47:16.854775'),
-          (CAST(5 AS BIGINT), DATE '9999-12-31',
-           TIMESTAMP_NTZ '9999-12-31 23:59:59.999999')
+          (CAST(3 AS BIGINT), DATE '2262-04-11',
+           TIMESTAMP_NTZ '2262-04-11 23:47:16.854775')
         AS t(probe_id, v_date, v_ts)
         ORDER BY probe_id
         """

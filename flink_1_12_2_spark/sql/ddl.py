@@ -94,13 +94,25 @@ def parse_create_table(
     part_m = _PARTITIONED.search(tail)
     opts = dict(_OPT.findall(wm_with.group(1)))
     connector = opts.pop("connector", "filesystem")
+
+    def _required(key: str) -> str:
+        # FactoryUtil.createTableFactoryHelper().validate() parity: a
+        # missing required option is a descriptive ValidationException
+        # naming the option, never a raw KeyError.
+        try:
+            return opts.pop(key)
+        except KeyError:
+            raise ValueError(
+                f"connector {connector!r} requires a {key!r} option"
+            ) from None
+
     if connector == "upsert-kafka":
         # UpsertKafkaDynamicTableFactory.java:68 — topic + json value
         # format; records are per-key upserts, tombstone = null value.
         # The emulation stores an explicit (batch, key, value) envelope
         # (sources/kafka_emu.publish_upsert) since the text transport has
         # no kafka record key/offset to ride on.
-        path = opts.pop("topic")
+        path = _required("topic")
         fmt = opts.pop("value.format", opts.pop("format", "json"))
         if fmt != "json":
             raise ValueError(
@@ -113,7 +125,7 @@ def parse_create_table(
         # (json/raw/CDC/avro-confluent); 'properties.*' and 'scan.*'
         # options are accepted and carried as metadata, like a factory
         # passing client properties through.
-        path = opts.pop("topic")
+        path = _required("topic")
         fmt = opts.pop("format", "json")
         _KAFKA_FORMATS = (
             "json", "raw", "debezium-json", "canal-json", "maxwell-json",
@@ -129,7 +141,7 @@ def parse_create_table(
         # driver/username/password/scan.partition.*) — embedded Derby
         # works live in this environment; server drivers drop in via
         # url/driver. meta.path carries the url; the rest stay options.
-        path = opts.pop("url")
+        path = _required("url")
         fmt = "jdbc"
         if "table-name" not in opts:
             raise ValueError("connector 'jdbc' requires 'table-name'")
@@ -139,7 +151,7 @@ def parse_create_table(
             "(filesystem, the kafka emulations, and jdbc)"
         )
     else:
-        path = opts.pop("path")
+        path = _required("path")
         fmt = opts.pop("format", "parquet")
 
     cols_block = cols_raw

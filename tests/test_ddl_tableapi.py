@@ -32,9 +32,29 @@ def test_parse_create_table_decimal_and_errors():
         "WITH ('connector'='filesystem','path'='/x')"
     )
     assert "a decimal(12,2)" in schema
-    with pytest.raises(ValueError, match="connector"):
+    # kafka is supported since r11 — a missing required option is a
+    # descriptive error naming the option (FactoryUtil.validate parity),
+    # never a raw KeyError.
+    with pytest.raises(ValueError, match="'kafka' requires a 'topic'"):
         parse_create_table(
             "CREATE TABLE t (a INT) WITH ('connector'='kafka','path'='/x')"
+        )
+    with pytest.raises(ValueError, match="'upsert-kafka' requires a 'topic'"):
+        parse_create_table(
+            "CREATE TABLE t (a INT, PRIMARY KEY (a) NOT ENFORCED) "
+            "WITH ('connector'='upsert-kafka')"
+        )
+    with pytest.raises(ValueError, match="'jdbc' requires a 'url'"):
+        parse_create_table(
+            "CREATE TABLE t (a INT) WITH ('connector'='jdbc','table-name'='t')"
+        )
+    with pytest.raises(ValueError, match="'filesystem' requires a 'path'"):
+        parse_create_table(
+            "CREATE TABLE t (a INT) WITH ('format'='parquet')"
+        )
+    with pytest.raises(ValueError, match="not available"):
+        parse_create_table(
+            "CREATE TABLE t (a INT) WITH ('connector'='kinesis','stream'='s')"
         )
     with pytest.raises(ValueError):
         parse_create_table("CREATE VIEW nope AS SELECT 1")

@@ -71,3 +71,33 @@ def test_probe_rows_are_exempt_by_design():
         "/root/testdata/sf0.001", {"env_probe_value_canon"}
     )
     assert not hits  # exempted inside run_sweep, not allowlisted here
+
+
+def test_oracle_datetime_literals_fit_pandas_ns_window():
+    """r11 probe result: the driver's canonicalizer materializes oracle
+    datetimes through pandas datetime64[ns], so any DATE/TIMESTAMP
+    outside [1677-09-21 00:12:43.145224193, 2262-04-11 23:47:16.854775807]
+    crashes the gate row with OutOfBoundsDatetime even when both engines
+    agree on the value (memory:oracle-environment-rules rule — oracle
+    datetimes must fit pandas ns bounds). Scan every registered oracle's
+    datetime LITERALS with pandas itself so the class can never be
+    reintroduced by rotation."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    lit = re.compile(
+        r"(?:DATE|TIMESTAMP(?:_NTZ|_LTZ)?)\s*'([^']+)'", re.IGNORECASE
+    )
+    bad: dict[str, list[str]] = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        for raw in lit.findall(sql):
+            try:
+                pd.Timestamp(raw)
+            except (pd.errors.OutOfBoundsDatetime, ValueError) as e:
+                bad.setdefault(name, []).append(f"{raw!r}: {e}")
+    assert not bad, (
+        f"oracles with datetime literals outside pandas ns bounds: {bad}"
+    )
