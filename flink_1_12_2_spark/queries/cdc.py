@@ -736,3 +736,90 @@ def upsert_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS cents
             FROM {view} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     )
+
+
+@query(
+    "upsert_kafka_avro_roundtrip",
+    oracle="""
+    WITH st AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_custkey % 3 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 3
+                  ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "kafka", "upsert-kafka", "avro", "schema-registry"),
+)
+def upsert_kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-kafka composed with the avro-confluent value format
+    (UpsertKafkaDynamicTableFactory.java:68 accepts the same pluggable
+    format stack as kafka; RegistryAvroSerializationSchema frames the
+    value, the key rides the kafka record key = the emulation's json
+    'k'): three producer batches — initial state, per-key updates (cents
+    tripled for custkey % 3 == 0), tombstones for every 5th order — then
+    a SQL aggregate through the DDL front door, which must see the
+    normalized latest state decoded against the subject's registry
+    schema."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish_upsert
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(), "uka_rt_" + uuid.uuid4().hex[:10]
+    )
+    topic = os.path.join(base_dir, "topic")
+    reg = os.path.join(base_dir, "registry.json")
+    opts = {"avro-confluent.schema-registry.url": f"file://{reg}"}
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5E0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    base = o.select("o_orderkey", "o_orderstatus", "cents")
+    publish_upsert(
+        base, topic, ["o_orderkey"],
+        value_format="avro-confluent", options=opts,
+    )
+    updates = o.filter(F.col("o_custkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("cents") * 3).alias("cents")
+    )
+    publish_upsert(
+        updates, topic, ["o_orderkey"],
+        value_format="avro-confluent", options=opts,
+    )
+    deletes = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("-D").alias(ROW_KIND),
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    publish_upsert(
+        deletes, topic, ["o_orderkey"], row_kind_col=ROW_KIND,
+        value_format="avro-confluent", options=opts,
+    )
+    eng = EngineSession(spark)
+    view = "uka_" + uuid.uuid4().hex[:8]
+    eng.sql(
+        f"""CREATE TABLE {view} (o_orderkey BIGINT, o_orderstatus STRING,
+                                 cents BIGINT,
+                                 PRIMARY KEY (o_orderkey) NOT ENFORCED)
+            WITH ('connector' = 'upsert-kafka', 'topic' = '{topic}',
+                  'value.format' = 'avro-confluent',
+                  'avro-confluent.schema-registry.url' = 'file://{reg}')"""
+    )
+    return eng.sql(
+        f"""SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS cents
+            FROM {view} GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    )

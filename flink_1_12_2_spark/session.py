@@ -23,6 +23,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -245,6 +246,14 @@ class EngineSession:
         # a map; so do we)
         self._db_props: dict[str, dict[str, str]] = {}
         self._view_props: dict[str, dict[str, str]] = {}
+        # kafka-backed temp views pin their file index at registration;
+        # Flink's scan resolves at QUERY time, so `sql()`/`table()`
+        # re-register any view whose topic directory changed since —
+        # detected by a cheap top-level-listing fingerprint (each
+        # producer batch is one new directory entry). Computed columns
+        # declared in the DDL are re-applied on refresh.
+        self._kafka_fps: dict[str, tuple[str, ...]] = {}
+        self._kafka_computed: dict[str, list[tuple[str, str]]] = {}
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
@@ -264,29 +273,59 @@ class EngineSession:
 
             _jdbc_frame(self.spark, meta).createOrReplaceTempView(name)
             return
-        if meta.connector == "upsert-kafka":
-            from flink_1_12_2_spark.sources.kafka_emu import (
-                read_upsert_topic_batch,
-            )
+        if meta.connector in ("kafka", "upsert-kafka"):
+            if meta.connector == "upsert-kafka":
+                from flink_1_12_2_spark.sources.kafka_emu import (
+                    read_upsert_topic_batch,
+                )
 
-            read_upsert_topic_batch(
-                self.spark, meta.path, meta.schema_ddl or "",
-                list(meta.primary_key),
-            ).createOrReplaceTempView(name)
-            return
-        if meta.connector == "kafka":
-            from flink_1_12_2_spark.sources.kafka_emu import topic_table
+                df = read_upsert_topic_batch(
+                    self.spark, meta.path, meta.schema_ddl or "",
+                    list(meta.primary_key),
+                    value_format=meta.fmt, options=meta.options,
+                )
+            else:
+                from flink_1_12_2_spark.sources.kafka_emu import topic_table
 
-            topic_table(
-                self.spark, meta.path, meta.fmt,
-                payload_schema=meta.schema_ddl or "",
-                options=meta.options,
-            ).createOrReplaceTempView(name)
+                df = topic_table(
+                    self.spark, meta.path, meta.fmt,
+                    payload_schema=meta.schema_ddl or "",
+                    options=meta.options,
+                )
+            for cname, cexpr in self._kafka_computed.get(name, ()):
+                from flink_1_12_2_spark.sql.rewriter import rewrite_expr
+
+                df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
+            df.createOrReplaceTempView(name)
+            self._kafka_fps[name] = self._topic_fingerprint(meta.path)
             return
         reader = self.spark.read.format(meta.fmt)
         for k, v in meta.options.items():
             reader = reader.option(k, v)
         reader.load(meta.path).createOrReplaceTempView(name)
+
+    @staticmethod
+    def _topic_fingerprint(path: str) -> tuple[str, ...]:
+        """Top-level listing of an emulated topic dir — one entry per
+        producer batch / committed transaction, so it changes iff new
+        data became consumer-visible."""
+        try:
+            return tuple(sorted(os.listdir(path)))
+        except OSError:
+            return ()
+
+    def _refresh_stale_kafka_views(self) -> None:
+        """Re-resolve kafka-backed views whose topic changed since their
+        registration (Flink's scan resolves at query time; the emulated
+        view pins its file index when built — r11 advice). The check is
+        one os.listdir per kafka table; a refresh re-runs the topic read
+        only for topics that actually changed."""
+        for name, meta in list(self._tables.items()):
+            if meta.connector not in ("kafka", "upsert-kafka"):
+                continue
+            fp = self._topic_fingerprint(meta.path)
+            if fp and fp != self._kafka_fps.get(name):
+                self.register_table(name, meta)
 
     def register_view_meta(self, name: str, meta: TableMeta) -> None:
         """Attach registry metadata (event time / watermark / PK) to an
@@ -320,6 +359,11 @@ class EngineSession:
         return StatementSet(self)
 
     def table(self, name: str) -> DataFrame:
+        meta = self._tables.get(name)
+        if meta is not None and meta.connector in ("kafka", "upsert-kafka"):
+            fp = self._topic_fingerprint(meta.path)
+            if fp and fp != self._kafka_fps.get(name):
+                self.register_table(name, meta)
         return self.spark.table(name)
 
     def meta(self, name: str) -> TableMeta | None:
@@ -346,6 +390,7 @@ class EngineSession:
             df = read_upsert_topic_changelog_stream(
                 self.spark, meta.path, meta.schema_ddl or "",
                 list(meta.primary_key),
+                value_format=meta.fmt, options=meta.options,
             )
         elif meta.connector == "kafka":
             from flink_1_12_2_spark.sources.kafka_emu import (
@@ -379,6 +424,9 @@ class EngineSession:
             from flink_1_12_2_spark.sql.ddl import execute_ddl
 
             return execute_ddl(self, query)
+        # kafka scans resolve at query time (Flink parity): pick up any
+        # topic batches published since the views were built
+        self._refresh_stale_kafka_views()
         if re.match(
             r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE|CATALOG)|"
             r"ALTER\s+(TABLE|VIEW)|CREATE\s+(TEMPORARY\s+)?VIEW|"

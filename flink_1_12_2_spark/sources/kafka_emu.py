@@ -233,12 +233,19 @@ def topic_table_stream(
 # UPSERTS; a null value is a tombstone (delete). A real topic carries the key
 # in the kafka record key and order in the partition offset; the text
 # transport has neither, so the emulation stores an explicit envelope per
-# line — {"b": <batch seq>, "k": {pk fields}, "v": {payload}|null} — with a
-# monotone batch sequence assigned at publish time (max existing + 1).
-# Within one published batch at most one change per key is meaningful (the
-# same contract as the engine's upsert sinks, which send the per-key LAST
-# change per micro-batch; kafka itself makes no stronger promise without
-# offsets).
+# line — {"b": <batch seq>, "s": <sub-seq>, "k": {pk fields},
+# "v": {payload}|null} — with a monotone batch sequence assigned at publish
+# time (max existing + 1) and a per-row sub-sequence standing in for the
+# partition offset, so readers resolve intra-batch order deterministically
+# (ORDER BY b, s), never by a tied-seq coin flip. UPDATE_BEFORE rows are
+# DROPPED at publish — the upsert-kafka sink's changelog mode has no
+# UPDATE_BEFORE (the planner removes -U before the sink; the +U that
+# follows carries the full new value), so only -D becomes a tombstone.
+#
+# Value formats: 'json' (payload as a JSON object) and 'avro-confluent'
+# (payload as a base64-coded registry-framed Avro message —
+# sources/schema_registry.py; the key stays 'json', Flink's 'key.format'
+# default pairing). Tombstones are format-independent: v is JSON null.
 
 
 def _next_batch_seq(topic_dir: str) -> int:
@@ -257,24 +264,69 @@ def publish_upsert(
     topic_dir: str,
     pk_cols: list[str],
     row_kind_col: str | None = None,
+    value_format: str = "json",
+    options: dict | None = None,
 ) -> None:
     """Produce one upsert batch: every row becomes an upsert envelope;
-    rows whose ``row_kind_col`` is ``-D`` (or ``-U``, which upsert-kafka
-    also maps to a tombstone) publish ``v: null``."""
+    rows whose ``row_kind_col`` is ``-D`` publish ``v: null`` (a kafka
+    tombstone); ``-U`` rows are dropped — the sink's changelog mode has
+    no UPDATE_BEFORE (the planner's DropUpdateBefore runs before upsert
+    sinks; the matching ``+U`` carries the full new value), so an
+    update's -U/+U pair can never race inside one batch. Remaining rows
+    get a per-row sub-sequence (the partition-offset stand-in) so
+    readers resolve any other intra-batch tie deterministically."""
     os.makedirs(topic_dir, exist_ok=True)
     seq = _next_batch_seq(topic_dir)
-    payload_cols = [
-        c for c in df.columns if c != row_kind_col
-    ]
-    key = F.to_json(F.struct(*[F.col(c) for c in pk_cols]))
-    val = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
     if row_kind_col is not None:
+        df = df.filter(F.col(row_kind_col) != "-U")
+    payload_cols = [c for c in df.columns if c != row_kind_col]
+    key = F.to_json(F.struct(*[F.col(c) for c in pk_cols]))
+    if value_format == "avro-confluent":
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_encode,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        is_del = (
+            (F.col(row_kind_col) == "-D")
+            if row_kind_col is not None
+            else F.lit(False)
+        )
+        live = df.filter(~is_del).select(
+            key.alias("__key"), *[F.col(c) for c in payload_cols]
+        )
+        framed = avro_registry_encode(
+            live, reg, subject,
+            payload_cols=payload_cols, keep_cols=("__key",),
+        )
+        # tombstones never pass the encoder — a kafka tombstone HAS no
+        # value; only its key survives
+        dead = df.filter(is_del).select(
+            key.alias("__key"), F.lit(None).cast("binary").alias("value")
+        )
+        df = framed.unionByName(dead)
+        key = F.col("__key")
+        # base64 body as a JSON string literal (the alphabet is
+        # JSON-safe); tombstones publish v: null like the json path
         val = F.when(
-            F.col(row_kind_col).isin("-D", "-U"), F.lit(None)
-        ).otherwise(val)
+            F.col("value").isNull(), F.lit(None)
+        ).otherwise(F.concat(F.lit('"'), F.base64("value"), F.lit('"')))
+    elif value_format == "json":
+        val = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+        if row_kind_col is not None:
+            val = F.when(
+                F.col(row_kind_col) == "-D", F.lit(None)
+            ).otherwise(val)
+    else:
+        raise ValueError(
+            f"upsert-kafka value format {value_format!r} not supported "
+            "(json, avro-confluent)"
+        )
     env = df.select(
         F.concat(
-            F.lit('{"b": %d, "k": ' % seq),
+            F.lit('{"b": %d, "s": ' % seq),
+            F.monotonically_increasing_id().cast("string"),
+            F.lit(', "k": '),
             key,
             F.lit(', "v": '),
             F.coalesce(val, F.lit("null")),
@@ -290,28 +342,46 @@ def read_upsert_topic_batch(
     topic_dir: str,
     payload_schema: str,
     pk_cols: list[str],
+    value_format: str = "json",
+    options: dict | None = None,
 ) -> DataFrame:
     """Bounded scan of an upsert topic = the normalized LATEST state:
-    last envelope per key wins (batch seq order), tombstones evict —
-    exactly what ChangelogNormalize leaves of an upsert stream."""
+    last envelope per key wins (batch seq, then intra-batch sub-seq —
+    the partition-offset stand-in), tombstones evict — exactly what
+    ChangelogNormalize leaves of an upsert stream. For avro-confluent
+    values the normalize runs on the UNDECODED envelope (key + seq only)
+    so only the surviving per-key latest rows pay the Avro decode."""
     from pyspark.sql import Window
 
     raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
     env = raw.select(
         F.get_json_object("value", "$.b").cast("bigint").alias("__b"),
+        F.coalesce(
+            F.get_json_object("value", "$.s").cast("bigint"), F.lit(0)
+        ).alias("__s"),
         F.get_json_object("value", "$.k").alias("__k"),
-        F.from_json(
-            F.get_json_object("value", "$.v"), f"struct<{payload_schema}>"
-        ).alias("__v"),
+        F.get_json_object("value", "$.v").alias("__vraw"),
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__b").desc())
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__b").desc(), F.col("__s").desc()
+    )
     latest = (
         env.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col("__v").isNotNull())
+        .filter(F.col("__vraw").isNotNull() & (F.col("__vraw") != "null"))
     )
+    if value_format == "avro-confluent":
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_decode,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        return avro_registry_decode(
+            latest.select(F.unbase64("__vraw").alias("value")), reg, subject
+        )
     fields = _payload_fields(payload_schema)
-    return latest.select(*[F.col("__v")[f].alias(f) for f in fields])
+    v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
+    return latest.select(*[v[f].alias(f) for f in fields])
 
 
 def read_upsert_topic_changelog(
@@ -319,13 +389,17 @@ def read_upsert_topic_changelog(
     topic_dir: str,
     payload_schema: str,
     pk_cols: list[str],
+    value_format: str = "json",
+    options: dict | None = None,
 ) -> DataFrame:
     """The source's CHANGELOG view (what the Flink planner sees before
     ChangelogNormalize): +U per upsert envelope, -D per tombstone, with
     the batch sequence for downstream ordering. Tombstones carry the KEY
     fields (payload columns null) — all a kafka tombstone has."""
     raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
-    return _upsert_changelog_frame(raw, payload_schema, pk_cols)
+    return _upsert_changelog_frame(
+        raw, payload_schema, pk_cols, value_format, options, topic_dir
+    )
 
 
 def read_upsert_topic_changelog_stream(
@@ -333,6 +407,8 @@ def read_upsert_topic_changelog_stream(
     topic_dir: str,
     payload_schema: str,
     pk_cols: list[str],
+    value_format: str = "json",
+    options: dict | None = None,
 ) -> DataFrame:
     """Streaming twin — the upsert changelog as a Structured Stream (the
     shape Flink's upsert-kafka source hands the planner)."""
@@ -341,26 +417,58 @@ def read_upsert_topic_changelog_stream(
         .option("recursiveFileLookup", "true")
         .text(topic_dir)
     )
-    return _upsert_changelog_frame(raw, payload_schema, pk_cols)
+    return _upsert_changelog_frame(
+        raw, payload_schema, pk_cols, value_format, options, topic_dir
+    )
+
+
+def _key_struct(payload_schema: str, pk_cols: list[str]):
+    """PK-projected StructType via the real DDL parser — a raw ','-split
+    corrupts parameterized types (DECIMAL(10,2)) and nested fields."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    full = _parse_datatype_string(f"struct<{payload_schema}>")
+    return StructType([f for f in full.fields if f.name in pk_cols])
 
 
 def _upsert_changelog_frame(
-    raw: DataFrame, payload_schema: str, pk_cols: list[str]
+    raw: DataFrame,
+    payload_schema: str,
+    pk_cols: list[str],
+    value_format: str = "json",
+    options: dict | None = None,
+    topic_dir: str = "",
 ) -> DataFrame:
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+
     env = raw.select(
         F.get_json_object("value", "$.b").cast("bigint").alias("__seq"),
+        F.coalesce(
+            F.get_json_object("value", "$.s").cast("bigint"), F.lit(0)
+        ).alias("__sub"),
         F.get_json_object("value", "$.k").alias("__k"),
         F.get_json_object("value", "$.v").alias("__vraw"),
     )
-    fields = _payload_fields(payload_schema)
-    key_schema = ", ".join(
-        f for f in payload_schema.split(",") if f.split()[0].strip() in pk_cols
-    )
-    v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
-    k = F.from_json(F.col("__k"), f"struct<{key_schema}>")
+    k = F.from_json(F.col("__k"), _key_struct(payload_schema, pk_cols))
     is_del = F.col("__vraw").isNull() | (F.col("__vraw") == "null")
-    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    fields = _payload_fields(payload_schema)
+    if value_format == "avro-confluent":
+        # decode the Avro body into a struct column via the registry
+        # (readers see the subject's latest schema; older writer ids
+        # resolve by name), then assemble the changelog rows exactly
+        # like the json path
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_struct_decode,
+        )
 
+        reg, subject = _registry_opts(topic_dir, options)
+        env = avro_registry_struct_decode(
+            env.withColumn("__vbin", F.unbase64("__vraw")),
+            reg, subject, value_col="__vbin", out_col="__v",
+        )
+        v = F.col("__v")
+    else:
+        v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
     return env.select(
         F.when(is_del, F.lit("-D")).otherwise(F.lit("+U")).alias(ROW_KIND),
         *[
@@ -372,4 +480,5 @@ def _upsert_changelog_frame(
             for f in fields
         ],
         F.col("__seq"),
+        F.col("__sub"),
     )

@@ -139,14 +139,27 @@ def decode_record(
 
 
 def avro_registry_encode(
-    df: DataFrame, registry_path: str, subject: str
+    df: DataFrame,
+    registry_path: str,
+    subject: str,
+    payload_cols: list[str] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Frame every row as a registry-Avro message → 1-column
-    ``value: binary`` frame (the kafka value shape). The schema is
-    registered ONCE driver-side; executors only carry the (id, schema)
-    pair in the closure."""
+    """Frame every row as a registry-Avro message → ``value: binary``
+    (the kafka value shape). The schema is registered ONCE driver-side;
+    executors only carry the (id, schema) pair in the closure.
+
+    ``payload_cols`` restricts which columns enter the Avro body (default:
+    all minus ``keep_cols``); ``keep_cols`` pass through beside ``value``
+    untouched — the upsert producer keeps its key column this way."""
+    from pyspark.sql.types import StructType
+
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in keep_cols
+    ]
+    payload_struct = StructType([df.schema[c] for c in payload_cols])
     registry = FileSchemaRegistry(registry_path)
-    avro_schema = spark_schema_to_avro(df.schema, name=subject)
+    avro_schema = spark_schema_to_avro(payload_struct, name=subject)
     schema_id = registry.register(subject, avro_schema)
 
     # pandas represents nulls in float columns as NaN, so "missing" is
@@ -166,11 +179,19 @@ def avro_registry_encode(
                     avro_schema,
                     schema_id,
                 )
-                for row in pdf.itertuples(index=False, name=None)
+                for row in pdf[payload_cols].itertuples(
+                    index=False, name=None
+                )
             ]
-            yield pd.DataFrame({"value": vals})
+            out = pdf[list(keep_cols)].copy()
+            out["value"] = vals
+            yield out
 
-    return df.mapInPandas(enc, "value binary")
+    out_ddl = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols]
+        + ["value binary"]
+    )
+    return df.mapInPandas(enc, out_ddl)
 
 
 def avro_registry_decode(
@@ -207,3 +228,49 @@ def avro_registry_decode(
             yield pd.DataFrame(rows, columns=names)
 
     return framed.mapInPandas(dec, ddl)
+
+
+def avro_registry_struct_decode(
+    framed: DataFrame,
+    registry_path: str,
+    reader_subject: str,
+    value_col: str = "value",
+    out_col: str = "payload",
+) -> DataFrame:
+    """Like :func:`avro_registry_decode`, but decodes into ONE struct
+    column beside the frame's other columns (which pass through
+    untouched), and maps null/empty messages to a null struct — the
+    shape the upsert changelog reader needs, where tombstone rows have
+    no value but must keep their key/seq columns."""
+    registry = FileSchemaRegistry(registry_path)
+    _, reader = registry.latest(reader_subject)
+    schemas = registry.schema_table()
+    from flink_1_12_2_spark.sources.avro_py import _AVRO_TO_SPARK_DDL
+
+    def _ddl_type(ft) -> str:
+        t = ft[1] if isinstance(ft, list) else ft
+        return _AVRO_TO_SPARK_DDL[t]
+
+    names = [f["name"] for f in reader["fields"]]
+    inner = ", ".join(
+        f"{f['name']}: {_ddl_type(f['type'])}" for f in reader["fields"]
+    )
+    keep = [c for c in framed.columns if c != value_col]
+    keep_ddl = ", ".join(
+        f"{c} {framed.schema[c].dataType.simpleString()}" for c in keep
+    )
+    out_ddl = f"{keep_ddl}, {out_col} struct<{inner}>"
+
+    def dec(pdfs):
+        for pdf in pdfs:
+            structs = [
+                None
+                if v is None
+                else dict(zip(names, decode_record(bytes(v), schemas, reader)))
+                for v in pdf[value_col]
+            ]
+            out = pdf[keep].copy()
+            out[out_col] = structs
+            yield out
+
+    return framed.mapInPandas(dec, out_ddl)

@@ -114,9 +114,18 @@ def parse_create_table(
         # no kafka record key/offset to ride on.
         path = _required("topic")
         fmt = opts.pop("value.format", opts.pop("format", "json"))
-        if fmt != "json":
+        if fmt not in ("json", "avro-confluent"):
             raise ValueError(
-                "the upsert-kafka emulation supports 'json' values only"
+                "the upsert-kafka emulation supports 'json' and "
+                "'avro-confluent' values (UpsertKafkaDynamicTableFactory"
+                ".java:68 accepts the pluggable format stack; these are "
+                "the two wired here)"
+            )
+        key_fmt = opts.pop("key.format", "json")
+        if key_fmt != "json":
+            raise ValueError(
+                "the upsert-kafka emulation carries keys as 'json' "
+                f"(got key.format={key_fmt!r})"
             )
     elif connector == "kafka":
         # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
@@ -379,7 +388,25 @@ def execute_ddl(engine: EngineSession, ddl: str):
         # INSERT creates it, after which re-registration exposes the scan
         try:
             df = _jdbc_frame(engine.spark, meta)
-        except Exception:  # noqa: BLE001 — sink-first usage
+        except Exception as e:  # noqa: BLE001 — see filter below
+            # ONLY table-not-found means "sink-first" (the table appears
+            # when INSERT creates it). Connection/driver/auth failures
+            # must surface AT DDL TIME — silently registering a sink
+            # would defer them to a confusing missing-view error later
+            # (r11 advice). SQLStates: Derby 42X05, postgres 42P01,
+            # mysql/sqlserver 42S02; plus the message-text fallback.
+            msg = str(e)
+            if not (
+                "42X05" in msg
+                or "42P01" in msg
+                or "42S02" in msg
+                or re.search(
+                    r"(?i)(table|view|relation)[^\n]{0,200}"
+                    r"(does not exist|doesn't exist|not found)",
+                    msg,
+                )
+            ):
+                raise
             engine.register_sink(name, meta)
             return engine.spark.createDataFrame([("OK",)], "result string")
         df.createOrReplaceTempView(name)
@@ -389,34 +416,22 @@ def execute_ddl(engine: EngineSession, ddl: str):
     if not os.path.exists(meta.path):
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
         # filesystem sink, or a kafka topic nothing has produced to) —
-        # register metadata only, INSERT/publish will create it
+        # register metadata only, INSERT/publish will create it (for kafka
+        # topics the first query-time refresh then builds the scan view,
+        # computed columns included)
+        if computed and meta.connector in ("kafka", "upsert-kafka"):
+            engine._kafka_computed[name] = computed
         engine.register_sink(name, meta)
         return engine.spark.createDataFrame([("OK",)], "result string")
     if meta.connector in ("kafka", "upsert-kafka"):
-        from flink_1_12_2_spark.sources.kafka_emu import (
-            read_upsert_topic_batch,
-            topic_table,
-        )
-
-        if meta.connector == "upsert-kafka":
-            df = read_upsert_topic_batch(
-                engine.spark, meta.path, meta.schema_ddl or "",
-                list(meta.primary_key),
-            )
-        else:
-            df = topic_table(
-                engine.spark, meta.path, meta.fmt,
-                payload_schema=meta.schema_ddl or "",
-                options=meta.options,
-            )
-        for cname, cexpr in computed:
-            from flink_1_12_2_spark.sql.rewriter import rewrite_expr
-
-            df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
-        df.createOrReplaceTempView(name)
-        engine._tables[name] = meta
-        engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
-        return df
+        # register_table owns the topic read (and re-runs it whenever the
+        # topic fingerprint changes — scans resolve at query time like
+        # Flink's, not at CREATE time); the DDL only records computed
+        # columns so refreshes re-apply them
+        if computed:
+            engine._kafka_computed[name] = computed
+        engine.register_table(name, meta)
+        return engine.spark.table(name)
     reader = engine.spark.read.format(meta.fmt)
     for k, v in meta.options.items():
         reader = reader.option(k, v)

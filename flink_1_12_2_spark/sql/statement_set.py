@@ -150,10 +150,12 @@ class StatementSet:
                     publish_upsert(
                         out_df, meta.path, list(meta.primary_key),
                         row_kind_col=rk,
+                        value_format=meta.fmt, options=meta.options,
                     )
                     read_upsert_topic_batch(
                         spark, meta.path, meta.schema_ddl or "",
                         list(meta.primary_key),
+                        value_format=meta.fmt, options=meta.options,
                     ).createOrReplaceTempView(b.sink)
                     results.append((b.sink, n_out))
                     continue

@@ -172,19 +172,28 @@ class ExistingSavepoint:
                 ("tinyint", "smallint", "int", "bigint", "string")
                 for c in spec.primary_key
             )
-            if parity:
+            # a None key part breaks parity too: Spark's concat_ws SKIPS
+            # nulls while str(None) is "None", so the driver-side hash
+            # would prune the WRONG bucket (r11 advice) — fall back to
+            # the exact-filter full scan for those tuples
+            if parity and not any(
+                any(v is None for v in k) for k in keys
+            ):
                 buckets = sorted(
                     {bucket_of(k, spec.num_buckets) for k in keys}
                 )
                 df = df.filter(F.col(BUCKET_COL).isin(buckets))
-            # exact key match with TYPED literals (no string round-trip)
+            # exact key match with TYPED literals (no string round-trip);
+            # a None component must match via isNull — `col = NULL` is
+            # never true under SQL null semantics
             from functools import reduce
 
             preds = [
                 reduce(
                     lambda a, b: a & b,
                     [
-                        F.col(c) == F.lit(v)
+                        F.col(c).isNull() if v is None
+                        else F.col(c) == F.lit(v)
                         for c, v in zip(spec.primary_key, k)
                     ],
                 )

@@ -337,3 +337,195 @@ def test_upsert_kafka_connector_ddl(spark, tmp_path):
     # streaming changelog twin
     sdf = eng.stream_table("uk")
     assert sdf.isStreaming and ROW_KIND in sdf.columns
+
+
+def test_upsert_kafka_avro_evolution_and_tombstones(spark, tmp_path):
+    """upsert-kafka + avro-confluent values (UpsertKafkaDynamicTableFactory
+    .java:68 — the pluggable format stack): batches written under schema
+    v1 (k, v) coexist with batches under evolved v2 (k, v, n) on one
+    topic; the reader resolves every writer id against the subject's
+    LATEST schema (v1 rows decode n as null), and v1-era tombstones keep
+    evicting keys regardless of the value schema that follows them."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish_upsert,
+        read_upsert_topic_batch,
+    )
+    from flink_1_12_2_spark.sources.schema_registry import FileSchemaRegistry
+
+    topic = str(tmp_path / "uka_topic")
+    reg = str(tmp_path / "registry.json")
+    opts = {"avro-confluent.schema-registry.url": f"file:{reg}"}
+    subject = "uka_topic-value"
+
+    # schema v1: (k, v)
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    publish_upsert(b1, topic, ["k"], value_format="avro-confluent",
+                   options=opts)
+    v1_id, _ = FileSchemaRegistry(reg).latest(subject)
+    # v1-era tombstone for k=2 (no value bytes at all)
+    dele = spark.createDataFrame(
+        [("-D", 2, None)], f"{ROW_KIND} string, k bigint, v string"
+    )
+    publish_upsert(dele, topic, ["k"], row_kind_col=ROW_KIND,
+                   value_format="avro-confluent", options=opts)
+    # schema v2 evolves the value: (k, v, n) — a NEW id on the subject
+    b2 = spark.createDataFrame(
+        [(3, "c2", 30), (4, "d", 40)], "k bigint, v string, n bigint"
+    )
+    publish_upsert(b2, topic, ["k"], value_format="avro-confluent",
+                   options=opts)
+    v2_id, v2_schema = FileSchemaRegistry(reg).latest(subject)
+    assert v2_id != v1_id
+    assert [f["name"] for f in v2_schema["fields"]] == ["k", "v", "n"]
+
+    got = {
+        r["k"]: (r["v"], r["n"])
+        for r in read_upsert_topic_batch(
+            spark, topic, "k bigint, v string, n bigint", ["k"],
+            value_format="avro-confluent", options=opts,
+        ).collect()
+    }
+    # k=1 is a v1-era row: decodes against the latest reader with n null;
+    # k=2 stays tombstoned; k=3 took the v2 update; k=4 is v2-new
+    assert got == {1: ("a", None), 3: ("c2", 30), 4: ("d", 40)}
+
+    # the DDL front door composes the same way
+    eng = EngineSession(spark)
+    eng.sql(
+        f"""CREATE TABLE uka_ev (k BIGINT, v STRING, n BIGINT,
+                                 PRIMARY KEY (k) NOT ENFORCED) WITH (
+              'connector' = 'upsert-kafka', 'topic' = '{topic}',
+              'value.format' = 'avro-confluent',
+              'avro-confluent.schema-registry.url' = 'file:{reg}')"""
+    )
+    rows = {r["k"] for r in eng.sql("SELECT * FROM uka_ev").collect()}
+    assert rows == {1, 3, 4}
+    # and the changelog view decodes avro bodies + v1 tombstone keys
+    cl = eng.stream_table("uka_ev")
+    assert cl.isStreaming and ROW_KIND in cl.columns
+
+
+def test_upsert_intra_batch_update_pair_is_deterministic(spark, tmp_path):
+    """A changelog batch holding the standard -U/+U pair for one key must
+    resolve to the +U value: UPDATE_BEFORE is dropped at publish (the
+    sink's changelog mode has no -U — planner DropUpdateBefore parity),
+    so the tombstone-vs-update coin flip of the old same-seq envelopes
+    cannot occur; remaining intra-batch order rides the per-row
+    sub-sequence."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish_upsert,
+        read_upsert_topic_batch,
+        read_upsert_topic_changelog,
+    )
+
+    topic = str(tmp_path / "uk_pair")
+    batch = spark.createDataFrame(
+        [("+I", 1, "x"), ("-U", 1, "x"), ("+U", 1, "y"), ("+I", 2, "w")],
+        f"{ROW_KIND} string, k bigint, v string",
+    )
+    publish_upsert(batch, topic, ["k"], row_kind_col=ROW_KIND)
+    got = {
+        r["k"]: r["v"]
+        for r in read_upsert_topic_batch(
+            spark, topic, "k bigint, v string", ["k"]
+        ).collect()
+    }
+    assert got == {1: "y", 2: "w"}
+    # the changelog view carries NO -U rows and a distinct sub-seq per row
+    cl = read_upsert_topic_changelog(
+        spark, topic, "k bigint, v string", ["k"]
+    ).collect()
+    assert all(r[ROW_KIND] == "+U" for r in cl) and len(cl) == 3
+    assert len({(r["__seq"], r["__sub"]) for r in cl}) == 3
+
+
+def test_upsert_tombstone_key_with_parameterized_types(spark, tmp_path):
+    """Tombstone key decode must survive parameterized column types in
+    the payload schema: a raw ','-split of 'amt decimal(10,2), k bigint'
+    breaks mid-DECIMAL and corrupts the key struct (r11 advice); the key
+    schema now comes from the real DDL parser."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish_upsert,
+        read_upsert_topic_batch,
+        read_upsert_topic_changelog,
+    )
+
+    schema = "amt decimal(10,2), k bigint, v string"
+    topic = str(tmp_path / "uk_dec")
+    from decimal import Decimal
+
+    b1 = spark.createDataFrame(
+        [(Decimal("1.50"), 1, "a"), (Decimal("2.25"), 2, "b")], schema
+    )
+    publish_upsert(b1, topic, ["k"])
+    dele = spark.createDataFrame(
+        [("-D", None, 2, None)], f"{ROW_KIND} string, {schema}"
+    )
+    publish_upsert(dele, topic, ["k"], row_kind_col=ROW_KIND)
+    got = {
+        r["k"] for r in read_upsert_topic_batch(
+            spark, topic, schema, ["k"]
+        ).collect()
+    }
+    assert got == {1}
+    # the -D changelog row must decode its key field, not null it
+    cl = read_upsert_topic_changelog(spark, topic, schema, ["k"])
+    dels = [r for r in cl.collect() if r[ROW_KIND] == "-D"]
+    assert len(dels) == 1 and dels[0]["k"] == 2
+
+
+def test_kafka_scan_resolves_at_query_time(spark, tmp_path):
+    """Flink's kafka scan resolves when the query runs, not when the
+    table is created (r11 advice: the emulated view used to pin its file
+    index at DDL time, hiding external publishes). Publishing to the
+    topic OUTSIDE the front door must be visible to the next SELECT with
+    no re-CREATE."""
+    import pyspark.sql.functions as SF
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish, publish_upsert
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "kt")
+    publish(
+        spark.createDataFrame([(1, "a")], "k bigint, v string").select(
+            SF.to_json(SF.struct("k", "v")).alias("value")
+        ),
+        topic,
+    )
+    eng.sql(
+        f"""CREATE TABLE kqt (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic}',
+              'format' = 'json')"""
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM kqt").collect()[0]["n"] == 1
+    # external publish AFTER the DDL — no front-door INSERT, no re-CREATE
+    publish(
+        spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, v string")
+        .select(SF.to_json(SF.struct("k", "v")).alias("value")),
+        topic,
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM kqt").collect()[0]["n"] == 3
+    # upsert-kafka twin: external tombstone evicts on the next SELECT
+    utopic = str(tmp_path / "ukt")
+    eng.sql(
+        f"""CREATE TABLE ukqt (k BIGINT, v STRING,
+                               PRIMARY KEY (k) NOT ENFORCED) WITH (
+              'connector' = 'upsert-kafka', 'topic' = '{utopic}')"""
+    )
+    eng.sql("INSERT INTO ukqt VALUES (1, 'a'), (2, 'b')")
+    publish_upsert(
+        spark.createDataFrame(
+            [("-D", 1, None)], "_row_kind string, k bigint, v string"
+        ),
+        utopic, ["k"], row_kind_col="_row_kind",
+    )
+    assert {r["k"] for r in eng.sql("SELECT * FROM ukqt").collect()} == {2}
+    # eng.table() resolves the same way
+    assert {r["k"] for r in eng.table("ukqt").collect()} == {2}

@@ -167,3 +167,30 @@ def test_bootstrapped_savepoint_resumes_under_upsert_sink(spark, tmp_path):
         .collect()
     }
     assert rows == {1: 99, 2: 20, 3: 30}
+
+
+def test_point_lookup_with_null_key_component(spark, tmp_path):
+    """A key tuple containing None must still find its row: Spark's
+    concat_ws SKIPS nulls while the driver-side str(v) would hash
+    "None", so bucket pruning is bypassed for null-bearing lookups
+    (r11 advice) and the exact filter matches via isNull — `col = NULL`
+    is never true under SQL null semantics."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (None, "b", 20), (3, None, 30)],
+        "k1 int, k2 string, v int",
+    )
+    path = str(tmp_path / "spn")
+    state_api.create().with_operator(
+        "op-n", df, primary_key=("k1", "k2"), num_buckets=8
+    ).write(path)
+    sp = state_api.load(spark, path)
+    got = sp.read_keyed_state("op-n", keys=[(None, "b"), (3, None)])
+    rows = {r["v"] for r in got.collect()}
+    assert rows == {20, 30}
+    # no stale bucket filter sneaks in for null-bearing lookups
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is None or "__bucket" not in (m.group(1) or "")
+    # pure lookups still prune (unchanged fast path)
+    pruned = sp.read_keyed_state("op-n", keys=[(1, "a")])
+    assert [r["v"] for r in pruned.collect()] == [10]
