@@ -27,7 +27,12 @@ INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
 
 
 def drop_update_before(df: DataFrame) -> DataFrame:
-    """Filter out -U rows (sinks that key by PK don't need them)."""
+    """Filter out -U rows (sinks that key by PK don't need them). A frame
+    without the row-kind column is insert/upsert-only — nothing to drop
+    (Flink's planner likewise skips DropUpdateBefore on insert-only
+    inputs)."""
+    if ROW_KIND not in df.columns:
+        return df
     return df.filter(F.col(ROW_KIND) != UPDATE_BEFORE)
 
 
@@ -250,7 +255,10 @@ def upsert_foreach_batch(
             .withColumn("__bucket", bucket)
         )
         touched_keys = last.select(*pks, "__bucket")
-        survivors = last.filter(F.col(ROW_KIND) != DELETE).drop(ROW_KIND)
+        if ROW_KIND in last.columns:
+            survivors = last.filter(F.col(ROW_KIND) != DELETE).drop(ROW_KIND)
+        else:  # insert/upsert-only batch: every row survives
+            survivors = last
         touched_buckets = [
             r["__bucket"]
             for r in touched_keys.select("__bucket").distinct().collect()

@@ -734,3 +734,83 @@ def state_read_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey")
         .limit(500)
     )
+
+
+@query(
+    "state_window_reader",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events),
+    win AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', ts) AS w_start,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM ev GROUP BY 1, 2)
+    SELECT user_id, w_start,
+           w_start + INTERVAL '1 hour' AS w_end,
+           w_start + INTERVAL '1 hour' - INTERVAL '1 millisecond'
+             AS cleanup_timer,
+           cnt, cents
+    FROM win
+    ORDER BY user_id, w_start
+    """,
+    tags=("batch", "state", "savepoint", "window"),
+)
+def state_window_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Processor API window reader (ExistingSavepoint.window(...) →
+    WindowReader.aggregate; WindowReaderFunction.java's Context surface):
+    the per-(key, window) accumulator state a tumbling event-time window
+    aggregate would hold is bootstrapped into a savepoint under the
+    WINDOW state kind (keyed by (user_id, window start) — Flink keys
+    window state by (key, namespace=window)), then read back through
+    read_window_state, which adds the registered cleanup timer =
+    window.maxTimestamp() = end − 1 ms (WindowOperator's event-time
+    cleanup timer at allowedLateness 0). The oracle recomputes window
+    contents, bounds, and timer straight from events — so the bootstrap
+    write (bucketed layout), metadata round-trip, window-kind load, and
+    timer derivation are all on the verified path."""
+    from flink_1_12_2_spark import state_api
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5E0) AS BIGINT)").alias("c"),
+    )
+    win_state = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c").alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "cnt",
+            "cents",
+        )
+    )
+    path = _tmp("sp_win_")
+    state_api.create().with_operator(
+        "win-agg",
+        win_state,
+        primary_key=("user_id", "w_start"),
+        kind=state_api.WINDOW,
+        num_buckets=16,
+        window_cols=("w_start", "w_end"),
+    ).write(path)
+    return (
+        state_api.load(spark, path)
+        .read_window_state("win-agg")
+        .select(
+            "user_id",
+            "w_start",
+            "w_end",
+            F.col("__timer").alias("cleanup_timer"),
+            "cnt",
+            "cents",
+        )
+        .orderBy("user_id", "w_start")
+    )

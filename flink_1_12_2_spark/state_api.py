@@ -54,6 +54,13 @@ _KEY_SEP = "\x1f"
 KEYED = "keyed"
 LIST = "list"
 BROADCAST = "broadcast"
+#: Window state (ExistingSavepoint.window(...) → WindowReader.java):
+#: keyed state whose key includes the window start — Flink keys window
+#: state by (key, namespace=window). Physically identical to KEYED
+#: (bucketed on the full primary key); the reader adds the window
+#: metadata a WindowReaderFunction.Context exposes (window bounds + the
+#: registered cleanup timer).
+WINDOW = "window"
 
 
 @dataclass
@@ -64,12 +71,26 @@ class OperatorStateSpec:
     kind: str = KEYED
     primary_key: tuple[str, ...] = field(default_factory=tuple)
     num_buckets: int = 64
+    #: WINDOW kind only: (start, end) column names of the window bounds.
+    window_cols: tuple[str, ...] = field(default_factory=tuple)
 
     def validate(self) -> None:
-        if self.kind not in (KEYED, LIST, BROADCAST):
+        if self.kind not in (KEYED, LIST, BROADCAST, WINDOW):
             raise ValueError(f"unknown state kind {self.kind!r}")
-        if self.kind == KEYED and not self.primary_key:
+        if self.kind in (KEYED, WINDOW) and not self.primary_key:
             raise ValueError(f"keyed state {self.uid!r} needs a primary key")
+        if self.kind == WINDOW:
+            if len(self.window_cols) != 2:
+                raise ValueError(
+                    f"window state {self.uid!r} needs window_cols="
+                    "(start, end)"
+                )
+            if self.window_cols[0] not in self.primary_key:
+                raise ValueError(
+                    f"window state {self.uid!r}: the window start "
+                    f"{self.window_cols[0]!r} must be part of the primary "
+                    "key (Flink keys window state by (key, window))"
+                )
 
 
 def _hadoop_path(spark: SparkSession, path: str):
@@ -159,6 +180,13 @@ class ExistingSavepoint:
         spec = self.spec(uid)
         if spec.kind != KEYED:
             raise ValueError(f"operator {uid!r} holds {spec.kind} state")
+        return self._keyed_frame(spec, uid, keys)
+
+    def _keyed_frame(
+        self, spec: OperatorStateSpec, uid: str, keys: list[tuple] | None
+    ) -> DataFrame:
+        """Shared scan for the bucket-partitioned state kinds (KEYED and
+        WINDOW): optional driver-side bucket pruning + exact key filter."""
         df = self._table(uid)
         if keys:
             # bucket pruning only when Python str(v) provably matches
@@ -222,7 +250,7 @@ class ExistingSavepoint:
         w = WritableSavepoint()
         for uid, spec in self._specs.items():
             df = self._table(uid)
-            if spec.kind == KEYED:
+            if spec.kind in (KEYED, WINDOW):
                 df = df.drop(BUCKET_COL)
             w._ops[uid] = (spec, df)
         return w
@@ -234,6 +262,29 @@ class ExistingSavepoint:
         if spec.kind != BROADCAST:
             raise ValueError(f"operator {uid!r} holds {spec.kind} state")
         return self._table(uid)
+
+    def read_window_state(
+        self, uid: str, keys: list[tuple] | None = None
+    ) -> DataFrame:
+        """ExistingSavepoint.window(...) → WindowReader.aggregate/reduce
+        (flink-libraries/flink-state-processing-api/.../state/api/input/
+        WindowReaderFunction.java surface): one row per (key, window)
+        holding the window's accumulated contents, plus the metadata a
+        WindowReaderFunction.Context exposes — the window bounds (the
+        spec's ``window_cols``) and ``__timer``, the registered
+        event-time cleanup timer = window.maxTimestamp() = end − 1 ms
+        (WindowOperator registers exactly this timer at allowedLateness
+        0). ``keys`` point-lookups prune buckets like read_keyed_state —
+        each tuple spans the FULL primary key, i.e. (key..., window
+        start)."""
+        spec = self.spec(uid)
+        if spec.kind != WINDOW:
+            raise ValueError(f"operator {uid!r} holds {spec.kind} state")
+        df = self._keyed_frame(spec, uid, keys)
+        end = F.col(spec.window_cols[1])
+        return df.withColumn(
+            "__timer", end - F.expr("INTERVAL 1 MILLISECOND")
+        )
 
 
 class WritableSavepoint:
@@ -251,6 +302,7 @@ class WritableSavepoint:
         primary_key: tuple[str, ...] | list[str] = (),
         kind: str = KEYED,
         num_buckets: int = 64,
+        window_cols: tuple[str, str] | list[str] = (),
     ) -> "WritableSavepoint":
         """WritableSavepoint.withOperator:83 + OperatorTransformation
         .bootstrapWith:66 — register ``df`` as operator ``uid``'s state.
@@ -263,6 +315,7 @@ class WritableSavepoint:
             kind=kind,
             primary_key=tuple(primary_key),
             num_buckets=num_buckets,
+            window_cols=tuple(window_cols),
         )
         spec.validate()
         self._ops[uid] = (spec, df)
@@ -285,7 +338,7 @@ class WritableSavepoint:
         for uid, (spec, df) in self._ops.items():
             spark = df.sparkSession
             target = f"{path}/{uid}"
-            if spec.kind == KEYED:
+            if spec.kind in (KEYED, WINDOW):
                 missing = [k for k in spec.primary_key
                            if k not in df.columns]
                 if missing:
@@ -341,6 +394,7 @@ def load(spark: SparkSession, path: str) -> ExistingSavepoint:
             kind=op["kind"],
             primary_key=tuple(op["primary_key"]),
             num_buckets=int(op["num_buckets"]),
+            window_cols=tuple(op.get("window_cols", ())),
         )
         spec.validate()
         specs[spec.uid] = spec

@@ -194,3 +194,79 @@ def test_point_lookup_with_null_key_component(spark, tmp_path):
     # pure lookups still prune (unchanged fast path)
     pruned = sp.read_keyed_state("op-n", keys=[(1, "a")])
     assert [r["v"] for r in pruned.collect()] == [10]
+
+
+def test_bootstrap_then_resume_streaming_topn(spark, tmp_path):
+    """The library's 'seed a new job' use case, end to end on the
+    streaming top-N: a savepoint bootstrapped with per-user rank state
+    is RESUMED by the streaming top-N — the seed state replays as the
+    job's first micro-batch (exact for top-N, whose keyed state IS its
+    top rows), new events arrive in a second micro-batch, and the rank
+    upsert sink keeps writing into the SAME savepoint operator dir the
+    bootstrap created. The final savepoint read must rank seed ∪ new."""
+    import os
+
+    from flink_1_12_2_spark.operators.changelog import upsert_foreach_batch
+    from flink_1_12_2_spark.streaming.stateful import streaming_topn
+
+    sp = str(tmp_path / "sp_topn")
+    seed_ranks = spark.createDataFrame(
+        [(1, 100, 50.0, 1, 0), (1, 101, 40.0, 2, 0), (2, 200, 5.0, 1, 0)],
+        "user_id bigint, event_id bigint, value double, rn bigint, seq bigint",
+    )
+    state_api.create().with_operator(
+        "topn-rank", seed_ranks, primary_key=("user_id", "rn"), num_buckets=4
+    ).write(sp)
+
+    # resume: replay the bootstrapped state as micro-batch 1, new events
+    # as micro-batch 2 (file mtimes order the stream's batches)
+    stream_dir = str(tmp_path / "stream_in")
+    seed_events = (
+        state_api.load(spark, sp)
+        .read_keyed_state("topn-rank")
+        .select("user_id", "event_id", "value")
+    )
+    seed_events.coalesce(1).write.parquet(f"{stream_dir}/b1")
+    new_events = spark.createDataFrame(
+        [(1, 102, 60.0), (2, 201, 3.0)],
+        "user_id bigint, event_id bigint, value double",
+    )
+    new_events.coalesce(1).write.parquet(f"{stream_dir}/b2")
+    for sub, t in (("b1", 1000), ("b2", 2000)):
+        d = f"{stream_dir}/{sub}"
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (t, t))
+    ev = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_topn(ev, n=2)
+        .writeStream.foreachBatch(
+            upsert_foreach_batch(
+                f"{sp}/topn-rank", ["user_id", "rn"], ["seq"], num_buckets=4
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["rn"]): (r["event_id"], r["value"])
+        for r in state_api.load(spark, sp)
+        .read_keyed_state("topn-rank")
+        .collect()
+    }
+    assert got == {
+        (1, 1): (102, 60.0),  # new event takes rank 1...
+        (1, 2): (100, 50.0),  # ...seeded rank-1 row slides to rank 2
+        (2, 1): (200, 5.0),   # seeded rank survives
+        (2, 2): (201, 3.0),   # new event ranks below it
+    }
