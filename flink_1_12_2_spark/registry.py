@@ -266,29 +266,39 @@ GATE_ORDER: tuple[str, ...] = (
     # demographics and customer_address in TWO roles each, and by the
     # literal q14a's ROLLUP)
     "tpcds_literal_q64",
-    # live jdbc connector round-trip (embedded Derby, partitioned scan)
-    "jdbc_roundtrip_partitioned",
-    # rank/top-N, set ops, correlate, scalar-fn gauntlets
-    "topn_per_group",
-    # (r8: setop_intersect_all rotates to local verification — INTERSECT
-    # is gate-covered by the literal q14a's three-channel INTERSECT chain,
-    # which additionally exercises ROLLUP and the scalar-subquery HAVING)
-    "tpcds_literal_q14a",
-    # (r11: unnest_tokens — gate-green since r2 — rotates to local
-    # verification; UNNEST/Correlate stays gate-covered by
-    # dedup_ngram_jaccard's exploded gram index and text_chunk_dedup's
-    # chunk explode rotating in below)
-    "fn_math_gauntlet",
+    # (r12 rotation, r11 verdict item 4: four long-green veterans fund
+    # the never-gated r11 rows + the two NEW r12 operators below —
+    # jdbc_roundtrip_partitioned (gate-green since r6; the jdbc scan
+    # stays exercised every round by the DDL suite and oracle replays),
+    # topn_per_group (green since r1; the rank family stays gated via
+    # stream_topn's keyed heap and stream_over_agg's RANGE frame),
+    # tpcds_literal_q14a (green multiple rounds; the literal front door
+    # stays gated through q64 — dual-role dims — and q23b — WITH-chained
+    # apex — with all 103 texts byte-pinned by tests), and
+    # fn_math_gauntlet (green since r2; the scalar-function surface
+    # stays pinned by three locally-verified gauntlets + unit tests).)
+    # r12 rotation-in: the never-gated r11 kafka/avro surface, judge-
+    # replayed local-green last round — upsert-kafka SQL round-trip
+    # (PK-keyed upserts + tombstones through the DDL front door),
+    # Confluent-registry Avro framing round-trip, and the kafka DDL
+    # avro-confluent scan path
+    "upsert_kafka_roundtrip",
+    "avro_registry_roundtrip",
+    "kafka_ddl_avro_scan",
+    # r12 NEW operator: upsert-kafka composed with the avro-confluent
+    # value format (UpsertKafkaDynamicTableFactory.java:68's pluggable
+    # format stack) — registry-framed values, json keys, tombstones
+    "upsert_kafka_avro_roundtrip",
     # DDL-created pandas UDF executing through SQL (SqlCreateFunction parity)
     "ddl_create_function",
     # (r11: over_range_frame — gate-green since r2 — rotates to local
     # verification; the over-agg family stays gate-covered by
-    # stream_over_agg's streaming RANGE frame and topn_per_group's rank
-    # window)
+    # stream_over_agg's streaming RANGE frame and stream_topn's rank
+    # state)
     # group windows + evictor family representative (batch window_tumble
-    # stays local — the tumble assigner is gate-covered by stream_tumble_agg
-    # and the early-firing variant below)
-    "window_session_dynamic_gap",
+    # and — r12 — window_session_dynamic_gap stay local: the session
+    # assigner is unit-tested and the window family keeps two gate rows,
+    # the count-window evictor and the early-firing tumble)
     "window_count_evictor",
     "stream_tumble_early_fire",
     # streaming stateful operators (real Structured Streaming runs)
@@ -341,7 +351,10 @@ GATE_ORDER: tuple[str, ...] = (
     # local verification — bulk iteration is subsumed by dataset_delta_cc's
     # delta iteration and graph_sssp_delta — freeing a slot for the probes)
     "dataset_delta_cc",
-    "graph_sssp_delta",
+    # (r12: graph_sssp_delta — gate-green since r5 — rotates to local
+    # verification; delta iteration stays gated through dataset_delta_cc
+    # (the same iterateDelta machinery) and the graph library keeps FOUR
+    # gate rows below — the largest family in the window)
     # r10 rotation-in (r9 verdict item 4): the Schank–Wagner oriented
     # triangle enumerator behind the whole r9 Gelly clustering family
     # (reference TriangleEnumerator.java) — BIGINT-only output, pinned
@@ -364,6 +377,10 @@ GATE_ORDER: tuple[str, ...] = (
     # r11 NEW operator: State Processor API analogue (read keyed state /
     # bootstrap savepoint round-trip — Savepoint.java parity)
     "state_read_bootstrap",
+    # r12 NEW operator: the window-state reader (ExistingSavepoint
+    # .window → WindowReader; per-(key, window) accumulator + bounds +
+    # the end−1ms cleanup timer)
+    "state_window_reader",
     # LLM dedup operators (one slot each; r11: dedup_exact — gate-green
     # since r1 — rotates to local verification, subsumed by
     # dedup_incremental_snapshot below, the SAME hash-index + anti-join
@@ -374,6 +391,10 @@ GATE_ORDER: tuple[str, ...] = (
     # r10 hash-keyed MIN-agg join-back is the family's newest shape
     "text_chunk_dedup",
     "dedup_minhash_lsh",
+    # r12 rotation-in: SemDeDup semantic dedup (r11 operator, judge-
+    # replayed local-green) — zero-shuffle IVF-cell assignment with
+    # within-cell-only pair scoring
+    "dedup_semantic_semdedup",
     # (r8: dedup_simhash rotates to local verification — five dedup
     # families stay gated — freeing a slot for the MATCH_ROWTIME()
     # window-after-MATCH_RECOGNIZE chain, r7 verdict task #3)
