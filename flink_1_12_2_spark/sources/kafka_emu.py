@@ -55,18 +55,21 @@ def read_topic_stream(
     value_format: str,
     payload_schema: str,
     max_files_per_trigger: int | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """Consume the topic as a Structured Stream and decode the value format.
 
     ``json`` → one row per record with the payload columns;
     ``debezium-json``/``canal-json``/``maxwell-json`` → changelog rows with
-    the engine's ``_row_kind`` column (operators/cdc_formats.py)."""
+    the engine's ``_row_kind`` column (operators/cdc_formats.py).
+    ``options['scan.startup.mode']`` positions the consumer (see
+    :func:`_startup_excluded`)."""
     reader = spark.readStream.schema("value string").option(
         "recursiveFileLookup", "true"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.text(topic_dir)
+    raw = _apply_startup(reader.text(topic_dir), topic_dir, options)
     if value_format == "raw":
         # Flink's 'format' = 'raw': the value bytes, undecoded. The
         # text-transport emulation carries binary payloads base64-coded
@@ -87,11 +90,19 @@ def read_topic_stream(
 
 
 def read_topic_batch(
-    spark: SparkSession, topic_dir: str, value_format: str, payload_schema: str
+    spark: SparkSession,
+    topic_dir: str,
+    value_format: str,
+    payload_schema: str,
+    options: dict | None = None,
 ) -> DataFrame:
-    """Bounded read of the whole topic (Flink's kafka source with
-    ``scan.bounded.mode=latest-offset``)."""
-    raw = spark.read.option("recursiveFileLookup", "true").text(topic_dir)
+    """Bounded read of the topic from the startup position to the current
+    end (Flink's kafka source consuming to the latest offset)."""
+    raw = _apply_startup(
+        spark.read.option("recursiveFileLookup", "true").text(topic_dir),
+        topic_dir,
+        options,
+    )
     if value_format == "raw":
         return raw.select(F.unbase64(F.col("value")).alias("value"))
     if value_format == "json":
@@ -101,6 +112,79 @@ def read_topic_batch(
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(f"value format {value_format!r} not supported")
+
+
+
+# ---------------------------------------------------------------------------
+# scan.startup.mode (KafkaOptions.java in the 1.12 kafka table factory:
+# earliest-offset | latest-offset | group-offsets | specific-offsets |
+# timestamp). The emulation's offset axis is the producer-batch directory,
+# so startup position = an EXCLUSION SNAPSHOT of the batch dirs that
+# predate the start point:
+#   latest-offset  → exclude every dir present when the table is created;
+#   timestamp      → exclude dirs whose mtime < scan.startup.timestamp-millis
+#                    (batch mtime is the record-timestamp stand-in);
+#   earliest-offset (default) → exclude nothing.
+# The snapshot is pinned ONCE (at CREATE TABLE via the
+# 'scan.startup.__excluded' materialized option, or at first build for
+# direct API callers) so later re-resolutions of the scan keep the same
+# start position while new batches flow through — exactly a consumer
+# whose starting offsets were resolved at job start. Rows are pruned by
+# input_file_name() against the snapshot, which works identically on
+# bounded scans and file streams. group-offsets/specific-offsets have no
+# consumer-group/partition-offset analogue in the emulation and are
+# rejected descriptively.
+
+
+def _startup_excluded(topic_dir: str, options: dict | None) -> list[str]:
+    """Resolve (or recall) the startup exclusion snapshot for a topic."""
+    opts = options if options is not None else {}
+    if "scan.startup.__excluded" in opts:
+        return [d for d in opts["scan.startup.__excluded"].split(",") if d]
+    mode = opts.get("scan.startup.mode", "earliest-offset")
+    if mode == "earliest-offset":
+        return []
+    if mode in ("group-offsets", "specific-offsets"):
+        raise ValueError(
+            f"scan.startup.mode {mode!r} has no analogue in the emulation "
+            "(no consumer-group state / partition offsets without a "
+            "broker); use earliest-offset, latest-offset or timestamp"
+        )
+    if mode == "latest-offset":
+        try:
+            excluded = sorted(os.listdir(topic_dir))
+        except OSError:
+            excluded = []
+    elif mode == "timestamp":
+        ts_ms = int(opts["scan.startup.timestamp-millis"])
+        try:
+            excluded = sorted(
+                d
+                for d in os.listdir(topic_dir)
+                if os.path.getmtime(os.path.join(topic_dir, d)) * 1000
+                < ts_ms
+            )
+        except OSError:
+            excluded = []
+    else:
+        raise ValueError(f"unknown scan.startup.mode {mode!r}")
+    # pin the snapshot on the caller's option bag so re-resolving the
+    # scan (query-time refresh) keeps the same start position
+    if options is not None:
+        options["scan.startup.__excluded"] = ",".join(excluded)
+    return excluded
+
+
+def _apply_startup(
+    raw: DataFrame, topic_dir: str, options: dict | None
+) -> DataFrame:
+    excluded = _startup_excluded(topic_dir, options)
+    if not excluded:
+        return raw
+    import re as _re
+
+    pat = "/(?:" + "|".join(_re.escape(d) for d in excluded) + ")/"
+    return raw.filter(~F.input_file_name().rlike(pat))
 
 
 # ---------------------------------------------------------------------------
@@ -196,9 +280,11 @@ def topic_table(
         )
 
         reg, subject = _registry_opts(topic_dir, options)
-        raw = read_topic_batch(spark, topic_dir, "raw", "")
+        raw = read_topic_batch(spark, topic_dir, "raw", "", options=options)
         return avro_registry_decode(raw, reg, subject)
-    return read_topic_batch(spark, topic_dir, value_format, payload_schema)
+    return read_topic_batch(
+        spark, topic_dir, value_format, payload_schema, options=options
+    )
 
 
 def topic_table_stream(
@@ -220,11 +306,13 @@ def topic_table_stream(
         raw = read_topic_stream(
             spark, topic_dir, "raw", "",
             max_files_per_trigger=max_files_per_trigger,
+            options=options,
         )
         return avro_registry_decode(raw, reg, subject)
     return read_topic_stream(
         spark, topic_dir, value_format, payload_schema,
         max_files_per_trigger=max_files_per_trigger,
+        options=options,
     )
 
 

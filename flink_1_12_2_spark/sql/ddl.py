@@ -127,6 +127,14 @@ def parse_create_table(
                 "the upsert-kafka emulation carries keys as 'json' "
                 f"(got key.format={key_fmt!r})"
             )
+        if "scan.startup.mode" in opts:
+            # UpsertKafkaDynamicTableFactory has no startup mode: an
+            # upsert source must always read from earliest to rebuild
+            # the full per-key state
+            raise ValueError(
+                "'upsert-kafka' does not support 'scan.startup.mode' "
+                "(state must be rebuilt from the earliest offset)"
+            )
     elif connector == "kafka":
         # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
         # to the emulated topic DIRECTORY (sources/kafka_emu.py — no

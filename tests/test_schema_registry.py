@@ -529,3 +529,80 @@ def test_kafka_scan_resolves_at_query_time(spark, tmp_path):
     assert {r["k"] for r in eng.sql("SELECT * FROM ukqt").collect()} == {2}
     # eng.table() resolves the same way
     assert {r["k"] for r in eng.table("ukqt").collect()} == {2}
+
+
+def test_kafka_scan_startup_modes(spark, tmp_path):
+    """scan.startup.mode (KafkaOptions in the 1.12 kafka table factory):
+    latest-offset pins an exclusion snapshot when the scan is first
+    built — batches already on the topic are invisible, batches
+    published after are consumed; the snapshot survives query-time
+    re-resolution (the consumer's starting offsets don't move once
+    resolved). timestamp starts from the first batch at/after the given
+    epoch-millis. group-offsets is rejected descriptively, and
+    upsert-kafka rejects the option outright."""
+    import time
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    def _pub(topic, *kv):
+        publish(
+            spark.createDataFrame(list(kv), "k bigint, v string").select(
+                SF.to_json(SF.struct("k", "v")).alias("value")
+            ),
+            topic,
+        )
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "kt_latest")
+    _pub(topic, (1, "old"))
+    eng.sql(
+        f"""CREATE TABLE k_latest (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic}',
+              'format' = 'json', 'scan.startup.mode' = 'latest-offset')"""
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM k_latest").collect()[0]["n"] == 0
+    _pub(topic, (2, "new"), (3, "newer"))
+    got = {r["k"] for r in eng.sql("SELECT * FROM k_latest").collect()}
+    assert got == {2, 3}  # pre-DDL batch stays excluded, new ones flow
+
+    # timestamp mode: only batches at/after the cut
+    topic2 = str(tmp_path / "kt_ts")
+    _pub(topic2, (10, "before"))
+    time.sleep(0.05)
+    cut_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    _pub(topic2, (11, "after"))
+    eng.sql(
+        f"""CREATE TABLE k_ts (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic2}',
+              'format' = 'json', 'scan.startup.mode' = 'timestamp',
+              'scan.startup.timestamp-millis' = '{cut_ms}')"""
+    )
+    assert {r["k"] for r in eng.sql("SELECT * FROM k_ts").collect()} == {11}
+
+    # modes with no emulation analogue fail loudly at scan build
+    topic3 = str(tmp_path / "kt_go")
+    _pub(topic3, (1, "x"))
+    with _pytest.raises(Exception, match="group-offsets"):
+        eng.sql(
+            f"""CREATE TABLE k_go (k BIGINT, v STRING) WITH (
+                  'connector' = 'kafka', 'topic' = '{topic3}',
+                  'format' = 'json',
+                  'scan.startup.mode' = 'group-offsets')"""
+        )
+    # upsert-kafka: no startup mode at all (state rebuilds from earliest)
+    with _pytest.raises(ValueError, match="scan.startup.mode"):
+        eng.sql(
+            f"""CREATE TABLE uk_su (k BIGINT, v STRING,
+                                    PRIMARY KEY (k) NOT ENFORCED) WITH (
+                  'connector' = 'upsert-kafka', 'topic' = '{topic3}',
+                  'scan.startup.mode' = 'latest-offset')"""
+        )
+
+    # the streaming twin honors the same snapshot
+    sdf = eng.stream_table("k_latest")
+    assert sdf.isStreaming
