@@ -334,6 +334,21 @@ def topic_table_stream(
 # (payload as a base64-coded registry-framed Avro message —
 # sources/schema_registry.py; the key stays 'json', Flink's 'key.format'
 # default pairing). Tombstones are format-independent: v is JSON null.
+#
+# 'value.fields-include' (UpsertKafkaDynamicTableFactory VALUE_FIELDS_
+# INCLUDE): ALL (default) serializes every physical column into the
+# value; EXCEPT_KEY serializes only the non-key columns — readers then
+# reconstruct the key columns from the record key for EVERY row, not
+# just tombstones.
+
+
+def _value_fields_include(options: dict | None) -> str:
+    inc = (options or {}).get("value.fields-include", "ALL").upper()
+    if inc not in ("ALL", "EXCEPT_KEY"):
+        raise ValueError(
+            f"value.fields-include must be ALL or EXCEPT_KEY, got {inc!r}"
+        )
+    return inc
 
 
 def _next_batch_seq(topic_dir: str) -> int:
@@ -367,7 +382,10 @@ def publish_upsert(
     seq = _next_batch_seq(topic_dir)
     if row_kind_col is not None:
         df = df.filter(F.col(row_kind_col) != "-U")
-    payload_cols = [c for c in df.columns if c != row_kind_col]
+    skip = {row_kind_col} if row_kind_col is not None else set()
+    if _value_fields_include(options) == "EXCEPT_KEY":
+        skip |= set(pk_cols)
+    payload_cols = [c for c in df.columns if c not in skip]
     key = F.to_json(F.struct(*[F.col(c) for c in pk_cols]))
     if value_format == "avro-confluent":
         from flink_1_12_2_spark.sources.schema_registry import (
@@ -458,18 +476,38 @@ def read_upsert_topic_batch(
         .filter(F.col("__rn") == 1)
         .filter(F.col("__vraw").isNotNull() & (F.col("__vraw") != "null"))
     )
+    fields = _payload_fields(payload_schema)
+    except_key = _value_fields_include(options) == "EXCEPT_KEY"
     if value_format == "avro-confluent":
         from flink_1_12_2_spark.sources.schema_registry import (
             avro_registry_decode,
+            avro_registry_struct_decode,
         )
 
         reg, subject = _registry_opts(topic_dir, options)
-        return avro_registry_decode(
-            latest.select(F.unbase64("__vraw").alias("value")), reg, subject
+        if not except_key:
+            return avro_registry_decode(
+                latest.select(F.unbase64("__vraw").alias("value")),
+                reg, subject,
+            )
+        latest = avro_registry_struct_decode(
+            latest.withColumn("__vbin", F.unbase64("__vraw")),
+            reg, subject, value_col="__vbin", out_col="__v",
         )
-    fields = _payload_fields(payload_schema)
-    v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
-    return latest.select(*[v[f].alias(f) for f in fields])
+        v = F.col("__v")
+    elif except_key:
+        v = F.from_json(
+            F.col("__vraw"), _schema_without(payload_schema, pk_cols)
+        )
+    else:
+        v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
+    k = F.from_json(F.col("__k"), _key_struct(payload_schema, pk_cols))
+    return latest.select(
+        *[
+            (k[f] if (except_key and f in pk_cols) else v[f]).alias(f)
+            for f in fields
+        ]
+    )
 
 
 def read_upsert_topic_changelog(
@@ -519,6 +557,15 @@ def _key_struct(payload_schema: str, pk_cols: list[str]):
     return StructType([f for f in full.fields if f.name in pk_cols])
 
 
+def _schema_without(payload_schema: str, pk_cols: list[str]):
+    """The value struct under EXCEPT_KEY: the declared schema minus the
+    key columns."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    full = _parse_datatype_string(f"struct<{payload_schema}>")
+    return StructType([f for f in full.fields if f.name not in pk_cols])
+
+
 def _upsert_changelog_frame(
     raw: DataFrame,
     payload_schema: str,
@@ -540,6 +587,7 @@ def _upsert_changelog_frame(
     k = F.from_json(F.col("__k"), _key_struct(payload_schema, pk_cols))
     is_del = F.col("__vraw").isNull() | (F.col("__vraw") == "null")
     fields = _payload_fields(payload_schema)
+    except_key = _value_fields_include(options) == "EXCEPT_KEY"
     if value_format == "avro-confluent":
         # decode the Avro body into a struct column via the registry
         # (readers see the subject's latest schema; older writer ids
@@ -555,18 +603,23 @@ def _upsert_changelog_frame(
             reg, subject, value_col="__vbin", out_col="__v",
         )
         v = F.col("__v")
+    elif except_key:
+        v = F.from_json(
+            F.col("__vraw"), _schema_without(payload_schema, pk_cols)
+        )
     else:
         v = F.from_json(F.col("__vraw"), f"struct<{payload_schema}>")
+
+    def _field(f: str):
+        if f not in pk_cols:
+            return v[f].alias(f)
+        if except_key:  # key columns ride the record key on EVERY row
+            return k[f].alias(f)
+        return F.when(is_del, k[f]).otherwise(v[f]).alias(f)
+
     return env.select(
         F.when(is_del, F.lit("-D")).otherwise(F.lit("+U")).alias(ROW_KIND),
-        *[
-            (
-                F.when(is_del, k[f]).otherwise(v[f]).alias(f)
-                if f in pk_cols
-                else v[f].alias(f)
-            )
-            for f in fields
-        ],
+        *[_field(f) for f in fields],
         F.col("__seq"),
         F.col("__sub"),
     )

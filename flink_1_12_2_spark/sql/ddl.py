@@ -135,6 +135,12 @@ def parse_create_table(
                 "'upsert-kafka' does not support 'scan.startup.mode' "
                 "(state must be rebuilt from the earliest offset)"
             )
+        vfi = opts.get("value.fields-include", "ALL").upper()
+        if vfi not in ("ALL", "EXCEPT_KEY"):
+            raise ValueError(
+                "value.fields-include must be ALL or EXCEPT_KEY, "
+                f"got {vfi!r}"
+            )
     elif connector == "kafka":
         # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
         # to the emulated topic DIRECTORY (sources/kafka_emu.py — no

@@ -606,3 +606,84 @@ def test_kafka_scan_startup_modes(spark, tmp_path):
     # the streaming twin honors the same snapshot
     sdf = eng.stream_table("k_latest")
     assert sdf.isStreaming
+
+
+def test_upsert_kafka_value_fields_except_key(spark, tmp_path):
+    """value.fields-include = EXCEPT_KEY (UpsertKafkaDynamicTableFactory
+    VALUE_FIELDS_INCLUDE): the value serializes only non-key columns;
+    readers reconstruct key columns from the record key on EVERY row.
+    Verified for both value formats, the normalized scan, the changelog
+    view, and the DDL front door."""
+    import json as _json
+
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish_upsert,
+        read_upsert_topic_batch,
+        read_upsert_topic_changelog,
+    )
+
+    schema = "k bigint, v string, n bigint"
+    for fmt in ("json", "avro-confluent"):
+        topic = str(tmp_path / f"uk_ek_{fmt}")
+        opts = {
+            "value.fields-include": "EXCEPT_KEY",
+            "avro-confluent.schema-registry.url":
+                f"file:{tmp_path}/reg_{fmt}.json",
+        }
+        b1 = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], schema
+        )
+        publish_upsert(b1, topic, ["k"], value_format=fmt, options=opts)
+        dele = spark.createDataFrame(
+            [("-D", 2, None, None)], f"{ROW_KIND} string, {schema}"
+        )
+        publish_upsert(dele, topic, ["k"], row_kind_col=ROW_KIND,
+                       value_format=fmt, options=opts)
+        # the wire really excludes the key from the value payload
+        if fmt == "json":
+            import glob
+            import os as _os
+
+            lines = []
+            for f in glob.glob(f"{topic}/*/part*"):
+                lines += open(f).read().splitlines()
+            live = [_json.loads(ln) for ln in lines if _json.loads(ln)["v"]]
+            assert all("k" not in e["v"] for e in live), live
+        got = {
+            r["k"]: (r["v"], r["n"])
+            for r in read_upsert_topic_batch(
+                spark, topic, schema, ["k"], value_format=fmt, options=opts
+            ).collect()
+        }
+        assert got == {1: ("a", 10)}, (fmt, got)
+        cl = read_upsert_topic_changelog(
+            spark, topic, schema, ["k"], value_format=fmt, options=opts
+        ).collect()
+        assert {(r[ROW_KIND], r["k"]) for r in cl} == {
+            ("+U", 1), ("+U", 2), ("-D", 2),
+        }, (fmt, cl)
+
+    # DDL front door validates and threads the option through
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "uk_ek_ddl")
+    eng.sql(
+        f"""CREATE TABLE uk_ek (k BIGINT, v STRING,
+                                PRIMARY KEY (k) NOT ENFORCED) WITH (
+              'connector' = 'upsert-kafka', 'topic' = '{topic}',
+              'value.fields-include' = 'EXCEPT_KEY')"""
+    )
+    eng.sql("INSERT INTO uk_ek VALUES (7, 'x'), (8, 'y')")
+    assert {
+        (r["k"], r["v"]) for r in eng.sql("SELECT * FROM uk_ek").collect()
+    } == {(7, "x"), (8, "y")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EXCEPT_KEY"):
+        eng.sql(
+            f"""CREATE TABLE uk_bad (k BIGINT, v STRING,
+                                     PRIMARY KEY (k) NOT ENFORCED) WITH (
+                  'connector' = 'upsert-kafka', 'topic' = '{topic}',
+                  'value.fields-include' = 'SOME')"""
+        )
