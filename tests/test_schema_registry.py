@@ -603,9 +603,14 @@ def test_kafka_scan_startup_modes(spark, tmp_path):
                   'scan.startup.mode' = 'latest-offset')"""
         )
 
-    # the streaming twin honors the same snapshot
+    # the streaming twin honors the same snapshot: a full AvailableNow
+    # run over the topic must never surface the pre-DDL batch
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
     sdf = eng.stream_table("k_latest")
     assert sdf.isStreaming
+    got = {r["k"] for r in run_to_memory(sdf).collect()}
+    assert got == {2, 3}
 
 
 def test_upsert_kafka_value_fields_except_key(spark, tmp_path):
