@@ -306,13 +306,22 @@ class EngineSession:
 
     @staticmethod
     def _topic_fingerprint(path: str) -> tuple[str, ...]:
-        """Top-level listing of an emulated topic dir — one entry per
+        """Top-level listing of an emulated topic spec — one entry per
         producer batch / committed transaction, so it changes iff new
-        data became consumer-visible."""
-        try:
-            return tuple(sorted(os.listdir(path)))
-        except OSError:
-            return ()
+        data became consumer-visible. Topic lists ('a;b') and
+        topic-pattern globs fingerprint the union of matched dirs."""
+        from flink_1_12_2_spark.sources.kafka_emu import _topic_paths
+
+        out: list[str] = []
+        for root in _topic_paths(path):
+            try:
+                out.extend(
+                    os.path.join(os.path.basename(root), e)
+                    for e in os.listdir(root)
+                )
+            except OSError:
+                continue
+        return tuple(sorted(out))
 
     def _refresh_stale_kafka_views(self) -> None:
         """Re-resolve kafka-backed views whose topic changed since their

@@ -49,6 +49,25 @@ def publish(df: DataFrame, topic_dir: str, value_col: str = "value") -> None:
     ).text(batch_dir)
 
 
+
+def _topic_paths(topic_dir: str) -> list[str]:
+    """Resolve a source topic spec to concrete read paths. The 1.12
+    factory's 'topic' accepts a semicolon-separated LIST for sources and
+    'topic-pattern' a regex — the emulation's analogues are ';'-joined
+    directories and a filesystem glob (both resolve to directories of
+    producer batches). A plain single topic passes through unchanged."""
+    parts = [p for p in topic_dir.split(";") if p]
+    out: list[str] = []
+    for part in parts:
+        if any(ch in part for ch in "*?["):
+            import glob as _glob
+
+            out.extend(sorted(_glob.glob(part)) or [part])
+        else:
+            out.append(part)
+    return out or [topic_dir]
+
+
 def read_topic_stream(
     spark: SparkSession,
     topic_dir: str,
@@ -64,12 +83,22 @@ def read_topic_stream(
     the engine's ``_row_kind`` column (operators/cdc_formats.py).
     ``options['scan.startup.mode']`` positions the consumer (see
     :func:`_startup_excluded`)."""
-    reader = spark.readStream.schema("value string").option(
-        "recursiveFileLookup", "true"
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = _apply_startup(reader.text(topic_dir), topic_dir, options)
+    def _reader():
+        r = spark.readStream.schema("value string").option(
+            "recursiveFileLookup", "true"
+        )
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r
+
+    paths = _topic_paths(topic_dir)
+    # Spark's file stream source takes ONE path (globs count as one);
+    # a semicolon topic list becomes a union of per-topic streams —
+    # exactly a consumer subscribed to several topics
+    raw = _reader().text(paths[0])
+    for extra in paths[1:]:
+        raw = raw.unionByName(_reader().text(extra))
+    raw = _apply_startup(raw, topic_dir, options)
     if value_format == "raw":
         # Flink's 'format' = 'raw': the value bytes, undecoded. The
         # text-transport emulation carries binary payloads base64-coded
@@ -99,7 +128,9 @@ def read_topic_batch(
     """Bounded read of the topic from the startup position to the current
     end (Flink's kafka source consuming to the latest offset)."""
     raw = _apply_startup(
-        spark.read.option("recursiveFileLookup", "true").text(topic_dir),
+        spark.read.option("recursiveFileLookup", "true").text(
+            _topic_paths(topic_dir)
+        ),
         topic_dir,
         options,
     )
@@ -150,22 +181,23 @@ def _startup_excluded(topic_dir: str, options: dict | None) -> list[str]:
             "(no consumer-group state / partition offsets without a "
             "broker); use earliest-offset, latest-offset or timestamp"
         )
+    def _entries():
+        for root in _topic_paths(topic_dir):
+            try:
+                for d in os.listdir(root):
+                    yield root, d
+            except OSError:
+                continue
+
     if mode == "latest-offset":
-        try:
-            excluded = sorted(os.listdir(topic_dir))
-        except OSError:
-            excluded = []
+        excluded = sorted(d for _, d in _entries())
     elif mode == "timestamp":
         ts_ms = int(opts["scan.startup.timestamp-millis"])
-        try:
-            excluded = sorted(
-                d
-                for d in os.listdir(topic_dir)
-                if os.path.getmtime(os.path.join(topic_dir, d)) * 1000
-                < ts_ms
-            )
-        except OSError:
-            excluded = []
+        excluded = sorted(
+            d
+            for root, d in _entries()
+            if os.path.getmtime(os.path.join(root, d)) * 1000 < ts_ms
+        )
     else:
         raise ValueError(f"unknown scan.startup.mode {mode!r}")
     # pin the snapshot on the caller's option bag so re-resolving the

@@ -144,11 +144,22 @@ def parse_create_table(
     elif connector == "kafka":
         # KafkaDynamicTableFactory.java:95 option surface: 'topic' maps
         # to the emulated topic DIRECTORY (sources/kafka_emu.py — no
-        # broker in this environment), 'format' is the value format
-        # (json/raw/CDC/avro-confluent); 'properties.*' and 'scan.*'
-        # options are accepted and carried as metadata, like a factory
-        # passing client properties through.
-        path = _required("topic")
+        # broker in this environment) and, for sources, accepts the
+        # factory's semicolon-separated topic LIST; 'topic-pattern' is
+        # the regex alternative (a filesystem glob here), exclusive with
+        # 'topic' like the factory's validation. 'format' is the value
+        # format (json/raw/CDC/avro-confluent); 'properties.*' and
+        # 'scan.*' options are accepted and carried as metadata, like a
+        # factory passing client properties through.
+        if "topic" in opts and "topic-pattern" in opts:
+            raise ValueError(
+                "options 'topic' and 'topic-pattern' are exclusive"
+            )
+        if "topic-pattern" in opts:
+            path = opts.pop("topic-pattern")
+            opts["__topic-pattern"] = "true"  # source-only marker
+        else:
+            path = _required("topic")
         fmt = opts.pop("format", "json")
         _KAFKA_FORMATS = (
             "json", "raw", "debezium-json", "canal-json", "maxwell-json",
@@ -427,7 +438,15 @@ def execute_ddl(engine: EngineSession, ddl: str):
         engine._tables[name] = meta
         engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
         return df
-    if not os.path.exists(meta.path):
+    if meta.connector in ("kafka", "upsert-kafka"):
+        from flink_1_12_2_spark.sources.kafka_emu import _topic_paths
+
+        topic_exists = any(
+            os.path.exists(p) for p in _topic_paths(meta.path)
+        )
+    else:
+        topic_exists = os.path.exists(meta.path)
+    if not topic_exists:
         # sink table: the path doesn't exist yet (Flink's CREATE TABLE for a
         # filesystem sink, or a kafka topic nothing has produced to) —
         # register metadata only, INSERT/publish will create it (for kafka

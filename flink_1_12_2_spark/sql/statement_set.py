@@ -160,6 +160,18 @@ class StatementSet:
                     results.append((b.sink, n_out))
                     continue
                 if meta.connector == "kafka":
+                    if (
+                        meta.options.get("__topic-pattern")
+                        or ";" in meta.path
+                    ):
+                        # KafkaDynamicTableFactory sink validation: a
+                        # producer needs ONE concrete topic — pattern /
+                        # list subscriptions are source-only
+                        raise ValueError(
+                            "INSERT INTO a kafka table defined with "
+                            "'topic-pattern' or a topic list is not "
+                            "supported — a sink needs a single 'topic'"
+                        )
                     # producer sink (FlinkKafkaProducer through the table
                     # factory): publish one batch to the emulated topic.
                     # json encodes the row payload; raw expects a single

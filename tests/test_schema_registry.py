@@ -692,3 +692,69 @@ def test_upsert_kafka_value_fields_except_key(spark, tmp_path):
                   'connector' = 'upsert-kafka', 'topic' = '{topic}',
                   'value.fields-include' = 'SOME')"""
         )
+
+
+def test_kafka_topic_list_and_pattern(spark, tmp_path):
+    """The 1.12 factory's source addressing: 'topic' accepts a
+    semicolon-separated list and 'topic-pattern' a pattern (a filesystem
+    glob here) — both union the matched topics' batches; the two options
+    are mutually exclusive, and neither form can be a sink (a producer
+    needs one concrete topic). New topics matching the pattern appear on
+    the next query (scan resolves at query time)."""
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    def _pub(topic, *kv):
+        publish(
+            spark.createDataFrame(list(kv), "k bigint, v string").select(
+                SF.to_json(SF.struct("k", "v")).alias("value")
+            ),
+            topic,
+        )
+
+    eng = EngineSession(spark)
+    t1, t2 = str(tmp_path / "orders_eu"), str(tmp_path / "orders_us")
+    _pub(t1, (1, "eu"))
+    _pub(t2, (2, "us"))
+    eng.sql(
+        f"""CREATE TABLE k_list (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{t1};{t2}',
+              'format' = 'json')"""
+    )
+    assert {r["k"] for r in eng.sql("SELECT * FROM k_list").collect()} == {
+        1, 2,
+    }
+    # streaming union of the list
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    got = {r["k"] for r in run_to_memory(eng.stream_table("k_list")).collect()}
+    assert got == {1, 2}
+
+    eng.sql(
+        f"""CREATE TABLE k_pat (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka',
+              'topic-pattern' = '{tmp_path}/orders_*',
+              'format' = 'json')"""
+    )
+    assert {r["k"] for r in eng.sql("SELECT * FROM k_pat").collect()} == {
+        1, 2,
+    }
+    # a NEW topic matching the pattern appears on the next query
+    t3 = str(tmp_path / "orders_apac")
+    _pub(t3, (3, "apac"))
+    assert {r["k"] for r in eng.sql("SELECT * FROM k_pat").collect()} == {
+        1, 2, 3,
+    }
+
+    with _pytest.raises(ValueError, match="exclusive"):
+        eng.sql(
+            f"""CREATE TABLE k_both (k BIGINT) WITH (
+                  'connector' = 'kafka', 'topic' = '{t1}',
+                  'topic-pattern' = '{tmp_path}/orders_*')"""
+        )
+    for tbl in ("k_list", "k_pat"):
+        with _pytest.raises(ValueError, match="single 'topic'"):
+            eng.sql(f"INSERT INTO {tbl} VALUES (9, 'x')")
