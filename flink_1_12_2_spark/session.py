@@ -214,6 +214,14 @@ class TableMeta:
     # declared schema as a Spark DDL string ("k bigint, v string") — the
     # kafka connector needs it to decode json/CDC payloads
     schema_ddl: str | None = None
+    # FLIP-107 metadata columns (SqlTableColumn.SqlMetadataColumn, new in
+    # Flink 1.12): (column name, spark type, metadata key) triples; read
+    # from the connector, never part of the value payload or of INSERT's
+    # positional mapping
+    metadata_cols: tuple[tuple[str, str, str], ...] = ()
+    # every declared column name in DDL order (physical + computed +
+    # metadata) — SELECT * must present this order like Flink's schema
+    declared_columns: tuple[str, ...] = ()
 
 
 class EngineSession:
@@ -291,11 +299,19 @@ class EngineSession:
                     self.spark, meta.path, meta.fmt,
                     payload_schema=meta.schema_ddl or "",
                     options=meta.options,
+                    metadata_cols=meta.metadata_cols,
                 )
             for cname, cexpr in self._kafka_computed.get(name, ()):
                 from flink_1_12_2_spark.sql.rewriter import rewrite_expr
 
                 df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
+            if meta.declared_columns and set(meta.declared_columns) == set(
+                df.columns
+            ):
+                # SELECT * presents the DDL's declared column order
+                # (Flink keeps metadata/computed columns in declared
+                # position, not appended)
+                df = df.select(*meta.declared_columns)
             df.createOrReplaceTempView(name)
             self._kafka_fps[name] = self._topic_fingerprint(meta.path)
             return
@@ -410,6 +426,7 @@ class EngineSession:
                 self.spark, meta.path, meta.fmt,
                 payload_schema=meta.schema_ddl or "",
                 options=meta.options,
+                metadata_cols=meta.metadata_cols,
             )
         else:
             df = (

@@ -50,6 +50,47 @@ def publish(df: DataFrame, topic_dir: str, value_col: str = "value") -> None:
 
 
 
+
+# FLIP-107 metadata columns (new in Flink 1.12; the kafka connector's
+# readable metadata — KafkaDynamicSource.listReadableMetadata). The
+# emulation's mappings, per key:
+#   topic          → the topic directory's name (from the file path)
+#   partition      → 0 (the emulated topic is single-partition)
+#   timestamp      → the producer batch's file modification time (the
+#                    same record-timestamp stand-in scan.startup.mode
+#                    'timestamp' positions against)
+#   timestamp-type → 'CreateTime' (what a producer-stamped record has)
+# offset / headers / leader-epoch have no per-row analogue on the text
+# transport and are rejected descriptively.
+_META_EXPRS = {
+    "topic": lambda: F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -3
+    ),
+    "partition": lambda: F.lit(0),
+    "timestamp": lambda: F.col("_metadata.file_modification_time"),
+    "timestamp-type": lambda: F.lit("CreateTime"),
+}
+
+
+def _with_metadata(raw: DataFrame, metadata_cols) -> DataFrame:
+    """Attach the requested metadata columns to the raw (value string)
+    scan frame — must run directly on the file-source frame, where
+    Spark's hidden `_metadata` struct resolves."""
+    if not metadata_cols:
+        return raw
+    exprs = []
+    for name, spark_type, key in metadata_cols:
+        if key not in _META_EXPRS:
+            raise ValueError(
+                f"metadata key {key!r} not available on the kafka "
+                f"emulation ({', '.join(sorted(_META_EXPRS))}; "
+                "offset/headers/leader-epoch have no analogue on the "
+                "text transport)"
+            )
+        exprs.append(_META_EXPRS[key]().cast(spark_type).alias(name))
+    return raw.select("value", *exprs)
+
+
 def _topic_paths(topic_dir: str) -> list[str]:
     """Resolve a source topic spec to concrete read paths. The 1.12
     factory's 'topic' accepts a semicolon-separated LIST for sources and
@@ -75,6 +116,7 @@ def read_topic_stream(
     payload_schema: str,
     max_files_per_trigger: int | None = None,
     options: dict | None = None,
+    metadata_cols=(),
 ) -> DataFrame:
     """Consume the topic as a Structured Stream and decode the value format.
 
@@ -98,18 +140,21 @@ def read_topic_stream(
     raw = _reader().text(paths[0])
     for extra in paths[1:]:
         raw = raw.unionByName(_reader().text(extra))
-    raw = _apply_startup(raw, topic_dir, options)
+    raw = _apply_startup(_with_metadata(raw, metadata_cols), topic_dir, options)
+    md_names = [m[0] for m in metadata_cols]
     if value_format == "raw":
         # Flink's 'format' = 'raw': the value bytes, undecoded. The
         # text-transport emulation carries binary payloads base64-coded
         # (a real broker delivers value: binary directly).
-        return raw.select(F.unbase64(F.col("value")).alias("value"))
+        return raw.select(
+            F.unbase64(F.col("value")).alias("value"), *md_names
+        )
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
         # real DDL parse (handles nested struct<...>/decimal(p,s)/map<...>
         # field types that a naive comma split would break on)
         fields = _payload_fields(payload_schema)
-        return raw.select(*[env[f].alias(f) for f in fields])
+        return raw.select(*[env[f].alias(f) for f in fields], *md_names)
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(
@@ -124,22 +169,29 @@ def read_topic_batch(
     value_format: str,
     payload_schema: str,
     options: dict | None = None,
+    metadata_cols=(),
 ) -> DataFrame:
     """Bounded read of the topic from the startup position to the current
     end (Flink's kafka source consuming to the latest offset)."""
     raw = _apply_startup(
-        spark.read.option("recursiveFileLookup", "true").text(
-            _topic_paths(topic_dir)
+        _with_metadata(
+            spark.read.option("recursiveFileLookup", "true").text(
+                _topic_paths(topic_dir)
+            ),
+            metadata_cols,
         ),
         topic_dir,
         options,
     )
+    md_names = [m[0] for m in metadata_cols]
     if value_format == "raw":
-        return raw.select(F.unbase64(F.col("value")).alias("value"))
+        return raw.select(
+            F.unbase64(F.col("value")).alias("value"), *md_names
+        )
     if value_format == "json":
         env = F.from_json(F.col("value"), f"struct<{payload_schema}>")
         fields = _payload_fields(payload_schema)
-        return raw.select(*[env[f].alias(f) for f in fields])
+        return raw.select(*[env[f].alias(f) for f in fields], *md_names)
     if value_format in _CDC_PARSERS:
         return _CDC_PARSERS[value_format](raw, "value", payload_schema)
     raise ValueError(f"value format {value_format!r} not supported")
@@ -300,23 +352,43 @@ def topic_table(
     value_format: str,
     payload_schema: str = "",
     options: dict | None = None,
+    metadata_cols=(),
 ) -> DataFrame:
     """Bounded table over a topic — the DDL front door's scan path
     (KafkaDynamicTableFactory.java:95 createDynamicTableSource). Formats:
     json / raw / the three CDC formats (read_topic_batch) plus
     ``avro-confluent`` (registry-framed messages decoded against the
-    subject's latest reader schema — RegistryAvroDeserializationSchema)."""
+    subject's latest reader schema — RegistryAvroDeserializationSchema).
+    ``metadata_cols`` attach FLIP-107 readable metadata beside the
+    payload columns."""
     if value_format == "avro-confluent":
-        from flink_1_12_2_spark.sources.schema_registry import (
-            avro_registry_decode,
-        )
-
         reg, subject = _registry_opts(topic_dir, options)
-        raw = read_topic_batch(spark, topic_dir, "raw", "", options=options)
-        return avro_registry_decode(raw, reg, subject)
+        raw = read_topic_batch(
+            spark, topic_dir, "raw", "", options=options,
+            metadata_cols=metadata_cols,
+        )
+        return _avro_decode_keep(raw, reg, subject, metadata_cols)
     return read_topic_batch(
-        spark, topic_dir, value_format, payload_schema, options=options
+        spark, topic_dir, value_format, payload_schema, options=options,
+        metadata_cols=metadata_cols,
     )
+
+
+def _avro_decode_keep(raw, reg, subject, metadata_cols):
+    """Registry-decode the value column, carrying metadata columns
+    through the Arrow stage when present."""
+    from flink_1_12_2_spark.sources.schema_registry import (
+        avro_registry_decode,
+        avro_registry_struct_decode,
+    )
+
+    if not metadata_cols:
+        return avro_registry_decode(raw, reg, subject)
+    out = avro_registry_struct_decode(
+        raw, reg, subject, value_col="value", out_col="__v"
+    )
+    md_names = [m[0] for m in metadata_cols]
+    return out.select("__v.*", *md_names)
 
 
 def topic_table_stream(
@@ -326,25 +398,24 @@ def topic_table_stream(
     payload_schema: str = "",
     options: dict | None = None,
     max_files_per_trigger: int | None = None,
+    metadata_cols=(),
 ) -> DataFrame:
     """Streaming twin of :func:`topic_table` (mapInPandas decode works on
     streaming frames, so avro-confluent streams too)."""
     if value_format == "avro-confluent":
-        from flink_1_12_2_spark.sources.schema_registry import (
-            avro_registry_decode,
-        )
-
         reg, subject = _registry_opts(topic_dir, options)
         raw = read_topic_stream(
             spark, topic_dir, "raw", "",
             max_files_per_trigger=max_files_per_trigger,
             options=options,
+            metadata_cols=metadata_cols,
         )
-        return avro_registry_decode(raw, reg, subject)
+        return _avro_decode_keep(raw, reg, subject, metadata_cols)
     return read_topic_stream(
         spark, topic_dir, value_format, payload_schema,
         max_files_per_trigger=max_files_per_trigger,
         options=options,
+        metadata_cols=metadata_cols,
     )
 
 

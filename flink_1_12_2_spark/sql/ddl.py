@@ -213,7 +213,17 @@ def parse_create_table(
 
     fields = []
     computed: list[tuple[str, str]] = []
+    metadata_cols: list[tuple[str, str, str]] = []
+    declared: list[str] = []
     primary_key: tuple[str, ...] = ()
+
+    def _spark_type(ctype: str, carg: str | None, part: str) -> str:
+        if ctype == "DECIMAL":
+            return f"decimal({carg})" if carg else "decimal(10,0)"
+        if ctype not in _TYPE_MAP:
+            raise ValueError(f"unsupported type {ctype!r} in {part!r}")
+        return _TYPE_MAP[ctype]
+
     for part in _split_top_level(cols_block):
         part = part.strip().rstrip(",")
         if not part:
@@ -236,18 +246,35 @@ def parse_create_table(
         comp = re.match(r"(?is)^(\w+)\s+AS\s+(.+)$", part)
         if comp:
             computed.append((comp.group(1), comp.group(2).strip()))
+            declared.append(comp.group(1))
+            continue
+        # FLIP-107 metadata column (SqlMetadataColumn, new in Flink 1.12):
+        # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` — read from the
+        # connector, not the value payload. All metadata is treated as
+        # read-only here (excluded from INSERT's positional mapping),
+        # which is Flink's VIRTUAL semantics; writable metadata sinks
+        # are not wired.
+        md = re.match(
+            r"(?is)^(\w+)\s+(\w+)(?:\((\d+(?:,\s*\d+)?)\))?\s+METADATA"
+            r"(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?$",
+            part,
+        )
+        if md:
+            cname, ctype, carg, key = (
+                md.group(1), md.group(2).upper(), md.group(3), md.group(4),
+            )
+            metadata_cols.append(
+                (cname, _spark_type(ctype, carg, part), key or cname)
+            )
+            declared.append(cname)
             continue
         cm = re.match(r"(?is)^(\w+)\s+(\w+)(?:\((\d+(?:,\s*\d+)?)\))?$", part)
         if not cm:
             raise ValueError(f"unsupported column definition: {part!r}")
         cname, ctype, carg = cm.group(1), cm.group(2).upper(), cm.group(3)
-        if ctype == "DECIMAL":
-            spark_t = f"decimal({carg})" if carg else "decimal(10,0)"
-        else:
-            if ctype not in _TYPE_MAP:
-                raise ValueError(f"unsupported type {ctype!r} in {part!r}")
-            spark_t = _TYPE_MAP[ctype]
+        spark_t = _spark_type(ctype, carg, part)
         fields.append(f"{cname} {spark_t}")
+        declared.append(cname)
     schema = ", ".join(fields) if fields else None
 
     partition_cols = tuple(
@@ -265,7 +292,14 @@ def parse_create_table(
         options=opts,
         columns=tuple(f.split()[0] for f in fields),
         schema_ddl=schema,
+        metadata_cols=tuple(metadata_cols),
+        declared_columns=tuple(declared),
     )
+    if metadata_cols and connector != "kafka":
+        raise ValueError(
+            "METADATA columns are wired for the 'kafka' connector "
+            f"(got connector {connector!r})"
+        )
     if connector == "upsert-kafka" and not primary_key:
         # UpsertKafkaDynamicTableFactory.java:68 validatePKConstraints
         raise ValueError("'upsert-kafka' requires a PRIMARY KEY")

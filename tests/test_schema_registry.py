@@ -758,3 +758,129 @@ def test_kafka_topic_list_and_pattern(spark, tmp_path):
     for tbl in ("k_list", "k_pat"):
         with _pytest.raises(ValueError, match="single 'topic'"):
             eng.sql(f"INSERT INTO {tbl} VALUES (9, 'x')")
+
+
+def test_kafka_metadata_columns(spark, tmp_path):
+    """FLIP-107 metadata columns (new in Flink 1.12 —
+    SqlMetadataColumn + the kafka source's readable metadata): `name
+    TYPE METADATA [FROM 'key'] [VIRTUAL]` columns read from the
+    connector beside the payload. Emulation mappings: topic = the topic
+    directory name, partition = 0, timestamp = the producer batch's
+    mtime (the scan.startup 'timestamp' axis), timestamp-type =
+    'CreateTime'. Declared column ORDER is preserved in SELECT *;
+    INSERT maps positionally over physical columns only; unsupported
+    keys and non-kafka connectors fail descriptively."""
+    import datetime as _dt
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "md_topic")
+    publish(
+        spark.createDataFrame([(1, "a")], "k bigint, v string").select(
+            SF.to_json(SF.struct("k", "v")).alias("value")
+        ),
+        topic,
+    )
+    eng.sql(
+        f"""CREATE TABLE kmd (
+              k BIGINT,
+              topic STRING METADATA VIRTUAL,
+              v STRING,
+              part INT METADATA FROM 'partition' VIRTUAL,
+              ts TIMESTAMP_LTZ METADATA FROM 'timestamp',
+              tstype STRING METADATA FROM 'timestamp-type'
+            ) WITH ('connector' = 'kafka', 'topic' = '{topic}',
+                    'format' = 'json')"""
+    )
+    # declared order, not payload-then-metadata
+    df = eng.sql("SELECT * FROM kmd")
+    assert df.columns == ["k", "topic", "v", "part", "ts", "tstype"]
+    r = df.first()
+    assert (r["k"], r["v"], r["topic"], r["part"], r["tstype"]) == (
+        1, "a", "md_topic", 0, "CreateTime",
+    )
+    assert isinstance(r["ts"], _dt.datetime)
+    # INSERT maps positionally over the PHYSICAL columns only (metadata
+    # is read-only — Flink's VIRTUAL semantics)
+    eng.sql("INSERT INTO kmd VALUES (2, 'b')")
+    got = {(r["k"], r["v"]) for r in eng.sql("SELECT k, v FROM kmd").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # the streaming twin carries the same metadata
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    srows = run_to_memory(eng.stream_table("kmd")).collect()
+    assert {r["topic"] for r in srows} == {"md_topic"}
+    assert {r["k"] for r in srows} == {1, 2}
+
+    # unsupported metadata key → descriptive error at scan build
+    with _pytest.raises(Exception, match="offset"):
+        eng.sql(
+            f"""CREATE TABLE kmd_bad (k BIGINT,
+                  off BIGINT METADATA FROM 'offset'
+                ) WITH ('connector' = 'kafka', 'topic' = '{topic}',
+                        'format' = 'json')"""
+        )
+    # metadata on a non-kafka connector → rejected at parse
+    with _pytest.raises(ValueError, match="METADATA"):
+        eng.sql(
+            """CREATE TABLE fs_md (k BIGINT, t STRING METADATA FROM 'topic')
+               WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"""
+        )
+
+
+def test_kafka_metadata_columns_cdc_and_avro(spark, tmp_path):
+    """Metadata columns compose with the CDC and avro-confluent value
+    formats (the decode paths carry them through)."""
+    import pyspark.sql.functions as SF
+
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish,
+        read_topic_batch,
+        topic_table,
+    )
+    from flink_1_12_2_spark.sources.schema_registry import (
+        avro_registry_encode,
+    )
+
+    md = (("topic", "string", "topic"), ("part", "int", "partition"))
+    # debezium envelope with metadata passthrough
+    topic = str(tmp_path / "cdc_md")
+    env = spark.createDataFrame([(7, 1.5)], "k bigint, p double").select(
+        SF.to_json(
+            SF.struct(
+                SF.lit(None).cast("struct<k bigint, p double>").alias("before"),
+                SF.struct("k", "p").alias("after"),
+                SF.lit("c").alias("op"),
+                SF.lit(1).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    publish(env, topic)
+    got = read_topic_batch(
+        spark, topic, "debezium-json", "k bigint, p double",
+        metadata_cols=md,
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["topic"], got[0]["part"], got[0]["k"]) == ("cdc_md", 0, 7)
+
+    # avro-confluent with metadata rides the struct decode
+    topic2 = str(tmp_path / "avro_md")
+    reg = str(tmp_path / "reg.json")
+    opts = {"avro-confluent.schema-registry.url": f"file:{reg}",
+            "avro-confluent.subject": "avro_md-value"}
+    framed = avro_registry_encode(
+        spark.createDataFrame([(9, "z")], "k bigint, v string"),
+        reg, "avro_md-value",
+    )
+    publish(framed.select(SF.base64("value").alias("value")), topic2)
+    got2 = topic_table(
+        spark, topic2, "avro-confluent", options=opts, metadata_cols=md
+    ).collect()
+    assert len(got2) == 1
+    assert (got2[0]["k"], got2[0]["v"], got2[0]["topic"], got2[0]["part"]) \
+        == (9, "z", "avro_md", 0)
