@@ -230,7 +230,14 @@ class StatementSet:
 
 def _publish_to_topic(meta, out_df) -> int:
     """INSERT INTO a kafka-connector table = one producer batch
-    (kafka_emu.publish). Returns the row count written."""
+    (kafka_emu.publish). Returns the row count written.
+
+    ``'sink.semantic' = 'exactly-once'`` (FlinkKafkaProducer
+    Semantic.EXACTLY_ONCE through the table factory) routes the batch
+    through the emulation's two-phase-commit producer: staged invisible
+    under a dot-dir, one atomic rename publishes, any failure aborts the
+    staged batch so consumers never see a torn write. 'at-least-once'
+    and 'none' use the plain producer."""
     import pyspark.sql.functions as F
 
     from flink_1_12_2_spark.sources.kafka_emu import publish
@@ -263,5 +270,27 @@ def _publish_to_topic(meta, out_df) -> int:
             f"kafka sink format {meta.fmt!r} not supported "
             "(json, raw, avro-confluent; CDC formats are source-only)"
         )
-    publish(framed, meta.path)
+    semantic = meta.options.get("sink.semantic", "at-least-once")
+    if semantic == "exactly-once":
+        from flink_1_12_2_spark.sources.kafka_emu import (
+            abort_transaction,
+            begin_transaction,
+            commit_transaction,
+            publish_transactional,
+        )
+
+        txn = begin_transaction(meta.path)
+        try:
+            publish_transactional(framed, meta.path, txn)
+            commit_transaction(meta.path, txn)
+        except BaseException:
+            abort_transaction(meta.path, txn)
+            raise
+    elif semantic in ("at-least-once", "none"):
+        publish(framed, meta.path)
+    else:
+        raise ValueError(
+            f"sink.semantic {semantic!r} not supported "
+            "(at-least-once, exactly-once, none)"
+        )
     return n

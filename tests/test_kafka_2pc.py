@@ -92,3 +92,43 @@ def test_streaming_consumer_sees_only_committed(spark, tmp_path):
     got = {r["k"] for r in spark.sql(
         "SELECT * FROM t2pc_read_committed").collect()}
     assert got == {1}  # read-committed semantics
+
+
+def test_sink_semantic_exactly_once_through_sql(spark, tmp_path):
+    """'sink.semantic' = 'exactly-once' (FlinkKafkaProducer
+    Semantic.EXACTLY_ONCE via the table factory's option): the SQL
+    INSERT routes through the 2PC producer — the batch lands as one
+    atomically-renamed txnbatch dir, a concurrently OPEN transaction
+    stays invisible, and a bogus semantic fails descriptively."""
+    import os
+
+    import pytest as _pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import begin_transaction
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "eo_topic")
+    eng.sql(
+        f"""CREATE TABLE eo (k BIGINT, v STRING) WITH (
+              'connector' = 'kafka', 'topic' = '{topic}',
+              'format' = 'json', 'sink.semantic' = 'exactly-once')"""
+    )
+    eng.sql("INSERT INTO eo VALUES (1, 'a'), (2, 'b')")
+    dirs = os.listdir(topic)
+    assert any(d.startswith("txnbatch_") for d in dirs), dirs
+    assert not any(d.startswith(".txn_") for d in dirs), dirs
+    # an OPEN (uncommitted) transaction from another producer is
+    # invisible to the table's scans
+    begin_transaction(topic)
+    got = {r["k"] for r in eng.sql("SELECT * FROM eo").collect()}
+    assert got == {1, 2}
+
+    with _pytest.raises(ValueError, match="sink.semantic"):
+        eng2 = EngineSession(spark)
+        eng2.sql(
+            f"""CREATE TABLE eo_bad (k BIGINT) WITH (
+                  'connector' = 'kafka', 'topic' = '{tmp_path}/t2',
+                  'format' = 'json', 'sink.semantic' = 'maybe')"""
+        )
+        eng2.sql("INSERT INTO eo_bad VALUES (1)")
