@@ -445,6 +445,27 @@ def topic_table_stream(
 # just tombstones.
 
 
+def _buffer_flush_enabled(options: dict | None) -> bool:
+    """``sink.buffer-flush.max-rows`` > 0 turns on the per-key reduce
+    before produce. The reduce-in-buffer semantic is 1.12.2's jdbc/hbase
+    sink contract (flink-connector-jdbc/.../internal/executor/
+    TableBufferReducedStatementExecutor.java:63-104 — a HashMap keyed by
+    PK, last change wins); upsert-kafka itself gained the same
+    ``sink.buffer-flush.*`` options in a later Flink, so the emulation
+    accepts them here as a documented forward-port of the identical
+    semantics. ``sink.buffer-flush.interval`` is accepted and ignored —
+    the emulation's produce is synchronous per batch, so every INSERT is
+    its own flush."""
+    opts = options or {}
+    try:
+        return int(opts.get("sink.buffer-flush.max-rows", "0")) > 0
+    except ValueError:
+        raise ValueError(
+            "sink.buffer-flush.max-rows must be an integer, got "
+            f"{opts.get('sink.buffer-flush.max-rows')!r}"
+        ) from None
+
+
 def _value_fields_include(options: dict | None) -> str:
     inc = (options or {}).get("value.fields-include", "ALL").upper()
     if inc not in ("ALL", "EXCEPT_KEY"):
@@ -485,6 +506,28 @@ def publish_upsert(
     seq = _next_batch_seq(topic_dir)
     if row_kind_col is not None:
         df = df.filter(F.col(row_kind_col) != "-U")
+    if _buffer_flush_enabled(options):
+        # sink.buffer-flush.*: reduce the batch to the LAST change per
+        # key before producing (TableBufferReducedStatementExecutor's
+        # reduceBuffer.put(key, ...) — last addToBatch wins, tombstones
+        # included) — fewer messages on the wire, same normalized state.
+        # "Last" is arrival order, which the emulation's sub-sequence
+        # stands in for; the reduction assigns it pre-write so the kept
+        # row is exactly the one an unreduced batch would have resolved
+        # to.
+        from pyspark.sql import Window as _W
+
+        df = (
+            df.withColumn("__bf", F.monotonically_increasing_id())
+            .withColumn(
+                "__bfrn",
+                F.row_number().over(
+                    _W.partitionBy(*pk_cols).orderBy(F.col("__bf").desc())
+                ),
+            )
+            .filter(F.col("__bfrn") == 1)
+            .drop("__bf", "__bfrn")
+        )
     skip = {row_kind_col} if row_kind_col is not None else set()
     if _value_fields_include(options) == "EXCEPT_KEY":
         skip |= set(pk_cols)

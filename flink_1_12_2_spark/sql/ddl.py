@@ -452,19 +452,10 @@ def execute_ddl(engine: EngineSession, ddl: str):
             # when INSERT creates it). Connection/driver/auth failures
             # must surface AT DDL TIME — silently registering a sink
             # would defer them to a confusing missing-view error later
-            # (r11 advice). SQLStates: Derby 42X05, postgres 42P01,
-            # mysql/sqlserver 42S02; plus the message-text fallback.
-            msg = str(e)
-            if not (
-                "42X05" in msg
-                or "42P01" in msg
-                or "42S02" in msg
-                or re.search(
-                    r"(?i)(table|view|relation)[^\n]{0,200}"
-                    r"(does not exist|doesn't exist|not found)",
-                    msg,
-                )
-            ):
+            # (r11 advice).
+            from flink_1_12_2_spark.sources.jdbc import table_missing_error
+
+            if not table_missing_error(e):
                 raise
             engine.register_sink(name, meta)
             return engine.spark.createDataFrame([("OK",)], "result string")

@@ -117,20 +117,49 @@ class StatementSet:
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
                 if meta.connector == "jdbc":
+                    from flink_1_12_2_spark.operators.changelog import (
+                        ROW_KIND,
+                    )
                     from flink_1_12_2_spark.sql.ddl import _jdbc_frame
                     from flink_1_12_2_spark.sources.jdbc import (
                         DERBY_DRIVER,
+                        jdbc_upsert_write,
                         jdbc_write,
                     )
 
                     n_out = out_df.count()
-                    jdbc_write(
-                        out_df,
-                        meta.path,
-                        meta.options["table-name"],
-                        driver=meta.options.get("driver", DERBY_DRIVER),
-                        mode="overwrite" if b.overwrite else "append",
-                    )
+                    rk = ROW_KIND if ROW_KIND in out_df.columns else None
+                    if meta.primary_key:
+                        # PK declared → the key-aware executor stack
+                        # (JdbcDynamicOutputFormatBuilder): reduce per
+                        # key, upsert/delete against the store
+                        jdbc_upsert_write(
+                            out_df,
+                            meta.path,
+                            meta.options["table-name"],
+                            list(meta.primary_key),
+                            driver=meta.options.get("driver", DERBY_DRIVER),
+                            row_kind_col=rk,
+                            truncate_first=b.overwrite,
+                        )
+                    elif rk is not None:
+                        # JdbcDynamicTableSink.getChangelogMode: update/
+                        # delete rows need a PRIMARY KEY to address —
+                        # an append sink cannot consume them
+                        raise ValueError(
+                            f"INSERT of an updating stream into jdbc "
+                            f"table {b.sink!r} requires a PRIMARY KEY "
+                            "(append-only jdbc sinks cannot consume "
+                            "UPDATE/DELETE rows)"
+                        )
+                    else:
+                        jdbc_write(
+                            out_df,
+                            meta.path,
+                            meta.options["table-name"],
+                            driver=meta.options.get("driver", DERBY_DRIVER),
+                            mode="overwrite" if b.overwrite else "append",
+                        )
                     _jdbc_frame(spark, meta).createOrReplaceTempView(b.sink)
                     results.append((b.sink, n_out))
                     continue

@@ -82,3 +82,83 @@ def test_jdbc_connector_ddl_front_door(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bounded"):
         eng.stream_table("jt")
+
+
+def test_jdbc_upsert_write_reduce_and_merge(spark):
+    """TableBufferReducedStatementExecutor semantics: last change per key
+    wins, +I/+U upsert, -U/-D delete — applied against existing state."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.jdbc import jdbc_upsert_write
+
+    url = _url()
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    jdbc_write(base, url, "up1")
+    batch = spark.createDataFrame(
+        [
+            ("+U", 1, "a1"),
+            ("+U", 1, "a2"),   # same key twice — only a2 survives
+            ("-D", 2, None),   # delete
+            ("+I", 4, "d"),    # new key
+            ("+I", 5, "tmp"),
+            ("-D", 5, None),   # insert then delete in one batch → gone
+        ],
+        f"{ROW_KIND} string, k bigint, v string",
+    ).coalesce(1)
+    jdbc_upsert_write(batch, url, "up1", ["k"], row_kind_col=ROW_KIND)
+    got = {
+        r["k"]: r["v"] for r in jdbc_read(spark, url, "up1").collect()
+    }
+    assert got == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_jdbc_upsert_write_creates_missing_table(spark):
+    from flink_1_12_2_spark.sources.jdbc import jdbc_upsert_write
+
+    url = _url()
+    df = spark.createDataFrame([(1, "x"), (1, "y")], "k bigint, v string")
+    jdbc_upsert_write(df.coalesce(1), url, "up2", ["k"])
+    got = jdbc_read(spark, url, "up2").collect()
+    assert len(got) == 1 and got[0]["v"] == "y"
+
+
+def test_jdbc_pk_table_sql_insert_upserts(spark, tmp_path):
+    """INSERT INTO a jdbc table declared with a PRIMARY KEY goes through
+    the key-aware executor: repeated inserts of the same key upsert."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.jdbc import derby_url
+
+    eng = EngineSession(spark)
+    url = derby_url(str(tmp_path / "upsert_db"))
+    eng.sql(
+        f"""CREATE TABLE jup (k BIGINT, v STRING,
+                PRIMARY KEY (k) NOT ENFORCED) WITH (
+            'connector'='jdbc', 'url'='{url}', 'table-name'='remote_up')"""
+    )
+    eng.sql("INSERT INTO jup VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT INTO jup VALUES (1, 'a9'), (3, 'c')")
+    got = {r["k"]: r["v"] for r in spark.table("jup").collect()}
+    assert got == {1: "a9", 2: "b", 3: "c"}
+
+
+def test_jdbc_changelog_into_appendonly_rejected(spark, tmp_path):
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.jdbc import derby_url
+
+    import pytest
+
+    eng = EngineSession(spark)
+    url = derby_url(str(tmp_path / "app_db"))
+    eng.sql(
+        f"""CREATE TABLE japp (k BIGINT, v STRING) WITH (
+            'connector'='jdbc', 'url'='{url}', 'table-name'='remote_app')"""
+    )
+    ch = spark.createDataFrame(
+        [("+I", 1, "a"), ("-D", 1, None)],
+        f"{ROW_KIND} string, k bigint, v string",
+    )
+    ch.createOrReplaceTempView("ch_src")
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql("INSERT INTO japp SELECT * FROM ch_src")
