@@ -55,3 +55,134 @@ def lookup_join_mapinpandas(
             yield pdf
 
     return facts.mapInPandas(fn, output_schema)
+
+
+# ---------------------------------------------------------------------------
+# jdbc lookup (JdbcRowDataLookupFunction.java:59 + JdbcLookupOptions —
+# lookup.cache.max-rows / lookup.cache.ttl / lookup.max-retries, validated
+# like JdbcDynamicTableFactory.validateConfigOptions: the two cache options
+# come together or not at all, retries must be non-negative).
+#
+# Spark-first translation of the per-record TableFunction: the dimension is
+# re-read as a SNAPSHOT DataFrame and joined (tier 1) — Catalyst broadcasts
+# it when it fits, and AQE falls back to a shuffled join when it doesn't,
+# which is exactly the role lookup.cache.max-rows plays below.
+#
+#   no cache       → the snapshot is re-resolved on EVERY lookup call:
+#                    each join sees the store's current rows, the same
+#                    freshness contract as Flink's uncached per-record
+#                    SELECT.
+#   cache (ttl,N)  → the snapshot is reused until lookup.cache.ttl
+#                    elapses — Flink's Guava expireAfterWrite collapsed
+#                    from per-key grain to table grain (documented
+#                    deviation: a cached key and an uncached key go stale
+#                    together here; max staleness is IDENTICAL). The
+#                    max-rows bound caps what this engine may BROADCAST:
+#                    a snapshot wider than lookup.cache.max-rows joins
+#                    shuffled instead (Flink evicts LRU keys; a snapshot
+#                    engine's analogous memory guard is "don't pin an
+#                    over-budget table on every executor").
+#   max-retries    → re-issue the snapshot read, like re-establishing the
+#                    statement in the reference's retry loop.
+
+_JDBC_LOOKUP_CACHE: dict[tuple, tuple] = {}
+
+
+def parse_jdbc_lookup_options(options: dict | None) -> tuple:
+    """(cache_max_rows, cache_ttl_sec, max_retries) with factory-parity
+    validation; cache fields are None when caching is off."""
+    o = options or {}
+    has_rows = "lookup.cache.max-rows" in o
+    has_ttl = "lookup.cache.ttl" in o
+    if has_rows != has_ttl:
+        raise ValueError(
+            "either all or none of 'lookup.cache.max-rows' and "
+            "'lookup.cache.ttl' must be specified"
+        )
+    retries = int(o.get("lookup.max-retries", "3"))
+    if retries < 0:
+        raise ValueError(
+            f"'lookup.max-retries' must be >= 0, got {retries}"
+        )
+    if not has_rows:
+        return None, None, retries
+    rows = int(o["lookup.cache.max-rows"])
+    ttl = _parse_duration_sec(o["lookup.cache.ttl"])
+    return rows, ttl, retries
+
+
+def _parse_duration_sec(v: str) -> float:
+    """Flink duration literal ('10s', '500ms', '2min', '1h', bare ms)."""
+    import re
+
+    m = re.match(r"(?i)^\s*(\d+(?:\.\d+)?)\s*(ms|sec|min|s|m|h)?\s*$", v)
+    if not m:
+        raise ValueError(f"cannot parse duration {v!r}")
+    unit = (m.group(2) or "ms").lower()
+    mult = {
+        "ms": 0.001, "s": 1.0, "sec": 1.0,
+        "min": 60.0, "m": 60.0, "h": 3600.0,
+    }[unit]
+    return float(m.group(1)) * mult
+
+
+def jdbc_lookup_snapshot(
+    spark,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    options: dict | None = None,
+    _now: Callable[[], float] | None = None,
+) -> tuple[DataFrame, bool]:
+    """The dimension snapshot the lookup joins against, honoring the
+    lookup.cache.* contract. Returns (frame, may_broadcast)."""
+    import time as _time
+
+    from flink_1_12_2_spark.sources.jdbc import DERBY_DRIVER, jdbc_read
+
+    driver = driver or DERBY_DRIVER
+    rows, ttl, retries = parse_jdbc_lookup_options(options)
+    now = _now or _time.monotonic
+
+    def _read() -> DataFrame:
+        err = None
+        for _ in range(max(1, retries + 1)):
+            try:
+                return jdbc_read(spark, url, table, driver=driver)
+            except Exception as e:  # noqa: BLE001 — rethrown after retries
+                err = e
+        raise err
+
+    if rows is None:
+        return _read(), True
+    key = (url, table)
+    hit = _JDBC_LOOKUP_CACHE.get(key)
+    if hit is not None and now() - hit[1] < ttl:
+        df = hit[0]
+    else:
+        # pin the snapshot so every micro-batch / reuse within the TTL
+        # joins the SAME version (localCheckpoint: no re-query races)
+        df = _read().localCheckpoint(eager=True)
+        _JDBC_LOOKUP_CACHE[key] = (df, now())
+    may_broadcast = df.count() <= rows
+    return df, may_broadcast
+
+
+def lookup_join_jdbc(
+    facts: DataFrame,
+    url: str,
+    table: str,
+    fact_key: str,
+    dim_key: str,
+    driver: str | None = None,
+    options: dict | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Processing-time lookup join against a jdbc dimension — the plan
+    behind ``JOIN dim FOR SYSTEM_TIME AS OF f.proctime`` when the
+    versioned side is a jdbc connector table."""
+    dim, may_broadcast = jdbc_lookup_snapshot(
+        facts.sparkSession, url, table, driver=driver, options=options
+    )
+    right = F.broadcast(dim) if may_broadcast else dim
+    return facts.join(right, facts[fact_key] == dim[dim_key], how)

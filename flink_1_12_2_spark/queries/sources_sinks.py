@@ -814,3 +814,48 @@ def state_window_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "w_start")
     )
+
+
+@query(
+    "jdbc_lookup_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           CAST(c.c_acctbal * 100 AS BIGINT) AS acctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey <= 500
+    ORDER BY c.c_custkey
+    """,
+    tags=("batch", "jdbc", "join", "lookup"),
+)
+def jdbc_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE jdbc lookup join (JdbcRowDataLookupFunction.java:59 +
+    JdbcLookupOptions cache contract): the nation dimension lives in an
+    embedded Derby table; customer facts join it FOR-SYSTEM-TIME-style
+    through the cached-snapshot lookup path (lookup.cache.max-rows /
+    lookup.cache.ttl honored; snapshot broadcast because it fits the
+    max-rows budget). Balances as exact cents for a stable value hash."""
+    from flink_1_12_2_spark.operators.lookup import lookup_join_jdbc
+    from flink_1_12_2_spark.sources.jdbc import derby_url, jdbc_write
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    url = derby_url(_tmp("derby_lk_"))
+    jdbc_write(n, url, "nation_dim")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+    out = lookup_join_jdbc(
+        c, url, "nation_dim", "c_nationkey", "n_nationkey",
+        options={
+            "lookup.cache.max-rows": "1000",
+            "lookup.cache.ttl": "10min",
+        },
+        how="inner",
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation_name"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    ).orderBy("c_custkey")

@@ -345,7 +345,13 @@ GATE_ORDER: tuple[str, ...] = (
     "stream_changelog_upsert",
     "changelog_reagg_minmax",
     # lookup join + multi-sink statement set
-    "lookup_join_external",
+    # (r12: lookup_join_external — gate-green since r4 — rotates to local
+    # verification; the lookup family stays gated through the NEW row
+    # below, which adds the live jdbc store + the lookup.cache contract
+    # on top of the same join shape)
+    # r12 NEW operator: jdbc lookup join (JdbcRowDataLookupFunction +
+    # JdbcLookupOptions cache/TTL/retries; FOR SYSTEM_TIME front door)
+    "jdbc_lookup_join",
     "statement_set_multi_sink",
     # iterations, DataSet facade, graph (r9: iterate_pagerank rotates to
     # local verification — bulk iteration is subsumed by dataset_delta_cc's

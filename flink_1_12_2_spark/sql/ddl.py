@@ -391,6 +391,13 @@ def _jdbc_frame(spark, meta):
     }
     if "username" in extra:  # Flink name → JDBC property name
         extra["user"] = extra.pop("username")
+    if "scan.fetch-size" in o:
+        # JdbcDynamicTableFactory SCAN_FETCH_SIZE → Spark's fetchsize
+        # (rows per remote-cursor round trip, 1:1 semantics)
+        extra["fetchsize"] = str(int(o["scan.fetch-size"]))
+    # scan.auto-commit needs no mapping: Spark's jdbc reader manages the
+    # connection's commit mode itself (disabling auto-commit is exactly
+    # what the option exists for on postgres-style cursored fetches)
     pc = o.get("scan.partition.column")
     return jdbc_read(
         spark,

@@ -53,19 +53,40 @@ def temporal_join_sql(engine, sql: str) -> DataFrame:
         left_key, right_key = m.group("k2"), m.group("k1")
     left_time = m.group("ts")
     meta = engine.meta(dim_name)
-    right_time = (
-        meta.event_time_col if meta and meta.event_time_col else left_time
-    )
     fact = engine.spark.table(fact_name)
-    dim = engine.spark.table(dim_name)
-    out = asof_join(
-        fact,
-        dim,
-        left_key=left_key,
-        right_key=right_key,
-        left_time=left_time,
-        right_time=right_time,
-    )
+    if meta is not None and meta.connector == "jdbc":
+        # A jdbc versioned side is Flink's LOOKUP join (the jdbc source
+        # implements LookupTableSource, not a versioned event-time
+        # table): AS OF f.proctime = join each fact row to the store's
+        # CURRENT row for its key, honoring lookup.cache.* / retries
+        # (JdbcRowDataLookupFunction.java:59). The AS OF column itself
+        # is the processing-time marker and does not partition versions.
+        from flink_1_12_2_spark.operators.lookup import lookup_join_jdbc
+        from flink_1_12_2_spark.sources.jdbc import DERBY_DRIVER
+
+        out = lookup_join_jdbc(
+            fact,
+            meta.path,
+            meta.options["table-name"],
+            fact_key=left_key,
+            dim_key=right_key,
+            driver=meta.options.get("driver", DERBY_DRIVER),
+            options=meta.options,
+            how="inner",
+        )
+    else:
+        right_time = (
+            meta.event_time_col if meta and meta.event_time_col else left_time
+        )
+        dim = engine.spark.table(dim_name)
+        out = asof_join(
+            fact,
+            dim,
+            left_key=left_key,
+            right_key=right_key,
+            left_time=left_time,
+            right_time=right_time,
+        )
     cols = m.group("cols").strip()
     if cols != "*":
         exprs = []

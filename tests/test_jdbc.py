@@ -162,3 +162,135 @@ def test_jdbc_changelog_into_appendonly_rejected(spark, tmp_path):
     ch.createOrReplaceTempView("ch_src")
     with pytest.raises(ValueError, match="PRIMARY KEY"):
         eng.sql("INSERT INTO japp SELECT * FROM ch_src")
+
+
+def test_jdbc_lookup_options_validation():
+    from flink_1_12_2_spark.operators.lookup import (
+        parse_jdbc_lookup_options,
+        _parse_duration_sec,
+    )
+
+    import pytest
+
+    assert parse_jdbc_lookup_options(None) == (None, None, 3)
+    assert parse_jdbc_lookup_options(
+        {"lookup.cache.max-rows": "100", "lookup.cache.ttl": "10s",
+         "lookup.max-retries": "1"}
+    ) == (100, 10.0, 1)
+    with pytest.raises(ValueError, match="all or none"):
+        parse_jdbc_lookup_options({"lookup.cache.max-rows": "100"})
+    with pytest.raises(ValueError, match="max-retries"):
+        parse_jdbc_lookup_options({"lookup.max-retries": "-1"})
+    assert _parse_duration_sec("500ms") == 0.5
+    assert _parse_duration_sec("2min") == 120.0
+    assert _parse_duration_sec("1h") == 3600.0
+
+
+def test_jdbc_lookup_join_uncached_sees_updates(spark):
+    """No lookup.cache.* → every lookup re-reads the store (Flink's
+    uncached per-record SELECT freshness)."""
+    from flink_1_12_2_spark.operators.lookup import lookup_join_jdbc
+
+    url = _url()
+    jdbc_write(
+        spark.createDataFrame([(1, "old")], "k bigint, name string"),
+        url, "dim1",
+    )
+    facts = spark.createDataFrame([(10, 1)], "fid bigint, fk bigint")
+    got1 = lookup_join_jdbc(facts, url, "dim1", "fk", "k").collect()
+    assert got1[0]["name"] == "old"
+    jdbc_write(
+        spark.createDataFrame([(1, "new")], "k bigint, name string"),
+        url, "dim1", mode="overwrite",
+    )
+    got2 = lookup_join_jdbc(facts, url, "dim1", "fk", "k").collect()
+    assert got2[0]["name"] == "new"
+
+
+def test_jdbc_lookup_join_cache_ttl(spark):
+    """With the cache on, the snapshot holds until lookup.cache.ttl."""
+    from flink_1_12_2_spark.operators import lookup as lk
+
+    url = _url()
+    jdbc_write(
+        spark.createDataFrame([(1, "v1")], "k bigint, name string"),
+        url, "dim2",
+    )
+    facts = spark.createDataFrame([(10, 1)], "fid bigint, fk bigint")
+    opts = {"lookup.cache.max-rows": "1000", "lookup.cache.ttl": "10min"}
+    assert (
+        lk.lookup_join_jdbc(facts, url, "dim2", "fk", "k", options=opts)
+        .collect()[0]["name"]
+        == "v1"
+    )
+    jdbc_write(
+        spark.createDataFrame([(1, "v2")], "k bigint, name string"),
+        url, "dim2", mode="overwrite",
+    )
+    # inside the TTL: the stale snapshot is served
+    assert (
+        lk.lookup_join_jdbc(facts, url, "dim2", "fk", "k", options=opts)
+        .collect()[0]["name"]
+        == "v1"
+    )
+    # force expiry (simulate the TTL elapsing) → re-read
+    key = (url, "dim2")
+    df, ts = lk._JDBC_LOOKUP_CACHE[key]
+    lk._JDBC_LOOKUP_CACHE[key] = (df, ts - 601)
+    assert (
+        lk.lookup_join_jdbc(facts, url, "dim2", "fk", "k", options=opts)
+        .collect()[0]["name"]
+        == "v2"
+    )
+
+
+def test_jdbc_lookup_max_rows_disables_broadcast(spark):
+    from flink_1_12_2_spark.operators.lookup import jdbc_lookup_snapshot
+
+    url = _url()
+    jdbc_write(spark.range(50).selectExpr("id AS k"), url, "dim3")
+    _, bc_ok = jdbc_lookup_snapshot(
+        spark, url, "dim3",
+        options={"lookup.cache.max-rows": "100",
+                 "lookup.cache.ttl": "10min"},
+    )
+    assert bc_ok is True
+    _, bc_big = jdbc_lookup_snapshot(
+        spark, url, "dim3",
+        options={"lookup.cache.max-rows": "10",
+                 "lookup.cache.ttl": "0ms"},
+    )
+    assert bc_big is False
+
+
+def test_jdbc_lookup_sql_front_door(spark, tmp_path):
+    """JOIN dim FOR SYSTEM_TIME AS OF f.proctime against a jdbc table
+    routes to the lookup join (current-snapshot semantics)."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.jdbc import derby_url
+
+    eng = EngineSession(spark)
+    url = derby_url(str(tmp_path / "lk_db"))
+    jdbc_write(
+        spark.createDataFrame(
+            [(1, "EUR"), (2, "USD")], "cid bigint, currency string"
+        ),
+        url, "rates",
+    )
+    eng.sql(
+        f"""CREATE TABLE rates (cid BIGINT, currency STRING) WITH (
+            'connector'='jdbc', 'url'='{url}', 'table-name'='rates')"""
+    )
+    spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 1)],
+        "order_id bigint, cid bigint",
+    ).selectExpr("*", "current_timestamp() AS proctime") \
+        .createOrReplaceTempView("orders_pt")
+    out = eng.sql(
+        """SELECT o.order_id, r.currency FROM orders_pt AS o
+           JOIN rates FOR SYSTEM_TIME AS OF o.proctime AS r
+           ON o.cid = r.cid ORDER BY o.order_id"""
+    ).collect()
+    assert [(r["order_id"], r["currency"]) for r in out] == [
+        (100, "EUR"), (101, "USD"), (102, "EUR"),
+    ]
