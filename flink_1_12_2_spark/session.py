@@ -407,6 +407,21 @@ class EngineSession:
                 "jdbc tables are bounded scans (+ lookup joins) — Flink's "
                 "jdbc source has no unbounded mode either"
             )
+        if meta.connector in ("print", "blackhole"):
+            raise ValueError(
+                f"{meta.connector!r} is a sink-only connector"
+            )
+        if meta.connector == "datagen":
+            from flink_1_12_2_spark.sources.devgen import datagen_stream
+
+            df = datagen_stream(
+                self.spark, meta.schema_ddl or "", meta.options
+            )
+            if meta.event_time_col and meta.watermark_delay:
+                df = df.withWatermark(
+                    meta.event_time_col, meta.watermark_delay
+                )
+            return df
         if meta.connector == "upsert-kafka":
             from flink_1_12_2_spark.sources.kafka_emu import (
                 read_upsert_topic_changelog_stream,
@@ -495,7 +510,29 @@ class EngineSession:
             return match_recognize(self.spark.table(m.group(1)), query)
         from flink_1_12_2_spark.sql.rewriter import rewrite
 
-        return self.spark.sql(rewrite(query))
+        try:
+            return self.spark.sql(rewrite(query))
+        except Exception as e:
+            # a table can be REGISTERED (CREATE TABLE succeeded) yet have
+            # no scan view — a sink awaiting its first INSERT, or an
+            # unbounded datagen. Spark then says "not found", which reads
+            # as a typo; name the real state instead.
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                m = re.search(r"`(\w+)`", msg)
+                meta = self._tables.get(m.group(1)) if m else None
+                if meta is not None and meta.connector == "datagen":
+                    raise ValueError(
+                        f"table {m.group(1)!r} is an UNBOUNDED datagen "
+                        "source — a batch scan needs 'number-of-rows' or "
+                        "a sequence field; read it with stream_table()"
+                    ) from e
+                if meta is not None:
+                    raise ValueError(
+                        f"table {m.group(1)!r} is registered as a sink "
+                        "with no data yet — INSERT INTO it first"
+                    ) from e
+            raise
 
     def explain_sql(self, query: str) -> DataFrame:
         """EXPLAIN [PLAN FOR] — TableEnvironment.explainSql parity

@@ -179,10 +179,21 @@ def parse_create_table(
         fmt = "jdbc"
         if "table-name" not in opts:
             raise ValueError("connector 'jdbc' requires 'table-name'")
+    elif connector == "datagen":
+        # DataGenTableSourceFactory.java:48 (sources/devgen.py): the
+        # per-field kind/min/max/length/start/end options stay in the
+        # option bag; there is no backing path
+        path = "(datagen)"
+        fmt = "datagen"
+    elif connector in ("print", "blackhole"):
+        # PrintTableSinkFactory / BlackHoleTableSinkFactory: sink-only
+        path = f"({connector})"
+        fmt = connector
     elif connector != "filesystem":
         raise ValueError(
             f"connector {connector!r} not available in this environment "
-            "(filesystem, the kafka emulations, and jdbc)"
+            "(filesystem, the kafka emulations, jdbc, and the "
+            "datagen/print/blackhole dev connectors)"
         )
     else:
         path = _required("path")
@@ -470,6 +481,29 @@ def execute_ddl(engine: EngineSession, ddl: str):
         engine._tables[name] = meta
         engine._catalogs.setdefault(engine._current_catalog, set()).add(name)
         return df
+    if meta.connector == "datagen":
+        from flink_1_12_2_spark.sources.devgen import (
+            _bounded_rows,
+            datagen_frame,
+        )
+
+        if _bounded_rows(meta.schema_ddl or "", meta.options) is not None:
+            df = datagen_frame(
+                engine.spark, meta.schema_ddl or "", meta.options
+            )
+            df.createOrReplaceTempView(name)
+            engine._tables[name] = meta
+            engine._catalogs.setdefault(
+                engine._current_catalog, set()
+            ).add(name)
+            return df
+        # unbounded: meta only — stream_table() reads it; a batch scan
+        # fails in datagen_frame with the bound-it-or-stream-it error
+        engine.register_sink(name, meta)
+        return engine.spark.createDataFrame([("OK",)], "result string")
+    if meta.connector in ("print", "blackhole"):
+        engine.register_sink(name, meta)
+        return engine.spark.createDataFrame([("OK",)], "result string")
     if meta.connector in ("kafka", "upsert-kafka"):
         from flink_1_12_2_spark.sources.kafka_emu import _topic_paths
 

@@ -116,6 +116,29 @@ class StatementSet:
                     # schema (Flink INSERT INTO semantics — VALUES rows
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
+                if meta.connector == "print":
+                    # PrintTableSinkFactory: dev sink — rows to stdout/
+                    # stderr in Flink's +I[..] changelog row format
+                    from flink_1_12_2_spark.operators.changelog import (
+                        ROW_KIND,
+                    )
+                    from flink_1_12_2_spark.sources.devgen import print_sink
+
+                    rk = ROW_KIND if ROW_KIND in out_df.columns else None
+                    n_out = print_sink(
+                        out_df, options=meta.options, row_kind_col=rk
+                    )
+                    results.append((b.sink, n_out))
+                    continue
+                if meta.connector == "blackhole":
+                    from flink_1_12_2_spark.sources.filesystem import (
+                        blackhole,
+                    )
+
+                    n_out = out_df.count()
+                    blackhole(out_df)
+                    results.append((b.sink, n_out))
+                    continue
                 if meta.connector == "jdbc":
                     from flink_1_12_2_spark.operators.changelog import (
                         ROW_KIND,

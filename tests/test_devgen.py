@@ -1,0 +1,110 @@
+"""datagen / print / blackhole dev connectors (DataGenTableSourceFactory,
+PrintTableSinkFactory, BlackHoleTableSinkFactory parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_datagen_sequence_is_deterministic(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        """CREATE TABLE gen_seq (id BIGINT, tag STRING) WITH (
+            'connector'='datagen',
+            'fields.id.kind'='sequence',
+            'fields.id.start'='10', 'fields.id.end'='14',
+            'fields.tag.kind'='sequence',
+            'fields.tag.start'='100', 'fields.tag.end'='999')"""
+    )
+    rows = eng.sql("SELECT * FROM gen_seq ORDER BY id").collect()
+    # bounded by the SMALLEST sequence span (id: 5 values)
+    assert [(r["id"], r["tag"]) for r in rows] == [
+        (10, "100"), (11, "101"), (12, "102"), (13, "103"), (14, "104"),
+    ]
+
+
+def test_datagen_random_bounds_and_length(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        """CREATE TABLE gen_rnd (v INT, f DOUBLE, s STRING, b BOOLEAN)
+        WITH ('connector'='datagen', 'number-of-rows'='200',
+              'fields.v.min'='5', 'fields.v.max'='7',
+              'fields.f.min'='0.5', 'fields.f.max'='0.75',
+              'fields.s.length'='10')"""
+    )
+    rows = spark.table("gen_rnd").collect()
+    assert len(rows) == 200
+    vs = {r["v"] for r in rows}
+    assert vs <= {5, 6, 7} and len(vs) > 1  # in-bounds and actually random
+    assert all(0.5 <= r["f"] <= 0.75 for r in rows)
+    assert all(len(r["s"]) == 10 for r in rows)
+    assert {r["b"] for r in rows} == {True, False}
+
+
+def test_datagen_default_bigint_full_range(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        """CREATE TABLE gen_big (x BIGINT) WITH (
+            'connector'='datagen', 'number-of-rows'='500')"""
+    )
+    rows = [r["x"] for r in spark.table("gen_big").collect()]
+    assert len(rows) == 500 and all(r is not None for r in rows)
+    # full-range: both signs show up in 500 uniform 64-bit draws
+    assert any(r < 0 for r in rows) and any(r > 0 for r in rows)
+
+
+def test_datagen_unbounded_batch_scan_rejected(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        "CREATE TABLE gen_unb (x BIGINT) WITH ('connector'='datagen')"
+    )
+    with pytest.raises(Exception, match="UNBOUNDED"):
+        eng.sql("SELECT * FROM gen_unb").collect()
+    # the streaming twin works and is bound-free
+    st = eng.stream_table("gen_unb")
+    assert st.isStreaming and st.columns == ["x"]
+
+
+def test_print_sink_row_format(spark, capsys):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        """CREATE TABLE out_p (k BIGINT, v STRING) WITH (
+            'connector'='print', 'print-identifier'='dbg')"""
+    )
+    eng.sql("INSERT INTO out_p VALUES (1, 'a'), (2, CAST(NULL AS STRING))")
+    cap = capsys.readouterr().out
+    assert "dbg> +I[1, a]" in cap
+    assert "dbg> +I[2, null]" in cap
+
+
+def test_blackhole_sink_accepts_inserts(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql(
+        "CREATE TABLE out_b (k BIGINT) WITH ('connector'='blackhole')"
+    )
+    res = eng.sql("INSERT INTO out_b VALUES (1), (2), (3)").collect()
+    assert res[0][1] == 3  # rows written
+
+
+def test_datagen_unknown_kind_rejected(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    with pytest.raises(ValueError, match="random or sequence"):
+        eng.sql(
+            """CREATE TABLE gen_bad (x INT) WITH (
+                'connector'='datagen', 'number-of-rows'='5',
+                'fields.x.kind'='gaussian')"""
+        )
