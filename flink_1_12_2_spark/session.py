@@ -254,6 +254,12 @@ class EngineSession:
         # a map; so do we)
         self._db_props: dict[str, dict[str, str]] = {}
         self._view_props: dict[str, dict[str, str]] = {}
+        # Temporal table functions (Table.createTemporalTableFunction —
+        # flink-table-api-java/.../api/Table.java:115): name →
+        # (history table name or DataFrame, time attribute, primary key).
+        # Joined via the comma + LATERAL TABLE (fn(ts)) SQL form
+        # (sql/temporal.temporal_fn_join_sql).
+        self._temporal_fns: dict[str, tuple] = {}
         # kafka-backed temp views pin their file index at registration;
         # Flink's scan resolves at QUERY time, so `sql()`/`table()`
         # re-register any view whose topic directory changed since —
@@ -271,6 +277,19 @@ class EngineSession:
         )
 
         register_flink_sql_functions(self.spark)
+
+    def create_temporal_table_function(
+        self, name: str, history, time_attr: str, primary_key: str
+    ) -> None:
+        """Register a temporal table function over a history table
+        (Table.createTemporalTableFunction(timeAttribute, primaryKey) +
+        createTemporarySystemFunction). ``history`` is a registered table
+        name or a DataFrame. Use in SQL as
+        ``FROM fact f, LATERAL TABLE (name(f.ts)) r WHERE f.k = r.k`` —
+        each fact row joins the history version current at its time."""
+        if isinstance(history, str):
+            self.spark.table(history)  # fail fast on typos
+        self._temporal_fns[name] = (history, time_attr, primary_key)
 
     # -- registry -----------------------------------------------------------
     def register_table(self, name: str, meta: TableMeta) -> None:
@@ -501,6 +520,12 @@ class EngineSession:
             from flink_1_12_2_spark.sql.temporal import temporal_join_sql
 
             return temporal_join_sql(self, query)
+        from flink_1_12_2_spark.sql.temporal import is_temporal_fn_query
+
+        if is_temporal_fn_query(self, query):
+            from flink_1_12_2_spark.sql.temporal import temporal_fn_join_sql
+
+            return temporal_fn_join_sql(self, query)
         if re.search(r"(?i)\bMATCH_RECOGNIZE\b", query):
             from flink_1_12_2_spark.sql.match_recognize import match_recognize
 

@@ -389,6 +389,40 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
     return engine.spark.createDataFrame([("OK",)], "result string")
 
 
+def _format_scan_options(fmt: str, opts: dict) -> dict:
+    """Map Flink format options (flink-formats/flink-csv CsvOptions,
+    flink-json JsonOptions) onto Spark reader options; unmapped keys
+    pass through (Spark ignores unknown reader options).
+
+    - csv.field-delimiter → sep; csv.null-literal → nullValue;
+      csv.quote-character → quote; csv.escape-character → escape;
+      csv.allow-comments → comment '#'
+    - {csv,json}.ignore-parse-errors: Flink SKIPS the bad record →
+      DROPMALFORMED; absent/false = fail on malformed → FAILFAST
+      (Spark's silent-null PERMISSIVE default matches neither).
+    """
+    mapped = dict(opts)
+    ipe = mapped.pop(f"{fmt}.ignore-parse-errors", None)
+    if fmt in ("csv", "json"):
+        mapped["mode"] = (
+            "DROPMALFORMED"
+            if (ipe or "").lower() == "true"
+            else "FAILFAST"
+        )
+    renames = {
+        "csv.field-delimiter": "sep",
+        "csv.null-literal": "nullValue",
+        "csv.quote-character": "quote",
+        "csv.escape-character": "escape",
+    }
+    for flink_key, spark_key in renames.items():
+        if flink_key in mapped:
+            mapped[spark_key] = mapped.pop(flink_key)
+    if (mapped.pop("csv.allow-comments", "") or "").lower() == "true":
+        mapped["comment"] = "#"
+    return mapped
+
+
 def _jdbc_frame(spark, meta):
     """Scan a jdbc-connector table from its registry metadata
     (JdbcDynamicTableSource: scan.partition.* → Spark's range options)."""
@@ -532,7 +566,7 @@ def execute_ddl(engine: EngineSession, ddl: str):
         engine.register_table(name, meta)
         return engine.spark.table(name)
     reader = engine.spark.read.format(meta.fmt)
-    for k, v in meta.options.items():
+    for k, v in _format_scan_options(meta.fmt, meta.options).items():
         reader = reader.option(k, v)
     if meta.fmt == "csv":
         reader = reader.option("header", "true")

@@ -116,6 +116,13 @@ class StatementSet:
                     # schema (Flink INSERT INTO semantics — VALUES rows
                     # arrive as col1..colN)
                     out_df = out_df.toDF(*meta.columns)
+                if "sink.parallelism" in meta.options:
+                    # FLIP-95 sink.parallelism (1.12: filesystem/kafka
+                    # factories): the writer's parallelism = the frame's
+                    # partition count feeding the write
+                    out_df = out_df.repartition(
+                        int(meta.options["sink.parallelism"])
+                    )
                 if meta.connector == "print":
                     # PrintTableSinkFactory: dev sink — rows to stdout/
                     # stderr in Flink's +I[..] changelog row format
@@ -244,11 +251,15 @@ class StatementSet:
                     ).createOrReplaceTempView(b.sink)
                     results.append((b.sink, n_out))
                     continue
+                from flink_1_12_2_spark.sql.ddl import _format_scan_options
+
+                fmt_opts = _format_scan_options(meta.fmt, meta.options)
                 writer = out_df.write.format(meta.fmt).mode(
                     "overwrite" if b.overwrite else "append"
                 )
-                for k, v in meta.options.items():
-                    writer = writer.option(k, v)
+                for k, v in fmt_opts.items():
+                    if k != "mode":  # reader-only: parse-error handling
+                        writer = writer.option(k, v)
                 if meta.fmt == "csv":
                     writer = writer.option("header", "true")
                 writer.save(meta.path)
@@ -257,7 +268,7 @@ class StatementSet:
                 # SELECTs in the same session read what was just inserted
                 # (CREATE TABLE for a not-yet-existing path could not)
                 reader = spark.read.format(meta.fmt)
-                for k, v in meta.options.items():
+                for k, v in fmt_opts.items():
                     reader = reader.option(k, v)
                 if meta.fmt == "csv":
                     reader = reader.option("header", "true")

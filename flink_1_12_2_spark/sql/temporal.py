@@ -106,3 +106,90 @@ def temporal_join_sql(engine, sql: str) -> DataFrame:
         ]
         out = out.orderBy(*order_cols)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal TABLE FUNCTION (the pre-FOR-SYSTEM_TIME API, still first-class
+# in 1.12): Table.createTemporalTableFunction(timeAttribute, primaryKey) —
+# flink-table-api-java/.../api/Table.java:115 /
+# functions/TemporalTableFunctionImpl.java — registered as a function and
+# joined with the comma + LATERAL TABLE (Rates(o.rowtime)) form, the key
+# equality carried in WHERE (TemporalTableFunctionJoinRule lowers it to
+# the same temporal join as FOR SYSTEM_TIME). The engine mirrors that:
+# the registered spec lowers onto operators/asof.asof_join — union +
+# window, one shuffle.
+
+_TTF = re.compile(
+    r"(?is)^\s*SELECT\s+(?P<cols>.*?)\s+"
+    r"FROM\s+(?P<fact>\w+)(?:\s+(?:AS\s+)?(?P<fa>\w+))?\s*,\s*"
+    r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*"
+    r"(?P<ta>\w+)\.(?P<ts>\w+)\s*\)\s*\)\s*(?:(?:AS\s+)?(?P<da>\w+))?\s+"
+    r"WHERE\s+(?P<a1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<a2>\w+)\.(?P<k2>\w+)\s*"
+    r"(?:ORDER\s+BY\s+(?P<ob>[\w.,\s]+?))?\s*;?\s*$"
+)
+
+
+def is_temporal_fn_query(engine, sql: str) -> bool:
+    m = re.search(r"(?is)LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(", sql)
+    return bool(m) and m.group(1) in getattr(engine, "_temporal_fns", {})
+
+
+def temporal_fn_join_sql(engine, sql: str) -> DataFrame:
+    """Execute a restricted comma-join LATERAL TABLE(fn(ts)) statement
+    against a registered temporal table function."""
+    m = _TTF.match(sql)
+    if not m:
+        raise ValueError(
+            "unsupported temporal-table-function syntax — expected "
+            "SELECT ... FROM <fact> [f], LATERAL TABLE (Fn(f.<ts>)) [r] "
+            "WHERE f.<key> = r.<key> [ORDER BY ...]"
+        )
+    spec = engine._temporal_fns.get(m.group("fn"))
+    if spec is None:
+        raise ValueError(
+            f"temporal table function {m.group('fn')!r} is not registered"
+        )
+    history, time_attr, pk = spec
+    fa = m.group("fa") or m.group("fact")
+    # which WHERE side is the fact's key
+    if m.group("a1") == fa:
+        left_key, right_key = m.group("k1"), m.group("k2")
+    else:
+        left_key, right_key = m.group("k2"), m.group("k1")
+    if right_key != pk:
+        raise ValueError(
+            f"the WHERE equality must bind the function's primary key "
+            f"{pk!r}, got {right_key!r}"
+        )
+    fact = engine.spark.table(m.group("fact"))
+    dim = (
+        history
+        if isinstance(history, DataFrame)
+        else engine.spark.table(history)
+    )
+    out = asof_join(
+        fact,
+        dim,
+        left_key=left_key,
+        right_key=pk,
+        left_time=m.group("ts"),
+        right_time=time_attr,
+    )
+    cols = m.group("cols").strip()
+    if cols != "*":
+        exprs = []
+        for c in cols.split(","):
+            c = c.strip()
+            cm = re.match(r"(?is)^(\w+)\.(\w+)(?:\s+AS\s+(\w+))?$", c)
+            if not cm:
+                raise ValueError(f"unsupported select item: {c!r}")
+            name = cm.group(2)
+            exprs.append(
+                out[name].alias(cm.group(3)) if cm.group(3) else out[name]
+            )
+        out = out.select(*exprs)
+    if m.group("ob"):
+        out = out.orderBy(
+            *[c.strip().split(".")[-1] for c in m.group("ob").split(",")]
+        )
+    return out

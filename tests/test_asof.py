@@ -53,3 +53,72 @@ def test_asof_strict(spark):
     )
     out = asof_join(left, right, "k", "rk", "t", "rt", strict=True).collect()
     assert out[0].price == 1.0  # strict: same-instant row excluded
+
+
+def test_temporal_table_function_rates(spark):
+    """The classic 1.12 Rates example: comma-join LATERAL TABLE(Rates(ts))
+    lowered to the same temporal join as FOR SYSTEM_TIME."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    spark.createDataFrame(
+        [
+            ("EUR", 114, "2020-01-01 10:00:00"),
+            ("EUR", 116, "2020-01-01 11:00:00"),
+            ("USD", 100, "2020-01-01 10:00:00"),
+        ],
+        "r_currency string, r_rate bigint, r_ts string",
+    ).selectExpr(
+        "r_currency", "r_rate", "CAST(r_ts AS TIMESTAMP) AS r_ts"
+    ).createOrReplaceTempView("rates_history")
+    spark.createDataFrame(
+        [
+            (1, "EUR", 2, "2020-01-01 10:30:00"),
+            (2, "EUR", 3, "2020-01-01 11:30:00"),
+            (3, "USD", 5, "2020-01-01 10:30:00"),
+        ],
+        "o_id bigint, o_currency string, o_amount bigint, o_ts string",
+    ).selectExpr(
+        "o_id", "o_currency", "o_amount", "CAST(o_ts AS TIMESTAMP) AS o_ts"
+    ).createOrReplaceTempView("orders_t")
+    eng.create_temporal_table_function(
+        "Rates", "rates_history", time_attr="r_ts", primary_key="r_currency"
+    )
+    out = eng.sql(
+        """SELECT o.o_id, o.o_amount, r.r_rate
+           FROM orders_t AS o, LATERAL TABLE (Rates(o.o_ts)) AS r
+           WHERE o.o_currency = r.r_currency ORDER BY o.o_id"""
+    ).collect()
+    # order 1 sees the 10:00 EUR rate (114), order 2 the 11:00 one (116)
+    assert [(r["o_id"], r["r_rate"]) for r in out] == [
+        (1, 114), (2, 116), (3, 100),
+    ]
+
+
+def test_temporal_table_function_requires_pk_equality(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    import pytest
+
+    eng = EngineSession(spark)
+    spark.createDataFrame(
+        [("EUR", 1, "2020-01-01 10:00:00")],
+        "r_currency string, r_rate bigint, r_ts string",
+    ).selectExpr(
+        "r_currency", "r_rate", "CAST(r_ts AS TIMESTAMP) AS r_ts"
+    ).createOrReplaceTempView("rates_h2")
+    spark.createDataFrame(
+        [(1, "EUR", "2020-01-01 10:30:00")],
+        "o_id bigint, o_currency string, o_ts string",
+    ).selectExpr(
+        "o_id", "o_currency", "CAST(o_ts AS TIMESTAMP) AS o_ts"
+    ).createOrReplaceTempView("orders_t2")
+    eng.create_temporal_table_function(
+        "Rates2", "rates_h2", time_attr="r_ts", primary_key="r_currency"
+    )
+    with pytest.raises(ValueError, match="primary key"):
+        eng.sql(
+            """SELECT o.o_id FROM orders_t2 AS o,
+               LATERAL TABLE (Rates2(o.o_ts)) AS r
+               WHERE o.o_id = r.r_rate"""
+        )

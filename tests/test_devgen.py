@@ -108,3 +108,61 @@ def test_datagen_unknown_kind_rejected(spark):
                 'connector'='datagen', 'number-of-rows'='5',
                 'fields.x.kind'='gaussian')"""
         )
+
+
+def test_csv_format_options_and_sink_parallelism(spark, tmp_path):
+    """Flink csv.* format options map onto the Spark reader/writer
+    (field-delimiter → sep, null-literal → nullValue), and FLIP-95
+    sink.parallelism drives the written partition count."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "csv_out")
+    eng.sql(
+        f"""CREATE TABLE csv_t (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='csv',
+            'csv.field-delimiter'='|', 'csv.null-literal'='NULLISH',
+            'sink.parallelism'='2')"""
+    )
+    eng.sql(
+        "INSERT INTO csv_t VALUES (1, 'a'), (2, CAST(NULL AS STRING)), "
+        "(3, 'c'), (4, 'd')"
+    )
+    files = [
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".csv")
+    ]
+    assert len(files) == 2  # sink.parallelism honored
+    body = "".join(open(os.path.join(path, f)).read() for f in files)
+    assert "|" in body and "NULLISH" in body  # delimiter + null literal
+    got = {r["k"]: r["v"] for r in spark.table("csv_t").collect()}
+    assert got == {1: "a", 2: None, 3: "c", 4: "d"}
+
+
+def test_json_ignore_parse_errors(spark, tmp_path):
+    """json.ignore-parse-errors=true drops malformed records like
+    Flink's JsonOptions; default fails fast."""
+    import pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    d = tmp_path / "j"
+    d.mkdir()
+    (d / "a.json").write_text('{"k": 1, "v": "ok"}\nTHIS IS NOT JSON\n')
+    eng = EngineSession(spark)
+    eng.sql(
+        f"""CREATE TABLE j_ok (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='json',
+            'json.ignore-parse-errors'='true')"""
+    )
+    assert [(r["k"], r["v"]) for r in spark.table("j_ok").collect()] == [
+        (1, "ok")
+    ]
+    eng.sql(
+        f"""CREATE TABLE j_strict (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='json')"""
+    )
+    with pytest.raises(Exception):
+        spark.table("j_strict").collect()
