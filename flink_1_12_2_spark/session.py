@@ -222,6 +222,9 @@ class TableMeta:
     # every declared column name in DDL order (physical + computed +
     # metadata) — SELECT * must present this order like Flink's schema
     declared_columns: tuple[str, ...] = ()
+    # PARTITIONED BY columns (FileSystemTableSink partition keys):
+    # INSERT writes hive-style partition directories on these
+    partition_cols: tuple[str, ...] = ()
 
 
 class EngineSession:

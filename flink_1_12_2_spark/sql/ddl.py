@@ -305,6 +305,7 @@ def parse_create_table(
         schema_ddl=schema,
         metadata_cols=tuple(metadata_cols),
         declared_columns=tuple(declared),
+        partition_cols=partition_cols,
     )
     if metadata_cols and connector != "kafka":
         raise ValueError(

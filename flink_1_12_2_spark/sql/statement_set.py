@@ -31,8 +31,39 @@ from pyspark.storagelevel import StorageLevel
 
 _INSERT = re.compile(
     r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<sink>\w+)\s+"
+    r"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?"
     r"(?P<select>(?:SELECT|VALUES|WITH|TABLE)\b.*)$"
 )
+# one static assignment inside PARTITION (k='v', ...) — SqlPartitionSpec
+_PSPEC_ITEM = re.compile(r"(\w+)\s*=\s*(?:'([^']*)'|(\S+))")
+
+
+def _commit_partitions(meta, out_df: DataFrame) -> None:
+    """``sink.partition-commit.policy.kind`` containing ``success-file``
+    (filesystem sink partition commit, new in Flink 1.12 —
+    flink-table-runtime-blink/.../filesystem/stream/PartitionCommitter +
+    SuccessFileCommitPolicy): drop the marker file into every partition
+    directory this INSERT wrote, named by
+    ``sink.partition-commit.success-file.name`` (default ``_SUCCESS``).
+    The batch INSERT is its own commit trigger — everything written is
+    final when the job ends, Flink's batch-mode commit semantics. The
+    'metastore' policy belongs to hive-catalog tables (Spark's saveAsTable
+    registers partitions in the metastore natively)."""
+    kinds = meta.options.get("sink.partition-commit.policy.kind", "")
+    if "success-file" not in kinds or not meta.partition_cols:
+        return
+    import os
+
+    fname = meta.options.get(
+        "sink.partition-commit.success-file.name", "_SUCCESS"
+    )
+    # the committed partitions = this batch's distinct key tuples —
+    # partition-count-bounded metadata, not data
+    for row in out_df.select(*meta.partition_cols).distinct().collect():
+        sub = "/".join(f"{c}={row[c]}" for c in meta.partition_cols)
+        d = os.path.join(meta.path, sub)
+        if os.path.isdir(d):
+            open(os.path.join(d, fname), "a").close()
 
 
 @dataclass
@@ -49,12 +80,58 @@ class StatementSet:
     _buffer: list[_BufferedInsert] = field(default_factory=list)
 
     def add_insert_sql(self, stmt: str) -> "StatementSet":
-        """Buffer an ``INSERT INTO|OVERWRITE <sink> SELECT ...`` statement."""
+        """Buffer an ``INSERT INTO|OVERWRITE <sink> [PARTITION (k='v')]
+        SELECT ...`` statement. A static PARTITION spec (SqlPartitionSpec,
+        FileSystemTableSink static partitions) appends the literal
+        partition-key columns to the SELECT's rows — the SELECT provides
+        the remaining declared columns positionally, like Flink."""
         m = _INSERT.match(stmt)
         if not m:
             raise ValueError(f"not an INSERT statement: {stmt!r}")
         select = m.group("select")
         df = self.engine.sql(select)
+        if m.group("pspec"):
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import _parse_datatype_string
+
+            meta = self.engine.meta(m.group("sink"))
+            part_cols = set(meta.partition_cols if meta else ())
+            statics: dict[str, str] = {}
+            for key, quoted, bare in _PSPEC_ITEM.findall(m.group("pspec")):
+                if part_cols and key not in part_cols:
+                    raise ValueError(
+                        f"PARTITION key {key!r} is not a partition column "
+                        f"of {m.group('sink')!r} ({sorted(part_cols)})"
+                    )
+                statics[key] = bare if bare else quoted
+            if meta is not None and meta.columns:
+                # the SELECT supplies the declared columns MINUS the
+                # static keys, positionally (Flink static-partition
+                # INSERT); append the statics cast to their declared
+                # types and restore declared column order
+                non_static = [c for c in meta.columns if c not in statics]
+                if len(df.columns) != len(non_static):
+                    raise ValueError(
+                        f"INSERT PARTITION: the query supplies "
+                        f"{len(df.columns)} columns but "
+                        f"{m.group('sink')!r} needs {len(non_static)} "
+                        "non-static columns"
+                    )
+                df = df.toDF(*non_static)
+                types = {
+                    f.name: f.dataType
+                    for f in _parse_datatype_string(
+                        f"struct<{meta.schema_ddl}>"
+                    ).fields
+                }
+                for key, val in statics.items():
+                    df = df.withColumn(
+                        key, F.lit(val).cast(types.get(key, "string"))
+                    )
+                df = df.select(*meta.columns)
+            else:
+                for key, val in statics.items():
+                    df = df.withColumn(key, F.lit(val))
         views = self._referenced_views(select)
         self._buffer.append(
             _BufferedInsert(
@@ -257,12 +334,17 @@ class StatementSet:
                 writer = out_df.write.format(meta.fmt).mode(
                     "overwrite" if b.overwrite else "append"
                 )
+                if meta.partition_cols:
+                    # FileSystemTableSink: PARTITIONED BY columns become
+                    # hive-style partition directories
+                    writer = writer.partitionBy(*meta.partition_cols)
                 for k, v in fmt_opts.items():
                     if k != "mode":  # reader-only: parse-error handling
                         writer = writer.option(k, v)
                 if meta.fmt == "csv":
                     writer = writer.option("header", "true")
                 writer.save(meta.path)
+                _commit_partitions(meta, out_df)
                 # a Flink registered table is source AND sink: (re)expose
                 # the written path as the table's temp view so follow-up
                 # SELECTs in the same session read what was just inserted
@@ -280,6 +362,12 @@ class StatementSet:
                     # DDL schema (e.g. STRING '007' re-inferred as INT 7,
                     # dropping leading zeros; r9 advice).
                     reader = reader.schema(out_df.schema)
+                elif meta.partition_cols and meta.schema_ddl:
+                    # partition-directory values are type-INFERRED on
+                    # read ('2020-01-01' → DATE) — pin the declared DDL
+                    # types instead, like execute_ddl's schema-applied
+                    # read
+                    reader = reader.schema(meta.schema_ddl)
                 reader.load(meta.path).createOrReplaceTempView(b.sink)
                 results.append((b.sink, b.df.count()))
         finally:

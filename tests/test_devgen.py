@@ -166,3 +166,81 @@ def test_json_ignore_parse_errors(spark, tmp_path):
     )
     with pytest.raises(Exception):
         spark.table("j_strict").collect()
+
+
+def test_insert_static_partition_and_success_file(spark, tmp_path):
+    """INSERT INTO t PARTITION (dt='...') static spec writes hive-style
+    partition dirs; the success-file commit policy drops the marker into
+    each written partition."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "pt")
+    eng.sql(
+        f"""CREATE TABLE pt (k BIGINT, v STRING, dt STRING)
+        PARTITIONED BY (dt) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='parquet',
+            'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    eng.sql(
+        "INSERT INTO pt PARTITION (dt='2020-01-01') "
+        "VALUES (1, 'a'), (2, 'b')"
+    )
+    eng.sql("INSERT INTO pt PARTITION (dt='2020-01-02') VALUES (3, 'c')")
+    assert os.path.isfile(os.path.join(path, "dt=2020-01-01", "_SUCCESS"))
+    assert os.path.isfile(os.path.join(path, "dt=2020-01-02", "_SUCCESS"))
+    got = {
+        r["k"]: (r["v"], r["dt"]) for r in spark.table("pt").collect()
+    }
+    assert got == {
+        1: ("a", "2020-01-01"), 2: ("b", "2020-01-01"),
+        3: ("c", "2020-01-02"),
+    }
+    # partition pruning reaches the scan
+    plan = (
+        spark.table("pt").filter("dt = '2020-01-01'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_insert_dynamic_partition_write(spark, tmp_path):
+    """Without a static spec, PARTITIONED BY columns write dynamic
+    hive-style directories from the data."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "dynp")
+    eng.sql(
+        f"""CREATE TABLE dynp (k BIGINT, region STRING)
+        PARTITIONED BY (region) WITH (
+            'connector'='filesystem', 'path'='{path}',
+            'format'='parquet')"""
+    )
+    eng.sql(
+        "INSERT INTO dynp VALUES (1, 'eu'), (2, 'us'), (3, 'eu')"
+    )
+    assert os.path.isdir(os.path.join(path, "region=eu"))
+    assert os.path.isdir(os.path.join(path, "region=us"))
+    assert spark.table("dynp").count() == 3
+
+
+def test_insert_static_partition_wrong_key_rejected(spark, tmp_path):
+    import pytest
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "ptbad")
+    eng.sql(
+        f"""CREATE TABLE ptbad (k BIGINT, dt STRING)
+        PARTITIONED BY (dt) WITH (
+            'connector'='filesystem', 'path'='{path}',
+            'format'='parquet')"""
+    )
+    with pytest.raises(ValueError, match="not a partition column"):
+        eng.sql("INSERT INTO ptbad PARTITION (k='1') VALUES ('x')")
