@@ -859,3 +859,86 @@ def jdbc_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation_name"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "datagen_sequence_scan",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(id * 3 AS BIGINT) AS tripled,
+           CAST(id AS VARCHAR) AS tag
+    FROM range(100, 200) t(id) ORDER BY id
+    """,
+    tags=("batch", "source", "datagen"),
+)
+def datagen_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-created datagen source with sequence fields
+    (DataGenTableSourceFactory.java:48 + SequenceGeneratorVisitor.java:68):
+    the bounded scan is range + codegen column math; verifiable because
+    sequence generation is deterministic."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql("DROP TABLE gen_oracle")
+    eng.sql(
+        """CREATE TABLE gen_oracle (id BIGINT, tag STRING) WITH (
+            'connector'='datagen',
+            'fields.id.kind'='sequence',
+            'fields.id.start'='100', 'fields.id.end'='199',
+            'fields.tag.kind'='sequence',
+            'fields.tag.start'='100', 'fields.tag.end'='199')"""
+    )
+    return eng.sql(
+        "SELECT id, id * 3 AS tripled, tag FROM gen_oracle ORDER BY id"
+    )
+
+
+@query(
+    "insert_static_partition_pruned",
+    oracle="""
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("batch", "sink", "partition"),
+)
+def insert_static_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned filesystem sink end-to-end (FileSystemTableSink +
+    SqlPartitionSpec): INSERT each l_returnflag slice through a static
+    PARTITION spec, then aggregate ONE partition back — the read prunes
+    to that partition directory (PartitionFilters reach the scan)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = _tmp("part_ins_")
+    eng.sql("DROP TABLE li_part")
+    eng.sql(
+        f"""CREATE TABLE li_part (l_linestatus STRING, l_quantity DOUBLE,
+                l_returnflag STRING)
+        PARTITIONED BY (l_returnflag) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='parquet',
+            'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li.select("l_linestatus", "l_quantity", "l_returnflag") \
+        .createOrReplaceTempView("li_src")
+    for flag in ("R", "A", "N"):
+        eng.sql(
+            f"INSERT INTO li_part PARTITION (l_returnflag='{flag}') "
+            f"SELECT l_linestatus, l_quantity FROM li_src "
+            f"WHERE l_returnflag = '{flag}'"
+        )
+    back = spark.table("li_part").filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )
