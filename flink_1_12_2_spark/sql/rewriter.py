@@ -114,6 +114,14 @@ def rewrite(query: str) -> str:
     )
 
     # Window auxiliary functions first (they mention TUMBLE_/HOP_/SESSION_).
+    # _PROCTIME is the window's processing-time marker
+    # (FlinkSqlOperatorTable TUMBLE_PROCTIME et al.) — same mapping as
+    # the PROCTIME() rewrite below.
+    q = re.sub(
+        r"(?is)\b(TUMBLE|HOP|SESSION)_PROCTIME\s*\([^)]*\)",
+        "current_timestamp()",
+        q,
+    )
     q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_START\s*\([^)]*\)", "window.start", q)
     q = re.sub(r"(?is)\b(TUMBLE|HOP|SESSION)_END\s*\([^)]*\)", "window.end", q)
     # *_ROWTIME is the window's TIME ATTRIBUTE, not its end: Flink emits

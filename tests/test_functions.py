@@ -325,3 +325,20 @@ def test_rewrite_lateral_table_no_alias_cols():
 
     out = rewrite("SELECT * FROM t, LATERAL TABLE(f(x)) AS T")
     assert "LATERAL VIEW inline(f(x)) T" in out
+
+
+def test_sql_rewriter_window_proctime(spark, sf_dir):
+    """TUMBLE_PROCTIME / HOP_PROCTIME map to the processing-time marker
+    (same as the PROCTIME() rewrite) — the window aux surface's last
+    uncovered trio."""
+    from flink_1_12_2_spark.registry import load
+    from flink_1_12_2_spark.sql.rewriter import rewrite
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_pt")
+    q = rewrite(
+        "SELECT TUMBLE_PROCTIME(ts, INTERVAL '1' HOUR) AS pt,"
+        " COUNT(*) AS c FROM ev_pt GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "current_timestamp()" in q and "TUMBLE_PROCTIME" not in q
+    rows = spark.sql(q).collect()
+    assert rows and all(r["pt"] is not None for r in rows)
