@@ -199,3 +199,74 @@ def test_hbase_scan_struct_shape(spark):
     assert dict(out.dtypes)["f"] == "struct<a:bigint,b:string>"
     row = out.first()
     assert row["f"]["a"] == 3 and row["f"]["b"] is None
+
+
+def test_hbase_sink_put_delete_roundtrip(spark, tmp_path):
+    """HBase sink parity (RowDataToMutationConverter.java:51): +I/+U rows
+    PUT every declared cell, -U/-D rows DELETE the row via a tombstone
+    that masks strictly older cells; the scan resolves masking."""
+    from flink_1_12_2_spark.sources.hbase_emu import (
+        _flatten,
+        hbase_scan,
+        hbase_write,
+    )
+
+    fams = {"f": {"name": "string", "age": "int"}}
+    store = str(tmp_path / "cells")
+
+    def row(kind, k, name, age):
+        return (kind, k, (name, age))
+
+    batch1 = spark.createDataFrame(
+        [row("+I", "r1", "ann", 30), row("+I", "r2", "bob", 40)],
+        "_row_kind string, rowkey string, f struct<name string, age int>",
+    )
+    hbase_write(batch1, store, fams, row_kind_col="_row_kind")
+    batch2 = spark.createDataFrame(
+        [
+            row("-U", "r1", None, None),   # re-key: delete r1 ...
+            row("+U", "r9", "ann", 31),    # ... put r9
+            row("-D", "r2", None, None),   # plain delete
+            row("+I", "r3", "cat", 9),
+        ],
+        "_row_kind string, rowkey string, f struct<name string, age int>",
+    )
+    hbase_write(batch2, store, fams, row_kind_col="_row_kind")
+    got = {
+        r["rowkey"]: (r["f_name"], r["f_age"])
+        for r in _flatten(
+            hbase_scan(spark.read.parquet(store), fams), fams
+        ).collect()
+    }
+    assert got == {"r9": ("ann", 31), "r3": ("cat", 9)}
+
+
+def test_hbase_sink_same_key_update_pair_resolves_to_put(spark, tmp_path):
+    """A same-rowkey -U/+U pair in ONE batch resolves to the put (delete
+    stamps version, put version+1 — the sequential mutation order)."""
+    from flink_1_12_2_spark.sources.hbase_emu import (
+        _flatten,
+        hbase_scan,
+        hbase_write,
+    )
+
+    fams = {"f": {"v": "string"}}
+    store = str(tmp_path / "cells2")
+    hbase_write(
+        spark.createDataFrame(
+            [("+I", "k", ("old",))],
+            "_row_kind string, rowkey string, f struct<v string>",
+        ),
+        store, fams, row_kind_col="_row_kind",
+    )
+    hbase_write(
+        spark.createDataFrame(
+            [("-U", "k", (None,)), ("+U", "k", ("new",))],
+            "_row_kind string, rowkey string, f struct<v string>",
+        ),
+        store, fams, row_kind_col="_row_kind",
+    )
+    got = _flatten(
+        hbase_scan(spark.read.parquet(store), fams), fams
+    ).collect()
+    assert len(got) == 1 and got[0]["f_v"] == "new"
