@@ -288,3 +288,64 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(load(spark, sf_dir, "documents").select("doc_id")), "doc_id"
     )
     return bmp_resize_stats(d, target=_BMP_T, id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "stream_lookup_jdbc",
+    oracle="""
+    SELECT e.user_id, n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS events
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.user_id <= 200
+    GROUP BY e.user_id, n.n_name ORDER BY e.user_id
+    """,
+    tags=("streaming", "join", "lookup", "jdbc"),
+)
+def stream_lookup_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lookup join against a live jdbc dimension — Flink's
+    `stream JOIN dim FOR SYSTEM_TIME AS OF proctime` on a jdbc connector
+    (JdbcRowDataLookupFunction + the lookup.cache contract): each
+    micro-batch resolves the dimension through the TTL-cached snapshot
+    (operators/lookup.jdbc_lookup_snapshot), so a 4-batch run pays ONE
+    remote read, not four — the cache's whole point. foreachBatch is the
+    per-batch re-resolution hook (a plan-time stream-static join could
+    never re-read the store mid-query)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.operators.lookup import lookup_join_jdbc
+    from flink_1_12_2_spark.sources.jdbc import derby_url, jdbc_write
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    url = derby_url(tempfile.mkdtemp(prefix="derby_slk_") + "/db")
+    jdbc_write(n, url, "nation_lk")
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4).filter(
+        F.col("user_id") <= 200
+    ).withColumn("__k", (F.col("user_id") % 25).cast("bigint"))
+    out_dir = tempfile.mkdtemp(prefix="slk_out_")
+    ckpt = tempfile.mkdtemp(prefix="slk_ckpt_")
+    opts = {"lookup.cache.max-rows": "100", "lookup.cache.ttl": "10min"}
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        lookup_join_jdbc(
+            bdf, url, "nation_lk", "__k", "n_nationkey",
+            options=opts, how="inner",
+        ).select("user_id", "n_name").write.mode("append").parquet(out_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id", F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select("user_id", "nation_name", "events")
+        .orderBy("user_id")
+    )
