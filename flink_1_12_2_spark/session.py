@@ -20,6 +20,7 @@ Spark-first design notes (100 TB scale):
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -257,6 +258,13 @@ class EngineSession:
         # a map; so do we)
         self._db_props: dict[str, dict[str, str]] = {}
         self._view_props: dict[str, dict[str, str]] = {}
+        # TableConfig (TableConfigOptions.java) + sql-client SET/RESET:
+        # string config consulted by the SQL front door — e.g.
+        # table.dynamic-table-options.enabled gates OPTIONS hints exactly
+        # like the 1.12 planner (default FALSE), and
+        # table.exec.resource.default-parallelism maps live onto
+        # spark.sql.shuffle.partitions.
+        self._config: dict[str, str] = {}
         # Temporal table functions (Table.createTemporalTableFunction —
         # flink-table-api-java/.../api/Table.java:115): name →
         # (history table name or DataFrame, time attribute, primary key).
@@ -360,6 +368,64 @@ class EngineSession:
             except OSError:
                 continue
         return tuple(sorted(out))
+
+    def set_config(self, key: str, value: str) -> DataFrame:
+        """SET one TableConfig entry; a few keys are wired live onto the
+        Spark session, the rest are consulted where they apply (e.g. the
+        OPTIONS-hint gate)."""
+        self._config[key] = value
+        if key == "table.exec.resource.default-parallelism":
+            # ExecutionConfigOptions: operator default parallelism — the
+            # Spark analogue is the shuffle partition count
+            self.spark.conf.set("spark.sql.shuffle.partitions", value)
+        elif key == "pipeline.name":
+            self.spark.sparkContext.setJobDescription(value)
+        return self.spark.createDataFrame([("OK",)], "result string")
+
+    _HINT = None  # compiled lazily below
+
+    def _apply_options_hints(self, q: str) -> str:
+        """Dynamic table options (new in 1.12 — FlinkHints.java OPTIONS
+        hint): ``t /*+ OPTIONS('k'='v') */`` re-scans registry table t
+        with the hinted options merged over its DDL options, gated on
+        table.dynamic-table-options.enabled exactly like the planner
+        (TableConfigOptions.java:38, default false)."""
+        import dataclasses
+
+        hint_re = re.compile(
+            r"(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/", re.I | re.S
+        )
+        if not hint_re.search(q):
+            return q
+        if self._config.get(
+            "table.dynamic-table-options.enabled", "false"
+        ).lower() != "true":
+            raise ValueError(
+                "OPTIONS hint is allowed only when "
+                "table.dynamic-table-options.enabled is set to true"
+            )
+        from flink_1_12_2_spark.sql.ddl import scan_frame
+
+        def repl(m: "re.Match") -> str:
+            name, optstr = m.group(1), m.group(2)
+            meta = self._tables.get(name)
+            if meta is None:
+                raise ValueError(
+                    f"OPTIONS hint on {name!r}: not a registered "
+                    "connector table (dynamic table options attach to "
+                    "table scans)"
+                )
+            overrides = dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", optstr)
+            )
+            hinted = dataclasses.replace(
+                meta, options={**meta.options, **overrides}
+            )
+            view = f"__hint_{name}_{abs(hash(frozenset(overrides.items()))) % 10**8}"
+            scan_frame(self, hinted).createOrReplaceTempView(view)
+            return view
+
+        return hint_re.sub(repl, q)
 
     def _refresh_stale_kafka_views(self) -> None:
         """Re-resolve kafka-backed views whose topic changed since their
@@ -483,10 +549,30 @@ class EngineSession:
         (sql/match_recognize.py) — Spark SQL has no MATCH_RECOGNIZE."""
         import re
 
+        m_set = re.match(
+            r"(?is)^\s*SET\s+'?([\w.\-]+)'?\s*=\s*'?([^';]*?)'?\s*;?\s*$",
+            query,
+        )
+        if m_set:
+            # sql-client SetOperation: SET key=value (quotes optional)
+            return self.set_config(m_set.group(1), m_set.group(2))
+        if re.match(r"(?is)^\s*SET\s*;?\s*$", query):
+            return self.spark.createDataFrame(
+                sorted(self._config.items()) or [("", "")],
+                "key string, value string",
+            ).filter("key <> ''")
+        m_reset = re.match(
+            r"(?is)^\s*RESET\s+'?([\w.\-]+)'?\s*;?\s*$", query
+        )
+        if m_reset:
+            self._config.pop(m_reset.group(1), None)
+            return self.spark.createDataFrame([("OK",)], "result string")
         if re.match(r"(?is)\s*CREATE\s+TABLE\b", query):
             from flink_1_12_2_spark.sql.ddl import execute_ddl
 
             return execute_ddl(self, query)
+        if "/*+" in query:
+            query = self._apply_options_hints(query)
         # kafka scans resolve at query time (Flink parity): pick up any
         # topic batches published since the views were built
         self._refresh_stale_kafka_views()

@@ -390,6 +390,47 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
     return engine.spark.createDataFrame([("OK",)], "result string")
 
 
+def scan_frame(engine, meta) -> "DataFrame":
+    """Build the scan DataFrame for a registry TableMeta WITHOUT
+    registering a view — the connector dispatch shared by OPTIONS-hint
+    scans (dynamic table options build a one-off scan with merged
+    options) and plain re-reads."""
+    spark = engine.spark
+    if meta.connector == "jdbc":
+        return _jdbc_frame(spark, meta)
+    if meta.connector == "upsert-kafka":
+        from flink_1_12_2_spark.sources.kafka_emu import (
+            read_upsert_topic_batch,
+        )
+
+        return read_upsert_topic_batch(
+            spark, meta.path, meta.schema_ddl or "",
+            list(meta.primary_key),
+            value_format=meta.fmt, options=meta.options,
+        )
+    if meta.connector == "kafka":
+        from flink_1_12_2_spark.sources.kafka_emu import topic_table
+
+        return topic_table(
+            spark, meta.path, meta.fmt,
+            payload_schema=meta.schema_ddl or "",
+            options=meta.options,
+            metadata_cols=meta.metadata_cols,
+        )
+    if meta.connector == "datagen":
+        from flink_1_12_2_spark.sources.devgen import datagen_frame
+
+        return datagen_frame(spark, meta.schema_ddl or "", meta.options)
+    reader = spark.read.format(meta.fmt)
+    for k, v in _format_scan_options(meta.fmt, meta.options).items():
+        reader = reader.option(k, v)
+    if meta.fmt == "csv":
+        reader = reader.option("header", "true")
+    if meta.schema_ddl:
+        reader = reader.schema(meta.schema_ddl)
+    return reader.load(meta.path)
+
+
 def _format_scan_options(fmt: str, opts: dict) -> dict:
     """Map Flink format options (flink-formats/flink-csv CsvOptions,
     flink-json JsonOptions) onto Spark reader options; unmapped keys

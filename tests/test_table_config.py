@@ -1,0 +1,97 @@
+"""SET/RESET (sql-client SetOperation) + dynamic table options
+(OPTIONS hint, new in Flink 1.12 — FlinkHints.java, gated on
+TableConfigOptions.TABLE_DYNAMIC_TABLE_OPTIONS_ENABLED, default false)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_set_reset_and_listing(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql("SET 'table.exec.state.ttl' = '3600000'")
+    eng.sql("SET pipeline.name = nightly_curation")
+    listed = {r["key"]: r["value"] for r in eng.sql("SET").collect()}
+    assert listed["table.exec.state.ttl"] == "3600000"
+    assert listed["pipeline.name"] == "nightly_curation"
+    eng.sql("RESET 'table.exec.state.ttl'")
+    listed = {r["key"]: r["value"] for r in eng.sql("SET").collect()}
+    assert "table.exec.state.ttl" not in listed
+
+
+def test_set_default_parallelism_wires_shuffle_partitions(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        eng.sql("SET 'table.exec.resource.default-parallelism' = '7'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_options_hint_gated_like_the_planner(spark, tmp_path):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    d = tmp_path / "csv_h"
+    d.mkdir()
+    (d / "a.csv").write_text("k;v\n1;a\n2;b\n")
+    eng.sql(
+        f"""CREATE TABLE hcsv (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='csv',
+            'csv.field-delimiter'=';')"""
+    )
+    # disabled by default — the planner's exact error
+    with pytest.raises(ValueError, match="dynamic-table-options.enabled"):
+        eng.sql(
+            "SELECT * FROM hcsv /*+ OPTIONS('csv.field-delimiter'=';') */"
+        )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    out = eng.sql(
+        "SELECT * FROM hcsv /*+ OPTIONS('csv.field-delimiter'=';') */ "
+        "ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_options_hint_overrides_scan_options(spark, tmp_path):
+    """The hint MERGES over the DDL options: re-read a ';' table with a
+    wrong hinted delimiter and the rows stop splitting — proof the
+    hinted value (not the DDL one) drove the scan."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    d = tmp_path / "csv_h2"
+    d.mkdir()
+    (d / "a.csv").write_text("k;v\n1;a\n")
+    eng.sql(
+        f"""CREATE TABLE hcsv2 (k STRING, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='csv',
+            'csv.field-delimiter'=';')"""
+    )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    ddl_rows = eng.sql("SELECT * FROM hcsv2").collect()
+    assert (ddl_rows[0]["k"], ddl_rows[0]["v"]) == ("1", "a")
+    # wrong hinted delimiter → the line no longer splits into the 2-col
+    # schema; the hinted ignore-parse-errors DROPS the malformed row
+    # (Flink's skip-on-error) where the DDL read above returned it split
+    # — both hinted options demonstrably drove the scan. (collect, not
+    # count: Spark CSV only detects malformed rows on parsed columns.)
+    hinted = eng.sql(
+        "SELECT * FROM hcsv2 /*+ OPTIONS('csv.field-delimiter'='|', "
+        "'csv.ignore-parse-errors'='true') */"
+    ).collect()
+    assert hinted == []
+
+
+def test_options_hint_on_unknown_table_rejected(spark):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    with pytest.raises(ValueError, match="not a registered"):
+        eng.sql("SELECT * FROM nope /*+ OPTIONS('a'='b') */")
