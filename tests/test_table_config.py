@@ -95,3 +95,32 @@ def test_options_hint_on_unknown_table_rejected(spark):
     eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
     with pytest.raises(ValueError, match="not a registered"):
         eng.sql("SELECT * FROM nope /*+ OPTIONS('a'='b') */")
+
+
+def test_options_hint_kafka_startup_mode(spark, tmp_path):
+    """The reference's canonical hint use: override a kafka table's
+    scan.startup.mode per query — the hinted scan starts from the topic
+    end (latest-offset), the DDL scan from the beginning."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_hint")
+    publish(
+        spark.createDataFrame(
+            [('{"k": 1, "v": "early"}',)], "value string"
+        ),
+        topic,
+    )
+    eng.sql(
+        f"""CREATE TABLE kh (k BIGINT, v STRING) WITH (
+            'connector'='kafka', 'topic'='{topic}', 'format'='json')"""
+    )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    # hint pins its own startup snapshot at hint time → excludes 'early'
+    hinted = eng.sql(
+        "SELECT * FROM kh /*+ OPTIONS('scan.startup.mode'="
+        "'latest-offset') */"
+    )
+    assert hinted.count() == 0
+    assert eng.sql("SELECT * FROM kh").count() == 1  # DDL scan unaffected
