@@ -383,6 +383,10 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
         )
     if strategies.get("CONSTRAINTS") == "EXCLUDING":
         meta = dataclasses.replace(meta, primary_key=())
+    if strategies.get("PARTITIONS") == "EXCLUDING":
+        # SqlTableLike FeatureOption.PARTITIONS: the clone loses the
+        # base's PARTITIONED BY keys (writes go unpartitioned)
+        meta = dataclasses.replace(meta, partition_cols=())
     if os.path.exists(meta.path):
         engine.register_table(new, meta)
     else:

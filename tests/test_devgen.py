@@ -244,3 +244,34 @@ def test_insert_static_partition_wrong_key_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a partition column"):
         eng.sql("INSERT INTO ptbad PARTITION (k='1') VALUES ('x')")
+
+
+def test_create_table_like_carries_and_excludes_partitions(spark, tmp_path):
+    """LIKE clones PARTITIONED BY keys (dataclasses.replace carries the
+    r12 field); EXCLUDING PARTITIONS drops them (SqlTableLike
+    FeatureOption.PARTITIONS)."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    base = str(tmp_path / "likebase")
+    eng.sql(
+        f"""CREATE TABLE plike (k BIGINT, region STRING)
+        PARTITIONED BY (region) WITH (
+            'connector'='filesystem', 'path'='{base}',
+            'format'='parquet')"""
+    )
+    p2, p3 = str(tmp_path / "clone1"), str(tmp_path / "clone2")
+    eng.sql(
+        f"CREATE TABLE plike2 WITH ('path'='{p2}') LIKE plike"
+    )
+    eng.sql(
+        f"CREATE TABLE plike3 WITH ('path'='{p3}') LIKE plike "
+        f"(EXCLUDING PARTITIONS)"
+    )
+    eng.sql("INSERT INTO plike2 VALUES (1, 'eu')")
+    eng.sql("INSERT INTO plike3 VALUES (1, 'eu')")
+    assert os.path.isdir(os.path.join(p2, "region=eu"))   # partitioned
+    assert not os.path.isdir(os.path.join(p3, "region=eu"))  # flat
+    assert spark.table("plike3").count() == 1
