@@ -290,14 +290,31 @@ class EngineSession:
         register_flink_sql_functions(self.spark)
 
     def create_temporal_table_function(
-        self, name: str, history, time_attr: str, primary_key: str
+        self,
+        name: str,
+        history,
+        time_attr: str | None = None,
+        primary_key: str | None = None,
     ) -> None:
         """Register a temporal table function over a history table
         (Table.createTemporalTableFunction(timeAttribute, primaryKey) +
         createTemporarySystemFunction). ``history`` is a registered table
-        name or a DataFrame. Use in SQL as
-        ``FROM fact f, LATERAL TABLE (name(f.ts)) r WHERE f.k = r.k`` —
-        each fact row joins the history version current at its time."""
+        name, a DataFrame, or a ``table_api.TemporalTableFunction``
+        (the Table API product — time attribute and key travel inside).
+        Use in SQL as ``FROM fact f, LATERAL TABLE (name(f.ts)) r WHERE
+        f.k = r.k`` — each fact row joins the history version current at
+        its time."""
+        from flink_1_12_2_spark.table_api import TemporalTableFunction
+
+        if isinstance(history, TemporalTableFunction):
+            time_attr = history.time_attr
+            primary_key = history.primary_key
+            history = history.history
+        if time_attr is None or primary_key is None:
+            raise ValueError(
+                "time_attr and primary_key are required unless a "
+                "TemporalTableFunction is passed"
+            )
         if isinstance(history, str):
             self.spark.table(history)  # fail fast on typos
         self._temporal_fns[name] = (history, time_attr, primary_key)

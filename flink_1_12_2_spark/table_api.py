@@ -240,6 +240,48 @@ class Table:
     def distinct(self) -> "Table":
         return Table(self._df.distinct())
 
+    # -- temporal table function (Table.java:115) ------------------------
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str
+    ) -> "TemporalTableFunction":
+        """Table.createTemporalTableFunction(timeAttribute, primaryKey):
+        package THIS table as a history for a temporal table function —
+        register the result with
+        ``EngineSession.create_temporal_table_function(name, ttf)`` and
+        join it via ``LATERAL TABLE (name(f.ts))``."""
+        return TemporalTableFunction(self._df, time_attr, primary_key)
+
+    # -- execution (TableImpl.executeInsert / explain) --------------------
+    def execute_insert(
+        self, engine, sink: str, overwrite: bool = False
+    ) -> DataFrame:
+        """Table.executeInsert(tablePath): write this table into a
+        registered sink through the engine's INSERT machinery (the
+        1-element StatementSet, like executeSql's INSERT route)."""
+        return (
+            engine.create_statement_set()
+            .add_insert(sink, self._df, overwrite=overwrite)
+            .execute()
+        )
+
+    def explain(self) -> str:
+        """Table.explain(): the plan string (logical + physical — Spark's
+        queryExecution dump stands in for Flink's AST/optimized/physical
+        sections)."""
+        return self._df._jdf.queryExecution().toString()
+
     # -- sink ----------------------------------------------------------------
     def to_data_frame(self) -> DataFrame:
         return self._df
+
+
+class TemporalTableFunction:
+    """The registrable product of
+    :meth:`Table.create_temporal_table_function`
+    (functions/TemporalTableFunctionImpl.java): a history frame plus its
+    time attribute and primary key."""
+
+    def __init__(self, history: DataFrame, time_attr: str, primary_key: str):
+        self.history = history
+        self.time_attr = time_attr
+        self.primary_key = primary_key

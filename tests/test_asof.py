@@ -122,3 +122,51 @@ def test_temporal_table_function_requires_pk_equality(spark):
                LATERAL TABLE (Rates2(o.o_ts)) AS r
                WHERE o.o_id = r.r_rate"""
         )
+
+
+def test_table_api_temporal_table_function(spark):
+    """Table.createTemporalTableFunction → register → LATERAL TABLE:
+    the full Table-API route (Table.java:115)."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.table_api import Table
+
+    eng = EngineSession(spark)
+    rates = Table(
+        spark.createDataFrame(
+            [("EUR", 2, "2020-01-01 10:00:00")],
+            "r_cur string, r_rate bigint, r_ts string",
+        ).selectExpr("r_cur", "r_rate", "CAST(r_ts AS TIMESTAMP) AS r_ts")
+    )
+    ttf = rates.create_temporal_table_function("r_ts", "r_cur")
+    eng.create_temporal_table_function("RatesApi", ttf)
+    spark.createDataFrame(
+        [(1, "EUR", "2020-01-01 10:30:00")],
+        "o_id bigint, o_cur string, o_ts string",
+    ).selectExpr(
+        "o_id", "o_cur", "CAST(o_ts AS TIMESTAMP) AS o_ts"
+    ).createOrReplaceTempView("orders_api")
+    out = eng.sql(
+        """SELECT o.o_id, r.r_rate FROM orders_api AS o,
+           LATERAL TABLE (RatesApi(o.o_ts)) AS r
+           WHERE o.o_cur = r.r_cur"""
+    ).collect()
+    assert [(r["o_id"], r["r_rate"]) for r in out] == [(1, 2)]
+
+
+def test_table_api_execute_insert_and_explain(spark, tmp_path):
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.table_api import Table
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "sink_api")
+    eng.sql(
+        f"""CREATE TABLE api_sink (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{path}',
+            'format'='parquet')"""
+    )
+    t = Table(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    res = t.execute_insert(eng, "api_sink")
+    assert res.collect()[0][1] == 2
+    assert spark.table("api_sink").count() == 2
+    plan = t.explain()
+    assert "Physical Plan" in plan or "LocalTableScan" in plan
