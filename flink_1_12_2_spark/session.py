@@ -673,6 +673,10 @@ class EngineSession:
         the same three-section story."""
         from flink_1_12_2_spark.sql.rewriter import rewrite
 
+        if "/*+" in query:
+            # OPTIONS hints must resolve before Spark parses (same gate
+            # and merge as the execution path)
+            query = self._apply_options_hints(query)
         df = self.spark.sql(rewrite(query))
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

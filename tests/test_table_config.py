@@ -124,3 +124,22 @@ def test_options_hint_kafka_startup_mode(spark, tmp_path):
     )
     assert hinted.count() == 0
     assert eng.sql("SELECT * FROM kh").count() == 1  # DDL scan unaffected
+
+
+def test_explain_resolves_options_hints(spark, tmp_path):
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    d = tmp_path / "csv_e"
+    d.mkdir()
+    (d / "a.csv").write_text("k;v\n1;a\n")
+    eng.sql(
+        f"""CREATE TABLE ecsv (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='csv',
+            'csv.field-delimiter'=';')"""
+    )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    plan = eng.sql(
+        "EXPLAIN SELECT * FROM ecsv /*+ OPTIONS('csv.field-delimiter'=';') */"
+    ).collect()[0]["plan"]
+    assert "Physical Plan" in plan
