@@ -336,8 +336,16 @@ class StatementSet:
                 )
                 if meta.partition_cols:
                     # FileSystemTableSink: PARTITIONED BY columns become
-                    # hive-style partition directories
+                    # hive-style partition directories. INSERT OVERWRITE
+                    # on a partitioned table replaces ONLY the written
+                    # partitions (FileSystemTableSink's overwrite +
+                    # partition semantics) — Spark's STATIC overwrite
+                    # default would wipe every partition
                     writer = writer.partitionBy(*meta.partition_cols)
+                    if b.overwrite:
+                        writer = writer.option(
+                            "partitionOverwriteMode", "dynamic"
+                        )
                 for k, v in fmt_opts.items():
                     if k != "mode":  # reader-only: parse-error handling
                         writer = writer.option(k, v)

@@ -275,3 +275,28 @@ def test_create_table_like_carries_and_excludes_partitions(spark, tmp_path):
     assert os.path.isdir(os.path.join(p2, "region=eu"))   # partitioned
     assert not os.path.isdir(os.path.join(p3, "region=eu"))  # flat
     assert spark.table("plike3").count() == 1
+
+
+def test_insert_overwrite_partition_replaces_only_that_partition(
+    spark, tmp_path
+):
+    """INSERT OVERWRITE with a static PARTITION spec replaces ONLY the
+    written partition (FileSystemTableSink overwrite semantics) — other
+    partitions survive."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "ow")
+    eng.sql(
+        f"""CREATE TABLE owp (k BIGINT, dt STRING)
+        PARTITIONED BY (dt) WITH (
+            'connector'='filesystem', 'path'='{path}',
+            'format'='parquet')"""
+    )
+    eng.sql("INSERT INTO owp PARTITION (dt='a') VALUES (1), (2)")
+    eng.sql("INSERT INTO owp PARTITION (dt='b') VALUES (3)")
+    eng.sql("INSERT OVERWRITE owp PARTITION (dt='a') VALUES (9)")
+    got = sorted(
+        (r["k"], r["dt"]) for r in spark.table("owp").collect()
+    )
+    assert got == [(3, "b"), (9, "a")]
