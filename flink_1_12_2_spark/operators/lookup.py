@@ -164,6 +164,13 @@ def jdbc_lookup_snapshot(
         # joins the SAME version (localCheckpoint: no re-query races)
         df = _read().localCheckpoint(eager=True)
         _JDBC_LOOKUP_CACHE[key] = (df, now())
+        # bounded cache: a long-lived session looking up many distinct
+        # tables must not pin checkpoint blocks forever — evict oldest
+        # (Guava maximumSize-style), 32 dimensions is far beyond any
+        # real lookup fan-in
+        while len(_JDBC_LOOKUP_CACHE) > 32:
+            oldest = min(_JDBC_LOOKUP_CACHE, key=lambda k: _JDBC_LOOKUP_CACHE[k][1])
+            _JDBC_LOOKUP_CACHE.pop(oldest)
     may_broadcast = df.count() <= rows
     return df, may_broadcast
 
