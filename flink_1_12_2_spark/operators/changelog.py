@@ -26,6 +26,34 @@ ROW_KIND = "_row_kind"
 INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
 
 
+def last_change_per_key(
+    df: DataFrame, pk_cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Reduce a batch to the LAST change per key — the reduce-in-buffer
+    contract shared by the jdbc/hbase sinks and upsert-kafka's
+    sink.buffer-flush (flink-connector-jdbc/.../internal/executor/
+    TableBufferReducedStatementExecutor.java:63-104: a map keyed by PK,
+    addToBatch overwrites, tombstones included). "Last" is arrival
+    order; ``order_col`` names an existing monotone column, otherwise a
+    per-partition monotone id stands in (the same partition-offset
+    analogue the upsert envelope uses)."""
+    drop_order = order_col is None
+    if drop_order:
+        order_col = "__lcpk_ord"
+        df = df.withColumn(order_col, F.monotonically_increasing_id())
+    out = (
+        df.withColumn(
+            "__lcpk_rn",
+            F.row_number().over(
+                Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+            ),
+        )
+        .filter(F.col("__lcpk_rn") == 1)
+        .drop("__lcpk_rn")
+    )
+    return out.drop(order_col) if drop_order else out
+
+
 def drop_update_before(df: DataFrame) -> DataFrame:
     """Filter out -U rows (sinks that key by PK don't need them). A frame
     without the row-kind column is insert/upsert-only — nothing to drop

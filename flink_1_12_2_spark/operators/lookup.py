@@ -158,12 +158,15 @@ def jdbc_lookup_snapshot(
     key = (url, table)
     hit = _JDBC_LOOKUP_CACHE.get(key)
     if hit is not None and now() - hit[1] < ttl:
-        df = hit[0]
+        df, _ts, n = hit
     else:
         # pin the snapshot so every micro-batch / reuse within the TTL
-        # joins the SAME version (localCheckpoint: no re-query races)
+        # joins the SAME version (localCheckpoint: no re-query races);
+        # count once at build — cache hits must not pay a Spark job
+        # just to re-derive the broadcast decision
         df = _read().localCheckpoint(eager=True)
-        _JDBC_LOOKUP_CACHE[key] = (df, now())
+        n = df.count()
+        _JDBC_LOOKUP_CACHE[key] = (df, now(), n)
         # bounded cache: a long-lived session looking up many distinct
         # tables must not pin checkpoint blocks forever — evict oldest
         # (Guava maximumSize-style), 32 dimensions is far beyond any
@@ -171,8 +174,7 @@ def jdbc_lookup_snapshot(
         while len(_JDBC_LOOKUP_CACHE) > 32:
             oldest = min(_JDBC_LOOKUP_CACHE, key=lambda k: _JDBC_LOOKUP_CACHE[k][1])
             _JDBC_LOOKUP_CACHE.pop(oldest)
-    may_broadcast = df.count() <= rows
-    return df, may_broadcast
+    return df, n <= rows
 
 
 def lookup_join_jdbc(

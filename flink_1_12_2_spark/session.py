@@ -399,8 +399,6 @@ class EngineSession:
             self.spark.sparkContext.setJobDescription(value)
         return self.spark.createDataFrame([("OK",)], "result string")
 
-    _HINT = None  # compiled lazily below
-
     def _apply_options_hints(self, q: str) -> str:
         """Dynamic table options (new in 1.12 — FlinkHints.java OPTIONS
         hint): ``t /*+ OPTIONS('k'='v') */`` re-scans registry table t
@@ -435,11 +433,23 @@ class EngineSession:
             overrides = dict(
                 re.findall(r"'([^']+)'\s*=\s*'([^']*)'", optstr)
             )
-            hinted = dataclasses.replace(
-                meta, options={**meta.options, **overrides}
-            )
+            merged = {**meta.options, **overrides}
+            if any(k.startswith("scan.startup") for k in overrides):
+                # a hinted startup position must resolve FRESH: the
+                # registry bag may carry the DDL-time materialized
+                # exclusion snapshot ('scan.startup.__excluded'), which
+                # _startup_excluded would otherwise honor over the hint
+                merged.pop("scan.startup.__excluded", None)
+            hinted = dataclasses.replace(meta, options=merged)
             view = f"__hint_{name}_{abs(hash(frozenset(overrides.items()))) % 10**8}"
-            scan_frame(self, hinted).createOrReplaceTempView(view)
+            df = scan_frame(self, hinted)
+            for cname, cexpr in self._kafka_computed.get(name, []):
+                # the hinted scan exposes the SAME declared schema as
+                # the plain one — computed columns included
+                from flink_1_12_2_spark.sql.rewriter import rewrite_expr
+
+                df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
+            df.createOrReplaceTempView(view)
             return view
 
         return hint_re.sub(repl, q)

@@ -144,21 +144,12 @@ def jdbc_upsert_write(
     swaps step 2 for its native MERGE / INSERT .. ON CONFLICT executed
     per partition by a JVM writer, leaving step 1 untouched.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from flink_1_12_2_spark.operators.changelog import last_change_per_key
+
     spark = df.sparkSession
-    red = (
-        df.withColumn("__ord", F.monotonically_increasing_id())
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(*pk_cols).orderBy(F.col("__ord").desc())
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__ord", "__rn")
-    )
+    red = last_change_per_key(df, list(pk_cols))
     if row_kind_col is not None:
         is_live = F.col(row_kind_col).isin("+I", "+U")
         upserts = red.filter(is_live).drop(row_kind_col)

@@ -54,7 +54,10 @@ def publish(df: DataFrame, topic_dir: str, value_col: str = "value") -> None:
 # FLIP-107 metadata columns (new in Flink 1.12; the kafka connector's
 # readable metadata — KafkaDynamicSource.listReadableMetadata). The
 # emulation's mappings, per key:
-#   topic          → the topic directory's name (from the file path)
+#   topic          → the topic directory's NAME, passed per source frame
+#                    as a literal (deriving it from the file path breaks
+#                    on transactional batches, which nest one level
+#                    deeper: topic/txnbatch_<txn>/part_*/file)
 #   partition      → 0 (the emulated topic is single-partition)
 #   timestamp      → the producer batch's file modification time (the
 #                    same record-timestamp stand-in scan.startup.mode
@@ -63,21 +66,21 @@ def publish(df: DataFrame, topic_dir: str, value_col: str = "value") -> None:
 # offset / headers / leader-epoch have no per-row analogue on the text
 # transport and are rejected descriptively.
 _META_EXPRS = {
-    "topic": lambda: F.element_at(
-        F.split(F.col("_metadata.file_path"), "/"), -3
-    ),
-    "partition": lambda: F.lit(0),
-    "timestamp": lambda: F.col("_metadata.file_modification_time"),
-    "timestamp-type": lambda: F.lit("CreateTime"),
+    "topic": lambda topic: F.lit(topic),
+    "partition": lambda topic: F.lit(0),
+    "timestamp": lambda topic: F.col("_metadata.file_modification_time"),
+    "timestamp-type": lambda topic: F.lit("CreateTime"),
 }
 
 
-def _with_metadata(raw: DataFrame, metadata_cols) -> DataFrame:
+def _with_metadata(raw: DataFrame, metadata_cols, topic_path: str) -> DataFrame:
     """Attach the requested metadata columns to the raw (value string)
-    scan frame — must run directly on the file-source frame, where
-    Spark's hidden `_metadata` struct resolves."""
+    scan frame — must run directly on ONE file-source frame (Spark's
+    hidden `_metadata` struct does not resolve over a Union), with that
+    frame's topic directory for the 'topic' key."""
     if not metadata_cols:
         return raw
+    topic_name = os.path.basename(topic_path.rstrip("/"))
     exprs = []
     for name, spark_type, key in metadata_cols:
         if key not in _META_EXPRS:
@@ -87,7 +90,9 @@ def _with_metadata(raw: DataFrame, metadata_cols) -> DataFrame:
                 "offset/headers/leader-epoch have no analogue on the "
                 "text transport)"
             )
-        exprs.append(_META_EXPRS[key]().cast(spark_type).alias(name))
+        exprs.append(
+            _META_EXPRS[key](topic_name).cast(spark_type).alias(name)
+        )
     return raw.select("value", *exprs)
 
 
@@ -136,11 +141,15 @@ def read_topic_stream(
     paths = _topic_paths(topic_dir)
     # Spark's file stream source takes ONE path (globs count as one);
     # a semicolon topic list becomes a union of per-topic streams —
-    # exactly a consumer subscribed to several topics
-    raw = _reader().text(paths[0])
+    # exactly a consumer subscribed to several topics. Metadata columns
+    # attach PER FRAME (the hidden _metadata struct does not resolve on
+    # a Union, and each frame knows its own topic name).
+    raw = _with_metadata(_reader().text(paths[0]), metadata_cols, paths[0])
     for extra in paths[1:]:
-        raw = raw.unionByName(_reader().text(extra))
-    raw = _apply_startup(_with_metadata(raw, metadata_cols), topic_dir, options)
+        raw = raw.unionByName(
+            _with_metadata(_reader().text(extra), metadata_cols, extra)
+        )
+    raw = _apply_startup(raw, topic_dir, options)
     md_names = [m[0] for m in metadata_cols]
     if value_format == "raw":
         # Flink's 'format' = 'raw': the value bytes, undecoded. The
@@ -173,16 +182,28 @@ def read_topic_batch(
 ) -> DataFrame:
     """Bounded read of the topic from the startup position to the current
     end (Flink's kafka source consuming to the latest offset)."""
-    raw = _apply_startup(
-        _with_metadata(
-            spark.read.option("recursiveFileLookup", "true").text(
-                _topic_paths(topic_dir)
-            ),
+    paths = _topic_paths(topic_dir)
+    if metadata_cols:
+        # per-path frames so each carries its own topic literal and the
+        # _metadata struct resolves below any union
+        raw = _with_metadata(
+            spark.read.option("recursiveFileLookup", "true").text(paths[0]),
             metadata_cols,
-        ),
-        topic_dir,
-        options,
-    )
+            paths[0],
+        )
+        for extra in paths[1:]:
+            raw = raw.unionByName(
+                _with_metadata(
+                    spark.read.option("recursiveFileLookup", "true").text(
+                        extra
+                    ),
+                    metadata_cols,
+                    extra,
+                )
+            )
+    else:
+        raw = spark.read.option("recursiveFileLookup", "true").text(paths)
+    raw = _apply_startup(raw, topic_dir, options)
     md_names = [m[0] for m in metadata_cols]
     if value_format == "raw":
         return raw.select(
@@ -244,6 +265,12 @@ def _startup_excluded(topic_dir: str, options: dict | None) -> list[str]:
     if mode == "latest-offset":
         excluded = sorted(d for _, d in _entries())
     elif mode == "timestamp":
+        if "scan.startup.timestamp-millis" not in opts:
+            raise ValueError(
+                "scan.startup.mode 'timestamp' requires "
+                "'scan.startup.timestamp-millis' (KafkaOptions "
+                "validateScanStartupMode)"
+            )
         ts_ms = int(opts["scan.startup.timestamp-millis"])
         excluded = sorted(
             d
@@ -506,29 +533,23 @@ def publish_upsert(
     seq = _next_batch_seq(topic_dir)
     if row_kind_col is not None:
         df = df.filter(F.col(row_kind_col) != "-U")
+    # the per-row sub-sequence (partition-offset stand-in) is assigned
+    # ONCE, up front, so every later branch — including the avro path's
+    # live/tombstone split and re-union, whose union ordering would
+    # otherwise stamp tombstones after all live rows — carries the
+    # original arrival order
+    df = df.withColumn("__s", F.monotonically_increasing_id())
     if _buffer_flush_enabled(options):
         # sink.buffer-flush.*: reduce the batch to the LAST change per
-        # key before producing (TableBufferReducedStatementExecutor's
-        # reduceBuffer.put(key, ...) — last addToBatch wins, tombstones
-        # included) — fewer messages on the wire, same normalized state.
-        # "Last" is arrival order, which the emulation's sub-sequence
-        # stands in for; the reduction assigns it pre-write so the kept
-        # row is exactly the one an unreduced batch would have resolved
-        # to.
-        from pyspark.sql import Window as _W
-
-        df = (
-            df.withColumn("__bf", F.monotonically_increasing_id())
-            .withColumn(
-                "__bfrn",
-                F.row_number().over(
-                    _W.partitionBy(*pk_cols).orderBy(F.col("__bf").desc())
-                ),
-            )
-            .filter(F.col("__bfrn") == 1)
-            .drop("__bf", "__bfrn")
+        # key before producing — fewer messages on the wire, same
+        # normalized state (operators/changelog.last_change_per_key,
+        # the shared TableBufferReducedStatementExecutor reduce).
+        from flink_1_12_2_spark.operators.changelog import (
+            last_change_per_key,
         )
-    skip = {row_kind_col} if row_kind_col is not None else set()
+
+        df = last_change_per_key(df, pk_cols, order_col="__s")
+    skip = {row_kind_col, "__s"} if row_kind_col is not None else {"__s"}
     if _value_fields_include(options) == "EXCEPT_KEY":
         skip |= set(pk_cols)
     payload_cols = [c for c in df.columns if c not in skip]
@@ -545,16 +566,19 @@ def publish_upsert(
             else F.lit(False)
         )
         live = df.filter(~is_del).select(
-            key.alias("__key"), *[F.col(c) for c in payload_cols]
+            key.alias("__key"), F.col("__s"),
+            *[F.col(c) for c in payload_cols],
         )
         framed = avro_registry_encode(
             live, reg, subject,
-            payload_cols=payload_cols, keep_cols=("__key",),
+            payload_cols=payload_cols, keep_cols=("__key", "__s"),
         )
         # tombstones never pass the encoder — a kafka tombstone HAS no
-        # value; only its key survives
+        # value; only its key survives. Both sides keep the original
+        # __s so the union does not reorder tombstones after live rows.
         dead = df.filter(is_del).select(
-            key.alias("__key"), F.lit(None).cast("binary").alias("value")
+            key.alias("__key"), F.col("__s"),
+            F.lit(None).cast("binary").alias("value"),
         )
         df = framed.unionByName(dead)
         key = F.col("__key")
@@ -577,7 +601,7 @@ def publish_upsert(
     env = df.select(
         F.concat(
             F.lit('{"b": %d, "s": ' % seq),
-            F.monotonically_increasing_id().cast("string"),
+            F.col("__s").cast("string"),
             F.lit(', "k": '),
             key,
             F.lit(', "v": '),

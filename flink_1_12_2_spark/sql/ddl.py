@@ -940,6 +940,10 @@ def execute_statement(engine: EngineSession, stmt: str):
     if m:
         spark.catalog.dropTempView(m.group(1))
         engine._tables.pop(m.group(1), None)
+        # a later CREATE TABLE with the same name must not inherit the
+        # dropped table's computed columns or topic fingerprint
+        engine._kafka_computed.pop(m.group(1), None)
+        engine._kafka_fps.pop(m.group(1), None)
         return _ok()
     m = _ALTER_VIEW_RENAME.match(stmt)
     if m:

@@ -487,3 +487,29 @@ def test_catalog_statement_long_tail(spark, sf_dir, tmp_path):
     eng.sql("ALTER TABLE part_tbl SET ('custom.opt'='42')")
     assert eng.meta("part_tbl").options["custom.opt"] == "42"
     eng.sql("DROP CATALOG side2")
+
+
+def test_drop_table_clears_kafka_computed_columns(spark, tmp_path):
+    """Re-creating a dropped kafka table with a DIFFERENT schema must not
+    inherit the old table's computed columns on refresh."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_drop")
+    publish(spark.createDataFrame([('{"x": 2}',)], "value string"), topic)
+    eng.sql(
+        f"""CREATE TABLE tdrop (x BIGINT, c AS x * 2) WITH (
+            'connector'='kafka', 'topic'='{topic}', 'format'='json')"""
+    )
+    assert spark.table("tdrop").collect()[0]["c"] == 4
+    eng.sql("DROP TABLE tdrop")
+    topic2 = str(tmp_path / "t_drop2")
+    publish(spark.createDataFrame([('{"y": 9}',)], "value string"), topic2)
+    eng.sql(
+        f"""CREATE TABLE tdrop (y STRING) WITH (
+            'connector'='kafka', 'topic'='{topic2}', 'format'='json')"""
+    )
+    rows = eng.sql("SELECT * FROM tdrop").collect()
+    assert [r["y"] for r in rows] == ["9"]
+    assert "c" not in spark.table("tdrop").columns

@@ -235,8 +235,8 @@ def test_jdbc_lookup_join_cache_ttl(spark):
     )
     # force expiry (simulate the TTL elapsing) → re-read
     key = (url, "dim2")
-    df, ts = lk._JDBC_LOOKUP_CACHE[key]
-    lk._JDBC_LOOKUP_CACHE[key] = (df, ts - 601)
+    df, ts, n = lk._JDBC_LOOKUP_CACHE[key]
+    lk._JDBC_LOOKUP_CACHE[key] = (df, ts - 601, n)
     assert (
         lk.lookup_join_jdbc(facts, url, "dim2", "fk", "k", options=opts)
         .collect()[0]["name"]

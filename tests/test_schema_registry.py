@@ -884,3 +884,88 @@ def test_kafka_metadata_columns_cdc_and_avro(spark, tmp_path):
     assert len(got2) == 1
     assert (got2[0]["k"], got2[0]["v"], got2[0]["topic"], got2[0]["part"]) \
         == (9, "z", "avro_md", 0)
+
+
+def test_upsert_avro_tombstone_then_reinsert_in_one_batch(spark, tmp_path):
+    """Intra-batch order survives the avro path's live/tombstone split:
+    a -D followed by a +I re-inserting the SAME key must resolve to the
+    re-insert (the union must not stamp tombstones after live rows)."""
+    from flink_1_12_2_spark.operators.changelog import ROW_KIND
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        publish_upsert,
+        read_upsert_topic_batch,
+    )
+
+    topic = str(tmp_path / "t_av")
+    reg = str(tmp_path / "registry.json")
+    opts = {"avro-confluent.schema-registry.url": f"file:{reg}"}
+    batch = spark.createDataFrame(
+        [("+I", 1, "first"), ("-D", 1, None), ("+I", 1, "again")],
+        f"{ROW_KIND} string, k int, v string",
+    ).coalesce(1)
+    publish_upsert(
+        batch, topic, ["k"], row_kind_col=ROW_KIND,
+        value_format="avro-confluent", options=opts,
+    )
+    rows = read_upsert_topic_batch(
+        spark, topic, "k int, v string", ["k"],
+        value_format="avro-confluent", options=opts,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "again"
+
+
+def test_kafka_metadata_on_topic_list_stream(spark, tmp_path):
+    """Metadata columns must resolve on a semicolon TOPIC LIST (per-frame
+    attachment — Spark's _metadata struct does not resolve over a Union)
+    and report each record's OWN topic name."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    eng = EngineSession(spark)
+    ta, tb = str(tmp_path / "lista"), str(tmp_path / "listb")
+    publish(spark.createDataFrame([('{"k": 1}',)], "value string"), ta)
+    publish(spark.createDataFrame([('{"k": 2}',)], "value string"), tb)
+    eng.sql(
+        f"""CREATE TABLE klist (k BIGINT, tname STRING METADATA
+            FROM 'topic' VIRTUAL) WITH (
+            'connector'='kafka', 'topic'='{ta};{tb}', 'format'='json')"""
+    )
+    got = {
+        r["k"]: r["tname"]
+        for r in run_to_memory(eng.stream_table("klist")).collect()
+    }
+    assert got == {1: "lista", 2: "listb"}
+    # bounded scan agrees
+    got_b = {r["k"]: r["tname"] for r in spark.table("klist").collect()}
+    assert got_b == {1: "lista", 2: "listb"}
+
+
+def test_kafka_metadata_topic_name_on_transactional_batch(spark, tmp_path):
+    """The 'topic' metadata value must be the TOPIC name even for rows
+    published through an exactly-once transaction (whose files nest one
+    directory deeper than plain producer batches)."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import (
+        begin_transaction,
+        commit_transaction,
+        publish_transactional,
+    )
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "txn_topic")
+    import os
+
+    os.makedirs(topic, exist_ok=True)
+    txn = begin_transaction(topic)
+    publish_transactional(
+        spark.createDataFrame([('{"k": 7}',)], "value string"), topic, txn
+    )
+    commit_transaction(topic, txn)
+    eng.sql(
+        f"""CREATE TABLE ktxn (k BIGINT, tname STRING METADATA
+            FROM 'topic' VIRTUAL) WITH (
+            'connector'='kafka', 'topic'='{topic}', 'format'='json')"""
+    )
+    rows = spark.table("ktxn").collect()
+    assert [(r["k"], r["tname"]) for r in rows] == [(7, "txn_topic")]

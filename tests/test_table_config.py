@@ -143,3 +143,29 @@ def test_explain_resolves_options_hints(spark, tmp_path):
         "EXPLAIN SELECT * FROM ecsv /*+ OPTIONS('csv.field-delimiter'=';') */"
     ).collect()[0]["plan"]
     assert "Physical Plan" in plan
+
+
+def test_options_hint_overrides_pinned_startup_snapshot(spark, tmp_path):
+    """A table whose DDL pinned 'latest-offset' (materialized exclusion
+    snapshot) must still honor a hinted 'earliest-offset' — the hint
+    resolves the startup position FRESH."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_pin")
+    publish(
+        spark.createDataFrame([('{"k": 1}',)], "value string"), topic
+    )
+    eng.sql(
+        f"""CREATE TABLE kpin (k BIGINT) WITH (
+            'connector'='kafka', 'topic'='{topic}', 'format'='json',
+            'scan.startup.mode'='latest-offset')"""
+    )
+    assert eng.sql("SELECT * FROM kpin").count() == 0  # pinned: excluded
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    hinted = eng.sql(
+        "SELECT * FROM kpin /*+ OPTIONS('scan.startup.mode'="
+        "'earliest-offset') */"
+    )
+    assert hinted.count() == 1  # hint re-resolved from the beginning
