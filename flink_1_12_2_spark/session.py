@@ -226,6 +226,10 @@ class TableMeta:
     # PARTITIONED BY columns (FileSystemTableSink partition keys):
     # INSERT writes hive-style partition directories on these
     partition_cols: tuple[str, ...] = ()
+    # computed columns ((name, flink expression) pairs, SqlTableColumn
+    # computed) — re-applied on any re-resolution of the scan (kafka
+    # refresh, OPTIONS-hint views) for EVERY connector
+    computed_cols: tuple[tuple[str, str], ...] = ()
 
 
 class EngineSession:
@@ -443,12 +447,19 @@ class EngineSession:
             hinted = dataclasses.replace(meta, options=merged)
             view = f"__hint_{name}_{abs(hash(frozenset(overrides.items()))) % 10**8}"
             df = scan_frame(self, hinted)
-            for cname, cexpr in self._kafka_computed.get(name, []):
+            for cname, cexpr in meta.computed_cols:
                 # the hinted scan exposes the SAME declared schema as
-                # the plain one — computed columns included
+                # the plain one — computed columns included, for every
+                # connector (computed_cols rides TableMeta)
                 from flink_1_12_2_spark.sql.rewriter import rewrite_expr
 
                 df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
+            if meta.declared_columns and set(meta.declared_columns) <= set(
+                df.columns
+            ):
+                # SELECT * through the hint presents DDL-declared column
+                # order, like register_table's plain view
+                df = df.select(*meta.declared_columns)
             df.createOrReplaceTempView(view)
             return view
 

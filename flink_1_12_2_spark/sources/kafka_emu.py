@@ -96,6 +96,19 @@ def _with_metadata(raw: DataFrame, metadata_cols, topic_path: str) -> DataFrame:
     return raw.select("value", *exprs)
 
 
+def _per_path_union(frame_of, paths, metadata_cols) -> DataFrame:
+    """One file-source frame per topic path, unioned — metadata columns
+    attach PER FRAME, before the union, because Spark's hidden
+    ``_metadata`` struct does not resolve on top of a Union and each
+    frame carries its own topic name."""
+    raw = _with_metadata(frame_of(paths[0]), metadata_cols, paths[0])
+    for extra in paths[1:]:
+        raw = raw.unionByName(
+            _with_metadata(frame_of(extra), metadata_cols, extra)
+        )
+    return raw
+
+
 def _topic_paths(topic_dir: str) -> list[str]:
     """Resolve a source topic spec to concrete read paths. The 1.12
     factory's 'topic' accepts a semicolon-separated LIST for sources and
@@ -141,14 +154,10 @@ def read_topic_stream(
     paths = _topic_paths(topic_dir)
     # Spark's file stream source takes ONE path (globs count as one);
     # a semicolon topic list becomes a union of per-topic streams —
-    # exactly a consumer subscribed to several topics. Metadata columns
-    # attach PER FRAME (the hidden _metadata struct does not resolve on
-    # a Union, and each frame knows its own topic name).
-    raw = _with_metadata(_reader().text(paths[0]), metadata_cols, paths[0])
-    for extra in paths[1:]:
-        raw = raw.unionByName(
-            _with_metadata(_reader().text(extra), metadata_cols, extra)
-        )
+    # exactly a consumer subscribed to several topics
+    raw = _per_path_union(
+        lambda p: _reader().text(p), paths, metadata_cols
+    )
     raw = _apply_startup(raw, topic_dir, options)
     md_names = [m[0] for m in metadata_cols]
     if value_format == "raw":
@@ -184,23 +193,13 @@ def read_topic_batch(
     end (Flink's kafka source consuming to the latest offset)."""
     paths = _topic_paths(topic_dir)
     if metadata_cols:
-        # per-path frames so each carries its own topic literal and the
-        # _metadata struct resolves below any union
-        raw = _with_metadata(
-            spark.read.option("recursiveFileLookup", "true").text(paths[0]),
+        raw = _per_path_union(
+            lambda p: spark.read.option(
+                "recursiveFileLookup", "true"
+            ).text(p),
+            paths,
             metadata_cols,
-            paths[0],
         )
-        for extra in paths[1:]:
-            raw = raw.unionByName(
-                _with_metadata(
-                    spark.read.option("recursiveFileLookup", "true").text(
-                        extra
-                    ),
-                    metadata_cols,
-                    extra,
-                )
-            )
     else:
         raw = spark.read.option("recursiveFileLookup", "true").text(paths)
     raw = _apply_startup(raw, topic_dir, options)

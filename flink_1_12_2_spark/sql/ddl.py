@@ -306,6 +306,7 @@ def parse_create_table(
         metadata_cols=tuple(metadata_cols),
         declared_columns=tuple(declared),
         partition_cols=partition_cols,
+        computed_cols=tuple(computed),
     )
     if metadata_cols and connector != "kafka":
         raise ValueError(
@@ -1102,6 +1103,12 @@ def execute_statement(engine: EngineSession, stmt: str):
         spark.catalog.dropTempView(old)
         if old in engine._tables:
             engine._tables[new] = engine._tables.pop(old)
+        # computed-column / fingerprint state follows the rename (same
+        # stale-state class the DROP TABLE cleanup fixes)
+        if old in engine._kafka_computed:
+            engine._kafka_computed[new] = engine._kafka_computed.pop(old)
+        if old in engine._kafka_fps:
+            engine._kafka_fps[new] = engine._kafka_fps.pop(old)
         return _ok()
     m = _CREATE_VIEW.match(stmt)
     if m:
@@ -1184,6 +1191,8 @@ def execute_statement(engine: EngineSession, stmt: str):
         for t in engine._catalogs.pop(name):
             spark.catalog.dropTempView(t)
             engine._tables.pop(t, None)
+            engine._kafka_computed.pop(t, None)
+            engine._kafka_fps.pop(t, None)
         return _ok()
     if _SHOW_VIEWS.match(stmt):
         views = sorted(

@@ -169,3 +169,44 @@ def test_options_hint_overrides_pinned_startup_snapshot(spark, tmp_path):
         "'earliest-offset') */"
     )
     assert hinted.count() == 1  # hint re-resolved from the beginning
+
+
+def test_options_hint_keeps_computed_columns_any_connector(spark, tmp_path):
+    """Computed columns ride TableMeta, so a hinted scan of a FILESYSTEM
+    table keeps them too (not just kafka), in declared order."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    d = tmp_path / "csv_cc"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n3\n")
+    eng.sql(
+        f"""CREATE TABLE ccsv (x BIGINT, c AS x * 2) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='csv')"""
+    )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    rows = eng.sql(
+        "SELECT * FROM ccsv /*+ OPTIONS('csv.ignore-parse-errors'="
+        "'true') */"
+    ).collect()
+    assert [(r["x"], r["c"]) for r in rows] == [(3, 6)]
+
+
+def test_rename_moves_kafka_computed_state(spark, tmp_path):
+    """ALTER TABLE RENAME carries computed-column state to the new name
+    (same stale-state class as the DROP TABLE cleanup)."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_ren")
+    publish(spark.createDataFrame([('{"x": 5}',)], "value string"), topic)
+    eng.sql(
+        f"""CREATE TABLE tren (x BIGINT, c AS x * 2) WITH (
+            'connector'='kafka', 'topic'='{topic}', 'format'='json')"""
+    )
+    eng.sql("ALTER TABLE tren RENAME TO tren2")
+    # publish more so the fingerprint changes and the view re-registers
+    publish(spark.createDataFrame([('{"x": 6}',)], "value string"), topic)
+    rows = {r["x"]: r["c"] for r in eng.sql("SELECT * FROM tren2").collect()}
+    assert rows == {5: 10, 6: 12}
