@@ -936,6 +936,9 @@ def execute_statement(engine: EngineSession, stmt: str):
         )
     m = _DESCRIBE.match(stmt)
     if m:
+        meta = engine._tables.get(m.group(1))
+        if meta is not None:
+            return _describe_registry_table(engine, m.group(1), meta)
         return spark.sql(f"DESCRIBE {m.group(1)}")
     m = _DROP_TABLE.match(stmt)
     if m:
@@ -1267,3 +1270,54 @@ def execute_statement(engine: EngineSession, stmt: str):
         spark.sql(f"USE {m.group(1)}")
         return _ok()
     return None
+
+
+def _describe_registry_table(engine: EngineSession, name: str, meta):
+    """Flink-shaped DESCRIBE for a registry table
+    (TableEnvironmentImpl.buildDescribeResult:1136 — columns name / type /
+    null / key / extras / watermark): PK columns show ``PRI(cols)``,
+    computed columns ``AS <expr>``, metadata columns ``METADATA FROM
+    '<key>'``, and the rowtime column its watermark expression."""
+    spark = engine.spark
+    try:
+        schema = {f.name: f for f in spark.table(name).schema.fields}
+    except Exception:  # noqa: BLE001 — sink with no view yet
+        schema = {}
+    if meta.schema_ddl:
+        from pyspark.sql.types import _parse_datatype_string
+
+        for f in _parse_datatype_string(f"struct<{meta.schema_ddl}>").fields:
+            schema.setdefault(f.name, f)
+    pk = ", ".join(meta.primary_key)
+    computed = dict(meta.computed_cols)
+    md = {c[0]: c[2] for c in meta.metadata_cols}
+    wm = (
+        f"`{meta.event_time_col}` - INTERVAL '{meta.watermark_delay}'"
+        if meta.event_time_col and meta.watermark_delay
+        else None
+    )
+    names = list(meta.declared_columns) or list(schema)
+    rows = []
+    for c in names:
+        f = schema.get(c)
+        if c in computed:
+            extras = f"AS {computed[c]}"
+        elif c in md:
+            extras = f"METADATA FROM '{md[c]}'"
+        else:
+            extras = None
+        rows.append(
+            (
+                c,
+                f.dataType.simpleString().upper() if f else None,
+                bool(f.nullable) if f else True,
+                f"PRI({pk})" if c in meta.primary_key else None,
+                extras,
+                wm if c == meta.event_time_col else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name string, type string, null boolean, key string, "
+        "extras string, watermark string",
+    )

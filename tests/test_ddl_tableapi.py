@@ -147,7 +147,8 @@ def test_catalog_statements(spark, sf_dir):
     names = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
     assert "cat_t" in names
     desc = eng.sql("DESCRIBE cat_t").collect()
-    assert {r.col_name for r in desc} >= {"event_id", "value"}
+    # r12: registry tables return Flink's six-column DESCRIBE shape
+    assert {r.name for r in desc} >= {"event_id", "value"}
     eng.sql("ALTER TABLE cat_t RENAME TO cat_u")
     names2 = [r.table_name for r in eng.sql("SHOW TABLES").collect()]
     assert "cat_u" in names2 and "cat_t" not in names2
@@ -513,3 +514,37 @@ def test_drop_table_clears_kafka_computed_columns(spark, tmp_path):
     rows = eng.sql("SELECT * FROM tdrop").collect()
     assert [r["y"] for r in rows] == ["9"]
     assert "c" not in spark.table("tdrop").columns
+
+
+def test_describe_flink_shape(spark, tmp_path):
+    """DESCRIBE a registry table returns Flink's six-column shape
+    (TableEnvironmentImpl.buildDescribeResult): PRI(...) on key columns,
+    AS-expression extras on computed columns, the watermark on the
+    rowtime column."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_desc")
+    publish(
+        spark.createDataFrame(
+            [('{"k": 1, "ts": "2020-01-01 00:00:00"}',)], "value string"
+        ),
+        topic,
+    )
+    eng.sql(
+        f"""CREATE TABLE tdesc (
+              k BIGINT,
+              ts TIMESTAMP_LTZ,
+              c AS k * 2,
+              WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+            ) WITH ('connector'='kafka', 'topic'='{topic}',
+                    'format'='json')"""
+    )
+    rows = {r["name"]: r for r in eng.sql("DESCRIBE tdesc").collect()}
+    assert set(rows) == {"k", "ts", "c"}
+    assert rows["c"]["extras"] == "AS k * 2"
+    assert rows["ts"]["watermark"] and "INTERVAL" in rows["ts"]["watermark"]
+    assert rows["k"]["type"] == "BIGINT"
+    cols = [r["name"] for r in eng.sql("DESCRIBE tdesc").collect()]
+    assert cols == ["k", "ts", "c"]  # declared order
