@@ -18,6 +18,8 @@ files + checkpoint-commit. Spark equivalents are all first-class:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,3 +181,107 @@ def blackhole(df: DataFrame) -> None:
     """Blackhole sink (BlackHoleTableSinkFactory parity) — full materialization,
     zero output; what bench.py uses for timing."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _parse_memory_size(v: str) -> int:
+    """Flink MemorySize literal ('128MB', '64 kb', '1g', bare bytes)."""
+    import re as _re
+
+    m = _re.match(
+        r"(?i)^\s*(\d+(?:\.\d+)?)\s*(b|kb|k|mb|m|gb|g|tb|t)?\s*$", str(v)
+    )
+    if not m:
+        raise ValueError(f"cannot parse memory size {v!r}")
+    mult = {
+        None: 1, "b": 1, "k": 1024, "kb": 1024,
+        "m": 1024**2, "mb": 1024**2, "g": 1024**3, "gb": 1024**3,
+        "t": 1024**4, "tb": 1024**4,
+    }[m.group(2).lower() if m.group(2) else None]
+    return int(float(m.group(1)) * mult)
+
+
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += _os.path.getsize(_os.path.join(root, f))
+    return total
+
+
+def compacted_write(
+    df,
+    path: str,
+    fmt: str = "parquet",
+    target_file_size: str | int = "128MB",
+    partition_cols: tuple = (),
+    options: dict | None = None,
+) -> None:
+    """Auto-compacting file sink — ``'auto-compaction'='true'`` (NEW in
+    Flink 1.12: FileSystemOptions.java:223 + the stream/compact operator
+    family — CompactCoordinator groups one checkpoint's temporary files
+    into units of ``compaction.file-size``, CompactOperator rewrites
+    them, and only the compacted files are committed).
+
+    Spark-first translation of exactly that protocol, per write (a batch
+    INSERT, or one micro-batch in foreachBatch — the checkpoint-grain
+    unit): stage the data under a dot-prefixed directory (invisible to
+    every reader, like the reference's temporary files), measure the
+    staged bytes, re-write coalesced to ``ceil(bytes / target)`` files,
+    and drop the staging dir — the append into the visible namespace IS
+    the commit.
+
+    Scale note: the extra read-back is of the just-written batch only
+    (never the table), and coalesce avoids a shuffle — each output file
+    is a concatenation of staged splits. Small-file pressure is the #1
+    operational failure of streaming file sinks at 100 TB; this is the
+    operator that bounds file count by data volume instead of by
+    (partitions × triggers)."""
+    import math
+    import shutil
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    staging = os.path.join(path, f".compact_{_uuid.uuid4().hex[:8]}")
+    w = df.write.format(fmt).mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(staging)
+    size = _dir_bytes(staging)
+    target = (
+        target_file_size
+        if isinstance(target_file_size, int)
+        else _parse_memory_size(target_file_size)
+    )
+    n = max(1, math.ceil(size / max(1, target)))
+    staged = spark.read.format(fmt).load(staging)
+    out = staged.coalesce(n).write.format(fmt).mode("append")
+    if partition_cols:
+        out = out.partitionBy(*partition_cols)
+    for k, v in (options or {}).items():
+        out = out.option(k, v)
+    out.save(path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def compacted_stream_sink(
+    sdf,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    target_file_size: str | int = "128MB",
+):
+    """Streaming twin: each micro-batch (= checkpoint grain) compacts
+    before commit via foreachBatch. Returns the StreamingQuery."""
+    return (
+        sdf.writeStream.foreachBatch(
+            lambda bdf, bid: compacted_write(
+                bdf, path, fmt, target_file_size
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -38,6 +38,33 @@ _INSERT = re.compile(
 _PSPEC_ITEM = re.compile(r"(\w+)\s*=\s*(?:'([^']*)'|(\S+))")
 
 
+def _reexpose_filesystem(spark, meta, out_df, sink: str) -> None:
+    """A Flink registered table is source AND sink: (re)expose the
+    written path as the table's temp view so follow-up SELECTs in the
+    same session read what was just inserted (CREATE TABLE for a
+    not-yet-existing path could not)."""
+    from flink_1_12_2_spark.sql.ddl import _format_scan_options
+
+    reader = spark.read.format(meta.fmt)
+    for k, v in _format_scan_options(meta.fmt, meta.options).items():
+        reader = reader.option(k, v)
+    if meta.fmt == "csv":
+        reader = reader.option("header", "true")
+    if meta.fmt in ("csv", "json"):
+        # Text formats lose types on read-back; re-apply the written
+        # DataFrame's schema (mirrors execute_ddl's schema-applied read
+        # path) — inferSchema would hand follow-up SELECTs DIFFERENT
+        # types than the declared DDL schema (e.g. STRING '007'
+        # re-inferred as INT 7, dropping leading zeros; r9 advice).
+        reader = reader.schema(out_df.schema)
+    elif meta.partition_cols and meta.schema_ddl:
+        # partition-directory values are type-INFERRED on read
+        # ('2020-01-01' → DATE) — pin the declared DDL types instead,
+        # like execute_ddl's schema-applied read
+        reader = reader.schema(meta.schema_ddl)
+    reader.load(meta.path).createOrReplaceTempView(sink)
+
+
 def _commit_partitions(meta, out_df: DataFrame) -> None:
     """``sink.partition-commit.policy.kind`` containing ``success-file``
     (filesystem sink partition commit, new in Flink 1.12 —
@@ -331,6 +358,37 @@ class StatementSet:
                 from flink_1_12_2_spark.sql.ddl import _format_scan_options
 
                 fmt_opts = _format_scan_options(meta.fmt, meta.options)
+                if (
+                    meta.options.get("auto-compaction", "false").lower()
+                    == "true"
+                    and not b.overwrite
+                ):
+                    # FileSystemOptions AUTO_COMPACTION (new in 1.12):
+                    # stage → size-coalesce → commit, one INSERT = one
+                    # checkpoint grain (sources/filesystem.compacted_write)
+                    from flink_1_12_2_spark.sources.filesystem import (
+                        compacted_write,
+                    )
+
+                    wopts = {
+                        k: v for k, v in fmt_opts.items() if k != "mode"
+                    }
+                    if meta.fmt == "csv":
+                        wopts["header"] = "true"
+                    compacted_write(
+                        out_df,
+                        meta.path,
+                        fmt=meta.fmt,
+                        target_file_size=meta.options.get(
+                            "compaction.file-size", "128MB"
+                        ),
+                        partition_cols=meta.partition_cols,
+                        options=wopts,
+                    )
+                    _commit_partitions(meta, out_df)
+                    _reexpose_filesystem(spark, meta, out_df, b.sink)
+                    results.append((b.sink, b.df.count()))
+                    continue
                 writer = out_df.write.format(meta.fmt).mode(
                     "overwrite" if b.overwrite else "append"
                 )
@@ -353,30 +411,7 @@ class StatementSet:
                     writer = writer.option("header", "true")
                 writer.save(meta.path)
                 _commit_partitions(meta, out_df)
-                # a Flink registered table is source AND sink: (re)expose
-                # the written path as the table's temp view so follow-up
-                # SELECTs in the same session read what was just inserted
-                # (CREATE TABLE for a not-yet-existing path could not)
-                reader = spark.read.format(meta.fmt)
-                for k, v in fmt_opts.items():
-                    reader = reader.option(k, v)
-                if meta.fmt == "csv":
-                    reader = reader.option("header", "true")
-                if meta.fmt in ("csv", "json"):
-                    # Text formats lose types on read-back; re-apply the
-                    # written DataFrame's schema (mirrors execute_ddl's
-                    # schema-applied read path) — inferSchema would hand
-                    # follow-up SELECTs DIFFERENT types than the declared
-                    # DDL schema (e.g. STRING '007' re-inferred as INT 7,
-                    # dropping leading zeros; r9 advice).
-                    reader = reader.schema(out_df.schema)
-                elif meta.partition_cols and meta.schema_ddl:
-                    # partition-directory values are type-INFERRED on
-                    # read ('2020-01-01' → DATE) — pin the declared DDL
-                    # types instead, like execute_ddl's schema-applied
-                    # read
-                    reader = reader.schema(meta.schema_ddl)
-                reader.load(meta.path).createOrReplaceTempView(b.sink)
+                _reexpose_filesystem(spark, meta, out_df, b.sink)
                 results.append((b.sink, b.df.count()))
         finally:
             for df in shared:

@@ -300,3 +300,43 @@ def test_insert_overwrite_partition_replaces_only_that_partition(
         (r["k"], r["dt"]) for r in spark.table("owp").collect()
     )
     assert got == [(3, "b"), (9, "a")]
+
+
+def test_auto_compaction_bounds_file_count(spark, tmp_path):
+    """'auto-compaction'='true' (FileSystemOptions.java:223): a batch
+    written at high sink parallelism commits as ceil(bytes/target)
+    compacted files, not one file per writer task."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    plain, compact = str(tmp_path / "plain"), str(tmp_path / "compact")
+    for path, extra in (
+        (plain, ""),
+        (compact, ", 'auto-compaction'='true', "
+                  "'compaction.file-size'='64MB'"),
+    ):
+        eng.sql(
+            f"""CREATE TABLE t_{os.path.basename(path)} (k BIGINT)
+            WITH ('connector'='filesystem', 'path'='{path}',
+                  'format'='parquet', 'sink.parallelism'='8'{extra})"""
+        )
+    spark.range(1000).createOrReplaceTempView("src1k")
+    eng.sql("INSERT INTO t_plain SELECT id FROM src1k")
+    eng.sql("INSERT INTO t_compact SELECT id FROM src1k")
+
+    def nfiles(p):
+        return len(
+            [f for f in os.listdir(p)
+             if f.startswith("part-") and not f.endswith(".crc")]
+        )
+
+    assert nfiles(plain) == 8          # one file per writer task
+    assert nfiles(compact) == 1        # tiny batch ≪ 64MB → one file
+    # no staging leftovers, rows intact
+    assert not [d for d in os.listdir(compact) if d.startswith(".compact_")]
+    assert spark.table("t_compact").count() == 1000
+    # append again: compaction is per-INSERT (checkpoint grain)
+    eng.sql("INSERT INTO t_compact SELECT id FROM src1k")
+    assert nfiles(compact) == 2 and spark.table("t_compact").count() == 2000
