@@ -340,3 +340,32 @@ def test_auto_compaction_bounds_file_count(spark, tmp_path):
     # append again: compaction is per-INSERT (checkpoint grain)
     eng.sql("INSERT INTO t_compact SELECT id FROM src1k")
     assert nfiles(compact) == 2 and spark.table("t_compact").count() == 2000
+
+
+def test_auto_compaction_streaming_sink(spark, tmp_path, sf_dir):
+    """The streaming twin: each micro-batch compacts before commit, so a
+    4-batch run of a small stream lands 4 files (one per checkpoint),
+    not 4 × input-partitions."""
+    import os
+
+    from flink_1_12_2_spark.sources.filesystem import compacted_stream_sink
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4).select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "cs_out")
+    ckpt = str(tmp_path / "cs_ckpt")
+    q = compacted_stream_sink(ev, out, ckpt, target_file_size="64MB")
+    q.awaitTermination(300)
+    files = [
+        f for f in os.listdir(out)
+        if f.startswith("part-") and not f.endswith(".crc")
+    ]
+    assert len(files) == 4  # one compacted file per micro-batch
+    from flink_1_12_2_spark.registry import load
+
+    assert (
+        spark.read.parquet(out).count()
+        == load(spark, sf_dir, "events").count()
+    )
