@@ -942,3 +942,58 @@ def insert_static_partition_pruned(
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "sink_roundtrip_compacted",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("batch", "sink", "compaction"),
+)
+def sink_roundtrip_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compacting filesystem sink round-trip (FileSystemOptions
+    AUTO_COMPACTION, new in 1.12): orders written at sink.parallelism 8
+    through 'auto-compaction'='true' commits as ONE compacted file (the
+    batch is far under the 128MB target) — asserted, then aggregated
+    back against the oracle."""
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = _tmp("compact_rt_")
+    eng.sql("DROP TABLE oc_sink")
+    eng.sql(
+        f"""CREATE TABLE oc_sink (o_orderstatus STRING,
+                o_totalprice DOUBLE) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='parquet',
+            'sink.parallelism'='8', 'auto-compaction'='true',
+            'compaction.file-size'='128MB')"""
+    )
+    load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("oc_src")
+    eng.sql("INSERT INTO oc_sink SELECT * FROM oc_src")
+    n_files = len(
+        [
+            f
+            for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+    )
+    assert n_files == 1, f"compaction produced {n_files} files"
+    return (
+        spark.table("oc_sink")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
