@@ -285,3 +285,95 @@ def compacted_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _partition_time(pattern: str | None, part_cols, values) -> "object":
+    """DefaultPartTimeExtractor: substitute $col placeholders in
+    ``partition.time-extractor.timestamp-pattern`` with the partition's
+    values and parse the result; with no pattern, the single partition
+    value parses directly ('yyyy-MM-dd[ HH:mm:ss]')."""
+    import pandas as pd
+
+    if pattern:
+        text = pattern
+        for c, v in zip(part_cols, values):
+            text = text.replace(f"${c}", str(v))
+    else:
+        text = str(values[0])
+    return pd.to_datetime(text)
+
+
+def partitioned_stream_sink(
+    sdf,
+    path: str,
+    partition_cols: list[str],
+    checkpoint: str,
+    watermark_col: str,
+    watermark_delay: str = "10 minutes",
+    commit_delay: str = "0 seconds",
+    timestamp_pattern: str | None = None,
+    fmt: str = "parquet",
+    success_file: str = "_SUCCESS",
+):
+    """Streaming partitioned file sink with the PARTITION-TIME commit
+    trigger (new in Flink 1.12 — stream/PartitionTimeCommitTrigger.java:
+    a partition commits when ``watermark > partition-time + delay``;
+    PartitionCommitter then runs the success-file policy).
+
+    Spark-first translation over foreachBatch (the checkpoint grain):
+    each micro-batch appends its hive-style partitions, advances the
+    tracked watermark (max event time seen − the declared bounded
+    out-of-orderness, exactly WatermarkAssigner's arithmetic), and drops
+    the success-file marker into every PENDING partition whose extracted
+    time + delay the watermark has passed. Unready partitions stay
+    visible but uncommitted — downstream consumers that honor the marker
+    (the reference's contract) read only complete partitions.
+
+    Scale note: the trigger state is (pending partitions, one watermark)
+    — partition-count-bounded; per batch it costs one max() and one
+    distinct() over the batch, both map-combinable."""
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    wm_delay = pd.Timedelta(watermark_delay)
+    c_delay = pd.Timedelta(commit_delay)
+    state = {"wm": None, "pending": set()}
+
+    def fb(bdf, bid: int) -> None:
+        bdf.persist()
+        try:
+            (
+                bdf.write.mode("append")
+                .format(fmt)
+                .partitionBy(*partition_cols)
+                .save(path)
+            )
+            mx = bdf.agg(_F.max(watermark_col)).collect()[0][0]
+            for row in bdf.select(*partition_cols).distinct().collect():
+                state["pending"].add(tuple(row[c] for c in partition_cols))
+        finally:
+            bdf.unpersist()
+        if mx is not None:
+            wm = pd.Timestamp(mx) - wm_delay
+            state["wm"] = wm if state["wm"] is None else max(state["wm"], wm)
+        if state["wm"] is None:
+            return
+        done = set()
+        for values in state["pending"]:
+            pt = _partition_time(timestamp_pattern, partition_cols, values)
+            if state["wm"] > pt + c_delay:
+                sub = "/".join(
+                    f"{c}={v}" for c, v in zip(partition_cols, values)
+                )
+                d = os.path.join(path, sub)
+                if os.path.isdir(d):
+                    open(os.path.join(d, success_file), "a").close()
+                done.add(values)
+        state["pending"] -= done
+
+    return (
+        sdf.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -369,3 +369,36 @@ def test_auto_compaction_streaming_sink(spark, tmp_path, sf_dir):
         spark.read.parquet(out).count()
         == load(spark, sf_dir, "events").count()
     )
+
+
+def test_partition_time_commit_trigger(spark, tmp_path, sf_dir):
+    """PartitionTimeCommitTrigger parity: a day-partition commits (gets
+    its success file) once watermark > partition-time + delay; the final
+    day stays pending — visible but uncommitted."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.sources.filesystem import partitioned_stream_sink
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=4).select(
+        "event_id", "ts", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+    out = str(tmp_path / "pt_out")
+    q = partitioned_stream_sink(
+        ev, out, ["dt"], str(tmp_path / "pt_ckpt"),
+        watermark_col="ts", watermark_delay="10 minutes",
+        commit_delay="1 day",
+    )
+    q.awaitTermination(300)
+    days = sorted(d for d in os.listdir(out) if d.startswith("dt="))
+    assert len(days) >= 25  # january's days all wrote
+    committed = [
+        d for d in days if os.path.isfile(os.path.join(out, d, "_SUCCESS"))
+    ]
+    uncommitted = [d for d in days if d not in committed]
+    # events end Jan 30 23:26 → wm ≈ 23:16; with a 1-day delay the last
+    # day cannot have committed, every earlier day has
+    assert uncommitted == ["dt=2024-01-30"]
+    assert committed == days[:-1]
