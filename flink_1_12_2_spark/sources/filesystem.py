@@ -314,6 +314,7 @@ def partitioned_stream_sink(
     timestamp_pattern: str | None = None,
     fmt: str = "parquet",
     success_file: str = "_SUCCESS",
+    trigger: str = "partition-time",
 ):
     """Streaming partitioned file sink with the PARTITION-TIME commit
     trigger (new in Flink 1.12 — stream/PartitionTimeCommitTrigger.java:
@@ -335,9 +336,20 @@ def partitioned_stream_sink(
     import pandas as pd
     from pyspark.sql import functions as _F
 
+    if trigger not in ("partition-time", "process-time"):
+        raise ValueError(
+            "sink.partition-commit.trigger must be partition-time or "
+            f"process-time, got {trigger!r}"
+        )
     wm_delay = pd.Timedelta(watermark_delay)
     c_delay = pd.Timedelta(commit_delay)
     state = {"wm": None, "pending": set()}
+
+    def _commit(values) -> None:
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, values))
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            open(os.path.join(d, success_file), "a").close()
 
     def fb(bdf, bid: int) -> None:
         bdf.persist()
@@ -353,6 +365,16 @@ def partitioned_stream_sink(
                 state["pending"].add(tuple(row[c] for c in partition_cols))
         finally:
             bdf.unpersist()
+        if trigger == "process-time":
+            # ProcTimeCommitTrigger: commit once the checkpoint that
+            # wrote the partition completes (+ delay of processing time;
+            # the availableNow emulation's batch end IS that point —
+            # Flink docs call this mode out as "may commit early/partial
+            # data", which holds here identically)
+            for values in sorted(state["pending"]):
+                _commit(values)
+            state["pending"].clear()
+            return
         if mx is not None:
             wm = pd.Timestamp(mx) - wm_delay
             state["wm"] = wm if state["wm"] is None else max(state["wm"], wm)
@@ -362,12 +384,7 @@ def partitioned_stream_sink(
         for values in state["pending"]:
             pt = _partition_time(timestamp_pattern, partition_cols, values)
             if state["wm"] > pt + c_delay:
-                sub = "/".join(
-                    f"{c}={v}" for c, v in zip(partition_cols, values)
-                )
-                d = os.path.join(path, sub)
-                if os.path.isdir(d):
-                    open(os.path.join(d, success_file), "a").close()
+                _commit(values)
                 done.add(values)
         state["pending"] -= done
 

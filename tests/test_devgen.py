@@ -402,3 +402,29 @@ def test_partition_time_commit_trigger(spark, tmp_path, sf_dir):
     # day cannot have committed, every earlier day has
     assert uncommitted == ["dt=2024-01-30"]
     assert committed == days[:-1]
+
+
+def test_process_time_commit_trigger(spark, tmp_path, sf_dir):
+    """ProcTimeCommitTrigger: every partition a checkpoint wrote commits
+    at that checkpoint's end — including the newest (the mode Flink
+    documents as possibly committing 'early' relative to event time)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.sources.filesystem import partitioned_stream_sink
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=2).select(
+        "event_id", "ts", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+    out = str(tmp_path / "proc_out")
+    q = partitioned_stream_sink(
+        ev, out, ["dt"], str(tmp_path / "proc_ckpt"),
+        watermark_col="ts", trigger="process-time",
+    )
+    q.awaitTermination(300)
+    days = [d for d in os.listdir(out) if d.startswith("dt=")]
+    assert days and all(
+        os.path.isfile(os.path.join(out, d, "_SUCCESS")) for d in days
+    )
