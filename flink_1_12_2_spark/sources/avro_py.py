@@ -63,16 +63,32 @@ _AVRO_TO_SPARK_DDL = {
 def spark_schema_to_avro(schema: StructType, name: str = "record0") -> dict:
     fields = []
     for f in schema.fields:
-        t = _SPARK_TO_AVRO.get(type(f.dataType))
+        if isinstance(f.dataType, StructType):
+            # nested record (the Debezium envelope's before/after rows)
+            t = spark_schema_to_avro(f.dataType, name=f"{name}_{f.name}")
+        else:
+            t = _SPARK_TO_AVRO.get(type(f.dataType))
         if t is None:
             raise NotImplementedError(
-                f"avro_py supports flat primitive schemas; field "
-                f"{f.name!r} has {f.dataType.simpleString()}"
+                f"avro_py supports primitive and nested-record schemas; "
+                f"field {f.name!r} has {f.dataType.simpleString()}"
             )
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
     return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_type_to_ddl(ft) -> str:
+    """Avro field type → Spark DDL type, records included (recursive)."""
+    t = ft[1] if isinstance(ft, list) else ft
+    if isinstance(t, dict) and t.get("type") == "record":
+        inner = ", ".join(
+            f"{f['name']}: {avro_type_to_ddl(f['type'])}"
+            for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    return _AVRO_TO_SPARK_DDL[t]
 
 
 def _zigzag_encode(n: int) -> bytes:
@@ -114,6 +130,18 @@ def _enc_value(t, v) -> bytes:
     if t == "bytes":
         b = bytes(v)
         return _zigzag_encode(len(b)) + b
+    if isinstance(t, dict) and t.get("type") == "record":
+        # nested record: v is a Row/dict/tuple aligned with the fields
+        out = b""
+        for i, f in enumerate(t["fields"]):
+            if isinstance(v, dict):
+                fv = v.get(f["name"])
+            elif hasattr(v, "__fields__"):  # pyspark Row
+                fv = v[f["name"]]
+            else:
+                fv = v[i]
+            out += _enc_field(f["type"], fv)
+        return out
     raise NotImplementedError(t)
 
 
@@ -140,6 +168,10 @@ def _dec_value(t, buf: io.BytesIO):
     if t == "bytes":
         n = _zigzag_decode(buf)
         return buf.read(n)
+    if isinstance(t, dict) and t.get("type") == "record":
+        return {
+            f["name"]: _dec_field(f["type"], buf) for f in t["fields"]
+        }
     raise NotImplementedError(t)
 
 

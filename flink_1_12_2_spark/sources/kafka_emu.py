@@ -394,6 +394,21 @@ def topic_table(
             metadata_cols=metadata_cols,
         )
         return _avro_decode_keep(raw, reg, subject, metadata_cols)
+    if value_format == "debezium-avro-confluent":
+        # DebeziumAvroFormatFactory: the debezium envelope, Avro-coded
+        # against the registry — registry-decode to the JSON envelope,
+        # then the json debezium parser unchanged
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_to_json,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        raw = read_topic_batch(
+            spark, topic_dir, "raw", "", options=options,
+            metadata_cols=metadata_cols,
+        )
+        jsoned = avro_registry_to_json(raw, reg, subject)
+        return parse_debezium_json(jsoned, "value", payload_schema)
     return read_topic_batch(
         spark, topic_dir, value_format, payload_schema, options=options,
         metadata_cols=metadata_cols,
@@ -437,6 +452,20 @@ def topic_table_stream(
             metadata_cols=metadata_cols,
         )
         return _avro_decode_keep(raw, reg, subject, metadata_cols)
+    if value_format == "debezium-avro-confluent":
+        from flink_1_12_2_spark.sources.schema_registry import (
+            avro_registry_to_json,
+        )
+
+        reg, subject = _registry_opts(topic_dir, options)
+        raw = read_topic_stream(
+            spark, topic_dir, "raw", "",
+            max_files_per_trigger=max_files_per_trigger,
+            options=options,
+            metadata_cols=metadata_cols,
+        )
+        jsoned = avro_registry_to_json(raw, reg, subject)
+        return parse_debezium_json(jsoned, "value", payload_schema)
     return read_topic_stream(
         spark, topic_dir, value_format, payload_schema,
         max_files_per_trigger=max_files_per_trigger,

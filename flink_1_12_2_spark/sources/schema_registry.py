@@ -274,3 +274,49 @@ def avro_registry_struct_decode(
             yield out
 
     return framed.mapInPandas(dec, out_ddl)
+
+
+def avro_registry_to_json(
+    framed: DataFrame,
+    registry_path: str,
+    reader_subject: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode registry-framed Avro messages into a JSON STRING column of
+    the same record shape (nested records become objects) — the bridge
+    that lets every JSON-envelope parser run unchanged on the Avro
+    transport. This is how ``debezium-avro-confluent`` composes
+    (flink-formats/flink-avro-confluent-registry/.../debezium/
+    DebeziumAvroDeserializationSchema.java:119 — the SAME before/after/op
+    envelope, Avro-coded): registry-decode here, then
+    operators/cdc_formats.parse_debezium_json exactly as for
+    debezium-json. Null messages pass through as null strings
+    (tombstones). Binary payload fields are not JSON-representable and
+    raise; Debezium envelopes carry none."""
+    import json as _json
+
+    registry = FileSchemaRegistry(registry_path)
+    _, reader = registry.latest(reader_subject)
+    schemas = registry.schema_table()
+    names = [f["name"] for f in reader["fields"]]
+    keep = [c for c in framed.columns if c != value_col]
+    keep_ddl = ", ".join(
+        f"{c} {framed.schema[c].dataType.simpleString()}" for c in keep
+    )
+    out_ddl = (f"{keep_ddl}, " if keep_ddl else "") + f"{value_col} string"
+
+    def dec(pdfs):
+        for pdf in pdfs:
+            texts = [
+                None
+                if v is None
+                else _json.dumps(
+                    dict(zip(names, decode_record(bytes(v), schemas, reader)))
+                )
+                for v in pdf[value_col]
+            ]
+            out = pdf[keep].copy()
+            out[value_col] = texts
+            yield out
+
+    return framed.mapInPandas(dec, out_ddl)

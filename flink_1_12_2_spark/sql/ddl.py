@@ -163,7 +163,7 @@ def parse_create_table(
         fmt = opts.pop("format", "json")
         _KAFKA_FORMATS = (
             "json", "raw", "debezium-json", "canal-json", "maxwell-json",
-            "avro-confluent",
+            "avro-confluent", "debezium-avro-confluent",
         )
         if fmt not in _KAFKA_FORMATS:
             raise ValueError(
