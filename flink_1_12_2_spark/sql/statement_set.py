@@ -459,10 +459,78 @@ def _publish_to_topic(meta, out_df) -> int:
         framed = avro_registry_encode(out_df, reg, subject).select(
             F.base64("value").alias("value")
         )
+    elif meta.fmt in (
+        "debezium-json",
+        "canal-json",
+        "maxwell-json",
+        "debezium-avro-confluent",
+    ):
+        # CDC format SERIALIZATION (new in 1.12 — Debezium/Canal/Maxwell
+        # JsonSerializationSchema, all three mapping +I/+U → insert-op
+        # with the row as post-image and -U/-D → delete-op with the row
+        # as pre-image; updates therefore publish as delete+insert
+        # pairs, exactly the reference's rowKindToOp switch). An
+        # append-only SELECT (no _row_kind) publishes pure inserts.
+        from flink_1_12_2_spark.operators.changelog import ROW_KIND
+
+        rk = ROW_KIND if ROW_KIND in out_df.columns else None
+        payload_cols = [c for c in out_df.columns if c != rk]
+        row = F.struct(*[F.col(c) for c in payload_cols])
+        is_del = (
+            F.col(rk).isin("-U", "-D") if rk is not None else F.lit(False)
+        )
+        if meta.fmt.startswith("debezium"):
+            env = out_df.select(
+                F.when(is_del, row).alias("before"),
+                F.when(~is_del, row).alias("after"),
+                F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+            )
+            if meta.fmt == "debezium-json":
+                framed = env.select(
+                    F.to_json(
+                        F.struct("before", "after", "op")
+                    ).alias("value")
+                )
+            else:
+                from flink_1_12_2_spark.sources.kafka_emu import (
+                    _registry_opts,
+                )
+                from flink_1_12_2_spark.sources.schema_registry import (
+                    avro_registry_encode,
+                )
+
+                reg, subject = _registry_opts(meta.path, meta.options)
+                framed = avro_registry_encode(
+                    env, reg, subject,
+                    payload_cols=["before", "after", "op"],
+                ).select(F.base64("value").alias("value"))
+        elif meta.fmt == "canal-json":
+            framed = out_df.select(
+                F.to_json(
+                    F.struct(
+                        F.array(row).alias("data"),
+                        F.when(is_del, F.lit("DELETE"))
+                        .otherwise(F.lit("INSERT"))
+                        .alias("type"),
+                    )
+                ).alias("value")
+            )
+        else:  # maxwell-json: single-row data, lowercase type
+            framed = out_df.select(
+                F.to_json(
+                    F.struct(
+                        row.alias("data"),
+                        F.when(is_del, F.lit("delete"))
+                        .otherwise(F.lit("insert"))
+                        .alias("type"),
+                    )
+                ).alias("value")
+            )
     else:
         raise ValueError(
             f"kafka sink format {meta.fmt!r} not supported "
-            "(json, raw, avro-confluent; CDC formats are source-only)"
+            "(json, raw, avro-confluent, debezium-json, canal-json, "
+            "maxwell-json, debezium-avro-confluent)"
         )
     semantic = meta.options.get("sink.semantic", "at-least-once")
     if semantic == "exactly-once":

@@ -178,3 +178,44 @@ def test_changelog_join_product_rule(spark):
     }
     # final states: l = {1: 30, 2: 5}; r = {1: x} -> join keeps only k=1
     assert out == {1: (30.0, 1)}
+
+
+def test_cdc_sink_roundtrip_all_formats(spark, tmp_path):
+    """CDC format SERIALIZATION (new in 1.12): a changelog INSERTed into
+    a debezium/canal/maxwell kafka table publishes insert/delete
+    envelopes (updates become delete+insert pairs per the reference's
+    rowKindToOp), and reading the topic back yields the changelog."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    for fmt, reg_opt in (
+        ("debezium-json", ""),
+        ("canal-json", ""),
+        ("maxwell-json", ""),
+        (
+            "debezium-avro-confluent",
+            ", 'avro-confluent.schema-registry.url'='file:{reg}'",
+        ),
+    ):
+        eng = EngineSession(spark)
+        short = fmt.replace("-", "_")
+        topic = str(tmp_path / f"t_{short}")
+        reg = str(tmp_path / f"reg_{short}.json")
+        extra = reg_opt.format(reg=reg)
+        eng.sql(
+            f"""CREATE TABLE snk_{short} (id BIGINT, v STRING) WITH (
+                'connector'='kafka', 'topic'='{topic}',
+                'format'='{fmt}'{extra})"""
+        )
+        ch = spark.createDataFrame(
+            [("+I", 1, "a"), ("+I", 2, "b"), ("-D", 2, "b")],
+            "_row_kind string, id bigint, v string",
+        )
+        ch.createOrReplaceTempView(f"src_{short}")
+        eng.sql(f"INSERT INTO snk_{short} SELECT * FROM src_{short}")
+        got = sorted(
+            (r["_row_kind"], r["id"])
+            for r in spark.table(f"snk_{short}").collect()
+        )
+        # CDC serialization writes -D as op=delete; the read-back decode
+        # surfaces it as -D again
+        assert got == [("+I", 1), ("+I", 2), ("-D", 2)], (fmt, got)
