@@ -570,11 +570,18 @@ class EngineSession:
                 metadata_cols=meta.metadata_cols,
             )
         else:
-            df = (
-                self.spark.readStream.format(meta.fmt)
-                .schema(self.spark.table(name).schema)
-                .load(meta.path)
+            from flink_1_12_2_spark.sql.ddl import _format_scan_options
+
+            r = self.spark.readStream.format(meta.fmt).schema(
+                self.spark.table(name).schema
             )
+            # same Flink→Spark format-option mapping as the batch scan
+            # (csv.field-delimiter → sep, ignore-parse-errors → mode, …)
+            for k, v in _format_scan_options(meta.fmt, meta.options).items():
+                r = r.option(k, v)
+            if meta.fmt == "csv":
+                r = r.option("header", "true")
+            df = r.load(meta.path)
         if meta.event_time_col and meta.watermark_delay:
             df = df.withWatermark(meta.event_time_col, meta.watermark_delay)
         return df

@@ -210,3 +210,25 @@ def test_rename_moves_kafka_computed_state(spark, tmp_path):
     publish(spark.createDataFrame([('{"x": 6}',)], "value string"), topic)
     rows = {r["x"]: r["c"] for r in eng.sql("SELECT * FROM tren2").collect()}
     assert rows == {5: 10, 6: 12}
+
+
+def test_stream_table_honors_csv_format_options(spark, tmp_path):
+    """The streaming twin maps the same format options as the batch
+    scan (a ';'-delimited table must not mis-parse when streamed)."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.streaming.core import run_to_memory
+
+    eng = EngineSession(spark)
+    d = tmp_path / "csv_st"
+    d.mkdir()
+    (d / "a.csv").write_text("k;v\n1;a\n2;b\n")
+    eng.sql(
+        f"""CREATE TABLE stcsv (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{d}', 'format'='csv',
+            'csv.field-delimiter'=';')"""
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in run_to_memory(eng.stream_table("stcsv")).collect()
+    }
+    assert got == {1: "a", 2: "b"}
