@@ -280,9 +280,8 @@ class EngineSession:
         # re-register any view whose topic directory changed since —
         # detected by a cheap top-level-listing fingerprint (each
         # producer batch is one new directory entry). Computed columns
-        # declared in the DDL are re-applied on refresh.
+        # re-apply from TableMeta.computed_cols on refresh.
         self._kafka_fps: dict[str, tuple[str, ...]] = {}
-        self._kafka_computed: dict[str, list[tuple[str, str]]] = {}
         # Flink-only SQL function names (SPLIT_INDEX, IS_DECIMAL, …) are part
         # of the front-door dialect — register once per session (idempotent,
         # Catalyst inlines the SQL-UDF bodies so they cost nothing at run
@@ -352,7 +351,7 @@ class EngineSession:
                     options=meta.options,
                     metadata_cols=meta.metadata_cols,
                 )
-            for cname, cexpr in self._kafka_computed.get(name, ()):
+            for cname, cexpr in meta.computed_cols:
                 from flink_1_12_2_spark.sql.rewriter import rewrite_expr
 
                 df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
@@ -454,11 +453,14 @@ class EngineSession:
                 from flink_1_12_2_spark.sql.rewriter import rewrite_expr
 
                 df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
-            if meta.declared_columns and set(meta.declared_columns) <= set(
+            if meta.declared_columns and set(meta.declared_columns) == set(
                 df.columns
             ):
                 # SELECT * through the hint presents DDL-declared column
-                # order, like register_table's plain view
+                # order, like register_table's plain view. EQUALITY, not
+                # subset: a CDC scan carries engine columns beyond the
+                # declared ones (_row_kind, ts_ms) that a subset-select
+                # would silently drop, corrupting the changelog
                 df = df.select(*meta.declared_columns)
             df.createOrReplaceTempView(view)
             return view
@@ -572,9 +574,13 @@ class EngineSession:
         else:
             from flink_1_12_2_spark.sql.ddl import _format_scan_options
 
-            r = self.spark.readStream.format(meta.fmt).schema(
-                self.spark.table(name).schema
-            )
+            # the PHYSICAL schema (declared columns only): the batch
+            # view's schema includes computed columns the files don't
+            # carry, which would make every csv/json record malformed —
+            # computed columns re-apply AFTER the load, like the batch
+            # scan path
+            physical = meta.schema_ddl or self.spark.table(name).schema
+            r = self.spark.readStream.format(meta.fmt).schema(physical)
             # same Flink→Spark format-option mapping as the batch scan
             # (csv.field-delimiter → sep, ignore-parse-errors → mode, …)
             for k, v in _format_scan_options(meta.fmt, meta.options).items():
@@ -582,6 +588,11 @@ class EngineSession:
             if meta.fmt == "csv":
                 r = r.option("header", "true")
             df = r.load(meta.path)
+            if meta.computed_cols:
+                from flink_1_12_2_spark.sql.rewriter import rewrite_expr
+
+                for cname, cexpr in meta.computed_cols:
+                    df = df.withColumn(cname, F.expr(rewrite_expr(cexpr)))
         if meta.event_time_col and meta.watermark_delay:
             df = df.withWatermark(meta.event_time_col, meta.watermark_delay)
         return df

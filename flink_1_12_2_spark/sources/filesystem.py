@@ -256,7 +256,14 @@ def compacted_write(
         else _parse_memory_size(target_file_size)
     )
     n = max(1, math.ceil(size / max(1, target)))
-    staged = spark.read.format(fmt).load(staging)
+    # the staged read-back MUST see the writer's options (a ';' csv
+    # written with sep=';' mis-splits on the default comma) and the
+    # batch's declared schema (text formats would re-infer; an empty
+    # batch cannot infer at all)
+    r = spark.read.format(fmt).schema(df.schema)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    staged = r.load(staging)
     out = staged.coalesce(n).write.format(fmt).mode("append")
     if partition_cols:
         out = out.partitionBy(*partition_cols)
@@ -341,14 +348,38 @@ def partitioned_stream_sink(
             "sink.partition-commit.trigger must be partition-time or "
             f"process-time, got {trigger!r}"
         )
+    import json as _json
+
     wm_delay = pd.Timedelta(watermark_delay)
     c_delay = pd.Timedelta(commit_delay)
+    # the trigger's state (pending partitions + watermark) persists
+    # BESIDE the checkpoint, like PartitionTimeCommitTrigger's operator
+    # state — a restart resumes pending commits instead of orphaning
+    # partitions written before the stop
+    os.makedirs(checkpoint, exist_ok=True)
+    state_path = os.path.join(checkpoint, "partition_commit_state.json")
     state = {"wm": None, "pending": set()}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = _json.load(f)
+        state["wm"] = (
+            pd.Timestamp(saved["wm"]) if saved.get("wm") else None
+        )
+        state["pending"] = {tuple(v) for v in saved.get("pending", [])}
+
+    def _save_state() -> None:
+        with open(state_path, "w") as f:
+            _json.dump(
+                {
+                    "wm": str(state["wm"]) if state["wm"] is not None else None,
+                    "pending": sorted(list(v) for v in state["pending"]),
+                },
+                f,
+            )
 
     def _commit(values) -> None:
-        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, values))
-        d = os.path.join(path, sub)
-        if os.path.isdir(d):
+        d = find_partition_dir(path, partition_cols, values)
+        if d is not None:
             open(os.path.join(d, success_file), "a").close()
 
     def fb(bdf, bid: int) -> None:
@@ -360,7 +391,8 @@ def partitioned_stream_sink(
                 .partitionBy(*partition_cols)
                 .save(path)
             )
-            mx = bdf.agg(_F.max(watermark_col)).collect()[0][0]
+            if trigger == "partition-time":
+                mx = bdf.agg(_F.max(watermark_col)).collect()[0][0]
             for row in bdf.select(*partition_cols).distinct().collect():
                 state["pending"].add(tuple(row[c] for c in partition_cols))
         finally:
@@ -374,19 +406,22 @@ def partitioned_stream_sink(
             for values in sorted(state["pending"]):
                 _commit(values)
             state["pending"].clear()
+            _save_state()
             return
         if mx is not None:
             wm = pd.Timestamp(mx) - wm_delay
             state["wm"] = wm if state["wm"] is None else max(state["wm"], wm)
-        if state["wm"] is None:
-            return
-        done = set()
-        for values in state["pending"]:
-            pt = _partition_time(timestamp_pattern, partition_cols, values)
-            if state["wm"] > pt + c_delay:
-                _commit(values)
-                done.add(values)
-        state["pending"] -= done
+        if state["wm"] is not None:
+            done = set()
+            for values in state["pending"]:
+                pt = _partition_time(
+                    timestamp_pattern, partition_cols, values
+                )
+                if state["wm"] > pt + c_delay:
+                    _commit(values)
+                    done.add(values)
+            state["pending"] -= done
+        _save_state()
 
     return (
         sdf.writeStream.foreachBatch(fb)
@@ -394,3 +429,28 @@ def partitioned_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def find_partition_dir(base: str, part_cols, values) -> str | None:
+    """Resolve a partition's directory under ``base``, honoring Spark's
+    partition-path ESCAPING (PartitioningUtils.escapePathName percent-
+    encodes ':', control chars, etc. — a raw f"{col}={value}" join
+    misses such directories): each level's entries are %-unescaped and
+    compared by value."""
+    from urllib.parse import unquote
+
+    cur = base
+    for col, val in zip(part_cols, values):
+        want = f"{col}={val}"
+        nxt = None
+        try:
+            for d in os.listdir(cur):
+                if unquote(d) == want:
+                    nxt = os.path.join(cur, d)
+                    break
+        except OSError:
+            return None
+        if nxt is None:
+            return None
+        cur = nxt
+    return cur

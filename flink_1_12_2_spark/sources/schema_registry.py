@@ -208,15 +208,12 @@ def avro_registry_decode(
     registry = FileSchemaRegistry(registry_path)
     _, reader = registry.latest(reader_subject)
     schemas = registry.schema_table()
-    from flink_1_12_2_spark.sources.avro_py import _AVRO_TO_SPARK_DDL
-
-    def _ddl_type(ft) -> str:
-        t = ft[1] if isinstance(ft, list) else ft
-        return _AVRO_TO_SPARK_DDL[t]
+    from flink_1_12_2_spark.sources.avro_py import avro_type_to_ddl
 
     names = [f["name"] for f in reader["fields"]]
     ddl = ", ".join(
-        f"{f['name']} {_ddl_type(f['type'])}" for f in reader["fields"]
+        f"{f['name']} {avro_type_to_ddl(f['type'])}"
+        for f in reader["fields"]
     )
 
     def dec(pdfs):
@@ -245,15 +242,12 @@ def avro_registry_struct_decode(
     registry = FileSchemaRegistry(registry_path)
     _, reader = registry.latest(reader_subject)
     schemas = registry.schema_table()
-    from flink_1_12_2_spark.sources.avro_py import _AVRO_TO_SPARK_DDL
-
-    def _ddl_type(ft) -> str:
-        t = ft[1] if isinstance(ft, list) else ft
-        return _AVRO_TO_SPARK_DDL[t]
+    from flink_1_12_2_spark.sources.avro_py import avro_type_to_ddl
 
     names = [f["name"] for f in reader["fields"]]
     inner = ", ".join(
-        f"{f['name']}: {_ddl_type(f['type'])}" for f in reader["fields"]
+        f"{f['name']}: {avro_type_to_ddl(f['type'])}"
+        for f in reader["fields"]
     )
     keep = [c for c in framed.columns if c != value_col]
     keep_ddl = ", ".join(

@@ -388,6 +388,9 @@ def _create_table_like(engine: EngineSession, m: "re.Match"):
         # SqlTableLike FeatureOption.PARTITIONS: the clone loses the
         # base's PARTITIONED BY keys (writes go unpartitioned)
         meta = dataclasses.replace(meta, partition_cols=())
+    if strategies.get("GENERATED") == "EXCLUDING":
+        # FeatureOption.GENERATED: computed columns don't clone
+        meta = dataclasses.replace(meta, computed_cols=())
     if os.path.exists(meta.path):
         engine.register_table(new, meta)
     else:
@@ -599,8 +602,6 @@ def execute_ddl(engine: EngineSession, ddl: str):
         # register metadata only, INSERT/publish will create it (for kafka
         # topics the first query-time refresh then builds the scan view,
         # computed columns included)
-        if computed and meta.connector in ("kafka", "upsert-kafka"):
-            engine._kafka_computed[name] = computed
         engine.register_sink(name, meta)
         return engine.spark.createDataFrame([("OK",)], "result string")
     if meta.connector in ("kafka", "upsert-kafka"):
@@ -608,8 +609,6 @@ def execute_ddl(engine: EngineSession, ddl: str):
         # topic fingerprint changes — scans resolve at query time like
         # Flink's, not at CREATE time); the DDL only records computed
         # columns so refreshes re-apply them
-        if computed:
-            engine._kafka_computed[name] = computed
         engine.register_table(name, meta)
         return engine.spark.table(name)
     reader = engine.spark.read.format(meta.fmt)
@@ -945,8 +944,8 @@ def execute_statement(engine: EngineSession, stmt: str):
         spark.catalog.dropTempView(m.group(1))
         engine._tables.pop(m.group(1), None)
         # a later CREATE TABLE with the same name must not inherit the
-        # dropped table's computed columns or topic fingerprint
-        engine._kafka_computed.pop(m.group(1), None)
+        # dropped table's topic fingerprint (computed columns travel on
+        # TableMeta and die with it)
         engine._kafka_fps.pop(m.group(1), None)
         return _ok()
     m = _ALTER_VIEW_RENAME.match(stmt)
@@ -1106,10 +1105,8 @@ def execute_statement(engine: EngineSession, stmt: str):
         spark.catalog.dropTempView(old)
         if old in engine._tables:
             engine._tables[new] = engine._tables.pop(old)
-        # computed-column / fingerprint state follows the rename (same
-        # stale-state class the DROP TABLE cleanup fixes)
-        if old in engine._kafka_computed:
-            engine._kafka_computed[new] = engine._kafka_computed.pop(old)
+        # fingerprint state follows the rename (computed columns ride
+        # the moved TableMeta itself)
         if old in engine._kafka_fps:
             engine._kafka_fps[new] = engine._kafka_fps.pop(old)
         return _ok()
@@ -1194,7 +1191,6 @@ def execute_statement(engine: EngineSession, stmt: str):
         for t in engine._catalogs.pop(name):
             spark.catalog.dropTempView(t)
             engine._tables.pop(t, None)
-            engine._kafka_computed.pop(t, None)
             engine._kafka_fps.pop(t, None)
         return _ok()
     if _SHOW_VIEWS.match(stmt):

@@ -81,15 +81,21 @@ def _commit_partitions(meta, out_df: DataFrame) -> None:
         return
     import os
 
+    from flink_1_12_2_spark.sources.filesystem import find_partition_dir
+
     fname = meta.options.get(
         "sink.partition-commit.success-file.name", "_SUCCESS"
     )
     # the committed partitions = this batch's distinct key tuples —
-    # partition-count-bounded metadata, not data
+    # partition-count-bounded metadata, not data; the dir lookup honors
+    # Spark's partition-path escaping
     for row in out_df.select(*meta.partition_cols).distinct().collect():
-        sub = "/".join(f"{c}={row[c]}" for c in meta.partition_cols)
-        d = os.path.join(meta.path, sub)
-        if os.path.isdir(d):
+        d = find_partition_dir(
+            meta.path,
+            meta.partition_cols,
+            [row[c] for c in meta.partition_cols],
+        )
+        if d is not None:
             open(os.path.join(d, fname), "a").close()
 
 
@@ -475,6 +481,17 @@ def _publish_to_topic(meta, out_df) -> int:
 
         rk = ROW_KIND if ROW_KIND in out_df.columns else None
         payload_cols = [c for c in out_df.columns if c != rk]
+        if meta.columns and len(payload_cols) == len(meta.columns):
+            # positional mapping to the sink's DECLARED column names —
+            # a changelog input skipped the generic toDF above (its
+            # extra _row_kind column broke the length match), but the
+            # envelope's payload must serialize under the declared
+            # names or the read-back decodes all-null
+            renamed = dict(zip(payload_cols, meta.columns))
+            for old_name, new_name in renamed.items():
+                if old_name != new_name:
+                    out_df = out_df.withColumnRenamed(old_name, new_name)
+            payload_cols = list(meta.columns)
         row = F.struct(*[F.col(c) for c in payload_cols])
         is_del = (
             F.col(rk).isin("-U", "-D") if rk is not None else F.lit(False)

@@ -428,3 +428,22 @@ def test_process_time_commit_trigger(spark, tmp_path, sf_dir):
     assert days and all(
         os.path.isfile(os.path.join(out, d, "_SUCCESS")) for d in days
     )
+
+
+def test_auto_compaction_csv_keeps_options_and_schema(spark, tmp_path):
+    """The compaction read-back must honor the writer's format options
+    and the declared schema — a ';' csv previously re-read with the
+    default comma delimiter and committed garbage."""
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "csvc")
+    eng.sql(
+        f"""CREATE TABLE csvc (k BIGINT, v STRING) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='csv',
+            'csv.field-delimiter'=';', 'sink.parallelism'='4',
+            'auto-compaction'='true', 'compaction.file-size'='64MB')"""
+    )
+    eng.sql("INSERT INTO csvc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    got = {r["k"]: r["v"] for r in spark.table("csvc").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}

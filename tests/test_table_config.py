@@ -232,3 +232,36 @@ def test_stream_table_honors_csv_format_options(spark, tmp_path):
         for r in run_to_memory(eng.stream_table("stcsv")).collect()
     }
     assert got == {1: "a", 2: "b"}
+
+
+def test_options_hint_preserves_cdc_changelog_columns(spark, tmp_path):
+    """A hinted scan of a CDC table keeps the engine's changelog columns
+    (_row_kind) — the declared-order reorder applies only when the scan
+    exposes exactly the declared columns."""
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources.kafka_emu import publish
+
+    eng = EngineSession(spark)
+    topic = str(tmp_path / "t_cdc_hint")
+    publish(
+        spark.createDataFrame(
+            [(
+                '{"before": null, "after": {"id": 1, "v": "a"}, '
+                '"op": "c", "ts_ms": 1}',
+            )],
+            "value string",
+        ),
+        topic,
+    )
+    eng.sql(
+        f"""CREATE TABLE cdh (id BIGINT, v STRING) WITH (
+            'connector'='kafka', 'topic'='{topic}',
+            'format'='debezium-json')"""
+    )
+    eng.sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    hinted = eng.sql(
+        "SELECT * FROM cdh /*+ OPTIONS('scan.startup.mode'="
+        "'earliest-offset') */"
+    )
+    assert "_row_kind" in hinted.columns
+    assert hinted.collect()[0]["_row_kind"] == "+I"
