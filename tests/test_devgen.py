@@ -447,3 +447,26 @@ def test_auto_compaction_csv_keeps_options_and_schema(spark, tmp_path):
     eng.sql("INSERT INTO csvc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     got = {r["k"]: r["v"] for r in spark.table("csvc").collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_partition_commit_with_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark percent-escapes in directory names (':' in
+    timestamps) must still receive their success-file markers."""
+    import os
+
+    from flink_1_12_2_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    path = str(tmp_path / "esc")
+    eng.sql(
+        f"""CREATE TABLE escp (k BIGINT, ht STRING)
+        PARTITIONED BY (ht) WITH (
+            'connector'='filesystem', 'path'='{path}', 'format'='parquet',
+            'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    eng.sql(
+        "INSERT INTO escp PARTITION (ht='2024-01-01 00:00:00') VALUES (1)"
+    )
+    dirs = [d for d in os.listdir(path) if d.startswith("ht=")]
+    assert len(dirs) == 1 and "%3A" in dirs[0]  # Spark escaped the ':'
+    assert os.path.isfile(os.path.join(path, dirs[0], "_SUCCESS"))
