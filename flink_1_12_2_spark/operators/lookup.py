@@ -154,7 +154,12 @@ def jdbc_lookup_snapshot(
         raise err
 
     if rows is None:
-        return _read(), True
+        # Uncached path (lookup.cache.* absent → JdbcLookupOptions says
+        # per-call freshness, no size bound known): never FORCE a
+        # broadcast — a hint overrides spark.sql.autoBroadcastJoinThreshold
+        # and an unbounded dimension would OOM the driver. Let
+        # Catalyst/AQE pick the strategy from the dimension's statistics.
+        return _read(), False
     key = (url, table)
     hit = _JDBC_LOOKUP_CACHE.get(key)
     if hit is not None and now() - hit[1] < ttl:

@@ -394,7 +394,14 @@ def partitioned_stream_sink(
             if trigger == "partition-time":
                 mx = bdf.agg(_F.max(watermark_col)).collect()[0][0]
             for row in bdf.select(*partition_cols).distinct().collect():
-                state["pending"].add(tuple(row[c] for c in partition_cols))
+                # store str() forms: find_partition_dir and
+                # _partition_time both compare on str(value), and a
+                # DATE/TIMESTAMP partition value would crash json.dump
+                # in _save_state (and come back as a different type on
+                # restart) if kept as a native object
+                state["pending"].add(
+                    tuple(str(row[c]) for c in partition_cols)
+                )
         finally:
             bdf.unpersist()
         if trigger == "process-time":

@@ -3,6 +3,8 @@ JSON) — op mapping, partial-column overlay, unknown-op tolerance."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from flink_1_12_2_spark.operators.cdc_formats import (
@@ -219,3 +221,73 @@ def test_cdc_sink_roundtrip_all_formats(spark, tmp_path):
         # CDC serialization writes -D as op=delete; the read-back decode
         # surfaces it as -D again
         assert got == [("+I", 1), ("+I", 2), ("-D", 2)], (fmt, got)
+
+
+def test_cdc_metadata_columns_survive_parse(spark, tmp_path):
+    """FLIP-107 METADATA columns on a CDC-format kafka table flow through
+    the changelog parse (the _emit passthrough keeps non-value columns) —
+    regression pin for the advisor's r12 claim that the _CDC_PARSERS
+    branch dropped them. Batch AND stream scans, all three json CDC
+    formats."""
+    import json
+
+    from flink_1_12_2_spark.session import EngineSession
+    from flink_1_12_2_spark.sources import kafka_emu
+
+    payloads = {
+        "debezium-json": json.dumps(
+            {"before": None, "after": {"id": 1, "v": "a"},
+             "op": "c", "ts_ms": 7}
+        ),
+        "canal-json": json.dumps(
+            {"data": [{"id": 1, "v": "a"}], "old": None, "type": "INSERT"}
+        ),
+        "maxwell-json": json.dumps(
+            {"data": {"id": 1, "v": "a"}, "old": None, "type": "insert"}
+        ),
+    }
+    for fmt, line in payloads.items():
+        short = fmt.replace("-", "_")
+        topic = str(tmp_path / f"t_{short}")
+        os.makedirs(os.path.join(topic, "batch-0"))
+        with open(os.path.join(topic, "batch-0", "part-0.txt"), "w") as f:
+            f.write(line + "\n")
+        eng = EngineSession(spark)
+        eng.sql(
+            f"""CREATE TABLE md_{short} (
+                  id BIGINT, v STRING,
+                  mtopic STRING METADATA FROM 'topic' VIRTUAL
+                ) WITH ('connector'='kafka', 'topic'='{topic}',
+                        'format'='{fmt}')"""
+        )
+        row = eng.sql(
+            f"SELECT id, v, mtopic, _row_kind FROM md_{short}"
+        ).collect()
+        assert [(r["id"], r["v"], r["_row_kind"]) for r in row] == [
+            (1, "a", "+I")
+        ], (fmt, row)
+        assert row[0]["mtopic"].endswith(f"t_{short}"), (fmt, row)
+        # stream path attaches metadata identically
+        sdf = kafka_emu.read_topic_stream(
+            spark, topic, fmt, "id bigint, v string",
+            metadata_cols=(("mtopic", "string", "topic"),),
+        )
+        assert "mtopic" in sdf.columns, (fmt, sdf.columns)
+
+
+def test_jdbc_lookup_uncached_never_forces_broadcast(tmp_path):
+    """No lookup.cache.* → no size bound is known, so the snapshot must
+    NOT carry the force-broadcast flag (a hint would override
+    autoBroadcastJoinThreshold and OOM on a big dimension); Catalyst/AQE
+    picks the strategy (advisor r12 medium finding)."""
+    import tempfile
+
+    from flink_1_12_2_spark.operators.lookup import jdbc_lookup_snapshot
+    from flink_1_12_2_spark.session import get_spark
+    from flink_1_12_2_spark.sources.jdbc import derby_url, jdbc_write
+
+    spark = get_spark()
+    url = derby_url(tempfile.mkdtemp(prefix="derby_nc_") + "/db")
+    jdbc_write(spark.range(5).selectExpr("id AS k"), url, "dim_nc")
+    _, bc = jdbc_lookup_snapshot(spark, url, "dim_nc")
+    assert bc is False

@@ -470,3 +470,42 @@ def test_partition_commit_with_escaped_partition_values(spark, tmp_path):
     dirs = [d for d in os.listdir(path) if d.startswith("ht=")]
     assert len(dirs) == 1 and "%3A" in dirs[0]  # Spark escaped the ':'
     assert os.path.isfile(os.path.join(path, dirs[0], "_SUCCESS"))
+
+
+def test_partition_commit_date_typed_partition_column(spark, tmp_path, sf_dir):
+    """A DATE-typed partition column must survive the trigger's JSON
+    state save (advisor r12: datetime.date crashed json.dump on the
+    first micro-batch) and still resolve directories / partition-times
+    after a restart reload."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_12_2_spark.sources.filesystem import partitioned_stream_sink
+    from flink_1_12_2_spark.streaming.core import stream_events_multibatch
+
+    ev = stream_events_multibatch(spark, sf_dir, n_files=2).select(
+        "event_id", "ts", F.to_date("ts").alias("dt")  # DATE, not string
+    )
+    out = str(tmp_path / "dt_out")
+    ckpt = str(tmp_path / "dt_ckpt")
+    q = partitioned_stream_sink(
+        ev, out, ["dt"], ckpt,
+        watermark_col="ts", watermark_delay="10 minutes",
+        commit_delay="1 day",
+    )
+    q.awaitTermination(300)
+    days = sorted(d for d in os.listdir(out) if d.startswith("dt="))
+    assert days, "date-partitioned write produced no partitions"
+    committed = [
+        d for d in days if os.path.isfile(os.path.join(out, d, "_SUCCESS"))
+    ]
+    assert committed == days[:-1]
+    # the persisted state is plain-JSON (str forms) and reloads cleanly
+    import json
+
+    with open(os.path.join(ckpt, "partition_commit_state.json")) as f:
+        saved = json.load(f)
+    assert all(
+        isinstance(v, str) for t in saved["pending"] for v in t
+    )
