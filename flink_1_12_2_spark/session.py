@@ -658,9 +658,23 @@ class EngineSession:
             # single-statement INSERT (Flink executeSql) = 1-element StatementSet
             return self.create_statement_set().add_insert_sql(query).execute()
         if re.match(r"(?is)\s*EXPLAIN\b", query):
-            return self.explain_sql(
-                re.sub(r"(?is)^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?", "", query)
+            rest = re.sub(r"(?is)^\s*EXPLAIN\s+", "", query)
+            # ExplainDetail list (ExplainDetail.java:30,36 — the 1.12
+            # enum has exactly ESTIMATED_COST and CHANGELOG_MODE):
+            # EXPLAIN CHANGELOG_MODE[, ESTIMATED_COST] <statement>
+            dm = re.match(
+                r"(?is)^((?:CHANGELOG_MODE|ESTIMATED_COST)"
+                r"(?:\s*,\s*(?:CHANGELOG_MODE|ESTIMATED_COST))*)\s+",
+                rest,
             )
+            details: tuple[str, ...] = ()
+            if dm:
+                details = tuple(
+                    d.strip().upper() for d in dm.group(1).split(",")
+                )
+                rest = rest[dm.end():]
+            rest = re.sub(r"(?is)^\s*PLAN\s+FOR\s+", "", rest)
+            return self.explain_sql(rest, details=details)
         if re.search(r"(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", query):
             from flink_1_12_2_spark.sql.temporal import temporal_join_sql
 
@@ -704,22 +718,66 @@ class EngineSession:
                     ) from e
             raise
 
-    def explain_sql(self, query: str) -> DataFrame:
-        """EXPLAIN [PLAN FOR] — TableEnvironment.explainSql parity
-        (TableEnvironmentImpl.java; Flink returns one row holding the
-        abstract-syntax + optimized + physical plan text). We return the
-        Catalyst parsed/analyzed/optimized/physical rendering, which is
-        the same three-section story."""
+    def explain_sql(
+        self, query: str, details: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """EXPLAIN [detail[, detail]] [PLAN FOR] — TableEnvironment
+        .explainSql parity (TableEnvironmentImpl.java; Flink returns one
+        row holding the abstract-syntax + optimized + physical plan
+        text). We return the Catalyst parsed/analyzed/optimized/physical
+        rendering, which is the same three-section story; ``details``
+        appends the ExplainDetail sections (CHANGELOG_MODE via the
+        changelog_plan inference rules, ESTIMATED_COST via Catalyst's
+        Statistics)."""
         from flink_1_12_2_spark.sql.rewriter import rewrite
 
         if "/*+" in query:
             # OPTIONS hints must resolve before Spark parses (same gate
             # and merge as the execution path)
             query = self._apply_options_hints(query)
+        sink = None
+        im = re.match(
+            r"(?is)\s*INSERT\s+(?:INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$",
+            query,
+            re.S,
+        )
+        if im is not None:
+            # EXPLAIN over an INSERT: plan the SELECT part (never
+            # execute the write) and wrap the changelog tree with the
+            # terminal sink rules (append sink rejects updates exactly
+            # like the planner; PK sink gets DropUpdateBefore)
+            target, query = im.group(1), im.group(2)
+            meta = self._tables.get(target)
+            if meta is not None and meta.connector in ("print", "blackhole"):
+                kind = "retract"  # these sinks accept every change kind
+            elif meta is not None and meta.primary_key:
+                kind = "upsert"
+            else:
+                kind = "append"
+            sink = (target, kind)
         df = self.spark.sql(rewrite(query))
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "extended"
             )
         )
+        sections = [plan]
+        if any(d.upper() == "CHANGELOG_MODE" for d in details):
+            from flink_1_12_2_spark.sql.explain_details import (
+                changelog_mode_section,
+            )
+
+            sections.append(
+                "== Changelog Mode ==\n"
+                + changelog_mode_section(self, df, sink)
+            )
+        if any(d.upper() == "ESTIMATED_COST" for d in details):
+            from flink_1_12_2_spark.sql.explain_details import (
+                estimated_cost_section,
+            )
+
+            sections.append(
+                "== Estimated Cost ==\n" + estimated_cost_section(df)
+            )
+        plan = "\n\n".join(sections)
         return self.spark.createDataFrame([(plan,)], "plan string")

@@ -199,12 +199,18 @@ def print_sink(
         if opts.get("standard-error", "false").lower() == "true"
         else sys.stdout
     )
-    rows = df.collect()
     cols = [c for c in df.columns if c != row_kind_col]
-    for r in rows:
+    # toLocalIterator ships ONE partition at a time to the driver —
+    # driver memory is bounded by the largest partition, not the full
+    # frame, so printing a huge table cannot OOM the way collect() would
+    # (the reference's print sink is likewise a per-record subtask print,
+    # never a global materialization)
+    n = 0
+    for r in df.toLocalIterator():
         kind = r[row_kind_col] if row_kind_col else "+I"
         body = ", ".join(
             "null" if r[c] is None else str(r[c]) for c in cols
         )
         print(f"{prefix}{kind}[{body}]", file=out)
-    return len(rows)
+        n += 1
+    return n

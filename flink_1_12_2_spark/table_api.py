@@ -264,11 +264,32 @@ class Table:
             .execute()
         )
 
-    def explain(self) -> str:
-        """Table.explain(): the plan string (logical + physical — Spark's
-        queryExecution dump stands in for Flink's AST/optimized/physical
-        sections)."""
-        return self._df._jdf.queryExecution().toString()
+    def explain(self, *details: str, engine=None) -> str:
+        """Table.explain(ExplainDetail...): the plan string (logical +
+        physical — Spark's queryExecution dump stands in for Flink's
+        AST/optimized/physical sections). ``details`` accepts
+        ``"CHANGELOG_MODE"`` / ``"ESTIMATED_COST"`` (ExplainDetail.java:
+        30,36); pass ``engine`` so source changelog modes resolve from
+        the session's table registry."""
+        out = self._df._jdf.queryExecution().toString()
+        wanted = {d.upper() for d in details}
+        if "CHANGELOG_MODE" in wanted:
+            from flink_1_12_2_spark.sql.explain_details import (
+                changelog_mode_section,
+            )
+
+            out += "\n\n== Changelog Mode ==\n" + changelog_mode_section(
+                engine, self._df
+            )
+        if "ESTIMATED_COST" in wanted:
+            from flink_1_12_2_spark.sql.explain_details import (
+                estimated_cost_section,
+            )
+
+            out += "\n\n== Estimated Cost ==\n" + estimated_cost_section(
+                self._df
+            )
+        return out
 
     # -- sink ----------------------------------------------------------------
     def to_data_frame(self) -> DataFrame:

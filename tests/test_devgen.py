@@ -509,3 +509,22 @@ def test_partition_commit_date_typed_partition_column(spark, tmp_path, sf_dir):
     assert all(
         isinstance(v, str) for t in saved["pending"] for v in t
     )
+
+
+def test_print_sink_never_collects_whole_frame(spark, capsys, monkeypatch):
+    """The print sink streams partitions to the driver (toLocalIterator)
+    instead of collect() — a huge frame must not be materialized whole.
+    Pinned by poisoning DataFrame.collect for the duration."""
+    from pyspark.sql import DataFrame
+
+    from flink_1_12_2_spark.sources.devgen import print_sink
+
+    def _no_collect(self):
+        raise AssertionError("print_sink must not collect() the frame")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    df = spark.range(0, 100, 1, 8).selectExpr("id AS k")
+    n = print_sink(df, {"print-identifier": "big"})
+    assert n == 100
+    cap = capsys.readouterr().out
+    assert "big> +I[0]" in cap and "big> +I[99]" in cap
