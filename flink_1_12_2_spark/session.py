@@ -291,6 +291,35 @@ class EngineSession:
         )
 
         register_flink_sql_functions(self.spark)
+        # Module system (ModuleManager.java): CoreModule loaded first by
+        # default; loadModule/useModules change function-resolution order
+        from flink_1_12_2_spark.modules import ModuleManager
+
+        self.modules = ModuleManager()
+
+    # -- module system (TableEnvironment.java:384-392,725) ----------------
+    def load_module(self, name: str, module) -> None:
+        self.modules.load_module(name, module)
+
+    def unload_module(self, name: str) -> None:
+        self.modules.unload_module(name)
+
+    def list_modules(self) -> list[str]:
+        return self.modules.list_modules()
+
+    def use_modules(self, *names: str) -> None:
+        self.modules.use_modules(*names)
+
+    def call_function(self, name: str, *args):
+        """Build a Column for ``name`` resolved through the module chain
+        (first used module listing the name wins — ModuleManager
+        .getFunctionDefinition). Raises if no module provides it."""
+        fn = self.modules.get_function_definition(name)
+        if fn is None:
+            raise ValueError(
+                f"No match found for function signature {name}"
+            )
+        return fn(*args)
 
     def create_temporal_table_function(
         self,
@@ -636,6 +665,7 @@ class EngineSession:
             r"(?is)\s*(SHOW\s+\w+|DESCRIBE|DROP\s+(TABLE|VIEW|DATABASE|CATALOG)|"
             r"ALTER\s+(TABLE|VIEW)|CREATE\s+(TEMPORARY\s+)?VIEW|"
             r"CREATE\s+(DATABASE|CATALOG)|USE\s+\w+|USE\s+CATALOG|"
+            r"(LOAD|UNLOAD)\s+MODULE|"
             r"(CREATE|DROP|ALTER)\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION)\s*",
             query,
         ):

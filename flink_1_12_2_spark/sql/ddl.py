@@ -868,6 +868,21 @@ _DROP_CATALOG = re.compile(
     r"(?is)^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$"
 )
 _USE_CATALOG = re.compile(r"(?is)^\s*USE\s+CATALOG\s+(?P<name>\w+)\s*;?\s*$")
+# module statements (ModuleManager state; SHOW MODULES lists the USED
+# modules in resolution order, FULL adds the used flag per loaded module)
+_SHOW_MODULES = re.compile(
+    r"(?is)^\s*SHOW\s+(?P<full>FULL\s+)?MODULES\s*;?\s*$"
+)
+_LOAD_MODULE = re.compile(
+    r"(?is)^\s*LOAD\s+MODULE\s+(?P<name>\w+)"
+    r"(?:\s+WITH\s*\((?P<opts>.*?)\))?\s*;?\s*$"
+)
+_UNLOAD_MODULE = re.compile(
+    r"(?is)^\s*UNLOAD\s+MODULE\s+(?P<name>\w+)\s*;?\s*$"
+)
+_USE_MODULES = re.compile(
+    r"(?is)^\s*USE\s+MODULES\s+(?P<names>\w+(?:\s*,\s*\w+)*)\s*;?\s*$"
+)
 _SHOW_CURRENT_CATALOG = re.compile(
     r"(?is)^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$"
 )
@@ -882,6 +897,43 @@ def execute_statement(engine: EngineSession, stmt: str):
     def _ok() -> "DataFrame":
         return spark.createDataFrame([("OK",)], "result string")
 
+    m = _SHOW_MODULES.match(stmt)
+    if m:
+        if m.group("full"):
+            return spark.createDataFrame(
+                engine.modules.list_full_modules() or [],
+                "module_name string, used boolean",
+            )
+        return spark.createDataFrame(
+            [(n,) for n in engine.modules.list_modules()] or [],
+            "module_name string",
+        )
+    m = _LOAD_MODULE.match(stmt)
+    if m:
+        from flink_1_12_2_spark.modules import CoreModule, HiveModule
+
+        name = m.group("name").lower()
+        if name == "core":
+            module = CoreModule.INSTANCE
+        elif name == "hive":
+            module = HiveModule(spark)
+        else:
+            raise ValueError(
+                f"Could not find a module factory for identifier "
+                f"{name!r} (available: core, hive)"
+            )
+        engine.modules.load_module(name, module)
+        return _ok()
+    m = _UNLOAD_MODULE.match(stmt)
+    if m:
+        engine.modules.unload_module(m.group("name").lower())
+        return _ok()
+    m = _USE_MODULES.match(stmt)
+    if m:
+        engine.modules.use_modules(
+            *[n.strip() for n in m.group("names").split(",")]
+        )
+        return _ok()
     if _SHOW_TABLES.match(stmt):
         if engine._catalog_types.get(engine._current_catalog) == "hive":
             # hive catalogs are Spark databases: list from the session
@@ -1204,11 +1256,11 @@ def execute_statement(engine: EngineSession, stmt: str):
         )
     m = _SHOW_FUNCTIONS.match(stmt)
     if m:
-        from flink_1_12_2_spark.functions.registry import FLINK_FUNCTIONS
-
         names = set(engine._functions)
         if not m.group("user"):  # SHOW FUNCTIONS = system + user
-            names |= set(FLINK_FUNCTIONS)
+            # system names resolve through the module chain (Flink's
+            # TableEnvironment.listFunctions → ModuleManager.listFunctions)
+            names |= engine.modules.list_functions()
         return spark.createDataFrame(
             [(n,) for n in sorted(names)] or [], "function_name string"
         )
