@@ -357,20 +357,41 @@ def ngram_jaccard_pairs(
     sides and both verify sides. With it, shingling runs once and every
     consumer reads the columnar cache (at real scale: checkpoint the shingle
     table between stages — same shape)."""
+    # persisted: the array cache both feeds the posting-list cache fill
+    # below and BOUNDS what a lazy-fill race can recompute (r13 A/B:
+    # dropping this cache and rebuilding verify arrays from the posting
+    # cache looked strictly leaner on paper but ran 3× slower at bench
+    # scale — the posting cache's racers then each re-ran the whole
+    # text→shingle pipeline; with this boundary a racer recomputes only
+    # explode+window from columnar cache)
     docs = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.transform(word_shingles(F.col(text_col), n), md5int60).alias("sh_arr"),
     ).persist()
-    sh = docs.select(
-        "__id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("sh")
-    ).withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-    # persisted: both self-join sides consume the capped posting list —
-    # without the boundary each side re-runs explode + df-window (~11% on
-    # the full query at sf0.1)
-    cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df").persist()
-    _maybe_eager(cold, df)  # both self-join map stages read this cache
-    # docs touching ≥1 hot shingle: tiny (boilerplate carriers only)
-    hot_ids = sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct()
+    # persist the WINDOWED posting list (one explode + one df-window pass).
+    # r13 profile: persisting only the capped filtrate left `sh` itself
+    # unpersisted, and its explode + exchange + window subtree re-ran in
+    # every OTHER consumer — the hot_ids distinct and BOTH broadcast
+    # branches (broadcast exchanges of differently-aliased projections are
+    # not deduped by ReuseExchange) — three extra full posting passes,
+    # ~2 s of the 3.6 s sf0.1 query. One cache, every consumer reads it;
+    # filters preserve the cached hashpartitioning(sh), so the self-join
+    # still needs no new exchange.
+    sh = (
+        docs.select(
+            "__id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("sh")
+        )
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .persist()
+    )
+    _maybe_eager(sh, df)  # every downstream consumer reads this cache
+    cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df")
+    # docs touching ≥1 hot shingle: tiny (boilerplate carriers only);
+    # persisted so the two broadcast branches below don't each re-run the
+    # distinct over the posting cache
+    hot_ids = (
+        sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct().persist()
+    )
     a, b = cold.alias("a"), cold.alias("b")
     counted = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))

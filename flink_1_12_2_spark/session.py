@@ -75,6 +75,19 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Shuffle/spill files on the fastest local storage available. A local
+    # shuffle map task pays a fixed per-block file cost (M×R block files);
+    # on the sandbox's /tmp (spinning-ish virtio disk) that machinery cost
+    # 0.2-0.3 s PER TASK on tiny exchanges (r13 stage metrics: 6.6-8.5 s
+    # cumulative shuffle-write time moving <1 MB). Production twin: point
+    # spark.local.dir at node-local NVMe (the standard deployment rule);
+    # SPARK_GRAFT_LOCAL_DIR overrides, default prefers /dev/shm when
+    # present. Static conf — only effective for the JVM's first session.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if hive:
         builder = builder.enableHiveSupport()
     conf = dict(_DEFAULT_CONF)
@@ -85,6 +98,27 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory for engine-internal transient state
+    (Structured-Streaming checkpoints of bounded verification runs,
+    micro-batch staging) on the fastest local storage available — same
+    policy as ``spark.local.dir`` above: ``$SPARK_GRAFT_SCRATCH``
+    overrides, ``/dev/shm`` preferred when present, else the system
+    default temp dir. The HDFS-backed state store fsyncs per-partition
+    delta files each commit; on the sandbox's disk-backed /tmp that I/O
+    dominated the stateful bench rows' machinery (r13). Durable
+    production checkpoints belong on HDFS/S3 — callers that persist state
+    across restarts pass their own explicit location instead."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm/spark-graft-scratch" if os.path.isdir("/dev/shm") else None
+    )
+    if base:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def pinned_repartition(df: DataFrame, *keys: str) -> DataFrame:

@@ -314,8 +314,10 @@ def run_update_batches(
     Uses ``foreachBatch`` appending to a temp parquet dir (the memory sink
     drops batch identity); empty batches append nothing."""
     spark = sdf.sparkSession
-    out_dir = tempfile.mkdtemp(prefix="ss_updates_")
-    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    from flink_1_12_2_spark.session import scratch_dir
+
+    out_dir = scratch_dir("ss_updates_")
+    ckpt = scratch_dir("ss_ckpt_")
 
     def fb(bdf: DataFrame, bid: int) -> None:
         bdf.withColumn("__batch_id", F.lit(int(bid))).write.mode(
@@ -361,9 +363,11 @@ def run_to_memory(
     Raises on timeout rather than returning a partially-filled sink — a
     partial table would silently fail the correctness gate downstream.
     """
+    from flink_1_12_2_spark.session import scratch_dir
+
     spark = sdf.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    ckpt = scratch_dir("ss_ckpt_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
