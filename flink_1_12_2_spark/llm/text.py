@@ -342,8 +342,14 @@ def cross_doc_chunk_dedup(
         (F.col("__first")[id_col] == F.col(id_col))
         & (F.col("__first")["pos"] == F.col("pos"))
     )
-    totals = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks")
+    # per-doc chunk count is a scan-stage EXPRESSION (sequence length ==
+    # exploded row count, including the empty-string chunk of an empty
+    # text) — the r13 restructure drops the third full explode pass +
+    # groupBy shuffle the counted variant paid; a NULL text yields NULL
+    # here exactly as the explode path yielded no rows, and the inner
+    # join-back drops the doc either way
+    totals = docs.select(
+        F.col(id_col), n_chunks.cast("bigint").alias("n_chunks")
     )
     return (
         kept.groupBy(id_col)

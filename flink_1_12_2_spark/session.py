@@ -88,6 +88,25 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # Pre-fork numpy/pandas/pyarrow in the worker daemon (see
+    # daemon_preload.py): stateful pandas tasks never return their worker
+    # to the reuse pool, so stock Spark re-imports the scientific stack in
+    # every forked worker (~1.9 s/task of start+init on the stateful bench
+    # rows). The daemon subprocess must be able to import this package —
+    # export the repo root on PYTHONPATH before the JVM launches (static:
+    # first session of the JVM only; harmless if already importable).
+    if os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD", "1") != "0":
+        _repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        _pp = os.environ.get("PYTHONPATH", "")
+        if _repo_root not in _pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                _repo_root + ((os.pathsep + _pp) if _pp else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module", "flink_1_12_2_spark.daemon_preload"
+        )
     if hive:
         builder = builder.enableHiveSupport()
     conf = dict(_DEFAULT_CONF)
