@@ -559,3 +559,32 @@ def test_cross_doc_chunk_dedup_first_occurrence_semantics(spark):
     assert out[1] == (2, 2, "a b c d e f g h")
     assert out[2] == (2, 1, "x y z w")
     assert 3 not in out
+
+
+def test_cross_doc_chunk_dedup_expression_totals_edges(spark):
+    """The r13 restructure computes n_chunks as a scan-stage expression
+    (ceil(word_count / chunk_words)) instead of counting exploded rows —
+    pin the edge cases where the two could diverge: empty text (split
+    yields [""] -> one empty-string chunk), word counts not divisible by
+    chunk_words, and a single word."""
+    from flink_1_12_2_spark.llm.text import cross_doc_chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                # [""] -> 1 chunk (the empty chunk)
+            (2, "a"),               # 1 word -> 1 chunk
+            (3, "a b c d e"),       # 5 words -> 2 chunks ("a b c d", "e")
+            (4, "p q r s t u v"),   # 7 words -> 2 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in cross_doc_chunk_dedup(docs, chunk_words=4).collect()
+    }
+    # every chunk here is globally unique except none — all docs survive
+    # with n_kept == n_chunks, and n_chunks equals the exploded row count
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 1)
+    assert out[3] == (2, 2)
+    assert out[4] == (2, 2)
