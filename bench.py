@@ -67,11 +67,15 @@ LLM_HEADLINE = [
     "text_perplexity_filter",
 ]
 
-# Queries whose work executes inside fn() (streaming materialization, or
-# BPE's per-round 1-row merge collects) — the timed region must wrap
-# fn() + write, not write alone.
+# Queries whose work executes inside fn() (streaming materialization,
+# BPE's per-round 1-row merge collects, or ngram dedup's hot-shingle
+# plan-pruning probe, which fills the posting cache as a side effect —
+# r13: timing write-only would let that fill escape the measured region
+# at single-split SFs) — the timed region must wrap fn() + write, not
+# write alone.
 TIMED_INSIDE_FN = set(STATEFUL_HEADLINE) | {
     "bpe_train_merges",
+    "dedup_ngram_jaccard",
 }
 
 # The near-dup pipelines fire eager cache-fill barriers inside fn() when

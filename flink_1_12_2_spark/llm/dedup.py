@@ -351,6 +351,12 @@ def ngram_jaccard_pairs(
     path). Recall is lost only for pairs whose EVERY common shingle is
     hot — docs that are pure boilerplate.
 
+    A metadata probe (``limit(1).count()`` over the hot filtrate of the
+    cached posting list) prunes the plan when NO shingle exceeds the cap:
+    the hot-id broadcasts, exact/verify branch split and union are then
+    provably identity operations and are dropped (r13: −25 % on the bench
+    row; the probe scan doubles as the posting-cache fill).
+
     The hashed array is **persisted**: without the cache boundary Catalyst
     infers a non-empty filter from the explode and pushes the whole shingle
     expression below the exchange, then re-evaluates it on both self-join
@@ -386,14 +392,22 @@ def ngram_jaccard_pairs(
     )
     _maybe_eager(sh, df)  # every downstream consumer reads this cache
     cold = sh.filter(F.col("__df") <= shingle_df_cap).drop("__df")
-    # docs touching ≥1 hot shingle: tiny (boilerplate carriers only);
-    # persisted so the two broadcast branches below don't each re-run the
-    # distinct over the posting cache
-    hot_ids = (
-        sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct().persist()
+    # Data-adaptive plan pruning (AQE-style, recomputed every invocation):
+    # probe whether ANY shingle exceeds the cap. When none does — every
+    # test SF, and any boilerplate-free corpus — the hot-id broadcast
+    # joins, the exact/verify split, the union and the second cache
+    # boundary are all provably no-ops (``__h1``/``__h2`` would be NULL on
+    # every row), so the plan collapses to self-join → agg → jaccard.
+    # The probe's limit(1) scan doubles as the ``sh`` cache fill,
+    # serializing what the downstream consumers would otherwise race.
+    # NOTE bench.py: this action runs inside fn(), so the row is timed
+    # around fn()+write (TIMED_INSIDE_FN) to keep the measured region
+    # honest at single-split SFs too.
+    any_hot = (
+        sh.filter(F.col("__df") > shingle_df_cap).limit(1).count() > 0
     )
     a, b = cold.alias("a"), cold.alias("b")
-    counted = (
+    counted_raw = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_1"), F.col("b.__id").alias("id_2"))
         .agg(
@@ -401,6 +415,28 @@ def ngram_jaccard_pairs(
             F.min(F.col("a.n_sh")).alias("n1"),
             F.min(F.col("b.n_sh")).alias("n2"),
         )
+    )
+    if not any_hot:
+        return (
+            counted_raw.select(
+                "id_1",
+                "id_2",
+                (
+                    F.col("common").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("common")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_1", "id_2", "jaccard")
+        )
+    # docs touching ≥1 hot shingle: tiny (boilerplate carriers only);
+    # persisted so the two broadcast branches below don't each re-run the
+    # distinct over the posting cache
+    hot_ids = (
+        sh.filter(F.col("__df") > shingle_df_cap).select("__id").distinct().persist()
+    )
+    counted = (
+        counted_raw
         .join(
             F.broadcast(hot_ids.select(F.col("__id").alias("id_1"), F.lit(True).alias("__h1"))),
             "id_1",

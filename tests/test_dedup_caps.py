@@ -37,6 +37,29 @@ def test_ngram_cap_drops_hot_shingles_from_candidates(spark):
     assert out == []
 
 
+def test_ngram_hot_verify_path_is_exact(spark):
+    # a genuinely hot shingle (df=4 > cap=2) forces the full hot-verify
+    # plan (the r13 empty-hot probe must NOT take the pruned fast path):
+    # docs 1/2 pair up via their cold shingles and, as hot carriers, get
+    # the exact array-verified jaccard over FULL shingle sets — hot one
+    # included. Docs 3/4 overlap doc 1 only through the hot shingle, so
+    # those pairs are dropped (the documented pure-boilerplate recall
+    # trade).
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma xxx yyy zzz"),
+        (4, "alpha beta gamma ppp qqq rrr"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.5, shingle_df_cap=2
+    ).collect()
+    assert {(r.id_1, r.id_2) for r in pairs} == {(1, 2)}
+    # doc1/doc2: 4 shingles each, 3 shared (incl. the hot one) -> 3/5
+    assert abs(pairs[0].jaccard - 3 / 5) < 1e-12
+
+
 def test_lsh_band_cap_prunes_candidates(spark):
     d = _docs(spark)
     sigs = D.minhash_signatures(d, "doc_id", "text")
