@@ -75,6 +75,19 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Driver heap: in local mode the driver JVM hosts every task slot and
+    # every cache, yet Spark's default is 1 GiB — measured GC starvation
+    # with tens of concurrent tasks (r13 interleaved bench A/B, 1g → 6g:
+    # core −12%, broad-based across the cache/Python-heavy rows; 3g
+    # recovers almost none of it). Sized to the workload, not the core
+    # count; SPARK_GRAFT_DRIVER_MEMORY overrides (production twin: the
+    # explicit spark.driver.memory/spark.executor.memory every cluster
+    # deployment sets — guide §5). Static conf: first session of the JVM
+    # only; ignored when attaching to an already-running JVM.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "6g"),
+    )
     # Shuffle/spill files on the fastest local storage available. A local
     # shuffle map task pays a fixed per-block file cost (M×R block files);
     # on the sandbox's /tmp (spinning-ish virtio disk) that machinery cost
