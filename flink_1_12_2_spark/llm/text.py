@@ -310,6 +310,11 @@ def cross_doc_chunk_dedup(
     seen earlier elsewhere vanish entirely — exactly CCNet's behavior.
     Returns (id, n_chunks, n_kept, new_text).
 
+    **Precondition: ``id_col`` values are unique** (true of every engine
+    corpus — doc_id is the table's key). Totals are computed per INPUT
+    row, so a duplicated id would emit one output row per copy after the
+    join-back instead of one aggregated row (r13 ADVICE note).
+
     Scale: explode → one MIN aggregate keyed by xxhash64(chunk) (map-
     combinable) → hash-join back on the same 8-byte key → per-doc
     collect_list bounded by the document's own length. The aggregate and

@@ -55,6 +55,58 @@ _DEFAULT_CONF = {
 }
 
 
+# tmpfs headroom the fast-local-dir default requires before it will put
+# shuffle/spill/scratch files on /dev/shm. tmpfs is RAM: spill-to-disk
+# fires exactly when memory is short, so landing spill on a nearly-full
+# shm inverts §5's safety valve (ENOSPC / OS memory pressure — r13
+# verdict item 1). 8 GiB is conservative vs the sandbox's <1 MB bench
+# shuffles and still trips the fallback on small-RAM hosts; override
+# with SPARK_GRAFT_SHM_MIN_FREE (bytes).
+SHM_MIN_FREE_BYTES = 8 << 30
+
+
+def _fast_local_dir(path: str = "/dev/shm") -> str | None:
+    """``path`` when it exists AND has tmpfs headroom, else ``None``
+    (callers fall back to the system temp / Spark default)."""
+    if not os.path.isdir(path):
+        return None
+    try:
+        st = os.statvfs(path)
+        free = st.f_bavail * st.f_frsize
+    except OSError:
+        return None
+    try:
+        min_free = int(
+            os.environ.get("SPARK_GRAFT_SHM_MIN_FREE", SHM_MIN_FREE_BYTES)
+        )
+    except ValueError:
+        min_free = SHM_MIN_FREE_BYTES
+    return path if free >= min_free else None
+
+
+def _default_driver_memory(mem_total_bytes: int | None) -> str:
+    """Local-mode driver heap default: 6g, clamped to half of physical RAM
+    on smaller hosts (ADVICE r13: a fixed 6g can fail JVM startup or push
+    a small machine into swap). Pure so tests can probe the clamp."""
+    six_g_mb = 6 * 1024
+    if not mem_total_bytes:
+        return "6g"
+    half_mb = int(mem_total_bytes / 2 // (1024 * 1024))
+    mb = max(min(six_g_mb, half_mb), 512)
+    return "6g" if mb == six_g_mb else f"{mb}m"
+
+
+def _mem_total_bytes() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "flink_1_12_2_spark",
     master: str | None = None,
@@ -86,7 +138,8 @@ def get_spark(
     # only; ignored when attaching to an already-running JVM.
     builder = builder.config(
         "spark.driver.memory",
-        os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "6g"),
+        os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+        or _default_driver_memory(_mem_total_bytes()),
     )
     # Shuffle/spill files on the fastest local storage available. A local
     # shuffle map task pays a fixed per-block file cost (M×R block files);
@@ -95,9 +148,11 @@ def get_spark(
     # cumulative shuffle-write time moving <1 MB). Production twin: point
     # spark.local.dir at node-local NVMe (the standard deployment rule);
     # SPARK_GRAFT_LOCAL_DIR overrides, default prefers /dev/shm when
-    # present. Static conf — only effective for the JVM's first session.
+    # present AND it has ≥ SHM_MIN_FREE_BYTES headroom (tmpfs is RAM —
+    # see _fast_local_dir). Static conf — first session of the JVM only.
+    shm = _fast_local_dir()
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
+        (shm + "/spark-graft-local") if shm else None
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
@@ -145,8 +200,9 @@ def scratch_dir(prefix: str) -> str:
     across restarts pass their own explicit location instead."""
     import tempfile
 
+    shm = _fast_local_dir()
     base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
-        "/dev/shm/spark-graft-scratch" if os.path.isdir("/dev/shm") else None
+        (shm + "/spark-graft-scratch") if shm else None
     )
     if base:
         os.makedirs(base, exist_ok=True)

@@ -28,6 +28,29 @@ def ltz_to_ntz_utc(col) -> F.Column:
     return F.timestamp_add("MICROSECOND", F.unix_micros(c), epoch_ntz)
 
 
+# (path, mtime_ns, size) -> StructType. Schema inference for the stream
+# scan is a driver-side batch read (listing + parquet footer) re-paid on
+# EVERY streaming-query build — ~0.1-0.2 s of each stateful bench row's
+# fixed cost (r14 ss_profile 'build' segment). The schema is plan
+# METADATA derived from the file identity, not query results, and the
+# mtime/size key invalidates it whenever the file changes.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _static_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return _SCHEMA_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -42,17 +65,17 @@ def stream_events(
     """
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(path)
+    schema = _static_schema(spark, path)
     if os.path.isdir(path):
         # engine-written table: a parquet DIRECTORY — stream it directly
         # (a name glob on sf_dir would filter out its part-files and
         # silently read nothing; found by the r11 10x events probe)
-        sdf = spark.readStream.schema(static.schema).parquet(path)
+        sdf = spark.readStream.schema(schema).parquet(path)
     else:
         # driver-generated single file: the file stream source requires a
         # directory, so stream sf_dir with a glob selecting just this file
         sdf = (
-            spark.readStream.schema(static.schema)
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
