@@ -812,16 +812,30 @@ def exact_substring_pairs(
     wins = fan_out(df).select(
         F.col(id_col).alias("__id"), F.posexplode(spans).alias("pos", "wh")
     )
-    elig = (
-        wins.groupBy("wh")
-        .agg(F.count_distinct("__id").alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_bucket))
-        .select("wh")
+    # Distinct-doc frequency per window hash as a WINDOW over the same
+    # hash partitioning the self-join needs (max(dense_rank by __id) ==
+    # COUNT(DISTINCT __id) — a doc can repeat a hash at several
+    # positions). r14: the former groupBy(wh)+join-back shape ran the
+    # span-explode+md5 subtree TWICE (once under the aggregate, once on
+    # the join's probe side — Catalyst does not share subtrees across
+    # join inputs) and left w2 round-robin-partitioned, forcing the
+    # self-join to shuffle both sides by wh. One explode pass, one
+    # exchange, and the cached partitioning feeds the self-join —
+    # the same architecture ngram_jaccard_pairs adopted in r13
+    # (phase profile: w2_fill 1.66 s of the 3.4 s query; plan
+    # 17 Exchange + 4 Generate → see plans/r14).
+    w_wh = Window.partitionBy("wh")
+    w2 = (
+        wins.withColumn(
+            "__dr", F.dense_rank().over(w_wh.orderBy("__id"))
+        )
+        .withColumn("__nd", F.max("__dr").over(w_wh))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= max_bucket))
+        .drop("__dr", "__nd")
+        # persisted: both self-join sides consume the capped posting list
+        .persist()
+        .transform(_track_cache)
     )
-    # persisted: both self-join sides consume the capped posting list —
-    # without the boundary each side re-runs the span explode + frequency
-    # join (same policy as ngram_jaccard_pairs's `cold`)
-    w2 = wins.join(elig, "wh").persist().transform(_track_cache)
     _maybe_eager(w2, df)  # both self-join sides read this cache
     a = w2.select("wh", F.col("__id").alias("id_1"), F.col("pos").alias("pa"))
     b = w2.select("wh", F.col("__id").alias("id_2"), F.col("pos").alias("pb"))

@@ -1544,7 +1544,8 @@ def test_pregate_batch_outputs_identical(spark, sf_dir):
             "formatted"
         )
     )
-    assert "FlatMapGroupsInPandas" in plan
+    # r14: the batch NFA is a key-clustered MapInPandas (cep._keyed_apply)
+    assert "MapInPandas" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any(
         "Or(" in ln

@@ -426,12 +426,15 @@ def test_quantile_gate_broadcasts_stats_no_window(spark, sf_dir):
 def test_match_recognize_pregate_below_nfa(spark, sf_dir):
     """The CEP candidate pre-gate: the row-level any-DEFINE-upper-bound
     disjunction reaches the parquet scan as PushedFilters, BELOW the
-    FlatMapGroupsInPandas NFA stage, and the NFA's exchange is a pinned
+    MapInPandas NFA stage, and the NFA's exchange is a pinned
     user-specified repartition (REPARTITION_BY_NUM) that AQE's byte-based
     coalescing cannot fold down — the Python stage keeps full
     parallelism."""
     plan = _plan(spark, sf_dir, "match_recognize_agg_measures")
-    assert "FlatMapGroupsInPandas" in plan
+    # r14: the batch NFA runs as a key-clustered MapInPandas (see
+    # streaming/cep._keyed_apply) instead of grouped-map — same keyed
+    # exchange, same pregate, per-group machinery removed
+    assert "MapInPandas" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any(
         "Or(" in ln
@@ -449,7 +452,7 @@ def test_match_recognize_prev_nav_one_keyed_exchange(spark, sf_dir):
     import re as _re
 
     plan = _plan(spark, sf_dir, "match_recognize_prev_nav")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # r14 _keyed_apply, see above
     # nav lag column materialized JVM-side
     assert "__nav_prev1_value" in plan
     # the detail section names every Exchange; the NFA input subtree must
