@@ -52,16 +52,19 @@ _DEFAULT_CONF = {
     # Broadcast threshold — Flink's table.optimizer.join.broadcast-threshold
     # (reference: flink-table/flink-table-api-java/.../config/OptimizerConfigOptions.java:53).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Local file:// access without Hadoop's client-side checksum layer.
-    # Everything the engine puts on file:// is node-local TRANSIENT state
-    # (shuffle scratch, bounded-run streaming checkpoints/WAL, state-store
-    # deltas) where the .crc sibling files double every metadata-log file
-    # op for no integrity gain over the local FS itself. r14 fresh-JVM A/B
-    # on stream_topn: walCommit 48-75 → 26-40 ms, commitOffsets 39-63 →
-    # 23-27 ms, latestOffset 44-72 → 25-43 ms per micro-batch. Durable
-    # production checkpoints live on hdfs://-or-s3:// and are untouched by
-    # the file:// scheme override (guide §6).
-    "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
+    # FileContext access to local file:// without Hadoop's client-side
+    # checksum layer. The streaming checkpoint machinery (offset/commit
+    # WAL, state-store deltas) goes through CheckpointFileManager's
+    # FileContext path, where the checksum wrapper doubles every
+    # metadata-log file op (.crc siblings) for no integrity gain on
+    # node-local transient scratch. r14 fresh-JVM A/B on stream_topn:
+    # walCommit 48-75 → 26-40 ms, commitOffsets 39-63 → 23-27 ms,
+    # latestOffset 44-72 → 25-43 ms per micro-batch. Durable production
+    # checkpoints live on hdfs://-or-s3:// — untouched by the file://
+    # scheme override (guide §6). Deliberately NOT overriding the
+    # FileSystem-API twin `fs.file.impl`: RawLocalFileSystem breaks
+    # SequenceFile readers that hard-cast FileSystem.getLocal() to
+    # LocalFileSystem (caught by the sequencefile sink-roundtrip test).
     "spark.hadoop.fs.AbstractFileSystem.file.impl": (
         "org.apache.hadoop.fs.local.RawLocalFs"
     ),
